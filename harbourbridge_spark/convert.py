@@ -1,0 +1,274 @@
+"""Cast-expression planner: string rows -> typed rows + bad-row split.
+
+This is the Spark-first re-expression of the reference's row converters
+(/root/reference/postgres/data.go:52-383, mysql/data.go:55-261):
+instead of converting value-by-value in a loop, we emit one Spark Column
+expression per column (D5-D14), a per-column error flag, and split the
+DataFrame once into (good, bad) — the row-level quarantine semantics of
+ProcessDataRow/CollectBadRow (postgres/data.go:37-46,
+internal/convert.go:228-249) expressed declaratively so the whole
+projection runs inside whole-stage codegen. No Python UDFs.
+
+Error semantics: a row is bad iff any column's source value is non-NULL
+but fails conversion (matches the reference's first-error-wins row
+quarantine; we report the full set of failing columns instead of just
+the first, which only affects diagnostic messages, not counts).
+
+The synthetic primary key (T14) is a bit-reversed sequence
+(postgres/data.go:99-104 uses bits.Reverse64) over an explicit
+``_seq`` ordering column provided by the source (dump sources stage a
+line-sequence column; see sources/pgdump.py). Bit-reversal spreads
+sequential inserts across the target key space — the same
+hot-spot-avoidance rationale as the reference — and is computed with
+pure JVM bit arithmetic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import types as tt
+from .context import MigrationContext
+from .schema_ir import TargetTable
+
+# PostgreSQL COPY NULL marker is handled at read time (nullValue='\\N');
+# MySQL dumps yield NULL literals handled here.
+MYSQL_NULL_MARKERS = ("NULL", "<nil>")
+
+# Sequence/ordering column name contributed by dump sources.
+SEQ_COL = "_hb_seq"
+ERRS_COL = "_hb_errs"
+
+
+@dataclass
+class ColumnPlan:
+    target_col: str
+    expr: Column        # typed value expression (aliased later)
+    err: Column         # true => this column failed conversion
+
+
+def _pg_timestamptz(c: Column) -> Column:
+    """D11 (postgres/data.go:204-234): try '...Z07' / '...Z07:00' zone
+    formats, then zone-less interpreted in the dump's location (we pin
+    the Spark session timezone to UTC, matching the default location).
+
+    Spark's string->timestamp cast already accepts all three shapes
+    ('2019-10-28 15:00:00.123457+00', '+05:30', and naive), so a single
+    cast covers the fallback chain; try_to_timestamp patterns would
+    reject the fractional-second variants the cast accepts.
+    """
+    return c.try_cast("timestamp")
+
+
+def _pg_timestamp_naive(c: Column) -> Column:
+    """timestamp without time zone: parse as UTC-naive
+    (postgres/data.go:228-233). With the session timezone pinned to
+    UTC, a plain cast gives exactly naive-as-UTC instants."""
+    return c.try_cast("timestamp")
+
+
+def _mysql_timestamp(c: Column, offset: str) -> Column:
+    """D12 (mysql/data.go:194-219): timestamp values are naive in the
+    dump's TIME_ZONE (captured offset, default +00:00); append the
+    offset and parse as an absolute instant."""
+    return F.concat(c, F.lit(offset)).try_cast("timestamp")
+
+
+def _scalar_expr(c: Column, t: tt.Type, dialect: str,
+                 tz_offset: str) -> Column:
+    """The typed-value expression for one scalar column (D5-D12)."""
+    if t.name == tt.BOOL:
+        if dialect == "mysql":
+            # MySQL represents bool as tinyint; any int in [-128,127]
+            # converts as v != 0 (mysql/data.go:129-147).
+            i = c.try_cast("long")
+            return (F.when(i.isNotNull() & (i >= -128) & (i <= 127), i != 0)
+                     .otherwise(c.try_cast("boolean")))
+        return c.try_cast("boolean")
+    if t.name == tt.BYTES:
+        if dialect == "postgres":
+            # pg dumps emit hex with a \x prefix (postgres/data.go:148-157)
+            return F.when(c.startswith("\\x"),
+                          F.unhex(c.substr(F.lit(3), F.length(c)))
+                          ).otherwise(F.lit(None).cast("binary"))
+        return c.try_cast("binary")
+    if t.name == tt.DATE:
+        return c.try_cast("date")
+    if t.name == tt.FLOAT64:
+        return c.try_cast("double")
+    if t.name == tt.INT64:
+        # strconv.ParseInt semantics: no decimal points, no floats
+        # (Spark's string->long cast truncates '1.5' to 1 — guard it).
+        return F.when(c.rlike(r"^[+-]?[0-9]+$"), c.try_cast("long")) \
+                .otherwise(F.lit(None).cast("long"))
+    if t.name == tt.NUMERIC:
+        return c.try_cast(f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})")
+    if t.name == tt.TIMESTAMP:
+        if dialect == "mysql":
+            return _mysql_timestamp(c, tz_offset)
+        return _pg_timestamptz(c)
+    # STRING
+    return c.cast("string")
+
+
+def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
+                   tz_offset: str) -> tuple[Column, Column]:
+    """D13 (postgres/data.go:242-383): parse a pg array literal
+    '{a,"b c",NULL}' into ARRAY<T>, tracking element conversion errors.
+
+    Implemented with split + transform so it stays JVM-side. Handles:
+    empty '{}', unquoted NULL elements, double-quoted elements with
+    escaped quotes/backslashes. Known limitation vs the reference's
+    recursive parser: a quoted element containing a literal comma is
+    mis-split (not present in the fixture corpus; full fidelity would
+    need a pandas UDF — documented deviation).
+
+    Returns (value_expr, err_expr).
+    """
+    q = name
+    inner = f"substring({q}, 2, length({q}) - 2)"
+    raw = f"split({inner}, ',')"
+    # per element: unquoted NULL (exactly) is a NULL element; quoted
+    # "NULL" is the string; quoted elements get unescaped (\" and \\)
+    elem_case = (
+        "CASE WHEN x = 'NULL' THEN CAST(NULL AS STRING) "
+        "WHEN x RLIKE '^\".*\"$' THEN "
+        "replace(replace(substring(x, 2, length(x) - 2), "
+        r"'\\\"', '\"'), "
+        r"'\\\\', '\\') "
+        "ELSE x END")
+    elems = f"transform({raw}, x -> {elem_case})"
+
+    elem_t = tt.Type(elem.name, elem.length)
+    cast_sql = _elem_cast_sql(elem_t, dialect, tz_offset)
+    typed = (f"CASE WHEN {q} IS NULL THEN NULL "
+             f"WHEN {q} = '{{}}' THEN array() "
+             f"WHEN {q} RLIKE '^\\\\{{.*\\\\}}$' THEN "
+             f"transform({elems}, x -> {cast_sql}) "
+             f"ELSE NULL END")
+    # error: literal malformed, or an element failed its cast (the empty
+    # literal '{}' is valid and has no elements to check)
+    err = (f"({q} IS NOT NULL AND {q} != '{{}}' AND ("
+           f"NOT ({q} RLIKE '^\\\\{{.*\\\\}}$') "
+           f"OR exists(zip_with({elems}, {typed}, (s, v) -> "
+           f"s IS NOT NULL AND v IS NULL), b -> b)))")
+    return F.expr(typed), F.expr(err)
+
+
+def _elem_cast_sql(t: tt.Type, dialect: str, tz_offset: str) -> str:
+    """SQL text of the scalar cast for array elements (input: x)."""
+    if t.name == tt.BOOL:
+        return "TRY_CAST(x AS BOOLEAN)"
+    if t.name == tt.BYTES:
+        if dialect == "postgres":
+            return ("CASE WHEN x LIKE '\\\\x%' THEN unhex(substring(x, 3)) "
+                    "ELSE CAST(NULL AS BINARY) END")
+        return "TRY_CAST(x AS BINARY)"
+    if t.name == tt.DATE:
+        return "TRY_CAST(x AS DATE)"
+    if t.name == tt.FLOAT64:
+        return "TRY_CAST(x AS DOUBLE)"
+    if t.name == tt.INT64:
+        return ("CASE WHEN x RLIKE '^[+-]?[0-9]+$' THEN TRY_CAST(x AS BIGINT) "
+                "ELSE CAST(NULL AS BIGINT) END")
+    if t.name == tt.NUMERIC:
+        return f"TRY_CAST(x AS DECIMAL({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE}))"
+    if t.name == tt.TIMESTAMP:
+        if dialect == "mysql":
+            return f"TRY_CAST(concat(x, '{tz_offset}') AS TIMESTAMP)"
+        return "TRY_CAST(x AS TIMESTAMP)"
+    return "CAST(x AS STRING)"
+
+
+def _mysql_set_expr(name: str) -> tuple[Column, Column]:
+    """D14 (mysql/data.go:228-261): MySQL SET value -> ARRAY<STRING>."""
+    c = F.col(name)
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")) \
+            .otherwise(F.split(c, ",")), F.lit(False)
+
+
+def plan_columns(ctx: MigrationContext, src_table: str,
+                 dialect: str) -> list[ColumnPlan]:
+    """Build the per-column conversion plan for one table (D1/D2).
+
+    Input DataFrame contract: one STRING column per *source* column
+    name (NULLs already decoded by the reader), optionally a SEQ_COL.
+    """
+    tgt_name = ctx.to_target[src_table]["name"]
+    tgt: TargetTable = ctx.sp_schema[tgt_name]
+    col_map = ctx.to_target[src_table]["cols"]
+    tz = ctx.timezone_offset or "+00:00"
+
+    plans: list[ColumnPlan] = []
+    for src_col, tgt_col in col_map.items():
+        cd = tgt.col_defs[tgt_col]
+        c = F.col(src_col)
+        if cd.type.is_array:
+            if dialect == "mysql":
+                expr, err = _mysql_set_expr(src_col)
+            else:
+                elem = tt.Type(cd.type.name, cd.type.length)
+                expr, err = _pg_array_expr(src_col, elem, dialect, tz)
+        else:
+            expr = _scalar_expr(c, cd.type, dialect, tz)
+            if cd.type.name == tt.STRING:
+                err = F.lit(False)
+            else:
+                # covers malformed hex for pg bytea too (unhex -> NULL)
+                err = c.isNotNull() & expr.isNull()
+        plans.append(ColumnPlan(tgt_col, expr, err))
+    return plans
+
+
+def _bit_reverse_sql(col_sql: str) -> str:
+    """bits.Reverse64 as a JVM expression (T14, postgres/data.go:99-104):
+    reverse the 64-bit pattern of a non-negative sequence number,
+    reinterpreted as a signed long (negative for odd sequences, exactly
+    like storing Go's uint64 bit pattern in an int64 key). Spreads
+    sequential inserts across the target key space."""
+    return ("aggregate(sequence(0, 63), 0L, (acc, i) -> "
+            f"acc + shiftleft(shiftright({col_sql}, i) & 1L, "
+            "CAST(63 - i AS INT)))")
+
+
+def bit_reverse64(col_name: str) -> Column:
+    """Column form of the bit-reversed synthetic-key expression."""
+    return F.expr(_bit_reverse_sql(col_name))
+
+
+@dataclass
+class ConversionResult:
+    good: DataFrame
+    bad: DataFrame      # source string columns + ERRS_COL (failing columns)
+
+
+def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
+                  dialect: str) -> ConversionResult:
+    """Convert one table's string DataFrame into its typed target shape,
+    splitting off bad rows (D17). Appends the synthetic PK when the
+    table has one (requires SEQ_COL in the input for determinism)."""
+    plans = plan_columns(ctx, src_table, dialect)
+    tgt_name = ctx.to_target[src_table]["name"]
+
+    errs = F.array(*[
+        F.when(p.err, F.lit(p.target_col)).otherwise(F.lit(None))
+        for p in plans])
+    errs = F.filter(errs, lambda x: x.isNotNull())
+    with_errs = df.withColumn(ERRS_COL, errs)
+
+    good = with_errs.where(F.size(ERRS_COL) == 0)
+    bad = with_errs.where(F.size(ERRS_COL) > 0)
+
+    cols = [p.expr.alias(p.target_col) for p in plans]
+    synth = ctx.synthetic_pkeys.get(tgt_name)
+    if synth is not None:
+        if SEQ_COL not in df.columns:
+            raise ValueError(
+                f"table {src_table}: synthetic key requires {SEQ_COL}")
+        cols.append(
+            F.expr(_bit_reverse_sql(SEQ_COL)).alias(synth.col))
+    good = good.select(*cols)
+    return ConversionResult(good=good, bad=bad)

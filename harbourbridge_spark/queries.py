@@ -1,0 +1,397 @@
+"""The declared-query inventory (SURVEY §2.7): every operator exposed as
+a (Spark callable, DuckDB oracle SQL) pair for the correctness gate.
+
+Conventions that make the hash-compare robust:
+
+- every computed column is aliased identically in Spark and SQL;
+- float aggregation is routed through exact DECIMAL arithmetic (sums of
+  decimals are order-independent) and the *final* value is cast to
+  DOUBLE — bit-identical across engines regardless of partitioning;
+- timestamps/dates are returned as formatted strings or epoch integers
+  (Spark's session-tz rendering differs from DuckDB's naive render);
+- results are deterministic sets (no LIMIT without a total order).
+
+Scale notes are attached per query: every query is a pure DataFrame
+plan (no driver-side data loops), so Catalyst applies pushdown/pruning
+and AQE handles skew at real scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin the session timezone so timestamp literals/rendering agree with
+    # the DuckDB oracle's naive-UTC semantics regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
+    # long; queries convert explicitly (event_ts_seconds below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def event_ts_seconds() -> F.Column:
+    """events.ts arrives as nanoseconds-since-epoch (long); epoch seconds
+    as a long, truncating like unix_timestamp."""
+    return F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # DuckDB SQL; None => rows-only check
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, description)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Migration-surface queries (S16, D5-D14, D17, T14, T16, A1/A4/A6)
+# ---------------------------------------------------------------------------
+
+_ROWCOUNT_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+    for t in TABLES)
+
+
+@register("rowcounts", _ROWCOUNT_ORACLE,
+          "S16: per-table row counts (progress denominators)")
+def q_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = [
+        load(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), F.col("n_rows"))
+        for t in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+@register(
+    "cast_projection_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_num,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_num,
+           CAST(l_returnflag AS VARCHAR) AS returnflag_str,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           CAST(l_orderkey AS VARCHAR) AS orderkey_str
+    FROM lineitem
+    """,
+    "D5-D14 as a typed projection: the migrated shape of lineitem "
+    "(NUMERIC/STRING/DATE targets); whole-stage-codegen cast plan")
+def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty_num"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_num"),
+        F.col("l_returnflag").cast("string").alias("returnflag_str"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+    )
+
+
+@register(
+    "good_bad_split_events",
+    """
+    WITH src AS (
+        SELECT CAST(event_id AS BIGINT) AS event_id, props FROM events
+        UNION ALL
+        SELECT * FROM (VALUES (1000000000001, '{bad json'),
+                              (1000000000002, '{"k": "not-a-number"}'),
+                              (1000000000003, NULL)) t(event_id, props)
+    ), conv AS (
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_int,
+               props
+        FROM src
+    )
+    SELECT CASE WHEN props IS NOT NULL AND k_int IS NULL
+                THEN 'bad' ELSE 'good' END AS status,
+           COUNT(*) AS n_rows,
+           COALESCE(SUM(k_int), 0) AS sum_k
+    FROM conv GROUP BY 1
+    """,
+    "D17 bad-row quarantine: JSON field -> INT64 conversion with "
+    "dirty rows split out; counts mirror Conv.Stats (A1)")
+def q_good_bad_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"), "props")
+    dirty = spark.createDataFrame(
+        [(1000000000001, "{bad json"),
+         (1000000000002, '{"k": "not-a-number"}'),
+         (1000000000003, None)],
+        "event_id long, props string")
+    src = ev.unionAll(dirty)
+    k = F.get_json_object("props", "$.k")
+    conv = src.select(
+        "event_id",
+        k.try_cast("long").alias("k_int"),
+        "props")
+    return (conv
+            .select(F.when(F.col("props").isNotNull() & F.col("k_int").isNull(),
+                           F.lit("bad")).otherwise(F.lit("good")).alias("status"),
+                    "k_int")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.coalesce(F.sum("k_int"), F.lit(0)).alias("sum_k")))
+
+
+@register(
+    "synthetic_pk_supplier",
+    """
+    SELECT s_suppkey,
+           reverse(lpad(bin(CAST(row_number() OVER (ORDER BY s_suppkey) - 1
+                            AS BIGINT)), 64, '0')) AS synth_bits
+    FROM supplier
+    """,
+    "T14: deterministic bit-reversed synthetic key (bits.Reverse64 "
+    "analogue) over an explicit ordering; returned as the 64-bit "
+    "pattern string so both engines agree without int64 sign issues")
+def q_synthetic_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    s = load(spark, sf_dir, "supplier")
+    seq = (F.row_number().over(Window.orderBy("s_suppkey")) - 1).cast("long")
+    return s.select(
+        "s_suppkey",
+        F.reverse(F.lpad(F.bin(seq), 64, "0")).alias("synth_bits"))
+
+
+@register(
+    "uniqueness_validation",
+    """
+    WITH dup AS (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    ), li AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    )
+    SELECT 'orders_pk_violations' AS check_name,
+           (SELECT COUNT(*) FROM dup) AS n_keys
+    UNION ALL
+    SELECT 'lineitem_orderkey_multi' AS check_name,
+           (SELECT COUNT(*) FROM li) AS n_keys
+    """,
+    "T16: uniqueness validation of a declared unique constraint "
+    "(groupBy-count-filter), one negative and one positive case")
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dup_o = (orders.groupBy("o_orderkey").count()
+             .where(F.col("count") > 1).agg(F.count(F.lit(1)).alias("n")))
+    dup_l = (li.groupBy("l_orderkey").count()
+             .where(F.col("count") > 1).agg(F.count(F.lit(1)).alias("n")))
+    return (dup_o.select(F.lit("orders_pk_violations").alias("check_name"),
+                         F.col("n").alias("n_keys"))
+            .unionAll(dup_l.select(
+                F.lit("lineitem_orderkey_multi").alias("check_name"),
+                F.col("n").alias("n_keys"))))
+
+
+@register(
+    "report_rating",
+    """
+    WITH stats AS (
+        SELECT 'lineitem' AS table_name, COUNT(*) AS total,
+               SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS bad
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               SUM(CASE WHEN o_totalprice <= 100 THEN 1 ELSE 0 END)
+        FROM orders
+    )
+    SELECT table_name, total, bad,
+           CASE WHEN bad = 0 THEN 'EXCELLENT'
+                WHEN bad < total / 20 THEN 'GOOD'
+                WHEN bad < total / 3 THEN 'OK'
+                ELSE 'POOR' END AS rating
+    FROM stats
+    """,
+    "A6: conversion-quality rating thresholds "
+    "(internal/report.go:313-362) over validation-rule violations")
+def q_report_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    s1 = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0)).alias("bad")
+    ).select(F.lit("lineitem").alias("table_name"), "total", "bad")
+    s2 = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_totalprice") <= 100, 1).otherwise(0)).alias("bad")
+    ).select(F.lit("orders").alias("table_name"), "total", "bad")
+    stats = s1.unionAll(s2)
+    rating = (F.when(F.col("bad") == 0, "EXCELLENT")
+              .when(F.col("bad") < F.col("total") / 20, "GOOD")
+              .when(F.col("bad") < F.col("total") / 3, "OK")
+              .otherwise("POOR"))
+    return stats.select("table_name", "total", "bad", rating.alias("rating"))
+
+
+# ---------------------------------------------------------------------------
+# Relational capability (the migrated tables are queryable DataFrames) —
+# flagship analytics queries, also the bench headliners.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: map-side partial aggregation, "
+    "one shuffle on the low-cardinality group key")
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (li
+            .where(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+                 F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register(
+    "q3_segment_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000
+    """,
+    "TPC-H Q3-style: selective dimension filter broadcast into the "
+    "fact join; aggregation keyed on the join key (no extra shuffle)")
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = F.sum(price * (1 - disc))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(rev.alias("_rev"))
+            .where(F.col("_rev") > 100000)
+            .select("o_orderkey",
+                    F.col("_rev").cast("double").alias("revenue"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")))
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    "TPC-H Q5-style star join: all dimensions broadcast, single "
+    "pass over the fact table, one final shuffle on (region, nation)")
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("s_suppkey", "r_name", "n_name"))
+    return (l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "events_windowed_agg",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "Tumbling 5-minute event-time windows per event type (batch shape "
+    "of the Structured Streaming operator in streaming/)")
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = (F.floor(event_ts_seconds() / 300) * 300).cast("long")
+    return (ev.groupBy(win.alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# helpers for __spark_entry__
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}
