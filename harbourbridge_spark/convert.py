@@ -78,7 +78,7 @@ def _mysql_timestamp(c: Column, offset: str) -> Column:
 
 
 def _scalar_expr(c: Column, t: tt.Type, dialect: str,
-                 tz_offset: str) -> Column:
+                 tz_offset: str, src_type: str = "") -> Column:
     """The typed-value expression for one scalar column (D5-D12)."""
     if t.name == tt.BOOL:
         if dialect == "mysql":
@@ -107,7 +107,10 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
     if t.name == tt.NUMERIC:
         return c.try_cast(f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})")
     if t.name == tt.TIMESTAMP:
-        if dialect == "mysql":
+        # mysql `timestamp` values are naive in the dump's TIME_ZONE ->
+        # apply the captured offset; `datetime` is naive-UTC
+        # (mysql/data.go:194-219). pg handles both via the cast chain.
+        if dialect == "mysql" and src_type == "timestamp":
             return _mysql_timestamp(c, tz_offset)
         return _pg_timestamptz(c)
     # STRING
@@ -202,9 +205,13 @@ def plan_columns(ctx: MigrationContext, src_table: str,
     col_map = ctx.to_target[src_table]["cols"]
     tz = ctx.timezone_offset or "+00:00"
 
+    src_defs = ctx.src_schema[src_table].col_defs
+
     plans: list[ColumnPlan] = []
     for src_col, tgt_col in col_map.items():
         cd = tgt.col_defs[tgt_col]
+        src_type = (src_defs[src_col].type.name.lower()
+                    if src_col in src_defs else "")
         c = F.col(src_col)
         if cd.type.is_array:
             if dialect == "mysql":
@@ -213,7 +220,7 @@ def plan_columns(ctx: MigrationContext, src_table: str,
                 elem = tt.Type(cd.type.name, cd.type.length)
                 expr, err = _pg_array_expr(src_col, elem, dialect, tz)
         else:
-            expr = _scalar_expr(c, cd.type, dialect, tz)
+            expr = _scalar_expr(c, cd.type, dialect, tz, src_type)
             if cd.type.name == tt.STRING:
                 err = F.lit(False)
             else:

@@ -1,0 +1,11 @@
+"""Sinks (SURVEY §2.2): parquet/catalog writers and the batched,
+error-isolating writer.
+
+- ``parquet``       primary sink: migrated tables as parquet/catalog
+                    tables (what the correctness oracle queries)
+- ``batch_writer``  K1/K2: size-bounded batches inside foreachPartition
+                    with recursive bisection to isolate bad rows
+"""
+
+from .parquet import write_table, write_bad_data  # noqa: F401
+from .batch_writer import BatchWriterConfig, write_with_batching  # noqa: F401

@@ -1,0 +1,541 @@
+"""mysqldump stream source (S11-S13 in SURVEY §2.1).
+
+Same two-pass protocol as pgdump.py, mirroring ProcessMySQLDump
+(/root/reference/mysql/mysqldump.go:57-155):
+
+- statement chunker aware of MySQL quoting (backslash escapes AND ''
+  doubling inside strings, backticked identifiers) and of conditional
+  comments ``/*!40103 SET ... */`` whose content is real SQL (the
+  TIME_ZONE capture lives inside one);
+- error recovery (S12, mysql/mysqldump.go:534-645): (a) stored
+  programs / triggers / DELIMITER blocks are skipped; (b) an extended
+  INSERT whose value list fails to parse is re-split into per-row
+  tuples and each parsed alone (counted in ctx.reparsed); (c) spatial
+  column types are rewritten to ``text`` and SPATIAL keys dropped;
+- data pass stages INSERT rows into per-table TSVs with a sequence
+  column; Spark reads them distributed (read_staged_table).
+
+Scale notes (100 TB): mysqldump's extended INSERTs are bounded by
+--max-allowed-packet (~24 MB), so driver-side tokenization is bounded
+memory per statement (mysql/mysqldump.go:84-87 relies on the same
+bound). For very large migrations, ``mysqldump --tab`` emits per-table
+TSV files which can be handed straight to read_staged_table, skipping
+the driver tokenizer entirely — ingest parallelism then scales with
+table/file count and everything else is distributed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, Optional, TextIO, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schema_ir as ir
+from ..context import MigrationContext
+from ..convert import ConversionResult, convert_table
+from ..toddl import schema_to_ddl
+from ..types import SourceType
+from .pgdump import read_staged_table
+
+_COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
+_SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
+                  "multipoint", "multilinestring", "multipolygon",
+                  "geometrycollection")
+
+
+# ---------------------------------------------------------------------------
+# statement chunker (mysql quoting rules)
+# ---------------------------------------------------------------------------
+
+def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
+    """Yield statements split on top-level ';', honoring MySQL quoting.
+    DELIMITER blocks (stored programs) are skipped entirely (S12a)."""
+    buf: list[str] = []
+    in_squote = in_dquote = in_backtick = False
+    delimiter_mode = False
+    for raw in stream:
+        line = raw.rstrip("\n")
+        stripped = line.strip()
+        if not buf and not (in_squote or in_dquote):
+            if not stripped or stripped.startswith("--") or stripped.startswith("#"):
+                continue
+            up = stripped.upper()
+            if up.startswith("DELIMITER"):
+                # entering (or leaving) a stored-program block; skip until
+                # the delimiter is reset to ';'
+                delimiter_mode = not up.replace("DELIMITER", "").strip() == ";"
+                ctx.skip_statement("DelimiterStmt")
+                continue
+            if delimiter_mode:
+                continue
+        buf.append(line)
+        i = 0
+        while i < len(line):
+            ch = line[i]
+            if in_squote:
+                if ch == "\\":
+                    i += 1  # backslash escape consumes next char
+                elif ch == "'":
+                    if i + 1 < len(line) and line[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_squote = False
+            elif in_dquote:
+                if ch == "\\":
+                    i += 1
+                elif ch == '"':
+                    in_dquote = False
+            elif in_backtick:
+                if ch == "`":
+                    in_backtick = False
+            else:
+                if ch == "'":
+                    in_squote = True
+                elif ch == '"':
+                    in_dquote = True
+                elif ch == "`":
+                    in_backtick = True
+                elif ch == "-" and line.startswith("-- ", i):
+                    break
+            i += 1
+        if (not in_squote and not in_dquote and not in_backtick
+                and stripped.endswith(";")):
+            yield "\n".join(buf)
+            buf = []
+    if buf and any(l.strip() for l in buf):
+        yield "\n".join(buf)
+
+
+def _unwrap_conditional(stmt: str) -> str:
+    """Conditional comments carry executable SQL: unwrap them."""
+    m = _COND_COMMENT_RE.fullmatch(stmt.strip().rstrip(";").strip())
+    if m:
+        return m.group(1).strip() + ";"
+    return stmt
+
+
+def _clean(name: str) -> str:
+    return name.strip().strip("`").strip('"')
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE parsing (S13; option handling mysql/mysqldump.go:446-496)
+# ---------------------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)\s*"
+    r"\((?P<body>.*)\)(?P<suffix>[^)]*)$",
+    re.IGNORECASE | re.DOTALL)
+_FK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?P<name>`[^`]+`|\w+)\s+)?FOREIGN\s+KEY\s*"
+    r"\((?P<cols>[^)]*)\)\s*REFERENCES\s+(?P<ref>`[^`]+`|[\w.]+)\s*"
+    r"\((?P<refcols>[^)]*)\)"
+    r"(?:\s+ON\s+DELETE\s+(?P<ondelete>CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))?"
+    r"(?:\s+ON\s+UPDATE\s+(?P<onupdate>CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))?",
+    re.IGNORECASE)
+
+
+def _split_body(body: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    in_squote = in_backtick = False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_squote:
+            cur.append(ch)
+            if ch == "\\":
+                if i + 1 < len(body):
+                    cur.append(body[i + 1])
+                    i += 1
+            elif ch == "'":
+                in_squote = False
+        elif in_backtick:
+            cur.append(ch)
+            if ch == "`":
+                in_backtick = False
+        elif ch == "'":
+            in_squote = True
+            cur.append(ch)
+        elif ch == "`":
+            in_backtick = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _parse_mysql_type(type_text: str, ctx: MigrationContext,
+                      table: str, col: str) -> SourceType:
+    """Parse 'bigint(20) unsigned', 'decimal(10,2)', 'enum(..)', 'set(..)'.
+    Spatial types are rewritten to text (S12c, mysql/mysqldump.go:611-625)."""
+    t = type_text.strip()
+    m = re.match(r"^(?P<base>[a-zA-Z ]+?)\s*(?:\((?P<mods>[^)]*)\))?"
+                 r"(?P<extra>\s+unsigned|\s+zerofill|\s+binary)*\s*$",
+                 t, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return SourceType(t.lower())
+    base = m.group("base").strip().lower()
+    mods_text = m.group("mods") or ""
+    if base in _SPATIAL_TYPES:
+        ctx.unexpected(f"spatial type {base} on {table}.{col} "
+                       "rewritten to text")
+        return SourceType("text")
+    if base == "set":
+        # SET becomes ARRAY<STRING> via one array bound
+        # (mysql/mysqldump.go:649-654)
+        return SourceType("set", (), (-1,))
+    if base == "enum":
+        return SourceType("enum")
+    mods = tuple(int(x.strip()) for x in mods_text.split(",")
+                 if x.strip().lstrip("-").isdigit())
+    return SourceType(base, mods)
+
+
+def _parse_create_table(ctx: MigrationContext, stmt: str) -> bool:
+    m = _CREATE_RE.match(stmt.strip().rstrip(";").strip())
+    if not m:
+        return False
+    name = _clean(m.group("name"))
+    table = ir.SourceTable(name=name)
+    for item in _split_body(m.group("body")):
+        up = item.upper()
+        if up.startswith("PRIMARY KEY"):
+            km = re.search(r"\((?P<cols>[^)]*)\)", item)
+            if km:
+                cols = [_clean(c) for c in km.group("cols").split(",") if c.strip()]
+                table.primary_keys = [ir.Key(c) for c in cols]
+                for c in cols:
+                    if c in table.col_defs:
+                        table.col_defs[c].not_null = True
+            continue
+        if up.startswith("UNIQUE KEY") or up.startswith("UNIQUE INDEX"):
+            km = re.match(r"UNIQUE\s+(?:KEY|INDEX)\s+(?P<name>`[^`]+`|\w+)\s*"
+                          r"\((?P<cols>[^)]*)\)", item, re.IGNORECASE)
+            if km:
+                table.indexes.append(ir.SourceIndex(
+                    name=_clean(km.group("name")), unique=True,
+                    keys=[ir.Key(_clean(c)) for c in
+                          km.group("cols").split(",") if c.strip()]))
+            continue
+        if up.startswith("SPATIAL KEY") or up.startswith("SPATIAL INDEX"):
+            ctx.skip_statement("SpatialKey")  # dropped (S12c)
+            continue
+        if up.startswith("KEY") or up.startswith("INDEX"):
+            km = re.match(r"(?:KEY|INDEX)\s+(?P<name>`[^`]+`|\w+)\s*"
+                          r"\((?P<cols>[^)]*)\)", item, re.IGNORECASE)
+            if km:
+                table.indexes.append(ir.SourceIndex(
+                    name=_clean(km.group("name")), unique=False,
+                    keys=[ir.Key(_clean(c)) for c in
+                          km.group("cols").split(",") if c.strip()]))
+            continue
+        fm = _FK_RE.match(item)
+        if fm:
+            table.foreign_keys.append(ir.SourceForeignKey(
+                name=_clean(fm.group("name") or ""),
+                columns=[_clean(c) for c in fm.group("cols").split(",") if c.strip()],
+                refer_table=_clean(fm.group("ref")),
+                refer_columns=[_clean(c) for c in fm.group("refcols").split(",") if c.strip()],
+                on_delete=(fm.group("ondelete") or "").upper(),
+                on_update=(fm.group("onupdate") or "").upper()))
+            continue
+        if up.startswith("CONSTRAINT") or up.startswith("CHECK"):
+            ctx.skip_statement("CheckConstraint")
+            continue
+        # column definition: `name` type [options]
+        cm = re.match(r"^(?P<name>`[^`]+`|\w+)\s+(?P<rest>.*)$", item, re.DOTALL)
+        if not cm:
+            ctx.unexpected(f"unparsable mysql column def: {item[:80]}")
+            continue
+        col = _clean(cm.group("name"))
+        rest = cm.group("rest").strip()
+        # isolate the type: strip known options from the tail
+        opts_re = re.compile(
+            r"\s+(NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^'\\]|\\.)*'|[^\s,]+)|"
+            r"AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|"
+            r"ON\s+UPDATE\s+\S+|CHECK\s*\(.*\)|COMMENT\s+'(?:[^'\\]|\\.)*'|"
+            r"CHARACTER\s+SET\s+\S+|COLLATE\s+\S+|"
+            r"REFERENCES\s+\S+\s*\([^)]*\))\s*$",
+            re.IGNORECASE | re.DOTALL)
+        type_text = rest
+        opts: list[str] = []
+        while True:
+            m2 = opts_re.search(type_text)
+            if not m2:
+                break
+            opts.append(m2.group(1))
+            type_text = type_text[:m2.start()]
+        ignored = ir.Ignored()
+        not_null = unique = is_pk = False
+        for o in opts:
+            u = re.sub(r"\s+", " ", o.upper())
+            if u == "NOT NULL":
+                not_null = True
+            elif u.startswith("DEFAULT"):
+                if "CURRENT_TIMESTAMP" not in u and u != "DEFAULT NULL":
+                    ignored.default = True
+                elif "CURRENT_TIMESTAMP" in u:
+                    ignored.default = True
+            elif u == "AUTO_INCREMENT":
+                ignored.auto_increment = True
+            elif u.startswith("UNIQUE"):
+                unique = True
+            elif u == "PRIMARY KEY":
+                is_pk = True
+            elif u.startswith("REFERENCES"):
+                ignored.foreign_key = True
+            elif u.startswith("CHECK"):
+                ignored.check = True
+        st = _parse_mysql_type(type_text, ctx, name, col)
+        table.col_names.append(col)
+        table.col_defs[col] = ir.SourceColumn(
+            col, st, not_null=not_null, unique=unique, ignored=ignored)
+        if is_pk:
+            table.primary_keys.append(ir.Key(col))
+            table.col_defs[col].not_null = True
+    ctx.src_schema[name] = table
+    ctx.schema_statement("CreateTableStmt")
+    return True
+
+
+# ---------------------------------------------------------------------------
+# INSERT tokenizer (mysql escape rules) + re-split recovery (S12b)
+# ---------------------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(?:IGNORE\s+)?INTO\s+(?P<table>`[^`]+`|[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES?\s*(?P<values>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
+            "Z": "\x1a", "\\": "\\", "'": "'", '"': '"', "%": "\\%",
+            "_": "\\_"}
+
+
+def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
+    """Tokenize (...),(...) tuples with MySQL escaping. Returns rows of
+    strings (None = NULL)."""
+    rows: list[list[Optional[str]]] = []
+    i, n = 0, len(values_text)
+    while i < n:
+        while i < n and values_text[i] != "(":
+            i += 1
+        if i >= n:
+            break
+        i += 1
+        row: list[Optional[str]] = []
+        cur: list[str] = []
+        in_squote = False
+        was_quoted = False
+        while i < n:
+            ch = values_text[i]
+            if in_squote:
+                if ch == "\\" and i + 1 < n:
+                    nxt = values_text[i + 1]
+                    cur.append(_ESCAPES.get(nxt, nxt))
+                    i += 1
+                elif ch == "'":
+                    if i + 1 < n and values_text[i + 1] == "'":
+                        cur.append("'")
+                        i += 1
+                    else:
+                        in_squote = False
+                else:
+                    cur.append(ch)
+            else:
+                if ch == "'":
+                    in_squote = True
+                    was_quoted = True
+                elif ch in ",)":
+                    if was_quoted:
+                        row.append("".join(cur))
+                    else:
+                        tok = "".join(cur).strip()
+                        if tok.upper() == "NULL":
+                            row.append(None)
+                        elif tok.upper() == "TRUE":
+                            row.append("1")
+                        elif tok.upper() == "FALSE":
+                            row.append("0")
+                        elif tok.startswith("0x") or tok.startswith("0X"):
+                            try:  # hex literal -> raw string bytes
+                                row.append(bytes.fromhex(tok[2:]).decode(
+                                    "utf-8", errors="surrogateescape"))
+                            except ValueError:
+                                row.append(tok)
+                        else:
+                            row.append(tok)
+                    cur = []
+                    was_quoted = False
+                    if ch == ")":
+                        i += 1
+                        break
+                else:
+                    cur.append(ch)
+            i += 1
+        if row != [""] and row:
+            rows.append(row)
+    return rows
+
+
+_TUPLE_SPLIT_RE = re.compile(r"\)\s*,\s*\(")
+
+
+def parse_insert_with_recovery(ctx: MigrationContext,
+                               values_text: str) -> list[list[Optional[str]]]:
+    """S12b (mysql/mysqldump.go:584-604): if the extended VALUES list
+    fails to tokenize as a whole, split on '),(' boundaries and parse
+    each single-row tuple; rows that still fail are dropped (counted)."""
+    try:
+        return parse_insert_values(values_text)
+    except Exception:
+        pass
+    rows = []
+    chunks = _TUPLE_SPLIT_RE.split(values_text.strip())
+    for idx, chunk in enumerate(chunks):
+        c = chunk
+        if not c.startswith("("):
+            c = "(" + c
+        if not c.rstrip().endswith(")"):
+            c = c + ")"
+        try:
+            rows.extend(parse_insert_values(c))
+            ctx.reparsed += 1
+        except Exception:
+            ctx.unexpected("unparsable INSERT tuple")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the two passes
+# ---------------------------------------------------------------------------
+
+_SET_TZ_RE = re.compile(
+    r"^SET\s+(?:@@session\.)?TIME_ZONE\s*=\s*(?P<val>[^;,]+)",
+    re.IGNORECASE)
+
+
+def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO) -> None:
+    """Pass 1: schema + row counts (S11 schema mode)."""
+    ctx.set_schema_mode()
+    for stmt in _iter_statements(stream, ctx):
+        s = _unwrap_conditional(stmt).strip()
+        up = s.upper()
+        if up.startswith("CREATE TABLE"):
+            if not _parse_create_table(ctx, s):
+                ctx.error_in_statement("CreateTableStmt")
+        elif up.startswith("INSERT"):
+            m = _INSERT_RE.match(s)
+            if m:
+                rows = parse_insert_with_recovery(ctx, m.group("values"))
+                ctx.stats_add_row(_clean(m.group("table")), len(rows))
+                ctx.data_statement("InsertStmt")
+            else:
+                ctx.error_in_statement("InsertStmt")
+        elif up.startswith("SET"):
+            m = _SET_TZ_RE.match(s)
+            if m:
+                val = m.group("val").strip().strip("'\"")
+                if re.match(r"^[+-]\d{2}:\d{2}$", val):
+                    ctx.timezone_offset = val
+                ctx.schema_statement("SetStmt")
+            else:
+                ctx.skip_statement("SetStmt")
+        elif (up.startswith("CREATE TRIGGER") or up.startswith("CREATE PROCEDURE")
+                or up.startswith("CREATE FUNCTION") or up.startswith("CREATE EVENT")):
+            ctx.skip_statement("StoredProgram")  # S12a
+        elif up.startswith("DROP") or up.startswith("LOCK") or up.startswith("UNLOCK"):
+            ctx.skip_statement(up.split(None, 1)[0].title() + "Stmt")
+        else:
+            ctx.skip_statement((up.split(None, 1)[0] if up else "?").title() + "Stmt")
+
+
+def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
+                          staging_dir: str) -> dict[str, str]:
+    """Pass 2: stream INSERT rows into per-table TSV staging files
+    (same format as the pg path: seq column + COPY escaping)."""
+    os.makedirs(staging_dir, exist_ok=True)
+    files: dict[str, TextIO] = {}
+    paths: dict[str, str] = {}
+    seqs: dict[str, int] = {}
+
+    def _copy_escape(v: Optional[str]) -> str:
+        if v is None:
+            return "\\N"
+        return (v.replace("\\", "\\\\").replace("\t", "\\t")
+                 .replace("\n", "\\n").replace("\r", "\\r"))
+
+    for stmt in _iter_statements(stream, ctx):
+        s = _unwrap_conditional(stmt).strip()
+        if not s.upper().startswith("INSERT"):
+            continue
+        m = _INSERT_RE.match(s)
+        if not m:
+            continue
+        table = _clean(m.group("table"))
+        schema_table = ctx.src_schema.get(table)
+        if schema_table is None:
+            ctx.unexpected(f"INSERT into unknown table {table}")
+            continue
+        cols = ([_clean(c) for c in m.group("cols").split(",")]
+                if m.group("cols") else list(schema_table.col_names))
+        if table not in files:
+            path = os.path.join(staging_dir, f"{table}.tsv")
+            files[table] = open(path, "w", encoding="utf-8")
+            paths[table] = path
+            seqs[table] = 0
+        f = files[table]
+        seq = seqs[table]
+        for vals in parse_insert_with_recovery(ctx, m.group("values")):
+            by_col = dict(zip(cols, vals))
+            ordered = [by_col.get(c) for c in schema_table.col_names]
+            f.write(f"{seq}\t" + "\t".join(_copy_escape(v) for v in ordered) + "\n")
+            seq += 1
+        seqs[table] = seq
+    for f in files.values():
+        f.close()
+    return paths
+
+
+def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
+                       staging_dir: str,
+                       ctx: Optional[MigrationContext] = None,
+                       ) -> tuple[MigrationContext, dict[str, ConversionResult]]:
+    """Full mysqldump migration (schema pass + staged data pass +
+    typed conversion with bad-row split)."""
+    if ctx is None:
+        ctx = MigrationContext()
+    paths = [dump_path] if isinstance(dump_path, str) else list(dump_path)
+    for p in paths:
+        with open(p, encoding="utf-8") as f:
+            process_mysql_dump_schema(ctx, f)
+    schema_to_ddl(ctx, "mysql")
+    ctx.add_synthetic_pkeys()
+
+    ctx.set_data_mode()
+    staged: dict[str, str] = {}
+    for p in paths:
+        with open(p, encoding="utf-8") as f:
+            staged.update(stage_mysql_dump_data(ctx, f, staging_dir))
+
+    results: dict[str, ConversionResult] = {}
+    for src_table, path in staged.items():
+        if src_table not in ctx.src_schema:
+            continue
+        df = read_staged_table(spark, ctx, src_table, path)
+        results[src_table] = convert_table(ctx, df, src_table, "mysql")
+    return ctx, results

@@ -1,0 +1,124 @@
+"""mysqldump migration tests (mirrors mysql/mysqldump_test.go and
+mysql/data_test.go: extended INSERTs, timezone capture, tinyint(1)
+bool, SET->array, stored-program skip, spatial rewrite)."""
+
+import datetime as dt
+import decimal
+
+import pytest
+
+from harbourbridge_spark import types as tt
+from harbourbridge_spark.issues import SchemaIssue
+from harbourbridge_spark.sources import mysqldump
+
+DUMP = r"""
+-- MySQL dump 10.17
+/*!40101 SET NAMES utf8mb4 */;
+/*!40103 SET TIME_ZONE='+05:30' */;
+
+DROP TABLE IF EXISTS `cart`;
+CREATE TABLE `cart` (
+  `user_id` varchar(20) NOT NULL,
+  `product_id` varchar(20) NOT NULL,
+  `quantity` bigint(20) DEFAULT NULL,
+  `flag` tinyint(1) DEFAULT NULL,
+  `last_modified` timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+  PRIMARY KEY (`user_id`,`product_id`),
+  KEY `idx_q` (`quantity`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8;
+
+LOCK TABLES `cart` WRITE;
+INSERT INTO `cart` VALUES ('u1','abc-123',1,1,'2020-07-20 05:10:26'),('u1','axd''s',2,0,'2020-07-20 05:10:43'),('u2','zxi\n631',NULL,7,'2020-07-20 05:10:46');
+UNLOCK TABLES;
+
+CREATE TABLE `products` (
+  `product_id` varchar(20) NOT NULL,
+  `description` varchar(1000) DEFAULT NULL,
+  `price` decimal(10,2) DEFAULT NULL,
+  `date_added` date DEFAULT NULL,
+  `tags` set('a','b','c') DEFAULT NULL,
+  `dt` datetime DEFAULT NULL,
+  `loc` point DEFAULT NULL,
+  PRIMARY KEY (`product_id`)
+) ENGINE=InnoDB;
+
+INSERT INTO `products` (`product_id`, `description`, `price`, `date_added`, `tags`, `dt`, `loc`) VALUES ('abc-123','Blue suede shoes',141.99,'2020-06-06','a,c','2020-06-06 10:00:00',NULL);
+
+DELIMITER ;;
+CREATE TRIGGER bad_trigger BEFORE INSERT ON cart FOR EACH ROW BEGIN SET @x = 1; END ;;
+DELIMITER ;
+
+CREATE TABLE `noid` (
+  `v` text
+);
+INSERT INTO `noid` VALUES ('a'),('b');
+"""
+
+
+@pytest.fixture(scope="module")
+def migrated(spark, tmp_path_factory):
+    staging = str(tmp_path_factory.mktemp("mysql_staging"))
+    dump_file = tmp_path_factory.mktemp("mysql_dump") / "test.mysqldump"
+    dump_file.write_text(DUMP)
+    return mysqldump.migrate_mysql_dump(spark, str(dump_file), staging)
+
+
+def test_schema(migrated):
+    ctx, _ = migrated
+    cart = ctx.sp_schema["cart"]
+    assert cart.col_defs["user_id"].type == tt.Type(tt.STRING, 20)
+    assert cart.col_defs["flag"].type == tt.Type(tt.BOOL)
+    assert cart.col_defs["last_modified"].type == tt.Type(tt.TIMESTAMP)
+    assert cart.col_defs["last_modified"].not_null
+    assert cart.pk_cols() == ["user_id", "product_id"]
+    assert cart.indexes[0].name == "idx_q"
+    prods = ctx.sp_schema["products"]
+    assert prods.col_defs["price"].type == tt.Type(tt.NUMERIC)
+    assert prods.col_defs["tags"].type == tt.Type(tt.STRING, is_array=True)
+    # spatial point rewritten to text -> STRING(MAX)
+    assert prods.col_defs["loc"].type == tt.Type(tt.STRING)
+    assert SchemaIssue.DATETIME in ctx.issues["products"]["dt"]
+    # timezone captured
+    assert ctx.timezone_offset == "+05:30"
+
+
+def test_data(migrated):
+    ctx, results = migrated
+    rows = {(r.user_id, r.product_id): r
+            for r in results["cart"].good.collect()}
+    assert len(rows) == 3
+    # quote escapes decoded
+    assert ("u1", "axd's") in rows
+    assert ("u2", "zxi\n631") in rows
+    r = rows[("u1", "abc-123")]
+    assert r.quantity == 1
+    assert r.flag is True
+    # tinyint bool: 7 -> True (mysql/data.go:129-147)
+    assert rows[("u2", "zxi\n631")].flag is True
+    # timestamp parsed with captured +05:30 offset -> UTC instant
+    assert r.last_modified == dt.datetime(2020, 7, 19, 23, 40, 26)
+    assert results["cart"].bad.count() == 0
+
+    prows = results["products"].good.collect()
+    assert prows[0].price == decimal.Decimal("141.99")
+    assert prows[0].tags == ["a", "c"]
+    assert prows[0].date_added == dt.date(2020, 6, 6)
+    # datetime: naive-UTC
+    assert prows[0].dt == dt.datetime(2020, 6, 6, 10, 0, 0)
+
+
+def test_trigger_skipped_and_synth_pk(migrated):
+    ctx, results = migrated
+    assert "bad_trigger" not in ctx.src_schema
+    assert ctx.sp_schema["noid"].pk_cols() == ["synth_id"]
+    vals = sorted(r.synth_id for r in results["noid"].good.collect())
+    assert vals == sorted([0, -(1 << 63)])
+
+
+def test_insert_recovery(spark, tmp_path):
+    """A partially-broken extended INSERT is re-split per row (S12b)."""
+    from harbourbridge_spark.context import MigrationContext
+    ctx = MigrationContext()
+    rows = mysqldump.parse_insert_with_recovery(
+        ctx, "('a',1),('b',2),('c',3)")
+    assert rows == [["a", "1"], ["b", "2"], ["c", "3"]]

@@ -1,0 +1,151 @@
+"""Tests for report (A4-A7), DDL rendering (K5), and sinks (K1/K2, K7).
+
+Mirrors internal/report_test.go thresholds, spanner/ddl/ast_test.go
+ordering, and spanner/batchwriter_test.go fault injection.
+"""
+
+import os
+
+import pytest
+
+from harbourbridge_spark import report as R
+from harbourbridge_spark import schema_ir as ir
+from harbourbridge_spark import types as tt
+from harbourbridge_spark.context import MigrationContext
+from harbourbridge_spark.ddl import get_ddl, print_create_table, write_schema_file
+from harbourbridge_spark.issues import SchemaIssue
+from harbourbridge_spark.sink import (BatchWriterConfig, write_bad_data,
+                                      write_with_batching)
+from harbourbridge_spark.toddl import schema_to_ddl
+
+
+def _ctx_with_tables() -> MigrationContext:
+    ctx = MigrationContext()
+    ctx.src_schema["singers"] = ir.SourceTable(
+        name="singers", col_names=["id", "name"],
+        col_defs={
+            "id": ir.SourceColumn("id", tt.SourceType("int8"), not_null=True),
+            "name": ir.SourceColumn("name", tt.SourceType("text")),
+        },
+        primary_keys=[ir.Key("id")])
+    ctx.src_schema["albums"] = ir.SourceTable(
+        name="albums", col_names=["id", "album_id", "title"],
+        col_defs={
+            "id": ir.SourceColumn("id", tt.SourceType("int8"), not_null=True),
+            "album_id": ir.SourceColumn("album_id", tt.SourceType("int8"), not_null=True),
+            "title": ir.SourceColumn("title", tt.SourceType("text")),
+        },
+        primary_keys=[ir.Key("id"), ir.Key("album_id")],
+        foreign_keys=[ir.SourceForeignKey(
+            name="fk_singer", columns=["id"],
+            refer_table="singers", refer_columns=["id"])])
+    schema_to_ddl(ctx, "postgres")
+    return ctx
+
+
+# ------------------------------------------------------------------- ddl
+def test_ddl_rendering_and_interleave_order():
+    ctx = _ctx_with_tables()
+    # make albums interleaved in singers
+    ctx.sp_schema["albums"].parent = "singers"
+    stmts = get_ddl(ctx, comments=False, protect_ids=False)
+    creates = [s for s in stmts if s.startswith("CREATE TABLE")]
+    # parent before child despite alphabetical order saying albums first
+    assert creates[0].startswith("CREATE TABLE singers")
+    assert "INTERLEAVE IN PARENT singers" in creates[1]
+    alters = [s for s in stmts if s.startswith("ALTER TABLE")]
+    assert alters == ["ALTER TABLE albums ADD CONSTRAINT fk_singer "
+                      "FOREIGN KEY (id) REFERENCES singers (id)"]
+
+
+def test_ddl_protect_ids_and_file(tmp_path):
+    ctx = _ctx_with_tables()
+    s = print_create_table(ctx.sp_schema["singers"], comments=False,
+                           protect_ids=True)
+    assert "CREATE TABLE `singers`" in s
+    assert "`id` INT64 NOT NULL" in s
+    path = str(tmp_path / "schema.txt")
+    write_schema_file(ctx, path)
+    assert os.path.exists(path)
+    assert os.path.exists(path + ".ddl.txt")
+    assert "-- Spanner schema for source table" in open(path).read()
+    assert "--" not in open(path + ".ddl.txt").read()
+
+
+# ---------------------------------------------------------------- report
+def test_rating_thresholds():
+    assert R.good(100, 4) and not R.good(100, 5)
+    assert R.ok(100, 32) and not R.ok(100, 33)
+    assert R.rate_data(0, 0).startswith("NONE")
+    assert R.rate_data(100, 0).startswith("EXCELLENT")
+    assert R.rate_data(100, 4).startswith("GOOD")
+    assert R.rate_data(100, 20).startswith("OK")
+    assert R.rate_data(100, 50).startswith("POOR")
+    assert R.rate_schema(0, 0, False, False).startswith("NONE")
+    assert R.rate_schema(10, 0, False, False).startswith("EXCELLENT")
+    assert "missing primary key" in R.rate_schema(10, 0, True, False)
+
+
+def test_warning_counting_batched_vs_not():
+    ctx = _ctx_with_tables()
+    # two Widened (batched note -> no warnings), one Serial (batched
+    # warning -> 1), one ForeignKey warning on two cols (-> 2 col warnings)
+    ctx.add_issue("singers", "id", SchemaIssue.WIDENED)
+    ctx.add_issue("singers", "name", SchemaIssue.WIDENED)
+    ctx.add_issue("singers", "id", SchemaIssue.SERIAL)
+    ctx.add_issue("singers", "name", SchemaIssue.SERIAL)
+    ctx.add_issue("singers", "id", SchemaIssue.FOREIGN_KEY)
+    ctx.add_issue("singers", "name", SchemaIssue.FOREIGN_KEY)
+    _, cols, warnings = R.analyze_cols(ctx, "singers")
+    assert cols == 2
+    # SERIAL batched => 1; FOREIGN_KEY per-column => 2
+    assert warnings == 3
+
+
+def test_full_report_renders():
+    ctx = _ctx_with_tables()
+    ctx.set_data_mode()
+    ctx.stats_add_row("singers", 100)
+    ctx.stats_add_good_row("singers", 98)
+    ctx.stats_add_bad_row("singers", 2)
+    ctx.add_issue("singers", "id", SchemaIssue.WIDENED)
+    ctx.unexpected("something odd")
+    text = R.generate_report(ctx, driver_name="pg_dump")
+    assert "Summary of Conversion" in text
+    assert "Table albums" in text and "Table singers" in text
+    assert "98% of 100 rows" in text
+    assert "Unexpected Conditions" in text
+
+
+# ----------------------------------------------------------------- sink
+def test_batch_writer_bisection(spark, tmp_path):
+    import pyspark.sql.functions as F
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id").isin(13, 777), -F.col("id"))
+         .otherwise(F.col("id")).alias("id"))
+    out_dir = str(tmp_path / "writes")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(rows):
+        if any(r.id < 0 for r in rows):
+            raise RuntimeError("bad row in batch")
+
+    stats = write_with_batching(
+        df.repartition(4), write,
+        BatchWriterConfig(count_threshold=100, byte_threshold=1 << 20))
+    # exactly the two bad rows dropped, everything else written
+    assert stats.rows_dropped == 2
+    assert stats.rows_written == 998
+    assert stats.retries > 0
+
+
+def test_write_bad_data(spark, tmp_path):
+    import pyspark.sql.functions as F
+    bad = spark.range(0, 5).select(
+        F.col("id").cast("string").alias("v"),
+        F.array(F.lit("v")).alias("_hb_errs"))
+    path = str(tmp_path / "dropped.txt")
+    n = write_bad_data(bad, path, max_rows=3)
+    assert n == 3
+    content = open(path).read()
+    assert "cols=v" in content
