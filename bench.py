@@ -31,6 +31,13 @@ BENCH_QUERIES = [
     "q3_segment_revenue",
     "q5_region_revenue",
     "events_windowed_agg",
+    "text_quality",
+    "token_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_bruteforce",
+    "ann_lsh",
 ]
 
 

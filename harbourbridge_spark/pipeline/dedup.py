@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Dual-engine SQL templates (see text.py): Spark executes them over temp
+views; the DuckDB rendering is the oracle, so candidate sets are
+hash-compared exactly.
+
+Scale design:
+- exact dedup: one shuffle on the 48-bit content hash (not the full
+  text — the classic shuffle-size optimization);
+- MinHash-LSH: shingle explode is a projection; signatures are one
+  groupBy(doc); banding turns the quadratic candidate search into
+  equi-joins on band keys (shuffle on band buckets, skew-bounded
+  because bucket size is capped by collision probability);
+- SimHash: projection + 32 conditional sums per doc, pairs via
+  band-blocked join on half-signatures (a Hamming-distance<=k search
+  needs only ceil(32/(k+1)) blocks by pigeonhole);
+- n-gram Jaccard: blocked pairwise verify — the *verification* stage
+  downstream of LSH candidates, blocked here by (lang, length bucket);
+- embedding near-dup: label-blocked exact cosine; the unblocked scale
+  path is similarity.ann_lsh_sql.
+"""
+
+from __future__ import annotations
+
+from .hashing import MERSENNE61, hash48, minhash_coeffs, perm_sql
+from .text import render
+
+MINHASH_K = 16
+BAND_SIZE = 4           # 4 bands of 4 -> candidates at jaccard ~>0.6
+SHINGLE = 5             # character shingles
+
+
+def exact_dedup_sql(engine: str) -> str:
+    """Exact duplicate groups via content hash: corpus-level stats in
+    one pass. groupBy on the hash, not the text (shuffle carries 8
+    bytes/row instead of the document)."""
+    fp = hash48("trim(lower(text))", engine)
+    t = f"""
+    WITH groups AS (
+        SELECT {fp} AS fp, COUNT(*) AS n
+        FROM documents GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_distinct,
+           SUM(n) AS n_docs,
+           SUM(n) - COUNT(*) AS n_dup_rows,
+           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+    FROM groups
+    """
+    return render(t, engine)
+
+
+def _shingles(engine: str) -> str:
+    """Distinct character 5-gram shingles of the normalized text."""
+    norm = "trim(lower(text))"
+    t = (f"{{adist}}({{ltrans}}({{seq}}(1, greatest(length({norm}) - {SHINGLE - 1}, 1)), "
+         f"i -> substring({norm}, i, {SHINGLE})))")
+    return render(t, engine)
+
+
+def minhash_signature_sql(engine: str) -> str:
+    """Per-doc MinHash signature (K permutations over shingle hashes):
+    explode shingles -> K mins in one aggregation."""
+    sh = _shingles(engine)
+    h = hash48("sh", engine)
+    mins = ", ".join(
+        f"MIN({perm_sql('h48', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K)))
+    t = f"""
+    WITH exploded AS (
+        SELECT doc_id, {{explode}}({sh}) AS sh FROM documents
+    ), hashed AS (
+        SELECT doc_id, {h} AS h48 FROM exploded
+    )
+    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    """
+    return render(t, engine)
+
+
+def minhash_lsh_pairs_sql(engine: str) -> str:
+    """MinHash-LSH candidate pairs: band the signature (bands of
+    BAND_SIZE), self-join on band keys, distinct pairs. The join is on
+    the band hash — equality only, no quadratic scan."""
+    sig = minhash_signature_sql(engine)
+    n_bands = MINHASH_K // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS key FROM sig"
+        .format(b=b, cols=", ".join(
+            f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
+        for b in range(n_bands))
+    t = f"""
+    WITH sig AS ({sig}),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+    return render(t, engine)
+
+
+def simhash_sql(engine: str, bits: int = 32) -> str:
+    """Per-doc SimHash over whitespace tokens: for each bit position,
+    majority vote of token-hash bits; emitted as a bit string (engine-
+    portable, no sign issues)."""
+    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    h = hash48("tok", engine)
+    # portable bit extraction: exact floor-division (h48 < 2^48 < 2^53,
+    # so double division is exact; >> and div/// differ across engines)
+    votes = ", ".join(
+        f"SUM(CASE WHEN CAST(floor(h48 / {1 << j}.0) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    bitstr = " || ".join(
+        f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END"
+        for j in range(bits - 1, -1, -1))
+    t = f"""
+    WITH exploded AS (
+        SELECT doc_id, {{explode}}({toks}) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, {h} AS h48 FROM exploded
+    ), votes AS (
+        SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {bitstr} AS simhash_bits FROM votes
+    """
+    return render(t, engine)
+
+
+def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
+                            threshold: float = 0.4) -> str:
+    """Word n-gram Jaccard verification over blocked pairs (same lang +
+    same length bucket — the stand-in for an upstream LSH candidate
+    feed). Returns pairs with jaccard >= threshold."""
+    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    grams = render(
+        f"{{adist}}({{ltrans}}({{seq}}(1, greatest({{alen}}({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))",
+        engine)
+    if engine == "spark":
+        # Spark arrays are 0-based via element_at-compatible [] in SQL?
+        # [] indexing in Spark SQL is 0-based; DuckDB lists are 1-based.
+        grams = render(
+            f"{{adist}}({{ltrans}}({{seq}}(0, greatest({{alen}}({toks}) - {n}, 0)), "
+            f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))",
+            engine)
+    t = f"""
+    WITH g AS (
+        SELECT doc_id, lang,
+               CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+               {grams} AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({{alen}}({{ainter}}(a.grams, b.grams))
+                 / CAST({{alen}}(a.grams) + {{alen}}(b.grams)
+                        - {{alen}}({{ainter}}(a.grams, b.grams)) AS DOUBLE),
+                 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE {{alen}}({{ainter}}(a.grams, b.grams))
+          / CAST({{alen}}(a.grams) + {{alen}}(b.grams)
+                 - {{alen}}({{ainter}}(a.grams, b.grams)) AS DOUBLE)
+          >= {threshold}
+    """
+    return render(t, engine)
+
+
+def embedding_neardup_sql(engine: str, threshold: float = 0.35) -> str:
+    """Embedding-cosine near-dup pairs, blocked by label (exact within
+    block). Dot/norm computed by sequential fold in both engines —
+    bit-identical doubles."""
+    if engine == "spark":
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "0D, (acc, v) -> acc + v)")
+        norm = ("sqrt(aggregate({v}, 0D, "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    else:
+        dot = ("list_dot_product(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[])")
+        norm = "sqrt(list_dot_product({v}::DOUBLE[], {v}::DOUBLE[]))"
+    na = norm.format(v="a.embedding")
+    nb = norm.format(v="b.embedding")
+    t = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot} / ({na} * {nb}), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {dot} / ({na} * {nb}) >= {threshold}
+    """
+    return render(t, engine)

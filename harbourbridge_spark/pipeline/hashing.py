@@ -1,0 +1,51 @@
+"""Engine-portable deterministic hashing.
+
+The correctness gate compares Spark results against DuckDB, so every
+hash used in dedup/similarity must produce the *same integer* in both
+engines. Native hashes differ (Spark xxhash64/murmur vs DuckDB hash),
+so we derive integers from md5 hex (identical everywhere):
+
+    hash48(s) = int(md5(s)[:12], 16)   # 48 bits, fits comfortably in i64
+
+Spark renders this with conv(); DuckDB 1.0 lacks conv(), so its SQL is
+an ascii()-polynomial over the same 12 hex chars. MinHash permutations
+are (a*h + b) mod P with P = 2^61-1; a bounded so a*h stays < 2^63.
+"""
+
+from __future__ import annotations
+
+MERSENNE61 = (1 << 61) - 1
+HASH_BITS = 48
+
+
+def spark_hash48(expr: str) -> str:
+    """Spark SQL for hash48 of a string expression."""
+    return f"CAST(conv(substring(md5({expr}), 1, 12), 16, 10) AS BIGINT)"
+
+
+def duck_hash48(expr: str) -> str:
+    """DuckDB SQL for the same value: polynomial over the hex chars
+    (ascii(c) - 87 for a-f, - 48 for 0-9)."""
+    h = f"md5({expr})"
+    terms = []
+    for i in range(1, 13):
+        digit = (f"(ascii(substring({h}, {i}, 1)) - "
+                 f"CASE WHEN ascii(substring({h}, {i}, 1)) >= 97 "
+                 f"THEN 87 ELSE 48 END)")
+        terms.append(f"{digit} * CAST({16 ** (12 - i)} AS BIGINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash48(expr: str, engine: str) -> str:
+    return spark_hash48(expr) if engine == "spark" else duck_hash48(expr)
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for K permutations. a is odd and small
+    enough that a * (2^48 - 1) + b < 2^63."""
+    return [(2 * i + 3, 0x9E3779B9 + i * 0x85EBCA77) for i in range(k)]
+
+
+def perm_sql(hash_expr: str, a: int, b: int) -> str:
+    """(a*h + b) mod 2^61-1 — same text works in both engines."""
+    return f"(({a} * {hash_expr} + {b}) % {MERSENNE61})"

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and a random-hyperplane LSH-bucketed variant
+(the scale path).
+
+Dual-engine SQL templates (text.py): the DuckDB rendering is the
+oracle. Dot products fold sequentially over the fixed element order in
+both engines, so doubles are bit-identical.
+
+Scale design: brute-force is O(Q x N) — fine for small query sets
+against any N because it is one broadcast-join + window; the LSH
+variant hashes every vector into 2^NBITS hyperplane-sign buckets and
+searches only the query's bucket, turning the scan into an equi-join.
+Hyperplane components are deterministic pseudo-random constants
+(generated from a seeded hash at module import), embedded literally in
+the SQL so both engines agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+DIM = 64        # embedding dimensionality of the fixture table
+NBITS = 8       # LSH signature bits (2^8 buckets)
+TOPK = 5
+
+
+def _plane_const(bit: int, i: int) -> int:
+    """Deterministic pseudo-random hyperplane component in [-500, 500]."""
+    h = hashlib.md5(f"plane:{bit}:{i}".encode()).hexdigest()
+    return int(h[:12], 16) % 1001 - 500
+
+
+_PLANES = [[_plane_const(b, i) for i in range(DIM)] for b in range(NBITS)]
+
+
+def _dot_sql(engine: str, a: str, b: str) -> str:
+    if engine == "spark":
+        return (f"aggregate(zip_with({a}, {b}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0D, (acc, v) -> acc + v)")
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _norm_sql(engine: str, v: str) -> str:
+    if engine == "spark":
+        return (f"sqrt(aggregate({v}, 0D, "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return f"sqrt(list_dot_product({v}::DOUBLE[], {v}::DOUBLE[]))"
+
+
+def _plane_dot_sql(engine: str, v: str, bit: int) -> str:
+    """Dot of a vector column with a literal hyperplane."""
+    plane = _PLANES[bit]
+    if engine == "spark":
+        lit = "array(" + ", ".join(f"{c}D" for c in plane) + ")"
+        return (f"aggregate(zip_with({v}, {lit}, "
+                "(x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, t) -> acc + t)")
+    lit = "[" + ", ".join(f"{c}.0" for c in plane) + "]"
+    return f"list_dot_product({v}::DOUBLE[], {lit}::DOUBLE[])"
+
+
+def _signature_sql(engine: str, v: str) -> str:
+    """NBITS-char sign signature of a vector vs the hyperplanes."""
+    bits = [f"CASE WHEN {_plane_dot_sql(engine, v, b)} >= 0 "
+            "THEN '1' ELSE '0' END" for b in range(NBITS)]
+    return " || ".join(bits)
+
+
+def ann_bruteforce_sql(engine: str, n_queries: int = 10,
+                       topk: int = TOPK) -> str:
+    """Exact cosine top-k for the first ``n_queries`` vectors: one
+    broadcast of the tiny query side + window rank. Deterministic tie
+    break on neighbor id."""
+    dot = _dot_sql(engine, "q.embedding", "c.embedding")
+    nq = _norm_sql(engine, "q.embedding")
+    nc = _norm_sql(engine, "c.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {n_queries}),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {dot} / ({nq} * {nc}) AS cos
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {topk}
+    """
+
+
+def ann_lsh_sql(engine: str, n_queries: int = 10, topk: int = TOPK) -> str:
+    """LSH-bucketed ANN: sign signatures partition the corpus into
+    2^NBITS buckets; each query searches only its own bucket. Recall is
+    approximate by construction; both engines compute the identical
+    approximation. At scale: signature projection, then equi-join —
+    no quadratic term."""
+    sig = _signature_sql(engine, "embedding")
+    dot = _dot_sql(engine, "q.embedding", "c.embedding")
+    nq = _norm_sql(engine, "q.embedding")
+    nc = _norm_sql(engine, "c.embedding")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+    q AS (SELECT vec_id, embedding, {sig} AS sig
+          FROM embeddings WHERE vec_id < {n_queries}),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {dot} / ({nq} * {nc}) AS cos
+        FROM q JOIN c ON q.sig = c.sig AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {topk}
+    """

@@ -1,0 +1,160 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+fingerprinting (SURVEY §7.2 M8; pipeline requirements).
+
+Every operator is defined once as a SQL template instantiated for both
+engines (Spark executes it over temp views; the DuckDB rendering IS the
+oracle), so the correctness gate checks the exact same logic. All
+expressions are engine-portable: shared lambda syntax, explicit
+regexp groups, true division, and the portable hash from hashing.py.
+
+Scale notes: all per-document expressions are embarrassingly parallel
+projections (no shuffle); the aggregate variants shuffle once on a
+low-cardinality key. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .hashing import hash48
+
+# dialect shims: name -> (spark, duckdb)
+_SHIMS = {
+    "adist": ("array_distinct", "list_distinct"),
+    "alen": ("size", "len"),
+    "asort": ("array_sort", "list_sort"),
+    "seq": ("sequence", "generate_series"),
+    "ltrans": ("transform", "list_transform"),
+    "lfilter": ("filter", "list_filter"),
+    "ainter": ("array_intersect", "list_intersect"),
+    "explode": ("explode", "unnest"),
+    "rsplit": ("split", "regexp_split_to_array"),
+    "ajoin": ("array_join", "array_to_string"),
+}
+
+
+def render(template: str, engine: str, **extra: str) -> str:
+    """Instantiate a dual-engine SQL template."""
+    idx = 0 if engine == "spark" else 1
+    subs = {k: v[idx] for k, v in _SHIMS.items()}
+    subs.update(extra)
+    # engine-specific helpers usable inside templates
+    subs["engine"] = engine
+    return template.format(**subs)
+
+
+def sumlen(arr_expr: str, engine: str) -> str:
+    """Sum of element lengths of a string array."""
+    if engine == "spark":
+        return (f"aggregate({arr_expr}, 0L, (acc, x) -> acc + length(x))")
+    return f"CAST(list_sum(list_transform({arr_expr}, x -> length(x))) AS BIGINT)"
+
+
+# whitespace tokenization of normalized text
+TOKENS = "{rsplit}(trim(lower(text)), '\\s+')"
+
+# BPE-ish token pattern: letter runs, single digits, single punctuation
+BPE_PATTERN = "'[a-z]+|[0-9]|[^a-z0-9\\s]'"
+
+EN_STOP = "('the','a','an','of','and','to','in','is','on','for','with','that')"
+ES_STOP = "('el','la','de','y','en','que','los','se','del','las','un','por')"
+DE_STOP = "('der','die','das','und','in','den','von','zu','mit','auf','ist','des')"
+ZH_STOP = "('de','le','he','shi','zai','you','wo','ta','men','zhe','ge','bu')"
+
+
+def text_quality_sql(engine: str) -> str:
+    """Per-document quality scoring: token count (whitespace + BPE-ish),
+    punctuation ratio, stopword ratio, length score -> composite score
+    and a keep/drop flag. One projection, no shuffle."""
+    toks = render(TOKENS, engine)
+    t = f"""
+    SELECT doc_id, lang,
+           {{alen}}({toks}) AS n_tokens,
+           {{alen}}(regexp_extract_all(lower(text), {BPE_PATTERN}, 0))
+               AS n_bpe_tokens,
+           round({sumlen(toks, engine)} / CAST({{alen}}({toks}) AS DOUBLE), 6)
+               AS avg_token_len,
+           round({{alen}}(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round({{alen}}({{lfilter}}({toks}, x -> x IN {EN_STOP}))
+                 / CAST({{alen}}({toks}) AS DOUBLE), 6) AS stopword_ratio,
+           round(least({{alen}}({toks}) / 50.0, 1.0) * 0.5
+                 + least({{alen}}({{lfilter}}({toks}, x -> x IN {EN_STOP}))
+                         / CAST({{alen}}({toks}) AS DOUBLE) * 5.0, 1.0) * 0.3
+                 + (1.0 - least({{alen}}(regexp_extract_all(text,
+                       '[^A-Za-z0-9\\s]', 0))
+                       / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2,
+                 6) AS quality_score
+    FROM documents
+    """
+    return render(t, engine)
+
+
+def lang_id_sql(engine: str) -> str:
+    """Language-ID heuristic: stopword-list vote across 4 languages,
+    returned as a (labelled lang x predicted lang) confusion matrix.
+    One projection + one small-key shuffle."""
+    toks = render(TOKENS, engine)
+    votes = {
+        "en": EN_STOP, "es": ES_STOP, "de": DE_STOP, "zh": ZH_STOP,
+    }
+    score_cols = ", ".join(
+        f"{{alen}}({{lfilter}}({toks}, x -> x IN {stop})) AS s_{lang}"
+        for lang, stop in votes.items())
+    t = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {score_cols} FROM documents
+    ), pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                    WHEN s_de >= s_zh THEN 'de'
+                    ELSE 'zh' END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+    """
+    return render(t, engine)
+
+
+def fingerprint_sql(engine: str) -> str:
+    """Document fingerprints: content hash of normalized text and an
+    order-insensitive vocabulary hash (same value for shuffled word
+    order) — the exact-dedup keys."""
+    toks = render(TOKENS, engine)
+    content = hash48("trim(lower(text))", engine)
+    vocab_src = render(f"{{ajoin}}({{asort}}({{adist}}({toks})), ' ')", engine)
+    vocab = hash48(vocab_src, engine)
+    t = f"""
+    SELECT doc_id,
+           {content} AS content_fp,
+           {vocab} AS vocab_fp
+    FROM documents
+    """
+    return render(t, engine)
+
+
+def token_count_sql(engine: str) -> str:
+    """Corpus token accounting per (lang, source): whitespace tokens and
+    BPE-ish tokens; the per-partition pre-aggregation pattern."""
+    toks = render(TOKENS, engine)
+    t = f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(CAST({{alen}}({toks}) AS BIGINT)) AS n_ws_tokens,
+           SUM(CAST({{alen}}(regexp_extract_all(lower(text), {BPE_PATTERN}, 0))
+               AS BIGINT)) AS n_bpe_tokens,
+           SUM(CAST(length(text) AS BIGINT)) AS n_chars_total
+    FROM documents
+    GROUP BY lang, source
+    """
+    return render(t, engine)
+
+
+def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
+    """Execute a dual-engine template on Spark over the fixture views."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return spark.sql(sql_fn("spark"))

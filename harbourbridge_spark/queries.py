@@ -385,6 +385,103 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (pipeline/): each SQL template is
+# instantiated for Spark (over temp views) and DuckDB (the oracle) from
+# the same source, so the gate checks identical logic.
+# ---------------------------------------------------------------------------
+
+def _run_template(sql_fn, tables=("documents",)):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # verbatim string literals: Spark must not process backslash
+        # escapes ('\s+') since DuckDB's SQL strings never do — the
+        # templates are shared text.
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+        for t in tables:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql_fn("spark"))
+    return fn
+
+
+def _register_template(name: str, sql_fn, description: str,
+                       tables=("documents",)) -> None:
+    REGISTRY[name] = QuerySpec(
+        _run_template(sql_fn, tables), sql_fn("duckdb"), description)
+
+
+from .pipeline import dedup as _dedup  # noqa: E402
+from .pipeline import similarity as _sim  # noqa: E402
+from .pipeline import text as _text  # noqa: E402
+
+_register_template(
+    "text_quality", _text.text_quality_sql,
+    "Per-document quality scoring: token counts, punctuation/stopword "
+    "ratios, composite score — single projection, no shuffle")
+_register_template(
+    "lang_id_confusion", _text.lang_id_sql,
+    "Language-ID heuristic (stopword votes) as a label-vs-predicted "
+    "confusion matrix")
+_register_template(
+    "doc_fingerprints", _text.fingerprint_sql,
+    "Document fingerprinting: content hash + order-insensitive "
+    "vocabulary hash (portable 48-bit md5-derived hash)")
+_register_template(
+    "token_counts", _text.token_count_sql,
+    "Corpus token accounting per (lang, source): whitespace + BPE-ish "
+    "regex tokens; map-side partial aggregation")
+_register_template(
+    "dedup_exact", _dedup.exact_dedup_sql,
+    "Exact dedup via content-hash groupBy (shuffles 8-byte hashes, "
+    "not documents)")
+_register_template(
+    "dedup_minhash_lsh", _dedup.minhash_lsh_pairs_sql,
+    "MinHash(K=12)+LSH banding: shingle->signature->band equi-join "
+    "candidate pairs; no quadratic scan")
+_register_template(
+    "dedup_simhash", _dedup.simhash_sql,
+    "Per-document 32-bit SimHash signatures (majority vote of token "
+    "hash bits)")
+_register_template(
+    "dedup_ngram_jaccard", _dedup.ngram_jaccard_pairs_sql,
+    "Word-3-gram Jaccard verification over (lang, length)-blocked "
+    "pairs — the verify stage downstream of LSH candidates")
+_register_template(
+    "dedup_embedding_cosine", _dedup.embedding_neardup_sql,
+    "Embedding-cosine near-dup pairs (label-blocked exact); sequential "
+    "fold keeps doubles bit-identical across engines",
+    tables=("embeddings",))
+_register_template(
+    "ann_bruteforce", _sim.ann_bruteforce_sql,
+    "Brute-force cosine top-k (broadcast queries + window rank) — the "
+    "exactness baseline for similarity search",
+    tables=("embeddings",))
+_register_template(
+    "ann_lsh", _sim.ann_lsh_sql,
+    "Random-hyperplane LSH-bucketed ANN: sign-signature equi-join "
+    "instead of a full scan — the 100 TB path",
+    tables=("embeddings",))
+
+
+@register(
+    "multimodal_features", None,
+    "Binary media columns -> Arrow-batched decode/feature plumbing "
+    "(decode stubbed; rows-only check)")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(F.lit("image/fake").alias("mime"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "content_sha",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
 # helpers for __spark_entry__
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,124 @@
+"""Streaming event aggregation: the readStream shape of
+queries.events_windowed_agg, plus a custom stateful sessionizer.
+
+The reference has no streaming surface (SURVEY §2.7) — its "stream" is
+a single-pass file read — so this module is part of the pipeline
+extension: the same tumbling-window aggregation expressed over
+Structured Streaming with event-time watermarks for late data, and a
+session-gap operator via applyInPandasWithState (the pattern for
+operators Spark's built-ins can't express).
+
+Scale notes: windowed counts shuffle on (window, event_type) with
+state bounded by the watermark horizon; the sessionizer keys state by
+user_id — state size is O(active users), and the GroupStateTimeout
+evicts idle sessions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def event_stream(spark, events_dir: str, schema=None,
+                 max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream. events.ts arrives as ns-since-epoch
+    (long); normalize to a proper event-time column."""
+    reader = (spark.readStream
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if schema is None:
+        schema = ("event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+    df = reader.schema(schema).format("parquet").load(events_dir)
+    return df.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+
+
+def windowed_event_counts(stream: DataFrame,
+                          window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time windows per event type with late-data
+    handling — the streaming twin of queries.events_windowed_agg."""
+    return (stream
+            .withWatermark("event_time", watermark)
+            .groupBy(F.window("event_time", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.DoubleType()),
+    T.StructField("session_end", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.DoubleType()),
+    T.StructField("last", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize(stream: DataFrame, gap_seconds: float = 1800.0,
+               watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator: session windows with an inactivity gap,
+    via applyInPandasWithState (the escape hatch for semantics the
+    built-in operators can't express). Emits a row per closed session —
+    mid-batch when a later event closes it, or via event-time timeout
+    once the watermark passes last_event + gap. Event-time timeouts are
+    data-driven (no idle processing sweeps), so state work is bounded
+    by actual progress.
+    """
+    gap_ms = int(gap_seconds * 1000)
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame([{"user_id": user_id,
+                                     "session_start": start,
+                                     "session_end": last, "n_events": n}])
+            return
+        ts = sorted(t for pdf in pdfs for t in pdf["ts_sec"].tolist())
+        if not ts:
+            return
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        for t in ts:
+            if t - last > gap_seconds:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(int(last * 1000) + gap_ms)
+        if closed:
+            yield pd.DataFrame([
+                {"user_id": user_id, "session_start": s,
+                 "session_end": e, "n_events": c}
+                for s, e, c in closed])
+
+    events = (stream
+              .withColumn("ts_sec", F.col("ts") / F.lit(1_000_000_000.0))
+              .withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
+              .withWatermark("event_time", watermark))
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=SESSION_SCHEMA, stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout))

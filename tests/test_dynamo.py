@@ -1,0 +1,101 @@
+"""DynamoDB-style inference tests (mirrors dynamodb/schema_test.go:
+full-type fixture, inference thresholds, and data conversion)."""
+
+import decimal
+import json
+
+import pytest
+
+from harbourbridge_spark import types as tt
+from harbourbridge_spark.context import MigrationContext
+from harbourbridge_spark.sources import dynamo
+
+
+def _items_df(spark, items):
+    return spark.createDataFrame([(json.dumps(i),) for i in items], "item string")
+
+
+def test_full_type_inference_and_mapping(spark):
+    """One row exercising all observed types -> T3 target mapping."""
+    item = {
+        "a": {"S": "hello"},
+        "b": {"N": "123.456"},
+        "c": {"N": "9" * 30 + ".5"},          # overflows 29.9 -> NumberString
+        "d": {"BOOL": True},
+        "e": {"B": "aGVsbG8="},
+        "f": {"L": [{"S": "x"}, {"N": "1"}]},
+        "g": {"M": {"k": {"S": "v"}}},
+        "h": {"SS": ["s1", "s2"]},
+        "i": {"NS": ["1.5", "2"]},
+        "j": {"BS": ["aGk="]},
+        "k": {"NS": ["1", "9" * 30]},          # element overflow -> NumberStringSet
+    }
+    ctx, result = dynamo.migrate_dynamo_items(
+        spark, _items_df(spark, [item] * 10), "t", partition_keys=["a"])
+    tgt = ctx.sp_schema["t"]
+    assert tgt.col_defs["a"].type == tt.Type(tt.STRING)
+    assert tgt.col_defs["b"].type == tt.Type(tt.NUMERIC)
+    assert tgt.col_defs["c"].type == tt.Type(tt.STRING)
+    assert tgt.col_defs["d"].type == tt.Type(tt.BOOL)
+    assert tgt.col_defs["e"].type == tt.Type(tt.BYTES)
+    assert tgt.col_defs["f"].type == tt.Type(tt.STRING)
+    assert tgt.col_defs["g"].type == tt.Type(tt.STRING)
+    assert tgt.col_defs["h"].type == tt.Type(tt.STRING, is_array=True)
+    assert tgt.col_defs["i"].type == tt.Type(tt.NUMERIC, is_array=True)
+    assert tgt.col_defs["j"].type == tt.Type(tt.BYTES, is_array=True)
+    assert tgt.col_defs["k"].type == tt.Type(tt.STRING, is_array=True)
+    assert tgt.pk_cols() == ["a"]
+
+    row = result.good.first()
+    assert row.a == "hello"
+    assert row.b == decimal.Decimal("123.456000000")
+    assert row.d is True
+    assert bytes(row.e) == b"hello"
+    assert row.h == ["s1", "s2"]
+    assert [str(x) for x in row.i] == ["1.500000000", "2.000000000"]
+    assert json.loads(row.g) == {"k": {"S": "v"}}
+    assert result.bad.count() == 0
+
+
+def test_inference_thresholds(spark):
+    """Noise/nullability/conflict thresholds (dynamodb/schema.go:236-292)."""
+    rows = []
+    # 'a': always string; 'b': string in 96%, number in 4% (< 5% conflict
+    # but > 0.1% noise -> two candidates at >0.1%: only string above 5%
+    # -> string); 'c': absent in 2% of rows -> nullable
+    for i in range(1000):
+        item = {"a": {"S": f"v{i}"}}
+        if i < 40:
+            item["b"] = {"N": "1"}
+        else:
+            item["b"] = {"S": "x"}
+        if i >= 20:
+            item["c"] = {"S": "y"}
+        rows.append(item)
+    ctx = MigrationContext()
+    dynamo.infer_schema(ctx, _items_df(spark, rows), "t", ["a"])
+    t = ctx.src_schema["t"]
+    assert t.col_defs["b"].type.name == "String"
+    assert t.col_defs["c"].not_null is False
+    assert t.col_defs["a"].not_null is True
+
+
+def test_conflict_to_string(spark):
+    """Two candidates both above 5% -> String fallback."""
+    rows = [{"x": {"N": "1"}} for _ in range(50)] + \
+           [{"x": {"S": "s"}} for _ in range(50)]
+    ctx = MigrationContext()
+    dynamo.infer_schema(ctx, _items_df(spark, rows), "t")
+    assert ctx.src_schema["t"].col_defs["x"].type.name == "String"
+
+
+def test_bad_row_quarantine(spark):
+    """A Number column receiving an unparsable value quarantines the row."""
+    rows = [{"k": {"S": "a"}, "v": {"N": "1.5"}} for _ in range(100)]
+    rows.append({"k": {"S": "z"}, "v": {"N": "not-a-number"}})
+    ctx, result = dynamo.migrate_dynamo_items(
+        spark, _items_df(spark, rows), "t", partition_keys=["k"])
+    assert result.good.count() == 100
+    bad = result.bad.collect()
+    assert len(bad) == 1
+    assert bad[0]["_hb_errs"] == ["v"]

@@ -1,0 +1,178 @@
+"""Pipeline-operator tests: portable hashing, dedup recall on planted
+duplicates, similarity search sanity, multimodal plumbing, streaming
+windowed counts vs the batch twin."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from harbourbridge_spark.pipeline import dedup, hashing, similarity, text
+from harbourbridge_spark.pipeline.multimodal import (extract_features,
+                                                     repartition_for_media)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_view(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def test_hash48_portable(spark):
+    """Spark and DuckDB renderings produce the same integer."""
+    import duckdb
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    for s in ["hello", "a b c", ""]:
+        got_spark = spark.sql(
+            f"SELECT {hashing.spark_hash48(repr(s))} AS h").first().h
+        got_duck = duckdb.sql(
+            f"SELECT {hashing.duck_hash48(repr(s))} AS h").fetchone()[0]
+        want = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        assert got_spark == got_duck == want
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [(i, f"unique text number {i}", "en", "s", 20) for i in range(10)]
+    rows += [(100, "duplicate body", "en", "s", 14),
+             (101, "duplicate body", "en", "s", 14),
+             (102, "DUPLICATE   body".replace("   ", " "), "en", "s", 14)]
+    _docs_view(spark, rows)
+    r = spark.sql(dedup.exact_dedup_sql("spark")).first()
+    assert r.n_docs == 13
+    # 'duplicate body' x2 + case-normalized variant => one group of 3
+    assert r.n_dup_rows == 2
+    assert r.n_dup_groups == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = ("spark shuffles data between stages when aggregation keys "
+            "require co-location of rows across the cluster nodes")
+    rows = [(1, base, "en", "s", len(base)),
+            (2, base + " quickly", "en", "s", len(base) + 8),  # near-dup
+            (3, "completely different content about cooking pasta and "
+                "italian cuisine with tomatoes", "en", "s", 80)]
+    _docs_view(spark, rows)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in spark.sql(dedup.minhash_lsh_pairs_sql("spark")).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups_close(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(1, base, "en", "s", len(base)),
+            (2, base.replace("lazy", "sleepy"), "en", "s", len(base)),
+            (3, "totally unrelated words about quantum chromodynamics "
+                "lattice simulations", "en", "s", 70)]
+    _docs_view(spark, rows)
+    bits = {r.doc_id: r.simhash_bits
+            for r in spark.sql(dedup.simhash_sql("spark")).collect()}
+    ham12 = sum(a != b for a, b in zip(bits[1], bits[2]))
+    ham13 = sum(a != b for a, b in zip(bits[1], bits[3]))
+    assert ham12 < ham13
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    rows = spark.sql(similarity.ann_bruteforce_sql("spark", n_queries=3,
+                                                   topk=3)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, lst in by_q.items():
+        assert [r.rk for r in sorted(lst, key=lambda r: r.rk)] == [1, 2, 3]
+        # cosine sorted descending
+        cs = [r.cosine for r in sorted(lst, key=lambda r: r.rk)]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r.neighbor_id != q for r in lst)
+
+
+def test_multimodal_features_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"some image bytes", None),
+         (2, "audio", b"riff wav data", None),
+         (3, "video", None, None)],
+        "media_id long, kind string, content binary, meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert out[1].n_bytes == 16
+    want = hashlib.sha256(b"some image bytes").hexdigest()
+    assert out[1].content_sha == want
+    d = hashlib.sha256(b"some image bytes").digest()
+    assert out[1].feature[0] == pytest.approx(d[0] / 255.0)
+    assert out[3].content_sha is None and out[3].feature == []
+    # size-aware repartition keeps all rows
+    assert repartition_for_media(media).count() == 3
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    from harbourbridge_spark.streaming.events import (event_stream,
+                                                      windowed_event_counts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams read directories: stage the single parquet file
+    src = str(tmp_path / "events_dir")
+    import os, shutil
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", f"{src}/part-0.parquet")
+    batch = spark.read.parquet(src)
+    stream = event_stream(spark, src)
+    q = (windowed_event_counts(stream)
+         .writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+               for r in spark.sql("SELECT * FROM win_counts").collect()}
+    finally:
+        q.stop()
+    want_df = (batch
+               .withColumn("event_time", F.timestamp_seconds(
+                   F.col("ts") / F.lit(1_000_000_000)))
+               .groupBy(F.window("event_time", "5 minutes").alias("w"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("s")))
+    want = {(r.w.start, r.event_type): (r.n, r.s) for r in want_df.collect()}
+    assert got == want
+
+
+def test_sessionize(spark):
+    from harbourbridge_spark.streaming.events import sessionize
+    rows = []
+    # user 1: two sessions separated by > 30 min; user 2: one session.
+    # Base offset keeps events off epoch 0 (rows with event_time <=
+    # the initial watermark are filtered as late).
+    B = 1000
+    for t in [B + 0, B + 60, B + 120, B + 10_000, B + 10_060]:
+        rows.append((t, int(t * 1e9), 1))
+    for t in [B + 5, B + 65]:
+        rows.append((t, int(t * 1e9), 2))
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, (t, ts, u) in enumerate(rows)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string")
+    src_stream = df  # batch DF works for applyInPandasWithState? needs stream
+    # run through a memory stream instead: write to parquet then stream
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    # one file => one micro-batch => all events share the initial
+    # watermark (multi-file order is arbitrary and would drop rows)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    from harbourbridge_spark.streaming.events import event_stream
+    stream = event_stream(spark, d)
+    out = (sessionize(stream, gap_seconds=1800.0)
+           .writeStream.format("memory").queryName("sessions")
+           .outputMode("append").start())
+    try:
+        out.processAllAvailable()
+        sess = [(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.sql("SELECT * FROM sessions").collect()]
+    finally:
+        out.stop()
+    # user 1's first session is closed mid-batch by the +10000s event
+    assert (1, 1000.0, 1120.0, 3) in sess
