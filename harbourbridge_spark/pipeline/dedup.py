@@ -83,14 +83,20 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
     the band hash — equality only, no quadratic scan."""
     sig = minhash_signature_sql(engine)
     n_bands = MINHASH_K // BAND_SIZE
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS key FROM sig"
-        .format(b=b, cols=", ".join(
-            f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
-        for b in range(n_bands))
+    band_key = "CASE t.band " + " ".join(
+        "WHEN {b} THEN concat_ws(',', {cols})".format(
+            b=b, cols=", ".join(
+                f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
+        for b in range(n_bands)) + " END"
+    values = ",".join(f"({b})" for b in range(n_bands))
+    # bands expand via a VALUES cross join (one signature computation),
+    # not a UNION ALL of per-band scans (n_bands signature computations)
     t = f"""
     WITH sig AS ({sig}),
-    bands AS ({band_rows})
+    bands AS (
+        SELECT doc_id, t.band, {band_key} AS key
+        FROM sig CROSS JOIN (VALUES {values}) AS t(band)
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -174,19 +180,22 @@ def embedding_neardup_sql(engine: str, threshold: float = 0.35) -> str:
         dot = ("aggregate(zip_with(a.embedding, b.embedding, "
                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                "0D, (acc, v) -> acc + v)")
-        norm = ("sqrt(aggregate({v}, 0D, "
+        norm = ("sqrt(aggregate(embedding, 0D, "
                 "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     else:
         dot = ("list_dot_product(a.embedding::DOUBLE[], "
                "b.embedding::DOUBLE[])")
-        norm = "sqrt(list_dot_product({v}::DOUBLE[], {v}::DOUBLE[]))"
-    na = norm.format(v="a.embedding")
-    nb = norm.format(v="b.embedding")
+        norm = ("sqrt(list_dot_product(embedding::DOUBLE[], "
+                "embedding::DOUBLE[]))")
+    # norms are precomputed per vector (O(N)), not per pair (O(N^2))
     t = f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding, {norm} AS nrm FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({dot} / ({na} * {nb}), 6) AS cosine
-    FROM embeddings a JOIN embeddings b
+           round({dot} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {dot} / ({na} * {nb}) >= {threshold}
+    WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
     """
     return render(t, engine)

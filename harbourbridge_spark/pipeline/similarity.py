@@ -70,17 +70,17 @@ def ann_bruteforce_sql(engine: str, n_queries: int = 10,
                        topk: int = TOPK) -> str:
     """Exact cosine top-k for the first ``n_queries`` vectors: one
     broadcast of the tiny query side + window rank. Deterministic tie
-    break on neighbor id."""
+    break on neighbor id. Norms precomputed per vector, not per pair."""
     dot = _dot_sql(engine, "q.embedding", "c.embedding")
-    nq = _norm_sql(engine, "q.embedding")
-    nc = _norm_sql(engine, "c.embedding")
+    nrm = _norm_sql(engine, "embedding")
     return f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings
-               WHERE vec_id < {n_queries}),
+    WITH c AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+    q AS (SELECT vec_id, embedding, nrm FROM c
+          WHERE vec_id < {n_queries}),
     sims AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {dot} / ({nq} * {nc}) AS cos
-        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+               {dot} / (q.nrm * c.nrm) AS cos
+        FROM q JOIN c ON c.vec_id != q.vec_id
     ), ranked AS (
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
@@ -100,15 +100,15 @@ def ann_lsh_sql(engine: str, n_queries: int = 10, topk: int = TOPK) -> str:
     no quadratic term."""
     sig = _signature_sql(engine, "embedding")
     dot = _dot_sql(engine, "q.embedding", "c.embedding")
-    nq = _norm_sql(engine, "q.embedding")
-    nc = _norm_sql(engine, "c.embedding")
+    nrm = _norm_sql(engine, "embedding")
     return f"""
-    WITH c AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
-    q AS (SELECT vec_id, embedding, {sig} AS sig
-          FROM embeddings WHERE vec_id < {n_queries}),
+    WITH c AS (SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id, embedding, sig, nrm FROM c
+          WHERE vec_id < {n_queries}),
     sims AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {dot} / ({nq} * {nc}) AS cos
+               {dot} / (q.nrm * c.nrm) AS cos
         FROM q JOIN c ON q.sig = c.sig AND c.vec_id != q.vec_id
     ), ranked AS (
         SELECT query_id, neighbor_id, cos,
