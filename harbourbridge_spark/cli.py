@@ -1,0 +1,107 @@
+"""End-to-end migration driver: the CLI lifecycle of the reference
+(SURVEY §3.1, cmd/cmd.go:39-92) as one function + argparse main.
+
+    pg_dump mydb > dump.sql
+    python -m harbourbridge_spark.cli dump.sql --dialect postgres \
+        --out /data/migrated
+
+Steps (mirroring cmd.CommandLine):
+  1. schema pass over the dump -> SourceSchema -> target schema
+  2. write schema file (pretty + legal DDL) + session file
+  3. data pass: staged COPY/INSERT rows -> typed conversion ->
+     good/bad split
+  4. write each table (parquet; interleave-aware co-partitioning)
+  5. write bad-data samples + conversion report
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from .context import MigrationContext
+from .ddl import write_schema_file
+from .report import generate_report
+from .sink import write_bad_data, write_table
+from .sources import mysqldump, pgdump
+
+
+def migrate_dump(spark: SparkSession, dump_path: str, dialect: str,
+                 out_dir: str,
+                 ctx: Optional[MigrationContext] = None) -> MigrationContext:
+    """Full dump migration into ``out_dir``: parquet tables + schema
+    file + session file + report + dropped-row samples."""
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, "_staging")
+    if dialect == "postgres":
+        ctx, results = pgdump.migrate_pg_dump(spark, dump_path, staging, ctx)
+    elif dialect == "mysql":
+        ctx, results = mysqldump.migrate_mysql_dump(spark, dump_path,
+                                                    staging, ctx)
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    # schema + session files before data (cmd/cmd.go:51-52)
+    write_schema_file(ctx, os.path.join(out_dir, "schema.txt"))
+    with open(os.path.join(out_dir, "session.json"), "w") as f:
+        f.write(ctx.to_json())
+
+    for src_table, result in results.items():
+        tgt = ctx.to_target[src_table]["name"]
+        write_table(ctx, result.good, tgt,
+                    os.path.join(out_dir, f"{tgt}.parquet"))
+        n_bad = write_bad_data(
+            result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
+        # observations populated by the writes above (A1/A8)
+        result.record_stats(ctx, src_table)
+        if n_bad == 0:
+            os.remove(os.path.join(out_dir, f"{tgt}.dropped.txt"))
+
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+
+    report = generate_report(
+        ctx, driver_name=f"{dialect}-dump")
+    with open(os.path.join(out_dir, "report.txt"), "w") as f:
+        f.write(report)
+    # refresh the session file with final stats
+    with open(os.path.join(out_dir, "session.json"), "w") as f:
+        f.write(ctx.to_json())
+    return ctx
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        description="Migrate a pg_dump/mysqldump file to typed parquet "
+                    "tables with a Spanner-style target schema.")
+    p.add_argument("dump", help="path to the dump file")
+    p.add_argument("--dialect", choices=["postgres", "mysql"],
+                   default="postgres")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--cpus", default="8")
+    p.add_argument("--session", help="resume from a session.json "
+                   "(schema edits preserved; data-only mode)")
+    args = p.parse_args(argv)
+
+    spark = (SparkSession.builder
+             .master(f"local[{args.cpus}]")
+             .appName("harbourbridge-spark-migrate")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.shuffle.partitions", str(args.cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .getOrCreate())
+    ctx = None
+    if args.session:
+        with open(args.session) as f:
+            ctx = MigrationContext.from_json(f.read())
+    final = migrate_dump(spark, args.dump, args.dialect, args.out, ctx)
+    print(open(os.path.join(args.out, "report.txt")).read()[:2000])
+    spark.stop()
+    return 0 if final.bad_rows() == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

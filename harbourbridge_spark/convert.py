@@ -250,13 +250,37 @@ def bit_reverse64(col_name: str) -> Column:
 class ConversionResult:
     good: DataFrame
     bad: DataFrame      # source string columns + ERRS_COL (failing columns)
+    obs_good: "object" = None   # pyspark Observation (A1/A8)
+    obs_bad: "object" = None
+
+    def record_stats(self, ctx: MigrationContext, src_table: str) -> None:
+        """Harvest observe() counters into ctx stats after the caller
+        has run an action on both frames (A1, internal/convert.go:310-330;
+        replaces the reference's per-row counters with zero-extra-job
+        Spark observations)."""
+        good_n = self.obs_good.get["rows"] if self.obs_good else None
+        bad_n = self.obs_bad.get["rows"] if self.obs_bad else None
+        if good_n is not None:
+            ctx.stats_add_good_row(src_table, good_n)
+        if bad_n is not None:
+            ctx.stats_add_bad_row(src_table, bad_n)
+        existing = ctx.table_stats.get(src_table)
+        if existing is None or existing.rows == 0:
+            ctx.stats_add_row(src_table, (good_n or 0) + (bad_n or 0))
 
 
 def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
                   dialect: str) -> ConversionResult:
     """Convert one table's string DataFrame into its typed target shape,
     splitting off bad rows (D17). Appends the synthetic PK when the
-    table has one (requires SEQ_COL in the input for determinism)."""
+    table has one (requires SEQ_COL in the input for determinism).
+
+    Both output frames carry an Observation counting their rows — the
+    progress/row-stats analogue (A1/A8) that piggybacks on whatever
+    action the sink runs, instead of extra count() jobs.
+    """
+    from pyspark.sql import Observation
+
     plans = plan_columns(ctx, src_table, dialect)
     tgt_name = ctx.to_target[src_table]["name"]
 
@@ -278,4 +302,9 @@ def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
         cols.append(
             F.expr(_bit_reverse_sql(SEQ_COL)).alias(synth.col))
     good = good.select(*cols)
-    return ConversionResult(good=good, bad=bad)
+
+    obs_good, obs_bad = Observation(), Observation()
+    good = good.observe(obs_good, F.count(F.lit(1)).alias("rows"))
+    bad = bad.observe(obs_bad, F.count(F.lit(1)).alias("rows"))
+    return ConversionResult(good=good, bad=bad,
+                            obs_good=obs_good, obs_bad=obs_bad)
