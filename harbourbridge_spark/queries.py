@@ -385,9 +385,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Training-data pipeline operators (pipeline/): each SQL template is
-# instantiated for Spark (over temp views) and DuckDB (the oracle) from
-# the same source, so the gate checks identical logic.
+# Conversion-semantics queries: T8 identifier legalization, D5-D11
+# scalar conversions, S22/S23+D16 JSON field inference, and the T1-T3
+# type matrices as golden tables.
 # ---------------------------------------------------------------------------
 
 def _run_template(sql_fn, tables=("documents",)):
@@ -407,6 +407,182 @@ def _register_template(name: str, sql_fn, description: str,
     REGISTRY[name] = QuerySpec(
         _run_template(sql_fn, tables), sql_fn("duckdb"), description)
 
+
+_GNARLY_NAMES = [
+    "table", "Tab_1", "2table", "tab le", "tab-le", "_tab", "TABLE",
+    "col$umn", "a.b.c", "9", "x", "My Table Name", "trailing_",
+]
+
+
+def _legalize_sql(engine: str) -> str:
+    """fix_name (internal/fixname.go:32-42) as portable SQL: bad first
+    char -> 'A', other bad chars -> '_'."""
+    values = ", ".join(f"('{n}')" for n in _GNARLY_NAMES)
+    if engine == "spark":
+        legal = "name RLIKE '^[a-zA-Z][a-zA-Z0-9_]*$'"
+        fixed = ("regexp_replace(regexp_replace(name, '^[^a-zA-Z]', 'A'), "
+                 "'[^a-zA-Z0-9_]', '_')")
+    else:
+        legal = "regexp_matches(name, '^[a-zA-Z][a-zA-Z0-9_]*$')"
+        fixed = ("regexp_replace(regexp_replace(name, '^[^a-zA-Z]', 'A'), "
+                 "'[^a-zA-Z0-9_]', '_', 'g')")
+    return f"""
+    SELECT name,
+           CASE WHEN {legal} THEN name ELSE {fixed} END AS legalized,
+           NOT ({legal}) AS changed
+    FROM (VALUES {values}) AS t(name)
+    """
+
+
+# (type family, input literal, spark/duck-shared conversion semantics).
+# Inputs live in the common semantic subset of the two engines; the
+# INT64 path carries the strconv-style regex guard from convert.py.
+_CAST_CASES = [
+    ("bool", "true"), ("bool", "false"), ("bool", "t"), ("bool", "f"),
+    ("bool", "1"), ("bool", "0"), ("bool", "notabool"),
+    ("int64", "42"), ("int64", "-7"), ("int64", "+5"), ("int64", "1.5"),
+    ("int64", "999999999999999999999999"), ("int64", "abc"),
+    ("float64", "99.9"), ("float64", "-1e10"), ("float64", "xx"),
+    ("numeric", "5"), ("numeric", "1234567890123456789.123456789"),
+    ("numeric", "nan-ish"),
+    ("date", "2019-10-28"), ("date", "2019-99-99"), ("date", "nope"),
+]
+
+
+def _scalar_casts_sql(engine: str) -> str:
+    """D5-D11 scalar conversion semantics as a golden matrix: for each
+    (type, input), whether conversion succeeds and the normalized value
+    (doubles for numeric families, ISO strings for dates)."""
+    values = ", ".join(f"('{t}', '{v}')" for t, v in _CAST_CASES)
+    int_ok = "x RLIKE '^[+-]?[0-9]+$'" if engine == "spark" else \
+             "regexp_matches(x, '^[+-]?[0-9]+$')"
+    date_str = ("CAST(TRY_CAST(x AS DATE) AS STRING)" if engine == "spark"
+                else "strftime(TRY_CAST(x AS DATE), '%Y-%m-%d')")
+    t = f"""
+    WITH cases AS (SELECT * FROM (VALUES {values}) AS t(typ, x)),
+    conv AS (
+        SELECT typ, x,
+            CASE typ
+                WHEN 'bool' THEN CAST(TRY_CAST(x AS BOOLEAN) AS INT)
+            END AS v_bool,
+            CASE typ
+                WHEN 'int64' THEN CASE WHEN {int_ok}
+                    THEN TRY_CAST(x AS BIGINT) END
+            END AS v_int,
+            CASE typ
+                WHEN 'float64' THEN TRY_CAST(x AS DOUBLE)
+                WHEN 'numeric' THEN
+                    CAST(TRY_CAST(x AS DECIMAL(38,9)) AS DOUBLE)
+            END AS v_num,
+            CASE typ WHEN 'date' THEN {date_str} END AS v_date
+        FROM cases
+    )
+    SELECT typ, x,
+           (v_bool IS NOT NULL OR v_int IS NOT NULL OR
+            v_num IS NOT NULL OR v_date IS NOT NULL) AS ok,
+           COALESCE(CAST(v_bool AS DOUBLE), CAST(v_int AS DOUBLE), v_num)
+               AS value_num,
+           v_date AS value_date
+    FROM conv
+    """
+    return t
+
+
+def _props_inference_sql(engine: str) -> str:
+    """S22/S23 + D16 over events.props: per JSON field, presence and
+    NUMERIC-fit vote counts with the reference's inference decision
+    (0.1% noise / 5% conflict thresholds)."""
+    if engine == "spark":
+        k = "get_json_object(props, '$.k')"
+    else:
+        k = "json_extract_string(props, '$.k')"
+    fits = (f"TRY_CAST({k} AS DECIMAL(38,9)) IS NOT NULL AND "
+            f"abs(TRY_CAST({k} AS DECIMAL(38,9))) < 1e29")
+    return f"""
+    WITH votes AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN {k} IS NOT NULL THEN 1 ELSE 0 END) AS n_present,
+               SUM(CASE WHEN {fits} THEN 1 ELSE 0 END) AS n_numeric_fit
+        FROM events
+    )
+    SELECT 'k' AS field, n_rows, n_present, n_numeric_fit,
+           (n_rows - n_present) > 0.001 * n_rows AS nullable,
+           CASE WHEN n_numeric_fit > 0.05 * n_present THEN 'Number'
+                ELSE 'String' END AS inferred_type
+    FROM votes
+    """
+
+
+def _typemap_golden(dialect: str):
+    """T1/T2/T3 matrices as golden tables: the Spark side computes from
+    the live Python matrix; the oracle SQL freezes the expected rows,
+    so any matrix edit trips the correctness gate."""
+    from . import types as tt
+    from .typemap import DIALECTS
+    probe_types = {
+        "postgres": ["bool", "bigserial", "bpchar", "bytea", "date",
+                     "float8", "float4", "int8", "int4", "int2", "numeric",
+                     "serial", "text", "timestamptz", "timestamp",
+                     "varchar", "path"],
+        "mysql": ["bool", "tinyint", "double", "float", "numeric",
+                  "decimal", "bigint", "smallint", "mediumint", "int",
+                  "bit", "varchar", "text", "set", "enum", "json",
+                  "binary", "blob", "date", "datetime", "timestamp",
+                  "time", "year", "geometry"],
+        "dynamodb": ["String", "Number", "NumberString", "Bool", "Binary",
+                     "List", "Map", "StringSet", "NumberSet",
+                     "NumberStringSet", "BinarySet"],
+    }[dialect]
+    mapper = DIALECTS[dialect]
+    rows = []
+    for name in probe_types:
+        tgt, issues = mapper.to_target_type(tt.SourceType(name))
+        rows.append((name, tgt.print(),
+                     ",".join(i.value for i in issues)))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tgt_rows = []
+        for name in probe_types:
+            tgt, issues = mapper.to_target_type(tt.SourceType(name))
+            tgt_rows.append((name, tgt.print(),
+                             ",".join(i.value for i in issues)))
+        return spark.createDataFrame(
+            tgt_rows, "source_type string, target_type string, issues string")
+
+    values = ", ".join(f"('{s}', '{t}', '{i}')" for s, t, i in rows)
+    oracle = (f"SELECT * FROM (VALUES {values}) "
+              "AS t(source_type, target_type, issues)")
+    return fn, oracle
+
+
+REGISTRY["identifier_legalization"] = QuerySpec(
+    _run_template(_legalize_sql, tables=()),
+    _legalize_sql("duckdb"),
+    "T8: fix_name identifier legalization as portable SQL over a "
+    "gnarly-name corpus (Java regex vs RE2 cross-check)")
+REGISTRY["scalar_cast_conversions"] = QuerySpec(
+    _run_template(_scalar_casts_sql, tables=()),
+    _scalar_casts_sql("duckdb"),
+    "D5-D11: scalar conversion golden matrix (success + normalized "
+    "value per type/input)")
+REGISTRY["props_field_inference"] = QuerySpec(
+    _run_template(_props_inference_sql, tables=("events",)),
+    _props_inference_sql("duckdb"),
+    "S22/S23+D16: JSON field type-vote inference with the reference's "
+    "noise/conflict thresholds")
+for _d in ("postgres", "mysql", "dynamodb"):
+    _fn, _oracle = _typemap_golden(_d)
+    REGISTRY[f"typemap_{_d}"] = QuerySpec(
+        _fn, _oracle,
+        f"T{'123'['postgres mysql dynamodb'.split().index(_d)]}: "
+        f"{_d} type matrix as a golden table (edits trip the gate)")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (pipeline/): each SQL template is
+# instantiated for Spark (over temp views) and DuckDB (the oracle) from
+# the same source, so the gate checks identical logic.
+# ---------------------------------------------------------------------------
 
 from .pipeline import dedup as _dedup  # noqa: E402
 from .pipeline import similarity as _sim  # noqa: E402
