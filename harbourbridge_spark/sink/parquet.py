@@ -53,6 +53,51 @@ def write_table(ctx: MigrationContext, df: DataFrame, target_table: str,
     w.parquet(path)
 
 
+def create_database(spark, ctx: MigrationContext, db_name: str,
+                    location: Optional[str] = None,
+                    skip_foreign_keys: bool = False) -> None:
+    """K3/K4 (conversion/conversion.go:412-480): create the target
+    catalog database + empty tables from the converted schema.
+
+    Spark has no FK/constraint DDL, so (mirroring the reference's
+    two-phase create-then-ALTER protocol) constraints land as table
+    properties after creation: primary_keys / foreign_keys / indexes /
+    interleave_parent as JSON, queryable by downstream tooling and by
+    the uniqueness-validation queries.
+    """
+    import json as _json
+
+    loc = f" LOCATION '{location}/{db_name}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db_name}{loc}")
+    for name, tgt in ctx.sp_schema.items():
+        cols = ", ".join(
+            f"`{cn}` {tgt.col_defs[cn].type.to_spark().simpleString()}"
+            + (" NOT NULL" if tgt.col_defs[cn].not_null else "")
+            for cn in tgt.col_names)
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {db_name}.`{name}` "
+                  f"({cols}) USING PARQUET")
+        props = {
+            "primary_keys": _json.dumps(
+                [[k.col, k.desc] for k in tgt.pks]),
+            "indexes": _json.dumps(
+                [{"name": i.name, "unique": i.unique,
+                  "keys": [[k.col, k.desc] for k in i.keys]}
+                 for i in tgt.indexes]),
+        }
+        if tgt.parent:
+            props["interleave_parent"] = tgt.parent
+        if not skip_foreign_keys:
+            # post-data FK install analogue (K4): properties applied
+            # via ALTER after the table exists
+            props["foreign_keys"] = _json.dumps(
+                [{"name": fk.name, "columns": fk.columns,
+                  "refer_table": fk.refer_table,
+                  "refer_columns": fk.refer_columns}
+                 for fk in tgt.fks])
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        spark.sql(f"ALTER TABLE {db_name}.`{name}` SET TBLPROPERTIES ({kv})")
+
+
 def write_bad_data(bad: DataFrame, path: str, max_rows: int = 100) -> int:
     """K7 (conversion/conversion.go:661-706): write up to ``max_rows``
     sample bad rows (with their failing-column list) to a text file.

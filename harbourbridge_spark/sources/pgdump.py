@@ -601,6 +601,24 @@ def read_staged_table(spark: SparkSession, ctx: MigrationContext,
     return df.select(*cols)
 
 
+def stage_stream(stream: TextIO, staging_dir: str,
+                 name: str = "dump.sql") -> str:
+    """S26 (getSeekable, conversion/conversion.go:378-406): the dump is
+    read twice (schema pass + data pass), so a non-seekable stream
+    (stdin, a network pipe) is spooled to a staging file once and both
+    passes read that path. Streams through in 1 MB chunks — constant
+    memory for arbitrarily large dumps."""
+    os.makedirs(staging_dir, exist_ok=True)
+    path = os.path.join(staging_dir, name)
+    with open(path, "w", encoding="utf-8") as out:
+        while True:
+            chunk = stream.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # top-level driver (entry point 1, SURVEY §3.1)
 # ---------------------------------------------------------------------------
