@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale properties SCALE.md claims must
+be visible in the plans Catalyst actually produces — column pruning,
+filter pushdown to parquet, broadcast joins for dimensions, no
+Python-UDF nodes in the migration path."""
+
+import re
+
+import pytest
+
+from harbourbridge_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name) -> str:
+    df = Q.REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name) -> str:
+    df = Q.REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cast_projection_prunes_columns(spark):
+    """The 7-column projection must not read all 11 lineitem columns."""
+    plan = _plan(spark, "cast_projection_lineitem")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_returnflag", "l_shipdate"}
+
+
+def test_q1_pushes_filter_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+    # map-side combine: a partial aggregate feeds the exchange, which
+    # shuffles only the tiny group key (tree prints top-down, so the
+    # partial agg appears below/after the Exchange line)
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_segment_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the selective customer filter reaches the scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    # joins against region/nation/supplier/orders: all broadcast, no
+    # sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_migration_path_has_no_python_udf(spark, tmp_path):
+    """The cast/quarantine plan stays entirely JVM-side."""
+    from harbourbridge_spark.sources import pgdump
+    dump = tmp_path / "d.sql"
+    dump.write_text("""
+CREATE TABLE public.t (id integer NOT NULL, v numeric(10,2), w text[]);
+COPY public.t (id, v, w) FROM stdin;
+1	2.5	{a,b}
+\\.
+ALTER TABLE ONLY public.t ADD CONSTRAINT t_pkey PRIMARY KEY (id);
+""")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(dump),
+                                          str(tmp_path / "staging"))
+    plan = results["t"].good._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # whole-stage codegen stages are marked with "*(n)" in plan text
+    assert "*(" in plan
+
+
+def test_dedup_exact_shuffles_hashes_not_text(spark):
+    """The dedup groupBy key is the 48-bit hash, so the exchange must
+    not carry the text column."""
+    plan = _plan(spark, "dedup_exact")
+    shuffles = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert shuffles, plan
+    assert all("text#" not in l for l in shuffles)
+
+
+def test_ann_lsh_is_equijoin_not_cross(spark):
+    plan = _plan(spark, "ann_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
