@@ -89,8 +89,13 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
                 f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
         for b in range(n_bands)) + " END"
     values = ",".join(f"({b})" for b in range(n_bands))
-    # bands expand via a VALUES cross join (one signature computation),
-    # not a UNION ALL of per-band scans (n_bands signature computations)
+    # Bands expand via a VALUES cross join (one signature computation
+    # per side, not one per band). The candidate search is a band-key
+    # self-join: Spark inlines the CTE into both sides (signature
+    # computed twice), but the join distributes bucket expansion across
+    # tasks — a collect_list/flatten bucket expansion was measured 2-4x
+    # WORSE because giant buckets become single-row quadratic arrays
+    # with no parallelism.
     t = f"""
     WITH sig AS ({sig}),
     bands AS (

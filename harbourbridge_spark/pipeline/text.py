@@ -30,6 +30,7 @@ _SHIMS = {
     "explode": ("explode", "unnest"),
     "rsplit": ("split", "regexp_split_to_array"),
     "ajoin": ("array_join", "array_to_string"),
+    "collect": ("collect_list", "list"),
 }
 
 

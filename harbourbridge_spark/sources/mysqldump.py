@@ -360,6 +360,8 @@ def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
                 if ch == "'":
                     in_squote = True
                     was_quoted = True
+                    if not "".join(cur).strip():
+                        cur = []  # drop whitespace preceding the quote
                 elif ch in ",)":
                     if was_quoted:
                         row.append("".join(cur))

@@ -56,8 +56,12 @@ from ..types import SourceType
 # statement chunker (S2)
 # ---------------------------------------------------------------------------
 
+# table names may be schema-qualified and double-quoted (quoted parts
+# can contain spaces): public."tab le"
+_NAME = r'(?:[\w]+\.)?"[^"]+"|[\w\".]+'
+
 COPY_RE = re.compile(
-    r"^COPY\s+(?P<table>[\w\".]+)\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin;\s*$",
+    rf"^COPY\s+(?P<table>{_NAME})\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin;\s*$",
     re.IGNORECASE)
 
 
@@ -161,32 +165,32 @@ def _clean_name(name: str) -> str:
 # ---------------------------------------------------------------------------
 
 _CREATE_TABLE_RE = re.compile(
-    r"^CREATE\s+TABLE\s+(?P<name>[\w\".]+)\s*\((?P<body>.*)\)\s*;?\s*$",
+    rf"^CREATE\s+TABLE\s+(?P<name>{_NAME})\s*\((?P<body>.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _ALTER_NOTNULL_RE = re.compile(
-    r"^ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<table>[\w\".]+)\s+ALTER\s+COLUMN\s+"
+    rf"^ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<table>{_NAME})\s+ALTER\s+COLUMN\s+"
     r"(?P<col>[\w\"]+)\s+SET\s+NOT\s+NULL\s*;?\s*$", re.IGNORECASE)
 _ALTER_CONSTRAINT_RE = re.compile(
-    r"^ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<table>[\w\".]+)\s+ADD\s+CONSTRAINT\s+"
+    rf"^ALTER\s+TABLE\s+(?:ONLY\s+)?(?P<table>{_NAME})\s+ADD\s+CONSTRAINT\s+"
     r"(?P<name>[\w\"]+)\s+(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)", re.IGNORECASE)
 _UNIQUE_RE = re.compile(r"^UNIQUE\s*\((?P<cols>[^)]*)\)", re.IGNORECASE)
 _FK_RE = re.compile(
-    r"^FOREIGN\s+KEY\s*\((?P<cols>[^)]*)\)\s+REFERENCES\s+"
-    r"(?P<ref>[\w\".]+)\s*\((?P<refcols>[^)]*)\)"
+    rf"^FOREIGN\s+KEY\s*\((?P<cols>[^)]*)\)\s+REFERENCES\s+"
+    rf"(?P<ref>{_NAME})\s*\((?P<refcols>[^)]*)\)"
     r"(?:\s+ON\s+DELETE\s+(?P<ondelete>CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))?"
     r"(?:\s+ON\s+UPDATE\s+(?P<onupdate>CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))?",
     re.IGNORECASE)
 _INDEX_RE = re.compile(
-    r"^CREATE\s+(?P<unique>UNIQUE\s+)?INDEX\s+(?P<name>[\w\"]+)\s+ON\s+"
-    r"(?P<table>[\w\".]+)\s+(?:USING\s+\w+\s+)?\((?P<cols>[^)]*)\)\s*;?\s*$",
+    rf"^CREATE\s+(?P<unique>UNIQUE\s+)?INDEX\s+(?P<name>[\w\"]+)\s+ON\s+"
+    rf"(?P<table>{_NAME})\s+(?:USING\s+\w+\s+)?\((?P<cols>[^)]*)\)\s*;?\s*$",
     re.IGNORECASE)
 _SET_TZ_RE = re.compile(
     r"^SET\s+(?:TIME\s+ZONE|timezone\s*=)\s*(?P<val>[^;]+);?\s*$",
     re.IGNORECASE)
 _INSERT_RE = re.compile(
-    r"^INSERT\s+INTO\s+(?P<table>[\w\".]+)\s*"
+    rf"^INSERT\s+INTO\s+(?P<table>{_NAME})\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*(?P<values>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -438,6 +442,8 @@ def _parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
                 if ch == "'":
                     in_squote = True
                     was_quoted = True
+                    if not "".join(cur).strip():
+                        cur = []  # drop whitespace preceding the quote
                 elif ch in ",)":
                     if was_quoted:
                         row.append("".join(cur))

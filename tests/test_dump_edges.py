@@ -1,0 +1,114 @@
+"""Edge-case dump fixtures (FIXTURES.md §5): identifier collisions,
+multi-dimensional arrays, INSERT without column list, inline unique,
+bpchar default length, serial columns, mysql bit/negative-bool data."""
+
+import pytest
+
+from harbourbridge_spark import types as tt
+from harbourbridge_spark.issues import SchemaIssue
+from harbourbridge_spark.sources import mysqldump, pgdump
+
+PG_EDGE_DUMP = r"""
+CREATE TABLE public."tab le" (
+    id integer NOT NULL,
+    v text
+);
+
+CREATE TABLE public.tab_le (
+    id integer NOT NULL,
+    v text
+);
+
+CREATE TABLE public.edge (
+    id serial,
+    code character(1),
+    fixed bpchar,
+    grid integer[][],
+    tag text UNIQUE,
+    CONSTRAINT edge_pk PRIMARY KEY (id)
+);
+
+COPY public."tab le" (id, v) FROM stdin;
+1	first
+\.
+
+COPY public.tab_le (id, v) FROM stdin;
+2	second
+\.
+
+INSERT INTO public.edge VALUES (1, 'a', 'b', '{{1,2},{3,4}}', 'x');
+"""
+
+
+@pytest.fixture(scope="module")
+def pg_edges(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edges")
+    f = d / "edge.sql"
+    f.write_text(PG_EDGE_DUMP)
+    return pgdump.migrate_pg_dump(spark, str(f), str(d / "staging"))
+
+
+def test_table_name_collision(pg_edges):
+    ctx, results = pg_edges
+    names = {ctx.to_target[s]["name"] for s in ("tab le", "tab_le")}
+    assert "tab_le" in names
+    assert len(names) == 2  # deduped, both present
+    # each table got its own data
+    for src in ("tab le", "tab_le"):
+        assert results[src].good.count() == 1
+
+
+def test_multidim_array_degrades_to_string(pg_edges):
+    ctx, results = pg_edges
+    edge = ctx.sp_schema["edge"]
+    assert edge.col_defs["grid"].type == tt.Type(tt.STRING)
+    assert SchemaIssue.MULTI_DIMENSIONAL_ARRAY in ctx.issues["edge"]["grid"]
+    # the literal is preserved as text
+    row = results["edge"].good.first()
+    assert row.grid == "{{1,2},{3,4}}"
+
+
+def test_serial_bpchar_unique(pg_edges):
+    ctx, _ = pg_edges
+    edge = ctx.sp_schema["edge"]
+    assert edge.col_defs["id"].type == tt.Type(tt.INT64)
+    assert edge.col_defs["id"].not_null  # serial implies NOT NULL
+    assert SchemaIssue.SERIAL in ctx.issues["edge"]["id"]
+    assert edge.col_defs["code"].type == tt.Type(tt.STRING, 1)
+    assert edge.col_defs["fixed"].type == tt.Type(tt.STRING, 1)  # bare bpchar
+    # inline UNIQUE -> unique index (T16)
+    uniq = [i for i in edge.indexes if i.unique]
+    assert any(k.col == "tag" for i in uniq for k in i.keys)
+
+
+def test_insert_without_column_list(pg_edges):
+    _, results = pg_edges
+    row = results["edge"].good.first()
+    assert row.id == 1 and row.tag == "x"
+
+
+MYSQL_EDGE_DUMP = r"""
+CREATE TABLE `flags` (
+  `id` bigint NOT NULL,
+  `b` bit(8) DEFAULT NULL,
+  `neg` tinyint(1) DEFAULT NULL,
+  PRIMARY KEY (`id`)
+);
+INSERT IGNORE INTO `flags` VALUES (1, 'A', -3), (2, NULL, 0);
+"""
+
+
+def test_mysql_bit_and_negative_bool(spark, tmp_path):
+    f = tmp_path / "edge.mysqldump"
+    f.write_text(MYSQL_EDGE_DUMP)
+    ctx, results = mysqldump.migrate_mysql_dump(
+        spark, str(f), str(tmp_path / "staging"))
+    flags = ctx.sp_schema["flags"]
+    assert flags.col_defs["b"].type == tt.Type(tt.BYTES)
+    assert flags.col_defs["neg"].type == tt.Type(tt.BOOL)
+    rows = {r.id: r for r in results["flags"].good.collect()}
+    # mysql bool-as-int: any value in [-128,127] converts as v != 0
+    assert rows[1].neg is True
+    assert rows[2].neg is False
+    assert bytes(rows[1].b) == b"A"
+    assert rows[2].b is None
