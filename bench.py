@@ -29,7 +29,10 @@ BENCH_QUERIES = [
     "uniqueness_validation",
     "q1_pricing_summary",
     "q3_segment_revenue",
+    "q4_order_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "orphan_check_lineitem",
     "events_windowed_agg",
     "text_quality",
     "token_counts",

@@ -362,6 +362,72 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6-style: pure scan-filter-aggregate; both predicates push "
+    "to the parquet scan, no joins, no wide shuffle")
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (li.where((F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum(price * disc).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4-style: EXISTS decorrelates to a left-semi join; the "
+    "subquery side pre-aggregates to distinct keys before joining")
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 49).select("l_orderkey").distinct()
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register(
+    "orphan_check_lineitem",
+    """
+    SELECT COUNT(*) AS n_orphans,
+           COUNT(DISTINCT l_orderkey) AS n_orphan_keys
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+    )
+    """,
+    "FK integrity validation as an anti-join (the check behind "
+    "resolve_refs'd foreign keys): orphaned child rows")
+def q_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    orphans = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("l_orderkey").alias("n_orphan_keys"))
+
+
+@register(
     "events_windowed_agg",
     """
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

@@ -363,6 +363,11 @@ def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
                     if not "".join(cur).strip():
                         cur = []  # drop whitespace preceding the quote
                 elif ch in ",)":
+                    if ch == ")" and not row and not was_quoted \
+                            and not "".join(cur).strip():
+                        # empty tuple '()' — no values
+                        i += 1
+                        break
                     if was_quoted:
                         row.append("".join(cur))
                     else:
@@ -389,7 +394,7 @@ def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
                 else:
                     cur.append(ch)
             i += 1
-        if row != [""] and row:
+        if row:
             rows.append(row)
     return rows
 

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure driver-side kernels:
+identifier legalization, bit-reversal, INSERT tokenizers, COPY escaping.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from harbourbridge_spark.mapping import fix_name
+
+LEGAL = re.compile(r"^[a-zA-Z][a-zA-Z0-9_]*$")
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=300)
+def test_fix_name_always_legal_and_idempotent(name):
+    fixed, changed = fix_name(name)
+    assert LEGAL.match(fixed), (name, fixed)
+    again, changed2 = fix_name(fixed)
+    assert again == fixed
+    assert changed2 is False
+    if not changed:
+        assert fixed == name
+
+
+def _bit_reverse_py(x: int) -> int:
+    """Python reference for the SQL bit-reversal expression: reverse the
+    64-bit pattern, reinterpreted signed."""
+    r = int(f"{x:064b}"[::-1], 2)
+    return r - (1 << 64) if r >= (1 << 63) else r
+
+
+@given(st.integers(min_value=0, max_value=(1 << 62)))
+@settings(max_examples=200)
+def test_bit_reverse_reference(x):
+    # involution on the unsigned pattern
+    r = _bit_reverse_py(x)
+    rr = _bit_reverse_py(r % (1 << 64))
+    assert rr == x or rr - (1 << 64) == x or rr == x - (1 << 64)
+    # even sequences stay non-negative, odd go negative (top bit set)
+    assert (r < 0) == (x % 2 == 1)
+
+
+_SQL_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    max_size=30)
+
+
+@given(st.lists(st.one_of(st.none(), _SQL_TEXT), min_size=1, max_size=5))
+@settings(max_examples=300)
+def test_mysql_insert_tokenizer_roundtrip(values):
+    """values -> SQL literal tuple -> tokenizer == values."""
+    from harbourbridge_spark.sources.mysqldump import parse_insert_values
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    sql = "(" + ", ".join(lit(v) for v in values) + ")"
+    rows = parse_insert_values(sql)
+    assert rows == [values]
+
+
+@given(st.lists(st.one_of(st.none(), _SQL_TEXT), min_size=1, max_size=5))
+@settings(max_examples=300)
+def test_pg_insert_tokenizer_roundtrip(values):
+    from harbourbridge_spark.sources.pgdump import _parse_insert_values
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return "'" + v.replace("'", "''") + "'"
+
+    sql = "(" + ", ".join(lit(v) for v in values) + ")"
+    rows = _parse_insert_values(sql)
+    assert rows == [values]
+
+
+def _copy_escape(v):
+    if v is None:
+        return "\\N"
+    return (v.replace("\\", "\\\\").replace("\t", "\\t")
+             .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _copy_decode(s):
+    """Python mirror of read_staged_table's decode chain."""
+    if s == "\\N":
+        return None
+    out = re.sub(r"\\t", "\t", s)
+    out = re.sub(r"\\n", "\n", out)
+    out = re.sub(r"\\r", "\r", out)
+    out = re.sub(r"\\\\", "\\\\", out)  # regexp_replace(raw, r'\\\\', r'\\')
+    return out.replace("\\\\", "\\")
+
+
+@given(_SQL_TEXT)
+@settings(max_examples=300)
+def test_copy_escape_roundtrip(v):
+    """The staging escape must survive the Spark-side decode chain.
+
+    NOTE: mirrors the regexp_replace chain order in read_staged_table —
+    sequences like a literal backslash before 't' ('\\' + 't' escapes to
+    '\\\\t', decoded back to '\\' + 't') must not collapse to a tab.
+    """
+    s = _copy_escape(v)
+    assert "\t" not in s and "\n" not in s
+    assert _copy_decode(s) == v
