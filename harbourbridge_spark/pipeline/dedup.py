@@ -59,22 +59,61 @@ def _shingles(engine: str) -> str:
 
 
 def minhash_signature_sql(engine: str) -> str:
-    """Per-doc MinHash signature (K permutations over shingle hashes):
-    explode shingles -> K mins in one aggregation."""
+    """Per-doc MinHash signature (K permutations over shingle hashes),
+    computed entirely per-row: hash the shingle array once, then each
+    permutation is an array_min over a transform. No explode, no
+    groupBy — the earlier explode->K-MIN-aggregations formulation
+    shuffled |docs| x |shingles| rows for the same result."""
     sh = _shingles(engine)
-    h = hash48("sh", engine)
+    h = hash48("x", engine)
+    amin = "array_min" if engine == "spark" else "list_min"
     mins = ", ".join(
-        f"MIN({perm_sql('h48', a, b)}) AS m{i}"
+        f"{amin}({{ltrans}}(hs, h -> {perm_sql('h', a, b)})) AS m{i}"
         for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K)))
     t = f"""
-    WITH exploded AS (
-        SELECT doc_id, {{explode}}({sh}) AS sh FROM documents
-    ), hashed AS (
-        SELECT doc_id, {h} AS h48 FROM exploded
+    WITH hashed AS (
+        SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs FROM documents
     )
-    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+    SELECT doc_id, {mins} FROM hashed
     """
     return render(t, engine)
+
+
+def minhash_bands_sql(engine: str, sig_source: str) -> str:
+    """The banding + candidate-join stage over an existing signature
+    relation (``sig_source``). Split out so the Spark executor can
+    cache the signature once (see minhash_lsh_pairs_fn) while the
+    oracle keeps the single-statement CTE form."""
+    n_bands = MINHASH_K // BAND_SIZE
+    band_key = "CASE t.band " + " ".join(
+        "WHEN {b} THEN concat_ws(',', {cols})".format(
+            b=b, cols=", ".join(
+                f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
+        for b in range(n_bands)) + " END"
+    values = ",".join(f"({b})" for b in range(n_bands))
+    t = f"""
+    WITH bands AS (
+        SELECT doc_id, t.band, {band_key} AS key
+        FROM {sig_source} CROSS JOIN (VALUES {values}) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+    return render(t, engine)
+
+
+def minhash_lsh_pairs_fn(spark, sf_dir: str):
+    """Spark execution strategy for the LSH pairs: materialize the
+    signature once (cache + temp view) before the self-join — the CTE
+    form would inline the whole shingle/hash pipeline into both join
+    sides. Produces exactly the rows of minhash_lsh_pairs_sql."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    sig = spark.sql(minhash_signature_sql("spark")).cache()
+    sig.createOrReplaceTempView("__mh_sig")
+    return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
 
 
 def minhash_lsh_pairs_sql(engine: str) -> str:

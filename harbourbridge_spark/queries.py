@@ -674,10 +674,12 @@ _register_template(
     "dedup_exact", _dedup.exact_dedup_sql,
     "Exact dedup via content-hash groupBy (shuffles 8-byte hashes, "
     "not documents)")
-_register_template(
-    "dedup_minhash_lsh", _dedup.minhash_lsh_pairs_sql,
-    "MinHash(K=12)+LSH banding: shingle->signature->band equi-join "
-    "candidate pairs; no quadratic scan")
+REGISTRY["dedup_minhash_lsh"] = QuerySpec(
+    _dedup.minhash_lsh_pairs_fn,
+    _dedup.minhash_lsh_pairs_sql("duckdb"),
+    "MinHash(K=16)+LSH banding: shingle->signature->band equi-join "
+    "candidate pairs (signature cached once on the Spark side); no "
+    "quadratic scan")
 _register_template(
     "dedup_simhash", _dedup.simhash_sql,
     "Per-document 32-bit SimHash signatures (majority vote of token "

@@ -483,7 +483,9 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
     def _copy_escape(v: Optional[str]) -> str:
         if v is None:
             return "\\N"
-        return (v.replace("\\", "\\\\").replace("\t", "\\t")
+        # NUL is the decode sentinel and pg text disallows it anyway
+        return (v.replace("\x00", "").replace("\\", "\\\\")
+                 .replace("\t", "\\t")
                  .replace("\n", "\\n").replace("\r", "\\r"))
 
     for stmt in _iter_statements(stream, ctx):

@@ -550,7 +550,9 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
     def _copy_escape(v: Optional[str]) -> str:
         if v is None:
             return "\\N"
-        return (v.replace("\\", "\\\\").replace("\t", "\\t")
+        # NUL is the decode sentinel and pg text disallows it anyway
+        return (v.replace("\x00", "").replace("\\", "\\\\")
+                 .replace("\t", "\\t")
                  .replace("\n", "\\n").replace("\r", "\\r"))
 
     for stmt in _iter_statements(stream, on_copy):
@@ -585,24 +587,31 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
 def read_staged_table(spark: SparkSession, ctx: MigrationContext,
                       src_table: str, path: str) -> DataFrame:
     """Distributed read of a staged TSV: split on tabs, decode COPY
-    escapes (\\N null, \\\\ -> \\, matching processCopyBlock,
+    escapes (\\N null, plus \\\\ \\t \\n \\r; superset of
+    processCopyBlock which only collapses backslashes,
     postgres/pgdump.go:122-152), name columns with source names, keep
-    the sequence column for deterministic synthetic keys."""
+    the sequence column for deterministic synthetic keys.
+
+    Decode order matters: '\\' followed by 'r' in DATA would be mangled
+    by naive sequential replaces ('\\\\r' contains the substring
+    '\\r'). Escaped backslashes are parked on a NUL sentinel first —
+    NUL cannot appear in staged text (pg text disallows it; the
+    stagers strip it) — then single-char escapes decode, then the
+    sentinel restores to a backslash.
+    """
     table = ctx.src_schema[src_table]
     df = spark.read.text(path)
     parts = F.split(F.col("value"), "\t")
     cols = [parts.getItem(0).cast("long").alias(SEQ_COL)]
-    # COPY escape decode per field: \N => NULL, \t \n \r \\ unescapes
+    nul = F.lit("\x00")
     for i, cn in enumerate(table.col_names):
         raw = parts.getItem(i + 1)
-        decoded = (F.when(raw == "\\N", F.lit(None)).otherwise(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace(raw, r"\\t", "\t"),
-                        r"\\n", "\n"),
-                    r"\\r", "\r"),
-                r"\\\\", r"\\")))
+        s = F.replace(raw, F.lit("\\\\"), nul)
+        s = F.replace(s, F.lit("\\t"), F.lit("\t"))
+        s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+        s = F.replace(s, F.lit("\\r"), F.lit("\r"))
+        s = F.replace(s, nul, F.lit("\\"))
+        decoded = F.when(raw == "\\N", F.lit(None)).otherwise(s)
         cols.append(decoded.alias(cn))
     return df.select(*cols)
 

@@ -87,6 +87,26 @@ def test_insert_without_column_list(pg_edges):
     assert row.id == 1 and row.tag == "x"
 
 
+def test_copy_escape_fidelity_through_spark(spark, tmp_path):
+    """A literal backslash followed by 'r', plus real tabs/newlines,
+    must survive staging + the Spark decode chain (the sequential-regex
+    decode turned '\\'+'r' into a carriage return)."""
+    f = tmp_path / "esc.sql"
+    # pg standard_conforming_strings: backslashes in '...' are literal
+    backslash_r = "back" + "\\" + "rslash"
+    f.write_text(
+        "CREATE TABLE public.esc (id integer NOT NULL, v text);\n"
+        "ALTER TABLE ONLY public.esc ADD CONSTRAINT e_pk PRIMARY KEY (id);\n"
+        f"INSERT INTO public.esc VALUES (1, '{backslash_r}'), "
+        "(2, 'tab\there'), (3, 'line\nbreak');\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    rows = {r.id: r.v for r in results["esc"].good.collect()}
+    assert rows[1] == "back\\rslash"
+    assert rows[2] == "tab\there"
+    assert rows[3] == "line\nbreak"
+
+
 MYSQL_EDGE_DUMP = r"""
 CREATE TABLE `flags` (
   `id` bigint NOT NULL,
