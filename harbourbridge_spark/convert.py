@@ -186,6 +186,102 @@ def _elem_cast_sql(t: tt.Type, dialect: str, tz_offset: str) -> str:
     return "CAST(x AS STRING)"
 
 
+def parse_pg_array_literal(s: Optional[str]) -> Optional[list]:
+    """Full-fidelity pg array literal parser (python mirror of
+    convArray, postgres/data.go:242-398): handles quoted elements with
+    embedded commas, escaped quotes/backslashes, unquoted NULL vs
+    quoted "NULL". Returns a list of element strings (None = NULL
+    element), or None for a malformed/NULL literal."""
+    if s is None:
+        return None
+    s = s.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        return None
+    body = s[1:-1]
+    if body == "":
+        return []
+    out: list = []
+    cur: list[str] = []
+    i, n = 0, len(body)
+    in_quote = False
+    was_quoted = False
+    while i <= n:
+        ch = body[i] if i < n else ","  # virtual trailing comma
+        if in_quote:
+            if ch == "\\" and i + 1 < n:
+                cur.append(body[i + 1])
+                i += 1
+            elif ch == '"':
+                in_quote = False
+            else:
+                cur.append(ch)
+        elif ch == '"':
+            in_quote = True
+            was_quoted = True
+        elif ch == ",":
+            tok = "".join(cur)
+            if was_quoted:
+                out.append(tok)
+            elif tok == "NULL":
+                out.append(None)
+            else:
+                out.append(tok)
+            cur = []
+            was_quoted = False
+        else:
+            cur.append(ch)
+        i += 1
+    if in_quote:
+        return None  # unterminated quote: malformed
+    return out
+
+
+def strict_pg_array_expr(name: str, elem: tt.Type, dialect: str,
+                         tz_offset: str) -> tuple[Column, Column]:
+    """Arrow-batched full-fidelity variant of _pg_array_expr: a pandas
+    UDF tokenizes the literal (quoted commas included), then the same
+    JVM-side element casts apply. Used when ``strict_arrays=True`` —
+    the slow-but-exact path; the SQL fast path covers dump output
+    without quoted commas."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type annotations — `from __future__ import annotations`
+    # stringifies them, which the pandas_udf signature inspector rejects
+    @pandas_udf("array<string>")
+    def tokenize(col):
+        return col.map(parse_pg_array_literal)
+
+    elem_t = tt.Type(elem.name, elem.length)
+    toks = tokenize(F.col(name))
+
+    def _cast_elem(x: Column) -> Column:
+        t = elem_t
+        if t.name == tt.BOOL:
+            return x.try_cast("boolean")
+        if t.name == tt.BYTES:
+            return F.when(x.startswith("\\x"),
+                          F.unhex(x.substr(F.lit(3), F.length(x))))
+        if t.name == tt.DATE:
+            return x.try_cast("date")
+        if t.name == tt.FLOAT64:
+            return x.try_cast("double")
+        if t.name == tt.INT64:
+            return F.when(x.rlike(r"^[+-]?[0-9]+$"), x.try_cast("long"))
+        if t.name == tt.NUMERIC:
+            return x.try_cast(f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})")
+        if t.name == tt.TIMESTAMP:
+            return x.try_cast("timestamp")
+        return x
+
+    value = F.transform(toks, _cast_elem)
+    err = (F.col(name).isNotNull()
+           & (toks.isNull()
+              | F.exists(F.zip_with(toks, value,
+                                    lambda s, v: s.isNotNull() & v.isNull()),
+                         lambda b: b)))
+    return value, err
+
+
 def _mysql_set_expr(name: str) -> tuple[Column, Column]:
     """D14 (mysql/data.go:228-261): MySQL SET value -> ARRAY<STRING>."""
     c = F.col(name)
@@ -194,7 +290,8 @@ def _mysql_set_expr(name: str) -> tuple[Column, Column]:
 
 
 def plan_columns(ctx: MigrationContext, src_table: str,
-                 dialect: str) -> list[ColumnPlan]:
+                 dialect: str, strict_arrays: bool = False
+                 ) -> list[ColumnPlan]:
     """Build the per-column conversion plan for one table (D1/D2).
 
     Input DataFrame contract: one STRING column per *source* column
@@ -216,6 +313,9 @@ def plan_columns(ctx: MigrationContext, src_table: str,
         if cd.type.is_array:
             if dialect == "mysql":
                 expr, err = _mysql_set_expr(src_col)
+            elif strict_arrays:
+                elem = tt.Type(cd.type.name, cd.type.length)
+                expr, err = strict_pg_array_expr(src_col, elem, dialect, tz)
             else:
                 elem = tt.Type(cd.type.name, cd.type.length)
                 expr, err = _pg_array_expr(src_col, elem, dialect, tz)
@@ -270,7 +370,8 @@ class ConversionResult:
 
 
 def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
-                  dialect: str) -> ConversionResult:
+                  dialect: str, strict_arrays: bool = False
+                  ) -> ConversionResult:
     """Convert one table's string DataFrame into its typed target shape,
     splitting off bad rows (D17). Appends the synthetic PK when the
     table has one (requires SEQ_COL in the input for determinism).
@@ -281,7 +382,7 @@ def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
     """
     from pyspark.sql import Observation
 
-    plans = plan_columns(ctx, src_table, dialect)
+    plans = plan_columns(ctx, src_table, dialect, strict_arrays)
     tgt_name = ctx.to_target[src_table]["name"]
 
     errs = F.array(*[

@@ -428,6 +428,45 @@ def q_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_history",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total,
+           CAST(lag(price) OVER w AS DOUBLE) AS prev_price,
+           CAST(price - max(price) OVER (PARTITION BY o_custkey)
+                AS DOUBLE) AS diff_from_max
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    "Window functions over the migrated tables: running totals, lag, "
+    "partition averages — one shuffle on the partition key, no "
+    "self-joins")
+def q_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum("price").over(run).cast("double").alias("running_total"),
+        F.lag("price").over(w).cast("double").alias("prev_price"),
+        (F.col("price") - F.max("price").over(part)).cast("double")
+        .alias("diff_from_max"))
+
+
+@register(
     "events_windowed_agg",
     """
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,

@@ -55,6 +55,21 @@ def windowed_event_counts(stream: DataFrame,
                     "n_events", "sum_value"))
 
 
+def dedup_events(stream: DataFrame, watermark: str = "10 minutes",
+                 keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: drop duplicate events within the
+    watermark horizon (state bounded by the horizon, unlike a plain
+    dropDuplicates whose state grows forever). The streaming twin of
+    pipeline/dedup.exact_dedup_sql for at-least-once sources."""
+    df = stream
+    if "event_time" not in df.columns:
+        df = df.withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    return (df.withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.DoubleType()),

@@ -142,6 +142,29 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes replayed events (the
+    at-least-once source shape)."""
+    from harbourbridge_spark.streaming.events import dedup_events, event_stream
+    rows = [(i % 3, int((1000 + i) * 1e9), 1, "click", 1.0, "{}")
+            for i in range(6)]  # event_ids 0,1,2 each delivered twice
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    d = str(tmp_path / "events")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    out = (dedup_events(event_stream(spark, d))
+           .writeStream.format("memory").queryName("dedup_out")
+           .outputMode("append").start())
+    try:
+        out.processAllAvailable()
+        got = sorted(r.event_id for r in
+                     spark.sql("SELECT event_id FROM dedup_out").collect())
+    finally:
+        out.stop()
+    assert got == [0, 1, 2]
+
+
 def test_sessionize(spark):
     from harbourbridge_spark.streaming.events import sessionize
     rows = []
