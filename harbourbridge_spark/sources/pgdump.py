@@ -87,18 +87,20 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
     start_line = 1
     in_squote = False
     in_dollar: Optional[str] = None
+    in_block_comment = False
     lineno = 0
     it = iter(stream)
     for raw in it:
         lineno += 1
         line = raw.rstrip("\n")
         stripped = line.strip()
-        if not buf:
+        if not buf and not in_block_comment:
             start_line = lineno
             if not stripped or stripped.startswith("--"):
                 continue
         # COPY ... FROM stdin; starts a data block
-        if not buf and not in_squote and not in_dollar:
+        if not buf and not in_squote and not in_dollar \
+                and not in_block_comment:
             m = COPY_RE.match(stripped)
             if m:
                 table = _clean_name(m.group("table"))
@@ -117,11 +119,16 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
                 on_copy(CopyBlock(table, cols, lineno + 1, _rows()))
                 continue
         buf.append(line)
-        # scan for statement-terminating semicolon, tracking quotes
+        # scan for statement-terminating semicolon, tracking quotes,
+        # dollar quotes, and /* */ block comments
         i = 0
         while i < len(line):
             ch = line[i]
-            if in_squote:
+            if in_block_comment:
+                if line.startswith("*/", i):
+                    in_block_comment = False
+                    i += 1
+            elif in_squote:
                 if ch == "'":
                     if i + 1 < len(line) and line[i + 1] == "'":
                         i += 1
@@ -136,18 +143,54 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
                     in_squote = True
                 elif ch == "-" and line.startswith("--", i):
                     break  # rest of line is a comment
+                elif ch == "/" and line.startswith("/*", i):
+                    in_block_comment = True
+                    i += 1
                 elif ch == "$":
                     m = re.match(r"\$[A-Za-z_]*\$", line[i:])
                     if m:
                         in_dollar = m.group(0)
                         i += len(m.group(0)) - 1
             i += 1
-        if not in_squote and in_dollar is None and stripped.endswith(";"):
+        if (not in_squote and in_dollar is None and not in_block_comment
+                and stripped.endswith(";")):
             yield Statement("\n".join(buf), start_line)
             buf = []
         # string literals may span lines (keep accumulating)
     if buf and any(l.strip() for l in buf):
         yield Statement("\n".join(buf), start_line)
+
+
+def strip_sql_comments(stmt: str) -> str:
+    """Remove /* */ and -- comments outside string literals (the DDL
+    parsers see clean statement text; the chunker already guarantees
+    statement boundaries)."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    in_squote = False
+    while i < n:
+        ch = stmt[i]
+        if in_squote:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and stmt[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_squote = False
+        elif ch == "'":
+            in_squote = True
+            out.append(ch)
+        elif stmt.startswith("/*", i):
+            end = stmt.find("*/", i + 2)
+            i = (end + 1) if end != -1 else n
+        elif stmt.startswith("--", i):
+            end = stmt.find("\n", i)
+            i = (end - 1) if end != -1 else n
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _clean_name(name: str) -> str:
@@ -486,7 +529,7 @@ def process_pg_dump_schema(ctx: MigrationContext,
         ctx.data_statement("CopyFrom")
 
     for stmt in _iter_statements(stream, on_copy):
-        s = stmt.text.strip()
+        s = strip_sql_comments(stmt.text).strip()
         up = s.upper()
         if up.startswith("CREATE TABLE"):
             if "INHERITS" in up:

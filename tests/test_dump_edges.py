@@ -132,3 +132,19 @@ def test_mysql_bit_and_negative_bool(spark, tmp_path):
     assert rows[2].neg is False
     assert bytes(rows[1].b) == b"A"
     assert rows[2].b is None
+
+
+def test_block_comment_with_semicolon(spark, tmp_path):
+    """A /* */ comment containing ';' must not split the statement."""
+    f = tmp_path / "bc.sql"
+    f.write_text(
+        "CREATE TABLE public.bc (\n"
+        "    id integer NOT NULL, /* tricky; comment\n"
+        "       spans lines; */\n"
+        "    v text\n"
+        ");\n"
+        "INSERT INTO public.bc VALUES (1, 'ok');\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    assert ctx.sp_schema["bc"].col_names[:2] == ["id", "v"]  # + synth_id
+    assert results["bc"].good.first().v == "ok"

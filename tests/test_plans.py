@@ -91,3 +91,34 @@ def test_ann_lsh_is_equijoin_not_cross(spark):
     plan = _plan(spark, "ann_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    """Writing with partition_by gives downstream partition pruning
+    (PartitionFilters at the scan, not a full-table read)."""
+    import pyspark.sql.functions as F
+    from harbourbridge_spark import schema_ir as ir
+    from harbourbridge_spark import types as tt
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sink import write_table
+    from harbourbridge_spark.toddl import schema_to_ddl
+
+    ctx = MigrationContext()
+    ctx.src_schema["li"] = ir.SourceTable(
+        name="li", col_names=["id", "m", "v"],
+        col_defs={
+            "id": ir.SourceColumn("id", tt.SourceType("int8"), not_null=True),
+            "m": ir.SourceColumn("m", tt.SourceType("int4"), not_null=True),
+            "v": ir.SourceColumn("v", tt.SourceType("float8")),
+        },
+        primary_keys=[ir.Key("id")])
+    schema_to_ddl(ctx, "postgres")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 12).cast("int").alias("m"),
+        F.rand(42).alias("v"))
+    path = str(tmp_path / "li.parquet")
+    write_table(ctx, df, "li", path, partition_by=["m"])
+    back = spark.read.parquet(path).where(F.col("m") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(m" in plan
+    assert back.count() == 1000 // 12 + (1 if 3 < 1000 % 12 else 0)
