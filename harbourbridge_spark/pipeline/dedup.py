@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from .hashing import MERSENNE61, hash48, minhash_coeffs, perm_sql
+from .hashing import hash48, minhash_coeffs, perm_sql
 from .text import render
 
 MINHASH_K = 16

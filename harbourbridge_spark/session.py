@@ -15,11 +15,9 @@ from typing import Optional
 
 from . import schema_ir as ir
 from .context import MigrationContext
-from .ddl import get_ddl
-from .issues import SchemaIssue
 from .report import analyze_tables, generate_summary
 from .typemap import DIALECTS
-from .types import BOOL, BYTES, DATE, FLOAT64, INT64, NUMERIC, STRING, TIMESTAMP, Type
+from .types import BYTES, STRING, Type
 
 
 class SessionError(Exception):

@@ -37,11 +37,10 @@ comments), which handles the same cases in one pass.
 
 from __future__ import annotations
 
-import io
 import os
 import re
-from dataclasses import dataclass, field
-from typing import Iterable, Iterator, Optional, TextIO, Union
+from dataclasses import dataclass
+from typing import Iterator, Optional, TextIO, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
