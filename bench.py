@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "text_quality",
     "token_counts",
     "dedup_exact",
+    "dedup_keep_first",
+    "vocab_topk",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce",

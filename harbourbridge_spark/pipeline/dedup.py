@@ -148,6 +148,27 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
     return render(t, engine)
 
 
+def dedup_keep_first_sql(engine: str) -> str:
+    """The removal step downstream of candidate generation: keep the
+    lowest doc_id per exact-content group, flag the rest as drops.
+    Representative selection is a window min over the content hash —
+    one shuffle on the 48-bit hash; survivors stream back without a
+    second scan of the text."""
+    fp = hash48("trim(lower(text))", engine)
+    t = f"""
+    WITH fps AS (
+        SELECT doc_id, {fp} AS fp FROM documents
+    ), ranked AS (
+        SELECT doc_id, fp,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM fps
+    )
+    SELECT doc_id, fp, (doc_id = keeper) AS keep
+    FROM ranked
+    """
+    return render(t, engine)
+
+
 def simhash_sql(engine: str, bits: int = 32) -> str:
     """Per-doc SimHash over whitespace tokens: for each bit position,
     majority vote of token-hash bits; emitted as a bit string (engine-

@@ -173,6 +173,28 @@ def token_count_sql(engine: str) -> str:
     return render(t, engine)
 
 
+def vocab_topk_sql(engine: str, k: int = 10) -> str:
+    """Top-k vocabulary per language by token frequency (ties broken
+    lexicographically): explode -> count -> window rank. The shuffle
+    carries (lang, token) pairs; the rank is per low-cardinality lang."""
+    toks = render(TOKENS, engine)
+    t = f"""
+    WITH exploded AS (
+        SELECT lang, {{explode}}({toks}) AS tok FROM documents
+    ), counts AS (
+        SELECT lang, tok, COUNT(*) AS n
+        FROM exploded GROUP BY lang, tok
+    ), ranked AS (
+        SELECT lang, tok, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, tok) AS rk
+        FROM counts
+    )
+    SELECT lang, tok, n, rk FROM ranked WHERE rk <= {k}
+    """
+    return render(t, engine)
+
+
 def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     """Execute a dual-engine template on Spark over the fixture views."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -720,6 +720,14 @@ REGISTRY["dedup_minhash_lsh"] = QuerySpec(
     "candidate pairs (signature cached once on the Spark side); no "
     "quadratic scan")
 _register_template(
+    "dedup_keep_first", _dedup.dedup_keep_first_sql,
+    "The dedup removal step: representative (min doc_id) per exact-"
+    "content group via a window min over the 48-bit hash")
+_register_template(
+    "vocab_topk", _text.vocab_topk_sql,
+    "Top-10 vocabulary per language: explode -> count -> window rank "
+    "(deterministic tie-break)")
+_register_template(
     "dedup_simhash", _dedup.simhash_sql,
     "Per-document 32-bit SimHash signatures (majority vote of token "
     "hash bits)")
