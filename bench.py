@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_keep_first",
     "vocab_topk",
+    "corpus_curation",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce",

@@ -752,6 +752,38 @@ _register_template(
     tables=("embeddings",))
 
 
+def _corpus_curation_sql(engine: str) -> str:
+    """The end-to-end curation pipeline in one statement: quality
+    scoring + exact-dedup keep flags -> per-language selection stats
+    with drop reasons. The shape a 100 TB corpus build runs nightly:
+    two projections, one hash-group window, one final small-key
+    aggregate."""
+    from .pipeline.dedup import dedup_keep_first_sql
+    from .pipeline.text import text_quality_sql
+    q = text_quality_sql(engine).strip()
+    k = dedup_keep_first_sql(engine).strip()
+    return f"""
+    WITH quality AS ({q}),
+    keeps AS ({k}),
+    decided AS (
+        SELECT q.doc_id, q.lang,
+               CASE WHEN NOT k.keep THEN 'duplicate'
+                    WHEN q.n_tokens < 20 THEN 'too_short'
+                    WHEN q.quality_score < 0.5 THEN 'low_quality'
+                    ELSE 'selected' END AS decision
+        FROM quality q JOIN keeps k ON q.doc_id = k.doc_id
+    )
+    SELECT lang, decision, COUNT(*) AS n_docs
+    FROM decided GROUP BY lang, decision
+    """
+
+
+_register_template(
+    "corpus_curation", _corpus_curation_sql,
+    "End-to-end corpus curation: quality + dedup + thresholds -> "
+    "per-language selection stats with drop reasons")
+
+
 @register(
     "multimodal_features", None,
     "Binary media columns -> Arrow-batched decode/feature plumbing "
