@@ -42,9 +42,10 @@ def exact_dedup_sql(engine: str) -> str:
         FROM documents GROUP BY 1
     )
     SELECT COUNT(*) AS n_distinct,
-           SUM(n) AS n_docs,
-           SUM(n) - COUNT(*) AS n_dup_rows,
-           SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_rows,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups
     FROM groups
     """
     return render(t, engine)

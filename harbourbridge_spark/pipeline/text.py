@@ -164,9 +164,9 @@ def token_count_sql(engine: str) -> str:
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_ws) AS n_ws_tokens,
-           SUM(n_bpe) AS n_bpe_tokens,
-           SUM(n_chars) AS n_chars_total
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
     FROM base
     GROUP BY lang, source
     """

@@ -130,7 +130,7 @@ def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN props IS NOT NULL AND k_int IS NULL
                 THEN 'bad' ELSE 'good' END AS status,
            COUNT(*) AS n_rows,
-           COALESCE(SUM(k_int), 0) AS sum_k
+           CAST(COALESCE(SUM(k_int), 0) AS BIGINT) AS sum_k
     FROM conv GROUP BY 1
     """,
     "D17 bad-row quarantine: JSON field -> INT64 conversion with "
@@ -213,11 +213,13 @@ def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
         SELECT 'lineitem' AS table_name, COUNT(*) AS total,
-               SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS bad
+               CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bad
         FROM lineitem
         UNION ALL
         SELECT 'orders', COUNT(*),
-               SUM(CASE WHEN o_totalprice <= 100 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN o_totalprice <= 100 THEN 1 ELSE 0 END)
+                   AS BIGINT)
         FROM orders
     )
     SELECT table_name, total, bad,
@@ -606,8 +608,10 @@ def _props_inference_sql(engine: str) -> str:
     return f"""
     WITH votes AS (
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN {k} IS NOT NULL THEN 1 ELSE 0 END) AS n_present,
-               SUM(CASE WHEN {fits} THEN 1 ELSE 0 END) AS n_numeric_fit
+               CAST(SUM(CASE WHEN {k} IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_present,
+               CAST(SUM(CASE WHEN {fits} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_numeric_fit
         FROM events
     )
     SELECT 'k' AS field, n_rows, n_present, n_numeric_fit,
