@@ -37,7 +37,7 @@ from ..context import MigrationContext
 from ..convert import ConversionResult, convert_table
 from ..toddl import schema_to_ddl
 from ..types import SourceType
-from .pgdump import read_staged_table
+from .pgdump import StagingWriter, read_staged_table
 
 _COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
 _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
@@ -472,21 +472,16 @@ def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO) -> None:
 
 
 def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
-                          staging_dir: str) -> dict[str, str]:
+                          staging_dir: str,
+                          writer: Optional[StagingWriter] = None,
+                          ) -> dict[str, str]:
     """Pass 2: stream INSERT rows into per-table TSV staging files
-    (same format as the pg path: seq column + COPY escaping)."""
-    os.makedirs(staging_dir, exist_ok=True)
-    files: dict[str, TextIO] = {}
-    paths: dict[str, str] = {}
-    seqs: dict[str, int] = {}
-
-    def _copy_escape(v: Optional[str]) -> str:
-        if v is None:
-            return "\\N"
-        # NUL is the decode sentinel and pg text disallows it anyway
-        return (v.replace("\x00", "").replace("\\", "\\\\")
-                 .replace("\t", "\\t")
-                 .replace("\n", "\\n").replace("\r", "\\r"))
+    (same format as the pg path: seq column + COPY escaping). Pass a
+    shared ``writer`` when one table's data spans multiple dump files —
+    it appends and continues each table's sequence instead of
+    truncating (the caller closes it)."""
+    own_writer = writer is None
+    w = writer if writer is not None else StagingWriter(staging_dir)
 
     for stmt in _iter_statements(stream, ctx):
         s = _unwrap_conditional(stmt).strip()
@@ -502,22 +497,13 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
             continue
         cols = ([_clean(c) for c in m.group("cols").split(",")]
                 if m.group("cols") else list(schema_table.col_names))
-        if table not in files:
-            path = os.path.join(staging_dir, f"{table}.tsv")
-            files[table] = open(path, "w", encoding="utf-8")
-            paths[table] = path
-            seqs[table] = 0
-        f = files[table]
-        seq = seqs[table]
         for vals in parse_insert_with_recovery(ctx, m.group("values")):
             by_col = dict(zip(cols, vals))
             ordered = [by_col.get(c) for c in schema_table.col_names]
-            f.write(f"{seq}\t" + "\t".join(_copy_escape(v) for v in ordered) + "\n")
-            seq += 1
-        seqs[table] = seq
-    for f in files.values():
-        f.close()
-    return paths
+            w.write_values(table, ordered)
+    if own_writer:
+        w.close()
+    return dict(w.paths)
 
 
 def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
@@ -536,10 +522,16 @@ def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     ctx.add_synthetic_pkeys()
 
     ctx.set_data_mode()
-    staged: dict[str, str] = {}
-    for p in paths:
-        with open(p, encoding="utf-8") as f:
-            staged.update(stage_mysql_dump_data(ctx, f, staging_dir))
+    # one writer across all dump files: appends + continuous per-table
+    # sequence (sharded dumps put one table's rows in several files)
+    writer = StagingWriter(staging_dir)
+    try:
+        for p in paths:
+            with open(p, encoding="utf-8") as f:
+                stage_mysql_dump_data(ctx, f, staging_dir, writer=writer)
+    finally:
+        writer.close()
+    staged = dict(writer.paths)
 
     results: dict[str, ConversionResult] = {}
     for src_table, path in staged.items():

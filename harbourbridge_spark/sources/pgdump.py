@@ -559,43 +559,79 @@ def process_pg_dump_schema(ctx: MigrationContext,
             ctx.skip_statement(kind.title() + "Stmt")
 
 
-def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
-                       staging_dir: str) -> dict[str, str]:
-    """Pass 2 splitter: stream the dump once, writing each table's COPY
-    rows (and INSERT rows, converted to COPY text format) to
-    ``staging_dir/<table>.tsv`` with a prepended sequence column.
+class StagingWriter:
+    """Per-table staging TSV files shared across dump files.
 
-    Returns {src_table: staging_path}. Constant driver memory: rows
-    stream straight to disk.
+    Sharded dumps (pg_dump -Fd, mysqldump --tab, manual splits) spread
+    one table's rows over several files; the stager must append across
+    files and keep one monotone sequence per table, otherwise later
+    files truncate earlier rows and the bit-reversed synthetic PKs
+    derived from the restarted sequence collide. One writer instance
+    spans all dump files of a migration; ``close()`` once at the end.
     """
-    os.makedirs(staging_dir, exist_ok=True)
-    files: dict[str, TextIO] = {}
-    paths: dict[str, str] = {}
-    seqs: dict[str, int] = {}
 
-    def _file(table: str) -> TextIO:
-        if table not in files:
-            path = os.path.join(staging_dir, f"{table}.tsv")
-            files[table] = open(path, "w", encoding="utf-8")
-            paths[table] = path
-            seqs[table] = 0
-        return files[table]
+    def __init__(self, staging_dir: str) -> None:
+        os.makedirs(staging_dir, exist_ok=True)
+        self.staging_dir = staging_dir
+        self.files: dict[str, TextIO] = {}
+        self.paths: dict[str, str] = {}
+        self.seqs: dict[str, int] = {}
 
-    def on_copy(block: CopyBlock) -> None:
-        f = _file(block.table)
-        seq = seqs[block.table]
-        for row in block.rows:
-            f.write(f"{seq}\t{row}\n")
-            seq += 1
-        seqs[block.table] = seq
+    def file(self, table: str) -> TextIO:
+        if table not in self.files:
+            path = os.path.join(self.staging_dir, f"{table}.tsv")
+            self.files[table] = open(path, "w", encoding="utf-8")
+            self.paths[table] = path
+            self.seqs[table] = 0
+        return self.files[table]
 
-    def _copy_escape(v: Optional[str]) -> str:
+    @staticmethod
+    def copy_escape(v: Optional[str]) -> str:
         if v is None:
             return "\\N"
         # NUL is the decode sentinel and pg text disallows it anyway
         return (v.replace("\x00", "").replace("\\", "\\\\")
                  .replace("\t", "\\t")
                  .replace("\n", "\\n").replace("\r", "\\r"))
+
+    def write_raw(self, table: str, row: str) -> None:
+        """Append one already-COPY-escaped row."""
+        f = self.file(table)
+        f.write(f"{self.seqs[table]}\t{row}\n")
+        self.seqs[table] += 1
+
+    def write_values(self, table: str, ordered: list) -> None:
+        """Append one row of raw (unescaped) string-or-None values."""
+        f = self.file(table)
+        f.write(f"{self.seqs[table]}\t"
+                + "\t".join(self.copy_escape(v) for v in ordered) + "\n")
+        self.seqs[table] += 1
+
+    def close(self) -> None:
+        for f in self.files.values():
+            f.close()
+        self.files.clear()
+
+
+def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
+                       staging_dir: str,
+                       writer: Optional[StagingWriter] = None,
+                       ) -> dict[str, str]:
+    """Pass 2 splitter: stream the dump once, writing each table's COPY
+    rows (and INSERT rows, converted to COPY text format) to
+    ``staging_dir/<table>.tsv`` with a prepended sequence column.
+
+    Returns {src_table: staging_path}. Constant driver memory: rows
+    stream straight to disk. Pass a shared ``writer`` when one table's
+    data spans multiple dump files — it appends and continues each
+    table's sequence instead of truncating (the caller closes it).
+    """
+    own_writer = writer is None
+    w = writer if writer is not None else StagingWriter(staging_dir)
+
+    def on_copy(block: CopyBlock) -> None:
+        for row in block.rows:
+            w.write_raw(block.table, row)
 
     for stmt in _iter_statements(stream, on_copy):
         s = stmt.text.strip()
@@ -611,19 +647,15 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
             continue
         cols = ([_clean_name(c) for c in m.group("cols").split(",")]
                 if m.group("cols") else list(schema_table.col_names))
-        f = _file(table)
-        seq = seqs[table]
         for vals in _parse_insert_values(m.group("values")):
             # reorder INSERT cols into full schema column order
             by_col = dict(zip(cols, vals))
             ordered = [by_col.get(c) for c in schema_table.col_names]
-            f.write(f"{seq}\t" + "\t".join(_copy_escape(v) for v in ordered) + "\n")
-            seq += 1
-        seqs[table] = seq
+            w.write_values(table, ordered)
 
-    for f in files.values():
-        f.close()
-    return paths
+    if own_writer:
+        w.close()
+    return dict(w.paths)
 
 
 def read_staged_table(spark: SparkSession, ctx: MigrationContext,
@@ -700,10 +732,16 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     ctx.add_synthetic_pkeys()
 
     ctx.set_data_mode()
-    staged: dict[str, str] = {}
-    for p in paths:
-        with open(p, encoding="utf-8") as f:
-            staged.update(stage_pg_dump_data(ctx, f, staging_dir))
+    # one writer across all dump files: appends + continuous per-table
+    # sequence (sharded dumps put one table's rows in several files)
+    writer = StagingWriter(staging_dir)
+    try:
+        for p in paths:
+            with open(p, encoding="utf-8") as f:
+                stage_pg_dump_data(ctx, f, staging_dir, writer=writer)
+    finally:
+        writer.close()
+    staged = dict(writer.paths)
 
     results: dict[str, ConversionResult] = {}
     for src_table, path in staged.items():

@@ -148,3 +148,43 @@ def test_block_comment_with_semicolon(spark, tmp_path):
                                           str(tmp_path / "staging"))
     assert ctx.sp_schema["bc"].col_names[:2] == ["id", "v"]  # + synth_id
     assert results["bc"].good.first().v == "ok"
+
+
+def test_pg_multi_file_dump_appends_and_continues_seq(spark, tmp_path):
+    """One table's data spanning two dump files (sharded dump): the
+    second file must append to the staging TSV and continue the
+    sequence, not truncate it — truncation loses rows AND restarts
+    _hb_seq, colliding the bit-reversed synthetic PKs."""
+    f1 = tmp_path / "part1.sql"
+    f1.write_text(
+        "CREATE TABLE public.sharded (v text);\n"
+        "COPY public.sharded (v) FROM stdin;\n"
+        "alpha\nbeta\n\\.\n")
+    f2 = tmp_path / "part2.sql"
+    f2.write_text(
+        "COPY public.sharded (v) FROM stdin;\n"
+        "gamma\ndelta\n\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(
+        spark, [str(f1), str(f2)], str(tmp_path / "staging"))
+    good = results["sharded"].good
+    rows = good.collect()
+    assert {r.v for r in rows} == {"alpha", "beta", "gamma", "delta"}
+    # synthetic PKs distinct across files (sequence did not restart)
+    synth = [r.synth_id for r in rows]
+    assert len(set(synth)) == 4
+
+
+def test_mysql_multi_file_dump_appends_and_continues_seq(spark, tmp_path):
+    f1 = tmp_path / "part1.mysqldump"
+    f1.write_text(
+        "CREATE TABLE `sharded` (`v` text);\n"
+        "INSERT INTO `sharded` VALUES ('alpha'), ('beta');\n")
+    f2 = tmp_path / "part2.mysqldump"
+    f2.write_text("INSERT INTO `sharded` VALUES ('gamma'), ('delta');\n")
+    ctx, results = mysqldump.migrate_mysql_dump(
+        spark, [str(f1), str(f2)], str(tmp_path / "staging"))
+    good = results["sharded"].good
+    rows = good.collect()
+    assert {r.v for r in rows} == {"alpha", "beta", "gamma", "delta"}
+    synth = [r.synth_id for r in rows]
+    assert len(set(synth)) == 4
