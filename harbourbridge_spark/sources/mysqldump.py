@@ -257,58 +257,222 @@ def _parse_create_table(ctx: MigrationContext, stmt: str) -> bool:
             ctx.skip_statement("CheckConstraint")
             continue
         # column definition: `name` type [options]
-        cm = re.match(r"^(?P<name>`[^`]+`|\w+)\s+(?P<rest>.*)$", item, re.DOTALL)
-        if not cm:
+        parsed = _parse_column_item(ctx, name, item)
+        if parsed is None:
             ctx.unexpected(f"unparsable mysql column def: {item[:80]}")
             continue
-        col = _clean(cm.group("name"))
-        rest = cm.group("rest").strip()
-        # isolate the type: strip known options from the tail
-        opts_re = re.compile(
-            r"\s+(NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^'\\]|\\.)*'|[^\s,]+)|"
-            r"AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|"
-            r"ON\s+UPDATE\s+\S+|CHECK\s*\(.*\)|COMMENT\s+'(?:[^'\\]|\\.)*'|"
-            r"CHARACTER\s+SET\s+\S+|COLLATE\s+\S+|"
-            r"REFERENCES\s+\S+\s*\([^)]*\))\s*$",
-            re.IGNORECASE | re.DOTALL)
-        type_text = rest
-        opts: list[str] = []
-        while True:
-            m2 = opts_re.search(type_text)
-            if not m2:
-                break
-            opts.append(m2.group(1))
-            type_text = type_text[:m2.start()]
-        ignored = ir.Ignored()
-        not_null = unique = is_pk = False
-        for o in opts:
-            u = re.sub(r"\s+", " ", o.upper())
-            if u == "NOT NULL":
-                not_null = True
-            elif u.startswith("DEFAULT"):
-                if "CURRENT_TIMESTAMP" not in u and u != "DEFAULT NULL":
-                    ignored.default = True
-                elif "CURRENT_TIMESTAMP" in u:
-                    ignored.default = True
-            elif u == "AUTO_INCREMENT":
-                ignored.auto_increment = True
-            elif u.startswith("UNIQUE"):
-                unique = True
-            elif u == "PRIMARY KEY":
-                is_pk = True
-            elif u.startswith("REFERENCES"):
-                ignored.foreign_key = True
-            elif u.startswith("CHECK"):
-                ignored.check = True
-        st = _parse_mysql_type(type_text, ctx, name, col)
+        col, coldef, is_pk = parsed
         table.col_names.append(col)
-        table.col_defs[col] = ir.SourceColumn(
-            col, st, not_null=not_null, unique=unique, ignored=ignored)
+        table.col_defs[col] = coldef
         if is_pk:
             table.primary_keys.append(ir.Key(col))
             table.col_defs[col].not_null = True
     ctx.src_schema[name] = table
     ctx.schema_statement("CreateTableStmt")
+    return True
+
+
+def _parse_column_item(ctx: MigrationContext, table_name: str,
+                       item: str) -> Optional[tuple]:
+    """Parse one ``\\`name\\` type [options]`` column item (shared by
+    CREATE TABLE bodies and ALTER TABLE MODIFY COLUMN, mirroring
+    processColumn/updateColsByOption, mysql/mysqldump.go:422-492).
+    Returns (col_name, SourceColumn, is_pk) or None."""
+    cm = re.match(r"^(?P<name>`[^`]+`|\w+)\s+(?P<rest>.*)$", item, re.DOTALL)
+    if not cm:
+        return None
+    col = _clean(cm.group("name"))
+    rest = cm.group("rest").strip()
+    # isolate the type: strip known options from the tail
+    opts_re = re.compile(
+        r"\s+(NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^'\\]|\\.)*'|[^\s,]+)|"
+        r"AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|"
+        r"ON\s+UPDATE\s+\S+|CHECK\s*\(.*\)|COMMENT\s+'(?:[^'\\]|\\.)*'|"
+        r"CHARACTER\s+SET\s+\S+|COLLATE\s+\S+|"
+        r"REFERENCES\s+\S+\s*\([^)]*\))\s*$",
+        re.IGNORECASE | re.DOTALL)
+    type_text = rest
+    opts: list[str] = []
+    while True:
+        m2 = opts_re.search(type_text)
+        if not m2:
+            break
+        opts.append(m2.group(1))
+        type_text = type_text[:m2.start()]
+    ignored = ir.Ignored()
+    not_null = unique = is_pk = False
+    for o in opts:
+        u = re.sub(r"\s+", " ", o.upper())
+        if u == "NOT NULL":
+            not_null = True
+        elif u.startswith("DEFAULT"):
+            if "CURRENT_TIMESTAMP" not in u and u != "DEFAULT NULL":
+                ignored.default = True
+            elif "CURRENT_TIMESTAMP" in u:
+                ignored.default = True
+        elif u == "AUTO_INCREMENT":
+            ignored.auto_increment = True
+        elif u.startswith("UNIQUE"):
+            unique = True
+        elif u == "PRIMARY KEY":
+            is_pk = True
+        elif u.startswith("REFERENCES"):
+            ignored.foreign_key = True
+        elif u.startswith("CHECK"):
+            ignored.check = True
+    st = _parse_mysql_type(type_text, ctx, table_name, col)
+    return col, ir.SourceColumn(
+        col, st, not_null=not_null, unique=unique, ignored=ignored), is_pk
+
+
+# ---------------------------------------------------------------------------
+# standalone ALTER TABLE / CREATE INDEX (S13, mysql/mysqldump.go:136-157,
+# processAlterTable:343-396, processCreateIndex:157-179)
+# ---------------------------------------------------------------------------
+
+_ALTER_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>`[^`]+`|[\w.]+)\s+"
+    r"(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_CREATE_INDEX_RE = re.compile(
+    r"^CREATE\s+(?P<unique>UNIQUE\s+)?(?P<special>FULLTEXT\s+|SPATIAL\s+)?"
+    r"INDEX\s+(?P<name>`[^`]+`|\w+)\s+(?:USING\s+\w+\s+)?ON\s+"
+    r"(?P<table>`[^`]+`|[\w.]+)\s*\((?P<cols>[^)]*)\)",
+    re.IGNORECASE | re.DOTALL)
+_ADD_PK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?:`[^`]+`|\w+)\s+)?PRIMARY\s+KEY\s*"
+    r"\((?P<cols>[^)]*)\)", re.IGNORECASE)
+_ADD_UNIQUE_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?P<cname>`[^`]+`|\w+)\s+)?UNIQUE"
+    r"(?:\s+(?:KEY|INDEX))?\s*(?P<iname>`[^`]+`|\w+)?\s*"
+    r"\((?P<cols>[^)]*)\)", re.IGNORECASE)
+_ADD_INDEX_RE = re.compile(
+    r"^(?:KEY|INDEX)\s+(?P<name>`[^`]+`|\w+)?\s*\((?P<cols>[^)]*)\)",
+    re.IGNORECASE)
+
+
+def _index_keys(cols_text: str) -> list:
+    """Index key columns: strip backticks, prefix lengths ``col(10)``
+    and ASC/DESC (mapped to ascending like toSchemaKeys,
+    mysql/mysqldump.go:332-341)."""
+    keys = []
+    for c in cols_text.split(","):
+        c = c.strip()
+        if not c:
+            continue
+        c = re.sub(r"\((\s*\d+\s*)\)\s*$", "", c)
+        c = re.sub(r"\s+(ASC|DESC)\s*$", "", c, flags=re.IGNORECASE)
+        keys.append(ir.Key(_clean(c.strip())))
+    return keys
+
+
+def _parse_alter_table(ctx: MigrationContext, stmt: str) -> bool:
+    """Standalone ALTER TABLE: ADD CONSTRAINT/FOREIGN KEY/PRIMARY KEY/
+    UNIQUE/INDEX and MODIFY COLUMN are applied; other specs are skipped
+    (processAlterTable handles exactly AddConstraint + ModifyColumn)."""
+    m = _ALTER_RE.match(stmt.strip())
+    if not m:
+        return False
+    tname = _clean(m.group("table"))
+    table = ctx.src_schema.get(tname)
+    if table is None:
+        ctx.unexpected(f"ALTER TABLE for unknown table {tname}")
+        return False
+    handled = False
+    for item in _split_body(m.group("rest")):
+        up = re.sub(r"\s+", " ", item.upper())
+        if up.startswith("ADD "):
+            body = item[4:].strip()
+            fm = _FK_RE.match(body)
+            if fm:
+                table.foreign_keys.append(ir.SourceForeignKey(
+                    name=_clean(fm.group("name") or ""),
+                    columns=[_clean(c) for c in
+                             fm.group("cols").split(",") if c.strip()],
+                    refer_table=_clean(fm.group("ref")),
+                    refer_columns=[_clean(c) for c in
+                                   fm.group("refcols").split(",") if c.strip()],
+                    on_delete=(fm.group("ondelete") or "").upper(),
+                    on_update=(fm.group("onupdate") or "").upper()))
+                handled = True
+                continue
+            pm = _ADD_PK_RE.match(body)
+            if pm:
+                if table.primary_keys:
+                    ctx.unexpected(
+                        f"ALTER TABLE: table {tname} already has a "
+                        "primary key; dropping previous")
+                table.primary_keys = _index_keys(pm.group("cols"))
+                for k in table.primary_keys:
+                    if k.column in table.col_defs:
+                        table.col_defs[k.column].not_null = True
+                handled = True
+                continue
+            um = _ADD_UNIQUE_RE.match(body)
+            if um:
+                table.indexes.append(ir.SourceIndex(
+                    name=_clean(um.group("iname") or um.group("cname") or ""),
+                    unique=True, keys=_index_keys(um.group("cols"))))
+                handled = True
+                continue
+            im = _ADD_INDEX_RE.match(body)
+            if im:
+                table.indexes.append(ir.SourceIndex(
+                    name=_clean(im.group("name") or ""), unique=False,
+                    keys=_index_keys(im.group("cols"))))
+                handled = True
+                continue
+            ctx.skip_statement("AlterTableSpec")
+        elif up.startswith("MODIFY "):
+            body = re.sub(r"^MODIFY\s+(?:COLUMN\s+)?", "", item,
+                          flags=re.IGNORECASE).strip()
+            parsed = _parse_column_item(ctx, tname, body)
+            if parsed is None:
+                ctx.unexpected(f"unparsable MODIFY COLUMN: {item[:80]}")
+                continue
+            col, coldef, is_pk = parsed
+            if col not in table.col_defs:
+                ctx.unexpected(
+                    f"MODIFY COLUMN for unknown column {tname}.{col}")
+                continue
+            table.col_defs[col] = coldef
+            if is_pk:
+                if table.primary_keys:
+                    ctx.unexpected(
+                        f"ALTER TABLE: table {tname} already has a "
+                        "primary key; dropping previous")
+                table.primary_keys = [ir.Key(col)]
+                coldef.not_null = True
+            if coldef.unique:
+                # unique column constraint -> unique index (T16)
+                table.indexes.append(ir.SourceIndex(
+                    name="", unique=True, keys=[ir.Key(col)]))
+            handled = True
+        else:
+            ctx.skip_statement("AlterTableSpec")
+    if handled:
+        ctx.schema_statement("AlterTableStmt")
+    return handled
+
+
+def _parse_index(ctx: MigrationContext, stmt: str) -> bool:
+    """Standalone CREATE [UNIQUE] INDEX ... ON table (cols)."""
+    m = _CREATE_INDEX_RE.match(stmt.strip())
+    if not m:
+        return False
+    if m.group("special") and "SPATIAL" in m.group("special").upper():
+        ctx.skip_statement("SpatialIndex")  # dropped (S12c)
+        return True
+    tname = _clean(m.group("table"))
+    table = ctx.src_schema.get(tname)
+    if table is None:
+        ctx.unexpected(
+            f"Table {tname} not found while processing index statement")
+        return False
+    table.indexes.append(ir.SourceIndex(
+        name=_clean(m.group("name")), unique=bool(m.group("unique")),
+        keys=_index_keys(m.group("cols"))))
+    ctx.schema_statement("CreateIndexStmt")
     return True
 
 
@@ -445,6 +609,13 @@ def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO) -> None:
         if up.startswith("CREATE TABLE"):
             if not _parse_create_table(ctx, s):
                 ctx.error_in_statement("CreateTableStmt")
+        elif up.startswith("ALTER TABLE"):
+            if not _parse_alter_table(ctx, s):
+                ctx.skip_statement("AlterTableStmt")
+        elif re.match(r"^CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX",
+                      up):
+            if not _parse_index(ctx, s):
+                ctx.error_in_statement("CreateIndexStmt")
         elif up.startswith("INSERT"):
             m = _INSERT_RE.match(s)
             if m:

@@ -122,3 +122,91 @@ def test_insert_recovery(spark, tmp_path):
     rows = mysqldump.parse_insert_with_recovery(
         ctx, "('a',1),('b',2),('c',3)")
     assert rows == [["a", "1"], ["b", "2"], ["c", "3"]]
+
+
+# ---------------------------------------------------------------------------
+# standalone ALTER TABLE / CREATE INDEX (S13, mirrors the ALTER/index
+# cases of mysql/mysqldump_test.go:103,186,220,400-496,547-556)
+# ---------------------------------------------------------------------------
+
+ALTER_DUMP = r"""
+CREATE TABLE `test` (
+  `a` bigint NOT NULL,
+  `b` varchar(10),
+  `c` text
+);
+CREATE TABLE `test2` (
+  `c` bigint NOT NULL,
+  `d` bigint
+);
+ALTER TABLE test ADD CONSTRAINT test_pkey PRIMARY KEY (a);
+ALTER TABLE test ADD INDEX custom_index (b, c);
+ALTER TABLE test ADD UNIQUE INDEX u_index (b);
+ALTER TABLE test2 ADD CONSTRAINT uniq_cd UNIQUE (c, d);
+ALTER TABLE test2 ADD CONSTRAINT __fk_test_2 FOREIGN KEY (c) REFERENCES test(a) ON DELETE CASCADE;
+ALTER TABLE test2 ADD FOREIGN KEY (d) REFERENCES test(a);
+ALTER TABLE test MODIFY b text NOT NULL;
+CREATE INDEX ci ON test2 (d);
+CREATE UNIQUE INDEX cui ON test2 (c, d);
+"""
+
+
+@pytest.fixture(scope="module")
+def altered(tmp_path_factory):
+    from harbourbridge_spark.context import MigrationContext
+    ctx = MigrationContext()
+    import io
+    mysqldump.process_mysql_dump_schema(ctx, io.StringIO(ALTER_DUMP))
+    from harbourbridge_spark.toddl import schema_to_ddl
+    schema_to_ddl(ctx, "mysql")
+    return ctx
+
+
+def test_alter_add_primary_key(altered):
+    t = altered.src_schema["test"]
+    assert [k.column for k in t.primary_keys] == ["a"]
+    assert t.col_defs["a"].not_null
+
+
+def test_alter_add_index_variants(altered):
+    t = altered.src_schema["test"]
+    by_name = {i.name: i for i in t.indexes}
+    assert [k.column for k in by_name["custom_index"].keys] == ["b", "c"]
+    assert not by_name["custom_index"].unique
+    assert by_name["u_index"].unique
+    t2 = altered.src_schema["test2"]
+    by_name2 = {i.name: i for i in t2.indexes}
+    assert by_name2["uniq_cd"].unique
+    assert [k.column for k in by_name2["uniq_cd"].keys] == ["c", "d"]
+
+
+def test_alter_add_foreign_keys(altered):
+    t2 = altered.src_schema["test2"]
+    fks = {f.name: f for f in t2.foreign_keys}
+    assert fks["__fk_test_2"].refer_table == "test"
+    assert fks["__fk_test_2"].columns == ["c"]
+    assert fks["__fk_test_2"].on_delete == "CASCADE"
+    # unnamed FK present too
+    unnamed = [f for f in t2.foreign_keys if not f.name]
+    assert unnamed and unnamed[0].columns == ["d"]
+
+
+def test_alter_modify_column_retypes(altered):
+    t = altered.src_schema["test"]
+    assert t.col_defs["b"].type.name == "text"
+    assert t.col_defs["b"].not_null
+
+
+def test_standalone_create_index(altered):
+    t2 = altered.src_schema["test2"]
+    by_name = {i.name: i for i in t2.indexes}
+    assert [k.column for k in by_name["ci"].keys] == ["d"]
+    assert not by_name["ci"].unique
+    assert by_name["cui"].unique
+
+
+def test_alter_fk_roundtrips_into_ddl(altered):
+    from harbourbridge_spark.ddl import get_ddl
+    ddl = get_ddl(altered, comments=False)
+    text = "\n".join(ddl) if not isinstance(ddl, str) else ddl
+    assert "FOREIGN KEY" in text and "REFERENCES" in text
