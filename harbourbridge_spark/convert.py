@@ -26,6 +26,7 @@ pure JVM bit arithmetic.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -122,18 +123,24 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
     """D13 (postgres/data.go:242-383): parse a pg array literal
     '{a,"b c",NULL}' into ARRAY<T>, tracking element conversion errors.
 
-    Implemented with split + transform so it stays JVM-side. Handles:
-    empty '{}', unquoted NULL elements, double-quoted elements with
-    escaped quotes/backslashes. Known limitation vs the reference's
-    recursive parser: a quoted element containing a literal comma is
-    mis-split (not present in the fixture corpus; full fidelity would
-    need a pandas UDF — documented deviation).
+    Implemented with regexp tokenization + transform so it stays
+    JVM-side. Handles: empty '{}', unquoted NULL elements,
+    double-quoted elements with escaped quotes/backslashes AND quoted
+    elements containing literal commas ('{"a,b",c}') — the tokenizer
+    matches a full quoted token or a run of non-comma characters, so
+    commas inside quotes never split (same coverage as the reference's
+    recursive parser). A token that *starts* with a quote but is not a
+    well-formed quoted token (unterminated quote) flags the row as an
+    error instead of converting wrong. strict_pg_array_expr remains as
+    the Arrow-batched exactness belt (strict_arrays=True).
 
     Returns (value_expr, err_expr).
     """
     q = name
     inner = f"substring({q}, 2, length({q}) - 2)"
-    raw = f"split({inner}, ',')"
+    # one token = quoted element (escapes allowed inside) or non-comma run
+    tok_pat = r'"(?:[^"\\\\]|\\\\.)*"|[^,]+'
+    raw = f"regexp_extract_all({inner}, '{tok_pat}', 0)"
     # per element: unquoted NULL (exactly) is a NULL element; quoted
     # "NULL" is the string; quoted elements get unescaped (\" and \\)
     elem_case = (
@@ -152,10 +159,14 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
              f"WHEN {q} RLIKE '^\\\\{{.*\\\\}}$' THEN "
              f"transform({elems}, x -> {cast_sql}) "
              f"ELSE NULL END")
-    # error: literal malformed, or an element failed its cast (the empty
-    # literal '{}' is valid and has no elements to check)
+    # error: literal malformed, a token opens a quote without closing it
+    # (the tokenizer would silently keep it raw), or an element failed
+    # its cast (the empty literal '{}' is valid, no elements to check)
+    bad_quote = (f"exists({raw}, x -> x RLIKE '^\"' "
+                 f"AND NOT x RLIKE '^\".*\"$')")
     err = (f"({q} IS NOT NULL AND {q} != '{{}}' AND ("
            f"NOT ({q} RLIKE '^\\\\{{.*\\\\}}$') "
+           f"OR {bad_quote} "
            f"OR exists(zip_with({elems}, {typed}, (s, v) -> "
            f"s IS NOT NULL AND v IS NULL), b -> b)))")
     return F.expr(typed), F.expr(err)

@@ -249,3 +249,39 @@ def test_strict_array_quoted_comma(spark, tmp_path):
     assert rows[2] == []
     assert rows[3] is None
     assert res.bad.count() == 0
+
+
+def test_default_array_path_quoted_comma(spark):
+    """The default JVM array path now tokenizes with a quoted-token-or-
+    non-comma-run regexp, so quoted elements containing commas convert
+    correctly without the pandas UDF (postgres/data.go:242-398 parity);
+    an unterminated quote quarantines the row instead of converting
+    wrong."""
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.toddl import schema_to_ddl
+    from harbourbridge_spark import schema_ir as ir
+    from harbourbridge_spark import types as tt
+    from harbourbridge_spark.convert import SEQ_COL, convert_table
+
+    ctx = MigrationContext()
+    ctx.src_schema["t"] = ir.SourceTable(
+        name="t", col_names=["id", "a"],
+        col_defs={
+            "id": ir.SourceColumn("id", tt.SourceType("int4"), not_null=True),
+            "a": ir.SourceColumn("a", tt.SourceType("text", array_bounds=(-1,))),
+        },
+        primary_keys=[ir.Key("id")])
+    schema_to_ddl(ctx, "postgres")
+    df = spark.createDataFrame(
+        [(0, "1", '{"a,b",c,NULL,"NULL","q\\"uote"}'),
+         (1, "2", "{}"),
+         (2, "3", None),
+         (3, "4", '{ok,"unterminated}')],
+        f"{SEQ_COL} long, id string, a string")
+    res = convert_table(ctx, df, "t", "postgres")
+    rows = {r.id: r.a for r in res.good.collect()}
+    assert rows[1] == ["a,b", "c", None, "NULL", 'q"uote']
+    assert rows[2] == []
+    assert rows[3] is None
+    bad = res.bad.collect()
+    assert len(bad) == 1 and bad[0].id == "4"
