@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "vocab_topk",
     "corpus_curation",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    "dedup_lsh_verified",
+    "dedup_embedding_lsh",
     "ann_bruteforce",
     "ann_lsh",
 ]

@@ -29,6 +29,11 @@ from .text import render
 MINHASH_K = 16
 BAND_SIZE = 4           # 4 bands of 4 -> candidates at jaccard ~>0.6
 SHINGLE = 5             # character shingles
+MAX_BUCKET = 256        # band-bucket membership cap (LSH skew guard):
+                        # a degenerate bucket (all-identical boilerplate)
+                        # would make one join key quadratic; buckets over
+                        # the cap are dropped from candidate generation
+                        # and surfaced via lsh_bucket_stats
 
 
 def exact_dedup_sql(engine: str) -> str:
@@ -51,21 +56,25 @@ def exact_dedup_sql(engine: str) -> str:
     return render(t, engine)
 
 
-def _shingles(engine: str) -> str:
-    """Distinct character 5-gram shingles of the normalized text."""
-    norm = "trim(lower(text))"
-    t = (f"{{adist}}({{ltrans}}({{seq}}(1, greatest(length({norm}) - {SHINGLE - 1}, 1)), "
-         f"i -> substring({norm}, i, {SHINGLE})))")
+def _shingles_over(engine: str, nt: str = "nt") -> str:
+    """Distinct character 5-gram shingles over a BOUND normalized-text
+    column ``nt``. Binding matters: inlining trim(lower(text)) into the
+    per-shingle lambda makes the engine recompute the normalization for
+    every shingle — O(len^2) per document, measured 3x slower at
+    sf0.1."""
+    t = (f"{{adist}}({{ltrans}}({{seq}}(1, greatest(length({nt}) - {SHINGLE - 1}, 1)), "
+         f"i -> substring({nt}, i, {SHINGLE})))")
     return render(t, engine)
 
 
 def minhash_signature_sql(engine: str) -> str:
     """Per-doc MinHash signature (K permutations over shingle hashes),
-    computed entirely per-row: hash the shingle array once, then each
-    permutation is an array_min over a transform. No explode, no
+    computed entirely per-row: normalize the text once in an inner
+    projection (see _shingles_over), hash the shingle array once, then
+    each permutation is an array_min over a transform. No explode, no
     groupBy — the earlier explode->K-MIN-aggregations formulation
     shuffled |docs| x |shingles| rows for the same result."""
-    sh = _shingles(engine)
+    sh = _shingles_over(engine)
     h = hash48("x", engine)
     amin = "array_min" if engine == "spark" else "list_min"
     mins = ", ".join(
@@ -73,18 +82,20 @@ def minhash_signature_sql(engine: str) -> str:
         for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K)))
     t = f"""
     WITH hashed AS (
-        SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs FROM documents
+        SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs
+        FROM (SELECT doc_id, trim(lower(text)) AS nt FROM documents) _n
     )
     SELECT doc_id, {mins} FROM hashed
     """
     return render(t, engine)
 
 
-def minhash_bands_sql(engine: str, sig_source: str) -> str:
-    """The banding + candidate-join stage over an existing signature
-    relation (``sig_source``). Split out so the Spark executor can
-    cache the signature once (see minhash_lsh_pairs_fn) while the
-    oracle keeps the single-statement CTE form."""
+def _bands_clause(sig_source: str) -> str:
+    """Shared band-expansion + size-capped bucket CTEs over a signature
+    relation. The ``sized`` groupBy is a map-side-combinable count on
+    the band key; ``ok`` drops buckets above MAX_BUCKET so no join key
+    can go quadratic (the standard LSH skew guard — drops are observable
+    via lsh_bucket_stats_sql)."""
     n_bands = MINHASH_K // BAND_SIZE
     band_key = "CASE t.band " + " ".join(
         "WHEN {b} THEN concat_ws(',', {cols})".format(
@@ -92,13 +103,28 @@ def minhash_bands_sql(engine: str, sig_source: str) -> str:
                 f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
         for b in range(n_bands)) + " END"
     values = ",".join(f"({b})" for b in range(n_bands))
-    t = f"""
-    WITH bands AS (
+    return f"""bands AS (
         SELECT doc_id, t.band, {band_key} AS key
         FROM {sig_source} CROSS JOIN (VALUES {values}) AS t(band)
-    )
+    ), sized AS (
+        SELECT band, key, COUNT(*) AS n
+        FROM bands GROUP BY band, key
+    ), ok AS (
+        SELECT b.doc_id, b.band, b.key
+        FROM bands b JOIN sized s
+          ON s.band = b.band AND s.key = b.key AND s.n <= {MAX_BUCKET}
+    )"""
+
+
+def minhash_bands_sql(engine: str, sig_source: str) -> str:
+    """The banding + candidate-join stage over an existing signature
+    relation (``sig_source``). Split out so the Spark executor can
+    cache the signature once (see minhash_lsh_pairs_fn) while the
+    oracle keeps the single-statement CTE form."""
+    t = f"""
+    WITH {_bands_clause(sig_source)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM ok a JOIN ok b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """
     return render(t, engine)
@@ -106,13 +132,18 @@ def minhash_bands_sql(engine: str, sig_source: str) -> str:
 
 def minhash_lsh_pairs_fn(spark, sf_dir: str):
     """Spark execution strategy for the LSH pairs: materialize the
-    signature once (cache + temp view) before the self-join — the CTE
-    form would inline the whole shingle/hash pipeline into both join
-    sides. Produces exactly the rows of minhash_lsh_pairs_sql."""
+    signature ONCE (localCheckpoint + temp view) before the self-join —
+    the CTE form would inline the whole shingle/hash pipeline into
+    every reference (4 here: both join sides x the sized/ok split),
+    and .cache() silently fails to match re-analyzed CTE plans on
+    Spark 4.1 (the executed plan showed 4 full md5/shingle recomputes
+    with the cache "enabled"). The checkpointed signature is |docs| x
+    17 longs — tiny. Produces exactly the rows of
+    minhash_lsh_pairs_sql."""
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
-    sig = spark.sql(minhash_signature_sql("spark")).cache()
+    sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
     sig.createOrReplaceTempView("__mh_sig")
     return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
 
@@ -120,7 +151,33 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str):
 def minhash_lsh_pairs_sql(engine: str) -> str:
     """MinHash-LSH candidate pairs: band the signature (bands of
     BAND_SIZE), self-join on band keys, distinct pairs. The join is on
-    the band hash — equality only, no quadratic scan."""
+    the band hash — equality only, no quadratic scan, and bucket
+    membership is capped at MAX_BUCKET (skew guard).
+
+    Bands expand via a VALUES cross join (one signature computation
+    per side, not one per band). The candidate search is a band-key
+    self-join: Spark inlines the CTE into both sides (signature
+    computed twice in this single-statement form — the executable
+    Spark path minhash_lsh_pairs_fn caches it once), but the join
+    distributes bucket expansion across tasks — a collect_list/flatten
+    bucket expansion was measured 2-4x WORSE because giant buckets
+    become single-row quadratic arrays with no parallelism."""
+    sig = minhash_signature_sql(engine)
+    t = f"""
+    WITH sig AS ({sig}),
+    {_bands_clause('sig')}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ok a JOIN ok b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+    return render(t, engine)
+
+
+def lsh_bucket_stats_sql(engine: str) -> str:
+    """Observability for the LSH skew guard: band-bucket population
+    stats, including how many buckets (and docs) the MAX_BUCKET cap
+    drops from candidate generation. At 100 TB this is the query you
+    run to tune the cap before the pair join."""
     sig = minhash_signature_sql(engine)
     n_bands = MINHASH_K // BAND_SIZE
     band_key = "CASE t.band " + " ".join(
@@ -129,22 +186,22 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
                 f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
         for b in range(n_bands)) + " END"
     values = ",".join(f"({b})" for b in range(n_bands))
-    # Bands expand via a VALUES cross join (one signature computation
-    # per side, not one per band). The candidate search is a band-key
-    # self-join: Spark inlines the CTE into both sides (signature
-    # computed twice), but the join distributes bucket expansion across
-    # tasks — a collect_list/flatten bucket expansion was measured 2-4x
-    # WORSE because giant buckets become single-row quadratic arrays
-    # with no parallelism.
     t = f"""
     WITH sig AS ({sig}),
     bands AS (
         SELECT doc_id, t.band, {band_key} AS key
         FROM sig CROSS JOIN (VALUES {values}) AS t(band)
+    ), sized AS (
+        SELECT band, key, COUNT(*) AS n
+        FROM bands GROUP BY band, key
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    SELECT COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_capped_buckets,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN n ELSE 0 END)
+               AS BIGINT) AS n_docs_in_capped
+    FROM sized
     """
     return render(t, engine)
 
@@ -198,29 +255,58 @@ def simhash_sql(engine: str, bits: int = 32) -> str:
     return render(t, engine)
 
 
+def _grams_over(engine: str, t: str = "t", n: int = 3) -> str:
+    """Distinct word n-gram set over a BOUND token-array column ``t``
+    ([] indexing is 0-based in Spark SQL, 1-based in DuckDB — hence the
+    two forms). The token split must be bound in an inner projection:
+    inlining it makes the engine re-split the text for every gram
+    element — O(tokens^2) per document (measured ~9s -> ~1s at
+    sf0.1)."""
+    if engine == "spark":
+        return render(
+            f"{{adist}}({{ltrans}}({{seq}}(0, greatest({{alen}}({t}) - {n}, 0)), "
+            f"i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))",
+            engine)
+    return render(
+        f"{{adist}}({{ltrans}}({{seq}}(1, greatest({{alen}}({t}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))",
+        engine)
+
+
+def _gram_relation(engine: str, n: int = 3, extra_cols: str = "",
+                   hashed: bool = False) -> str:
+    """(doc_id[, extra], grams) relation with the token split bound
+    once per row. ``hashed=True`` maps each gram through the portable
+    48-bit hash: the set-intersection then runs over 8-byte longs
+    instead of ~20-byte strings (smaller join shuffle, cheaper
+    intersect); both engines use the identical hash, so Jaccard values
+    match exactly (collisions included)."""
+    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    g = _grams_over(engine, "t", n)
+    if hashed:
+        g = render(f"{{adist}}({{ltrans}}({g}, x -> {hash48('x', engine)}))",
+                   engine)
+    return (f"SELECT doc_id, {extra_cols}{g} AS grams\n"
+            f"        FROM (SELECT doc_id, {extra_cols}{toks} AS t "
+            "FROM documents) _t")
+
+
 def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
                             threshold: float = 0.4) -> str:
-    """Word n-gram Jaccard verification over blocked pairs (same lang +
-    same length bucket — the stand-in for an upstream LSH candidate
-    feed). Returns pairs with jaccard >= threshold."""
+    """Word n-gram Jaccard over (lang, length-bucket)-blocked pairs —
+    the small-N exact-within-block option (quadratic within a block, so
+    NOT the scale path; the 100 TB verify stage is
+    lsh_verified_pairs_sql, which computes Jaccard only for LSH
+    candidate pairs). Returns pairs with jaccard >= threshold."""
     toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
-    grams = render(
-        f"{{adist}}({{ltrans}}({{seq}}(1, greatest({{alen}}({toks}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))",
-        engine)
-    if engine == "spark":
-        # Spark arrays are 0-based via element_at-compatible [] in SQL?
-        # [] indexing in Spark SQL is 0-based; DuckDB lists are 1-based.
-        grams = render(
-            f"{{adist}}({{ltrans}}({{seq}}(0, greatest({{alen}}({toks}) - {n}, 0)), "
-            f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))",
-            engine)
     t = f"""
     WITH g AS (
-        SELECT doc_id, lang,
-               CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
-               {grams} AS grams
-        FROM documents
+        SELECT doc_id, lang, len_bucket,
+               {_grams_over(engine, 't', n)} AS grams
+        FROM (SELECT doc_id, lang,
+                     CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+                     {toks} AS t
+              FROM documents) _t
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round({{alen}}({{ainter}}(a.grams, b.grams))
@@ -236,6 +322,87 @@ def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
           >= {threshold}
     """
     return render(t, engine)
+
+
+def lsh_verify_sql(engine: str, cand_source: str, n: int = 3,
+                   threshold: float = 0.4, extra_ctes: str = "",
+                   gram_source: str = "") -> str:
+    """The verify stage wired to its candidate feed: n-gram Jaccard
+    computed ONLY for pairs in ``cand_source`` (doc_a, doc_b). Two
+    equi-joins on doc_id bring each side's gram set to the candidate
+    row — work is O(|candidates|), never quadratic in a block. Pass
+    ``gram_source`` (doc_id, grams) to reuse a pre-materialized gram
+    relation (the Spark path caches grams for candidate-involved docs
+    only — at scale candidates << corpus)."""
+    if gram_source:
+        g_cte = ""
+        g = gram_source
+    else:
+        g_cte = (f"g AS (\n        "
+                 f"{_gram_relation(engine, n, hashed=True)}\n    ), ")
+        g = "g"
+    # size prefilter: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # failing the ratio can never reach the threshold — skips the
+    # intersection for them without changing any result
+    t = f"""
+    WITH {extra_ctes}{g_cte}j AS (
+        SELECT c.doc_a, c.doc_b,
+               {{alen}}({{ainter}}(a.grams, b.grams)) AS inter,
+               {{alen}}(a.grams) AS la, {{alen}}(b.grams) AS lb
+        FROM {cand_source} c
+        JOIN {g} a ON a.doc_id = c.doc_a
+        JOIN {g} b ON b.doc_id = c.doc_b
+         AND least({{alen}}(a.grams), {{alen}}(b.grams))
+             >= {threshold} * greatest({{alen}}(a.grams), {{alen}}(b.grams))
+    )
+    SELECT doc_a, doc_b,
+           round(inter / CAST(la + lb - inter AS DOUBLE), 6) AS jaccard
+    FROM j
+    WHERE inter / CAST(la + lb - inter AS DOUBLE) >= {threshold}
+    """
+    return render(t, engine)
+
+
+def lsh_verified_pairs_sql(engine: str) -> str:
+    """Single-statement form (the DuckDB oracle): LSH candidates CTE +
+    Jaccard verify join."""
+    cand = minhash_lsh_pairs_sql(engine)
+    return lsh_verify_sql(engine, "cand",
+                          extra_ctes=f"cand AS ({cand}),\n    ")
+
+
+def lsh_verified_pairs_fn(spark, sf_dir: str):
+    """Spark execution strategy: materialize LSH candidates off the
+    cached signature (minhash_lsh_pairs_fn) into a cached table (they
+    feed three references), then compute gram sets ONLY for docs that
+    appear in a candidate pair — the id semi-join runs BEFORE the gram
+    projection, so at scale (candidates << corpus) the expensive
+    tokenize+gram work touches a sliver of the data. The verify joins
+    are doc_id equi-joins; no quadratic term anywhere."""
+    pairs = minhash_lsh_pairs_fn(spark, sf_dir)
+    # localCheckpoint materializes the candidate pairs ONCE and replaces
+    # the CTE-heavy lineage with a scan of the checkpointed partitions.
+    # Plain .cache()/CACHE TABLE both fail here on Spark 4.1: .cache()
+    # crashes the CTE-pruning optimizer rule
+    # (PushdownPredicatesAndPruneColumnsForCTEDef), and CACHE TABLE's
+    # cache lookup misses on re-analyzed CTE plans, silently recomputing
+    # the band join for every reference (3x here — observed in the
+    # executed plan).
+    pairs = pairs.localCheckpoint()
+    pairs.createOrReplaceTempView("__mh_cand")
+    toks = render("{rsplit}(trim(lower(text)), '\\s+')", "spark")
+    hg = render(f"array_distinct(transform({_grams_over('spark')}, "
+                f"x -> {hash48('x', 'spark')}))", "spark")
+    g_restricted = f"""(
+        SELECT doc_id, {hg} AS grams
+        FROM (SELECT d.doc_id, {toks} AS t
+              FROM documents d
+              JOIN (SELECT doc_a AS doc_id FROM __mh_cand
+                    UNION
+                    SELECT doc_b AS doc_id FROM __mh_cand) ids
+                ON d.doc_id = ids.doc_id) _t)"""
+    return spark.sql(lsh_verify_sql("spark", "__mh_cand",
+                                    gram_source=g_restricted))
 
 
 def embedding_neardup_sql(engine: str, threshold: float = 0.35) -> str:
@@ -262,6 +429,33 @@ def embedding_neardup_sql(engine: str, threshold: float = 0.35) -> str:
            round({dot} / (a.nrm * b.nrm), 6) AS cosine
     FROM n a JOIN n b
       ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+    """
+    return render(t, engine)
+
+
+def embedding_neardup_lsh_sql(engine: str, threshold: float = 0.35) -> str:
+    """Embedding near-dup at scale: random-hyperplane sign signatures
+    (shared with similarity.ann_lsh_sql) bucket the vectors, pairs form
+    only within a bucket — an equi-join on the signature string, no
+    label blocking, no quadratic term. Recall is approximate (near-dups
+    with different signatures are missed); both engines compute the
+    identical approximation. This is the default scale path; the
+    label-blocked exact variant (embedding_neardup_sql) remains the
+    small-N option."""
+    from .similarity import _dot_sql, _norm_sql, _signature_sql
+    sig = _signature_sql(engine, "embedding")
+    dot = _dot_sql(engine, "a.embedding", "b.embedding")
+    nrm = _norm_sql(engine, "embedding")
+    t = f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b
+      ON a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
     """
     return render(t, engine)

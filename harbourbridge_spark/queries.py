@@ -722,7 +722,17 @@ REGISTRY["dedup_minhash_lsh"] = QuerySpec(
     _dedup.minhash_lsh_pairs_sql("duckdb"),
     "MinHash(K=16)+LSH banding: shingle->signature->band equi-join "
     "candidate pairs (signature cached once on the Spark side); no "
-    "quadratic scan")
+    "quadratic scan; band buckets capped at MAX_BUCKET (skew guard)")
+_register_template(
+    "lsh_bucket_stats", _dedup.lsh_bucket_stats_sql,
+    "LSH skew-guard observability: band-bucket population stats + how "
+    "many buckets/docs the MAX_BUCKET cap drops")
+REGISTRY["dedup_lsh_verified"] = QuerySpec(
+    _dedup.lsh_verified_pairs_fn,
+    _dedup.lsh_verified_pairs_sql("duckdb"),
+    "LSH candidates -> n-gram Jaccard verify, computed ONLY for "
+    "candidate pairs (the 100 TB dedup verify stage; no within-block "
+    "self-join)")
 _register_template(
     "dedup_keep_first", _dedup.dedup_keep_first_sql,
     "The dedup removal step: representative (min doc_id) per exact-"
@@ -737,12 +747,18 @@ _register_template(
     "hash bits)")
 _register_template(
     "dedup_ngram_jaccard", _dedup.ngram_jaccard_pairs_sql,
-    "Word-3-gram Jaccard verification over (lang, length)-blocked "
-    "pairs — the verify stage downstream of LSH candidates")
+    "Word-3-gram Jaccard over (lang, length)-blocked pairs — small-N "
+    "exact option (quadratic within block; the scale path is "
+    "dedup_lsh_verified)")
 _register_template(
     "dedup_embedding_cosine", _dedup.embedding_neardup_sql,
-    "Embedding-cosine near-dup pairs (label-blocked exact); sequential "
-    "fold keeps doubles bit-identical across engines",
+    "Embedding-cosine near-dup pairs (label-blocked exact) — small-N "
+    "option; sequential fold keeps doubles bit-identical across engines",
+    tables=("embeddings",))
+_register_template(
+    "dedup_embedding_lsh", _dedup.embedding_neardup_lsh_sql,
+    "Embedding near-dup via random-hyperplane sign buckets: signature "
+    "equi-join, no label blocking, no quadratic term — the 100 TB path",
     tables=("embeddings",))
 _register_template(
     "ann_bruteforce", _sim.ann_bruteforce_sql,

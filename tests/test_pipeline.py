@@ -199,3 +199,35 @@ def test_sessionize(spark):
         out.stop()
     # user 1's first session is closed mid-batch by the +10000s event
     assert (1, 1000.0, 1120.0, 3) in sess
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
+    """10k identical documents put every doc in the same band buckets;
+    the MAX_BUCKET guard must drop those buckets (candidate pairs = 0,
+    stats report the drop) instead of forming a ~10^8-pair quadratic
+    join."""
+    import pyspark.sql.functions as F
+    from harbourbridge_spark.pipeline import dedup as D
+
+    sf_dir = str(tmp_path)
+    spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated everywhere").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(48).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    import time
+    t0 = time.time()
+    pairs = D.minhash_lsh_pairs_fn(spark, sf_dir)
+    n_pairs = pairs.count()
+    elapsed = time.time() - t0
+    assert n_pairs == 0  # every bucket is over the cap -> dropped
+    assert elapsed < 60  # quadratic join would blow far past this
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    stats = spark.sql(D.lsh_bucket_stats_sql("spark")).collect()[0]
+    assert stats.n_capped_buckets == 4  # one degenerate bucket per band
+    assert stats.n_docs_in_capped == 40_000
+    assert stats.max_bucket == 10_000

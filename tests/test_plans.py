@@ -122,3 +122,26 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(m" in plan
     assert back.count() == 1000 // 12 + (1 if 3 < 1000 % 12 else 0)
+
+
+def test_lsh_verified_no_block_selfjoin(spark):
+    """The verify stage must join documents to the candidate relation
+    on doc_id equality — never a within-block documents self-join and
+    never a cartesian pair-forming term. (The 4-row VALUES band
+    expansion legitimately prints as a Cross BroadcastNestedLoopJoin;
+    what must NOT appear is a nested-loop join whose condition forms
+    doc pairs, i.e. references doc_id.)"""
+    plan = _plan(spark, "dedup_lsh_verified")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "doc_id" not in line, line
+    opt = _optimized(spark, "dedup_lsh_verified")
+    # no join keyed on (lang, len_bucket) blocking anywhere
+    assert "len_bucket" not in opt
+
+
+def test_embedding_lsh_is_equijoin(spark):
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
