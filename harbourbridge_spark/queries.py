@@ -805,9 +805,29 @@ _register_template(
 
 
 @register(
-    "multimodal_features", None,
-    "Binary media columns -> Arrow-batched decode/feature plumbing "
-    "(decode stubbed; rows-only check)")
+    "multimodal_features",
+    """
+    WITH feats AS (
+        SELECT doc_id AS media_id, 'image' AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS content_sha
+        FROM documents
+    )
+    SELECT media_id, kind, n_bytes, content_sha,
+           (CASE WHEN ascii(substr(content_sha, 1, 1)) >= 97
+                 THEN ascii(substr(content_sha, 1, 1)) - 87
+                 ELSE ascii(substr(content_sha, 1, 1)) - 48 END) * 16
+           + (CASE WHEN ascii(substr(content_sha, 2, 1)) >= 97
+                   THEN ascii(substr(content_sha, 2, 1)) - 87
+                   ELSE ascii(substr(content_sha, 2, 1)) - 48 END)
+               AS f0_byte
+    FROM feats
+    """,
+    "Binary media columns -> Arrow-batched decode/feature plumbing. "
+    "The stub decoder's features are sha256-derived, so the whole "
+    "Python/Arrow path (mapInPandas batches, binary columns, float "
+    "array output) is oracle-checkable: DuckDB recomputes the digest "
+    "and first feature byte in SQL")
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.multimodal import extract_features
     docs = load(spark, sf_dir, "documents")
@@ -820,8 +840,12 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(None).cast("int").alias("height"),
                  F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "content_sha",
-                        F.round(F.element_at("feature", 1), 6).alias("f0"))
+    # f0_byte inverts the stub's b/255.0 (float32-exact: *255 rounds
+    # back to the integer byte), proving the Arrow float-array slot
+    return feats.select(
+        "media_id", "kind", "n_bytes", "content_sha",
+        F.round(F.element_at("feature", 1) * 255).cast("long")
+        .alias("f0_byte"))
 
 
 # ---------------------------------------------------------------------------
