@@ -595,6 +595,102 @@ def _scalar_casts_sql(engine: str) -> str:
     return t
 
 
+_ROW_TRANSFORM_GOLDENS = [
+    # (family, input, ok, value_str) — expected outputs FROZEN from the
+    # reference semantics; the Spark side recomputes through the real
+    # convert.py expressions, so any converter regression trips the gate
+    ("pg_bytes", r"\x68690a", True, "68690A"),          # D6 hex decode
+    ("pg_bytes", "nothex", False, None),                # D6 missing \x
+    ("mysql_bytes", "A", True, "41"),                   # D6 raw bytes
+    ("pg_ts", "2019-10-28 15:00:00", True,
+     "2019-10-28 15:00:00"),                            # D11 naive
+    ("pg_ts", "2019-10-28 15:00:00.123457", True,
+     "2019-10-28 15:00:00.123457"),                     # D11 fractional
+    ("pg_ts", "2019-10-28 15:00:00+05:30", True,
+     "2019-10-28 09:30:00"),                            # D11 zoned -> UTC
+    ("pg_ts", "not-a-ts", False, None),                 # D11 malformed
+    ("mysql_ts", "2020-07-20 05:10:26", True,
+     "2020-07-19 23:40:26"),                            # D12 +05:30 offset
+    ("mysql_dt", "2020-07-20 05:10:26", True,
+     "2020-07-20 05:10:26"),                            # D12 datetime naive
+    ("pg_int_array", "{1,2,3}", True, "1|2|3"),         # D13
+    ("pg_str_array", '{"a,b",c,NULL}', True, "a,b|c|␀"),  # D13 quoted
+    ("pg_int_array", "{1,bad}", False, None),           # D13 elem cast fail
+    ("pg_str_array", '{ok,"unterm}', False, None),      # D13 bad quote
+    ("mysql_set", "a,b,c", True, "a|b|c"),              # D14
+]
+
+
+@register(
+    "row_transform_goldens",
+    """
+    SELECT * FROM (VALUES {values}) AS t(family, x, ok, value_str)
+    """.format(values=", ".join(
+        "('{}', '{}', {}, {})".format(
+            f, x.replace("'", "''"),
+            "true" if ok else "false",
+            "'" + v + "'" if v is not None else "CAST(NULL AS VARCHAR)")
+        for f, x, ok, v in _ROW_TRANSFORM_GOLDENS)),
+    "D6/D11/D12/D13/D14 row-transform golden matrix: bytes hex decode, "
+    "the pg timestamp chain, mysql offset timestamps, array literal "
+    "parsing (quoted commas, quarantine), SET parsing — Spark side runs "
+    "the production convert.py expressions against frozen expectations")
+def q_row_transform_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import types as tt
+    from .convert import _mysql_set_expr, _pg_array_expr, _scalar_expr
+    # the convert.py expressions are written for default literal escaping
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def scalar(family, dialect, t, tz="+00:00", src_type=""):
+        rows = [(f, x) for f, x, _, _ in _ROW_TRANSFORM_GOLDENS
+                if f == family]
+        df = spark.createDataFrame(rows, "family string, x string")
+        v = _scalar_expr(F.col("x"), tt.Type(t), dialect, tz, src_type)
+        if t == tt.BYTES:
+            vs = F.hex(v)
+        else:
+            vs = v.cast("string")
+        return df.select("family", "x", v.isNotNull().alias("ok"),
+                         F.when(v.isNotNull(), vs).alias("value_str"))
+
+    def array(family, elem_t):
+        rows = [(f, x) for f, x, _, _ in _ROW_TRANSFORM_GOLDENS
+                if f == family]
+        df = spark.createDataFrame(rows, "family string, x string")
+        v, err = _pg_array_expr("x", tt.Type(elem_t), "postgres", "+00:00")
+        joined = F.array_join(
+            F.transform(v, lambda e: e.cast("string")), "|", "␀")
+        return df.select("family", "x", (~err).alias("ok"),
+                         F.when(~err, joined).alias("value_str"))
+
+    def mysql_set(family):
+        rows = [(f, x) for f, x, _, _ in _ROW_TRANSFORM_GOLDENS
+                if f == family]
+        df = spark.createDataFrame(rows, "family string, x string")
+        v, err = _mysql_set_expr("x")
+        return df.select("family", "x", (~err).alias("ok"),
+                         F.when(~err, F.array_join(v, "|", "␀"))
+                         .alias("value_str"))
+
+    parts = [
+        scalar("pg_bytes", "postgres", tt.BYTES),
+        scalar("mysql_bytes", "mysql", tt.BYTES),
+        scalar("pg_ts", "postgres", tt.TIMESTAMP),
+        scalar("mysql_ts", "mysql", tt.TIMESTAMP, tz="+05:30",
+               src_type="timestamp"),
+        scalar("mysql_dt", "mysql", tt.TIMESTAMP, tz="+05:30",
+               src_type="datetime"),
+        array("pg_int_array", tt.INT64),
+        array("pg_str_array", tt.STRING),
+        mysql_set("mysql_set"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _props_inference_sql(engine: str) -> str:
     """S22/S23 + D16 over events.props: per JSON field, presence and
     NUMERIC-fit vote counts with the reference's inference decision
