@@ -32,6 +32,12 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "rollup_region_revenue",
     "orphan_check_lineitem",
     "events_windowed_agg",
     "text_quality",

@@ -409,6 +409,241 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS volume
+    FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    "TPC-H Q7-style volume shipping: two dimension chains (supplier- "
+    "and customer-side nations) both broadcast; cross-nation filter; "
+    "one shuffle on the 3-part group key")
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(price * (1 - disc)).cast("double").alias("volume")))
+
+
+@register(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue_d
+        FROM customer c
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R'
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(revenue_d AS DOUBLE) AS revenue, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue_d DESC,
+                                       c_custkey) AS rk
+          FROM rev)
+    WHERE rk <= 20
+    """,
+    "TPC-H Q10-style returned-item report: semi-selective fact filter "
+    "pushed to the scan, broadcast dims, exact-decimal global rank "
+    "with deterministic tie-break")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = (l.join(o, l.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(price * (1 - disc)).alias("revenue_d")))
+    w = Window.orderBy(F.col("revenue_d").desc(), F.col("c_custkey"))
+    return (rev.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 20)
+            .select("c_custkey", "c_name",
+                    F.col("n_name").alias("nation"),
+                    F.col("revenue_d").cast("double").alias("revenue"),
+                    "rk"))
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           COALESCE(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2))) END)
+                AS DOUBLE), 0.0) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY year(l.l_shipdate)
+    """,
+    "TPC-H Q14-style promotion effect: conditional aggregation over a "
+    "broadcast part join; NULL-else CASE avoids cross-engine decimal "
+    "type unification")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = price * (1 - disc)
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                    .cast("double"), F.lit(0.0)).alias("promo_revenue"),
+                 F.sum(rev).cast("double").alias("total_revenue")))
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_price,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "TPC-H Q18-style large-volume orders: HAVING pre-aggregation "
+    "shrinks the fact side before the order/customer joins")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (l.groupBy("l_orderkey").agg(F.sum(qty).alias("total_qty"))
+           .where(F.col("total_qty") > 120))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_date"),
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    .cast("double").alias("total_price"),
+                    F.col("total_qty").cast("double").alias("total_qty")))
+
+
+@register(
+    "q19_bracket_revenue",
+    """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 40)
+    """,
+    "TPC-H Q19-style OR-of-ANDs bracket predicate spanning both join "
+    "sides: per-side conjuncts still push to the scans, the residual "
+    "evaluates post-join")
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    qty, size = F.col("l_quantity"), F.col("p_size")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15)
+         & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & size.between(10, 30)
+           & qty.between(10, 30))
+        | ((F.col("p_type") == "PROMO") & size.between(20, 50)
+           & (qty >= 40)))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .where(bracket)
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(price * (1 - disc)).cast("double").alias("revenue")))
+
+
+@register(
+    "rollup_region_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "Hierarchical ROLLUP totals (region -> nation -> grand total) over "
+    "the star join: the multi-level aggregate a reporting layer runs")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("s_suppkey", "r_name", "n_name"))
+    return (l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+            .rollup(F.col("r_name").alias("region_name"),
+                    F.col("n_name").alias("nation_name"))
+            .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
     "orphan_check_lineitem",
     """
     SELECT COUNT(*) AS n_orphans,
