@@ -726,6 +726,44 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("n_users")))
 
 
+@register(
+    "event_funnel",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        FROM events
+    )
+    SELECT a.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(b.sec - a.sec) AS min_delay_s,
+           MAX(b.sec - a.sec) AS max_delay_s
+    FROM e a JOIN e b ON b.user_id = a.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.sec > a.sec AND b.sec <= a.sec + 1800
+    GROUP BY a.user_id
+    """,
+    "Funnel attribution (click -> purchase within 30 min) as a range "
+    "join: user_id equi-join + time-bound residual, per-user stats. "
+    "Batch twin of streaming.correlate_events (stream-stream interval "
+    "join); exact integer-second arithmetic on the raw ns column")
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts div 1000000000").alias("sec"))
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("sec").alias("a_sec"))
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("sec").alias("b_sec"))
+    return (a.join(b, (F.col("a_user") == F.col("b_user"))
+                   & (F.col("b_sec") > F.col("a_sec"))
+                   & (F.col("b_sec") <= F.col("a_sec") + 1800))
+            .groupBy(F.col("a_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min(F.col("b_sec") - F.col("a_sec")).alias("min_delay_s"),
+                 F.max(F.col("b_sec") - F.col("a_sec")).alias("max_delay_s")))
+
+
 # ---------------------------------------------------------------------------
 # Conversion-semantics queries: T8 identifier legalization, D5-D11
 # scalar conversions, S22/S23+D16 JSON field inference, and the T1-T3

@@ -70,6 +70,43 @@ def dedup_events(stream: DataFrame, watermark: str = "10 minutes",
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
 
+def correlate_events(stream: DataFrame, first_type: str = "click",
+                     then_type: str = "purchase",
+                     max_delay: str = "30 minutes",
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join (funnel attribution): each
+    ``first_type`` event pairs with every ``then_type`` event of the
+    same user that follows within ``max_delay``. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store evicts a buffered row as soon as the opposite
+    stream's watermark passes its match horizon — state is
+    O(events within the delay window), not unbounded.
+
+    Batch twin: queries.event_funnel (oracle-checked)."""
+    base = stream
+    if "event_time" not in base.columns:
+        base = base.withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    a = (base.where(F.col("event_type") == first_type)
+         .select(F.col("user_id").alias("a_user"),
+                 F.col("event_id").alias("first_id"),
+                 F.col("event_time").alias("first_time"))
+         .withWatermark("first_time", watermark))
+    b = (base.where(F.col("event_type") == then_type)
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("event_id").alias("then_id"),
+                 F.col("event_time").alias("then_time"))
+         .withWatermark("then_time", watermark))
+    return (a.join(
+        b,
+        F.expr(f"a_user = b_user AND then_time > first_time "
+               f"AND then_time <= first_time + INTERVAL {max_delay}"),
+        "inner")
+        .select(F.col("a_user").alias("user_id"), "first_id", "then_id",
+                "first_time", "then_time"))
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.DoubleType()),

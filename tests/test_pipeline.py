@@ -231,3 +231,38 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert stats.n_capped_buckets == 4  # one degenerate bucket per band
     assert stats.n_docs_in_capped == 40_000
     assert stats.max_bucket == 10_000
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """correlate_events (stream-stream interval join) must produce
+    exactly the pairs of the batch range join on the same data."""
+    from harbourbridge_spark.streaming.events import (correlate_events,
+                                                      event_stream)
+    rows = [
+        # user 1: click at t=0, purchases at +10min (match) and +40min (no)
+        (1, int(1000e9), 1, "click", 1.0, "{}"),
+        (2, int(1600e9), 1, "purchase", 5.0, "{}"),
+        (3, int(3500e9), 1, "purchase", 5.0, "{}"),
+        # user 2: purchase BEFORE the click -> no pair
+        (4, int(900e9), 2, "purchase", 2.0, "{}"),
+        (5, int(1000e9), 2, "click", 1.0, "{}"),
+        # user 3: two clicks, one purchase within range of both
+        (6, int(1000e9), 3, "click", 1.0, "{}"),
+        (7, int(1100e9), 3, "click", 1.0, "{}"),
+        (8, int(1500e9), 3, "purchase", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    d = str(tmp_path / "events")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    out = (correlate_events(event_stream(spark, d))
+           .writeStream.format("memory").queryName("funnel_pairs")
+           .outputMode("append").start())
+    try:
+        out.processAllAvailable()
+        got = sorted((r.first_id, r.then_id) for r in
+                     spark.sql("SELECT * FROM funnel_pairs").collect())
+    finally:
+        out.stop()
+    assert got == [(1, 2), (6, 8), (7, 8)]

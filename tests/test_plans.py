@@ -145,3 +145,28 @@ def test_embedding_lsh_is_equijoin(spark):
     plan = _plan(spark, "dedup_embedding_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_dimension_chains_broadcast(spark):
+    """Both nation dimension chains broadcast; the only sort-merge
+    join allowed is fact-to-orders (both large)."""
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_filter_pushed_and_rank_bounded(spark):
+    plan = _plan(spark, "q10_returned_items")
+    # the returnflag filter reaches the parquet scan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # global rank is a single window after aggregation, no self-join
+    assert "Window" in plan
+
+
+def test_q19_bracket_pushes_per_side_conjuncts(spark):
+    """OR-of-ANDs: the disjunction of part-side conjuncts should still
+    reach the part scan as a pushed filter (Or(...)), and the
+    lineitem side gets its own Or() pushdown."""
+    plan = _plan(spark, "q19_bracket_revenue")
+    assert plan.count("PushedFilters: [") >= 2
+    assert "Or(" in plan
