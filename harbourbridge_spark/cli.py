@@ -29,11 +29,15 @@ from .sink import write_bad_data, write_table
 from .sources import mysqldump, pgdump
 
 
-def migrate_dump(spark: SparkSession, dump_path: str, dialect: str,
+def migrate_dump(spark: SparkSession, dump_path, dialect: str,
                  out_dir: str,
-                 ctx: Optional[MigrationContext] = None) -> MigrationContext:
-    """Full dump migration into ``out_dir``: parquet tables + schema
-    file + session file + report + dropped-row samples."""
+                 ctx: Optional[MigrationContext] = None,
+                 target: str = "parquet") -> MigrationContext:
+    """Full dump migration into ``out_dir``: tables (parquet, or a
+    sqlite database via the batched K1/K2 writer) + schema file +
+    session file + report + dropped-row samples. ``dump_path`` may be
+    a single path or a list (sharded dumps stage through one shared
+    writer)."""
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
     if dialect == "postgres":
@@ -49,14 +53,27 @@ def migrate_dump(spark: SparkSession, dump_path: str, dialect: str,
     with open(os.path.join(out_dir, "session.json"), "w") as f:
         f.write(ctx.to_json())
 
+    db_path = os.path.join(out_dir, "migrated.db")
     for src_table, result in results.items():
         tgt = ctx.to_target[src_table]["name"]
-        write_table(ctx, result.good, tgt,
-                    os.path.join(out_dir, f"{tgt}.parquet"))
+        wstats = None
+        if target == "sqlite":
+            from .sink import write_table_to_sqlite
+            wstats = write_table_to_sqlite(ctx, result.good, tgt, db_path)
+        else:
+            write_table(ctx, result.good, tgt,
+                        os.path.join(out_dir, f"{tgt}.parquet"))
         n_bad = write_bad_data(
             result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
-        # observations populated by the writes above (A1/A8)
-        result.record_stats(ctx, src_table)
+        if wstats is not None:
+            # foreachPartition is an RDD action — observations never
+            # fire; take the counts from the writer's accumulators
+            result.record_stats(ctx, src_table,
+                                good_n=wstats.rows_written,
+                                bad_n=n_bad + wstats.rows_dropped)
+        else:
+            # observations populated by the writes above (A1/A8)
+            result.record_stats(ctx, src_table)
         if n_bad == 0:
             os.remove(os.path.join(out_dir, f"{tgt}.dropped.txt"))
 
@@ -77,10 +94,16 @@ def main(argv: Optional[list[str]] = None) -> int:
     p = argparse.ArgumentParser(
         description="Migrate a pg_dump/mysqldump file to typed parquet "
                     "tables with a Spanner-style target schema.")
-    p.add_argument("dump", help="path to the dump file")
+    p.add_argument("dump", nargs="+",
+                   help="path(s) to the dump file(s); a table's rows "
+                        "may span files (sharded dumps)")
     p.add_argument("--dialect", choices=["postgres", "mysql"],
                    default="postgres")
     p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--target", choices=["parquet", "sqlite"],
+                   default="parquet",
+                   help="table sink: parquet files, or a sqlite "
+                        "database through the batched K1/K2 writer")
     p.add_argument("--cpus", default="8")
     p.add_argument("--session", help="resume from a session.json "
                    "(schema edits preserved; data-only mode)")
@@ -97,7 +120,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     if args.session:
         with open(args.session) as f:
             ctx = MigrationContext.from_json(f.read())
-    final = migrate_dump(spark, args.dump, args.dialect, args.out, ctx)
+    dumps = args.dump[0] if len(args.dump) == 1 else args.dump
+    final = migrate_dump(spark, dumps, args.dialect, args.out, ctx,
+                         target=args.target)
     print(open(os.path.join(args.out, "report.txt")).read()[:2000])
     spark.stop()
     return 0 if final.bad_rows() == 0 else 1

@@ -364,13 +364,23 @@ class ConversionResult:
     obs_good: "object" = None   # pyspark Observation (A1/A8)
     obs_bad: "object" = None
 
-    def record_stats(self, ctx: MigrationContext, src_table: str) -> None:
+    def record_stats(self, ctx: MigrationContext, src_table: str,
+                     good_n: "Optional[int]" = None,
+                     bad_n: "Optional[int]" = None) -> None:
         """Harvest observe() counters into ctx stats after the caller
         has run an action on both frames (A1, internal/convert.go:310-330;
         replaces the reference's per-row counters with zero-extra-job
-        Spark observations)."""
-        good_n = self.obs_good.get["rows"] if self.obs_good else None
-        bad_n = self.obs_bad.get["rows"] if self.obs_bad else None
+        Spark observations).
+
+        Pass explicit counts when the sink ran an RDD-level action
+        (e.g. foreachPartition in the batch writer): those do not fire
+        the SQL CollectMetrics listener, so Observation.get would block
+        forever waiting for it.
+        """
+        if good_n is None:
+            good_n = self.obs_good.get["rows"] if self.obs_good else None
+        if bad_n is None:
+            bad_n = self.obs_bad.get["rows"] if self.obs_bad else None
         if good_n is not None:
             ctx.stats_add_good_row(src_table, good_n)
         if bad_n is not None:
