@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_keep_first",
     "vocab_topk",
+    "doc_chunks",
     "corpus_curation",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",

@@ -195,6 +195,76 @@ def vocab_topk_sql(engine: str, k: int = 10) -> str:
     return render(t, engine)
 
 
+def chunk_documents_sql(engine: str, size: int = 64,
+                        overlap: int = 16) -> str:
+    """Document chunking for training pipelines: fixed-size token
+    windows with overlap. Token split bound once per row; chunk ids
+    explode from an integer sequence; each chunk is an array slice —
+    all JVM/vectorized, no UDFs. Work and output are linear in total
+    token count (each token lands in <= size/stride chunks)."""
+    stride = size - overlap
+    toks = render(TOKENS, engine)
+    if engine == "spark":
+        n_chunks = f"greatest(1, (size(t) - {overlap} + {stride} - 1) div {stride})"
+        chunk = f"slice(t, chunk_id * {stride} + 1, {size})"
+    else:
+        n_chunks = f"greatest(1, (len(t) - {overlap} + {stride} - 1) // {stride})"
+        chunk = (f"list_slice(t, chunk_id * {stride} + 1, "
+                 f"chunk_id * {stride} + {size})")
+    t = f"""
+    WITH toks AS (
+        SELECT doc_id, {toks} AS t FROM documents
+    ), ids AS (
+        SELECT doc_id, t,
+               {{explode}}({{seq}}(0, {n_chunks} - 1)) AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST({{alen}}({chunk}) AS BIGINT) AS n_chunk_tokens,
+           {{ajoin}}({chunk}, ' ') AS chunk_text
+    FROM ids
+    """
+    return render(t, engine)
+
+
+# crafted PII corpus for the redaction golden (emails/phones do not
+# occur in the synthetic documents, so the oracle runs on VALUES)
+_PII_CASES = [
+    "contact me at alice.smith@example.com for details",
+    "two mails: a@b.io and c.d+tag@sub.domain.org here",
+    "call +1-555-123-4567 after 5pm",
+    "mixed bob@corp.net or +44 20 7946 0958 anytime",
+    "no pii in this row at all",
+]
+
+
+def redact_pii_sql(engine: str) -> str:
+    """PII scrubbing (emails, phone numbers) as pure regexp
+    projections — the pre-training redaction pass. The golden VALUES
+    corpus checks Java-regex vs RE2 parity of the patterns (the risk
+    area); counts come from regexp_extract_all lengths."""
+    email = r"'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+'"
+    phone = r"'\+[0-9][0-9()\- ]+[0-9]'"
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(_PII_CASES))
+    if engine == "spark":
+        red = (f"regexp_replace(regexp_replace(text, {email}, '<EMAIL>'), "
+               f"{phone}, '<PHONE>')")
+    else:
+        # DuckDB regexp_replace is first-match unless 'g'
+        red = (f"regexp_replace(regexp_replace(text, {email}, '<EMAIL>', "
+               f"'g'), {phone}, '<PHONE>', 'g')")
+    t = f"""
+    SELECT row_id,
+           {red} AS redacted,
+           CAST({{alen}}(regexp_extract_all(text, {email}, 0)) AS BIGINT)
+               AS n_emails,
+           CAST({{alen}}(regexp_extract_all(text, {phone}, 0)) AS BIGINT)
+               AS n_phones
+    FROM (VALUES {values}) AS t(row_id, text)
+    """
+    return render(t, engine)
+
+
 def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     """Execute a dual-engine template on Spark over the fixture views."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")

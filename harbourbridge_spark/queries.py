@@ -1107,6 +1107,16 @@ _register_template(
     "The dedup removal step: representative (min doc_id) per exact-"
     "content group via a window min over the 48-bit hash")
 _register_template(
+    "doc_chunks", _text.chunk_documents_sql,
+    "Document chunking: fixed-size token windows with overlap (the "
+    "pre-training chunker) — bound token split, integer chunk ids, "
+    "array slices; linear in token count")
+_register_template(
+    "redact_pii", _text.redact_pii_sql,
+    "PII redaction (emails/phones) as regexp projections over a "
+    "golden corpus — checks Java-regex vs RE2 pattern parity",
+    tables=())
+_register_template(
     "vocab_topk", _text.vocab_topk_sql,
     "Top-10 vocabulary per language: explode -> count -> window rank "
     "(deterministic tie-break)")
