@@ -107,3 +107,62 @@ def test_copy_escape_roundtrip(v):
     s = _copy_escape(v)
     assert "\t" not in s and "\n" not in s and "\x00" not in s
     assert _copy_decode(s) == v.replace("\x00", "")
+
+
+# ---------------------------------------------------------------------------
+# pg array literal: random corpora through BOTH parsers (the JVM
+# expression and the python reference) must agree exactly
+# ---------------------------------------------------------------------------
+
+def _render_pg_array(elems):
+    """pg array_out: quote an element if it is empty, 'NULL', or has
+    structural characters; escape backslash and double-quote."""
+    parts = []
+    for e in elems:
+        if e is None:
+            parts.append("NULL")
+            continue
+        needs_quote = (e == "" or e.upper() == "NULL"
+                       or any(c in e for c in '{},"\\ \t\n'))
+        if needs_quote:
+            parts.append('"' + e.replace("\\", "\\\\")
+                         .replace('"', '\\"') + '"')
+        else:
+            parts.append(e)
+    return "{" + ",".join(parts) + "}"
+
+
+def test_pg_array_jvm_parser_matches_python_reference(spark):
+    import random
+    from harbourbridge_spark import types as tt
+    from harbourbridge_spark.convert import (_pg_array_expr,
+                                             parse_pg_array_literal)
+
+    rng = random.Random(20240813)
+    alphabet = list("abcXYZ019 ,\"\\{}'\t\u00e9\u4e2d")
+    corpora = []
+    for _ in range(250):
+        n = rng.randint(0, 5)
+        elems = []
+        for _ in range(n):
+            if rng.random() < 0.1:
+                elems.append(None)
+            elif rng.random() < 0.1:
+                elems.append("NULL")
+            else:
+                elems.append("".join(rng.choice(alphabet)
+                                     for _ in range(rng.randint(0, 8))))
+        corpora.append(elems)
+
+    lits = [_render_pg_array(e) for e in corpora]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lits)],
+                               "i int, v string")
+    val, err = _pg_array_expr("v", tt.Type(tt.STRING), "postgres", "+00:00")
+    got = {r.i: (r.arr, r.err) for r in
+           df.select("i", val.alias("arr"), err.alias("err")).collect()}
+    for i, (elems, lit) in enumerate(zip(corpora, lits)):
+        want = parse_pg_array_literal(lit)
+        assert want == elems, (lit, want)   # renderer sanity
+        arr, e = got[i]
+        assert e is False, (lit, arr)
+        assert arr == elems, (lit, arr, elems)
