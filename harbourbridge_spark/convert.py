@@ -118,6 +118,35 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
     return c.cast("string")
 
 
+def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
+                   tz_offset: str) -> Column:
+    """Column form of the scalar cast for array elements (D13 element
+    semantics; mirrors _elem_cast_sql)."""
+    if t.name == tt.BOOL:
+        return x.try_cast("boolean")
+    if t.name == tt.BYTES:
+        if dialect == "postgres":
+            return (F.when(x.startswith("\\x"),
+                           F.unhex(x.substr(F.lit(3), F.length(x))))
+                    .otherwise(F.lit(None).cast("binary")))
+        return x.try_cast("binary")
+    if t.name == tt.DATE:
+        return x.try_cast("date")
+    if t.name == tt.FLOAT64:
+        return x.try_cast("double")
+    if t.name == tt.INT64:
+        return (F.when(x.rlike(r"^[+-]?[0-9]+$"), x.try_cast("long"))
+                .otherwise(F.lit(None).cast("long")))
+    if t.name == tt.NUMERIC:
+        return x.try_cast(
+            f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})")
+    if t.name == tt.TIMESTAMP:
+        if dialect == "mysql":
+            return F.concat(x, F.lit(tz_offset)).try_cast("timestamp")
+        return x.try_cast("timestamp")
+    return x.cast("string")
+
+
 def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
                    tz_offset: str) -> tuple[Column, Column]:
     """D13 (postgres/data.go:242-383): parse a pg array literal
@@ -134,42 +163,52 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
     error instead of converting wrong. strict_pg_array_expr remains as
     the Arrow-batched exactness belt (strict_arrays=True).
 
+    Built entirely with the Column API (no F.expr SQL strings), so the
+    semantics cannot shift with spark.sql.parser.escapedStringLiterals
+    — several dual-engine templates legitimately flip that conf in a
+    shared session.
+
     Returns (value_expr, err_expr).
     """
-    q = name
-    inner = f"substring({q}, 2, length({q}) - 2)"
+    q = F.col(name)
+    inner = q.substr(F.lit(2), F.length(q) - 2)
     # one token = quoted element (escapes allowed inside) or non-comma run
-    tok_pat = r'"(?:[^"\\\\]|\\\\.)*"|[^,]+'
-    raw = f"regexp_extract_all({inner}, '{tok_pat}', 0)"
-    # per element: unquoted NULL (exactly) is a NULL element; quoted
-    # "NULL" is the string; quoted elements get unescaped (\" and \\)
-    elem_case = (
-        "CASE WHEN x = 'NULL' THEN CAST(NULL AS STRING) "
-        "WHEN x RLIKE '^\".*\"$' THEN "
-        "replace(replace(substring(x, 2, length(x) - 2), "
-        r"'\\\"', '\"'), "
-        r"'\\\\', '\\') "
-        "ELSE x END")
-    elems = f"transform({raw}, x -> {elem_case})"
+    raw = F.regexp_extract_all(
+        inner, F.lit(r'"(?:[^"\\]|\\.)*"|[^,]+'), F.lit(0))
+    nul = F.lit("\x00")
 
+    def unescape(x: Column) -> Column:
+        # park escaped backslashes on a NUL sentinel first (NUL cannot
+        # appear in pg text), then unescape quotes, then restore
+        body = x.substr(F.lit(2), F.length(x) - 2)
+        body = F.replace(body, F.lit("\\\\"), nul)
+        body = F.replace(body, F.lit('\\"'), F.lit('"'))
+        return F.replace(body, nul, F.lit("\\"))
+
+    def decode_tok(x: Column) -> Column:
+        return (F.when(x == "NULL", F.lit(None).cast("string"))
+                .when(x.rlike(r'^".*"$'), unescape(x))
+                .otherwise(x))
+
+    elems = F.transform(raw, decode_tok)
     elem_t = tt.Type(elem.name, elem.length)
-    cast_sql = _elem_cast_sql(elem_t, dialect, tz_offset)
-    typed = (f"CASE WHEN {q} IS NULL THEN NULL "
-             f"WHEN {q} = '{{}}' THEN array() "
-             f"WHEN {q} RLIKE '^\\\\{{.*\\\\}}$' THEN "
-             f"transform({elems}, x -> {cast_sql}) "
-             f"ELSE NULL END")
+    typed = F.transform(elems, lambda x: _cast_elem_col(
+        x, elem_t, dialect, tz_offset))
+    shaped = q.rlike(r"^\{.*\}$")
+    value = (F.when(q.isNull(), F.lit(None))
+             .when(shaped, typed)            # '{}' tokenizes to []
+             .otherwise(F.lit(None)))
     # error: literal malformed, a token opens a quote without closing it
     # (the tokenizer would silently keep it raw), or an element failed
     # its cast (the empty literal '{}' is valid, no elements to check)
-    bad_quote = (f"exists({raw}, x -> x RLIKE '^\"' "
-                 f"AND NOT x RLIKE '^\".*\"$')")
-    err = (f"({q} IS NOT NULL AND {q} != '{{}}' AND ("
-           f"NOT ({q} RLIKE '^\\\\{{.*\\\\}}$') "
-           f"OR {bad_quote} "
-           f"OR exists(zip_with({elems}, {typed}, (s, v) -> "
-           f"s IS NOT NULL AND v IS NULL), b -> b)))")
-    return F.expr(typed), F.expr(err)
+    bad_quote = F.exists(
+        raw, lambda x: x.rlike('^"') & ~x.rlike(r'^".*"$'))
+    err = (q.isNotNull() & (q != "{}")
+           & (~shaped | bad_quote
+              | F.exists(F.zip_with(elems, typed,
+                                    lambda s, v: s.isNotNull() & v.isNull()),
+                         lambda b: b)))
+    return value, err
 
 
 def _elem_cast_sql(t: tt.Type, dialect: str, tz_offset: str) -> str:

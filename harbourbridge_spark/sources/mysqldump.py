@@ -50,15 +50,19 @@ _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
 # ---------------------------------------------------------------------------
 
 def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
-    """Yield statements split on top-level ';', honoring MySQL quoting.
-    DELIMITER blocks (stored programs) are skipped entirely (S12a)."""
-    buf: list[str] = []
+    """Yield statements split at every top-level ';' (mid-line splits
+    included), honoring MySQL quoting. DELIMITER blocks (stored
+    programs) are skipped entirely (S12a). One trailing CR per line is
+    stripped (CRLF dumps)."""
+    parts: list[str] = []
     in_squote = in_dquote = in_backtick = False
     delimiter_mode = False
     for raw in stream:
         line = raw.rstrip("\n")
+        if line.endswith("\r"):
+            line = line[:-1]
         stripped = line.strip()
-        if not buf and not (in_squote or in_dquote):
+        if not parts and not (in_squote or in_dquote):
             if not stripped or stripped.startswith("--") or stripped.startswith("#"):
                 continue
             up = stripped.upper()
@@ -70,8 +74,9 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
                 continue
             if delimiter_mode:
                 continue
-        buf.append(line)
+        seg_start = 0
         i = 0
+        comment_tail = False
         while i < len(line):
             ch = line[i]
             if in_squote:
@@ -98,14 +103,22 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
                 elif ch == "`":
                     in_backtick = True
                 elif ch == "-" and line.startswith("-- ", i):
+                    comment_tail = True
                     break
+                elif ch == ";":
+                    segment = line[seg_start:i + 1]
+                    yield "\n".join(parts + [segment]) if parts \
+                        else segment
+                    parts = []
+                    seg_start = i + 1
             i += 1
-        if (not in_squote and not in_dquote and not in_backtick
-                and stripped.endswith(";")):
-            yield "\n".join(buf)
-            buf = []
-    if buf and any(l.strip() for l in buf):
-        yield "\n".join(buf)
+        tail = line[seg_start:]
+        if comment_tail or parts or tail.strip() \
+                or in_squote or in_dquote:
+            if parts or tail.strip() or in_squote or in_dquote:
+                parts.append(tail)
+    if parts and any(p.strip() for p in parts):
+        yield "\n".join(parts)
 
 
 def _unwrap_conditional(stmt: str) -> str:

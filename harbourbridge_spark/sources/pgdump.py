@@ -60,7 +60,8 @@ from ..types import SourceType
 _NAME = r'(?:[\w]+\.)?"[^"]+"|[\w\".]+'
 
 COPY_RE = re.compile(
-    rf"^COPY\s+(?P<table>{_NAME})\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin;\s*$",
+    rf"^COPY\s+(?P<table>{_NAME})\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin"
+    r"\s*;\s*$",
     re.IGNORECASE)
 
 
@@ -81,45 +82,64 @@ class CopyBlock:
 def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
     """Yield SQL statements from a pg_dump stream; COPY data blocks are
     handed to ``on_copy(CopyBlock)`` inline (they must be consumed
-    before the iterator resumes)."""
-    buf: list[str] = []
+    before the iterator resumes).
+
+    Statements split at every top-level semicolon — including several
+    statements on ONE line (pg_dump doesn't emit those, but hand-edited
+    and tool-generated dumps do; the reference's parser handles them,
+    postgres/pgdump_test.go "Multiple statements on one line"). CRLF
+    dumps are normalized by stripping one trailing CR per line — the
+    COPY terminator ``\\.\\r`` otherwise reads as a data row and every
+    last column gains a carriage return."""
+    parts: list[str] = []
     start_line = 1
     in_squote = False
     in_dollar: Optional[str] = None
     in_block_comment = False
     lineno = 0
     it = iter(stream)
+
+    def _read_copy_rows() -> Iterator[str]:
+        nonlocal lineno
+        for data_raw in it:
+            lineno += 1
+            data_line = data_raw.rstrip("\n")
+            if data_line.endswith("\r"):
+                data_line = data_line[:-1]
+            if data_line == "\\.":
+                return
+            yield data_line
+
+    def _try_copy(segment: str) -> bool:
+        """A fresh statement segment that is a COPY header: hand the
+        following data lines to on_copy. (pg format: data always starts
+        on the next physical line, so the header ends its line.)"""
+        m = COPY_RE.match(segment.strip())
+        if not m:
+            return False
+        table = _clean_name(m.group("table"))
+        cols = [_clean_name(c.strip()) for c in
+                m.group("cols").split(",") if c.strip()]
+        on_copy(CopyBlock(table, cols, lineno + 1, _read_copy_rows()))
+        return True
+
     for raw in it:
         lineno += 1
         line = raw.rstrip("\n")
+        if line.endswith("\r"):
+            line = line[:-1]
         stripped = line.strip()
-        if not buf and not in_block_comment:
+        if not parts and not in_block_comment:
             start_line = lineno
             if not stripped or stripped.startswith("--"):
                 continue
-        # COPY ... FROM stdin; starts a data block
-        if not buf and not in_squote and not in_dollar \
-                and not in_block_comment:
-            m = COPY_RE.match(stripped)
-            if m:
-                table = _clean_name(m.group("table"))
-                cols = [_clean_name(c.strip()) for c in
-                        m.group("cols").split(",") if c.strip()]
-
-                def _rows() -> Iterator[str]:
-                    nonlocal lineno
-                    for data_raw in it:
-                        lineno += 1
-                        data_line = data_raw.rstrip("\n")
-                        if data_line == "\\.":
-                            return
-                        yield data_line
-
-                on_copy(CopyBlock(table, cols, lineno + 1, _rows()))
+            if not in_squote and in_dollar is None and _try_copy(line):
                 continue
-        buf.append(line)
-        # scan for statement-terminating semicolon, tracking quotes,
-        # dollar quotes, and /* */ block comments
+        # scan for top-level semicolons, tracking quotes, dollar
+        # quotes, and /* */ block comments; split statements mid-line
+        seg_start = 0
+        copy_consumed = False
+        comment_tail = False
         i = 0
         while i < len(line):
             ch = line[i]
@@ -141,7 +161,8 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
                 if ch == "'":
                     in_squote = True
                 elif ch == "-" and line.startswith("--", i):
-                    break  # rest of line is a comment
+                    comment_tail = True
+                    break  # rest of line is a comment (kept as text)
                 elif ch == "/" and line.startswith("/*", i):
                     in_block_comment = True
                     i += 1
@@ -150,14 +171,28 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
                     if m:
                         in_dollar = m.group(0)
                         i += len(m.group(0)) - 1
+                elif ch == ";":
+                    segment = line[seg_start:i + 1]
+                    text = "\n".join(parts + [segment]) if parts \
+                        else segment
+                    yield Statement(text, start_line)
+                    parts = []
+                    seg_start = i + 1
+                    start_line = lineno
+                    rest = line[seg_start:]
+                    if rest.strip() and _try_copy(rest):
+                        copy_consumed = True
+                        break
             i += 1
-        if (not in_squote and in_dollar is None and not in_block_comment
-                and stripped.endswith(";")):
-            yield Statement("\n".join(buf), start_line)
-            buf = []
-        # string literals may span lines (keep accumulating)
-    if buf and any(l.strip() for l in buf):
-        yield Statement("\n".join(buf), start_line)
+        if copy_consumed:
+            continue
+        tail = line[seg_start:]
+        if comment_tail or parts or tail.strip() \
+                or in_squote or in_dollar is not None or in_block_comment:
+            if parts or tail.strip() or in_squote or in_dollar is not None:
+                parts.append(tail)
+    if parts and any(p.strip() for p in parts):
+        yield Statement("\n".join(parts), start_line)
 
 
 def strip_sql_comments(stmt: str) -> str:

@@ -188,3 +188,64 @@ def test_mysql_multi_file_dump_appends_and_continues_seq(spark, tmp_path):
     assert {r.v for r in rows} == {"alpha", "beta", "gamma", "delta"}
     synth = [r.synth_id for r in rows]
     assert len(set(synth)) == 4
+
+
+def test_multiple_statements_on_one_line(spark, tmp_path):
+    """pgdump_test.go 'Multiple statements on one line': the chunker
+    splits at every top-level semicolon, not just line ends."""
+    f = tmp_path / "oneline.sql"
+    f.write_text(
+        "CREATE TABLE t1 (a text, b text); CREATE TABLE t2 (c text);"
+        "ALTER TABLE ONLY t1 ADD CONSTRAINT t1_pkey PRIMARY KEY (a);"
+        "ALTER TABLE ONLY t2 ADD CONSTRAINT t2_pkey PRIMARY KEY (c);"
+        "INSERT INTO t1 VALUES ('x', 'y'); INSERT INTO t2 VALUES ('z');\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    assert sorted(ctx.src_schema) == ["t1", "t2"]
+    assert [k.column for k in ctx.src_schema["t1"].primary_keys] == ["a"]
+    assert [k.column for k in ctx.src_schema["t2"].primary_keys] == ["c"]
+    assert results["t1"].good.first().a == "x"
+    assert results["t2"].good.first().c == "z"
+
+
+def test_copy_crlf_and_midline_header(spark, tmp_path):
+    """pgdump_test.go 'COPY FROM with CRLF' + 'with spaces': CRLF rows
+    decode cleanly (the \\. terminator is not a data row, values carry
+    no trailing CR) and a COPY header may follow another statement on
+    the same line."""
+    f = tmp_path / "crlf.sql"
+    f.write_bytes(
+        b"CREATE TABLE test (a text NOT NULL, b text NOT NULL, n bigint);\r\n"
+        b"ALTER TABLE ONLY test ADD CONSTRAINT test_pkey PRIMARY KEY (a, b);"
+        b"COPY public.test (a, b, n) FROM stdin;\r\n"
+        b"a1 \t b1\t42\r\n"
+        b"a22\tb 99 \t6\r\n"
+        b"\\.\r\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    rows = sorted((r.a, r.b, r.n) for r in results["test"].good.collect())
+    assert rows == [("a1 ", " b1", 42), ("a22", "b 99 ", 6)]
+
+
+def test_copy_space_before_semicolon(spark, tmp_path):
+    f = tmp_path / "sp.sql"
+    f.write_text("CREATE TABLE test (a text, b text);\n"
+                 "COPY public.test (a, b) FROM stdin ;\n"
+                 "1\t2\n\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    assert results["test"].good.count() == 1
+
+
+def test_mysql_multiple_statements_on_one_line(spark, tmp_path):
+    f = tmp_path / "oneline.mysqldump"
+    f.write_text(
+        "CREATE TABLE `t1` (`a` bigint NOT NULL); "
+        "CREATE TABLE `t2` (`b` text);"
+        "ALTER TABLE t1 ADD CONSTRAINT t1_pkey PRIMARY KEY (a);\r\n"
+        "INSERT INTO `t1` VALUES (1); INSERT INTO `t2` VALUES ('z');\r\n")
+    ctx, results = mysqldump.migrate_mysql_dump(
+        spark, str(f), str(tmp_path / "staging"))
+    assert sorted(ctx.src_schema) == ["t1", "t2"]
+    assert results["t1"].good.first().a == 1
+    assert results["t2"].good.first().b == "z"
