@@ -121,7 +121,8 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
 def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
                    tz_offset: str) -> Column:
     """Column form of the scalar cast for array elements (D13 element
-    semantics; mirrors _elem_cast_sql)."""
+    semantics; shared by the JVM fast path and the strict Arrow
+    path)."""
     if t.name == tt.BOOL:
         return x.try_cast("boolean")
     if t.name == tt.BYTES:
@@ -211,31 +212,6 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
     return value, err
 
 
-def _elem_cast_sql(t: tt.Type, dialect: str, tz_offset: str) -> str:
-    """SQL text of the scalar cast for array elements (input: x)."""
-    if t.name == tt.BOOL:
-        return "TRY_CAST(x AS BOOLEAN)"
-    if t.name == tt.BYTES:
-        if dialect == "postgres":
-            return ("CASE WHEN x LIKE '\\\\x%' THEN unhex(substring(x, 3)) "
-                    "ELSE CAST(NULL AS BINARY) END")
-        return "TRY_CAST(x AS BINARY)"
-    if t.name == tt.DATE:
-        return "TRY_CAST(x AS DATE)"
-    if t.name == tt.FLOAT64:
-        return "TRY_CAST(x AS DOUBLE)"
-    if t.name == tt.INT64:
-        return ("CASE WHEN x RLIKE '^[+-]?[0-9]+$' THEN TRY_CAST(x AS BIGINT) "
-                "ELSE CAST(NULL AS BIGINT) END")
-    if t.name == tt.NUMERIC:
-        return f"TRY_CAST(x AS DECIMAL({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE}))"
-    if t.name == tt.TIMESTAMP:
-        if dialect == "mysql":
-            return f"TRY_CAST(concat(x, '{tz_offset}') AS TIMESTAMP)"
-        return "TRY_CAST(x AS TIMESTAMP)"
-    return "CAST(x AS STRING)"
-
-
 def parse_pg_array_literal(s: Optional[str]) -> Optional[list]:
     """Full-fidelity pg array literal parser (python mirror of
     convArray, postgres/data.go:242-398): handles quoted elements with
@@ -303,27 +279,8 @@ def strict_pg_array_expr(name: str, elem: tt.Type, dialect: str,
 
     elem_t = tt.Type(elem.name, elem.length)
     toks = tokenize(F.col(name))
-
-    def _cast_elem(x: Column) -> Column:
-        t = elem_t
-        if t.name == tt.BOOL:
-            return x.try_cast("boolean")
-        if t.name == tt.BYTES:
-            return F.when(x.startswith("\\x"),
-                          F.unhex(x.substr(F.lit(3), F.length(x))))
-        if t.name == tt.DATE:
-            return x.try_cast("date")
-        if t.name == tt.FLOAT64:
-            return x.try_cast("double")
-        if t.name == tt.INT64:
-            return F.when(x.rlike(r"^[+-]?[0-9]+$"), x.try_cast("long"))
-        if t.name == tt.NUMERIC:
-            return x.try_cast(f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})")
-        if t.name == tt.TIMESTAMP:
-            return x.try_cast("timestamp")
-        return x
-
-    value = F.transform(toks, _cast_elem)
+    value = F.transform(toks, lambda x: _cast_elem_col(
+        x, elem_t, dialect, tz_offset))
     err = (F.col(name).isNotNull()
            & (toks.isNull()
               | F.exists(F.zip_with(toks, value,
