@@ -281,10 +281,16 @@ _MULTIWORD_TYPES = [
 
 
 def _parse_type(type_text: str) -> SourceType:
-    """Parse a pg column type like 'character varying(20)[]' or
-    'numeric(38, 9)' into a SourceType."""
+    """Parse a pg column type like 'character varying(20)[]',
+    'numeric(38, 9)', or the ANSI form 'integer ARRAY[4]' into a
+    SourceType (postgres also accepts ARRAY without brackets)."""
     t = type_text.strip()
     array_bounds: list[int] = []
+    # ANSI SQL array syntax: '<type> ARRAY' or '<type> ARRAY[n]'
+    m = re.search(r"\s+ARRAY(?:\s*\[\s*\d*\s*\])?\s*$", t, re.IGNORECASE)
+    if m:
+        array_bounds.append(-1)
+        t = t[:m.start()].strip()
     while t.endswith("[]"):
         array_bounds.append(-1)
         t = t[:-2].strip()

@@ -285,3 +285,49 @@ def test_default_array_path_quoted_comma(spark):
     assert rows[3] is None
     bad = res.bad.collect()
     assert len(bad) == 1 and bad[0].id == "4"
+
+
+def test_reference_data_error_matrix(spark, tmp_path):
+    """The full per-type error matrix of postgres/pgdump_test.go
+    ('Data conversion errors', :653-688): 8 good rows (incl. the
+    all-types baseline), 7 quarantined — one per failing type,
+    including '{42, 6}' (space makes the int element invalid) and the
+    ANSI 'integer array' column type."""
+    f = tmp_path / "errs.sql"
+    f.write_text(
+        "CREATE TABLE test (int8 int8, float8 float8, bool bool, "
+        "timestamp timestamp, date date, bytea bytea, arr integer array);\n"
+        "COPY public.test (int8, float8, bool, timestamp, date, bytea, arr) "
+        "FROM stdin;\n"
+        "7\t42.1\ttrue\t2019-10-29 05:30:00\t2019-10-29\t\\\\x0001beef\t{42,6}\n"
+        "7\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\n"
+        "7-\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\n"
+        "\\N\t42.1\t\\N\t\\N\t\\N\t\\N\t\\N\n"
+        "\\N\t4.2.1\t\\N\t\\N\t\\N\t\\N\t\\N\n"
+        "\\N\t\\N\ttrue\t\\N\t\\N\t\\N\t\\N\n"
+        "\\N\t\\N\ttruefalse\t\\N\t\\N\t\\N\t\\N\n"
+        "\\N\t\\N\t\\N\t2019-10-29 05:30:00\t\\N\t\\N\t\\N\n"
+        "\\N\t\\N\t\\N\t2019-100-29 05:30:00\t\\N\t\\N\t\\N\n"
+        "\\N\t\\N\t\\N\t\\N\t2019-10-29\t\\N\t\\N\n"
+        "\\N\t\\N\t\\N\t\\N\t2019-10-42\t\\N\t\\N\n"
+        "\\N\t\\N\t\\N\t\\N\t\\N\t\\\\x0001beef\t\\N\n"
+        "\\N\t\\N\t\\N\t\\N\t\\N\t\\ \\x0001beef\t\\N\n"
+        "\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t{42,6}\n"
+        "\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t{42, 6}\n"
+        "\\.\n")
+    import datetime as dt
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    good = results["test"].good.collect()
+    bad = results["test"].bad.collect()
+    assert len(good) == 8
+    assert len(bad) == 7
+    assert sorted(tuple(b._hb_errs) for b in bad) == [
+        ("arr",), ("bool",), ("bytea",), ("date",), ("float8",),
+        ("int8",), ("timestamp",)]
+    base = [r for r in good if r.int8 == 7 and r.float8 is not None][0]
+    assert base.float8 == 42.1 and base.bool is True
+    assert base.timestamp == dt.datetime(2019, 10, 29, 5, 30)
+    assert base.date == dt.date(2019, 10, 29)
+    assert bytes(base.bytea) == b"\x00\x01\xbe\xef"
+    assert base.arr == [42, 6]
