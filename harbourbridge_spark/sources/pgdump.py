@@ -60,7 +60,7 @@ from ..types import SourceType
 _NAME = r'(?:[\w]+\.)?"[^"]+"|[\w\".]+'
 
 COPY_RE = re.compile(
-    rf"^COPY\s+(?P<table>{_NAME})\s*\((?P<cols>[^)]*)\)\s+FROM\s+stdin"
+    rf"^COPY\s+(?P<table>{_NAME})\s*(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+stdin"
     r"\s*;\s*$",
     re.IGNORECASE)
 
@@ -118,8 +118,10 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
         if not m:
             return False
         table = _clean_name(m.group("table"))
+        # no column list = table column order (legal COPY; pg_dump
+        # always lists columns, hand-written dumps may not)
         cols = [_clean_name(c.strip()) for c in
-                m.group("cols").split(",") if c.strip()]
+                (m.group("cols") or "").split(",") if c.strip()]
         on_copy(CopyBlock(table, cols, lineno + 1, _read_copy_rows()))
         return True
 
@@ -671,8 +673,23 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
     w = writer if writer is not None else StagingWriter(staging_dir)
 
     def on_copy(block: CopyBlock) -> None:
+        schema_table = ctx.src_schema.get(block.table)
+        schema_cols = list(schema_table.col_names) if schema_table else []
+        if not block.cols or not schema_table \
+                or block.cols == schema_cols:
+            # fast path: rows already in schema column order
+            for row in block.rows:
+                w.write_raw(block.table, row)
+            return
+        # COPY column list differs from schema order (reordered or
+        # partial): re-map fields so the staged TSV is always in
+        # schema order; absent columns become NULL
+        idx = {c: i for i, c in enumerate(block.cols)}
         for row in block.rows:
-            w.write_raw(block.table, row)
+            vals = row.split("\t")
+            ordered = [vals[idx[c]] if c in idx and idx[c] < len(vals)
+                       else "\\N" for c in schema_cols]
+            w.write_raw(block.table, "\t".join(ordered))
 
     for stmt in _iter_statements(stream, on_copy):
         s = stmt.text.strip()

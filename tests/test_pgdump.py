@@ -331,3 +331,33 @@ def test_reference_data_error_matrix(spark, tmp_path):
     assert base.date == dt.date(2019, 10, 29)
     assert bytes(base.bytea) == b"\x00\x01\xbe\xef"
     assert base.arr == [42, 6]
+
+
+def test_copy_without_column_list(spark, tmp_path):
+    """COPY t FROM stdin; (no column list) is legal COPY — rows are in
+    table column order."""
+    f = tmp_path / "nocols.sql"
+    f.write_text("CREATE TABLE test (a text, n bigint);\n"
+                 "COPY public.test FROM stdin;\n"
+                 "x\t1\ny\t2\n\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    rows = {r.a: r.n for r in results["test"].good.collect()}
+    assert rows == {"x": 1, "y": 2}
+
+
+def test_copy_reordered_and_partial_columns(spark, tmp_path):
+    """A COPY column list in a different order than CREATE TABLE (or
+    listing a subset) must re-map fields, not assign them
+    positionally."""
+    f = tmp_path / "reorder.sql"
+    f.write_text("CREATE TABLE test (a text, b text, n bigint);\n"
+                 "COPY public.test (n, a, b) FROM stdin;\n"
+                 "42\tx\ty\n\\.\n"
+                 "COPY public.test (a) FROM stdin;\n"
+                 "solo\n\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    rows = {r.a: (r.b, r.n) for r in results["test"].good.collect()}
+    assert rows["x"] == ("y", 42)
+    assert rows["solo"] == (None, None)
