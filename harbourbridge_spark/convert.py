@@ -51,17 +51,39 @@ class ColumnPlan:
     err: Column         # true => this column failed conversion
 
 
-def _pg_timestamptz(c: Column) -> Column:
+# Zone names equivalent to UTC: no reinterpretation needed (fast path).
+_UTC_ZONES = frozenset({"utc", "gmt", "etc/utc", "etc/gmt", "etc/gmt+0",
+                        "etc/gmt-0", "z", "zulu", "universal", "etc/universal",
+                        "gmt0", "etc/gmt0", "greenwich", "etc/greenwich"})
+
+# A value carries an explicit zone iff a time component is followed by
+# 'Z' or a +hh[:mm[:ss]] offset (pg_dump abbreviates to hour-only when
+# minutes are zero, postgres/data.go:207). Anchoring on the hh:mm time
+# keeps date strings like '2019-10-28' (which *end* in '-28') zone-less.
+_PG_ZONE_SUFFIX_RE = r"\d{2}:\d{2}(:\d{2})?(\.\d+)?\s*([zZ]|[+-]\d{1,2}(:\d{2}){0,2})$"
+
+
+def _pg_timestamptz(c: Column, location: Optional[str] = None) -> Column:
     """D11 (postgres/data.go:204-234): try '...Z07' / '...Z07:00' zone
-    formats, then zone-less interpreted in the dump's location (we pin
-    the Spark session timezone to UTC, matching the default location).
+    formats, then zone-less interpreted in the dump's location — the
+    ``SET timezone`` value captured by S9 (postgres/pgdump.go:409-431,
+    ``conv.Location`` default UTC).
 
     Spark's string->timestamp cast already accepts all three shapes
     ('2019-10-28 15:00:00.123457+00', '+05:30', and naive), so a single
     cast covers the fallback chain; try_to_timestamp patterns would
-    reject the fractional-second variants the cast accepts.
+    reject the fractional-second variants the cast accepts. When a
+    non-UTC location was captured, zone-less values (detected
+    structurally — no trailing Z/offset after the time) are
+    reinterpreted from that zone via to_utc_timestamp, which applies
+    per-value DST rules exactly like Go's time.ParseInLocation;
+    zone-carrying values are absolute instants and unaffected.
     """
-    return c.try_cast("timestamp")
+    base = c.try_cast("timestamp")
+    if not location or location.strip().lower() in _UTC_ZONES:
+        return base
+    zoned = c.rlike(_PG_ZONE_SUFFIX_RE)
+    return F.when(zoned, base).otherwise(F.to_utc_timestamp(base, location))
 
 
 def _pg_timestamp_naive(c: Column) -> Column:
@@ -79,7 +101,8 @@ def _mysql_timestamp(c: Column, offset: str) -> Column:
 
 
 def _scalar_expr(c: Column, t: tt.Type, dialect: str,
-                 tz_offset: str, src_type: str = "") -> Column:
+                 tz_offset: str, src_type: str = "",
+                 location: Optional[str] = None) -> Column:
     """The typed-value expression for one scalar column (D5-D12)."""
     if t.name == tt.BOOL:
         if dialect == "mysql":
@@ -110,19 +133,27 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
     if t.name == tt.TIMESTAMP:
         # mysql `timestamp` values are naive in the dump's TIME_ZONE ->
         # apply the captured offset; `datetime` is naive-UTC
-        # (mysql/data.go:194-219). pg handles both via the cast chain.
-        if dialect == "mysql" and src_type == "timestamp":
-            return _mysql_timestamp(c, tz_offset)
-        return _pg_timestamptz(c)
+        # (mysql/data.go:194-219). pg timestamptz routes through the
+        # location-aware chain; pg plain `timestamp` is always naive-UTC
+        # (postgres/data.go:224-233 uses time.Parse, not ParseInLocation).
+        if dialect == "mysql":
+            if src_type == "timestamp":
+                return _mysql_timestamp(c, tz_offset)
+            return _pg_timestamp_naive(c)
+        if src_type in ("timestamp", "timestamp without time zone"):
+            return _pg_timestamp_naive(c)
+        return _pg_timestamptz(c, location)
     # STRING
     return c.cast("string")
 
 
 def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
-                   tz_offset: str) -> Column:
+                   tz_offset: str, location: Optional[str] = None) -> Column:
     """Column form of the scalar cast for array elements (D13 element
     semantics; shared by the JVM fast path and the strict Arrow
-    path)."""
+    path). ``location`` mirrors the scalar timestamptz chain — the
+    reference's convArray feeds the same location into convTimestamp
+    (postgres/data.go:242,282)."""
     if t.name == tt.BOOL:
         return x.try_cast("boolean")
     if t.name == tt.BYTES:
@@ -144,12 +175,13 @@ def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
     if t.name == tt.TIMESTAMP:
         if dialect == "mysql":
             return F.concat(x, F.lit(tz_offset)).try_cast("timestamp")
-        return x.try_cast("timestamp")
+        return _pg_timestamptz(x, location)
     return x.cast("string")
 
 
 def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
-                   tz_offset: str) -> tuple[Column, Column]:
+                   tz_offset: str, location: Optional[str] = None
+                   ) -> tuple[Column, Column]:
     """D13 (postgres/data.go:242-383): parse a pg array literal
     '{a,"b c",NULL}' into ARRAY<T>, tracking element conversion errors.
 
@@ -194,7 +226,7 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
     elems = F.transform(raw, decode_tok)
     elem_t = tt.Type(elem.name, elem.length)
     typed = F.transform(elems, lambda x: _cast_elem_col(
-        x, elem_t, dialect, tz_offset))
+        x, elem_t, dialect, tz_offset, location))
     shaped = q.rlike(r"^\{.*\}$")
     value = (F.when(q.isNull(), F.lit(None))
              .when(shaped, typed)            # '{}' tokenizes to []
@@ -263,7 +295,8 @@ def parse_pg_array_literal(s: Optional[str]) -> Optional[list]:
 
 
 def strict_pg_array_expr(name: str, elem: tt.Type, dialect: str,
-                         tz_offset: str) -> tuple[Column, Column]:
+                         tz_offset: str, location: Optional[str] = None
+                         ) -> tuple[Column, Column]:
     """Arrow-batched full-fidelity variant of _pg_array_expr: a pandas
     UDF tokenizes the literal (quoted commas included), then the same
     JVM-side element casts apply. Used when ``strict_arrays=True`` —
@@ -280,7 +313,7 @@ def strict_pg_array_expr(name: str, elem: tt.Type, dialect: str,
     elem_t = tt.Type(elem.name, elem.length)
     toks = tokenize(F.col(name))
     value = F.transform(toks, lambda x: _cast_elem_col(
-        x, elem_t, dialect, tz_offset))
+        x, elem_t, dialect, tz_offset, location))
     err = (F.col(name).isNotNull()
            & (toks.isNull()
               | F.exists(F.zip_with(toks, value,
@@ -308,6 +341,7 @@ def plan_columns(ctx: MigrationContext, src_table: str,
     tgt: TargetTable = ctx.sp_schema[tgt_name]
     col_map = ctx.to_target[src_table]["cols"]
     tz = ctx.timezone_offset or "+00:00"
+    location = ctx.location
 
     src_defs = ctx.src_schema[src_table].col_defs
 
@@ -318,16 +352,24 @@ def plan_columns(ctx: MigrationContext, src_table: str,
                     if src_col in src_defs else "")
         c = F.col(src_col)
         if cd.type.is_array:
+            # location applies only to timestamptz elements, matching the
+            # scalar chain (the reference passes srcTypeName through
+            # convArray -> convTimestamp, postgres/data.go:282).
+            elem_loc = (location if src_type.startswith("timestamptz")
+                        or src_type.startswith("timestamp with time zone")
+                        else None)
             if dialect == "mysql":
                 expr, err = _mysql_set_expr(src_col)
             elif strict_arrays:
                 elem = tt.Type(cd.type.name, cd.type.length)
-                expr, err = strict_pg_array_expr(src_col, elem, dialect, tz)
+                expr, err = strict_pg_array_expr(src_col, elem, dialect, tz,
+                                                 elem_loc)
             else:
                 elem = tt.Type(cd.type.name, cd.type.length)
-                expr, err = _pg_array_expr(src_col, elem, dialect, tz)
+                expr, err = _pg_array_expr(src_col, elem, dialect, tz,
+                                           elem_loc)
         else:
-            expr = _scalar_expr(c, cd.type, dialect, tz, src_type)
+            expr = _scalar_expr(c, cd.type, dialect, tz, src_type, location)
             if cd.type.name == tt.STRING:
                 err = F.lit(False)
             else:

@@ -882,6 +882,16 @@ _ROW_TRANSFORM_GOLDENS = [
     ("pg_ts", "2019-10-28 15:00:00+05:30", True,
      "2019-10-28 09:30:00"),                            # D11 zoned -> UTC
     ("pg_ts", "not-a-ts", False, None),                 # D11 malformed
+    # D11+S9: zone-less timestamptz interpreted in the dump's SET
+    # timezone (America/New_York), DST-aware: Oct 28 is EDT (-04),
+    # Jan 28 is EST (-05); zone-carrying values ignore the location
+    # (postgres/data.go:209-224, pgdump.go:409-431)
+    ("pg_ts_loc", "2019-10-28 15:00:00", True,
+     "2019-10-28 19:00:00"),                            # EDT -> UTC
+    ("pg_ts_loc", "2019-01-28 15:00:00", True,
+     "2019-01-28 20:00:00"),                            # EST -> UTC
+    ("pg_ts_loc", "2019-10-28 15:00:00+05:30", True,
+     "2019-10-28 09:30:00"),                            # zoned: loc ignored
     ("mysql_ts", "2020-07-20 05:10:26", True,
      "2020-07-19 23:40:26"),                            # D12 +05:30 offset
     ("mysql_dt", "2020-07-20 05:10:26", True,
@@ -915,11 +925,12 @@ def q_row_transform_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    def scalar(family, dialect, t, tz="+00:00", src_type=""):
+    def scalar(family, dialect, t, tz="+00:00", src_type="", location=None):
         rows = [(f, x) for f, x, _, _ in _ROW_TRANSFORM_GOLDENS
                 if f == family]
         df = spark.createDataFrame(rows, "family string, x string")
-        v = _scalar_expr(F.col("x"), tt.Type(t), dialect, tz, src_type)
+        v = _scalar_expr(F.col("x"), tt.Type(t), dialect, tz, src_type,
+                         location)
         if t == tt.BYTES:
             vs = F.hex(v)
         else:
@@ -950,6 +961,8 @@ def q_row_transform_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalar("pg_bytes", "postgres", tt.BYTES),
         scalar("mysql_bytes", "mysql", tt.BYTES),
         scalar("pg_ts", "postgres", tt.TIMESTAMP),
+        scalar("pg_ts_loc", "postgres", tt.TIMESTAMP,
+               location="America/New_York"),
         scalar("mysql_ts", "mysql", tt.TIMESTAMP, tz="+05:30",
                src_type="timestamp"),
         scalar("mysql_dt", "mysql", tt.TIMESTAMP, tz="+05:30",

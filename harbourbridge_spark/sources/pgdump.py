@@ -482,11 +482,24 @@ def _parse_index(ctx: MigrationContext, stmt: str) -> bool:
 
 
 def _parse_set(ctx: MigrationContext, stmt: str) -> bool:
-    """S9 (postgres/pgdump.go:409-431): capture the dump's timezone."""
+    """S9 (postgres/pgdump.go:409-431): capture the dump's timezone.
+
+    The value is validated against the IANA database the same way the
+    reference runs time.LoadLocation: an unknown zone is logged as an
+    unexpected condition + statement error (pgdump.go:419-423,
+    logStmtError) and the previous location is kept, so downstream
+    to_utc_timestamp never sees an unresolvable zone id."""
     m = _SET_TZ_RE.match(stmt.strip())
     if not m:
         return False
     val = m.group("val").strip().strip("'\"")
+    try:
+        import zoneinfo
+        zoneinfo.ZoneInfo(val)
+    except Exception as e:
+        ctx.unexpected(f"Processing VariableSetStmt statement: {e}")
+        ctx.error_in_statement("VariableSetStmt")
+        return True
     ctx.location = val
     ctx.schema_statement("VariableSetStmt")
     return True

@@ -361,3 +361,55 @@ def test_copy_reordered_and_partial_columns(spark, tmp_path):
     rows = {r.a: (r.b, r.n) for r in results["test"].good.collect()}
     assert rows["x"] == ("y", 42)
     assert rows["solo"] == (None, None)
+
+
+def test_set_timezone_location_applied(spark, tmp_path):
+    """S9+D11: zone-less timestamptz values are interpreted in the
+    dump's SET timezone (postgres/pgdump.go:409-431 -> conv.Location,
+    data.go:216-224 ParseInLocation), DST-aware; zone-carrying values
+    and plain `timestamp` columns are unaffected."""
+    f = tmp_path / "tz.sql"
+    f.write_text(
+        "SET timezone = 'America/New_York';\n"
+        "CREATE TABLE t (id bigint, tz timestamp with time zone,\n"
+        "                naive timestamp without time zone,\n"
+        "                tzarr timestamptz[]);\n"
+        "COPY public.t (id, tz, naive, tzarr) FROM stdin;\n"
+        "1\t2019-10-28 15:00:00\t2019-10-28 15:00:00\t{2019-10-28 15:00:00}\n"
+        "2\t2019-01-28 15:00:00\t\\N\t\\N\n"
+        "3\t2019-10-28 15:00:00+05:30\t\\N\t\\N\n"
+        "\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    assert ctx.location == "America/New_York"
+    rows = {r.id: r for r in results["t"].good.collect()}
+    # EDT (-04) on Oct 28; EST (-05) on Jan 28
+    assert rows[1].tz == dt.datetime(2019, 10, 28, 19, 0, 0)
+    assert rows[2].tz == dt.datetime(2019, 1, 28, 20, 0, 0)
+    # explicit zone wins over location
+    assert rows[3].tz == dt.datetime(2019, 10, 28, 9, 30, 0)
+    # plain timestamp stays naive-UTC
+    assert rows[1].naive == dt.datetime(2019, 10, 28, 15, 0, 0)
+    # array elements follow the same location chain
+    assert rows[1].tzarr == [dt.datetime(2019, 10, 28, 19, 0, 0)]
+
+
+def test_set_timezone_invalid_zone_logged(spark, tmp_path):
+    """An unresolvable zone mirrors the reference's LoadLocation error
+    path (pgdump.go:419-423): unexpected condition + statement error,
+    location stays default (UTC)."""
+    f = tmp_path / "badtz.sql"
+    f.write_text(
+        "SET timezone = 'Not/AZone';\n"
+        "CREATE TABLE t (id bigint, tz timestamptz);\n"
+        "COPY public.t (id, tz) FROM stdin;\n"
+        "1\t2019-10-28 15:00:00\n"
+        "\\.\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    assert ctx.location is None
+    assert ctx.statement_stats["VariableSetStmt"].error == 1
+    assert any("VariableSetStmt" in k for k in ctx.unexpecteds)
+    # conversion fell back to UTC
+    rows = results["t"].good.collect()
+    assert rows[0].tz == dt.datetime(2019, 10, 28, 15, 0, 0)
