@@ -2,11 +2,17 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct; the
 Spark-side machinery — schema, partitioning, Arrow-batched UDF
-signature, batch shaping — is real and tested. The actual codec step
-is STUBBED (``decode_stub``: this container has no image/audio
-libraries) behind a deterministic fake so the pipeline shape can be
-exercised end-to-end; swap ``DECODERS`` entries for real decoders
-(PIL/librosa/pyav) in production.
+signature, batch shaping — is real and tested.
+
+Codecs: two modalities decode REAL bytes with dependency-free parsers —
+``decode_wav`` (RIFF/WAVE chunk walk, PCM 8/16-bit, mono/stereo →
+duration/rate/channels/RMS/peak) and ``decode_bmp`` (BITMAPINFOHEADER,
+uncompressed 24bpp, bottom-up rows with 4-byte stride padding → dims /
+per-channel means / top-left pixel). Unknown containers fall back to
+``decode_stub`` (deterministic sha-derived fake) so the pipeline shape
+stays exercisable for formats this container has no library for
+(JPEG/MP3/MP4 → swap in PIL/librosa/pyav in production). Video remains
+stub-only.
 
 Scale design: decode runs via ``mapInPandas`` — Arrow-batched, one
 Python worker per partition, no per-row pickling. Media rows are
@@ -18,8 +24,10 @@ skew-salting).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,11 +67,184 @@ def decode_stub(kind: str, content: bytes) -> list[float]:
     return [b / 255.0 for b in d[:8]]
 
 
+def decode_wav(content: bytes) -> list[float]:
+    """Real WAV decoder (no libraries): walk RIFF chunks, read the
+    ``fmt `` block (PCM only, 8/16-bit, any channel count), decode the
+    ``data`` samples with numpy, and return
+    ``[duration_ms, sample_rate, n_channels, rms, peak]`` with
+    amplitude features normalized to [-1, 1]. Raises ValueError on
+    anything that is not an uncompressed PCM WAVE file.
+    """
+    if len(content) < 12 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        csz = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8:pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+        raise ValueError(f"unsupported wav encoding fmt={audio_format} "
+                         f"bits={bits}")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+        samples /= 32768.0
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    n_frames = len(samples) // n_ch
+    duration_ms = n_frames * 1000.0 / rate
+    if len(samples):
+        rms = float(np.sqrt(np.mean(samples * samples)))
+        peak = float(np.max(np.abs(samples)))
+    else:
+        rms = peak = 0.0
+    return [duration_ms, float(rate), float(n_ch), rms, peak]
+
+
+def decode_bmp(content: bytes) -> list[float]:
+    """Real BMP decoder (no libraries): BITMAPFILEHEADER +
+    BITMAPINFOHEADER, uncompressed 24bpp only. Handles the format's
+    two traps — rows stored bottom-up (top-down iff height < 0) and
+    each row padded to a 4-byte stride. Returns
+    ``[width, height, mean_r, mean_g, mean_b, first_r]`` where first_r
+    is the red value of the *top-left* pixel (proves row-order
+    handling). Raises ValueError on non-BMP/compressed/other-depth.
+    """
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} comp={comp}")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(content, np.uint8, stride * h, data_off)
+    px = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]           # file order is bottom-up -> flip to top-down
+    b = px[..., 0].astype(np.float64)   # BMP stores BGR
+    g = px[..., 1].astype(np.float64)
+    r = px[..., 2].astype(np.float64)
+    return [float(w), float(h), float(r.mean()), float(g.mean()),
+            float(b.mean()), float(px[0, 0, 2])]
+
+
+def decode_audio(kind: str, content: bytes) -> list[float]:
+    """Audio dispatch: real WAV decode when the bytes are a RIFF/WAVE
+    container, sha-stub otherwise (librosa would slot in here)."""
+    if content is None:
+        return []
+    if content[:4] == b"RIFF":
+        try:
+            return decode_wav(content)
+        except ValueError:
+            pass
+    return decode_stub(kind, content)
+
+
+def decode_image(kind: str, content: bytes) -> list[float]:
+    """Image dispatch: real BMP decode when the bytes carry the BM
+    magic, sha-stub otherwise (PIL would slot in here)."""
+    if content is None:
+        return []
+    if content[:2] == b"BM":
+        try:
+            return decode_bmp(content)
+        except ValueError:
+            pass
+    return decode_stub(kind, content)
+
+
 DECODERS: dict[str, Callable[[str, bytes], list[float]]] = {
-    "image": decode_stub,   # -> PIL.Image.open + resize + embed
-    "audio": decode_stub,   # -> librosa.load + mel features
+    "image": decode_image,  # BMP real; other formats -> PIL in production
+    "audio": decode_audio,  # WAV real; other formats -> librosa
     "video": decode_stub,   # -> pyav frame-sample + per-frame embed
 }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesizers (tests + oracle queries): real bytes
+# whose decoded features have closed forms an independent engine can
+# recompute from the seed alone.
+# ---------------------------------------------------------------------------
+
+def synth_wav(seed: int, rate: int = 8000) -> bytes:
+    """A legal mono 16-bit PCM WAV: a square wave of amplitude
+    ``1 + (seed*37) % 30000`` over ``64 + 8*(seed % 32)`` samples.
+    Closed-form features: duration_ms = 8 + seed % 32 (at 8 kHz),
+    rms = peak = amplitude/32768 (float-exact for a square wave)."""
+    n = 64 + 8 * (seed % 32)
+    amp = 1 + (seed * 37) % 30000
+    samples = np.empty(n, dtype="<i2")
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    data = samples.tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def synth_bmp(seed: int) -> bytes:
+    """A legal bottom-up 24bpp BMP, ``4 + seed%8`` x ``2 + seed%5``,
+    where image row y is the constant color
+    (r,g,b) = (seed%200 + y, (seed*3)%200 + y, (seed*7)%200 + y).
+    Width varies mod 4 so the row stride padding is exercised.
+    Closed-form features: mean_r = seed%200 + (h-1)/2, first (top-left)
+    r = seed%200."""
+    w = 4 + seed % 8
+    h = 2 + seed % 5
+    r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+    stride = (w * 3 + 3) & ~3
+    buf = np.zeros((h, stride), np.uint8)
+    for j in range(h):          # file row j is image row h-1-j (bottom-up)
+        y = h - 1 - j
+        buf[j, 0:w * 3:3] = b0 + y
+        buf[j, 1:w * 3:3] = g0 + y
+        buf[j, 2:w * 3:3] = r0 + y
+    data = buf.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+            + data)
+
+
+def synth_media(ids: DataFrame, kind: str) -> DataFrame:
+    """Expand an ``(media_id)`` DataFrame into MEDIA_SCHEMA rows with
+    synthesized real bytes (WAV for audio, BMP for image) — the test
+    harness for the decode path; generation is Arrow-batched like the
+    decode itself."""
+    synth = synth_wav if kind == "audio" else synth_bmp
+    mime = "audio/wav" if kind == "audio" else "image/bmp"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": kind,
+                "content": pdf["media_id"].map(lambda i: synth(int(i))),
+                "meta": [{"mime": mime, "width": None, "height": None,
+                          "duration_ms": None}] * len(pdf),
+            })
+
+    return ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:

@@ -1240,6 +1240,71 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f0_byte"))
 
 
+@register(
+    "multimodal_decode_wav",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 32 AS BIGINT) AS duration_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(1 + (doc_id * 37) % 30000 AS DOUBLE) / 32768.0 AS rms,
+           CAST(1 + (doc_id * 37) % 30000 AS DOUBLE) / 32768.0 AS peak
+    FROM documents
+    """,
+    "REAL audio decode: per doc a legal mono 16-bit PCM WAV is "
+    "synthesized (square wave, seed-derived amplitude/length), then "
+    "decode_wav walks the RIFF chunks and computes duration/rate/"
+    "channels/RMS/peak from the actual samples; DuckDB recomputes the "
+    "closed forms from the seed alone, so any header-walk or sample-"
+    "decode defect breaks the hash")
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "audio"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("duration_ms"),
+        F.element_at("feature", 2).cast("long").alias("sample_rate"),
+        F.element_at("feature", 3).cast("long").alias("n_channels"),
+        F.element_at("feature", 4).cast("double").alias("rms"),
+        F.element_at("feature", 5).cast("double").alias("peak"))
+
+
+@register(
+    "multimodal_decode_bmp",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0 AS mean_r,
+           CAST((doc_id * 3) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_g,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL image decode: per doc a legal bottom-up 24bpp BMP (stride "
+    "padding exercised, per-row gradient color) is synthesized, then "
+    "decode_bmp parses headers and pixels for dims / channel means / "
+    "top-left red; DuckDB recomputes the closed forms — bottom-up row "
+    "order and BGR channel order are both load-bearing in the hash")
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "image"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        F.element_at("feature", 3).cast("double").alias("mean_r"),
+        F.element_at("feature", 4).cast("double").alias("mean_g"),
+        F.element_at("feature", 5).cast("double").alias("mean_b"),
+        F.element_at("feature", 6).cast("long").alias("first_r"))
+
+
 # ---------------------------------------------------------------------------
 # helpers for __spark_entry__
 # ---------------------------------------------------------------------------

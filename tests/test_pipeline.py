@@ -110,6 +110,79 @@ def test_multimodal_features_deterministic(spark):
     assert repartition_for_media(media).count() == 3
 
 
+def test_wav_decode_real_bytes():
+    """decode_wav parses a container the stdlib wave module confirms is
+    legal, and recovers exact square-wave features."""
+    import io
+    import wave
+
+    from harbourbridge_spark.pipeline.multimodal import (decode_audio,
+                                                         decode_wav,
+                                                         synth_wav)
+    seed = 123
+    buf = synth_wav(seed)
+    with wave.open(io.BytesIO(buf)) as w:         # stdlib agrees it's WAV
+        assert (w.getnchannels(), w.getsampwidth(),
+                w.getframerate()) == (1, 2, 8000)
+        n = w.getnframes()
+    assert n == 64 + 8 * (seed % 32)
+    dur, rate, ch, rms, peak = decode_wav(buf)
+    amp = 1 + (seed * 37) % 30000
+    assert (dur, rate, ch) == (8 + seed % 32, 8000.0, 1.0)
+    assert rms == amp / 32768.0 and peak == amp / 32768.0
+    # dispatch: RIFF -> real decode; junk -> stub fallback
+    assert decode_audio("audio", buf) == [dur, rate, ch, rms, peak]
+    assert len(decode_audio("audio", b"riff-less junk")) == 8
+
+
+def test_wav_decode_stereo_and_8bit():
+    import struct
+
+    import numpy as np
+
+    from harbourbridge_spark.pipeline.multimodal import decode_wav
+
+    # stereo 16-bit: 4 frames at 1000 Hz -> 4 ms
+    samples = np.array([100, -100] * 4, dtype="<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 1000, 4000, 4, 16)
+           + b"data" + struct.pack("<I", len(samples)) + samples)
+    dur, rate, ch, rms, peak = decode_wav(wav)
+    assert (dur, rate, ch) == (4.0, 1000.0, 2.0)
+    assert rms == 100 / 32768.0
+    # 8-bit unsigned mono: constant 192 -> (192-128)/128 = 0.5
+    data8 = bytes([192] * 10)
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + len(data8)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 1000, 1, 8)
+            + b"data" + struct.pack("<I", len(data8)) + data8)
+    assert decode_wav(wav8) == [10.0, 1000.0, 1.0, 0.5, 0.5]
+    # compressed (non-PCM) rejected
+    bad = wav8.replace(struct.pack("<IHHIIHH", 16, 1, 1, 1000, 1000, 1, 8),
+                       struct.pack("<IHHIIHH", 16, 85, 1, 1000, 1000, 1, 8))
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_bmp_decode_real_bytes():
+    from harbourbridge_spark.pipeline.multimodal import (decode_bmp,
+                                                         decode_image,
+                                                         synth_bmp)
+    seed = 42
+    buf = synth_bmp(seed)
+    w, h = 4 + seed % 8, 2 + seed % 5
+    width, height, mean_r, mean_g, mean_b, first_r = decode_bmp(buf)
+    assert (width, height) == (w, h)
+    assert mean_r == seed % 200 + (h - 1) / 2.0
+    assert mean_g == (seed * 3) % 200 + (h - 1) / 2.0
+    assert mean_b == (seed * 7) % 200 + (h - 1) / 2.0
+    # top-left pixel is image row y=0 even though the file is bottom-up
+    assert first_r == seed % 200
+    assert decode_image("image", buf)[0] == w
+    assert len(decode_image("image", b"BMnot really a bmp")) == 8
+    # width 5 -> stride padding path (15 bytes padded to 16)
+    assert decode_bmp(synth_bmp(1))[0] == 5.0
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     from harbourbridge_spark.streaming.events import (event_stream,
                                                       windowed_event_counts)
