@@ -743,21 +743,43 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND b.sec > a.sec AND b.sec <= a.sec + 1800
     GROUP BY a.user_id
     """,
-    "Funnel attribution (click -> purchase within 30 min) as a range "
-    "join: user_id equi-join + time-bound residual, per-user stats. "
-    "Batch twin of streaming.correlate_events (stream-stream interval "
-    "join); exact integer-second arithmetic on the raw ns column")
+    "Funnel attribution (click -> purchase within 30 min) as a "
+    "BUCKETED time-join: the equi-key is (user, 30-min time bucket) — "
+    "each click probes its own and the next bucket — so a bot-grade "
+    "power user is split across time buckets instead of forming one "
+    "quadratic join key; only events inside the same window stay "
+    "paired. Batch twin of streaming.correlate_events; exact "
+    "integer-second arithmetic on the raw ns column")
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type",
-        F.expr("ts div 1000000000").alias("sec"))
-    a = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("a_user"), F.col("sec").alias("a_sec"))
-    b = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"), F.col("sec").alias("b_sec"))
+    return event_funnel_bucketed(
+        load(spark, sf_dir, "events"), window_s=1800)
+
+
+def event_funnel_bucketed(events: DataFrame, window_s: int = 1800
+                          ) -> DataFrame:
+    """Skew-bounded funnel pairing. A purchase at b_sec matches clicks
+    in (b_sec - window, b_sec); bucketing both sides by
+    ``floor(sec/window)`` and expanding each click to (its bucket,
+    next bucket) makes every qualifying pair meet on exactly one
+    (user, bucket) equi-key. Per-key work is then bounded by events
+    per user per window — a user with N events spread over time costs
+    O(N), not O(N^2); only a true same-window burst pairs densely."""
+    ev = events.select(
+        "user_id", "event_type", F.expr("ts div 1000000000").alias("sec"))
+    a = (ev.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("a_user"),
+                 F.col("sec").alias("a_sec"))
+         .withColumn("bkt", F.explode(F.array(
+             F.expr(f"a_sec div {window_s}"),
+             F.expr(f"a_sec div {window_s} + 1L")))))
+    b = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("sec").alias("b_sec"),
+                 F.expr(f"sec div {window_s}").alias("bkt")))
     return (a.join(b, (F.col("a_user") == F.col("b_user"))
+                   & (a["bkt"] == b["bkt"])
                    & (F.col("b_sec") > F.col("a_sec"))
-                   & (F.col("b_sec") <= F.col("a_sec") + 1800))
+                   & (F.col("b_sec") <= F.col("a_sec") + window_s))
             .groupBy(F.col("a_user").alias("user_id"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.min(F.col("b_sec") - F.col("a_sec")).alias("min_delay_s"),

@@ -170,3 +170,50 @@ def test_q19_bracket_pushes_per_side_conjuncts(spark):
     plan = _plan(spark, "q19_bracket_revenue")
     assert plan.count("PushedFilters: [") >= 2
     assert "Or(" in plan
+
+
+def test_event_funnel_bucketed_join_key(spark):
+    """The funnel join's equi-key must include the 30-min time bucket,
+    not just user_id — the skew guard that keeps a bot-grade power
+    user from forming one quadratic join key."""
+    plan = _plan(spark, "event_funnel")
+    # the equi-join keys are [a_user, bkt] / [b_user, bkt] whatever the
+    # physical strategy (broadcast at test SF, sort-merge at scale)
+    m = re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+                  r"\[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "a_user" in m.group(2) and "bkt" in m.group(2), m.group(0)
+    assert "b_user" in m.group(3) and "bkt" in m.group(3), m.group(0)
+
+
+def test_event_funnel_bucketed_matches_bruteforce(spark):
+    """Bucketed pairing is exactly the unbucketed semantics, including
+    pairs that straddle a bucket boundary, and a user's events in
+    disjoint windows never meet on one key."""
+    from harbourbridge_spark.queries import event_funnel_bucketed
+
+    rows = []
+    # user 1: click at 100, purchases at 150 (in), 1900 (in, next
+    # bucket), 1901 (out: > 100+1800), plus click at 1850 pairing 1900/1901
+    for et, sec in [("click", 100), ("purchase", 150), ("purchase", 1900),
+                    ("purchase", 1901), ("click", 1850)]:
+        rows.append((1, et, sec * 1_000_000_000))
+    # user 2: boundary-exact pair (delta == window) and far-apart events
+    rows += [(2, "click", 0), (2, "purchase", 1800 * 1_000_000_000),
+             (2, "purchase", 999_999 * 1_000_000_000)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {r.user_id: r for r in event_funnel_bucketed(ev).collect()}
+
+    # brute force in python
+    import itertools
+    want = {}
+    by_user = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((et, ts // 1_000_000_000))
+    for u, evs in by_user.items():
+        deltas = [b - a for (ea, a), (eb, b) in itertools.product(evs, evs)
+                  if ea == "click" and eb == "purchase" and 0 < b - a <= 1800]
+        if deltas:
+            want[u] = (len(deltas), min(deltas), max(deltas))
+    assert {u: (r.n_pairs, r.min_delay_s, r.max_delay_s)
+            for u, r in got.items()} == want
