@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from .hashing import hash48, minhash_coeffs, perm_sql
 from .text import render
 
@@ -34,6 +36,73 @@ MAX_BUCKET = 256        # band-bucket membership cap (LSH skew guard):
                         # would make one join key quadratic; buckets over
                         # the cap are dropped from candidate generation
                         # and surfaced via lsh_bucket_stats
+
+# The documented small-N exact variants (ngram_jaccard_pairs_sql,
+# embedding_neardup_sql) are quadratic WITHIN a block. This cap bounds
+# the largest block they will accept before the executable Spark paths
+# refuse (10k rows -> ~50M comparisons per block, the reasonable edge
+# of "small-N"); past it, use the LSH twin the error message names.
+QUADRATIC_BLOCK_CAP = 10_000
+
+
+class BlockTooLargeError(ValueError):
+    """A blocking key exceeds the quadratic-variant cap."""
+
+
+def check_quadratic_block_cap(spark, table: str, keys: str, op: str,
+                              scale_twin: str, cap: int | None = None,
+                              enforce: bool = True) -> int:
+    """Guard for the small-N quadratic dedup variants: computes the
+    largest block the blocking keys produce (one cheap map-side-
+    combinable aggregate) and raises BlockTooLargeError (or warns when
+    ``enforce=False``) if it exceeds ``cap``, pointing at the
+    scale-safe twin. Returns the max block size."""
+    cap = QUADRATIC_BLOCK_CAP if cap is None else cap
+    n = spark.sql(
+        f"SELECT COALESCE(MAX(n), 0) FROM "
+        f"(SELECT COUNT(*) AS n FROM {table} GROUP BY {keys})"
+    ).first()[0]
+    if n > cap:
+        msg = (f"{op}: largest block has {n} rows (> cap {cap}); this "
+               f"variant is quadratic within a block and is documented "
+               f"as the small-N exact option — use {scale_twin} at this "
+               f"scale, or raise the cap explicitly if you accept "
+               f"~{n * (n - 1) // 2} comparisons in one block")
+        if enforce:
+            raise BlockTooLargeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return n
+
+
+def ngram_jaccard_pairs_fn(spark, sf_dir: str, cap: int | None = None,
+                           enforce: bool = True):
+    """Executable Spark path for the blocked n-gram Jaccard variant:
+    refuses (BlockTooLargeError) when any (lang, len_bucket) block
+    exceeds the quadratic cap — the scale path is dedup_lsh_verified."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    check_quadratic_block_cap(
+        spark, "documents",
+        "lang, CAST(floor(n_chars / 100.0) AS BIGINT)",
+        op="dedup_ngram_jaccard", scale_twin="dedup_lsh_verified",
+        cap=cap, enforce=enforce)
+    return spark.sql(ngram_jaccard_pairs_sql("spark"))
+
+
+def embedding_neardup_fn(spark, sf_dir: str, cap: int | None = None,
+                         enforce: bool = True):
+    """Executable Spark path for the label-blocked exact cosine
+    variant: refuses when any label block exceeds the quadratic cap —
+    the scale path is dedup_embedding_lsh."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    check_quadratic_block_cap(
+        spark, "embeddings", "label",
+        op="dedup_embedding_cosine", scale_twin="dedup_embedding_lsh",
+        cap=cap, enforce=enforce)
+    return spark.sql(embedding_neardup_sql("spark"))
 
 
 def exact_dedup_sql(engine: str) -> str:

@@ -1159,16 +1159,18 @@ _register_template(
     "dedup_simhash", _dedup.simhash_sql,
     "Per-document 32-bit SimHash signatures (majority vote of token "
     "hash bits)")
-_register_template(
-    "dedup_ngram_jaccard", _dedup.ngram_jaccard_pairs_sql,
+REGISTRY["dedup_ngram_jaccard"] = QuerySpec(
+    _dedup.ngram_jaccard_pairs_fn,
+    _dedup.ngram_jaccard_pairs_sql("duckdb"),
     "Word-3-gram Jaccard over (lang, length)-blocked pairs — small-N "
-    "exact option (quadratic within block; the scale path is "
-    "dedup_lsh_verified)")
-_register_template(
-    "dedup_embedding_cosine", _dedup.embedding_neardup_sql,
+    "exact option (quadratic within block, guarded by a 10k block cap; "
+    "the scale path is dedup_lsh_verified)")
+REGISTRY["dedup_embedding_cosine"] = QuerySpec(
+    _dedup.embedding_neardup_fn,
+    _dedup.embedding_neardup_sql("duckdb"),
     "Embedding-cosine near-dup pairs (label-blocked exact) — small-N "
-    "option; sequential fold keeps doubles bit-identical across engines",
-    tables=("embeddings",))
+    "option guarded by the quadratic block cap; sequential fold keeps "
+    "doubles bit-identical across engines")
 _register_template(
     "dedup_embedding_lsh", _dedup.embedding_neardup_lsh_sql,
     "Embedding near-dup via random-hyperplane sign buckets: signature "

@@ -339,3 +339,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     finally:
         out.stop()
     assert got == [(1, 2), (6, 8), (7, 8)]
+
+
+def test_quadratic_block_cap_guard(spark, tmp_path):
+    """The small-N quadratic variants refuse oversized blocks and point
+    at their LSH twins; warn-only mode and explicit caps work."""
+    from harbourbridge_spark.pipeline.dedup import (BlockTooLargeError,
+                                                    ngram_jaccard_pairs_fn)
+
+    docs = spark.createDataFrame(
+        [(i, "en", 50, f"doc text number {i}") for i in range(8)],
+        "doc_id long, lang string, n_chars long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # 8 docs in one (lang, len_bucket) block > cap 5 -> refuse
+    with pytest.raises(BlockTooLargeError, match="dedup_lsh_verified"):
+        ngram_jaccard_pairs_fn(spark, str(tmp_path), cap=5)
+    # warn-only mode still runs
+    with pytest.warns(RuntimeWarning, match="quadratic"):
+        out = ngram_jaccard_pairs_fn(spark, str(tmp_path), cap=5,
+                                     enforce=False)
+        assert out.count() >= 0
+    # under the cap: silent
+    assert ngram_jaccard_pairs_fn(spark, str(tmp_path), cap=100)\
+        .count() >= 0
