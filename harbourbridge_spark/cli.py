@@ -71,6 +71,18 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
             result.record_stats(ctx, src_table,
                                 good_n=wstats.rows_written,
                                 bad_n=n_bad + wstats.rows_dropped)
+            # rows the writer's constraint bisection rejected are
+            # counted into bad stats (and flip the exit code), so they
+            # must leave an artifact too — first-N samples, like the
+            # conversion-bad file
+            if wstats.rows_dropped > 0:
+                with open(os.path.join(
+                        out_dir, f"{tgt}.writer_dropped.txt"), "w") as f:
+                    f.write(f"# {wstats.rows_dropped} row(s) rejected by "
+                            f"the target database writer; first "
+                            f"{len(wstats.dropped_samples or [])} shown\n")
+                    for row in wstats.dropped_samples or []:
+                        f.write(repr(row) + "\n")
         else:
             # observations populated by the writes above (A1/A8)
             result.record_stats(ctx, src_table)

@@ -232,12 +232,16 @@ def _pg_array_expr(name: str, elem: tt.Type, dialect: str,
              .when(shaped, typed)            # '{}' tokenizes to []
              .otherwise(F.lit(None)))
     # error: literal malformed, a token opens a quote without closing it
-    # (the tokenizer would silently keep it raw), or an element failed
-    # its cast (the empty literal '{}' is valid, no elements to check)
+    # (the tokenizer would silently keep it raw), the tokens do not
+    # re-assemble to the literal (catches junk the alternation would
+    # silently split, e.g. '{"a"b}' -> 'a','b', or empty elements
+    # '{a,,b}' — pg rejects both), or an element failed its cast (the
+    # empty literal '{}' is valid, no elements to check)
     bad_quote = F.exists(
         raw, lambda x: x.rlike('^"') & ~x.rlike(r'^".*"$'))
+    unconsumed = F.array_join(raw, ",") != inner
     err = (q.isNotNull() & (q != "{}")
-           & (~shaped | bad_quote
+           & (~shaped | bad_quote | unconsumed
               | F.exists(F.zip_with(elems, typed,
                                     lambda s, v: s.isNotNull() & v.isNull()),
                          lambda b: b)))
@@ -274,6 +278,8 @@ def parse_pg_array_literal(s: Optional[str]) -> Optional[list]:
             else:
                 cur.append(ch)
         elif ch == '"':
+            if cur or was_quoted:
+                return None  # quote adjacent to token content: malformed
             in_quote = True
             was_quoted = True
         elif ch == ",":
@@ -287,6 +293,8 @@ def parse_pg_array_literal(s: Optional[str]) -> Optional[list]:
             cur = []
             was_quoted = False
         else:
+            if was_quoted:
+                return None  # junk after a closing quote: malformed
             cur.append(ch)
         i += 1
     if in_quote:

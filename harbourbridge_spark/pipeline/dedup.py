@@ -34,8 +34,9 @@ SHINGLE = 5             # character shingles
 MAX_BUCKET = 256        # band-bucket membership cap (LSH skew guard):
                         # a degenerate bucket (all-identical boilerplate)
                         # would make one join key quadratic; buckets over
-                        # the cap are dropped from candidate generation
-                        # and surfaced via lsh_bucket_stats
+                        # the cap degrade to star pairing (every member
+                        # vs the min-doc representative, O(n)) and are
+                        # surfaced via lsh_bucket_stats
 
 # The documented small-N exact variants (ngram_jaccard_pairs_sql,
 # embedding_neardup_sql) are quadratic WITHIN a block. This cap bounds
@@ -162,9 +163,13 @@ def minhash_signature_sql(engine: str) -> str:
 def _bands_clause(sig_source: str) -> str:
     """Shared band-expansion + size-capped bucket CTEs over a signature
     relation. The ``sized`` groupBy is a map-side-combinable count on
-    the band key; ``ok`` drops buckets above MAX_BUCKET so no join key
-    can go quadratic (the standard LSH skew guard — drops are observable
-    via lsh_bucket_stats_sql)."""
+    the band key; buckets under MAX_BUCKET pair all-vs-all (``ok``);
+    buckets OVER the cap degrade to STAR pairing (``big_star``: every
+    member pairs with the bucket's min-doc representative) — O(n) per
+    bucket instead of O(n^2), so giant duplicate clusters (boilerplate-
+    heavy corpora) still surface in the near-dup path instead of being
+    silently dropped. Deterministic in both engines (min doc_id rep);
+    observable via lsh_bucket_stats_sql."""
     n_bands = MINHASH_K // BAND_SIZE
     band_key = "CASE t.band " + " ".join(
         "WHEN {b} THEN concat_ws(',', {cols})".format(
@@ -176,13 +181,27 @@ def _bands_clause(sig_source: str) -> str:
         SELECT doc_id, t.band, {band_key} AS key
         FROM {sig_source} CROSS JOIN (VALUES {values}) AS t(band)
     ), sized AS (
-        SELECT band, key, COUNT(*) AS n
+        SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
         FROM bands GROUP BY band, key
     ), ok AS (
         SELECT b.doc_id, b.band, b.key
         FROM bands b JOIN sized s
           ON s.band = b.band AND s.key = b.key AND s.n <= {MAX_BUCKET}
+    ), big_star AS (
+        SELECT s.rep AS doc_a, b.doc_id AS doc_b
+        FROM bands b JOIN sized s
+          ON s.band = b.band AND s.key = b.key AND s.n > {MAX_BUCKET}
+        WHERE b.doc_id <> s.rep
     )"""
+
+
+_PAIRS_SELECT = """SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ok a JOIN ok b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT doc_a, doc_b FROM big_star
+    ) _u"""
 
 
 def minhash_bands_sql(engine: str, sig_source: str) -> str:
@@ -192,9 +211,7 @@ def minhash_bands_sql(engine: str, sig_source: str) -> str:
     oracle keeps the single-statement CTE form."""
     t = f"""
     WITH {_bands_clause(sig_source)}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM ok a JOIN ok b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    {_PAIRS_SELECT}
     """
     return render(t, engine)
 
@@ -235,9 +252,7 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
     t = f"""
     WITH sig AS ({sig}),
     {_bands_clause('sig')}
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM ok a JOIN ok b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    {_PAIRS_SELECT}
     """
     return render(t, engine)
 

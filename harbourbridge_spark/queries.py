@@ -922,6 +922,8 @@ _ROW_TRANSFORM_GOLDENS = [
     ("pg_str_array", '{"a,b",c,NULL}', True, "a,b|c|␀"),  # D13 quoted
     ("pg_int_array", "{1,bad}", False, None),           # D13 elem cast fail
     ("pg_str_array", '{ok,"unterm}', False, None),      # D13 bad quote
+    ("pg_str_array", '{"a"b,c}', False, None),          # D13 junk after quote
+    ("pg_int_array", "{1,,2}", False, None),            # D13 empty element
     ("mysql_set", "a,b,c", True, "a|b|c"),              # D14
 ]
 

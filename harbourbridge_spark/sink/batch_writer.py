@@ -45,12 +45,17 @@ class BatchWriterConfig:
     retry_limit: int = DEFAULT_RETRY_LIMIT
 
 
+MAX_DROP_SAMPLES = 100      # first-N dropped-row samples (the writer
+                            # analogue of droppedRowsFirstN / K7's cap)
+
+
 @dataclass
 class WriteStats:
     batches: int
     rows_written: int
     rows_dropped: int
     retries: int
+    dropped_samples: list = None
 
 
 def _row_bytes(row) -> int:
@@ -77,12 +82,24 @@ def write_with_batching(df: DataFrame,
     semantics where duplicate writes surface AlreadyExists,
     batchwriter.go:98-140).
     """
+    from pyspark.accumulators import AccumulatorParam
+
+    class _SampleAcc(AccumulatorParam):
+        def zero(self, v):
+            return []
+
+        def addInPlace(self, a, b):
+            if len(a) < MAX_DROP_SAMPLES:
+                a.extend(b[:MAX_DROP_SAMPLES - len(a)])
+            return a
+
     cfg = config or BatchWriterConfig()
     sc = df.sparkSession.sparkContext
     acc_batches = sc.accumulator(0)
     acc_written = sc.accumulator(0)
     acc_dropped = sc.accumulator(0)
     acc_retries = sc.accumulator(0)
+    acc_samples = sc.accumulator([], _SampleAcc())
 
     count_threshold = cfg.count_threshold
     byte_threshold = cfg.byte_threshold
@@ -106,6 +123,8 @@ def write_with_batching(df: DataFrame,
                 pass
             if len(rows) == 1 or budget[0] <= 0:
                 acc_dropped.add(len(rows))
+                acc_samples.add(
+                    [tuple(r) for r in rows[:MAX_DROP_SAMPLES]])
                 return
             step = max(1, (len(rows) + SPLIT_FACTOR - 1) // SPLIT_FACTOR)
             for i in range(0, len(rows), step):
@@ -127,4 +146,5 @@ def write_with_batching(df: DataFrame,
     return WriteStats(batches=acc_batches.value,
                       rows_written=acc_written.value,
                       rows_dropped=acc_dropped.value,
-                      retries=acc_retries.value)
+                      retries=acc_retries.value,
+                      dropped_samples=acc_samples.value)

@@ -77,6 +77,7 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
         seg_start = 0
         i = 0
         comment_tail = False
+        comment_start = len(line)
         while i < len(line):
             ch = line[i]
             if in_squote:
@@ -104,6 +105,7 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
                     in_backtick = True
                 elif ch == "-" and line.startswith("-- ", i):
                     comment_tail = True
+                    comment_start = i
                     break
                 elif ch == ";":
                     segment = line[seg_start:i + 1]
@@ -113,6 +115,11 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
                     seg_start = i + 1
             i += 1
         tail = line[seg_start:]
+        # comment-only residue after a mid-line ';' must not seed the
+        # next statement (same INSERT-gate hazard as the pg splitter)
+        if comment_tail and not parts \
+                and not line[seg_start:comment_start].strip():
+            continue
         if comment_tail or parts or tail.strip() \
                 or in_squote or in_dquote:
             if parts or tail.strip() or in_squote or in_dquote:

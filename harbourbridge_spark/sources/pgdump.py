@@ -142,6 +142,7 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
         seg_start = 0
         copy_consumed = False
         comment_tail = False
+        comment_start = len(line)
         i = 0
         while i < len(line):
             ch = line[i]
@@ -164,6 +165,7 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
                     in_squote = True
                 elif ch == "-" and line.startswith("--", i):
                     comment_tail = True
+                    comment_start = i
                     break  # rest of line is a comment (kept as text)
                 elif ch == "/" and line.startswith("/*", i):
                     in_block_comment = True
@@ -189,6 +191,13 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
         if copy_consumed:
             continue
         tail = line[seg_start:]
+        # a comment-only residue after a mid-line ';' must NOT seed the
+        # next statement: the data pass gates on startswith('INSERT')
+        # against un-stripped text, so leading comment text would
+        # silently drop the following INSERT's rows
+        if comment_tail and not parts \
+                and not line[seg_start:comment_start].strip():
+            continue
         if comment_tail or parts or tail.strip() \
                 or in_squote or in_dollar is not None or in_block_comment:
             if parts or tail.strip() or in_squote or in_dollar is not None:

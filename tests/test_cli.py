@@ -57,3 +57,33 @@ def test_cli_sharded_dump_to_sqlite(spark, tmp_path):
     assert ctx.table_stats["acct"].good_rows == 4
     report = open(os.path.join(out, "report.txt")).read()
     assert "all 4 rows written" in report
+
+
+def test_cli_sqlite_writer_dropped_rows_leave_artifact(spark, tmp_path):
+    """Rows the batch writer's constraint bisection rejects count into
+    bad stats AND persist first-N samples — a dropped row must never
+    vanish without an artifact."""
+    dup = tmp_path / "dup.sql"
+    # duplicate primary key -> sqlite IntegrityError -> bisection drops 1
+    dup.write_text(
+        "CREATE TABLE public.acct (id integer NOT NULL, note text);\n"
+        "ALTER TABLE ONLY public.acct ADD CONSTRAINT a_pk "
+        "PRIMARY KEY (id);\n"
+        "COPY public.acct (id, note) FROM stdin;\n"
+        "1\tfirst\n"
+        "1\tdup-key\n"
+        "2\tsecond\n"
+        "\\.\n")
+    out = str(tmp_path / "out")
+    ctx = migrate_dump(spark, str(dup), "postgres", out, target="sqlite")
+    con = sqlite3.connect(os.path.join(out, "migrated.db"))
+    n = con.execute("SELECT COUNT(*) FROM acct").fetchone()[0]
+    con.close()
+    assert n == 2
+    assert ctx.table_stats["acct"].bad_rows == 1
+    art = os.path.join(out, "acct.writer_dropped.txt")
+    assert os.path.exists(art)
+    body = open(art).read()
+    assert "1 row(s) rejected" in body
+    # one sample row present
+    assert body.strip().count("\n") == 1

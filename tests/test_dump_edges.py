@@ -249,3 +249,43 @@ def test_mysql_multiple_statements_on_one_line(spark, tmp_path):
     assert sorted(ctx.src_schema) == ["t1", "t2"]
     assert results["t1"].good.first().a == 1
     assert results["t2"].good.first().b == "z"
+
+
+def test_comment_after_midline_semicolon_pg(spark, tmp_path):
+    """A trailing '-- comment' after a mid-line semicolon must not seed
+    the next statement's text — the data pass gates on
+    startswith('INSERT') against un-stripped text, so a seeded comment
+    would silently drop the following INSERT's rows."""
+    f = tmp_path / "ctail.sql"
+    f.write_text(
+        "CREATE TABLE t (a text, n bigint); -- trailing comment\n"
+        "INSERT INTO t VALUES ('x', 1);\n"
+        "INSERT INTO t VALUES ('y', 2); -- another\n"
+        "INSERT INTO t VALUES ('z', 3);\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    rows = sorted((r.a, r.n) for r in results["t"].good.collect())
+    assert rows == [("x", 1), ("y", 2), ("z", 3)]
+    # a comment inside a continuing statement is still kept as text
+    f2 = tmp_path / "ctail2.sql"
+    f2.write_text(
+        "CREATE TABLE u (a text, -- inline comment\n"
+        "                n bigint);\n"
+        "INSERT INTO u VALUES ('q', 9);\n")
+    ctx2, results2 = pgdump.migrate_pg_dump(spark, str(f2),
+                                            str(tmp_path / "staging2"))
+    assert sorted((r.a, r.n) for r in results2["u"].good.collect()) \
+        == [("q", 9)]
+
+
+def test_comment_after_midline_semicolon_mysql(spark, tmp_path):
+    f = tmp_path / "ctail.mysqldump"
+    f.write_text(
+        "CREATE TABLE `t` (`a` text, `n` bigint); -- trailing comment\n"
+        "INSERT INTO t VALUES ('x', 1);\n"
+        "INSERT INTO t VALUES ('y', 2); -- another\n"
+        "INSERT INTO t VALUES ('z', 3);\n")
+    ctx, results = mysqldump.migrate_mysql_dump(
+        spark, str(f), str(tmp_path / "staging"))
+    rows = sorted((r.a, r.n) for r in results["t"].good.collect())
+    assert rows == [("x", 1), ("y", 2), ("z", 3)]

@@ -276,9 +276,9 @@ def test_sessionize(spark):
 
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     """10k identical documents put every doc in the same band buckets;
-    the MAX_BUCKET guard must drop those buckets (candidate pairs = 0,
-    stats report the drop) instead of forming a ~10^8-pair quadratic
-    join."""
+    the MAX_BUCKET guard must degrade those buckets to star pairing
+    (each member vs the min-doc representative — 9,999 pairs, stats
+    report the cap) instead of forming a ~10^8-pair quadratic join."""
     import pyspark.sql.functions as F
     from harbourbridge_spark.pipeline import dedup as D
 
@@ -294,9 +294,11 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     import time
     t0 = time.time()
     pairs = D.minhash_lsh_pairs_fn(spark, sf_dir)
-    n_pairs = pairs.count()
+    rows = pairs.collect()
     elapsed = time.time() - t0
-    assert n_pairs == 0  # every bucket is over the cap -> dropped
+    # every bucket is over the cap -> star pairs to the representative
+    assert len(rows) == 9_999
+    assert all(r.doc_a == 0 for r in rows)
     assert elapsed < 60  # quadratic join would blow far past this
 
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
