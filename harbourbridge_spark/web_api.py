@@ -67,10 +67,21 @@ class WebApi:
         fn = routes.get((method.upper(), path))
         if fn is None:
             return 404, f"no route {method} {path}"
+        # structurally malformed payloads (missing keys, wrong types)
+        # must map to 400 like the reference's http.StatusBadRequest on
+        # decode failure, not escape as raw exceptions; restore the
+        # pre-request state so a mid-edit failure can't leave partial
+        # changes (web/web.go:785-795 rollback semantics)
+        pre = self.session.ctx.to_json()
         try:
             return fn(query, body)
         except SessionError as e:
             return 400, str(e)
+        except (KeyError, TypeError, AttributeError, ValueError) as e:
+            from .context import MigrationContext
+            self.session.ctx = MigrationContext.from_json(pre)
+            return 400, (f"malformed request payload: "
+                         f"{type(e).__name__}: {e}")
 
     # -- read routes --------------------------------------------------------
     def _get_ddl(self, query, body):
@@ -84,8 +95,16 @@ class WebApi:
         from .context import MigrationContext
         if not isinstance(body, dict) or "conv" not in body:
             return 400, "expected {conv: <session state>}"
-        self.session.ctx = MigrationContext.from_json(
-            json.dumps(body["conv"]))
+        conv = body["conv"]
+        # from_json is deliberately lenient (forward-compatible session
+        # files), so shape-check here: a resume payload without the
+        # core schema maps is not a session state
+        if not isinstance(conv, dict) \
+                or not {"src_schema", "sp_schema", "to_target"} <= set(conv):
+            return 400, ("malformed request payload: conv is not a "
+                         "session state (src_schema/sp_schema/to_target "
+                         "required)")
+        self.session.ctx = MigrationContext.from_json(json.dumps(conv))
         return 200, "OK"
 
     def _get_summary(self, query, body):

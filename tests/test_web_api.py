@@ -162,3 +162,79 @@ def test_payloads_json_serializable(api):
         status, payload = api.handle(method, path, query, body)
         assert status == 200
         json.dumps(payload)  # must not raise
+
+
+def test_malformed_payloads_map_to_400_not_500(api):
+    """Structurally malformed decoded payloads (missing keys, wrong
+    types) must return 400 like the reference's StatusBadRequest, and
+    must not leave partial edits behind."""
+    before = api.session.ctx.to_json()
+    # /add/indexes key entry missing 'Col' -> KeyError path
+    status, msg = api.handle("POST", "/add/indexes",
+                             {"table": "singers"},
+                             [{"Name": "idx_x", "Keys": [{"Desc": True}]}])
+    assert status == 400 and "malformed" in msg
+    # /typemap/table UpdateCols spec that is not an object
+    status, msg = api.handle("POST", "/typemap/table",
+                             {"table": "singers"},
+                             {"UpdateCols": {"score": "not-an-object"}})
+    assert status == 400
+    # /session/resume conv missing required fields
+    status, msg = api.handle("POST", "/session/resume",
+                             body={"conv": {"bogus": 1}})
+    assert status == 400
+    assert api.session.ctx.to_json() == before
+
+
+def test_http_transport_real_sockets(api):
+    """The stdlib server surface: the same routes over urllib against a
+    live socket (reference serves web/routes.go over net/http)."""
+    import urllib.error
+    import urllib.request
+
+    from harbourbridge_spark.web_server import serve
+
+    server = serve(api)
+    try:
+        base = "http://127.0.0.1:%d" % server.server_address[1]
+
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=10) as r:
+                return r.status, json.loads(r.read().decode())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, json.loads(r.read().decode())
+
+        status, ddl = get("/ddl")
+        assert status == 200 and "CREATE TABLE singers" in ddl["singers"]
+
+        status, sess = get("/session")
+        assert status == 200 and "conv" in sess
+
+        status, resp = post("/typemap/table?table=singers",
+                            {"UpdateCols": {"score": {"ToType": tt.STRING}}})
+        assert status == 200
+        assert api.session.ctx.sp_schema["singers"].col_defs["score"] \
+            .type == tt.Type(tt.STRING)
+
+        # error statuses surface as real HTTP errors
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get("/no/such/route")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/typemap/global", {"int8": tt.BYTES})
+        assert ei.value.code == 400
+        # body-level JSON parse error -> 400 (reference decode failure)
+        req = urllib.request.Request(
+            base + "/typemap/global", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
