@@ -137,7 +137,26 @@ def _shingles_over(engine: str, nt: str = "nt") -> str:
     return render(t, engine)
 
 
-def minhash_signature_sql(engine: str) -> str:
+def bands_rows_for(threshold: float, k: int = MINHASH_K) -> tuple[int, int]:
+    """Derive (bands, rows-per-band) from a target Jaccard threshold:
+    the LSH S-curve 1-(1-s^r)^b is steepest near (1/b)^(1/r), so pick
+    the divisor pair of ``k`` whose characteristic threshold is closest
+    to the target. K=16 offers t ≈ 0.06 (16 bands of 1), 0.35 (8x2),
+    0.71 (4x4, the default), 0.92 (2x8), 1.0 (1x16)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    best = None
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        d = abs((1.0 / b) ** (1.0 / r) - threshold)
+        if best is None or d < best[0]:
+            best = (d, b, r)
+    return best[1], best[2]
+
+
+def minhash_signature_sql(engine: str, k: int = MINHASH_K) -> str:
     """Per-doc MinHash signature (K permutations over shingle hashes),
     computed entirely per-row: normalize the text once in an inner
     projection (see _shingles_over), hash the shingle array once, then
@@ -149,7 +168,7 @@ def minhash_signature_sql(engine: str) -> str:
     amin = "array_min" if engine == "spark" else "list_min"
     mins = ", ".join(
         f"{amin}({{ltrans}}(hs, h -> {perm_sql('h', a, b)})) AS m{i}"
-        for i, (a, b) in enumerate(minhash_coeffs(MINHASH_K)))
+        for i, (a, b) in enumerate(minhash_coeffs(k)))
     t = f"""
     WITH hashed AS (
         SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs
@@ -171,10 +190,16 @@ def _bands_clause(sig_source: str) -> str:
     silently dropped. Deterministic in both engines (min doc_id rep);
     observable via lsh_bucket_stats_sql."""
     n_bands = MINHASH_K // BAND_SIZE
+    return _bands_clause_at(sig_source, n_bands, BAND_SIZE)
+
+
+def _bands_clause_at(sig_source: str, n_bands: int, band_size: int) -> str:
+    """_bands_clause for an explicit (bands, rows) choice — see
+    bands_rows_for for deriving one from a Jaccard threshold."""
     band_key = "CASE t.band " + " ".join(
         "WHEN {b} THEN concat_ws(',', {cols})".format(
             b=b, cols=", ".join(
-                f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
+                f"m{i}" for i in range(b * band_size, (b + 1) * band_size)))
         for b in range(n_bands)) + " END"
     values = ",".join(f"({b})" for b in range(n_bands))
     return f"""bands AS (
@@ -252,6 +277,24 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
     t = f"""
     WITH sig AS ({sig}),
     {_bands_clause('sig')}
+    {_PAIRS_SELECT}
+    """
+    return render(t, engine)
+
+
+def minhash_lsh_pairs_at_sql(engine: str, threshold: float,
+                             k: int = MINHASH_K) -> str:
+    """minhash_lsh_pairs_sql with banding DERIVED from a target Jaccard
+    threshold via bands_rows_for — the production knob: lower the
+    threshold and the banding reshapes (more bands, fewer rows) so the
+    S-curve's knee lands on it. The default K=16/r=4 pipeline is
+    unchanged (frozen oracles); this entry point is for other operating
+    points."""
+    b, r = bands_rows_for(threshold, k)
+    sig = minhash_signature_sql(engine, k)
+    t = f"""
+    WITH sig AS ({sig}),
+    {_bands_clause_at('sig', b, r)}
     {_PAIRS_SELECT}
     """
     return render(t, engine)

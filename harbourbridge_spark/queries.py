@@ -1130,6 +1130,13 @@ REGISTRY["dedup_minhash_lsh"] = QuerySpec(
     "candidate pairs (signature cached once on the Spark side); no "
     "quadratic scan; band buckets capped at MAX_BUCKET (skew guard)")
 _register_template(
+    "dedup_minhash_lsh_t35",
+    lambda engine: _dedup.minhash_lsh_pairs_at_sql(engine, 0.35),
+    "MinHash-LSH candidates at a DERIVED operating point: banding "
+    "solved from a target Jaccard threshold of 0.35 (8 bands of 2 via "
+    "bands_rows_for) — the production knob next to the frozen K=16/r=4 "
+    "default")
+_register_template(
     "lsh_bucket_stats", _dedup.lsh_bucket_stats_sql,
     "LSH skew-guard observability: band-bucket population stats + how "
     "many buckets/docs the MAX_BUCKET cap drops")

@@ -365,3 +365,22 @@ def test_quadratic_block_cap_guard(spark, tmp_path):
     # under the cap: silent
     assert ngram_jaccard_pairs_fn(spark, str(tmp_path), cap=100)\
         .count() >= 0
+
+
+def test_bands_rows_for_solver():
+    """(1/b)^(1/r) ≈ t with b*r = K: the knee of the LSH S-curve lands
+    on the requested threshold."""
+    from harbourbridge_spark.pipeline.dedup import bands_rows_for
+
+    assert bands_rows_for(0.707) == (4, 4)    # the frozen default
+    assert bands_rows_for(0.92) == (2, 8)
+    assert bands_rows_for(0.35) == (8, 2)
+    assert bands_rows_for(0.06) == (16, 1)
+    assert bands_rows_for(1.0) == (1, 16)
+    # b*r always equals k, any divisor structure
+    for k in (8, 16, 32):
+        for t in (0.1, 0.4, 0.7, 0.95):
+            b, r = bands_rows_for(t, k)
+            assert b * r == k
+    with pytest.raises(ValueError):
+        bands_rows_for(0.0)
