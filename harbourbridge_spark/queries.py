@@ -786,6 +786,76 @@ def event_funnel_bucketed(events: DataFrame, window_s: int = 1800
                  F.max(F.col("b_sec") - F.col("a_sec")).alias("max_delay_s")))
 
 
+@register(
+    "events_dedup",
+    """
+    SELECT event_type,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_raw,
+           COUNT(DISTINCT event_id) AS n_deduped,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "Batch twin of streaming.dedup_events: the input is doubled (an "
+    "at-least-once delivery simulation), dropDuplicates on event_id "
+    "collapses it back, and per-type counts + decimal-exact value sums "
+    "prove exactly-once output")
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    doubled = ev.unionAll(ev)
+    dd = doubled.dropDuplicates(["event_id"])
+    raw = doubled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"))
+    ded = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_deduped"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+         .cast("double").alias("sum_value"))
+    return raw.join(ded, "event_type").select(
+        "event_type", "n_raw", "n_deduped", "sum_value")
+
+
+@register(
+    "sessionize_batch",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        FROM events
+    ), marked AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                                              ORDER BY sec) >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ), sess AS (
+        SELECT user_id, sec,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    "Batch twin of streaming.sessionize: Spark's native session_window "
+    "(30-min inactivity gap) vs an independent DuckDB reconstruction "
+    "via LAG + cumulative session ids — window merge semantics "
+    "(new session at gap >= 1800s, i.e. event_time == window end) are "
+    "load-bearing in the hash")
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    e = ev.select("user_id", sec.alias("sec"),
+                  F.timestamp_seconds(sec).alias("event_time"))
+    return (e.groupBy("user_id",
+                      F.session_window("event_time", "30 minutes"))
+            .agg(F.min("sec").alias("session_start"),
+                 F.max("sec").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "session_start", "session_end", "n_events"))
+
+
 # ---------------------------------------------------------------------------
 # Conversion-semantics queries: T8 identifier legalization, D5-D11
 # scalar conversions, S22/S23+D16 JSON field inference, and the T1-T3
