@@ -436,22 +436,14 @@ class ConversionResult:
             ctx.stats_add_row(src_table, (good_n or 0) + (bad_n or 0))
 
 
-def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
-                  dialect: str, strict_arrays: bool = False
-                  ) -> ConversionResult:
-    """Convert one table's string DataFrame into its typed target shape,
-    splitting off bad rows (D17). Appends the synthetic PK when the
-    table has one (requires SEQ_COL in the input for determinism).
-
-    Both output frames carry an Observation counting their rows — the
-    progress/row-stats analogue (A1/A8) that piggybacks on whatever
-    action the sink runs, instead of extra count() jobs.
-    """
+def _assemble_result(ctx: MigrationContext, df: DataFrame,
+                     plans: list[ColumnPlan], src_table: str
+                     ) -> ConversionResult:
+    """Shared tail of the converters: error-array split (D17),
+    synthetic PK (T14), and row observations (A1/A8)."""
     from pyspark.sql import Observation
 
-    plans = plan_columns(ctx, src_table, dialect, strict_arrays)
     tgt_name = ctx.to_target[src_table]["name"]
-
     errs = F.array(*[
         F.when(p.err, F.lit(p.target_col)).otherwise(F.lit(None))
         for p in plans])
@@ -476,3 +468,56 @@ def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
     bad = bad.observe(obs_bad, F.count(F.lit(1)).alias("rows"))
     return ConversionResult(good=good, bad=bad,
                             obs_good=obs_good, obs_bad=obs_bad)
+
+
+def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,
+                  dialect: str, strict_arrays: bool = False
+                  ) -> ConversionResult:
+    """Convert one table's string DataFrame into its typed target shape,
+    splitting off bad rows (D17). Appends the synthetic PK when the
+    table has one (requires SEQ_COL in the input for determinism).
+
+    Both output frames carry an Observation counting their rows — the
+    progress/row-stats analogue (A1/A8) that piggybacks on whatever
+    action the sink runs, instead of extra count() jobs.
+    """
+    plans = plan_columns(ctx, src_table, dialect, strict_arrays)
+    return _assemble_result(ctx, df, plans, src_table)
+
+
+def _spark_type_sql(t: tt.Type) -> str:
+    base = {
+        tt.BOOL: "boolean", tt.BYTES: "binary", tt.DATE: "date",
+        tt.FLOAT64: "double", tt.INT64: "long",
+        tt.NUMERIC: f"decimal({tt.NUMERIC_PRECISION},{tt.NUMERIC_SCALE})",
+        tt.TIMESTAMP: "timestamp", tt.STRING: "string",
+    }[t.name]
+    return f"array<{base}>" if t.is_array else base
+
+
+def convert_typed_table(ctx: MigrationContext, df: DataFrame,
+                        src_table: str) -> ConversionResult:
+    """D3 (postgres/infoschema.go:76-126 ProcessSQLData): convert a
+    TYPED DataFrame — the shape a JDBC scan produces — into the target
+    schema. Unlike the dump converters, values arrive already typed by
+    the source database, so only residual casts remain (e.g. INT ->
+    INT64 widening, NUMERIC rescale, VARCHAR -> STRING); a non-NULL
+    value whose residual cast fails quarantines the row exactly like
+    the string path (internal/convert.go:228-249 semantics)."""
+    col_map = ctx.to_target[src_table]["cols"]
+    tgt = ctx.sp_schema[ctx.to_target[src_table]["name"]]
+    # JDBC sources may fold identifier case (Derby/pg uppercase/lower);
+    # map source columns case-insensitively like resolve_refs (T12)
+    by_lower = {c.lower(): c for c in df.columns}
+    plans: list[ColumnPlan] = []
+    for src_col, tgt_col in col_map.items():
+        actual = by_lower.get(src_col.lower(), src_col)
+        c = F.col(actual)
+        cd = tgt.col_defs[tgt_col]
+        expr = c.try_cast(_spark_type_sql(cd.type))
+        if cd.type.name == tt.STRING and not cd.type.is_array:
+            err = F.lit(False)
+        else:
+            err = c.isNotNull() & expr.isNull()
+        plans.append(ColumnPlan(tgt_col, expr, err))
+    return _assemble_result(ctx, df, plans, src_table)

@@ -209,9 +209,11 @@ def read_pg_table(spark: SparkSession, cfg: JdbcConfig,
             f'(SELECT MIN("{pk_col}") AS lo, MAX("{pk_col}") AS hi '
             f"FROM {dbtable}) AS b",
             properties=cfg.properties).first()
-        if bounds and bounds.lo is not None:
+        # positional access: backends fold alias case (Derby/pg
+        # uppercase vs lowercase), so bounds.lo is not portable
+        if bounds and bounds[0] is not None:
             try:
-                lo, hi = int(bounds.lo), int(bounds.hi)
+                lo, hi = int(bounds[0]), int(bounds[1])
                 return spark.read.jdbc(
                     cfg.url, dbtable, column=pk_col,
                     lowerBound=lo, upperBound=max(hi, lo + 1),
