@@ -59,6 +59,19 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_t35",
     "multimodal_decode_wav",
     "multimodal_decode_bmp",
+    # TPC-H access-pattern completion
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipping_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_inactive_customer_balance",
 ]
 
 

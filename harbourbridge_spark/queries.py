@@ -786,6 +786,449 @@ def event_funnel_bucketed(events: DataFrame, window_s: int = 1800
                  F.max(F.col("b_sec") - F.col("a_sec")).alias("max_delay_s")))
 
 
+# ---------------------------------------------------------------------------
+# TPC-H access-pattern completion (Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+# Q20/Q21/Q22 shapes, adapted to the available columns — the testdata
+# has no partsupp table, so the partsupp-centric queries run the same
+# decorrelation/join patterns over lineitem instead).
+# ---------------------------------------------------------------------------
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH m AS (
+        SELECT l_partkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS minp
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           CAST(m.minp AS DOUBLE) AS min_price
+    FROM lineitem l
+      JOIN m ON l.l_partkey = m.l_partkey
+            AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = m.minp
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size < 10
+    """,
+    "TPC-H Q2 shape: correlated MIN decorrelated to a per-key "
+    "aggregate joined back on (key, min-value) equality — the "
+    "min-cost-supplier pattern over lineitem (no partsupp in the "
+    "testdata); exact decimal equality join")
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _dec("l_extendedprice").alias("price"))
+    m = l.groupBy("l_partkey").agg(F.min("price").alias("minp"))
+    p = load(spark, sf_dir, "part").where(F.col("p_size") < 10) \
+        .select("p_partkey", "p_brand")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (l.join(m, (l.l_partkey == m.l_partkey)
+                   & (l.price == m.minp)).drop(m.l_partkey)
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                    F.col("minp").cast("double").alias("min_price"))
+            .distinct())
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation ncust ON ncust.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = ncust.n_regionkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                        THEN volume END) AS DOUBLE), 0.0)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: national market share — six-table star join, "
+    "conditional share of an exact decimal sum per year; both sums "
+    "exact so the double division is engine-identical")
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("volume"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"))
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"))
+    cust_side = (c.join(F.broadcast(nc), c.c_nationkey == nc.nc_key)
+                 .join(F.broadcast(r),
+                       F.col("nc_region") == F.col("r_regionkey"))
+                 .select("c_custkey"))
+    supp_side = (s.join(F.broadcast(ns), s.s_nationkey == ns.ns_key)
+                 .select("s_suppkey", "supp_nation"))
+    vol = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(cust_side, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp_side),
+                  F.col("l_suppkey") == F.col("s_suppkey")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                       F.col("volume"))).cast("double")
+    return (vol.groupBy(F.col("o_year").cast("long").alias("o_year"))
+            .agg(F.round(F.coalesce(num, F.lit(0.0))
+                         / F.sum("volume").cast("double"), 6)
+                 .alias("mkt_share")))
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) *
+                        CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    "TPC-H Q9 shape: product-type profit by nation and year — "
+    "name-filtered part dimension broadcast, profit as an exact "
+    "decimal expression (retailprice stands in for ps_supplycost)")
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("rev"),
+        _dec("l_quantity").alias("qty"))
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")).select(
+        "p_partkey", _dec("p_retailprice").alias("retail"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey) \
+            .select("s_suppkey", "n_name")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("o_year").cast("long").alias("o_year"))
+            .agg(F.sum(F.col("rev") - F.col("retail") * F.col("qty"))
+                 .cast("double").alias("sum_profit")))
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH v AS (
+        SELECT n.n_name AS nation,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l.l_quantity AS DECIMAL(18,2))) AS val
+        FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT nation, CAST(val AS DOUBLE) AS value
+    FROM v
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT 0.02 * CAST(SUM(val) AS DOUBLE) FROM v)
+    """,
+    "TPC-H Q11 shape: groups exceeding a fraction of the GLOBAL total "
+    "— scalar aggregate subquery in the predicate, broadcast as a "
+    "1-row cross join on the Spark side (no collect)")
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (_dec("l_extendedprice") * _dec("l_quantity"))
+        .alias("v"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey) \
+            .select("s_suppkey", "n_name")
+    v = (l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+          .groupBy(F.col("n_name").alias("nation"))
+          .agg(F.sum("v").alias("val")))
+    total = v.agg((F.lit(0.02) * F.sum("val").cast("double"))
+                  .alias("threshold"))
+    return (v.crossJoin(F.broadcast(total))
+            .where(F.col("val").cast("double") > F.col("threshold"))
+            .select("nation", F.col("val").cast("double").alias("value")))
+
+
+@register(
+    "q12_shipping_priority",
+    """
+    SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                THEN 'fast' ELSE 'slow' END AS ship_speed,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    "TPC-H Q12 shape: shipping-speed buckets (interval arithmetic on "
+    "the join) with conditional priority counts — the "
+    "case-when-pivot aggregation pattern")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    speed = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate")
+        + F.expr("INTERVAL 30 DAYS"), "fast").otherwise("slow")
+    return (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(speed.alias("ship_speed"))
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0))
+                 .alias("low_line_count")))
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: customer order-count distribution — left outer "
+    "join preserving customers with zero orders, then a histogram of "
+    "the per-key counts (double aggregation)")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count")))
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT MAX(total) FROM revenue)
+    """,
+    "TPC-H Q15 shape: top supplier by revenue — MAX-of-aggregate "
+    "scalar subquery, answered with exact decimal equality so ties "
+    "are deterministic in both engines")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("rev"))
+    revenue = l.groupBy("l_suppkey").agg(F.sum("rev").alias("total"))
+    mx = revenue.agg(F.max("total").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (revenue.crossJoin(F.broadcast(mx))
+            .where(F.col("total") == F.col("mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total").cast("double").alias("total_revenue")))
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape: distinct supplier counts per part group with a "
+    "NOT-IN exclusion list — anti join + COUNT(DISTINCT) (partsupp "
+    "stood in by lineitem; negative-balance suppliers play the "
+    "complaints list)")
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_brand") != "Brand#13").select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    excl = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (l.join(F.broadcast(excl),
+                   l.l_suppkey == excl.s_suppkey, "left_anti")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH avgq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * a.aq
+    """,
+    "TPC-H Q17 shape: correlated per-part average decorrelated to an "
+    "aggregate join; the average is exact-decimal-sum / exact-count so "
+    "the 0.2x comparison is engine-identical")
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _dec("l_extendedprice").alias("price"))
+    avgq = (l.groupBy(F.col("l_partkey").alias("a_partkey"))
+            .agg((F.sum(_dec("l_quantity")).cast("double")
+                  / F.count(F.lit(1))).alias("aq")))
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#13").select("p_partkey")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(avgq, F.col("l_partkey") == F.col("a_partkey"))
+            .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+            .agg((F.sum("price").cast("double") / 7.0).alias("avg_yearly")))
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+    )
+    """,
+    "TPC-H Q20 shape: nested semi-join chain — suppliers selected by "
+    "an aggregated HAVING subquery over name-filtered parts (the "
+    "promotion-candidate pattern without partsupp)")
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _dec("l_quantity").alias("qty"))
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")).select("p_partkey")
+    picked = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+              .groupBy("l_suppkey").agg(F.sum("qty").alias("q"))
+              .where(F.col("q") > 50).select("l_suppkey"))
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (s.join(picked, s.s_suppkey == picked.l_suppkey, "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", F.col("n_name").alias("nation")))
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem)
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM l l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21 shape: EXISTS + NOT-EXISTS self-correlation — the "
+    "supplier holding the latest ship date in multi-supplier orders "
+    "(semi join with a <> residual, anti join with a > residual)")
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = l.select(F.col("l_orderkey").alias("k2"),
+                  F.col("l_suppkey").alias("s2"))
+    l3 = l.select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_shipdate").alias("d3"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    picked = (l
+              .join(l2, (F.col("l_orderkey") == F.col("k2"))
+                    & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+              .join(l3, (F.col("l_orderkey") == F.col("k3"))
+                    & (F.col("d3") > F.col("l_shipdate")), "left_anti"))
+    return (picked.join(F.broadcast(s),
+                        F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.countDistinct("l_orderkey").alias("numwait")))
+
+
+@register(
+    "q22_inactive_customer_balance",
+    """
+    WITH avgbal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(c.c_acctbal AS DOUBLE) > (SELECT a FROM avgbal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q22 shape: above-average balances with no recent orders — "
+    "scalar average subquery + date-filtered anti join (every "
+    "customer in the testdata has ordered at least once, so recency "
+    "replaces the never-ordered predicate)")
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avgbal = (c.where(F.col("c_acctbal") > 0)
+              .agg((F.sum(_dec("c_acctbal")).cast("double")
+                    / F.count(F.lit(1))).alias("a")))
+    recent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (c.crossJoin(F.broadcast(avgbal))
+            .where(F.col("c_acctbal").cast("double") > F.col("a"))
+            .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(_dec("c_acctbal")).cast("double")
+                 .alias("totacctbal")))
+
+
 @register(
     "events_dedup",
     """

@@ -217,3 +217,28 @@ def test_event_funnel_bucketed_matches_bruteforce(spark):
             want[u] = (len(deltas), min(deltas), max(deltas))
     assert {u: (r.n_pairs, r.min_delay_s, r.max_delay_s)
             for u, r in got.items()} == want
+
+
+def test_q21_semi_anti_join_strategy(spark):
+    """The EXISTS/NOT-EXISTS correlation must compile to LeftSemi and
+    LeftAnti joins on the order key, never a cartesian product."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
+        not in plan.replace("BroadcastNestedLoopJoin BuildRight, LeftSemi",
+                            "")
+
+
+def test_q11_scalar_subquery_broadcast(spark):
+    """The global-total threshold is a 1-row broadcast join, not a
+    collected driver value or a shuffled join."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q8_dims_broadcast_single_fact_pass(spark):
+    plan = _plan(spark, "q8_market_share")
+    # supplier-nation chain and region-filtered customer side broadcast;
+    # lineitem is scanned exactly once
+    assert plan.count("FileScan parquet") >= 5
+    assert len(re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)) == 1
