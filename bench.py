@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_t35",
     "multimodal_decode_wav",
     "multimodal_decode_bmp",
+    "ann_ivf",
     # TPC-H access-pattern completion
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -532,6 +532,76 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
                                     gram_source=g_restricted))
 
 
+def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    LSH-verified pair graph, via iterative min-label propagation —
+    every doc in a component converges to the component's minimum
+    doc_id (the canonical representative the removal step keeps).
+
+    This is the iterative-algorithm pattern: the driver loop only
+    orchestrates rounds (data never leaves the cluster; the per-round
+    action is a count of changed labels), each round is one
+    edge-labels equi-join + min-aggregate, and labels are
+    localCheckpoint()ed so lineage stays flat. Rounds needed = graph
+    diameter — tiny for dup clusters (near-cliques); ``max_iters``
+    bounds pathological chains. The oracle recomputes components with
+    a recursive CTE (transitive closure + MIN) — engine-independent
+    agreement on every component.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = (lsh_verified_pairs_fn(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    nodes = edges.select(F.col("doc_a").alias("doc")).distinct()
+    labels = nodes.select("doc", F.col("doc").alias("label")) \
+                  .localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.doc_a == labels.doc)
+               .groupBy(F.col("doc_b").alias("doc"))
+               .agg(F.min("label").alias("nl")))
+        new = (labels.join(nbr, "doc", "left")
+               .select("doc", F.least(
+                   "label", F.coalesce("nl", "label")).alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_oracle_sql() -> str:
+    """DuckDB oracle for dedup_clusters_fn: recursive-CTE transitive
+    closure over the same verified-pair graph, then MIN(root) per doc.
+    Exact for the bounded oracle scale; the Spark side's label
+    propagation is the 100 TB path (closure is quadratic per
+    component, propagation is linear per round)."""
+    cand = lsh_verified_pairs_sql("duckdb")
+    return f"""
+    WITH RECURSIVE cand AS ({cand}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    nodes AS (SELECT DISTINCT u AS doc FROM edges),
+    reach(doc, r) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.v, reach.r
+        FROM reach JOIN edges e ON e.u = reach.doc
+    )
+    SELECT doc AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY doc
+    """
+
+
 def embedding_neardup_sql(engine: str, threshold: float = 0.35) -> str:
     """Embedding-cosine near-dup pairs, blocked by label (exact within
     block). Dot/norm computed by sequential fold in both engines —

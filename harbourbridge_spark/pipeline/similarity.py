@@ -92,6 +92,65 @@ def ann_bruteforce_sql(engine: str, n_queries: int = 10,
     """
 
 
+def ann_ivf_sql(engine: str, n_queries: int = 10, topk: int = TOPK,
+                n_cells: int = 16, nprobe: int = 2) -> str:
+    """IVF-style ANN: coarse quantization into ``n_cells`` cells
+    (centroids = the first n_cells vectors — deterministic, so both
+    engines build the identical index), each vector assigned to its
+    nearest centroid by cosine; a query probes its ``nprobe`` nearest
+    cells and brute-forces only inside them.
+
+    Scale shape: the assignment pass is O(N x n_cells) fold arithmetic
+    (a projection — no shuffle), the search is an equi-join on cell id.
+    Compared to ann_lsh, IVF gives tunable recall via nprobe instead of
+    fixed hash buckets. Real deployments would k-means the centroids;
+    first-K keeps the index deterministic for the oracle gate."""
+    dot_qc = _dot_sql(engine, "q.embedding", "cent.cvec")
+    dot_vc = _dot_sql(engine, "c.embedding", "cent.cvec")
+    dot_qn = _dot_sql(engine, "q.embedding", "n.embedding")
+    nrm = _norm_sql(engine, "embedding")
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+             FROM c WHERE vec_id < {n_cells}),
+    asg AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {dot_vc} / (c.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM c CROSS JOIN cent) _a
+        WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {dot_qc} / (q.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM c q CROSS JOIN cent WHERE q.vec_id < {n_queries}) _p
+        WHERE rk <= {nprobe}
+    ),
+    sims AS (
+        SELECT qp.query_id, a.vec_id AS neighbor_id,
+               {dot_qn} / (q.nrm * n.nrm) AS cos
+        FROM qprobe qp
+          JOIN asg a ON a.cent_id = qp.cent_id
+          JOIN c q ON q.vec_id = qp.query_id
+          JOIN c n ON n.vec_id = a.vec_id AND n.vec_id != qp.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {topk}
+    """
+
+
 def ann_lsh_sql(engine: str, n_queries: int = 10, topk: int = TOPK) -> str:
     """LSH-bucketed ANN: sign signatures partition the corpus into
     2^NBITS buckets; each query searches only its own bucket. Recall is

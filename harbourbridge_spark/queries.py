@@ -1698,6 +1698,21 @@ _register_template(
     "Embedding near-dup via random-hyperplane sign buckets: signature "
     "equi-join, no label blocking, no quadratic term — the 100 TB path",
     tables=("embeddings",))
+REGISTRY["dedup_clusters"] = QuerySpec(
+    _dedup.dedup_clusters_fn,
+    _dedup.dedup_clusters_oracle_sql(),
+    "Near-dup cluster assignment: connected components over the "
+    "LSH-verified pair graph — iterative min-label propagation on the "
+    "Spark side (distributed, linear per round), recursive-CTE "
+    "transitive closure as the DuckDB oracle; every doc maps to its "
+    "component's min doc_id (the canonical keeper)")
+_register_template(
+    "ann_ivf",
+    lambda engine: _sim.ann_ivf_sql(engine),
+    "IVF-style ANN: deterministic coarse centroids, nearest-cell "
+    "assignment as a projection, queries probe their 2 nearest cells "
+    "— tunable-recall alternative to the LSH buckets",
+    tables=("embeddings",))
 _register_template(
     "ann_bruteforce", _sim.ann_bruteforce_sql,
     "Brute-force cosine top-k (broadcast queries + window rank) — the "

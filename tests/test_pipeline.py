@@ -384,3 +384,39 @@ def test_bands_rows_for_solver():
             assert b * r == k
     with pytest.raises(ValueError):
         bands_rows_for(0.0)
+
+
+def test_dedup_clusters_label_propagation(spark, tmp_path):
+    """A near-dup CHAIN (a~b, b~c without a~c necessarily) must
+    converge to one component labeled by the min doc_id; unrelated
+    docs form their own components or none."""
+    import pyspark.sql.functions as F
+    from harbourbridge_spark.pipeline.dedup import dedup_clusters_fn
+
+    base = ("spark shuffles data between stages when aggregation keys "
+            "require co-location of rows across the cluster nodes and "
+            "executors exchange partitioned blocks over the network")
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " quickly", "en", "s", len(base) + 8),
+        (3, base + " quickly today", "en", "s", len(base) + 14),
+        (50, "entirely unrelated text about gardening with tomatoes "
+             "and sunny windowsills in the late summer heat",
+         "en", "s", 100),
+        (51, "entirely unrelated text about gardening with tomatoes "
+             "and sunny windowsills in the late summer heat wave",
+         "en", "s", 105),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.cluster_id
+           for r in dedup_clusters_fn(spark, str(tmp_path)).collect()}
+    # the 1-2-3 chain collapses to min id 1
+    assert out.get(1) == 1 and out.get(2) == 1 and out.get(3) == 1
+    # the 50-51 pair forms its own component
+    if 50 in out:
+        assert out[50] == 50 and out.get(51) == 50
+    # no cross-component contamination
+    assert all(v in (1, 50) for v in out.values())
