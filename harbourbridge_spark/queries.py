@@ -786,6 +786,54 @@ def event_funnel_bucketed(events: DataFrame, window_s: int = 1800
                  F.max(F.col("b_sec") - F.col("a_sec")).alias("max_delay_s")))
 
 
+@register(
+    "event_funnel_unconverted",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+        FROM events
+    )
+    SELECT c.user_id, COUNT(*) AS n_unconverted
+    FROM e c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM e p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND p.sec > c.sec AND p.sec <= c.sec + 1800
+      )
+    GROUP BY c.user_id
+    """,
+    "Unconverted clicks (no purchase within 30 min) — the batch twin "
+    "of the stream-stream LEFT OUTER interval join "
+    "(streaming.correlate_events_outer). Skew-guarded like the "
+    "funnel: converted clicks are found via the bucketed semi-join, "
+    "then removed by event_id anti-join")
+def q_event_funnel_unconverted(spark: SparkSession, sf_dir: str,
+                               window_s: int = 1800) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts div 1000000000").alias("sec"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("sec").alias("a_sec"))
+    a = clicks.withColumn("bkt", F.explode(F.array(
+        F.expr(f"a_sec div {window_s}"),
+        F.expr(f"a_sec div {window_s} + 1L"))))
+    b = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("sec").alias("b_sec"),
+                 F.expr(f"sec div {window_s}").alias("bkt")))
+    converted = (a.join(b, (F.col("user_id") == F.col("b_user"))
+                        & (a["bkt"] == b["bkt"])
+                        & (F.col("b_sec") > F.col("a_sec"))
+                        & (F.col("b_sec") <= F.col("a_sec") + window_s),
+                        "left_semi")
+                 .select("event_id").distinct())
+    return (clicks.join(converted, "event_id", "left_anti")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_unconverted")))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H access-pattern completion (Q2/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
 # Q20/Q21/Q22 shapes, adapted to the available columns — the testdata

@@ -107,6 +107,87 @@ def correlate_events(stream: DataFrame, first_type: str = "click",
                 "first_time", "then_time"))
 
 
+EVENT_JSON_SCHEMA = ("event_id long, ts long, user_id long, "
+                     "event_type string, value double, props string")
+
+
+def kafka_event_stream(spark, bootstrap_servers: str, topic: str,
+                       starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka-shaped event source: readStream.format('kafka') with the
+    standard projection, decoded by decode_kafka_events. Requires the
+    spark-sql-kafka package and a broker at runtime; the decode step
+    is broker-independent and unit-tested via kafka-shaped frames."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return decode_kafka_events(raw)
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped frame (key/value binary, topic, partition,
+    offset, timestamp) into the events schema + event_time. JSON values
+    parse with from_json (malformed values yield NULL columns rather
+    than poisoning the stream — quarantine downstream via
+    dedup_events/filters); the record key carries user_id for
+    key-partitioned topics, used as a fallback when the payload omits
+    it. Works identically on batch frames, so the decode is testable
+    without a broker."""
+    parsed = raw.select(
+        F.col("key").cast("string").alias("_key"),
+        F.from_json(F.col("value").cast("string"),
+                    EVENT_JSON_SCHEMA).alias("e"),
+        F.col("timestamp").alias("_kafka_ts"))
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ts").alias("ts"),
+        F.coalesce(F.col("e.user_id"),
+                   F.col("_key").cast("long")).alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+        F.coalesce(
+            F.timestamp_seconds(F.col("e.ts") / F.lit(1_000_000_000)),
+            F.col("_kafka_ts")).alias("event_time"))
+
+
+def correlate_events_outer(stream: DataFrame, first_type: str = "click",
+                           then_type: str = "purchase",
+                           max_delay: str = "30 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like correlate_events,
+    but a ``first_type`` event with no matching ``then_type`` within
+    ``max_delay`` still emits (NULL then_id) once the opposite
+    stream's watermark passes its horizon — the unconverted-clicks
+    feed. State bounds are identical to the inner join; the outer rows
+    are emitted at state eviction time.
+
+    Batch twin: queries.event_funnel_unconverted (oracle-checked)."""
+    base = stream
+    if "event_time" not in base.columns:
+        base = base.withColumn(
+            "event_time",
+            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    a = (base.where(F.col("event_type") == first_type)
+         .select(F.col("user_id").alias("a_user"),
+                 F.col("event_id").alias("first_id"),
+                 F.col("event_time").alias("first_time"))
+         .withWatermark("first_time", watermark))
+    b = (base.where(F.col("event_type") == then_type)
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("event_id").alias("then_id"),
+                 F.col("event_time").alias("then_time"))
+         .withWatermark("then_time", watermark))
+    return (a.join(
+        b,
+        F.expr(f"a_user = b_user AND then_time > first_time "
+               f"AND then_time <= first_time + INTERVAL {max_delay}"),
+        "leftOuter")
+        .select(F.col("a_user").alias("user_id"), "first_id", "then_id",
+                "first_time", "then_time"))
+
+
 SESSION_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.DoubleType()),

@@ -420,3 +420,99 @@ def test_dedup_clusters_label_propagation(spark, tmp_path):
         assert out[50] == 50 and out.get(51) == 50
     # no cross-component contamination
     assert all(v in (1, 50) for v in out.values())
+
+
+def test_kafka_shaped_decode(spark):
+    """decode_kafka_events turns a Kafka-shaped frame into the events
+    schema: JSON values parse, malformed values yield NULL columns
+    (not stream poison), and the record key backfills user_id."""
+    import datetime as dt
+    import json
+
+    from harbourbridge_spark.streaming.events import decode_kafka_events
+    now = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rec(key, payload):
+        return (key.encode() if key else None,
+                payload.encode(), "events", 0, 0, now)
+
+    rows = [
+        rec("7", json.dumps({"event_id": 1, "ts": 1_000_000_000_000,
+                             "user_id": 7, "event_type": "click",
+                             "value": 1.5, "props": "{}"})),
+        # payload omits user_id -> key fallback
+        rec("9", json.dumps({"event_id": 2, "ts": 2_000_000_000_000,
+                             "event_type": "purchase", "value": 2.0,
+                             "props": "{}"})),
+        rec(None, "{not json"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset long, timestamp timestamp")
+    out = {r.event_id: r for r in decode_kafka_events(raw).collect()}
+    assert out[1].user_id == 7 and out[1].event_type == "click"
+    assert out[1].event_time == dt.datetime(1970, 1, 1, 0, 16, 40)
+    assert out[2].user_id == 9  # key fallback
+    # malformed JSON -> null event, kafka timestamp kept as event_time
+    junk = out[None]
+    assert junk.event_type is None and junk.event_time == now
+
+
+def test_stream_outer_join_emits_unconverted(spark, tmp_path):
+    """correlate_events_outer must emit NULL-then_id rows for clicks
+    with no purchase in the window, matching the batch
+    event_funnel_unconverted twin on the same data."""
+    import pyspark.sql.functions as F
+    from harbourbridge_spark.queries import REGISTRY
+    from harbourbridge_spark.streaming.events import (
+        correlate_events_outer, event_stream)
+
+    rows = [
+        (1, int(1000e9), 1, "click", 1.0, "{}"),     # converted (+600s)
+        (2, int(1600e9), 1, "purchase", 5.0, "{}"),
+        (3, int(2000e9), 1, "click", 1.0, "{}"),     # NOT converted
+        (4, int(1000e9), 2, "click", 1.0, "{}"),     # NOT converted
+    ]
+    # watermark mechanics: the joint watermark is the MIN of the two
+    # sides, each computed AFTER its type filter — so the pushers must
+    # be a real click (a-side) and a real purchase (b-side), far
+    # enough apart not to pair; and eviction applies a batch AFTER the
+    # watermark advances, so a final noise file drives one more
+    # micro-batch. 1.1s sleeps order the files by modification time
+    # (oldest-first processing decides what counts as late).
+    import time
+    late1 = [(99, int(50_000e9), 8, "click", 0.0, "{}")]
+    late2 = [(100, int(53_000e9), 9, "purchase", 0.0, "{}")]
+    late3 = [(101, int(54_000e9), 9, "noise", 0.0, "{}")]
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    d = str(tmp_path / "events")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    for late in (late1, late2, late3):
+        time.sleep(1.1)
+        spark.createDataFrame(late, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    out = (correlate_events_outer(event_stream(spark, d))
+           .writeStream.format("memory").queryName("outer_pairs")
+           .outputMode("append").start())
+    try:
+        out.processAllAvailable()
+        got = spark.sql("SELECT * FROM outer_pairs").collect()
+    finally:
+        out.stop()
+    matched = sorted((r.first_id, r.then_id) for r in got
+                     if r.then_id is not None)
+    unmatched = sorted(r.first_id for r in got if r.then_id is None)
+    assert matched == [(1, 2)]
+    assert unmatched == [3, 4]
+
+    # batch twin agrees on the unconverted counts (the late click at
+    # 50000s is unconverted too — it only stayed in streaming state
+    # because the watermark never passed its horizon)
+    spark.createDataFrame(rows + late1 + late2 + late3, schema) \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    batch = REGISTRY["event_funnel_unconverted"].fn(spark, str(tmp_path))
+    want = {r.user_id: r.n_unconverted for r in batch.collect()}
+    assert want == {1: 1, 2: 1, 8: 1}
