@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "multimodal_decode_wav",
     "multimodal_decode_bmp",
     "ann_ivf",
+    "doc_surprisal",
+    "boilerplate_grams",
     # TPC-H access-pattern completion
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -271,3 +271,78 @@ def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(sql_fn("spark"))
+
+
+def surprisal_sql(engine: str) -> str:
+    """Per-document token surprisal against the corpus unigram model —
+    the perplexity-proxy quality signal a pretraining pipeline uses to
+    flag gibberish (high surprisal) and boilerplate (low surprisal).
+
+    Engine-exactness: log() differs in final ulps across engines, so
+    surprisal is quantized to INTEGER rarity buckets computed with
+    pure integer comparisons — bucket k means the token's corpus
+    frequency is in (total/2^(k+1), total/2^k] (k = floor(log2) of
+    inverse frequency, never touching floating point). Bucket sums
+    and the oov numerator are integers, so every output is an exact
+    rational — bit-identical across engines."""
+    toks = render(TOKENS, engine)
+    ladder = " ".join(
+        f"WHEN n * {1 << k} >= t THEN {k}"
+        for k in range(31))
+    t = f"""
+    WITH toks AS (
+        SELECT doc_id, {{explode}}(tok_arr) AS tok
+        FROM (SELECT doc_id, {toks} AS tok_arr FROM documents) _t
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab
+    ), scored AS (
+        SELECT toks.doc_id,
+               CASE {ladder} ELSE 31 END AS rarity,
+               CASE WHEN vocab.n <= 2 THEN 1 ELSE 0 END AS is_rare
+        FROM toks JOIN vocab ON vocab.tok = toks.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(rarity) AS BIGINT) AS rarity_sum,
+           CAST(CAST(SUM(rarity) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS mean_rarity,
+           CAST(MAX(rarity) AS BIGINT) AS max_rarity,
+           CAST(CAST(SUM(is_rare) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS oov_rate
+    FROM scored GROUP BY doc_id
+    """
+    return render(t, engine)
+
+
+def boilerplate_grams_sql(engine: str, n_docs_min: int = 3) -> str:
+    """Boilerplate phrase detection: word 5-grams shared by at least
+    ``n_docs_min`` documents — the cross-document repetition signal
+    used to strip templated headers/footers from a pretraining corpus.
+    The groupBy key here is the readable phrase (output-friendly); the
+    100 TB variant would group on the 48-bit gram hash first and
+    recover phrases for the tiny surviving set via a semi-join, like
+    dedup's hashed-gram path."""
+    toks = render(TOKENS, engine)
+    g5 = render(
+        "{adist}({ltrans}({seq}(1, greatest({alen}(tk) - 4, 1)), "
+        "i -> concat_ws(' ', tk[i{o0}], tk[i{o1}], tk[i{o2}], "
+        "tk[i{o3}], tk[i{o4}])))",
+        engine,
+        **({"o0": "-1", "o1": "", "o2": "+1", "o3": "+2", "o4": "+3"}
+           if engine == "spark"
+           else {"o0": "", "o1": "+1", "o2": "+2", "o3": "+3", "o4": "+4"}))
+    t = f"""
+    WITH grams AS (
+        SELECT doc_id, {{explode}}(g) AS gram
+        FROM (SELECT doc_id, {g5} AS g
+              FROM (SELECT doc_id, {toks} AS tk FROM documents) _k) _g
+    )
+    SELECT gram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= {n_docs_min}
+    """
+    return render(t, engine)

@@ -1681,6 +1681,16 @@ _register_template(
     "Corpus token accounting per (lang, source): whitespace + BPE-ish "
     "regex tokens; map-side partial aggregation")
 _register_template(
+    "doc_surprisal", _text.surprisal_sql,
+    "Per-doc token surprisal vs the corpus unigram model — integer "
+    "rarity buckets (floor-log2 of inverse frequency via pure integer "
+    "comparisons, no floating log), oov rate; the perplexity-proxy "
+    "quality signal")
+_register_template(
+    "boilerplate_grams", _text.boilerplate_grams_sql,
+    "Boilerplate phrase detection: word 5-grams shared by >= 3 docs "
+    "(cross-document repetition signal for template stripping)")
+_register_template(
     "dedup_exact", _dedup.exact_dedup_sql,
     "Exact dedup via content-hash groupBy (shuffles 8-byte hashes, "
     "not documents)")
