@@ -146,6 +146,63 @@ def decode_bmp(content: bytes) -> list[float]:
             float(b.mean()), float(px[0, 0, 2])]
 
 
+def decode_ppm(content: bytes) -> list[float]:
+    """Real PPM (P6) decoder: netpbm header (whitespace/comment
+    tokenized), maxval <= 255, raw RGB triplets. Same feature layout
+    as decode_bmp: [width, height, mean_r, mean_g, mean_b, first_r]
+    (PPM is top-down RGB, so no row flip and no channel swap)."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # tokenize the header: fields separated by whitespace, '#' starts
+    # a comment running to end of line; pixel data begins after ONE
+    # whitespace char following maxval
+    fields = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(content) and content[i:i + 1].isspace():
+            i += 1
+        if content[i:i + 1] == b"#":
+            j = content.find(b"\n", i)
+            i = len(content) if j < 0 else j + 1
+            continue
+        j = i
+        while j < len(content) and not content[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(content[i:j]))
+        i = j
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM dims/maxval {w}x{h}/{maxval}")
+    i += 1                      # the single whitespace after maxval
+    need = w * h * 3
+    if len(content) - i < need:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(content, np.uint8, need, i).reshape(h, w, 3)
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    return [float(w), float(h), float(r.mean()), float(g.mean()),
+            float(b.mean()), float(px[0, 0, 0])]
+
+
+def synth_ppm(seed: int) -> bytes:
+    """A legal P6 PPM with a header comment, same closed-form features
+    as synth_bmp: w = 4 + seed%8, h = 2 + seed%5, image row y colored
+    (seed%200 + y, (seed*3)%200 + y, (seed*7)%200 + y)."""
+    w = 4 + seed % 8
+    h = 2 + seed % 5
+    r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+    px = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        px[y, :, 0] = r0 + y
+        px[y, :, 1] = g0 + y
+        px[y, :, 2] = b0 + y
+    return (b"P6\n# synthetic fixture\n"
+            + f"{w} {h}\n255\n".encode() + px.tobytes())
+
+
 def decode_audio(kind: str, content: bytes) -> list[float]:
     """Audio dispatch: real WAV decode when the bytes are a RIFF/WAVE
     container, sha-stub otherwise (librosa would slot in here)."""
@@ -160,13 +217,18 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
 
 
 def decode_image(kind: str, content: bytes) -> list[float]:
-    """Image dispatch: real BMP decode when the bytes carry the BM
-    magic, sha-stub otherwise (PIL would slot in here)."""
+    """Image dispatch: real BMP/PPM decode on magic-byte match,
+    sha-stub otherwise (PIL would slot in here for JPEG/PNG)."""
     if content is None:
         return []
     if content[:2] == b"BM":
         try:
             return decode_bmp(content)
+        except ValueError:
+            pass
+    elif content[:2] == b"P6":
+        try:
+            return decode_ppm(content)
         except ValueError:
             pass
     return decode_stub(kind, content)
@@ -226,13 +288,17 @@ def synth_bmp(seed: int) -> bytes:
             + data)
 
 
-def synth_media(ids: DataFrame, kind: str) -> DataFrame:
+def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     """Expand an ``(media_id)`` DataFrame into MEDIA_SCHEMA rows with
-    synthesized real bytes (WAV for audio, BMP for image) — the test
-    harness for the decode path; generation is Arrow-batched like the
-    decode itself."""
-    synth = synth_wav if kind == "audio" else synth_bmp
-    mime = "audio/wav" if kind == "audio" else "image/bmp"
+    synthesized real bytes (WAV for audio; BMP or PPM for image via
+    ``fmt``) — the test harness for the decode path; generation is
+    Arrow-batched like the decode itself."""
+    if kind == "audio":
+        synth, mime = synth_wav, "audio/wav"
+    elif fmt == "ppm":
+        synth, mime = synth_ppm, "image/x-portable-pixmap"
+    else:
+        synth, mime = synth_bmp, "image/bmp"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

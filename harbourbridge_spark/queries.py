@@ -1910,10 +1910,15 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-left red; DuckDB recomputes the closed forms — bottom-up row "
     "order and BGR channel order are both load-bearing in the hash")
 def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_image_query(spark, sf_dir, fmt="bmp")
+
+
+def _decode_image_query(spark: SparkSession, sf_dir: str,
+                        fmt: str) -> DataFrame:
     from .pipeline.multimodal import extract_features, synth_media
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"))
-    feats = extract_features(synth_media(ids, "image"))
+    feats = extract_features(synth_media(ids, "image", fmt=fmt))
     return feats.select(
         "media_id",
         F.element_at("feature", 1).cast("long").alias("width"),
@@ -1922,6 +1927,28 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 4).cast("double").alias("mean_g"),
         F.element_at("feature", 5).cast("double").alias("mean_b"),
         F.element_at("feature", 6).cast("long").alias("first_r"))
+
+
+@register(
+    "multimodal_decode_ppm",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0 AS mean_r,
+           CAST((doc_id * 3) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_g,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL image decode, second container: P6 PPM (netpbm header with "
+    "comments, raw top-down RGB) — same closed-form features as the "
+    "BMP fixture, so the two decoders must agree byte-for-byte "
+    "through entirely different header/pixel layouts")
+def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_image_query(spark, sf_dir, fmt="ppm")
 
 
 # ---------------------------------------------------------------------------

@@ -516,3 +516,27 @@ def test_stream_outer_join_emits_unconverted(spark, tmp_path):
     batch = REGISTRY["event_funnel_unconverted"].fn(spark, str(tmp_path))
     want = {r.user_id: r.n_unconverted for r in batch.collect()}
     assert want == {1: 1, 2: 1, 8: 1}
+
+
+def test_ppm_decode_real_bytes():
+    from harbourbridge_spark.pipeline.multimodal import (decode_bmp,
+                                                         decode_image,
+                                                         decode_ppm,
+                                                         synth_bmp,
+                                                         synth_ppm)
+    seed = 17
+    buf = synth_ppm(seed)
+    feats = decode_ppm(buf)
+    # the PPM and BMP fixtures encode the same image; the two decoders
+    # must agree through different container layouts (top-down RGB vs
+    # bottom-up padded BGR)
+    assert feats == decode_bmp(synth_bmp(seed))
+    assert decode_image("image", buf) == feats
+    # header comment handling + malformed fallbacks
+    assert decode_ppm(b"P6\n# c\n2 1\n255\n" + bytes(6)) == \
+        [2.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n255\n" + bytes(3))   # truncated pixels
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 1\n255\n" + bytes(6))   # not P6
+    assert len(decode_image("image", b"P6 but junk")) == 8
