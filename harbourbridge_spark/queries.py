@@ -1686,10 +1686,13 @@ _register_template(
     "rarity buckets (floor-log2 of inverse frequency via pure integer "
     "comparisons, no floating log), oov rate; the perplexity-proxy "
     "quality signal")
-_register_template(
-    "boilerplate_grams", _text.boilerplate_grams_sql,
+REGISTRY["boilerplate_grams"] = QuerySpec(
+    _text.boilerplate_grams_fn,
+    _text.boilerplate_grams_sql("duckdb"),
     "Boilerplate phrase detection: word 5-grams shared by >= 3 docs "
-    "(cross-document repetition signal for template stripping)")
+    "(cross-document repetition signal for template stripping); Spark "
+    "side repartitions before the gram stage so the work is not "
+    "serialized into the single-row-group scan task")
 _register_template(
     "dedup_exact", _dedup.exact_dedup_sql,
     "Exact dedup via content-hash groupBy (shuffles 8-byte hashes, "
