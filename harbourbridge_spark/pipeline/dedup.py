@@ -354,30 +354,95 @@ def dedup_keep_first_sql(engine: str) -> str:
     return render(t, engine)
 
 
-def simhash_sql(engine: str, bits: int = 32) -> str:
-    """Per-doc SimHash over whitespace tokens: for each bit position,
-    majority vote of token-hash bits; emitted as a bit string (engine-
-    portable, no sign issues)."""
+def _simhash_votes_ctes(engine: str, bits: int) -> str:
+    """Shared CTE chain producing ``votes(doc_id, v0..v{bits-1})``:
+    explode whitespace tokens, hash each, and per bit position take the
+    majority vote (sum of +1/-1). Bit extraction is exact floor-
+    division (h48 < 2^48 < 2^53, so double division is exact; >> and
+    div/// differ across engines)."""
     toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
     h = hash48("tok", engine)
-    # portable bit extraction: exact floor-division (h48 < 2^48 < 2^53,
-    # so double division is exact; >> and div/// differ across engines)
     votes = ", ".join(
         f"SUM(CASE WHEN CAST(floor(h48 / {1 << j}.0) AS BIGINT) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits))
-    bitstr = " || ".join(
-        f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END"
-        for j in range(bits - 1, -1, -1))
-    t = f"""
-    WITH exploded AS (
+    return f"""exploded AS (
         SELECT doc_id, {{explode}}({toks}) AS tok FROM documents
     ), hashed AS (
         SELECT doc_id, {h} AS h48 FROM exploded
     ), votes AS (
         SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
-    )
+    )"""
+
+
+def simhash_sql(engine: str, bits: int = 32) -> str:
+    """Per-doc SimHash over whitespace tokens: for each bit position,
+    majority vote of token-hash bits; emitted as a bit string (engine-
+    portable, no sign issues)."""
+    bitstr = " || ".join(
+        f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END"
+        for j in range(bits - 1, -1, -1))
+    t = f"""
+    WITH {_simhash_votes_ctes(engine, bits)}
     SELECT doc_id, {bitstr} AS simhash_bits FROM votes
+    """
+    return render(t, engine)
+
+
+def _hamming(a: str, b: str, engine: str) -> str:
+    """Exact Hamming distance between two integer signatures via
+    popcount(xor). Spark spells xor ``^``; DuckDB's ``^`` is POWER, so
+    it uses the xor() function. Both have bit_count."""
+    if engine == "spark":
+        return f"CAST(bit_count({a} ^ {b}) AS BIGINT)"
+    return f"CAST(bit_count(xor({a}, {b})) AS BIGINT)"
+
+
+def simhash_pairs_sql(engine: str, k: int = 3, bits: int = 32) -> str:
+    """SimHash near-dup PAIR SEARCH: all pairs with Hamming distance
+    <= k, found WITHOUT a quadratic scan via the pigeonhole blocking of
+    Manku et al. (WWW'07): split the signature into k+1 contiguous
+    slices — two signatures within distance k must agree exactly on at
+    least one slice — equi-join on (slice_index, slice_value), then
+    exact popcount(xor) filter on the (deduplicated) candidates.
+
+    Scale: candidate generation is an equi-join on slice buckets (one
+    shuffle keyed by slice value); slice width = ceil(bits/(k+1)) sets
+    bucket selectivity — at corpus scale raise ``bits`` (the generator
+    is parametric up to 48, the exact-double limit shared with hash48)
+    so each slice is wide enough that buckets stay small; skew auditing
+    follows the lsh_bucket_stats pattern.
+
+    Reference parity: the reference engine has no similarity search at
+    all — this is part of the training-data pipeline extension
+    (SURVEY §2.8)."""
+    if not 0 < bits <= 48:
+        raise ValueError("bits must be in (0, 48] (exact-double range)")
+    nb = k + 1
+    width = -(-bits // nb)
+    # integer signature from the majority votes: sum of set-bit weights
+    sig = " + ".join(
+        f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits))
+    ham = _hamming("sig_a", "sig_b", engine)
+    t = f"""
+    WITH {_simhash_votes_ctes(engine, bits)}, sigs AS (
+        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes
+    ), keyed AS (
+        SELECT doc_id, sig, b,
+               CAST(floor(sig / pow(2.0, b * {width})) AS BIGINT)
+                   % {1 << width} AS slice
+        FROM (SELECT doc_id, sig, {{explode}}({{seq}}(0, {nb - 1})) AS b
+              FROM sigs) _b
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.sig AS sig_a, y.sig AS sig_b
+        FROM keyed x JOIN keyed y
+          ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, {ham} AS hamming_dist
+    FROM cand
+    WHERE {ham} <= {k}
     """
     return render(t, engine)
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -85,6 +86,11 @@ def decode_wav(content: bytes) -> list[float]:
         csz = struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8:pos + 8 + csz]
         if cid == b"fmt ":
+            # the declared chunk size can exceed the remaining bytes;
+            # struct.error is not a ValueError, so guard explicitly or
+            # one corrupt file would escape the quarantine dispatch
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -187,6 +193,143 @@ def decode_ppm(content: bytes) -> list[float]:
             float(b.mean()), float(px[0, 0, 0])]
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left,
+    up, up-left) closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(content: bytes) -> list[float]:
+    """Real COMPRESSED-container decoder (no libraries): PNG chunk walk
+    -> IHDR parse -> zlib inflate of the concatenated IDAT stream ->
+    per-row unfiltering (all five filter types: None/Sub/Up/Average/
+    Paeth). 8-bit truecolor (color type 2, no interlace) only — the
+    shape a crawler-normalized corpus stores. Same feature layout as
+    decode_bmp/decode_ppm: [width, height, mean_r, mean_g, mean_b,
+    first_r]. Raises ValueError on unsupported/malformed input.
+
+    Row unfiltering is byte-serial within a row (Sub/Paeth reference
+    the just-reconstructed left pixel) so it is a Python loop here;
+    the fixtures are small and the production swap-in is PIL/libpng.
+    """
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        clen = struct.unpack_from(">I", content, pos)[0]
+        ctyp = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctyp == b"IHDR":
+            ihdr = body
+        elif ctyp == b"IDAT":
+            idat.append(body)
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + clen        # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    depth, color, _comp, _filt, interlace = struct.unpack_from(
+        "BBBBB", ihdr, 8)
+    if depth != 8 or color != 2 or interlace != 0 or w <= 0 or h <= 0:
+        raise ValueError(
+            f"unsupported PNG depth={depth} color={color} "
+            f"interlace={interlace}")
+    raw = zlib.decompress(b"".join(idat))
+    rowlen = w * 3
+    if len(raw) < h * (1 + rowlen):
+        raise ValueError("truncated PNG pixel data")
+    px = np.zeros((h, rowlen), np.uint16)
+    for y in range(h):
+        off = y * (1 + rowlen)
+        ftype = raw[off]
+        line = raw[off + 1:off + 1 + rowlen]
+        prior = px[y - 1] if y else np.zeros(rowlen, np.uint16)
+        cur = px[y]
+        if ftype == 0:          # None
+            cur[:] = np.frombuffer(line, np.uint8)
+        elif ftype == 2:        # Up (vectorizable: no left dependency)
+            cur[:] = (np.frombuffer(line, np.uint8) + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            for i in range(rowlen):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prior[i]
+                if ftype == 1:      # Sub
+                    pred = a
+                elif ftype == 3:    # Average
+                    pred = (int(a) + int(b)) // 2
+                else:               # Paeth
+                    c = prior[i - 3] if i >= 3 else 0
+                    pred = _paeth(int(a), int(b), int(c))
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    img = px.reshape(h, w, 3).astype(np.float64)
+    return [float(w), float(h), float(img[..., 0].mean()),
+            float(img[..., 1].mean()), float(img[..., 2].mean()),
+            float(px[0, 0])]
+
+
+def synth_png(seed: int) -> bytes:
+    """A legal truecolor PNG with the SAME closed-form features as
+    synth_bmp/synth_ppm (w = 4 + seed%8, h = 2 + seed%5, image row y
+    colored (seed%200 + y, (seed*3)%200 + y, (seed*7)%200 + y)), but
+    through a real zlib-compressed scanline stream. Row y uses filter
+    type y % 5, so every PNG filter (None/Sub/Up/Average/Paeth) is
+    exercised by any fixture with h = 6... except h caps at 6 via
+    seed%5 -> filters 0..4 all appear for h >= 5."""
+    w = 4 + seed % 8
+    h = 2 + seed % 5
+    r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+    px = np.zeros((h, w * 3), np.uint8)
+    for y in range(h):
+        px[y, 0::3] = r0 + y
+        px[y, 1::3] = g0 + y
+        px[y, 2::3] = b0 + y
+    stream = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        cur = px[y].astype(np.int16)
+        prior = px[y - 1].astype(np.int16) if y else \
+            np.zeros(w * 3, np.int16)
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            pred = np.array([_paeth(int(a), int(b), int(c)) for a, b, c
+                             in zip(left, prior, upleft)], np.int16)
+            filt = cur - pred
+        stream.append(ftype)
+        stream.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctyp: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctyp + body
+                + struct.pack(">I", zlib.crc32(ctyp + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
 def synth_ppm(seed: int) -> bytes:
     """A legal P6 PPM with a header comment, same closed-form features
     as synth_bmp: w = 4 + seed%8, h = 2 + seed%5, image row y colored
@@ -211,7 +354,10 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
     if content[:4] == b"RIFF":
         try:
             return decode_wav(content)
-        except ValueError:
+        except (ValueError, struct.error):
+            # struct.error belt covers malformed headers the explicit
+            # length guards miss — a corrupt file must degrade to the
+            # stub, never fail the whole Spark job
             pass
     return decode_stub(kind, content)
 
@@ -224,12 +370,17 @@ def decode_image(kind: str, content: bytes) -> list[float]:
     if content[:2] == b"BM":
         try:
             return decode_bmp(content)
-        except ValueError:
+        except (ValueError, struct.error):
             pass
     elif content[:2] == b"P6":
         try:
             return decode_ppm(content)
-        except ValueError:
+        except (ValueError, struct.error):
+            pass
+    elif content[:8] == PNG_MAGIC:
+        try:
+            return decode_png(content)
+        except (ValueError, struct.error, zlib.error):
             pass
     return decode_stub(kind, content)
 
@@ -297,6 +448,8 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_wav, "audio/wav"
     elif fmt == "ppm":
         synth, mime = synth_ppm, "image/x-portable-pixmap"
+    elif fmt == "png":
+        synth, mime = synth_png, "image/png"
     else:
         synth, mime = synth_bmp, "image/bmp"
 

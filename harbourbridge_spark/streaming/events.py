@@ -25,19 +25,44 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped as both ns-since-epoch longs
+    (TIMESTAMP(NANOS) parquet under spark.sql.legacy.parquet.nanosAsLong)
+    and TIMESTAMP(MICROS); pin the ns-long contract here so every
+    downstream operator sees one shape regardless of data generation."""
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
+
+
+def event_time_col() -> F.Column:
+    """ns-epoch long -> event-time timestamp, exactly: integer `div`
+    to micros then timestamp_micros. Float `/ 1e9` would round ns
+    values (~1.7e18 > 2^53) near boundaries."""
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """normalize_ts + an ``event_time`` timestamp column; idempotent."""
+    df = normalize_ts(df)
+    if "event_time" not in df.columns:
+        df = df.withColumn("event_time", event_time_col())
+    return df
+
+
 def event_stream(spark, events_dir: str, schema=None,
                  max_files_per_trigger: int = 1) -> DataFrame:
-    """File-based event stream. events.ts arrives as ns-since-epoch
-    (long); normalize to a proper event-time column."""
+    """File-based event stream; ts is normalized to ns-epoch long and
+    an event-time column added. With no explicit schema the parquet
+    directory is sniffed once with a static read (file streams require
+    a fixed schema up front)."""
     reader = (spark.readStream
               .option("maxFilesPerTrigger", max_files_per_trigger))
     if schema is None:
-        schema = ("event_id long, ts long, user_id long, "
-                  "event_type string, value double, props string")
+        schema = spark.read.parquet(events_dir).schema
     df = reader.schema(schema).format("parquet").load(events_dir)
-    return df.withColumn(
-        "event_time",
-        F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    return with_event_time(df)
 
 
 def windowed_event_counts(stream: DataFrame,
@@ -61,11 +86,7 @@ def dedup_events(stream: DataFrame, watermark: str = "10 minutes",
     watermark horizon (state bounded by the horizon, unlike a plain
     dropDuplicates whose state grows forever). The streaming twin of
     pipeline/dedup.exact_dedup_sql for at-least-once sources."""
-    df = stream
-    if "event_time" not in df.columns:
-        df = df.withColumn(
-            "event_time",
-            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    df = with_event_time(stream)
     return (df.withWatermark("event_time", watermark)
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
 
@@ -83,11 +104,7 @@ def correlate_events(stream: DataFrame, first_type: str = "click",
     O(events within the delay window), not unbounded.
 
     Batch twin: queries.event_funnel (oracle-checked)."""
-    base = stream
-    if "event_time" not in base.columns:
-        base = base.withColumn(
-            "event_time",
-            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    base = with_event_time(stream)
     a = (base.where(F.col("event_type") == first_type)
          .select(F.col("user_id").alias("a_user"),
                  F.col("event_id").alias("first_id"),
@@ -148,7 +165,7 @@ def decode_kafka_events(raw: DataFrame) -> DataFrame:
         F.col("e.value").alias("value"),
         F.col("e.props").alias("props"),
         F.coalesce(
-            F.timestamp_seconds(F.col("e.ts") / F.lit(1_000_000_000)),
+            F.timestamp_micros(F.expr("e.ts div 1000")),
             F.col("_kafka_ts")).alias("event_time"))
 
 
@@ -164,11 +181,7 @@ def correlate_events_outer(stream: DataFrame, first_type: str = "click",
     are emitted at state eviction time.
 
     Batch twin: queries.event_funnel_unconverted (oracle-checked)."""
-    base = stream
-    if "event_time" not in base.columns:
-        base = base.withColumn(
-            "event_time",
-            F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+    base = with_event_time(stream)
     a = (base.where(F.col("event_type") == first_type)
          .select(F.col("user_id").alias("a_user"),
                  F.col("event_id").alias("first_id"),
@@ -247,9 +260,8 @@ def sessionize(stream: DataFrame, gap_seconds: float = 1800.0,
                  "session_end": e, "n_events": c}
                 for s, e, c in closed])
 
-    events = (stream
+    events = (with_event_time(stream)
               .withColumn("ts_sec", F.col("ts") / F.lit(1_000_000_000.0))
-              .withColumn("event_time", F.timestamp_seconds(F.col("ts_sec")))
               .withWatermark("event_time", watermark))
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=SESSION_SCHEMA, stateStructType=_STATE_SCHEMA,

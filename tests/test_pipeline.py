@@ -185,7 +185,8 @@ def test_bmp_decode_real_bytes():
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     from harbourbridge_spark.streaming.events import (event_stream,
-                                                      windowed_event_counts)
+                                                      windowed_event_counts,
+                                                      with_event_time)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file streams read directories: stage the single parquet file
     src = str(tmp_path / "events_dir")
@@ -203,9 +204,7 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
                for r in spark.sql("SELECT * FROM win_counts").collect()}
     finally:
         q.stop()
-    want_df = (batch
-               .withColumn("event_time", F.timestamp_seconds(
-                   F.col("ts") / F.lit(1_000_000_000)))
+    want_df = (with_event_time(batch)
                .groupBy(F.window("event_time", "5 minutes").alias("w"),
                         "event_type")
                .agg(F.count(F.lit(1)).alias("n"),
