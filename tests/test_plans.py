@@ -93,6 +93,14 @@ def test_ann_lsh_is_equijoin_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pairs_is_equijoin_not_cross(spark):
+    """The pigeonhole slice blocking must compile to an equi-join on
+    (slice_index, slice_value) — never an all-pairs scan."""
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     """Writing with partition_by gives downstream partition pruning
     (PartitionFilters at the scan, not a full-table read)."""
