@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import warnings
 
-from .hashing import hash48, minhash_coeffs, perm_sql
+from .hashing import hash31_poly, hash48, minhash_coeffs, perm_sql
 from .text import render
 
 MINHASH_K = 16
@@ -156,15 +156,21 @@ def bands_rows_for(threshold: float, k: int = MINHASH_K) -> tuple[int, int]:
     return best[1], best[2]
 
 
-def minhash_signature_sql(engine: str, k: int = MINHASH_K) -> str:
+def minhash_signature_sql(engine: str, k: int = MINHASH_K,
+                          fast: bool = False) -> str:
     """Per-doc MinHash signature (K permutations over shingle hashes),
     computed entirely per-row: normalize the text once in an inner
     projection (see _shingles_over), hash the shingle array once, then
     each permutation is an array_min over a transform. No explode, no
     groupBy — the earlier explode->K-MIN-aggregations formulation
-    shuffled |docs| x |shingles| rows for the same result."""
+    shuffled |docs| x |shingles| rows for the same result.
+
+    ``fast=True`` swaps the md5-derived hash48 for the arithmetic
+    31-bit polynomial (hash31_poly) — the signature stage dominates the
+    LSH benches, and the polynomial avoids one md5 per shingle. md5
+    stays the default: the frozen oracles were recorded against it."""
     sh = _shingles_over(engine)
-    h = hash48("x", engine)
+    h = hash31_poly("x") if fast else hash48("x", engine)
     amin = "array_min" if engine == "spark" else "list_min"
     mins = ", ".join(
         f"{amin}({{ltrans}}(hs, h -> {perm_sql('h', a, b)})) AS m{i}"
@@ -257,6 +263,30 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str):
     sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
     sig.createOrReplaceTempView("__mh_sig")
     return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
+
+
+def minhash_lsh_pairs_fast_fn(spark, sf_dir: str):
+    """minhash_lsh_pairs_fn with the arithmetic 31-bit shingle hash —
+    the signature-cost knob for corpus scale (one polynomial per
+    shingle instead of one md5). Same caching strategy, same banding."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    sig = spark.sql(
+        minhash_signature_sql("spark", fast=True)).localCheckpoint()
+    sig.createOrReplaceTempView("__mh_sig_fast")
+    return spark.sql(minhash_bands_sql("spark", "__mh_sig_fast"))
+
+
+def minhash_lsh_pairs_fast_sql(engine: str) -> str:
+    """Single-statement (oracle) form of the fast-hash LSH pairs."""
+    sig = minhash_signature_sql(engine, fast=True)
+    t = f"""
+    WITH sig AS ({sig}),
+    {_bands_clause('sig')}
+    {_PAIRS_SELECT}
+    """
+    return render(t, engine)
 
 
 def minhash_lsh_pairs_sql(engine: str) -> str:

@@ -40,6 +40,26 @@ def hash48(expr: str, engine: str) -> str:
     return spark_hash48(expr) if engine == "spark" else duck_hash48(expr)
 
 
+def hash31_poly(expr: str, n: int = 5) -> str:
+    """Arithmetic 31-bit polynomial hash over the first ``n`` characters
+    of a string expression — the cheap alternative to the md5-derived
+    hash48 for fixed-width shingles. The SAME text runs in both engines:
+    ascii() returns the Unicode code point in Spark and DuckDB alike
+    (verified incl. non-BMP-adjacent cases), and ascii('') is 0 in both,
+    so short tails degrade identically. Every intermediate stays well
+    under 2^63 (code point < 2^21, running hash < 2^31, base 131 →
+    products < 2^39), so the expression is ANSI-overflow-safe.
+
+    Collision note: 31 bits vs hash48's 48 — fine for MinHash (both
+    engines evaluate the identical expression, so collisions agree and
+    the oracle comparison stays exact; the S-curve shifts negligibly)."""
+    h = f"ascii(substring({expr}, 1, 1))"
+    for j in range(2, n + 1):
+        h = (f"(({h}) * 131 + ascii(substring({expr}, {j}, 1))) "
+             f"% {1 << 31}")
+    return f"({h})"
+
+
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for K permutations. a is odd and small
     enough that a * (2^48 - 1) + b < 2^63."""

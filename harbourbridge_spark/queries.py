@@ -1726,6 +1726,12 @@ _register_template(
     "solved from a target Jaccard threshold of 0.35 (8 bands of 2 via "
     "bands_rows_for) — the production knob next to the frozen K=16/r=4 "
     "default")
+REGISTRY["dedup_minhash_lsh_fast"] = QuerySpec(
+    _dedup.minhash_lsh_pairs_fast_fn,
+    _dedup.minhash_lsh_pairs_fast_sql("duckdb"),
+    "MinHash-LSH with the arithmetic 31-bit shingle hash (polynomial "
+    "over code points, no md5) — the signature-cost knob for corpus "
+    "scale; same banding, caching, and skew guard as the default")
 _register_template(
     "lsh_bucket_stats", _dedup.lsh_bucket_stats_sql,
     "LSH skew-guard observability: band-bucket population stats + how "
