@@ -21,61 +21,26 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from harbourbridge_spark import queries as Q  # noqa: E402
 
-# Headline set: migration surface + relational + (as added) pipeline ops.
-BENCH_QUERIES = [
-    "cast_projection_lineitem",
-    "good_bad_split_events",
-    "synthetic_pk_supplier",
-    "uniqueness_validation",
-    "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "rollup_region_revenue",
-    "orphan_check_lineitem",
-    "events_windowed_agg",
-    "text_quality",
-    "token_counts",
-    "dedup_exact",
-    "dedup_keep_first",
-    "vocab_topk",
-    "doc_chunks",
-    "corpus_curation",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
-    "dedup_embedding_lsh",
-    "ann_bruteforce",
-    "ann_lsh",
-    # round 3 additions
-    "event_funnel",
-    "events_dedup",
-    "sessionize_batch",
-    "dedup_minhash_lsh_t35",
-    "multimodal_decode_wav",
-    "multimodal_decode_bmp",
-    "ann_ivf",
-    "doc_surprisal",
-    "boilerplate_grams",
-    # TPC-H access-pattern completion
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipping_priority",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_inactive_customer_balance",
-]
+# Bench list = the FULL oracle registry minus an explicit exclusion
+# set, so a newly registered operator is benched automatically and can
+# never silently drop out (the r4 drift).  Excluded: entries whose
+# input is a frozen driver-side literal frame — they measure constant
+# per-query overhead, not engine throughput at the target sf.
+BENCH_EXCLUDE = {
+    "typemap_postgres",          # literal typemap table
+    "typemap_mysql",             # literal typemap table
+    "typemap_dynamodb",          # literal typemap table
+    "row_transform_goldens",     # frozen golden rows
+    "event_second_boundaries",   # 32 frozen boundary literals
+    # documented capped-QUADRATIC small-N variants (BlockTooLargeError
+    # guards, pipeline/dedup.py) — their linear scale twins
+    # dedup_lsh_verified / dedup_embedding_lsh ARE benched; timing the
+    # quadratic path at sf0.1 (23s+) would swamp the total with a
+    # shape the scale design explicitly rejects:
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+}
+BENCH_QUERIES = [n for n in Q.REGISTRY if n not in BENCH_EXCLUDE]
 
 
 def main() -> None:

@@ -46,6 +46,12 @@ MEDIA_SCHEMA = T.StructType([
     ]), True),
 ])
 
+# Decompression-bomb ceiling for compressed containers (PNG): the
+# largest pixel buffer a single decode may inflate. The unfilter loop
+# is Python-serial per row, so the cap also bounds CPU: 8 MB ≈ a
+# 1600² truecolor image — far above any fixture, bounded work per row.
+MAX_DECODED_BYTES = 8 * 1024 * 1024
+
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),
@@ -246,7 +252,19 @@ def decode_png(content: bytes) -> list[float]:
         raise ValueError(
             f"unsupported PNG depth={depth} color={color} "
             f"interlace={interlace}")
-    raw = zlib.decompress(b"".join(idat))
+    # Decompression-bomb guard: bound the output by the declared
+    # dimensions BEFORE inflating (a small file can declare huge w*h,
+    # or inflate far beyond h*(1+3w)). decompressobj(max_length=...)
+    # caps the inflate; leftover compressed input => bomb => reject.
+    expected = h * (1 + w * 3)
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed decode cap "
+            f"({expected} > {MAX_DECODED_BYTES} bytes)")
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError("PNG pixel stream larger than declared dims")
     rowlen = w * 3
     if len(raw) < h * (1 + rowlen):
         raise ValueError("truncated PNG pixel data")
@@ -380,7 +398,10 @@ def decode_image(kind: str, content: bytes) -> list[float]:
     elif content[:8] == PNG_MAGIC:
         try:
             return decode_png(content)
-        except (ValueError, struct.error, zlib.error):
+        except (ValueError, struct.error, zlib.error, MemoryError):
+            # MemoryError belt: the MAX_DECODED_BYTES pre-check should
+            # make it unreachable, but a corrupt file must degrade to
+            # the stub, never fail the whole Spark job
             pass
     return decode_stub(kind, content)
 

@@ -51,16 +51,36 @@ def with_event_time(df: DataFrame) -> DataFrame:
     return df
 
 
+# Fallback stream schema when the directory can't be sniffed (empty at
+# stream start, or unreadable footer): the canonical events shape with
+# ts as ns-epoch long.
+EVENTS_NS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
 def event_stream(spark, events_dir: str, schema=None,
                  max_files_per_trigger: int = 1) -> DataFrame:
     """File-based event stream; ts is normalized to ns-epoch long and
     an event-time column added. With no explicit schema the parquet
     directory is sniffed once with a static read (file streams require
-    a fixed schema up front)."""
+    a fixed schema up front); the sniff sets
+    spark.sql.legacy.parquet.nanosAsLong so TIMESTAMP(NANOS) files
+    read as longs, and an empty/unreadable directory falls back to the
+    canonical ns-long schema instead of throwing at stream start."""
     reader = (spark.readStream
               .option("maxFilesPerTrigger", max_files_per_trigger))
     if schema is None:
-        schema = spark.read.parquet(events_dir).schema
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            schema = spark.read.parquet(events_dir).schema
+        except Exception:
+            schema = EVENTS_NS_SCHEMA
     df = reader.schema(schema).format("parquet").load(events_dir)
     return with_event_time(df)
 
@@ -209,8 +229,8 @@ SESSION_SCHEMA = T.StructType([
 ])
 
 _STATE_SCHEMA = T.StructType([
-    T.StructField("start", T.DoubleType()),
-    T.StructField("last", T.DoubleType()),
+    T.StructField("start", T.LongType()),   # micros (exact)
+    T.StructField("last", T.LongType()),    # micros (exact)
     T.StructField("n", T.LongType()),
 ])
 
@@ -225,7 +245,19 @@ def sessionize(stream: DataFrame, gap_seconds: float = 1800.0,
     data-driven (no idle processing sweeps), so state work is bounded
     by actual progress.
     """
-    gap_ms = int(gap_seconds * 1000)
+    # State and gap comparisons run in integer MICROSECONDS (exact for
+    # any ns-epoch long: ts div 1000 never rounds, unlike float
+    # `ts / 1e9` whose 2^53 mantissa flips values ~128 ns from second
+    # boundaries). Seconds appear only in the emitted rows, where
+    # double precision over micros is the output contract.
+    gap_us = int(round(gap_seconds * 1_000_000))
+    gap_ms = int(round(gap_seconds * 1000))
+
+    def emit(user_id, sessions):
+        return pd.DataFrame([
+            {"user_id": user_id, "session_start": s / 1e6,
+             "session_end": e / 1e6, "n_events": c}
+            for s, e, c in sessions])
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -234,11 +266,9 @@ def sessionize(stream: DataFrame, gap_seconds: float = 1800.0,
             if state.exists:
                 start, last, n = state.get
                 state.remove()
-                yield pd.DataFrame([{"user_id": user_id,
-                                     "session_start": start,
-                                     "session_end": last, "n_events": n}])
+                yield emit(user_id, [(start, last, n)])
             return
-        ts = sorted(t for pdf in pdfs for t in pdf["ts_sec"].tolist())
+        ts = sorted(int(t) for pdf in pdfs for t in pdf["ts_us"].tolist())
         if not ts:
             return
         closed = []
@@ -247,21 +277,18 @@ def sessionize(stream: DataFrame, gap_seconds: float = 1800.0,
         else:
             start, last, n = ts[0], ts[0], 0
         for t in ts:
-            if t - last > gap_seconds:
+            if t - last > gap_us:
                 closed.append((start, last, n))
                 start, n = t, 0
             last = t
             n += 1
         state.update((start, last, n))
-        state.setTimeoutTimestamp(int(last * 1000) + gap_ms)
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
         if closed:
-            yield pd.DataFrame([
-                {"user_id": user_id, "session_start": s,
-                 "session_end": e, "n_events": c}
-                for s, e, c in closed])
+            yield emit(user_id, closed)
 
     events = (with_event_time(stream)
-              .withColumn("ts_sec", F.col("ts") / F.lit(1_000_000_000.0))
+              .withColumn("ts_us", F.expr("ts div 1000"))
               .withWatermark("event_time", watermark))
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=SESSION_SCHEMA, stateStructType=_STATE_SCHEMA,

@@ -539,3 +539,44 @@ def test_ppm_decode_real_bytes():
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n2 1\n255\n" + bytes(6))   # not P6
     assert len(decode_image("image", b"P6 but junk")) == 8
+
+
+def test_png_decompression_bomb_guard():
+    """A tiny PNG declaring huge dims (or inflating past its declared
+    dims) must be rejected BEFORE inflating the full stream — and
+    decode_image must degrade it to the stub, never raise."""
+    import struct
+    import zlib
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        MAX_DECODED_BYTES, PNG_MAGIC, decode_image, decode_png,
+        decode_ppm, synth_png, synth_ppm)
+
+    # sanity: the real decoder still agrees with the PPM twin
+    assert decode_png(synth_png(23)) == decode_ppm(synth_ppm(23))
+
+    def chunk(ctyp, body):
+        return (struct.pack(">I", len(body)) + ctyp + body
+                + struct.pack(">I", zlib.crc32(ctyp + body)))
+
+    # bomb 1: huge declared dims, tiny file (~100 KB zlib of zeros
+    # would inflate to 300 MB if allowed)
+    w = h = 50_000
+    assert h * (1 + w * 3) > MAX_DECODED_BYTES
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bomb = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(10_000)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(bomb)
+    assert len(decode_image("image", bomb)) == 8   # stub fallback
+
+    # bomb 2: small declared dims but the stream inflates far beyond
+    # them — decompressobj max_length stops at expected+1 bytes
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    bomb2 = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(bytes(10 * 1024 * 1024)))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="larger than declared"):
+        decode_png(bomb2)
+    assert len(decode_image("image", bomb2)) == 8
