@@ -71,6 +71,53 @@ def _row_bytes(row) -> int:
     return n
 
 
+def run_batching_loop(rows_iter, write: Callable[[list], None],
+                      cfg: BatchWriterConfig,
+                      add_batches: Callable[[int], None],
+                      add_written: Callable[[int], None],
+                      add_dropped: Callable[[int], None],
+                      add_retries: Callable[[int], None],
+                      add_samples: Callable[[list], None]) -> None:
+    """The per-partition batching + retry-splitting loop, factored out
+    so the distributed path (foreachPartition, counters = Spark
+    accumulators) and the driver-local path (write_rows_locally,
+    counters = plain ints) execute IDENTICAL semantics:
+    batchwriter.go:248-280 — try the batch; on failure split into
+    SPLIT_FACTOR sub-batches and recurse; single failing rows are
+    dropped (counted + sampled)."""
+    budget = [cfg.retry_limit]
+
+    def write_and_handle(rows: list) -> None:
+        if not rows:
+            return
+        try:
+            write(rows)
+            add_batches(1)
+            add_written(len(rows))
+            return
+        except Exception:
+            pass
+        if len(rows) == 1 or budget[0] <= 0:
+            add_dropped(len(rows))
+            add_samples([tuple(r) for r in rows[:MAX_DROP_SAMPLES]])
+            return
+        step = max(1, (len(rows) + SPLIT_FACTOR - 1) // SPLIT_FACTOR)
+        for i in range(0, len(rows), step):
+            budget[0] -= 1
+            add_retries(1)
+            write_and_handle(rows[i:i + step])
+
+    batch: list = []
+    nbytes = 0
+    for row in rows_iter:
+        batch.append(row)
+        nbytes += _row_bytes(row)
+        if len(batch) >= cfg.count_threshold or nbytes >= cfg.byte_threshold:
+            write_and_handle(batch)
+            batch, nbytes = [], 0
+    write_and_handle(batch)
+
+
 def write_with_batching(df: DataFrame,
                         write: Callable[[list], None],
                         config: Optional[BatchWriterConfig] = None
@@ -101,46 +148,11 @@ def write_with_batching(df: DataFrame,
     acc_retries = sc.accumulator(0)
     acc_samples = sc.accumulator([], _SampleAcc())
 
-    count_threshold = cfg.count_threshold
-    byte_threshold = cfg.byte_threshold
-    retry_limit = cfg.retry_limit
-
     def handle_partition(rows_iter) -> None:
-        budget = [retry_limit]
-
-        def write_and_handle(rows: list) -> None:
-            """batchwriter.go:248-280: try the batch; on failure split
-            into SPLIT_FACTOR sub-batches and recurse; single failing
-            rows are dropped (counted)."""
-            if not rows:
-                return
-            try:
-                write(rows)
-                acc_batches.add(1)
-                acc_written.add(len(rows))
-                return
-            except Exception:
-                pass
-            if len(rows) == 1 or budget[0] <= 0:
-                acc_dropped.add(len(rows))
-                acc_samples.add(
-                    [tuple(r) for r in rows[:MAX_DROP_SAMPLES]])
-                return
-            step = max(1, (len(rows) + SPLIT_FACTOR - 1) // SPLIT_FACTOR)
-            for i in range(0, len(rows), step):
-                budget[0] -= 1
-                acc_retries.add(1)
-                write_and_handle(rows[i:i + step])
-
-        batch: list = []
-        nbytes = 0
-        for row in rows_iter:
-            batch.append(row)
-            nbytes += _row_bytes(row)
-            if len(batch) >= count_threshold or nbytes >= byte_threshold:
-                write_and_handle(batch)
-                batch, nbytes = [], 0
-        write_and_handle(batch)
+        run_batching_loop(rows_iter, write, cfg,
+                          acc_batches.add, acc_written.add,
+                          acc_dropped.add, acc_retries.add,
+                          acc_samples.add)
 
     df.foreachPartition(handle_partition)
     return WriteStats(batches=acc_batches.value,
@@ -148,3 +160,31 @@ def write_with_batching(df: DataFrame,
                       rows_dropped=acc_dropped.value,
                       retries=acc_retries.value,
                       dropped_samples=acc_samples.value)
+
+
+def write_rows_locally(rows, write: Callable[[list], None],
+                       config: Optional[BatchWriterConfig] = None
+                       ) -> WriteStats:
+    """Driver-local batching+bisection over an in-memory row stream —
+    the exact loop each foreachPartition task runs, for write targets
+    only reachable from the driver process (e.g. an embedded-Derby
+    JDBC connection through the Spark JVM's py4j gateway, which does
+    not serialize to executors)."""
+    cfg = config or BatchWriterConfig()
+    stats = WriteStats(batches=0, rows_written=0, rows_dropped=0,
+                       retries=0, dropped_samples=[])
+
+    def bump(field):
+        def add(n):
+            setattr(stats, field, getattr(stats, field) + n)
+        return add
+
+    def add_samples(samples):
+        room = MAX_DROP_SAMPLES - len(stats.dropped_samples)
+        if room > 0:
+            stats.dropped_samples.extend(samples[:room])
+
+    run_batching_loop(iter(rows), write, cfg,
+                      bump("batches"), bump("rows_written"),
+                      bump("rows_dropped"), bump("retries"), add_samples)
+    return stats

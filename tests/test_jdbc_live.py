@@ -104,6 +104,64 @@ def test_jdbc_e2e_catalog_to_report(spark, derby_db, tmp_path):
     assert "PEOPLE" in report
 
 
+def test_pg_dump_to_derby_bisection_e2e(spark, tmp_path):
+    """Dump parse -> typed conversion -> batched JDBC write against a
+    REAL Derby endpoint with a PRIMARY KEY constraint: one duplicate-PK
+    row in the stream makes a whole executeBatch fail with a
+    server-shaped SQLIntegrityConstraintViolation; the bisection
+    protocol (batchwriter.go:248-280 semantics) must isolate exactly
+    that one row — dropped_rows == 1, every good row committed."""
+    from harbourbridge_spark.sink import JdbcBatchWriter
+    from harbourbridge_spark.sink.batch_writer import (BatchWriterConfig,
+                                                       write_rows_locally)
+    from harbourbridge_spark.sources import pgdump
+
+    f = tmp_path / "d.sql"
+    values = ", ".join(f"({i}, 'name-{i}')" for i in range(1, 26))
+    f.write_text(
+        "CREATE TABLE public.acct (id integer NOT NULL, name text);\n"
+        "ALTER TABLE ONLY public.acct ADD CONSTRAINT a_pk "
+        "PRIMARY KEY (id);\n"
+        f"INSERT INTO public.acct VALUES {values}, (7, 'dup-7');\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    good = results["acct"].good
+    assert good.count() == 26          # dup PK is not a conversion error
+
+    db_dir = str(tmp_path / "acctdb")
+    url = f"jdbc:derby:{db_dir};create=true"
+    writer = JdbcBatchWriter(spark, url, "ACCT", ["ID", "NAME"])
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.createStatement().execute(
+            "CREATE TABLE ACCT (ID BIGINT NOT NULL PRIMARY KEY, "
+            "NAME VARCHAR(50))")
+    finally:
+        conn.close()
+
+    # small count_threshold so the stream spans multiple batches and
+    # the failing batch is a real multi-row executeBatch
+    rows = [tuple(r) for r in good.collect()]
+    stats = write_rows_locally(
+        rows, writer, BatchWriterConfig(count_threshold=10))
+
+    assert stats.rows_dropped == 1
+    assert stats.rows_written == 25
+    assert len(stats.dropped_samples) == 1
+    assert stats.dropped_samples[0][0] == 7      # the duplicate PK
+    assert stats.retries > 0                     # bisection actually ran
+    assert writer.count("ACCT") == 25            # good rows committed
+    # exactly one of the two id=7 payloads survived
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(
+            "SELECT COUNT(*) FROM ACCT WHERE ID = 7")
+        rs.next()
+        assert rs.getLong(1) == 1
+    finally:
+        conn.close()
+
+
 def test_convert_typed_table_quarantines_residual_cast(spark):
     """A typed column whose residual cast fails (string source column
     mapped to INT64) quarantines the row like the string path."""
