@@ -80,11 +80,13 @@ ALT_TARGETS: dict[str, list[str]] = {
     "int2": [INT64, STRING],
     "smallint": [INT64, STRING],
     "numeric": [NUMERIC, STRING],
-    "text": [STRING],
+    # text/varchar may remap to BYTES (web/postgres_typemap.go text,
+    # varchar cases: spType==ddl.Bytes branch)
+    "text": [STRING, BYTES],
     "timestamptz": [TIMESTAMP, STRING],
     "timestamp with time zone": [TIMESTAMP, STRING],
     "timestamp": [TIMESTAMP, STRING],
     "timestamp without time zone": [TIMESTAMP, STRING],
-    "varchar": [STRING],
-    "character varying": [STRING],
+    "varchar": [STRING, BYTES],
+    "character varying": [STRING, BYTES],
 }
