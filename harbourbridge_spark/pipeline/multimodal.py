@@ -4,15 +4,16 @@ Media are opaque ``binary`` columns with a typed metadata struct; the
 Spark-side machinery — schema, partitioning, Arrow-batched UDF
 signature, batch shaping — is real and tested.
 
-Codecs: two modalities decode REAL bytes with dependency-free parsers —
-``decode_wav`` (RIFF/WAVE chunk walk, PCM 8/16-bit, mono/stereo →
-duration/rate/channels/RMS/peak) and ``decode_bmp`` (BITMAPINFOHEADER,
-uncompressed 24bpp, bottom-up rows with 4-byte stride padding → dims /
-per-channel means / top-left pixel). Unknown containers fall back to
-``decode_stub`` (deterministic sha-derived fake) so the pipeline shape
-stays exercisable for formats this container has no library for
-(JPEG/MP3/MP4 → swap in PIL/librosa/pyav in production). Video remains
-stub-only.
+Codecs: all three modalities decode REAL bytes with dependency-free
+parsers — ``decode_wav`` (RIFF/WAVE chunk walk, PCM 8/16-bit,
+mono/stereo → duration/rate/channels/RMS/peak), ``decode_bmp`` /
+``decode_ppm`` / ``decode_png`` (uncompressed and zlib-compressed
+containers → dims / per-channel means / top-left pixel), and
+``decode_y4m`` (YUV4MPEG2 frame walk + every-Nth-frame luma sampling →
+dims / frame count / fps / sampled-luma mean). Unknown containers fall
+back to ``decode_stub`` (deterministic sha-derived fake) so the
+pipeline shape stays exercisable for formats this container has no
+library for (JPEG/MP3/MP4 → swap in PIL/librosa/pyav in production).
 
 Scale design: decode runs via ``mapInPandas`` — Arrow-batched, one
 Python worker per partition, no per-row pickling. Media rows are
@@ -406,10 +407,25 @@ def decode_image(kind: str, content: bytes) -> list[float]:
     return decode_stub(kind, content)
 
 
+def decode_video(kind: str, content: bytes) -> list[float]:
+    """Video dispatch: real Y4M decode + frame sampling on magic-byte
+    match, sha-stub otherwise (pyav/ffmpeg would slot in for MP4)."""
+    if content is None:
+        return []
+    if content[:9] == b"YUV4MPEG2":
+        try:
+            return decode_y4m(content)
+        except (ValueError, struct.error):
+            # a corrupt file must degrade to the stub, never fail the
+            # whole Spark job
+            pass
+    return decode_stub(kind, content)
+
+
 DECODERS: dict[str, Callable[[str, bytes], list[float]]] = {
-    "image": decode_image,  # BMP real; other formats -> PIL in production
+    "image": decode_image,  # BMP/PPM/PNG real; JPEG -> PIL in production
     "audio": decode_audio,  # WAV real; other formats -> librosa
-    "video": decode_stub,   # -> pyav frame-sample + per-frame embed
+    "video": decode_video,  # Y4M real (frame-sampled); MP4 -> pyav
 }
 
 
@@ -460,13 +476,121 @@ def synth_bmp(seed: int) -> bytes:
             + data)
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def decode_y4m(content: bytes, sample_every: int = 2) -> list[float]:
+    """Real VIDEO container decoder + frame sampler (no libraries):
+    YUV4MPEG2 stream — header token parse (W/H/F/C), per-frame FRAME
+    marker walk, planar YUV payloads (C420 family, C444, Cmono) — with
+    every ``sample_every``-th frame's luma plane decoded (numpy) and
+    averaged.  Returns
+    ``[width, height, n_frames, fps, n_sampled, mean_y, first_y]``
+    where mean_y averages the Y plane over the SAMPLED frames only and
+    first_y is frame 0's top-left luma.  Raises ValueError on
+    malformed/unsupported input.
+
+    This is the executable form of the frame-sample operator
+    (frame_sample_plan is its JVM-side timestamp-expansion twin): the
+    production swap-in is pyav/ffmpeg for MP4, but the Spark-side
+    shape — opaque binary column in, fixed-width features out, Arrow
+    batches, size-aware partitioning — is identical.
+    """
+    if content[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m header terminator")
+    w = h = 0
+    fps_num, fps_den = 30, 1
+    colorspace = "420"
+    for tok in content[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0 or fps_den <= 0:
+        raise ValueError(f"bad y4m geometry W={w} H={h}")
+    if colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("444"):
+        frame_bytes = 3 * w * h
+    elif colorspace.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    if frame_bytes > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"y4m frame {w}x{h} exceeds decode cap "
+            f"({frame_bytes} > {MAX_DECODED_BYTES} bytes)")
+    if sample_every < 1:
+        raise ValueError("sample_every must be >= 1")
+
+    pos = nl + 1
+    n_frames = n_sampled = 0
+    y_sum = 0.0
+    first_y = 0.0
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(content):
+            raise ValueError("truncated y4m frame payload")
+        if n_frames % sample_every == 0:
+            yplane = np.frombuffer(content, np.uint8, w * h, pos)
+            y_sum += float(yplane.mean())
+            n_sampled += 1
+        if n_frames == 0:
+            first_y = float(content[pos])
+        pos += frame_bytes
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("y4m stream has no frames")
+    return [float(w), float(h), float(n_frames), fps_num / fps_den,
+            float(n_sampled), y_sum / n_sampled, first_y]
+
+
+def synth_y4m(seed: int) -> bytes:
+    """A legal YUV4MPEG2 C420 stream with closed-form features:
+    w = 4 + 2*(seed%4), h = 2 + 2*(seed%3) (even, as C420 requires),
+    n_frames = 2 + seed%4 at 25 fps; frame f's luma plane is the
+    constant 16 + seed%200 + f with flat chroma — so the sampled-frame
+    luma mean (sample_every=2 keeps frames 0,2,...) is
+    y0 + (n_sampled - 1) exactly."""
+    w = 4 + 2 * (seed % 4)
+    h = 2 + 2 * (seed % 3)
+    n_frames = 2 + seed % 4
+    y0 = 16 + seed % 200
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n"
+                    % (w, h))
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes([y0 + f]) * (w * h)
+        out += chroma
+    return bytes(out)
+
+
 def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     """Expand an ``(media_id)`` DataFrame into MEDIA_SCHEMA rows with
-    synthesized real bytes (WAV for audio; BMP or PPM for image via
-    ``fmt``) — the test harness for the decode path; generation is
-    Arrow-batched like the decode itself."""
+    synthesized real bytes (WAV for audio; BMP/PPM/PNG for image via
+    ``fmt``; Y4M for video) — the test harness for the decode path;
+    generation is Arrow-batched like the decode itself."""
     if kind == "audio":
         synth, mime = synth_wav, "audio/wav"
+    elif kind == "video":
+        synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":
         synth, mime = synth_ppm, "image/x-portable-pixmap"
     elif fmt == "png":
@@ -533,9 +657,12 @@ def repartition_for_media(media: DataFrame,
 
 
 def frame_sample_plan(video: DataFrame, every_n_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: expands each video row into frame
-    timestamps (the decode of each frame is the stubbed step). Pure
-    JVM-side expansion — the heavy part stays columnar."""
+    """Video frame-sampling timestamp *plan*: expands each video row
+    into frame timestamps, pure JVM-side — the metadata-driven twin of
+    the executable byte-level sampler (``decode_y4m`` decodes every
+    Nth frame's luma inside extract_features). Use this form when the
+    schedule is needed without touching the bytes (e.g. to fan out
+    frame-decode work by timestamp)."""
     return (video
             .where(F.col("kind") == "video")
             .withColumn("frame_ts_ms", F.explode(F.sequence(

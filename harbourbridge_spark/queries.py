@@ -2019,6 +2019,43 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_image_query(spark, sf_dir, fmt="ppm")
 
 
+@register(
+    "multimodal_decode_y4m",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + 2 * (doc_id % 4) AS BIGINT) AS width,
+           CAST(2 + 2 * (doc_id % 3) AS BIGINT) AS height,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST(25.0 AS DOUBLE) AS fps,
+           CAST((3 + doc_id % 4) // 2 AS BIGINT) AS n_sampled,
+           CAST(16 + doc_id % 200 + (3 + doc_id % 4) // 2 - 1 AS DOUBLE)
+               AS mean_y,
+           CAST(16 + doc_id % 200 AS BIGINT) AS first_y
+    FROM documents
+    """,
+    "REAL video decode + frame sampling: per doc a legal YUV4MPEG2 "
+    "C420 stream (2-5 frames, constant per-frame luma y0+f) is "
+    "synthesized, then decode_y4m walks FRAME markers and averages "
+    "every 2nd frame's luma plane; DuckDB recomputes the closed forms "
+    "(sampled mean = y0 + n_sampled - 1) from the seed alone, so the "
+    "frame walk, plane geometry, and sampling stride are all "
+    "load-bearing in the hash")
+def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "video"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        F.element_at("feature", 3).cast("long").alias("n_frames"),
+        F.element_at("feature", 4).cast("double").alias("fps"),
+        F.element_at("feature", 5).cast("long").alias("n_sampled"),
+        F.element_at("feature", 6).cast("double").alias("mean_y"),
+        F.element_at("feature", 7).cast("long").alias("first_y"))
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,

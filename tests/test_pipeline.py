@@ -541,6 +541,31 @@ def test_ppm_decode_real_bytes():
     assert len(decode_image("image", b"P6 but junk")) == 8
 
 
+def test_y4m_decode_real_bytes():
+    from harbourbridge_spark.pipeline.multimodal import (decode_video,
+                                                         decode_y4m,
+                                                         synth_y4m)
+    f = decode_y4m(synth_y4m(7))
+    # seed 7: w=4+2*3=10, h=2+2*1=4, n=2+3=5, y0=23; sampled 0,2,4 ->
+    # mean 23+2, first_y 23
+    assert f == [10.0, 4.0, 5.0, 25.0, 3.0, 25.0, 23.0]
+    assert decode_video("video", synth_y4m(7)) == f
+    # sample stride honored: every frame vs every 3rd
+    assert decode_y4m(synth_y4m(7), sample_every=1)[4:6] == [5.0, 25.0]
+    assert decode_y4m(synth_y4m(7), sample_every=3)[4] == 2.0
+    # malformed inputs raise; dispatch degrades to the 8-float stub
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C420\nJUNK!\x00\x00")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 C420\n")   # odd width C420
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n\x00")  # truncated
+    assert len(decode_video("video", b"RIFFnot-a-y4m")) == 8
+    # bomb guard: absurd declared frame size rejected before any walk
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_y4m(b"YUV4MPEG2 W100000 H99998 F25:1 C420\n")
+
+
 def test_png_decompression_bomb_guard():
     """A tiny PNG declaring huge dims (or inflating past its declared
     dims) must be rejected BEFORE inflating the full stream — and
