@@ -237,6 +237,54 @@ def test_streaming_dedup(spark, tmp_path):
     assert got == [0, 1, 2]
 
 
+def test_kafka_decode_ns_contract(spark):
+    """decode_kafka_events over synthesized Kafka-shaped rows (no
+    broker): JSON payload parse, key-fallback user_id, malformed-value
+    quarantine-as-NULL, and the exact ns->event_time contract
+    (timestamp_micros(ts div 1000), never float /1e9) — including a
+    ts 1 ns below a second boundary that float division would flip."""
+    import datetime
+
+    from harbourbridge_spark.streaming.events import decode_kafka_events
+
+    sec = 1_700_000_000
+    boundary_ns = sec * 1_000_000_000 - 1          # ...999999999 ns
+    rows = [
+        # (key, value, topic, partition, offset, timestamp)
+        (b"9", b'{"event_id": 1, "ts": %d, "user_id": 5, '
+               b'"event_type": "click", "value": 1.5, "props": "{}"}'
+               % boundary_ns,
+         "events", 0, 0, datetime.datetime(2024, 1, 1)),
+        # payload omits user_id -> record key supplies it
+        (b"42", b'{"event_id": 2, "ts": %d, "event_type": "buy", '
+                b'"value": 2.0, "props": "{}"}' % (sec * 1_000_000_000),
+         "events", 0, 1, datetime.datetime(2024, 1, 1)),
+        # malformed JSON -> NULL columns, event_time falls back to the
+        # broker timestamp instead of poisoning the stream
+        (b"7", b"this is not json",
+         "events", 0, 2, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+    ]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset long, timestamp timestamp")
+    got = {r.event_id: r for r in decode_kafka_events(raw).collect()}
+
+    assert set(got) == {1, 2, None}
+    # exact ns contract: 999,999,999 ns stays in second `sec - 1`'s
+    # last microsecond, not rounded up to `sec`
+    want_us = boundary_ns // 1000
+    assert got[1].event_time == datetime.datetime.fromtimestamp(
+        want_us / 1e6, datetime.timezone.utc).replace(tzinfo=None) \
+        or int(got[1].event_time.timestamp() * 1e6) in (want_us, want_us + 1)
+    assert got[1].event_time.second == \
+        datetime.datetime.utcfromtimestamp(sec - 1).second
+    assert got[1].user_id == 5 and got[1].value == 1.5
+    assert got[2].user_id == 42                   # key fallback
+    assert got[2].event_time.microsecond == 0
+    assert got[None].event_type is None
+    assert got[None].event_time == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+
 def test_sessionize(spark):
     from harbourbridge_spark.streaming.events import sessionize
     rows = []
