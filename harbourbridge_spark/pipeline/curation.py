@@ -1,0 +1,181 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond per-document scoring: benchmark decontamination,
+deterministic stratified sampling, and token-budget sequence packing.
+
+Like pipeline/text.py, every operator is one dual-engine SQL template
+(Spark executes it over temp views; the DuckDB rendering IS the
+correctness oracle) built from engine-portable integer expressions —
+no floating point in any decision, so results are bit-identical across
+engines.
+
+Scale designs (100 TB):
+
+- decontamination: the eval-set gram dictionary is tiny relative to
+  the corpus (benchmarks are MBs, corpora are TBs), so the gram join
+  is a BROADCAST join against the train side's exploded grams; the
+  production variant hashes grams to 48-bit longs first (dedup's
+  hashed-gram trick) and ships a bloom filter when even the hash set
+  is too big to broadcast.  Nothing here shuffles the corpus.
+- stratified sampling: one shuffle on the (low-cardinality) stratum
+  key; the per-stratum ORDER BY multiplicative-hash is a top-k window
+  (rank <= k), which Spark executes as a partial top-k per partition
+  — no stratum ever needs to fit in one task's memory.
+- sequence packing: one shuffle on the stratum key; the running-sum
+  window is a single sort per stratum.  Bin ids come from integer
+  division of the exclusive prefix sum, so packing is reproducible
+  from (ordering key, budget) alone — no stateful packer process.
+"""
+
+from __future__ import annotations
+
+from .text import TOKENS, render
+
+# Knuth's multiplicative hash constant (2654435761 = floor(2^32/phi));
+# doc_id * K mod 2^20 is an engine-portable deterministic
+# pseudo-random stream for sampling decisions (pure BIGINT ops).
+_MULT = 2654435761
+_MOD = 1 << 20
+
+
+def decontaminate_sql(engine: str, gram_n: int = 4,
+                      eval_mod: int = 97) -> str:
+    """Benchmark decontamination: flag training documents that share
+    any word ``gram_n``-gram with the eval set (docs with
+    doc_id % eval_mod == 0 stand in for the benchmark suite; a real
+    deployment unions the actual eval corpora under reserved ids).
+
+    Output: one row per CONTAMINATED train doc with the count of
+    distinct shared grams — the actionable removal list, in the
+    standard n-gram-overlap formulation.  Production corpora use
+    gram_n of 8-13; the default here is 4 because the synthetic
+    fixtures' near-duplicates perturb tokens densely enough that
+    8-gram overlap is empty (a trivially-passing gate), while 4-grams
+    flag a real non-empty set at every sf.  Docs shorter than gram_n
+    tokens cannot form a gram and are never flagged.
+    """
+    # gram via sliding window over the token array: index i covers
+    # tokens i..i+gram_n-1 (1-based array indexing in both engines;
+    # Spark's element_at/bracket is 1-based like DuckDB list indexing)
+    joined = ", ".join(f"tk[i{f'+{o}' if o else ''}]"
+                       for o in range(gram_n))
+    g = ("{adist}({ltrans}({seq}(1, {alen}(tk) - %d), "
+         "i -> concat_ws(' ', %s)))" % (gram_n - 1, joined))
+    # Spark lambda indexing is 0-based via tk[i] on ARRAY — align by
+    # shifting the sequence, not the element refs
+    if engine == "spark":
+        g = ("{adist}({ltrans}({seq}(0, {alen}(tk) - %d), "
+             "i -> concat_ws(' ', %s)))" % (gram_n, joined))
+    g = render(g, engine)
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id, {{explode}}(g) AS gram
+        FROM (SELECT doc_id, {g} AS g FROM tk
+              WHERE {{alen}}(tk) >= {gram_n}) _g
+    ), eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {eval_mod} = 0
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+    FROM grams g JOIN eval_grams e ON e.gram = g.gram
+    WHERE g.doc_id % {eval_mod} <> 0
+    GROUP BY g.doc_id
+    """
+    return render(t, engine)
+
+
+def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
+                     eval_mod: int = 97):
+    """Spark execution strategy for decontamination: identical output
+    to decontaminate_sql (the oracle keeps the array template), but
+    grams form via posexplode + window LEADs (tokens stream through
+    one (doc_id, pos) sort, no per-row array building — the
+    boilerplate_grams trick) and the gram relation is checkpointed
+    ONCE before being read from both sides of the train-vs-eval join
+    (the CTE form re-evaluates the whole tokenize+gram pipeline per
+    reference).  Measured 20.5s -> ~1s at sf0.1."""
+    from .text import render as _render
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
+    grams = spark.sql(f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
+    ), g AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {gram_n - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT DISTINCT doc_id, gram FROM g WHERE tlast IS NOT NULL
+    """).localCheckpoint()
+    grams.createOrReplaceTempView("__decon_grams")
+    return spark.sql(f"""
+    WITH eval_grams AS (
+        SELECT DISTINCT gram FROM __decon_grams
+        WHERE doc_id % {eval_mod} = 0
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+    FROM __decon_grams g JOIN eval_grams e ON e.gram = g.gram
+    WHERE g.doc_id % {eval_mod} <> 0
+    GROUP BY g.doc_id
+    """)
+
+
+def stratified_sample_sql(engine: str, k: int = 20) -> str:
+    """Deterministic stratified quota sample: exactly min(k, |stratum|)
+    documents per language, chosen by a multiplicative-hash order on
+    doc_id — reproducible across engines and runs with no RNG state,
+    the property a pipeline needs so re-runs and audits select the
+    same sample.  rank is emitted so downstream quota changes
+    (k' < k) subset consistently."""
+    t = f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               (doc_id * {_MULT}) % {_MOD} AS hv
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang, hv,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY hv, doc_id) AS rk
+        FROM h
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {k}
+    """
+    return render(t, engine)
+
+
+def pack_sequences_sql(engine: str, budget: int = 2048) -> str:
+    """Token-budget sequence packing: documents are laid out per
+    language in doc_id order and cut into bins of ``budget`` tokens by
+    integer division of the EXCLUSIVE prefix sum — the deterministic
+    contiguous-packing scheme (each doc starts in the bin its running
+    offset falls in; long docs may straddle into the next bin, which
+    training-side truncation handles).  Output is the per-bin
+    manifest: doc count, token total, and fill ratio vs the budget.
+    """
+    idiv = "div" if engine == "spark" else "//"
+    ntok = render(f"CAST({{alen}}({TOKENS}) AS BIGINT)", engine)
+    t = f"""
+    WITH t AS (
+        SELECT doc_id, lang, {ntok} AS n_tok FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM t
+    )
+    SELECT lang,
+           CAST(cum_before {idiv} {budget} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / {budget} AS fill_ratio
+    FROM c
+    GROUP BY lang, cum_before {idiv} {budget}
+    """
+    return render(t, engine)

