@@ -301,6 +301,53 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str):
     return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
 
 
+def _minhash_md5_signature(text: str) -> list:
+    """Vectorized twin of the md5 signature: hash48(s) ==
+    int(md5(s)[:12], 16) is computable exactly with hashlib (SQL md5
+    hashes the UTF-8 bytes; so does ``s.encode()``), and shingles are
+    plain code-point slices (Python slicing == substring semantics).
+    Distinct shingles only — array_min is multiplicity-blind and the
+    SQL template hashes a distinct array too."""
+    import hashlib
+    n = max(len(text) - SHINGLE + 1, 1)
+    shingles = {text[i:i + SHINGLE] for i in range(n)}
+    hs = np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+         for s in shingles), np.int64, len(shingles))
+    return [int(((a * hs + b) % MERSENNE61).min())
+            for a, b in minhash_coeffs(MINHASH_K)]
+
+
+def vectorized_signature_view(spark, sf_dir: str, view: str,
+                              kernel=None):
+    """Register a temp view of the checkpointed MinHash signature
+    computed by an Arrow-batched pandas_udf kernel (default: the md5
+    kernel, bit-identical to minhash_signature_sql()).  The
+    scale-path signature stage shared by the verified-pair /
+    clustering / observability operators — see
+    minhash_lsh_pairs_fast_fn's docstring for why the kernel beats
+    the interpreted SQL higher-order functions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    k = kernel or _minhash_md5_signature
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(k)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+    sig = (docs.select("doc_id", sig_udf("nt").alias("sig"))
+           .select("doc_id",
+                   *[F.element_at("sig", i + 1).alias(f"m{i}")
+                     for i in range(MINHASH_K)])
+           .localCheckpoint())
+    sig.createOrReplaceTempView(view)
+    return sig
+
+
 def _minhash_numpy_signature(text: str) -> list:
     """The fast signature's per-document kernel: code points via a
     single utf-32 reinterpret (ord(c) == ascii(c) in Spark AND DuckDB,
@@ -340,22 +387,8 @@ def minhash_lsh_pairs_fast_fn(spark, sf_dir: str):
     single-statement form the DuckDB oracle runs), verified by the
     driver gate.  Same localCheckpoint caching, same banding/skew
     guards as the md5 path."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    @pandas_udf(ArrayType(LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(_minhash_numpy_signature)
-
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
-    sig = (docs.select("doc_id", sig_udf("nt").alias("sig"))
-           .select("doc_id",
-                   *[F.element_at("sig", i + 1).alias(f"m{i}")
-                     for i in range(MINHASH_K)])
-           .localCheckpoint())
-    sig.createOrReplaceTempView("__mh_sig_fast")
+    vectorized_signature_view(spark, sf_dir, "__mh_sig_fast",
+                              kernel=_minhash_numpy_signature)
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     return spark.sql(minhash_bands_sql("spark", "__mh_sig_fast"))
 
@@ -443,6 +476,51 @@ def lsh_bucket_stats_sql(engine: str) -> str:
     FROM sized
     """
     return render(t, engine)
+
+
+def lsh_bucket_stats_fn(spark, sf_dir: str):
+    """Spark strategy for lsh_bucket_stats: the same bucket-population
+    aggregate, over the vectorized md5 signature view instead of the
+    inline HOF signature CTE (identical values; see
+    minhash_lsh_pairs_fast_fn for the why)."""
+    vectorized_signature_view(spark, sf_dir, "__mh_sig_stats")
+    n_bands = MINHASH_K // BAND_SIZE
+    band_key = "CASE t.band " + " ".join(
+        "WHEN {b} THEN concat_ws(',', {cols})".format(
+            b=b, cols=", ".join(
+                f"m{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)))
+        for b in range(n_bands)) + " END"
+    values = ",".join(f"({b})" for b in range(n_bands))
+    return spark.sql(f"""
+    WITH bands AS (
+        SELECT doc_id, t.band, {band_key} AS key
+        FROM __mh_sig_stats CROSS JOIN (VALUES {values}) AS t(band)
+    ), sized AS (
+        SELECT band, key, COUNT(*) AS n
+        FROM bands GROUP BY band, key
+    )
+    SELECT COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_capped_buckets,
+           CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN n ELSE 0 END)
+               AS BIGINT) AS n_docs_in_capped
+    FROM sized
+    """)
+
+
+def minhash_lsh_pairs_at_fn(spark, sf_dir: str, threshold: float):
+    """Spark strategy for the derived-banding candidates: banding
+    solved from the threshold (bands_rows_for), signature from the
+    vectorized md5 kernel view — identical values to
+    minhash_lsh_pairs_at_sql."""
+    b, r = bands_rows_for(threshold)
+    vectorized_signature_view(spark, sf_dir, "__mh_sig_at")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    return spark.sql(render(f"""
+    WITH {_bands_clause_at('__mh_sig_at', b, r)}
+    {_PAIRS_SELECT}
+    """, "spark"))
 
 
 def dedup_keep_first_sql(engine: str) -> str:
@@ -682,8 +760,17 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
     appear in a candidate pair — the id semi-join runs BEFORE the gram
     projection, so at scale (candidates << corpus) the expensive
     tokenize+gram work touches a sliver of the data. The verify joins
-    are doc_id equi-joins; no quadratic term anywhere."""
-    pairs = minhash_lsh_pairs_fn(spark, sf_dir)
+    are doc_id equi-joins; no quadratic term anywhere.
+
+    The candidate signature comes from the vectorized md5 kernel
+    (bit-identical to the SQL template the oracle inlines; the
+    interpreted-HOF SQL form remains the dedup_minhash_lsh registry
+    entry's own benchmark)."""
+    vectorized_signature_view(spark, sf_dir, "__mh_sig_md5")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")   # verify stage reads it
+    pairs = spark.sql(minhash_bands_sql("spark", "__mh_sig_md5"))
     # localCheckpoint materializes the candidate pairs ONCE and replaces
     # the CTE-heavy lineage with a scan of the checkpointed partitions.
     # Plain .cache()/CACHE TABLE both fail here on Spark 4.1: .cache()

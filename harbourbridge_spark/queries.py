@@ -1752,23 +1752,26 @@ REGISTRY["dedup_minhash_lsh"] = QuerySpec(
     "MinHash(K=16)+LSH banding: shingle->signature->band equi-join "
     "candidate pairs (signature cached once on the Spark side); no "
     "quadratic scan; band buckets capped at MAX_BUCKET (skew guard)")
-_register_template(
-    "dedup_minhash_lsh_t35",
-    lambda engine: _dedup.minhash_lsh_pairs_at_sql(engine, 0.35),
+REGISTRY["dedup_minhash_lsh_t35"] = QuerySpec(
+    lambda spark, sf_dir: _dedup.minhash_lsh_pairs_at_fn(
+        spark, sf_dir, 0.35),
+    _dedup.minhash_lsh_pairs_at_sql("duckdb", 0.35),
     "MinHash-LSH candidates at a DERIVED operating point: banding "
     "solved from a target Jaccard threshold of 0.35 (8 bands of 2 via "
     "bands_rows_for) — the production knob next to the frozen K=16/r=4 "
-    "default")
+    "default; signature from the vectorized md5 kernel")
 REGISTRY["dedup_minhash_lsh_fast"] = QuerySpec(
     _dedup.minhash_lsh_pairs_fast_fn,
     _dedup.minhash_lsh_pairs_fast_sql("duckdb"),
     "MinHash-LSH with the arithmetic 31-bit shingle hash (polynomial "
     "over code points, no md5) — the signature-cost knob for corpus "
     "scale; same banding, caching, and skew guard as the default")
-_register_template(
-    "lsh_bucket_stats", _dedup.lsh_bucket_stats_sql,
+REGISTRY["lsh_bucket_stats"] = QuerySpec(
+    _dedup.lsh_bucket_stats_fn,
+    _dedup.lsh_bucket_stats_sql("duckdb"),
     "LSH skew-guard observability: band-bucket population stats + how "
-    "many buckets/docs the MAX_BUCKET cap drops")
+    "many buckets/docs the MAX_BUCKET cap drops; signature from the "
+    "vectorized md5 kernel")
 REGISTRY["dedup_lsh_verified"] = QuerySpec(
     _dedup.lsh_verified_pairs_fn,
     _dedup.lsh_verified_pairs_sql("duckdb"),
@@ -2125,7 +2128,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # vectorized pandas_udf kernel (y4m/curation entries are new and
     # sort to the head as never-checked automatically).
     "q10_returned_items", "multimodal_decode_png",
-    "dedup_minhash_lsh_fast",
+    "dedup_minhash_lsh_fast", "dedup_minhash_lsh_t35",
+    "lsh_bucket_stats", "dedup_lsh_verified", "dedup_clusters",
 ]
 
 
