@@ -588,6 +588,84 @@ def _hamming(a: str, b: str, engine: str) -> str:
     return f"CAST(bit_count(xor({a}, {b})) AS BIGINT)"
 
 
+def _simhash_int(nt: str, bits: int = 32) -> int:
+    """Vectorized twin of the SimHash vote: tokens via
+    re.split(r'\\s+', ..., re.ASCII) — Java regex \\s is the same
+    ASCII class, and both splits keep leading/trailing empty fields —
+    md5-hash48 per token (multiplicity kept: the SQL explode counts
+    duplicate tokens), per-bit +1/-1 vote sums, then the integer
+    signature with bit j set iff vote_j >= 0."""
+    import hashlib
+    import re
+    toks = re.split(r"\s+", nt, flags=re.ASCII)
+    hs = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+         for t in toks), np.int64, len(toks))
+    ones = ((hs[:, None] >> np.arange(bits)) & 1)
+    votes = (2 * ones - 1).sum(axis=0)
+    return int(((votes >= 0).astype(np.int64)
+                << np.arange(bits, dtype=np.int64)).sum())
+
+
+def simhash_signature_view(spark, sf_dir: str, view: str,
+                           bits: int = 32):
+    """Temp view of the checkpointed integer SimHash signature from the
+    Arrow-batched kernel (bit-identical to the SQL vote CTEs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _simhash_int(t, bits))
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+    sig = docs.select("doc_id", sig_udf("nt").alias("sig")) \
+              .localCheckpoint()
+    sig.createOrReplaceTempView(view)
+    return sig
+
+
+def simhash_fn(spark, sf_dir: str, bits: int = 32):
+    """Spark strategy for dedup_simhash: kernel signature, rendered as
+    the same MSB-first bit string the SQL template emits (bit j of the
+    integer == vote_j >= 0, so the string is just the zero-padded
+    binary rendering)."""
+    sig = simhash_signature_view(spark, sf_dir, "__sh_sig", bits)
+    sig.createOrReplaceTempView("__sh_sig")
+    return spark.sql(f"""
+    SELECT doc_id, lpad(conv(sig, 10, 2), {bits}, '0') AS simhash_bits
+    FROM __sh_sig
+    """)
+
+
+def simhash_pairs_fn(spark, sf_dir: str, k: int = 3, bits: int = 32):
+    """Spark strategy for dedup_simhash_pairs: kernel signature view +
+    the same pigeonhole slice join / popcount verify SQL."""
+    nb = k + 1
+    width = -(-bits // nb)
+    simhash_signature_view(spark, sf_dir, "__sh_sig_pairs", bits)
+    ham = _hamming("sig_a", "sig_b", "spark")
+    return spark.sql(f"""
+    WITH keyed AS (
+        SELECT doc_id, sig, b,
+               CAST(floor(sig / pow(2.0, b * {width})) AS BIGINT)
+                   % {1 << width} AS slice
+        FROM (SELECT doc_id, sig, explode(sequence(0, {nb - 1})) AS b
+              FROM __sh_sig_pairs) _b
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.sig AS sig_a, y.sig AS sig_b
+        FROM keyed x JOIN keyed y
+          ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, {ham} AS hamming_dist
+    FROM cand
+    WHERE {ham} <= {k}
+    """)
+
+
 def simhash_pairs_sql(engine: str, k: int = 3, bits: int = 32) -> str:
     """SimHash near-dup PAIR SEARCH: all pairs with Hamming distance
     <= k, found WITHOUT a quadratic scan via the pigeonhole blocking of
@@ -706,6 +784,21 @@ def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
     return render(t, engine)
 
 
+def _hashed_gram_set(nt: str, n: int = 3) -> list:
+    """Vectorized twin of _gram_relation(hashed=True): ASCII-\\s token
+    split (same as the SimHash kernel), word ``n``-grams at positions
+    0..max(len-n, 0) — short docs yield one partial gram, exactly like
+    concat_ws skipping out-of-range elements — distinct, md5-hash48
+    per gram.  Order-free: consumers only do set intersections."""
+    import hashlib
+    import re
+    toks = re.split(r"\s+", nt, flags=re.ASCII)
+    grams = {" ".join(toks[i:i + n])
+             for i in range(max(len(toks) - n, 0) + 1)}
+    return [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:12], 16)
+            for g in grams]
+
+
 def lsh_verify_sql(engine: str, cand_source: str, n: int = 3,
                    threshold: float = 0.4, extra_ctes: str = "",
                    gram_source: str = "") -> str:
@@ -781,19 +874,28 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
     # executed plan).
     pairs = pairs.localCheckpoint()
     pairs.createOrReplaceTempView("__mh_cand")
-    toks = render("{rsplit}(trim(lower(text)), '\\s+')", "spark")
-    hg = render(f"array_distinct(transform({_grams_over('spark')}, "
-                f"x -> {hash48('x', 'spark')}))", "spark")
-    g_restricted = f"""(
-        SELECT doc_id, {hg} AS grams
-        FROM (SELECT d.doc_id, {toks} AS t
-              FROM documents d
-              JOIN (SELECT doc_a AS doc_id FROM __mh_cand
-                    UNION
-                    SELECT doc_b AS doc_id FROM __mh_cand) ids
-                ON d.doc_id = ids.doc_id) _t)"""
+    # gram sets for candidate docs via the vectorized kernel (hashed
+    # word 3-grams, values identical to the SQL template — same token
+    # split as the SimHash kernel, same md5 hash48)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def gram_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_hashed_gram_set)
+
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .union(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .join(ids, "doc_id")
+            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+    grams = (docs.select("doc_id", gram_udf("nt").alias("grams"))
+             .localCheckpoint())
+    grams.createOrReplaceTempView("__mh_grams")
     return spark.sql(lsh_verify_sql("spark", "__mh_cand",
-                                    gram_source=g_restricted))
+                                    gram_source="__mh_grams"))
 
 
 def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):

@@ -1796,16 +1796,18 @@ _register_template(
     "vocab_topk", _text.vocab_topk_sql,
     "Top-10 vocabulary per language: explode -> count -> window rank "
     "(deterministic tie-break)")
-_register_template(
-    "dedup_simhash", _dedup.simhash_sql,
+REGISTRY["dedup_simhash"] = QuerySpec(
+    _dedup.simhash_fn,
+    _dedup.simhash_sql("duckdb"),
     "Per-document 32-bit SimHash signatures (majority vote of token "
-    "hash bits)")
-_register_template(
-    "dedup_simhash_pairs", _dedup.simhash_pairs_sql,
+    "hash bits); Spark computes the vote in the vectorized kernel")
+REGISTRY["dedup_simhash_pairs"] = QuerySpec(
+    _dedup.simhash_pairs_fn,
+    _dedup.simhash_pairs_sql("duckdb"),
     "SimHash Hamming<=k pair search via pigeonhole slice blocking "
     "(k+1 signature slices, equi-join on slice buckets, exact "
     "popcount(xor) verify on deduplicated candidates — no quadratic "
-    "scan)")
+    "scan); kernel signature, SQL slice join")
 REGISTRY["dedup_ngram_jaccard"] = QuerySpec(
     _dedup.ngram_jaccard_pairs_fn,
     _dedup.ngram_jaccard_pairs_sql("duckdb"),
@@ -2130,6 +2132,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q10_returned_items", "multimodal_decode_png",
     "dedup_minhash_lsh_fast", "dedup_minhash_lsh_t35",
     "lsh_bucket_stats", "dedup_lsh_verified", "dedup_clusters",
+    "dedup_simhash", "dedup_simhash_pairs",
 ]
 
 
