@@ -589,6 +589,79 @@ def test_ppm_decode_real_bytes():
     assert len(decode_image("image", b"P6 but junk")) == 8
 
 
+def test_vectorized_kernels_match_sql_templates_duckdb():
+    """The pandas_udf kernels must be BIT-IDENTICAL to the SQL
+    templates the oracles run, including on adversarial text: tabs/
+    newlines/runs of spaces (token-split edges), unicode, docs shorter
+    than the shingle/gram width, and single-token docs. DuckDB
+    executes the template side — no Spark needed, so this pins the
+    cross-engine contract cheaply."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline.dedup import (_hashed_gram_set,
+                                                    _minhash_md5_signature,
+                                                    _simhash_int,
+                                                    MINHASH_K,
+                                                    minhash_signature_sql,
+                                                    simhash_pairs_sql,
+                                                    simhash_sql)
+
+    texts = ["hello world this is a doc", "a", "", "  x  ", "ab",
+             "tab\tsep\ttokens", "line\nbreaks\nhere",
+             "unicode éü中文 text",
+             "dup dup dup dup dup", "one two", "trailing space ",
+             # INTERIOR nbsp: neither engine's \\s splits on U+00A0 and
+             # neither trims it mid-string. (A LEADING/TRAILING nbsp is
+             # a known template divergence: DuckDB's trim() strips
+             # Unicode spaces, Spark's strips 0x20 only — the Python
+             # kernels side with Spark, which is the side they replace;
+             # see NOTES_DEV "cross-engine trim hazard".)
+             "nb\xa0sp is not java-space"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)",
+                    list(enumerate(texts)))
+    # the kernels receive JVM-normalized text: trim() strips 0x20 only,
+    # lower() lowercases — replicate that here, as the fns do via
+    # F.trim(F.lower(...)) before the udf
+    con.execute("CREATE VIEW documents AS "
+                "SELECT doc_id, text FROM raw")
+
+    def norm(s):
+        return s.lower().strip(" ")
+
+    # MinHash md5 signature
+    sql_rows = {r[0]: list(r[1:]) for r in con.execute(
+        minhash_signature_sql("duckdb")).fetchall()}
+    for i, t in enumerate(texts):
+        assert _minhash_md5_signature(norm(t)) == sql_rows[i], f"doc {i}"
+
+    # SimHash bits + the integer signature used by the pairs join
+    bits_rows = dict(con.execute(simhash_sql("duckdb")).fetchall())
+    for i, t in enumerate(texts):
+        got = format(_simhash_int(norm(t)), "032b")
+        assert got == bits_rows[i], f"doc {i}: {got} != {bits_rows[i]}"
+
+    # hashed gram sets (order-free compare)
+    gram_sql = """
+    WITH g AS (
+        SELECT doc_id, list_distinct(list_transform(
+            list_distinct(list_transform(
+                generate_series(1, greatest(len(tk) - 2, 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))),
+            x -> {h})) AS grams
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+              FROM documents) _t
+    ) SELECT doc_id, grams FROM g
+    """
+    from harbourbridge_spark.pipeline.hashing import duck_hash48
+    rows = dict(con.execute(gram_sql.format(h=duck_hash48("x"))).fetchall())
+    for i, t in enumerate(texts):
+        assert sorted(_hashed_gram_set(norm(t))) == sorted(rows[i]), \
+            f"doc {i}"
+
+
 def test_y4m_decode_real_bytes():
     from harbourbridge_spark.pipeline.multimodal import (decode_video,
                                                          decode_y4m,
