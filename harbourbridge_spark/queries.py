@@ -1763,9 +1763,10 @@ REGISTRY["dedup_minhash_lsh_t35"] = QuerySpec(
 REGISTRY["dedup_minhash_lsh_fast"] = QuerySpec(
     _dedup.minhash_lsh_pairs_fast_fn,
     _dedup.minhash_lsh_pairs_fast_sql("duckdb"),
-    "MinHash-LSH with the arithmetic 31-bit shingle hash (polynomial "
-    "over code points, no md5) — the signature-cost knob for corpus "
-    "scale; same banding, caching, and skew guard as the default")
+    "MinHash-LSH with the arithmetic 31-bit shingle hash computed in "
+    "a vectorized Arrow-batched numpy kernel (no md5, no per-element "
+    "HOF interpretation) — the signature-cost knob for corpus scale; "
+    "same banding, caching, and skew guard as the default")
 REGISTRY["lsh_bucket_stats"] = QuerySpec(
     _dedup.lsh_bucket_stats_fn,
     _dedup.lsh_bucket_stats_sql("duckdb"),
