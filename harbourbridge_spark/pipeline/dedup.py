@@ -942,6 +942,37 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):
                          F.col("label").alias("cluster_id"))
 
 
+def dedup_removal_manifest_fn(spark, sf_dir: str):
+    """The end of the near-dup pipeline: a keep/drop decision for
+    EVERY document.  Docs in the verified-pair graph keep only their
+    cluster representative (min doc_id == cluster_id); docs with no
+    near-duplicate are their own cluster and are kept.  One left join
+    of the corpus against the (tiny) cluster labels — the manifest a
+    removal job or audit consumes."""
+    from pyspark.sql import functions as F
+    clusters = dedup_clusters_fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return (docs.join(clusters, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                    (F.coalesce("cluster_id", F.col("doc_id"))
+                     == F.col("doc_id")).alias("keep")))
+
+
+def dedup_removal_manifest_oracle_sql() -> str:
+    """Oracle: the recursive-closure cluster labels left-joined to all
+    documents."""
+    clusters = dedup_clusters_oracle_sql()
+    return f"""
+    WITH cl AS ({clusters})
+    SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    """
+
+
 def dedup_clusters_oracle_sql() -> str:
     """DuckDB oracle for dedup_clusters_fn: recursive-CTE transitive
     closure over the same verified-pair graph, then MIN(root) per doc.

@@ -656,6 +656,102 @@ def repartition_for_media(media: DataFrame,
             .drop("_sz"))
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame_y", T.DoubleType(), True),
+])
+
+
+def decode_y4m_frames(content: bytes,
+                      sample_every: int = 2) -> list[tuple]:
+    """Per-frame variant of decode_y4m: one (frame_idx, mean_luma)
+    tuple per SAMPLED frame — the fan-out feed for per-frame work
+    (embedding, OCR, captioning).  Same container walk, same bomb
+    guard, same sampling stride."""
+    if content[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m header terminator")
+    w = h = 0
+    colorspace = "420"
+    for tok in content[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad y4m geometry W={w} H={h}")
+    if colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("444"):
+        frame_bytes = 3 * w * h
+    elif colorspace.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    if frame_bytes > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"y4m frame {w}x{h} exceeds decode cap "
+            f"({frame_bytes} > {MAX_DECODED_BYTES} bytes)")
+    pos = nl + 1
+    out, idx = [], 0
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(content):
+            raise ValueError("truncated y4m frame payload")
+        if idx % sample_every == 0:
+            yp = np.frombuffer(content, np.uint8, w * h, pos)
+            out.append((idx, float(yp.mean())))
+        pos += frame_bytes
+        idx += 1
+    return out
+
+
+def sample_frames(media: DataFrame, sample_every: int = 2,
+                  batch_size: int = 64) -> DataFrame:
+    """Frame-parallel fan-out: one output row per SAMPLED frame of
+    each video — the Spark shape for per-frame downstream work.  The
+    expansion happens inside mapInPandas (Arrow-batched; a corrupt
+    container contributes zero rows rather than failing the job), so
+    a long video never materializes as one giant array value, and the
+    fan-out parallelism follows repartition_for_media's size
+    bucketing."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ys = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    frames = decode_y4m_frames(bytes(content),
+                                               sample_every)
+                except (ValueError, struct.error):
+                    continue
+                for fi, y in frames:
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ys.append(y)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame_y": ys})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def frame_sample_plan(video: DataFrame, every_n_ms: int = 1000) -> DataFrame:
     """Video frame-sampling timestamp *plan*: expands each video row
     into frame timestamps, pure JVM-side — the metadata-driven twin of

@@ -1826,6 +1826,13 @@ _register_template(
     "Embedding near-dup via random-hyperplane sign buckets: signature "
     "equi-join, no label blocking, no quadratic term — the 100 TB path",
     tables=("embeddings",))
+REGISTRY["dedup_removal_manifest"] = QuerySpec(
+    _dedup.dedup_removal_manifest_fn,
+    _dedup.dedup_removal_manifest_oracle_sql(),
+    "End of the near-dup pipeline: keep/drop manifest for EVERY doc — "
+    "cluster members keep only the min-doc representative, singletons "
+    "keep themselves; one left join of the corpus against the tiny "
+    "cluster labels")
 REGISTRY["dedup_clusters"] = QuerySpec(
     _dedup.dedup_clusters_fn,
     _dedup.dedup_clusters_oracle_sql(),
@@ -2042,6 +2049,29 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "through entirely different header/pixel layouts")
 def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_image_query(spark, sf_dir, fmt="ppm")
+
+
+@register(
+    "multimodal_frame_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 * s AS BIGINT) AS frame_idx,
+           CAST(16 + doc_id % 200 + 2 * s AS DOUBLE) AS frame_y
+    FROM (SELECT doc_id,
+                 unnest(generate_series(0, (3 + doc_id % 4) // 2 - 1))
+                     AS s
+          FROM documents) _t
+    """,
+    "Frame-parallel fan-out: one row per SAMPLED video frame (every "
+    "2nd), expanded inside mapInPandas so long videos never "
+    "materialize as one array value; per-frame luma means against the "
+    "closed-form constant-plane oracle")
+def q_multimodal_frame_features(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import sample_frames, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return sample_frames(synth_media(ids, "video"))
 
 
 @register(

@@ -687,6 +687,21 @@ def test_y4m_decode_real_bytes():
         decode_y4m(b"YUV4MPEG2 W100000 H99998 F25:1 C420\n")
 
 
+def test_y4m_frame_fanout():
+    from harbourbridge_spark.pipeline.multimodal import (decode_y4m,
+                                                         decode_y4m_frames,
+                                                         synth_y4m)
+    # seed 7: 5 frames, y0=23 -> sampled (0,23),(2,25),(4,27)
+    frames = decode_y4m_frames(synth_y4m(7))
+    assert frames == [(0, 23.0), (2, 25.0), (4, 27.0)]
+    # agrees with the aggregate decoder's sampled mean
+    agg = decode_y4m(synth_y4m(7))
+    assert agg[5] == sum(y for _, y in frames) / len(frames)
+    assert decode_y4m_frames(synth_y4m(7), sample_every=5) == [(0, 23.0)]
+    with pytest.raises(ValueError):
+        decode_y4m_frames(b"YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n\x00")
+
+
 def test_png_decompression_bomb_guard():
     """A tiny PNG declaring huge dims (or inflating past its declared
     dims) must be rejected BEFORE inflating the full stream — and
