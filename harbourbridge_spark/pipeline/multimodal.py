@@ -215,19 +215,9 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(content: bytes) -> list[float]:
-    """Real COMPRESSED-container decoder (no libraries): PNG chunk walk
-    -> IHDR parse -> zlib inflate of the concatenated IDAT stream ->
-    per-row unfiltering (all five filter types: None/Sub/Up/Average/
-    Paeth). 8-bit truecolor (color type 2, no interlace) only — the
-    shape a crawler-normalized corpus stores. Same feature layout as
-    decode_bmp/decode_ppm: [width, height, mean_r, mean_g, mean_b,
-    first_r]. Raises ValueError on unsupported/malformed input.
-
-    Row unfiltering is byte-serial within a row (Sub/Paeth reference
-    the just-reconstructed left pixel) so it is a Python loop here;
-    the fixtures are small and the production swap-in is PIL/libpng.
-    """
+def _png_pixels(content: bytes) -> "np.ndarray":
+    """PNG container walk -> top-down RGB uint8 array (h, w, 3); the
+    pixel-level core shared by decode_png and decode_pixels."""
     if content[:8] != PNG_MAGIC:
         raise ValueError("not a PNG file")
     pos, ihdr, idat = 8, None, []
@@ -294,10 +284,126 @@ def decode_png(content: bytes) -> list[float]:
                 cur[i] = (line[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-    img = px.reshape(h, w, 3).astype(np.float64)
+    return px.reshape(h, w, 3).astype(np.uint8)
+
+
+def decode_png(content: bytes) -> list[float]:
+    """Real COMPRESSED-container decoder (no libraries): PNG chunk walk
+    -> IHDR parse -> zlib inflate of the concatenated IDAT stream ->
+    per-row unfiltering (all five filter types: None/Sub/Up/Average/
+    Paeth). 8-bit truecolor (color type 2, no interlace) only — the
+    shape a crawler-normalized corpus stores. Same feature layout as
+    decode_bmp/decode_ppm: [width, height, mean_r, mean_g, mean_b,
+    first_r]. Raises ValueError on unsupported/malformed input.
+
+    Row unfiltering is byte-serial within a row (Sub/Paeth reference
+    the just-reconstructed left pixel) so it is a Python loop (in
+    _png_pixels); the fixtures are small and the production swap-in is
+    PIL/libpng.
+    """
+    img = _png_pixels(content).astype(np.float64)
+    h, w = img.shape[:2]
     return [float(w), float(h), float(img[..., 0].mean()),
             float(img[..., 1].mean()), float(img[..., 2].mean()),
-            float(px[0, 0])]
+            float(img[0, 0, 0])]
+
+
+def decode_pixels(content: bytes) -> np.ndarray:
+    """Format dispatch to a top-down RGB uint8 pixel array (h, w, 3) —
+    the shared input for pixel-level transforms (resize, crop,
+    normalize).  Walks the same container logic as the feature
+    decoders: BMP flips bottom-up rows and swaps BGR; PPM reads raw
+    triplets; PNG inflates + unfilters.  Raises ValueError on unknown
+    or malformed containers."""
+    if content[:2] == b"BM":
+        if len(content) < 54:
+            raise ValueError("not a BMP file")
+        data_off = struct.unpack_from("<I", content, 10)[0]
+        w, h_raw = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        comp = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+            raise ValueError(f"unsupported BMP bpp={bpp} comp={comp}")
+        h = abs(h_raw)
+        stride = (w * 3 + 3) & ~3
+        if len(content) < data_off + stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(content, np.uint8, stride * h, data_off)
+        px = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        if h_raw > 0:
+            px = px[::-1]
+        return px[..., ::-1]                  # BGR -> RGB
+    if content[:2] == b"P6":
+        feats = decode_ppm(content)           # header validation
+        w, h = int(feats[0]), int(feats[1])
+        start = len(content) - w * h * 3
+        return np.frombuffer(content, np.uint8, w * h * 3,
+                             start).reshape(h, w, 3)
+    if content[:8] == PNG_MAGIC:
+        return _png_pixels(content)
+    raise ValueError("unknown image container")
+
+
+def resize_nearest(content: bytes, out_w: int,
+                   out_h: int) -> list[float]:
+    """REAL nearest-neighbor resize over decoded pixels: source index
+    floor(i * src/dst) per axis (the standard scale-sampling), then
+    the same feature layout as the decoders over the RESIZED image:
+    [width, height, mean_r, mean_g, mean_b, first_r]."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dims must be positive")
+    px = decode_pixels(content).astype(np.float64)
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    rp = px[ys][:, xs]
+    return [float(out_w), float(out_h), float(rp[..., 0].mean()),
+            float(rp[..., 1].mean()), float(rp[..., 2].mean()),
+            float(rp[0, 0, 0])]
+
+
+def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
+                  batch_size: int = 256) -> DataFrame:
+    """Arrow-batched image resize over mapInPandas: same batch shape
+    as extract_features, emitting the resized image's features (a
+    production variant would emit re-encoded bytes; the features keep
+    the oracle closed-form).  Undecodable rows are skipped — corrupt
+    media must never fail the job."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    feats.append(resize_nearest(bytes(content),
+                                                out_w, out_h))
+                    ids.append(mid)
+                except (ValueError, struct.error, zlib.error):
+                    continue
+            yield pd.DataFrame({
+                "media_id": ids,
+                "width": [int(f[0]) for f in feats],
+                "height": [int(f[1]) for f in feats],
+                "mean_r": [f[2] for f in feats],
+                "mean_g": [f[3] for f in feats],
+                "mean_b": [f[4] for f in feats],
+                "first_r": [int(f[5]) for f in feats],
+            })
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("first_r", T.LongType(), True),
+    ])
+    return media.mapInPandas(run, schema=schema)
 
 
 def synth_png(seed: int) -> bytes:

@@ -2052,6 +2052,32 @@ def q_multimodal_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(doc_id % 200 + ((2 + doc_id % 5) // 2) / 2.0 AS DOUBLE)
+               AS mean_r,
+           CAST((doc_id * 3) % 200 + ((2 + doc_id % 5) // 2) / 2.0
+               AS DOUBLE) AS mean_g,
+           CAST((doc_id * 7) % 200 + ((2 + doc_id % 5) // 2) / 2.0
+               AS DOUBLE) AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL image resize: nearest-neighbor over decoded pixels "
+    "(floor(i*src/dst) sampling) to 2x2 inside mapInPandas; the "
+    "gradient fixtures give closed-form resized means (rows 0 and "
+    "h//2 averaged), so source-row selection is load-bearing")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import resize_images, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return resize_images(synth_media(ids, "image", fmt="ppm"))
+
+
+@register(
     "multimodal_frame_features",
     """
     SELECT doc_id AS media_id,
