@@ -741,3 +741,32 @@ def test_png_decompression_bomb_guard():
     with pytest.raises(ValueError, match="larger than declared"):
         decode_png(bomb2)
     assert len(decode_image("image", bomb2)) == 8
+
+
+def test_resize_nearest_edge_cases():
+    from harbourbridge_spark.pipeline.multimodal import (decode_pixels,
+                                                         resize_nearest,
+                                                         synth_bmp,
+                                                         synth_png,
+                                                         synth_ppm)
+    # all three containers resize identically (same underlying image)
+    for seed in (5, 11):
+        a = resize_nearest(synth_ppm(seed), 3, 3)
+        assert a == resize_nearest(synth_bmp(seed), 3, 3)
+        assert a == resize_nearest(synth_png(seed), 3, 3)
+    # upscale: nearest repeats source pixels; means stay the source
+    # row means of the sampled rows
+    f = resize_nearest(synth_ppm(0), 8, 8)       # src 4x2 -> 8x8
+    r0, h = 0 % 200, 2
+    # rows sampled: floor(y*2/8) = [0,0,0,0,1,1,1,1] -> mean r0 + 0.5
+    assert f[2] == r0 + 0.5 and f[0] == 8.0 and f[1] == 8.0
+    # identity resize reproduces the decoder's means
+    from harbourbridge_spark.pipeline.multimodal import decode_ppm
+    d = decode_ppm(synth_ppm(9))
+    w, hh = int(d[0]), int(d[1])
+    assert resize_nearest(synth_ppm(9), w, hh)[2:] == d[2:]
+    with pytest.raises(ValueError):
+        resize_nearest(synth_ppm(1), 0, 2)
+    with pytest.raises(ValueError):
+        resize_nearest(b"not an image", 2, 2)
+    assert decode_pixels(synth_ppm(3)).shape == (2 + 3 % 5, 4 + 3 % 8, 3)
