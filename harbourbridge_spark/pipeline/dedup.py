@@ -335,7 +335,9 @@ def vectorized_signature_view(spark, sf_dir: str, view: str,
 
     @pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(k)
+        # None -> None (SQL: transform(NULL)=NULL -> NULL mins), so
+        # null-text docs flow through exactly like the template
+        return texts.map(lambda t: None if t is None else k(t))
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", F.trim(F.lower("text")).alias("nt")))
@@ -617,10 +619,15 @@ def simhash_signature_view(spark, sf_dir: str, view: str,
 
     @pandas_udf(LongType())
     def sig_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: _simhash_int(t, bits))
+        # SQL drops null-text docs entirely (explode of NULL emits no
+        # rows); the callers filter nulls out, and None maps to None
+        # as a belt
+        return texts.map(lambda t: None if t is None
+                         else _simhash_int(t, bits))
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+            .select("doc_id", F.trim(F.lower("text")).alias("nt"))
+            .where(F.col("nt").isNotNull()))
     sig = docs.select("doc_id", sig_udf("nt").alias("sig")) \
               .localCheckpoint()
     sig.createOrReplaceTempView(view)
@@ -883,7 +890,8 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
 
     @pandas_udf(ArrayType(LongType()))
     def gram_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(_hashed_gram_set)
+        return texts.map(lambda t: None if t is None
+                         else _hashed_gram_set(t))
 
     ids = (pairs.select(F.col("doc_a").alias("doc_id"))
            .union(pairs.select(F.col("doc_b").alias("doc_id")))
