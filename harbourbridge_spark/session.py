@@ -21,7 +21,13 @@ from .types import BYTES, STRING, Type
 
 
 class SessionError(Exception):
-    """Raised when an edit violates a guard (the 4xx paths of web.go)."""
+    """An illegal edit (the reference's http.StatusBadRequest class)."""
+
+
+class PreconditionError(SessionError):
+    """An edit blocked by a removable dependency — secondary index or
+    foreign key (the reference's http.StatusPreconditionFailed class,
+    web/web.go:857-895)."""
 
 
 @dataclass
@@ -139,20 +145,25 @@ class EditSession:
         return None
 
     def can_remove_column(self, table: str, col: str) -> None:
-        """web/web.go:857-870."""
+        """web/web.go:857-870.  Guard classes mirror the reference's
+        status codes: PK membership is a SessionError (400 — the edit
+        is inherently illegal), index/FK membership a
+        PreconditionError (412 — legal once the dependent constraint
+        is removed)."""
         if self._is_part_of_pk(table, col):
             raise SessionError("column is part of primary key")
         idx = self._is_part_of_index(table, col)
         if idx:
-            raise SessionError(
+            raise PreconditionError(
                 f"column is part of secondary index {idx}; remove it first")
         if self._is_part_of_fk(table, col) or self._is_referenced_by_fk(table, col):
-            raise SessionError(
+            raise PreconditionError(
                 "column is part of a foreign key relation; remove the "
                 "constraint first")
 
     def can_rename_or_change_type(self, table: str, col: str) -> None:
-        """web/web.go:872-895."""
+        """web/web.go:872-895; same 400-vs-412 split as
+        can_remove_column."""
         is_pk = self._is_part_of_pk(table, col)
         if is_pk and (self._is_parent(table) or self._table(table).parent):
             raise SessionError(
@@ -160,10 +171,10 @@ class EditSession:
                 "relation")
         idx = self._is_part_of_index(table, col)
         if idx:
-            raise SessionError(
+            raise PreconditionError(
                 f"column is part of secondary index {idx}; remove it first")
         if self._is_part_of_fk(table, col) or self._is_referenced_by_fk(table, col):
-            raise SessionError(
+            raise PreconditionError(
                 "column is part of a foreign key relation; remove the "
                 "constraint first")
 

@@ -25,7 +25,7 @@ import re
 from typing import Any, Optional
 
 from .report import analyze_tables, generate_summary
-from .session import EditSession, SessionError
+from .session import EditSession, PreconditionError, SessionError
 
 _NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_]*$")
 
@@ -75,6 +75,10 @@ class WebApi:
         pre = self.session.ctx.to_json()
         try:
             return fn(query, body)
+        except PreconditionError as e:
+            # the reference's http.StatusPreconditionFailed class:
+            # index/FK dependencies that must be removed first
+            return 412, str(e)
         except SessionError as e:
             return 400, str(e)
         except (KeyError, TypeError, AttributeError, ValueError) as e:
@@ -143,7 +147,8 @@ class WebApi:
                 self.session.set_type_map_global(src_type, target)
         except SessionError as e:
             self.session.rollback()
-            return 400, str(e)
+            return (412 if isinstance(e, PreconditionError) else 400,
+                    str(e))
         return 200, self._conv_payload()
 
     def _update_table_schema(self, query, body):
@@ -172,7 +177,8 @@ class WebApi:
                     s.rename_column(table, col, rename)
         except SessionError as e:
             self.session.rollback()
-            return 400, str(e)
+            return (412 if isinstance(e, PreconditionError) else 400,
+                    str(e))
         return 200, self._conv_payload()
 
     def _set_parent(self, query, body):
@@ -242,7 +248,8 @@ class WebApi:
                 self.session.rename_foreign_key(table, old, new)
         except SessionError as e:
             self.session.rollback()
-            return 400, str(e)
+            return (412 if isinstance(e, PreconditionError) else 400,
+                    str(e))
         return 200, self._conv_payload()
 
     def _rename_indexes(self, query, body):
@@ -258,7 +265,8 @@ class WebApi:
                 self.session.rename_index(table, old, new)
         except SessionError as e:
             self.session.rollback()
-            return 400, str(e)
+            return (412 if isinstance(e, PreconditionError) else 400,
+                    str(e))
         return 200, self._conv_payload()
 
     def _add_indexes(self, query, body):
@@ -279,5 +287,6 @@ class WebApi:
                                        bool(ix.get("Unique", False)), keys)
         except SessionError as e:
             self.session.rollback()
-            return 400, str(e)
+            return (412 if isinstance(e, PreconditionError) else 400,
+                    str(e))
         return 200, self._conv_payload()
