@@ -49,6 +49,11 @@ MAX_DROP_SAMPLES = 100      # first-N dropped-row samples (the writer
                             # analogue of droppedRowsFirstN / K7's cap)
 
 
+MAX_ERROR_KINDS = 100   # bound the distinct-error map (the reference's
+                        # errors map is unbounded; a poisoned run with
+                        # per-row unique messages must not OOM the driver)
+
+
 @dataclass
 class WriteStats:
     batches: int
@@ -56,6 +61,12 @@ class WriteStats:
     rows_dropped: int
     retries: int
     dropped_samples: list = None
+    errors: dict = None     # error string -> count, batchwriter.go
+                            # Errors() parity (per failing write call)
+
+
+def _error_key(e: Exception) -> str:
+    return f"{type(e).__name__}: {e}"[:200]
 
 
 def _row_bytes(row) -> int:
@@ -77,7 +88,9 @@ def run_batching_loop(rows_iter, write: Callable[[list], None],
                       add_written: Callable[[int], None],
                       add_dropped: Callable[[int], None],
                       add_retries: Callable[[int], None],
-                      add_samples: Callable[[list], None]) -> None:
+                      add_samples: Callable[[list], None],
+                      add_errors: Callable[[dict], None] = lambda d: None,
+                      ) -> None:
     """The per-partition batching + retry-splitting loop, factored out
     so the distributed path (foreachPartition, counters = Spark
     accumulators) and the driver-local path (write_rows_locally,
@@ -95,8 +108,10 @@ def run_batching_loop(rows_iter, write: Callable[[list], None],
             add_batches(1)
             add_written(len(rows))
             return
-        except Exception:
-            pass
+        except Exception as e:
+            # one count per failing write call, bisection retries
+            # included — the reference's errors-map semantics
+            add_errors({_error_key(e): 1})
         if len(rows) == 1 or budget[0] <= 0:
             add_dropped(len(rows))
             add_samples([tuple(r) for r in rows[:MAX_DROP_SAMPLES]])
@@ -148,18 +163,33 @@ def write_with_batching(df: DataFrame,
     acc_retries = sc.accumulator(0)
     acc_samples = sc.accumulator([], _SampleAcc())
 
+    class _ErrAcc(AccumulatorParam):
+        def zero(self, v):
+            return {}
+
+        def addInPlace(self, a, b):
+            for k, n in b.items():
+                if k in a:
+                    a[k] += n
+                elif len(a) < MAX_ERROR_KINDS:
+                    a[k] = n
+            return a
+
+    acc_errors = sc.accumulator({}, _ErrAcc())
+
     def handle_partition(rows_iter) -> None:
         run_batching_loop(rows_iter, write, cfg,
                           acc_batches.add, acc_written.add,
                           acc_dropped.add, acc_retries.add,
-                          acc_samples.add)
+                          acc_samples.add, acc_errors.add)
 
     df.foreachPartition(handle_partition)
     return WriteStats(batches=acc_batches.value,
                       rows_written=acc_written.value,
                       rows_dropped=acc_dropped.value,
                       retries=acc_retries.value,
-                      dropped_samples=acc_samples.value)
+                      dropped_samples=acc_samples.value,
+                      errors=acc_errors.value)
 
 
 def write_rows_locally(rows, write: Callable[[list], None],
@@ -172,7 +202,7 @@ def write_rows_locally(rows, write: Callable[[list], None],
     not serialize to executors)."""
     cfg = config or BatchWriterConfig()
     stats = WriteStats(batches=0, rows_written=0, rows_dropped=0,
-                       retries=0, dropped_samples=[])
+                       retries=0, dropped_samples=[], errors={})
 
     def bump(field):
         def add(n):
@@ -184,7 +214,15 @@ def write_rows_locally(rows, write: Callable[[list], None],
         if room > 0:
             stats.dropped_samples.extend(samples[:room])
 
+    def add_errors(d):
+        for k, n in d.items():
+            if k in stats.errors:
+                stats.errors[k] += n
+            elif len(stats.errors) < MAX_ERROR_KINDS:
+                stats.errors[k] = n
+
     run_batching_loop(iter(rows), write, cfg,
                       bump("batches"), bump("rows_written"),
-                      bump("rows_dropped"), bump("retries"), add_samples)
+                      bump("rows_dropped"), bump("retries"), add_samples,
+                      add_errors)
     return stats

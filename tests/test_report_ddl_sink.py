@@ -137,6 +137,10 @@ def test_batch_writer_bisection(spark, tmp_path):
     assert stats.rows_dropped == 2
     assert stats.rows_written == 998
     assert stats.retries > 0
+    # batchwriter.go Errors() parity: per-error-string counts, one per
+    # failing write call (bisection retries included)
+    assert list(stats.errors) == ["RuntimeError: bad row in batch"]
+    assert stats.errors["RuntimeError: bad row in batch"] >= 2
 
 
 def test_write_bad_data(spark, tmp_path):
