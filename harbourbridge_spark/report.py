@@ -30,9 +30,17 @@ def ok(total: int, bad: int) -> bool:
 
 
 def pct(total: int, bad: int) -> str:
+    """internal/report.go:525-538 exactly: >99.9 -> 5 decimals (shows
+    "99.99998%"-style near-perfect rates), >95 -> 3 decimals, else
+    whole percent."""
     if total == 0:
         return "0"
-    return f"{100.0 * (total - bad) / total:.9g}"
+    p = 100.0 * (total - bad) / total
+    if p > 99.9:
+        return f"{p:2.5f}"
+    if p > 95.0:
+        return f"{p:2.3f}"
+    return f"{p:2.0f}"
 
 
 def rate_schema(cols: int, warnings: int, missing_pkey: bool,

@@ -302,9 +302,16 @@ def _parse_type(type_text: str) -> SourceType:
     if m:
         array_bounds.append(-1)
         t = t[:m.start()].strip()
-    while t.endswith("[]"):
-        array_bounds.append(-1)
-        t = t[:-2].strip()
+    # bracketed bounds, sized or not: 'integer[]', 'integer[4][2]'
+    # (pg ignores the sizes but the DIMENSION count decides the
+    # multi-dimensional-array issue, pg_dump.go type handling)
+    while True:
+        m = re.search(r"\[\s*(\d*)\s*\]\s*$", t)
+        if not m:
+            break
+        array_bounds.append(int(m.group(1)) if m.group(1) else -1)
+        t = t[:m.start()].strip()
+    array_bounds.reverse()
     mods: tuple = ()
     m = re.search(r"\((?P<mods>[^)]*)\)\s*$", t)
     if m:

@@ -113,7 +113,8 @@ def test_full_report_renders():
     text = R.generate_report(ctx, driver_name="pg_dump")
     assert "Summary of Conversion" in text
     assert "Table albums" in text and "Table singers" in text
-    assert "98% of 100 rows" in text
+    # 98 > 95 -> three decimals, internal/report.go:534-536
+    assert "98.000% of 100 rows" in text
     assert "Unexpected Conditions" in text
 
 
