@@ -289,3 +289,55 @@ def test_comment_after_midline_semicolon_mysql(spark, tmp_path):
         spark, str(f), str(tmp_path / "staging"))
     rows = sorted((r.a, r.n) for r in results["t"].good.collect())
     assert rows == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_synth_id_clash_matches_reference():
+    """postgres/pgdump_test.go "synth_id clash": the synthetic key
+    dedups past existing synth_id* columns and lands on synth_id2."""
+    import io
+
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources import pgdump
+    from harbourbridge_spark.toddl import schema_to_ddl
+
+    ctx = MigrationContext()
+    pgdump.process_pg_dump_schema(ctx, io.StringIO(
+        "CREATE TABLE test (synth_id text, synth_id0 text, "
+        "synth_id1 bigint);"))
+    schema_to_ddl(ctx, "postgres")
+    ctx.add_synthetic_pkeys()
+    t = ctx.sp_schema["test"]
+    assert t.col_names == ["synth_id", "synth_id0", "synth_id1",
+                           "synth_id2"]
+    assert t.pk_cols() == ["synth_id2"]
+    assert t.col_defs["synth_id2"].type.name == "INT64"
+
+
+def test_fk_name_legalization_collision_matches_reference():
+    """mysql/mysqldump_test.go "multiple foreign key test constraint
+    name": `1_fk_test_2` legalizes to A_fk_test_2; `__fk_test_2`
+    legalizes into the SAME name and dedups with the reference's
+    counter suffix (A_fk_test_2_4)."""
+    import io
+
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources import mysqldump
+    from harbourbridge_spark.toddl import schema_to_ddl
+
+    dump = (
+        "CREATE TABLE test (a SMALLINT, b text, PRIMARY KEY (a) );\n"
+        "CREATE TABLE test3 (e SMALLINT, f text, PRIMARY KEY (e) );\n"
+        "CREATE TABLE test2 (c SMALLINT, d SMALLINT, CONSTRAINT "
+        "`1_fk_test_2` FOREIGN KEY (d) REFERENCES test (a) "
+        "ON DELETE RESTRICT ON UPDATE CASCADE );\n"
+        "ALTER TABLE test2 ADD CONSTRAINT __fk_test_2 "
+        "FOREIGN KEY (c) REFERENCES test3(e);\n")
+    ctx = MigrationContext()
+    mysqldump.process_mysql_dump_schema(ctx, io.StringIO(dump))
+    schema_to_ddl(ctx, "mysql")
+    ctx.add_synthetic_pkeys()
+    t2 = ctx.sp_schema["test2"]
+    assert [(fk.name, fk.columns, fk.refer_table) for fk in t2.fks] == \
+        [("A_fk_test_2", ["d"], "test"),
+         ("A_fk_test_2_4", ["c"], "test3")]
+    assert t2.pk_cols() == ["synth_id"]
