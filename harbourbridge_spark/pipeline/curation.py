@@ -124,6 +124,39 @@ def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
     """)
 
 
+def doc_repetition_sql(engine: str, gram_n: int = 2) -> str:
+    """Intra-document repetition: the fraction of duplicate word
+    ``gram_n``-grams inside each document — the canonical
+    repetitious-text quality rule (templated spam, keyword stuffing,
+    decoding loops score high).  Pure projection, no shuffle; the
+    fraction is (total - distinct) / total over exact integer counts,
+    so both engines agree bit-for-bit.  Docs shorter than gram_n
+    tokens have one degenerate gram and score 0."""
+    joined = ", ".join(f"tk[i{f'+{o}' if o else ''}]"
+                       for o in range(gram_n))
+    if engine == "spark":
+        g = ("{ltrans}({seq}(0, greatest({alen}(tk) - %d, 0)), "
+             "i -> concat_ws(' ', %s))" % (gram_n, joined))
+    else:
+        g = ("{ltrans}({seq}(1, greatest({alen}(tk) - %d, 1)), "
+             "i -> concat_ws(' ', %s))" % (gram_n - 1, joined))
+    g = render(g, engine)
+    t = f"""
+    WITH g AS (
+        SELECT doc_id, {g} AS grams
+        FROM (SELECT doc_id, {render(TOKENS, engine)} AS tk
+              FROM documents) _t
+    )
+    SELECT doc_id,
+           CAST({{alen}}(grams) AS BIGINT) AS n_grams,
+           CAST({{alen}}({{adist}}(grams)) AS BIGINT) AS n_distinct,
+           CAST({{alen}}(grams) - {{alen}}({{adist}}(grams)) AS DOUBLE)
+               / {{alen}}(grams) AS dup_frac
+    FROM g
+    """
+    return render(t, engine)
+
+
 def stratified_sample_sql(engine: str, k: int = 20) -> str:
     """Deterministic stratified quota sample: exactly min(k, |stratum|)
     documents per language, chosen by a multiplicative-hash order on

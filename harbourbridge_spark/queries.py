@@ -1726,6 +1726,11 @@ REGISTRY["decontaminate"] = QuerySpec(
     "grams via window LEADs over a checkpointed relation, the oracle "
     "keeps the array template")
 _register_template(
+    "doc_repetition", _cur.doc_repetition_sql,
+    "Intra-document repetition: duplicate word-bigram fraction per "
+    "doc (the repetitious-text pretraining quality rule) — pure "
+    "projection over exact integer counts")
+_register_template(
     "stratified_sample", _cur.stratified_sample_sql,
     "Deterministic stratified quota sample: top-k per language by "
     "multiplicative-hash order — reproducible with no RNG state, "
