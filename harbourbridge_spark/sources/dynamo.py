@@ -100,29 +100,32 @@ def infer_data_types(hist_rows: list, total_rows: int
         by_attr.setdefault(r["attr"], {})[r["obs_type"]] = r["n"]
     out: dict[str, tuple[str, bool]] = {}
     for attr, counts in by_attr.items():
+        # presentRows sums EVERY observation, noise included
+        # (schema.go:244-245)
         present = sum(counts.values())
         nullable = (total_rows - present) > ERR_THRESHOLD * total_rows
-        # NULL-typed observations make the column nullable but don't vote
+        # NULL-typed observations make the column nullable but don't
+        # vote (divergence from the reference, which lets Null vote as
+        # a type; a mostly-NULL column typed "Null" has no useful
+        # target mapping, so nullability is the better signal)
         null_n = counts.pop(ddy.TYPE_NULL, 0)
         if null_n > ERR_THRESHOLD * total_rows:
             nullable = True
-        # discard rare noise types
-        candidates = {t: c for t, c in counts.items()
+        # discard noise types at or below the error threshold
+        # (schema.go:246-253: keep iff count/rows > errThreshold)
+        stat_items = {t: c for t, c in counts.items()
                       if c > ERR_THRESHOLD * total_rows}
-        if not candidates:
-            if counts:  # everything was noise-level: pick the biggest
-                candidates = {max(counts, key=counts.get): 1}
-            else:
-                out[attr] = (ddy.TYPE_STRING, True)
-                continue
-        strong = {t: c for t, c in candidates.items()
-                  if c > CONFLICT_THRESHOLD * present}
-        if len(strong) == 1:
-            out[attr] = (next(iter(strong)), nullable)
-        elif len(strong) == 0:
-            out[attr] = (max(candidates, key=candidates.get), nullable)
+        if not stat_items:
+            # "Skip column with no data records" (schema.go:254-257):
+            # all-noise and empty columns get NO schema entry
+            continue
+        candidates = {t: c for t, c in stat_items.items()
+                      if c > CONFLICT_THRESHOLD * present}
+        if len(candidates) == 1:
+            out[attr] = (next(iter(candidates)), nullable)
         else:
-            # conflicting candidates -> String (schema.go:274-290)
+            # zero or several conflicting candidates -> String
+            # (schema.go:283-290)
             out[attr] = (ddy.TYPE_STRING, nullable)
     return out
 

@@ -99,3 +99,46 @@ def test_bad_row_quarantine(spark):
     bad = result.bad.collect()
     assert len(bad) == 1
     assert bad[0]["_hb_errs"] == ["v"]
+
+
+def test_infer_data_types_reference_matrix():
+    """The EXACT 12-case threshold matrix of
+    dynamodb/schema_test.go TestInferDataTypes:272-341 (1000 rows,
+    0.1% error / 5% conflict thresholds), including the skip rules for
+    empty/all-noise columns."""
+    from harbourbridge_spark.sources.dynamo import infer_data_types
+
+    stats = {
+        "all_rows_not_null": {"Number": 1000},
+        "err_row": {"NumberString": 1, "Number": 999},
+        "err_null_row": {"Number": 999},
+        "enough_null_row": {"Number": 900},
+        "not_conflict_row": {"String": 50, "Number": 950},
+        "conflict_row": {"String": 51, "Number": 949},
+        "equal_conflict_rows": {"String": 500, "Number": 500},
+        "not_conflict_row_with_noise":
+            {"String": 40, "Number": 760, "NumberString": 10},
+        "conflict_row_with_noise":
+            {"String": 41, "Number": 759, "NumberString": 10},
+        "equal_conflict_row_with_noise":
+            {"String": 400, "Number": 400, "NumberString": 10},
+        "empty_records": {"String": 0},
+        "empty_stats": {},
+    }
+    rows = [{"attr": a, "obs_type": t, "n": n}
+            for a, m in stats.items() for t, n in m.items()]
+    got = infer_data_types(rows, 1000)
+    want = {
+        "all_rows_not_null": ("Number", False),
+        "err_row": ("Number", False),
+        "err_null_row": ("Number", False),
+        "enough_null_row": ("Number", True),
+        "not_conflict_row": ("Number", False),
+        "conflict_row": ("String", False),
+        "equal_conflict_rows": ("String", False),
+        "not_conflict_row_with_noise": ("Number", True),
+        "conflict_row_with_noise": ("String", True),
+        "equal_conflict_row_with_noise": ("String", True),
+        # empty_records / empty_stats: skipped entirely
+    }
+    assert got == want
