@@ -32,12 +32,15 @@ from .sources import mysqldump, pgdump
 def migrate_dump(spark: SparkSession, dump_path, dialect: str,
                  out_dir: str,
                  ctx: Optional[MigrationContext] = None,
-                 target: str = "parquet") -> MigrationContext:
+                 target: str = "parquet",
+                 show_progress: bool = False,
+                 progress_out=None) -> MigrationContext:
     """Full dump migration into ``out_dir``: tables (parquet, or a
-    sqlite database via the batched K1/K2 writer) + schema file +
-    session file + report + dropped-row samples. ``dump_path`` may be
-    a single path or a list (sharded dumps stage through one shared
-    writer)."""
+    sqlite database / embedded Derby via the batched K1/K2 writer) +
+    schema file + session file + report + dropped-row samples.
+    ``dump_path`` may be a single path or a list (sharded dumps stage
+    through one shared writer).  ``show_progress`` renders the A8
+    percent meter over the staged-bytes denominator."""
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
     if dialect == "postgres":
@@ -53,16 +56,39 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
     with open(os.path.join(out_dir, "session.json"), "w") as f:
         f.write(ctx.to_json())
 
+    meter = None
+    if show_progress:
+        from .progress import MigrationProgress
+        staged = {t: os.path.join(staging, f"{t}.tsv")
+                  for t in results
+                  if os.path.exists(os.path.join(staging, f"{t}.tsv"))}
+        meter = MigrationProgress(staged, message="Writing data",
+                                  out=progress_out)
+
     db_path = os.path.join(out_dir, "migrated.db")
     for src_table, result in results.items():
         tgt = ctx.to_target[src_table]["name"]
         wstats = None
-        if target == "sqlite":
-            from .sink import write_table_to_sqlite
-            wstats = write_table_to_sqlite(ctx, result.good, tgt, db_path)
-        else:
-            write_table(ctx, result.good, tgt,
-                        os.path.join(out_dir, f"{tgt}.parquet"))
+        if meter is not None:
+            from .progress import track_table_job
+            tracker = track_table_job(spark, meter, src_table)
+            tracker.__enter__()
+        try:
+            if target == "sqlite":
+                from .sink import write_table_to_sqlite
+                wstats = write_table_to_sqlite(ctx, result.good, tgt,
+                                               db_path)
+            elif target == "derby":
+                from .sink.jdbc_writer import write_table_to_derby
+                wstats = write_table_to_derby(
+                    spark, ctx, result.good, tgt,
+                    os.path.join(out_dir, "migrated_derby"))
+            else:
+                write_table(ctx, result.good, tgt,
+                            os.path.join(out_dir, f"{tgt}.parquet"))
+        finally:
+            if meter is not None:
+                tracker.__exit__(None, None, None)
         n_bad = write_bad_data(
             result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
         if wstats is not None:
@@ -89,6 +115,9 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
         if n_bad == 0:
             os.remove(os.path.join(out_dir, f"{tgt}.dropped.txt"))
 
+    if meter is not None:
+        meter.done()
+
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -112,10 +141,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--dialect", choices=["postgres", "mysql"],
                    default="postgres")
     p.add_argument("--out", required=True, help="output directory")
-    p.add_argument("--target", choices=["parquet", "sqlite"],
+    p.add_argument("--target", choices=["parquet", "sqlite", "derby"],
                    default="parquet",
-                   help="table sink: parquet files, or a sqlite "
-                        "database through the batched K1/K2 writer")
+                   help="table sink: parquet files, or a sqlite / "
+                        "embedded-Derby database through the batched "
+                        "K1/K2 writer")
+    p.add_argument("--progress", action="store_true",
+                   help="render the percent progress meter (A8) over "
+                        "the staged-bytes denominator")
     p.add_argument("--cpus", default="8")
     p.add_argument("--session", help="resume from a session.json "
                    "(schema edits preserved; data-only mode)")
@@ -134,7 +167,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             ctx = MigrationContext.from_json(f.read())
     dumps = args.dump[0] if len(args.dump) == 1 else args.dump
     final = migrate_dump(spark, dumps, args.dialect, args.out, ctx,
-                         target=args.target)
+                         target=args.target,
+                         show_progress=args.progress)
     print(open(os.path.join(args.out, "report.txt")).read()[:2000])
     spark.stop()
     return 0 if final.bad_rows() == 0 else 1

@@ -87,3 +87,25 @@ def test_cli_sqlite_writer_dropped_rows_leave_artifact(spark, tmp_path):
     assert "1 row(s) rejected" in body
     # one sample row present
     assert body.strip().count("\n") == 1
+
+
+def test_cli_dump_to_derby_with_progress(spark, tmp_path):
+    """--target derby + --progress: the full CLI lifecycle writes a
+    real Derby database through the driver-local executeBatch writer
+    while the A8 meter renders a monotone 0->100 sequence."""
+    import io
+    import re
+
+    out = str(tmp_path / "out")
+    buf = io.StringIO()
+    ctx = migrate_dump(spark, _dumps(tmp_path), "postgres", out,
+                       target="derby", show_progress=True,
+                       progress_out=buf)
+    url = f"jdbc:derby:{os.path.join(out, 'migrated_derby')}"
+    back = spark.read.jdbc(
+        url, '"acct"',
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"})
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3, 4]
+    assert ctx.table_stats["acct"].good_rows == 4
+    pcts = [int(m) for m in re.findall(r"(\d+)%", buf.getvalue())]
+    assert pcts[0] == 0 and pcts[-1] == 100 and pcts == sorted(pcts)

@@ -162,6 +162,51 @@ def test_pg_dump_to_derby_bisection_e2e(spark, tmp_path):
         conn.close()
 
 
+def test_write_table_to_derby_typed_e2e(spark, tmp_path):
+    """The full table writer against Derby with TYPED columns
+    (numeric/date/timestamp/bool through the py4j value adapters) plus
+    a duplicate-PK row isolated by bisection — the CLI's
+    --target derby path."""
+    from harbourbridge_spark.sink.jdbc_writer import write_table_to_derby
+    from harbourbridge_spark.sources import pgdump
+
+    f = tmp_path / "d.sql"
+    rows = ", ".join(
+        f"({i}, {i}.25, '2024-01-{(i % 27) + 1:02d}', "
+        f"'2024-01-01 10:00:{i % 60:02d}', "
+        f"{'true' if i % 2 else 'false'}, 'name-{i}')"
+        for i in range(1, 21))
+    f.write_text(
+        "CREATE TABLE public.acct (id bigint NOT NULL, bal numeric(10,2), "
+        "d date, ts timestamp, flag boolean, name text);\n"
+        "ALTER TABLE ONLY public.acct ADD CONSTRAINT a_pk "
+        "PRIMARY KEY (id);\n"
+        f"INSERT INTO public.acct VALUES {rows}, "
+        "(7, 99.99, '2024-02-02', '2024-02-02 00:00:00', true, 'dup');\n")
+    ctx, results = pgdump.migrate_pg_dump(spark, str(f),
+                                          str(tmp_path / "staging"))
+    stats = write_table_to_derby(
+        spark, ctx, results["acct"].good, "acct",
+        str(tmp_path / "acctdb"))
+    assert stats.rows_written == 20 and stats.rows_dropped == 1
+    assert stats.dropped_samples[0][0] == 7
+    assert any("DERBY" in k.upper() or "duplicate" in k.lower()
+               or "JdbcWriteError" in k for k in stats.errors)
+
+    # read back through Spark's JDBC source: values round-tripped
+    url = f"jdbc:derby:{tmp_path / 'acctdb'}"
+    back = spark.read.jdbc(url, '"acct"',
+                           properties={"driver": DERBY_DRIVER})
+    assert back.count() == 20
+    import decimal
+    from pyspark.sql import functions as F
+    r5 = back.where(F.col("id") == 5).first()
+    assert r5["bal"] == decimal.Decimal("5.250000000")
+    assert str(r5["d"]) == "2024-01-06"
+    assert r5["flag"] is True and r5["name"] == "name-5"
+    assert r5["ts"].second == 5
+
+
 def test_convert_typed_table_quarantines_residual_cast(spark):
     """A typed column whose residual cast fails (string source column
     mapped to INT64) quarantines the row like the string path."""
