@@ -647,9 +647,44 @@ def simhash_fn(spark, sf_dir: str, bits: int = 32):
     """)
 
 
+def _simhash_cand_clause(keyed_source: str) -> str:
+    """Shared slice-bucket candidate CTEs with the MAX_BUCKET skew
+    guard (same policy as the MinHash band join, _bands_clause): a
+    bucket over the cap degrades to STAR pairing against its min-doc
+    representative — O(n) per bucket instead of O(n^2), so a
+    boilerplate-heavy corpus whose signatures collapse onto few
+    signatures cannot make a slice bucket quadratic. Star candidates
+    still pass the exact popcount verify, so emitted pairs stay
+    correct; only recall inside degenerate buckets degrades (the
+    documented LSH trade)."""
+    return f"""ann AS (
+        SELECT doc_id, sig, b, slice,
+               COUNT(*) OVER w AS n,
+               MIN(doc_id) OVER w AS rep,
+               MIN_BY(sig, doc_id) OVER w AS rep_sig
+        FROM {keyed_source}
+        WINDOW w AS (PARTITION BY b, slice)
+    ), cand AS (
+        SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.sig AS sig_a, y.sig AS sig_b
+            FROM (SELECT * FROM ann WHERE n <= {MAX_BUCKET}) x
+            JOIN (SELECT * FROM ann WHERE n <= {MAX_BUCKET}) y
+              ON x.b = y.b AND x.slice = y.slice
+             AND x.doc_id < y.doc_id
+            UNION ALL
+            SELECT rep AS doc_a, doc_id AS doc_b,
+                   rep_sig AS sig_a, sig AS sig_b
+            FROM ann
+            WHERE n > {MAX_BUCKET} AND doc_id <> rep
+        ) _u
+    )"""
+
+
 def simhash_pairs_fn(spark, sf_dir: str, k: int = 3, bits: int = 32):
     """Spark strategy for dedup_simhash_pairs: kernel signature view +
-    the same pigeonhole slice join / popcount verify SQL."""
+    the same pigeonhole slice join / popcount verify SQL (bucket-capped
+    like the template)."""
     nb = k + 1
     width = -(-bits // nb)
     simhash_signature_view(spark, sf_dir, "__sh_sig_pairs", bits)
@@ -661,12 +696,7 @@ def simhash_pairs_fn(spark, sf_dir: str, k: int = 3, bits: int = 32):
                    % {1 << width} AS slice
         FROM (SELECT doc_id, sig, explode(sequence(0, {nb - 1})) AS b
               FROM __sh_sig_pairs) _b
-    ), cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               x.sig AS sig_a, y.sig AS sig_b
-        FROM keyed x JOIN keyed y
-          ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
-    )
+    ), {_simhash_cand_clause('keyed')}
     SELECT doc_a, doc_b, {ham} AS hamming_dist
     FROM cand
     WHERE {ham} <= {k}
@@ -709,12 +739,7 @@ def simhash_pairs_sql(engine: str, k: int = 3, bits: int = 32) -> str:
                    % {1 << width} AS slice
         FROM (SELECT doc_id, sig, {{explode}}({{seq}}(0, {nb - 1})) AS b
               FROM sigs) _b
-    ), cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               x.sig AS sig_a, y.sig AS sig_b
-        FROM keyed x JOIN keyed y
-          ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
-    )
+    ), {_simhash_cand_clause('keyed')}
     SELECT doc_a, doc_b, {ham} AS hamming_dist
     FROM cand
     WHERE {ham} <= {k}
