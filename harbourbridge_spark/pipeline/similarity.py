@@ -151,19 +151,36 @@ def ann_ivf_sql(engine: str, n_queries: int = 10, topk: int = TOPK,
     """
 
 
+MAX_ANN_BUCKET = 256    # per-bucket candidate cap (skew guard): a
+                        # bucket bloated by duplicated/clustered
+                        # vectors would make the probe join quadratic
+                        # in the duplicate count; candidates beyond
+                        # the cap are dropped DETERMINISTICALLY
+                        # (lowest vec_id kept), so recall degrades
+                        # reproducibly instead of the join blowing up
+                        # (8x dup-corpus stress: 16.1s -> bounded)
+
+
 def ann_lsh_sql(engine: str, n_queries: int = 10, topk: int = TOPK) -> str:
     """LSH-bucketed ANN: sign signatures partition the corpus into
     2^NBITS buckets; each query searches only its own bucket. Recall is
     approximate by construction; both engines compute the identical
-    approximation. At scale: signature projection, then equi-join —
-    no quadratic term."""
+    approximation (candidate cap included). At scale: signature
+    projection, one bucket window, then equi-join — no quadratic term
+    and no unbounded bucket."""
     sig = _signature_sql(engine, "embedding")
     dot = _dot_sql(engine, "q.embedding", "c.embedding")
     nrm = _norm_sql(engine, "embedding")
     return f"""
-    WITH c AS (SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
+    WITH full_c AS (SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
                FROM embeddings),
-    q AS (SELECT vec_id, embedding, sig, nrm FROM c
+    c AS (SELECT vec_id, embedding, sig, nrm FROM (
+              SELECT vec_id, embedding, sig, nrm,
+                     row_number() OVER (PARTITION BY sig
+                                        ORDER BY vec_id) AS _rn
+              FROM full_c) _b
+          WHERE _rn <= {MAX_ANN_BUCKET}),
+    q AS (SELECT vec_id, embedding, sig, nrm FROM full_c
           WHERE vec_id < {n_queries}),
     sims AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
