@@ -2194,7 +2194,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     "q10_returned_items", "multimodal_decode_png",
     "dedup_minhash_lsh_fast", "dedup_minhash_lsh_t35",
     "lsh_bucket_stats", "dedup_lsh_verified", "dedup_clusters",
-    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash", "dedup_simhash_pairs", "ann_lsh",
 ]
 
 
