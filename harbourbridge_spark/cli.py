@@ -72,8 +72,12 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
         if meter is not None:
             from .progress import track_table_job
             tracker = track_table_job(spark, meter, src_table)
-            tracker.__enter__()
-        try:
+        else:
+            import contextlib
+            tracker = contextlib.nullcontext()
+        # a real `with` so a write failure's exc_info reaches
+        # __exit__ and the failed table is NOT credited to the meter
+        with tracker:
             if target == "sqlite":
                 from .sink import write_table_to_sqlite
                 wstats = write_table_to_sqlite(ctx, result.good, tgt,
@@ -86,9 +90,6 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
             else:
                 write_table(ctx, result.good, tgt,
                             os.path.join(out_dir, f"{tgt}.parquet"))
-        finally:
-            if meter is not None:
-                tracker.__exit__(None, None, None)
         n_bad = write_bad_data(
             result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
         if wstats is not None:

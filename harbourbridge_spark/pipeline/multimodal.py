@@ -159,16 +159,18 @@ def decode_bmp(content: bytes) -> list[float]:
             float(b.mean()), float(px[0, 0, 2])]
 
 
-def decode_ppm(content: bytes) -> list[float]:
-    """Real PPM (P6) decoder: netpbm header (whitespace/comment
-    tokenized), maxval <= 255, raw RGB triplets. Same feature layout
-    as decode_bmp: [width, height, mean_r, mean_g, mean_b, first_r]
-    (PPM is top-down RGB, so no row flip and no channel swap)."""
+def _ppm_header(content: bytes) -> tuple[int, int, int, int]:
+    """Tokenize a P6 netpbm header: returns (w, h, maxval,
+    data_offset) where data_offset is the byte index of the first
+    pixel, i.e. just past the single whitespace after maxval.  Shared
+    by decode_ppm and decode_pixels so both anchor pixel data
+    header-relative (a file with trailing bytes must decode the same
+    pixels in both)."""
     if content[:2] != b"P6":
         raise ValueError("not a P6 PPM")
-    # tokenize the header: fields separated by whitespace, '#' starts
-    # a comment running to end of line; pixel data begins after ONE
-    # whitespace char following maxval
+    # fields separated by whitespace, '#' starts a comment running to
+    # end of line; pixel data begins after ONE whitespace char
+    # following maxval
     fields = []
     i = 2
     while len(fields) < 3:
@@ -189,10 +191,18 @@ def decode_ppm(content: bytes) -> list[float]:
     if w <= 0 or h <= 0 or not 0 < maxval <= 255:
         raise ValueError(f"unsupported PPM dims/maxval {w}x{h}/{maxval}")
     i += 1                      # the single whitespace after maxval
-    need = w * h * 3
-    if len(content) - i < need:
+    if len(content) - i < w * h * 3:
         raise ValueError("truncated PPM pixel data")
-    px = np.frombuffer(content, np.uint8, need, i).reshape(h, w, 3)
+    return w, h, maxval, i
+
+
+def decode_ppm(content: bytes) -> list[float]:
+    """Real PPM (P6) decoder: netpbm header (whitespace/comment
+    tokenized), maxval <= 255, raw RGB triplets. Same feature layout
+    as decode_bmp: [width, height, mean_r, mean_g, mean_b, first_r]
+    (PPM is top-down RGB, so no row flip and no channel swap)."""
+    w, h, _maxval, i = _ppm_header(content)
+    px = np.frombuffer(content, np.uint8, w * h * 3, i).reshape(h, w, 3)
     r = px[..., 0].astype(np.float64)
     g = px[..., 1].astype(np.float64)
     b = px[..., 2].astype(np.float64)
@@ -334,9 +344,10 @@ def decode_pixels(content: bytes) -> np.ndarray:
             px = px[::-1]
         return px[..., ::-1]                  # BGR -> RGB
     if content[:2] == b"P6":
-        feats = decode_ppm(content)           # header validation
-        w, h = int(feats[0]), int(feats[1])
-        start = len(content) - w * h * 3
+        # header-relative offset (shared tokenizer), NOT file-tail
+        # anchored: a P6 file with trailing bytes must decode the same
+        # pixels here as in decode_ppm
+        w, h, _maxval, start = _ppm_header(content)
         return np.frombuffer(content, np.uint8, w * h * 3,
                              start).reshape(h, w, 3)
     if content[:8] == PNG_MAGIC:

@@ -64,18 +64,20 @@ class Progress:
 
     def done(self) -> None:
         self.maybe_report(self.total)
-        if self.total == 0:
-            # zero-work tasks already printed 100 at construction
-            return
 
     def _report(self, first_call: bool) -> None:
         if self.verbose:
             self.out.write(f"{self.message}: {self.pct:2d}%\n")
-        elif first_call:
+            self.out.flush()
+            return
+        if first_call:
             self.out.write(f"{self.message}: {self.pct:2d}%")
         else:
             self.out.write(f"\b\b\b{self.pct:2d}%")
-        if not first_call and not self.verbose and self.pct == 100:
+        # the reference appends the newline whenever pct==100, including
+        # on the first call — a zero-total task prints "msg: 100%\n"
+        # (internal/progress.go:72-85)
+        if self.pct == 100:
             self.out.write("\n")
         self.out.flush()
 
@@ -96,19 +98,27 @@ class MigrationProgress:
         self.progress = Progress(sum(self.sizes.values()), message,
                                  verbose, out)
         self._done_bytes = 0
+        # task_tick runs on track_table_job's poller thread while
+        # table_done runs on the main thread; a single coarse lock keeps
+        # the pct-compare-and-write sequence atomic (display-only state).
+        self._lock = threading.Lock()
 
     def task_tick(self, table: str, fraction: float) -> None:
         """In-flight update: ``fraction`` of ``table``'s span is done."""
         fraction = min(max(fraction, 0.0), 1.0)
         span = self.sizes.get(table, 0)
-        self.progress.maybe_report(self._done_bytes + int(span * fraction))
+        with self._lock:
+            self.progress.maybe_report(
+                self._done_bytes + int(span * fraction))
 
     def table_done(self, table: str) -> None:
-        self._done_bytes += self.sizes.get(table, 0)
-        self.progress.maybe_report(self._done_bytes)
+        with self._lock:
+            self._done_bytes += self.sizes.get(table, 0)
+            self.progress.maybe_report(self._done_bytes)
 
     def done(self) -> None:
-        self.progress.done()
+        with self._lock:
+            self.progress.done()
 
 
 class track_table_job:

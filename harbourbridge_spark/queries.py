@@ -30,21 +30,21 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-_CONFIGURED_SESSIONS: set[int] = set()
-
-
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    if id(spark) not in _CONFIGURED_SESSIONS:
-        # Pin the session timezone so timestamp literals/rendering agree
-        # with the DuckDB oracle's naive-UTC semantics regardless of
-        # host tz.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # events.parquet has carried TIMESTAMP(NANOS) (Spark reads it as
-        # long only under this legacy conf) in some data generations and
-        # TIMESTAMP(MICROS, ntz) in others; normalize below so queries
-        # always see ns-since-epoch longs.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _CONFIGURED_SESSIONS.add(id(spark))
+    # Set unconditionally: conf.set is cheap and idempotent, and any
+    # cache keyed on the session object (e.g. id()) can collide when a
+    # stopped session's id is reused by a new one, silently skipping
+    # these confs and breaking timestamp semantics.
+    #
+    # Pin the session timezone so timestamp literals/rendering agree
+    # with the DuckDB oracle's naive-UTC semantics regardless of
+    # host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet has carried TIMESTAMP(NANOS) (Spark reads it as
+    # long only under this legacy conf) in some data generations and
+    # TIMESTAMP(MICROS, ntz) in others; normalize below so queries
+    # always see ns-since-epoch longs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and not isinstance(
             df.schema["ts"].dataType, LongType):

@@ -770,3 +770,11 @@ def test_resize_nearest_edge_cases():
     with pytest.raises(ValueError):
         resize_nearest(b"not an image", 2, 2)
     assert decode_pixels(synth_ppm(3)).shape == (2 + 3 % 5, 4 + 3 % 8, 3)
+
+    # trailing bytes after the pixel raster must not shift the decode:
+    # both decoders anchor header-relative, not at the file tail
+    import numpy as np
+    raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    padded = b"P6\n3 2\n255\n" + raster.tobytes() + b"\x00trailing"
+    assert (decode_pixels(padded) == raster).all()
+    assert decode_ppm(padded)[2] == float(raster[..., 0].mean())

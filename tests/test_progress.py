@@ -38,6 +38,14 @@ def test_progress_reference_semantics():
     p3.done()
     assert buf3.getvalue() == "t:  0%\b\b\b50%\b\b\b100%\n"
 
+    # non-verbose zero-total: the newline fires on the FIRST call too
+    # (progress.go:82-84 gates it only on pct==100), so a zero-work
+    # task leaves the cursor at start-of-line, not mid-line
+    buf4 = io.StringIO()
+    p4 = Progress(0, "empty", out=buf4)
+    p4.done()
+    assert buf4.getvalue() == "empty: 100%\n"
+
 
 def test_progress_monotone_through_two_table_migration(spark, tmp_path):
     from harbourbridge_spark.sources import pgdump
