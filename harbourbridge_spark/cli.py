@@ -34,18 +34,25 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
                  ctx: Optional[MigrationContext] = None,
                  target: str = "parquet",
                  show_progress: bool = False,
-                 progress_out=None) -> MigrationContext:
+                 progress_out=None,
+                 ingest: str = "staged") -> MigrationContext:
     """Full dump migration into ``out_dir``: tables (parquet, or a
     sqlite database / embedded Derby via the batched K1/K2 writer) +
     schema file + session file + report + dropped-row samples.
     ``dump_path`` may be a single path or a list (sharded dumps stage
     through one shared writer).  ``show_progress`` renders the A8
-    percent meter over the staged-bytes denominator."""
+    percent meter over the staged-bytes denominator.  ``ingest``
+    selects the pg data pass: "staged" (driver splitter) or
+    "distributed" (executor-side COPY byte-range reads — the path for
+    very large dumps; postgres only)."""
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
     if dialect == "postgres":
-        ctx, results = pgdump.migrate_pg_dump(spark, dump_path, staging, ctx)
+        ctx, results = pgdump.migrate_pg_dump(spark, dump_path, staging,
+                                              ctx, mode=ingest)
     elif dialect == "mysql":
+        if ingest != "staged":
+            raise ValueError("distributed ingest is postgres-only")
         ctx, results = mysqldump.migrate_mysql_dump(spark, dump_path,
                                                     staging, ctx)
     else:
@@ -150,6 +157,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--progress", action="store_true",
                    help="render the percent progress meter (A8) over "
                         "the staged-bytes denominator")
+    p.add_argument("--ingest", choices=["staged", "distributed"],
+                   default="staged",
+                   help="pg data pass: 'staged' splits rows on the "
+                        "driver; 'distributed' scans COPY byte ranges "
+                        "and reads them executor-side (large dumps)")
     p.add_argument("--cpus", default="8")
     p.add_argument("--session", help="resume from a session.json "
                    "(schema edits preserved; data-only mode)")
@@ -169,7 +181,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     dumps = args.dump[0] if len(args.dump) == 1 else args.dump
     final = migrate_dump(spark, dumps, args.dialect, args.out, ctx,
                          target=args.target,
-                         show_progress=args.progress)
+                         show_progress=args.progress,
+                         ingest=args.ingest)
     print(open(os.path.join(args.out, "report.txt")).read()[:2000])
     spark.stop()
     return 0 if final.bad_rows() == 0 else 1

@@ -1,0 +1,256 @@
+"""Distributed COPY-block splitter (the 100 TB ingest path): the
+positional scanner + executor-side chunk reader must produce results
+bit-identical to the staged driver-loop path — same rows, same
+sequence-derived synthetic PKs, same table order — on adversarial
+dumps, sharded multi-file dumps, and at any chunk size."""
+
+import io
+import os
+import random
+
+import pytest
+
+from harbourbridge_spark.sources import pgdump
+from harbourbridge_spark.sources.pgdump import _OffsetReader
+
+
+def _results_fingerprint(results):
+    return {t: sorted(map(tuple, r.good.collect())) for t, r in
+            results.items()}
+
+
+def _assert_modes_identical(spark, paths, tmp_path, chunk_bytes=32 << 20):
+    if isinstance(paths, (str, os.PathLike)):
+        paths = str(paths)
+    else:
+        paths = [str(p) for p in paths]
+    ctx1, r1 = pgdump.migrate_pg_dump(spark, paths,
+                                      str(tmp_path / "st"))
+    ctx2, r2 = pgdump.migrate_pg_dump(spark, paths,
+                                      str(tmp_path / "di"),
+                                      mode="distributed",
+                                      chunk_bytes=chunk_bytes)
+    assert list(r1) == list(r2)          # same tables, same order
+    f1, f2 = _results_fingerprint(r1), _results_fingerprint(r2)
+    assert f1 == f2
+    # bad rows split identically too
+    for t in r1:
+        assert sorted(r1[t].bad.collect()) == sorted(r2[t].bad.collect())
+    return ctx1, ctx2, r1
+
+
+ADVERSARIAL_DUMP = (
+    "CREATE TABLE public.t1 (id integer NOT NULL, v text, "
+    "PRIMARY KEY (id));\n"
+    "CREATE TABLE public.t2 (x integer, y text, z text);\n"
+    "CREATE TABLE public.empty_t (e integer);\n"
+    # dollar-quoted function body containing a FAKE COPY header and a
+    # fake terminator — must not open a data block
+    "CREATE FUNCTION public.f() RETURNS void AS $body$\n"
+    "COPY public.t1 (id, v) FROM stdin;\n"
+    "999\tnot-data\n"
+    "\\.\n"
+    "$body$ LANGUAGE sql;\n"
+    # a string literal containing a fake COPY header across lines
+    "COMMENT ON TABLE public.t1 IS 'line1\n"
+    "COPY public.t2 (x, y, z) FROM stdin;\n"
+    "line3';\n"
+    # real block: escapes, a line starting with backslash-dot-extra
+    # (data, NOT a terminator), an empty line (one empty field)
+    "COPY public.t1 (id, v) FROM stdin;\n"
+    "1\thello\n"
+    "2\tback\\\\slash and \\t tab\n"
+    "3\t\\.x starts like a terminator\n"
+    "4\t\\N\n"
+    "\\.\n"
+    # empty COPY block
+    "COPY public.empty_t (e) FROM stdin;\n"
+    "\\.\n"
+    # multiple statements on one line, COPY after a mid-line semicolon
+    "SET timezone = 'UTC';COPY public.t2 (z, x) FROM stdin;\n"
+    "reordered\t20\n"
+    "\\.\n"
+    # INSERT interleaved between two blocks of the same table
+    "INSERT INTO public.t1 (id, v) VALUES (10, 'ins; with semi'), "
+    "(11, 'qu''ote');\n"
+    "COPY public.t1 (id, v) FROM stdin;\n"
+    "12\tsecond block\n"
+    "\\.\n"
+    # data for a table with no CREATE (unknown table)
+    "COPY public.ghost (g) FROM stdin;\n"
+    "1\n"
+    "\\.\n"
+    "-- trailing comment\n")
+
+
+def test_adversarial_dump_modes_identical(spark, tmp_path):
+    f = tmp_path / "adv.sql"
+    f.write_text(ADVERSARIAL_DUMP)
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path)
+    # the fake in-function block stayed closed: row 999 never appears
+    ids = {row.id for row in r1["t1"].good.collect()}
+    assert 999 not in ids
+    assert {1, 2, 3, 4, 10, 11, 12} <= ids
+    # reordered partial column list remapped; missing column is NULL
+    t2 = {row.x: row for row in r1["t2"].good.collect()}
+    assert t2[20].z == "reordered" and t2[20].y is None
+    # unknown-table data flagged in both modes
+    assert any("ghost" in m for m in ctx1.unexpecteds)
+    assert any("ghost" in m for m in ctx2.unexpecteds)
+
+
+def test_crlf_dump_modes_identical(spark, tmp_path):
+    body = ("CREATE TABLE public.c (id integer NOT NULL, v text);\r\n"
+            "COPY public.c (id, v) FROM stdin;\r\n"
+            "1\tone\r\n"
+            "2\ttwo\r\n"
+            "\\.\r\n")
+    f = tmp_path / "crlf.sql"
+    f.write_bytes(body.encode())
+    _, _, r1 = _assert_modes_identical(spark, f, tmp_path)
+    assert {row.v for row in r1["c"].good.collect()} == {"one", "two"}
+
+
+def test_tiny_chunks_force_many_tasks(spark, tmp_path):
+    """chunk_bytes far below the block size: every few rows become
+    their own executor task, and the result must not change."""
+    rows = "".join(f"{i}\tvalue-{i:04d}\n" for i in range(200))
+    f = tmp_path / "big.sql"
+    f.write_text(
+        "CREATE TABLE public.b (id integer NOT NULL, v text, "
+        "PRIMARY KEY (id));\n"
+        "COPY public.b (id, v) FROM stdin;\n" + rows + "\\.\n")
+    _assert_modes_identical(spark, f, tmp_path, chunk_bytes=64)
+    # the scanner really did cut many chunks
+    fscan = pgdump._scan_dump_file(
+        pgdump.migrate_pg_dump(spark, str(f), str(tmp_path / "s0"))[0],
+        str(f), str(tmp_path / "shard"), chunk_bytes=64)
+    chunks = fscan.chunks["b"]
+    assert len(chunks) > 10
+    assert sum(c.rows for c in chunks) == 200
+    # chunks tile the block: contiguous byte ranges, contiguous seqs
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.end == b.start
+        assert a.start_seq + a.rows == b.start_seq
+
+
+def test_multifile_shards_concurrent_scan(spark, tmp_path):
+    """A table's rows spanning three shard files, with INSERTs mixed
+    in: concurrent scans + path-order offset composition must equal
+    the sequential staged pass exactly (synthetic-PK-bearing seqs)."""
+    ddl = ("CREATE TABLE public.s (a integer, b text);\n"
+           "CREATE TABLE public.only3 (o integer);\n")
+    f1 = tmp_path / "shard1.sql"
+    f1.write_text(ddl + "COPY public.s (a, b) FROM stdin;\n"
+                  + "".join(f"{i}\tf1-{i}\n" for i in range(50))
+                  + "\\.\n"
+                  "INSERT INTO public.s (a, b) VALUES (900, 'f1-ins');\n")
+    f2 = tmp_path / "shard2.sql"
+    f2.write_text("COPY public.s (a, b) FROM stdin;\n"
+                  + "".join(f"{i}\tf2-{i}\n" for i in range(50, 120))
+                  + "\\.\n")
+    f3 = tmp_path / "shard3.sql"
+    f3.write_text("INSERT INTO public.s (a, b) VALUES (901, 'f3-ins');\n"
+                  "COPY public.only3 (o) FROM stdin;\n"
+                  "7\n"
+                  "\\.\n")
+    paths = [f1, f2, f3]
+    ctx1, _, r1 = _assert_modes_identical(spark, paths, tmp_path)
+    # no synthetic-PK collisions: seqs are globally unique per table
+    from harbourbridge_spark.convert import SEQ_COL  # noqa: F401
+    pks = [row.synth_id for row in r1["s"].good.collect()]
+    assert len(pks) == len(set(pks)) == 122
+
+
+def test_cli_distributed_flag(spark, tmp_path):
+    from harbourbridge_spark import cli
+    f = tmp_path / "d.sql"
+    f.write_text("CREATE TABLE public.t (id integer NOT NULL, v text, "
+                 "PRIMARY KEY (id));\n"
+                 "COPY public.t (id, v) FROM stdin;\n"
+                 "1\ta\n2\tb\n\\.\n")
+    out = tmp_path / "out"
+    ctx = cli.migrate_dump(spark, str(f), "postgres", str(out),
+                           ingest="distributed")
+    assert ctx.bad_rows() == 0
+    assert os.path.exists(out / "t.parquet")
+    df = spark.read.parquet(str(out / "t.parquet"))
+    assert df.count() == 2
+    with pytest.raises(ValueError):
+        cli.migrate_dump(spark, str(f), "mysql", str(out / "x"),
+                         ingest="distributed")
+
+
+# ---------------------------------------------------------------------------
+# scanner unit level: byte-exact block ranges at any buffer size
+# ---------------------------------------------------------------------------
+
+def _scan_all(data: bytes, bufsize: int, chunk_bytes: int):
+    r = _OffsetReader(io.BytesIO(data), bufsize=bufsize)
+    chunks = r.scan_data_block(chunk_bytes)
+    return chunks, r.base + r.pos
+
+
+@pytest.mark.parametrize("bufsize", [3, 7, 16, 64, 8 << 20])
+def test_scan_data_block_buffer_boundaries(bufsize):
+    """The \\. terminator and row boundaries must be found even when
+    they straddle buffer refills."""
+    rows = [b"1\tabc", b"2\tx\\.y", b"", b"3\t\\N"]
+    block = b"\n".join(rows) + b"\n"
+    data = block + b"\\.\nAFTER"
+    chunks, end = _scan_all(data, bufsize, chunk_bytes=1 << 20)
+    assert sum(c[2] for c in chunks) == 4
+    assert chunks[0][0] == 0
+    assert chunks[-1][1] == len(block)
+    # reader is positioned after the terminator line
+    assert end == len(block) + 3
+
+
+@pytest.mark.parametrize("bufsize", [5, 11, 8 << 20])
+def test_scan_data_block_crlf_and_empty(bufsize):
+    data = b"1\ta\r\n2\tb\r\n\\.\r\nrest"
+    chunks, end = _scan_all(data, bufsize, 1 << 20)
+    assert sum(c[2] for c in chunks) == 2
+    assert chunks[-1][1] == 10
+    assert end == 14
+
+    chunks, end = _scan_all(b"\\.\nX", bufsize, 1 << 20)   # empty block
+    assert chunks == []
+    assert end == 3
+
+
+def test_scan_data_block_eof_without_terminator():
+    data = b"1\ta\n2\tb"          # truncated dump: final line unterminated
+    chunks, end = _scan_all(data, 4, 1 << 20)
+    assert sum(c[2] for c in chunks) == 2
+    assert end == len(data)
+
+
+def test_scan_data_block_random_layouts():
+    """Property-style: random rows (escape-shaped content, empty lines)
+    with random buffer/chunk sizes — chunks must tile the block, be
+    line-aligned, and count every row exactly once."""
+    rng = random.Random(42)
+    alphabet = ["a", "bb", "\\\\", "\\t", "x\\.y", "", "long" * 20]
+    for _ in range(60):
+        nrows = rng.randrange(0, 40)
+        rows = []
+        for _ in range(nrows):
+            ncols = rng.randrange(1, 4)
+            rows.append("\t".join(rng.choice(alphabet)
+                                  for _ in range(ncols)))
+        block = "".join(r + "\n" for r in rows).encode()
+        data = block + b"\\.\n" + b"-- tail\n"
+        bufsize = rng.choice([3, 5, 17, 64, 1024])
+        chunk_bytes = rng.choice([1, 16, 64, 1 << 20])
+        chunks, end = _scan_all(data, bufsize, chunk_bytes)
+        assert sum(c[2] for c in chunks) == nrows
+        assert end == len(block) + 3
+        if chunks:
+            assert chunks[0][0] == 0
+            assert chunks[-1][1] == len(block)
+            for a, b in zip(chunks, chunks[1:]):
+                assert a[1] == b[0]
+            for c in chunks:
+                # line-aligned: every chunk ends just after a newline
+                assert data[c[1] - 1:c[1]] == b"\n"
