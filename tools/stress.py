@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Scale-regression stress harness (VERDICT r5 ask 2).
+
+Replicates the corpus N× with NEAR-IDENTICAL copies — the adversarial
+dup-heavy shape that broke two "no quadratic term" claims in round 5
+(uncapped SimHash slice join 8.4×; unbounded ann_lsh bucket probe 35×)
+— then times every bucketed operator at 1× and N× and asserts the
+fixed ratios stay sub-linear:
+
+- every replica of a document keeps (near) identical text, so all
+  copies land in the same MinHash/SimHash buckets;
+- every replica of an embedding keeps the identical vector, so all
+  copies land in the same LSH/IVF buckets.
+
+Usage:  python tools/stress.py
+Env:    STRESS_SF_DIR  (default /root/testdata/sf0.1)
+        STRESS_FACTOR  (default 8)
+        STRESS_OPS     (csv; default = the audited operator set)
+        STRESS_OUT     (default STRESS.json at the repo root)
+        SPARK_GRAFT_CPUS (default 32)
+
+Writes STRESS_OUT and exits non-zero if a gated ratio regresses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd                      # noqa: E402
+import pyarrow as pa                     # noqa: E402
+import pyarrow.parquet as pq             # noqa: E402
+
+# the r5 audit set (NOTES_DEV.md "Round-5 8x stress audit")
+DEFAULT_OPS = [
+    "dedup_minhash_lsh_fast",
+    "dedup_lsh_verified",
+    "dedup_embedding_lsh",
+    "boilerplate_grams",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "ann_lsh",
+]
+
+# hard regression gates: ratio at factor F must stay <= max(F/2, 3)
+# (sub-linear with noise headroom).  The r5 regressions measured 8.4x
+# and 35x at F=8 — both far above the gate; the fixes measured 1.4x
+# and ~3x — both below.
+GATED_OPS = ("dedup_simhash_pairs", "ann_lsh")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def build_replicated_corpus(base_dir: str, out_dir: str,
+                            factor: int) -> None:
+    """documents/embeddings replicated factor× with bucket-colliding
+    near-copies; every other table linked through unchanged."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t not in ("documents", "embeddings"):
+            if not os.path.exists(dst):
+                try:
+                    os.symlink(src, dst)
+                except OSError:
+                    shutil.copy(src, dst)
+            continue
+        df = pq.read_table(src).to_pandas()
+        id_col = "doc_id" if t == "documents" else "vec_id"
+        stride = int(df[id_col].max()) + 1
+        parts = []
+        for r in range(factor):
+            c = df.copy()
+            c[id_col] = c[id_col] + r * stride
+            if t == "documents" and r:
+                # near-identical: one appended token — same shingles
+                # dominate, so MinHash/SimHash buckets collide
+                c["text"] = c["text"] + f" v{r}"
+                c["n_chars"] = c["text"].str.len()
+            parts.append(c)
+        big = pd.concat(parts, ignore_index=True)
+        schema = pq.read_table(src).schema
+        pq.write_table(
+            pa.Table.from_pandas(big, schema=schema, preserve_index=False),
+            dst)
+
+
+def time_op(Q, spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        Q.REGISTRY[name].fn(spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from harbourbridge_spark import queries as Q
+
+    base = os.environ.get("STRESS_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("STRESS_FACTOR", "8"))
+    ops = [o for o in os.environ.get(
+        "STRESS_OPS", ",".join(DEFAULT_OPS)).split(",") if o]
+    out_path = os.environ.get("STRESS_OUT", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS.json"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    rep_dir = tempfile.mkdtemp(prefix=f"stress_{factor}x_")
+    build_replicated_corpus(base, rep_dir, factor)
+
+    spark = (SparkSession.builder
+             .master(f"local[{cpus}]")
+             .appName("harbourbridge-spark-stress")
+             .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    gate = max(factor / 2.0, 3.0)
+    results: dict[str, dict] = {}
+    failed: list[str] = []
+    for name in ops:
+        if name not in Q.REGISTRY:
+            print(f"!! unknown op {name}", file=sys.stderr)
+            continue
+        t1 = time_op(Q, spark, name, base)
+        tn = time_op(Q, spark, name, rep_dir)
+        ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
+        gated = name in GATED_OPS
+        ok = (not gated) or ratio <= gate
+        if not ok:
+            failed.append(name)
+        results[name] = {"t_1x": round(t1, 3), f"t_{factor}x": round(tn, 3),
+                         "ratio": ratio, "gated": gated, "ok": ok}
+        print(f"{name:28s} 1x={t1:7.3f}s {factor}x={tn:7.3f}s "
+              f"ratio={ratio:5.2f}x"
+              + ("" if not gated else
+                 f"  [gate <= {gate:.1f}: {'OK' if ok else 'FAIL'}]"))
+
+    spark.stop()
+    shutil.rmtree(rep_dir, ignore_errors=True)
+
+    artifact = {
+        "base": base, "factor": factor, "gate_max_ratio": gate,
+        "ops": results, "failed": failed,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_path}")
+    if failed:
+        print(f"REGRESSION: {failed}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
