@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .hashing import MERSENNE61, hash48, minhash_coeffs, perm_sql
-from .text import render
+from .text import norm_text, render
 
 MINHASH_K = 16
 BAND_SIZE = 4           # 4 bands of 4 -> candidates at jaccard ~>0.6
@@ -113,7 +113,7 @@ def exact_dedup_sql(engine: str) -> str:
     """Exact duplicate groups via content hash: corpus-level stats in
     one pass. groupBy on the hash, not the text (shuffle carries 8
     bytes/row instead of the document)."""
-    fp = hash48("trim(lower(text))", engine)
+    fp = hash48(norm_text(engine), engine)
     t = f"""
     WITH groups AS (
         SELECT {fp} AS fp, COUNT(*) AS n
@@ -200,7 +200,7 @@ def minhash_signature_sql(engine: str, k: int = MINHASH_K,
             SELECT doc_id,
                    {{ltrans}}({{seq}}(1, length(nt)),
                               j -> ascii(substring(nt, j, 1))) AS cp
-            FROM (SELECT doc_id, trim(lower(text)) AS nt
+            FROM (SELECT doc_id, {{ntext}} AS nt
                   FROM documents) _n
         ), hashed AS (
             SELECT doc_id, {{ltrans}}({pos}, i -> ({h})) AS hs
@@ -214,7 +214,7 @@ def minhash_signature_sql(engine: str, k: int = MINHASH_K,
     t = f"""
     WITH hashed AS (
         SELECT doc_id, {{ltrans}}({sh}, x -> {h}) AS hs
-        FROM (SELECT doc_id, trim(lower(text)) AS nt FROM documents) _n
+        FROM (SELECT doc_id, {{ntext}} AS nt FROM documents) _n
     )
     SELECT doc_id, {mins} FROM hashed
     """
@@ -531,7 +531,7 @@ def dedup_keep_first_sql(engine: str) -> str:
     Representative selection is a window min over the content hash —
     one shuffle on the 48-bit hash; survivors stream back without a
     second scan of the text."""
-    fp = hash48("trim(lower(text))", engine)
+    fp = hash48(norm_text(engine), engine)
     t = f"""
     WITH fps AS (
         SELECT doc_id, {fp} AS fp FROM documents
@@ -552,7 +552,7 @@ def _simhash_votes_ctes(engine: str, bits: int) -> str:
     majority vote (sum of +1/-1). Bit extraction is exact floor-
     division (h48 < 2^48 < 2^53, so double division is exact; >> and
     div/// differ across engines)."""
-    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    toks = render("{rsplit}({ntext}, '\\s+')", engine)
     h = hash48("tok", engine)
     votes = ", ".join(
         f"SUM(CASE WHEN CAST(floor(h48 / {1 << j}.0) AS BIGINT) % 2 = 1 "
@@ -773,7 +773,7 @@ def _gram_relation(engine: str, n: int = 3, extra_cols: str = "",
     instead of ~20-byte strings (smaller join shuffle, cheaper
     intersect); both engines use the identical hash, so Jaccard values
     match exactly (collisions included)."""
-    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    toks = render("{rsplit}({ntext}, '\\s+')", engine)
     g = _grams_over(engine, "t", n)
     if hashed:
         g = render(f"{{adist}}({{ltrans}}({g}, x -> {hash48('x', engine)}))",
@@ -790,7 +790,7 @@ def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
     NOT the scale path; the 100 TB verify stage is
     lsh_verified_pairs_sql, which computes Jaccard only for LSH
     candidate pairs). Returns pairs with jaccard >= threshold."""
-    toks = render("{rsplit}(trim(lower(text)), '\\s+')", engine)
+    toks = render("{rsplit}({ntext}, '\\s+')", engine)
     t = f"""
     WITH g AS (
         SELECT doc_id, lang, len_bucket,
@@ -931,7 +931,8 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
                                     gram_source="__mh_grams"))
 
 
-def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):
+def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
+                      pairs=None):
     """Near-dup CLUSTER ASSIGNMENT: connected components over the
     LSH-verified pair graph, via iterative min-label propagation —
     every doc in a component converges to the component's minimum
@@ -949,8 +950,9 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):
     """
     from pyspark.sql import functions as F
 
-    pairs = (lsh_verified_pairs_fn(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+    if pairs is None:
+        pairs = (lsh_verified_pairs_fn(spark, sf_dir)
+                 .select("doc_a", "doc_b").localCheckpoint())
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
@@ -975,7 +977,7 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20):
                          F.col("label").alias("cluster_id"))
 
 
-def dedup_removal_manifest_fn(spark, sf_dir: str):
+def dedup_removal_manifest_fn(spark, sf_dir: str, clusters=None):
     """The end of the near-dup pipeline: a keep/drop decision for
     EVERY document.  Docs in the verified-pair graph keep only their
     cluster representative (min doc_id == cluster_id); docs with no
@@ -983,7 +985,8 @@ def dedup_removal_manifest_fn(spark, sf_dir: str):
     of the corpus against the (tiny) cluster labels — the manifest a
     removal job or audit consumes."""
     from pyspark.sql import functions as F
-    clusters = dedup_clusters_fn(spark, sf_dir)
+    if clusters is None:
+        clusters = dedup_clusters_fn(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return (docs.join(clusters, "doc_id", "left")
@@ -1003,6 +1006,64 @@ def dedup_removal_manifest_oracle_sql() -> str:
            COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
            COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
     FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    """
+
+
+def dedup_pipeline_materialized_fn(spark, sf_dir: str):
+    """The dedup chain as a real pipeline would run it: the expensive
+    stages (signature → candidates → verify; label propagation) are
+    materialized ONCE and every downstream consumer reads the
+    materialized result — versus the per-query harness shape where
+    dedup_clusters and dedup_removal_manifest each re-run the whole
+    chain.  Emits one summary row (stage cardinalities + drop count)
+    so the entry is oracle-checkable; its bench time is the cost of
+    ONE chain execution (≈ the max of the chain's stages, not their
+    sum — the evidence that the per-query re-execution cost in the
+    separate entries is harness artifact, not plan cost)."""
+    from pyspark.sql import functions as F
+
+    pairs = (lsh_verified_pairs_fn(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    clusters = dedup_clusters_fn(spark, sf_dir, pairs=pairs) \
+        .localCheckpoint()
+    manifest = dedup_removal_manifest_fn(spark, sf_dir,
+                                         clusters=clusters)
+    s_pairs = pairs.agg(
+        F.count("*").cast("long").alias("n_verified_pairs"))
+    s_clusters = clusters.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("n_clustered_docs"))
+    s_manifest = manifest.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("n_dropped"))
+    # three 1-row aggregates: broadcast scalar crossJoins, no shuffle
+    return s_pairs.crossJoin(s_clusters).crossJoin(s_manifest)
+
+
+def dedup_pipeline_materialized_oracle_sql() -> str:
+    """Oracle: the same five summary numbers from the recursive-CTE
+    closure chain (the oracle recomputes stages — correctness only,
+    the Spark side is what the bench times)."""
+    cand = lsh_verified_pairs_sql("duckdb")
+    clusters = dedup_clusters_oracle_sql()
+    return f"""
+    WITH cand AS ({cand}),
+    cl AS ({clusters}),
+    man AS (
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+               AS n_verified_pairs,
+           CAST((SELECT COUNT(DISTINCT cluster_id) FROM cl) AS BIGINT)
+               AS n_clusters,
+           CAST((SELECT COUNT(*) FROM cl) AS BIGINT)
+               AS n_clustered_docs,
+           CAST((SELECT COUNT(*) FROM man) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM man WHERE NOT keep) AS BIGINT)
+               AS n_dropped
     """
 
 

@@ -31,6 +31,14 @@ _SHIMS = {
     "rsplit": ("split", "regexp_split_to_array"),
     "ajoin": ("array_join", "array_to_string"),
     "collect": ("collect_list", "list"),
+    # normalized document text.  Spark's trim strips ASCII 0x20 only,
+    # DuckDB's trim strips Unicode whitespace (U+00A0 included), so a
+    # shared template using bare trim() diverges on nbsp-adjacent text
+    # (NOTES_DEV "Cross-engine trim hazard").  The DuckDB side uses an
+    # explicit space-only regexp, pinning both engines to SPARK's
+    # semantics — verified char-exact on space/tab/nbsp/newline/mixed.
+    "ntext": ("trim(lower(text))",
+              "regexp_replace(lower(text), '^ +| +$', '', 'g')"),
 }
 
 
@@ -51,8 +59,14 @@ def sumlen(arr_expr: str, engine: str) -> str:
     return f"CAST(list_sum(list_transform({arr_expr}, x -> length(x))) AS BIGINT)"
 
 
+def norm_text(engine: str) -> str:
+    """The engine-correct normalized-text expression (see the ntext
+    shim: Spark-semantics strip of 0x20 runs, lowercased)."""
+    return render("{ntext}", engine)
+
+
 # whitespace tokenization of normalized text
-TOKENS = "{rsplit}(trim(lower(text)), '\\s+')"
+TOKENS = "{rsplit}({ntext}, '\\s+')"
 
 # BPE-ish token pattern: letter runs, single digits, single punctuation
 BPE_PATTERN = "'[a-z]+|[0-9]|[^a-z0-9\\s]'"
@@ -137,7 +151,7 @@ def fingerprint_sql(engine: str) -> str:
     order-insensitive vocabulary hash (same value for shuffled word
     order) — the exact-dedup keys."""
     toks = render(TOKENS, engine)
-    content = hash48("trim(lower(text))", engine)
+    content = hash48(norm_text(engine), engine)
     vocab_src = render(f"{{ajoin}}({{asort}}({{adist}}({toks})), ' ')", engine)
     vocab = hash48(vocab_src, engine)
     t = f"""
@@ -363,6 +377,14 @@ def boilerplate_grams_fn(spark, sf_dir: str):
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     docs.createOrReplaceTempView("documents")
     toks = render(TOKENS, "spark")
+    # two r6 plan cuts vs the template-shaped form (1.27s -> 0.90s at
+    # sf0.1, equal output):
+    # - no ntok window: `t4 IS NOT NULL OR pos = 0` is equivalent to
+    #   the template's short-doc fallback, since pos=0 with >=5 tokens
+    #   implies t4 IS NOT NULL — saves a whole window aggregate;
+    # - per_doc is DISTINCT (doc_id, gram), so COUNT(*) equals
+    #   COUNT(DISTINCT doc_id) and the final agg is a cheap partial-
+    #   aggregated count instead of a two-phase distinct.
     return spark.sql(f"""
     WITH toks AS (
         SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
@@ -371,15 +393,13 @@ def boilerplate_grams_fn(spark, sf_dir: str):
                concat_ws(' ', tok, lead(tok, 1) OVER w,
                          lead(tok, 2) OVER w, lead(tok, 3) OVER w,
                          lead(tok, 4) OVER w) AS gram,
-               lead(tok, 4) OVER w AS t4,
-               COUNT(*) OVER (PARTITION BY doc_id) AS ntok
+               lead(tok, 4) OVER w AS t4
         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ), per_doc AS (
         SELECT DISTINCT doc_id, gram FROM g
-        WHERE t4 IS NOT NULL OR (pos = 0 AND ntok < 5)
+        WHERE t4 IS NOT NULL OR pos = 0
     )
-    SELECT gram, COUNT(*) AS n_occurrences,
-           COUNT(DISTINCT doc_id) AS n_docs
+    SELECT gram, COUNT(*) AS n_occurrences, COUNT(*) AS n_docs
     FROM per_doc GROUP BY gram
-    HAVING COUNT(DISTINCT doc_id) >= 3
+    HAVING COUNT(*) >= 3
     """)

@@ -610,13 +610,16 @@ def test_vectorized_kernels_match_sql_templates_duckdb():
              "tab\tsep\ttokens", "line\nbreaks\nhere",
              "unicode éü中文 text",
              "dup dup dup dup dup", "one two", "trailing space ",
-             # INTERIOR nbsp: neither engine's \\s splits on U+00A0 and
-             # neither trims it mid-string. (A LEADING/TRAILING nbsp is
-             # a known template divergence: DuckDB's trim() strips
-             # Unicode spaces, Spark's strips 0x20 only — the Python
-             # kernels side with Spark, which is the side they replace;
-             # see NOTES_DEV "cross-engine trim hazard".)
-             "nb\xa0sp is not java-space"]
+             # interior nbsp: neither engine's \\s splits on U+00A0 and
+             # neither trims it mid-string
+             "nb\xa0sp is not java-space",
+             # LEADING/TRAILING nbsp: formerly a real template
+             # divergence (DuckDB's trim() strips Unicode spaces,
+             # Spark's strips 0x20 only); the {ntext} shim now pins the
+             # DuckDB side to Spark's space-only semantics, so these
+             # must agree too (NOTES_DEV "cross-engine trim hazard")
+             "\xa0leading nbsp", "trailing nbsp\xa0",
+             "\xa0 nbsp beyond the spaces \xa0"]
     con = duckdb.connect()
     con.execute("CREATE TABLE raw(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO raw VALUES (?, ?)",
@@ -651,12 +654,14 @@ def test_vectorized_kernels_match_sql_templates_duckdb():
                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))),
             x -> {h})) AS grams
         FROM (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                     regexp_split_to_array({ntext}, '\\s+') AS tk
               FROM documents) _t
     ) SELECT doc_id, grams FROM g
     """
     from harbourbridge_spark.pipeline.hashing import duck_hash48
-    rows = dict(con.execute(gram_sql.format(h=duck_hash48("x"))).fetchall())
+    from harbourbridge_spark.pipeline.text import norm_text
+    rows = dict(con.execute(gram_sql.format(
+        h=duck_hash48("x"), ntext=norm_text("duckdb"))).fetchall())
     for i, t in enumerate(texts):
         assert sorted(_hashed_gram_set(norm(t))) == sorted(rows[i]), \
             f"doc {i}"
