@@ -10,6 +10,8 @@ error-isolating writer.
 from .parquet import write_table, write_bad_data  # noqa: F401
 from .batch_writer import (BatchWriterConfig,  # noqa: F401
                            write_rows_locally, write_with_batching)
+from .dbapi_writer import (DbApiInsertWriter,  # noqa: F401
+                           write_table_dbapi)
 from .jdbc_writer import JdbcBatchWriter, JdbcWriteError  # noqa: F401
 from .sqlite_writer import (SqliteInsertWriter, sqlite_ddl,  # noqa: F401
                             write_table_to_sqlite)

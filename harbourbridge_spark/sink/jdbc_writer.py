@@ -13,12 +13,17 @@ to single rows).
 
 A py4j gateway lives in the driver process only, so this writer pairs
 with ``batch_writer.write_rows_locally`` (the same batching+bisection
-loop foreachPartition runs, executed driver-side).  The distributed
-twin with identical semantics is exercised against sqlite3 in
-``sqlite_writer`` — this module's job is the *server-shaped* error:
-Derby raises java.sql.BatchUpdateException wrapping
+loop foreachPartition runs, executed driver-side).  **This module is
+the TEST endpoint for JDBC-shaped errors** — Derby raises
+java.sql.BatchUpdateException wrapping
 SQLIntegrityConstraintViolationException, which surfaces here as
-``JdbcWriteError`` and feeds the real bisection path.
+``JdbcWriteError`` and feeds the real bisection path — and is
+driver-local by construction.  The PRODUCTION executor-side path for
+server databases is ``dbapi_writer``: any PEP 249 driver (pg8000 /
+psycopg / the Cloud Spanner DB-API) runs distributed via
+foreachPartition with identical batching+bisection semantics; the
+distributed loop is additionally e2e-proven against sqlite3 in
+``sqlite_writer``.
 """
 
 from __future__ import annotations
