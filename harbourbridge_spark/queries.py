@@ -1838,6 +1838,14 @@ REGISTRY["dedup_removal_manifest"] = QuerySpec(
     "cluster members keep only the min-doc representative, singletons "
     "keep themselves; one left join of the corpus against the tiny "
     "cluster labels")
+REGISTRY["dedup_pipeline_materialized"] = QuerySpec(
+    _dedup.dedup_pipeline_materialized_fn,
+    _dedup.dedup_pipeline_materialized_oracle_sql(),
+    "The dedup chain run as a real pipeline: verified pairs / cluster "
+    "labels materialized once, clusters + removal manifest consuming "
+    "them — one summary row of stage cardinalities; bench time is ONE "
+    "chain execution, evidencing that dedup_clusters + "
+    "dedup_removal_manifest timings double-count the shared chain")
 REGISTRY["dedup_clusters"] = QuerySpec(
     _dedup.dedup_clusters_fn,
     _dedup.dedup_clusters_oracle_sql(),
@@ -1862,6 +1870,18 @@ _register_template(
     "ann_lsh", _sim.ann_lsh_sql,
     "Random-hyperplane LSH-bucketed ANN: sign-signature equi-join "
     "instead of a full scan — the 100 TB path",
+    tables=("embeddings",))
+_register_template(
+    "ann_lsh_multiprobe", _sim.ann_lsh_multiprobe_sql,
+    "Multi-probe LSH ANN: each query also searches buckets within "
+    "Hamming distance 2 of its signature — recall@5 0.02 -> 0.52 on "
+    "the isotropic fixture at ~14% of the brute-force work",
+    tables=("embeddings",))
+_register_template(
+    "ann_recall", _sim.ann_recall_sql,
+    "Recall@5 of ann_lsh and ann_ivf against the ann_bruteforce "
+    "ground truth — the observability gauge for the deterministic "
+    "recall trade of the capped buckets / nprobe (SCALE.md tuning)",
     tables=("embeddings",))
 
 
@@ -2187,14 +2207,18 @@ def q_event_second_boundaries(spark: SparkSession,
 # re-verified by the next official gate run regardless of how recently
 # its query was last green.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 5: q10 rank rewritten top-k-safe; png decode gained a
-    # decompression-bomb guard; fast minhash signature moved to the
-    # vectorized pandas_udf kernel (y4m/curation entries are new and
-    # sort to the head as never-checked automatically).
-    "q10_returned_items", "multimodal_decode_png",
-    "dedup_minhash_lsh_fast", "dedup_minhash_lsh_t35",
-    "lsh_bucket_stats", "dedup_lsh_verified", "dedup_clusters",
-    "dedup_simhash", "dedup_simhash_pairs", "ann_lsh",
+    # round 6: the {ntext} shim changed the DuckDB rendering of every
+    # trim(lower(text)) template (space-only strip, pinning both
+    # engines to Spark semantics — NOTES_DEV "Cross-engine trim
+    # hazard"); boilerplate_grams additionally dropped its ntok window
+    # and distinct-count in the Spark plan.
+    "boilerplate_grams", "text_quality", "lang_id_confusion",
+    "doc_fingerprints", "token_counts", "doc_surprisal",
+    "doc_repetition", "doc_chunks", "vocab_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
+    "dedup_minhash_lsh_fast", "dedup_lsh_verified", "dedup_keep_first",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_removal_manifest",
+    "dedup_clusters",
 ]
 
 
