@@ -373,6 +373,46 @@ def resize_nearest(content: bytes, out_w: int,
             float(rp[0, 0, 0])]
 
 
+def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Cross-container pixel-level image dedup: group by a digest of
+    the DECODED raster (shape + RGB bytes), so the same image stored
+    as BMP, PPM, and PNG collapses into one group — file-byte hashing
+    (extract_features' content_sha) cannot see through containers,
+    which is exactly how duplicate images survive in scraped corpora.
+
+    Returns one row per distinct raster: representative (min media_id,
+    the deterministic keeper) + copy count.  Scale shape: decode runs
+    in the existing Arrow-batched kernel (embarrassingly parallel);
+    the groupBy shuffles a 64-hex digest per image, never pixels.
+    Undecodable rows are skipped — corrupt media must never fail the
+    job."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, digests = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    px = decode_pixels(bytes(content))
+                except (ValueError, struct.error, zlib.error):
+                    continue
+                h, w = px.shape[:2]
+                digests.append(hashlib.sha256(
+                    f"{w}x{h}:".encode() + px.tobytes()).hexdigest())
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "pixel_sha": digests})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    digests = media.select("media_id", "content").mapInPandas(
+        run, schema="media_id long, pixel_sha string")
+    return (digests.groupBy("pixel_sha")
+            .agg(F.min("media_id").alias("rep_media_id"),
+                 F.count("*").cast("long").alias("n_copies"))
+            .select("rep_media_id", "n_copies"))
+
+
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
                   batch_size: int = 256) -> DataFrame:
     """Arrow-batched image resize over mapInPandas: same batch shape

@@ -783,3 +783,40 @@ def test_resize_nearest_edge_cases():
     padded = b"P6\n3 2\n255\n" + raster.tobytes() + b"\x00trailing"
     assert (decode_pixels(padded) == raster).all()
     assert decode_ppm(padded)[2] == float(raster[..., 0].mean())
+
+
+def test_pixel_dedup_cross_format(spark, tmp_path):
+    """The same logical image in three containers must decode to the
+    identical raster (the premise of pixel_dedup), and pixel_dedup
+    must collapse containers + same-class seeds into one group."""
+    import numpy as np
+    from harbourbridge_spark.pipeline.multimodal import (decode_pixels,
+                                                         pixel_dedup,
+                                                         synth_bmp,
+                                                         synth_png,
+                                                         synth_ppm,
+                                                         synth_media)
+    for seed in (0, 7, 23, 199, 200, 401):
+        a = decode_pixels(synth_bmp(seed))
+        b = decode_pixels(synth_ppm(seed))
+        c = decode_pixels(synth_png(seed))
+        assert (a == b).all() and (b == c).all(), seed
+    # seeds 0 and 200 share a pixel class (params repeat mod 200)
+    assert (decode_pixels(synth_ppm(0)) ==
+            decode_pixels(synth_ppm(200))).all()
+    assert not (decode_pixels(synth_ppm(0)).shape ==
+                decode_pixels(synth_ppm(1)).shape and
+                (decode_pixels(synth_ppm(0)) ==
+                 decode_pixels(synth_ppm(1))).all())
+
+    from pyspark.sql import functions as F
+    ids = spark.range(0, 4).select(F.col("id").alias("media_id"))
+    parts = []
+    for k, fmt in enumerate(("bmp", "ppm", "png")):
+        parts.append(synth_media(ids, "image", fmt=fmt).withColumn(
+            "media_id", F.col("media_id") * 3 + F.lit(k)))
+    media = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    rows = {r.rep_media_id: r.n_copies
+            for r in pixel_dedup(media).collect()}
+    # 4 seeds x 3 containers -> 4 groups of 3, reps = 3*seed (bmp slot)
+    assert rows == {0: 3, 3: 3, 6: 3, 9: 3}
