@@ -163,11 +163,15 @@ def ann_lsh_multiprobe_sql(engine: str, n_queries: int = 10,
     random vectors are the LSH-hostile worst case, clustered real
     embeddings bucket far better).
 
-    Scale shape: probe signatures are a literal ~37-way projection of
-    the tiny query side; the search stays one equi-join against the
-    same capped buckets as ann_lsh.  A candidate's single signature
-    matches at most one probe, so no dedup pass is needed."""
+    Scale shape: the probe signatures are ONE array-literal projection
+    of the tiny query side, exploded to (vec_id, psig) rows — a single
+    scan + Generate, not a probes-way UNION (the union form re-scanned
+    the table once per probe: 39 scans in the physical plan); the
+    search stays one equi-join against the same capped buckets as
+    ann_lsh.  A candidate's single signature matches at most one
+    probe, so no dedup pass is needed."""
     import itertools
+    from .text import render
     sig = _signature_sql(engine, "embedding")
     dot = _dot_sql(engine, "q.embedding", "c.embedding")
     nrm = _norm_sql(engine, "embedding")
@@ -187,8 +191,10 @@ def ann_lsh_multiprobe_sql(engine: str, n_queries: int = 10,
                 parts.append(f"c{b}")
         return " || ".join(parts)
 
-    probes = "\n        UNION ALL ".join(
-        f"SELECT vec_id, {probe(f)} AS psig FROM qb" for f in flips)
+    elems = ",\n               ".join(probe(f) for f in flips)
+    arr = f"array({elems})" if engine == "spark" else f"[{elems}]"
+    probes = render(
+        f"SELECT vec_id, {{explode}}({arr}) AS psig FROM qb", engine)
     return f"""
     WITH full_c AS (SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
                FROM embeddings),
