@@ -62,6 +62,39 @@ _UTC_ZONES = frozenset({"utc", "gmt", "etc/utc", "etc/gmt", "etc/gmt+0",
 # keeps date strings like '2019-10-28' (which *end* in '-28') zone-less.
 _PG_ZONE_SUFFIX_RE = r"\d{2}:\d{2}(:\d{2})?(\.\d+)?\s*([zZ]|[+-]\d{1,2}(:\d{2}){0,2})$"
 
+# Reference-strict input shapes (r6 parity sweep).  Spark's string
+# casts are far more permissive than the Go parsers the reference
+# uses — try_cast alone CONVERTS values the reference quarantines
+# ('yes' -> bool, '2024' -> date, '2024-01-02T10:11:12' and even
+# date-only strings -> naive timestamp, and a zone suffix on a
+# timestamp-WITHOUT-time-zone silently shifts the instant).  Each cast
+# below is therefore gated on the exact grammar its Go counterpart
+# accepts:
+#
+# strconv.ParseBool's accepted set is exact-case (postgres/data.go:140,
+# mysql/data.go:129 int fallback aside): no 'y'/'yes'/'tRuE'.
+_GO_BOOL_RE = r"^(1|0|t|T|f|F|TRUE|true|True|FALSE|false|False)$"
+# civil.ParseDate = time.Parse("2006-01-02"): fixed two-digit month and
+# day, nothing else (no '2024', '2024-1-2', no time part).
+_GO_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+# time.Parse("2006-01-02 15:04:05"): space separator only, 1-2 digit
+# hour (stdHour is not zero-pad-fixed), fixed 2-digit month/day/min/
+# sec; Go accepts a fractional second ('.' or ',') even though the
+# layout omits it.  No zone suffix, no 'T', no date-only.
+_GO_NAIVE_TS_RE = r"^\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2}([.,]\d+)?$"
+# pg timestamptz chain (postgres/data.go:204-227): the naive shape
+# optionally followed by Z / +hh / +hh:mm.  Deliberate superset vs the
+# reference (documented divergence): a seconds-precision offset
+# (+hh:mm:ss) is also accepted, because pg_dump really emits those for
+# pre-standardization LMT zones and quarantining correct data to mimic
+# a reference gap is the wrong trade; the reference rejects them.
+_PG_TZ_TS_RE = (r"^\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2}([.,]\d+)?"
+                r"(Z|[+-]\d{1,2}(:\d{2}){0,2})?$")
+# mysql `timestamp` routes through strict RFC3339 after the dump's
+# offset is appended (mysql/data.go:194-213): fixed 2-digit hour,
+# '.' fraction only.
+_MYSQL_TS_RE = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$"
+
 
 def _pg_timestamptz(c: Column, location: Optional[str] = None) -> Column:
     """D11 (postgres/data.go:204-234): try '...Z07' / '...Z07:00' zone
@@ -71,15 +104,19 @@ def _pg_timestamptz(c: Column, location: Optional[str] = None) -> Column:
 
     Spark's string->timestamp cast already accepts all three shapes
     ('2019-10-28 15:00:00.123457+00', '+05:30', and naive), so a single
-    cast covers the fallback chain; try_to_timestamp patterns would
-    reject the fractional-second variants the cast accepts. When a
-    non-UTC location was captured, zone-less values (detected
-    structurally — no trailing Z/offset after the time) are
-    reinterpreted from that zone via to_utc_timestamp, which applies
-    per-value DST rules exactly like Go's time.ParseInLocation;
-    zone-carrying values are absolute instants and unaffected.
+    cast covers the fallback chain — but the cast alone also accepts
+    shapes every branch of the reference chain REJECTS ('T' separator,
+    date-only, minute precision), so it is gated on the chain's
+    combined grammar (_PG_TZ_TS_RE; seconds-precision offsets kept as
+    a documented superset for LMT-era pg data). When a non-UTC
+    location was captured, zone-less values (detected structurally —
+    no trailing Z/offset after the time) are reinterpreted from that
+    zone via to_utc_timestamp, which applies per-value DST rules
+    exactly like Go's time.ParseInLocation; zone-carrying values are
+    absolute instants and unaffected.
     """
-    base = c.try_cast("timestamp")
+    base = F.when(c.rlike(_PG_TZ_TS_RE), c.try_cast("timestamp")) \
+        .otherwise(F.lit(None).cast("timestamp"))
     if not location or location.strip().lower() in _UTC_ZONES:
         return base
     zoned = c.rlike(_PG_ZONE_SUFFIX_RE)
@@ -89,15 +126,22 @@ def _pg_timestamptz(c: Column, location: Optional[str] = None) -> Column:
 def _pg_timestamp_naive(c: Column) -> Column:
     """timestamp without time zone: parse as UTC-naive
     (postgres/data.go:228-233). With the session timezone pinned to
-    UTC, a plain cast gives exactly naive-as-UTC instants."""
-    return c.try_cast("timestamp")
+    UTC, a plain cast gives exactly naive-as-UTC instants — gated on
+    the reference's exact naive grammar, which notably REJECTS a zone
+    suffix (the bare cast would silently SHIFT '...12+05' instead of
+    quarantining it)."""
+    return F.when(c.rlike(_GO_NAIVE_TS_RE), c.try_cast("timestamp")) \
+        .otherwise(F.lit(None).cast("timestamp"))
 
 
 def _mysql_timestamp(c: Column, offset: str) -> Column:
     """D12 (mysql/data.go:194-219): timestamp values are naive in the
     dump's TIME_ZONE (captured offset, default +00:00); append the
-    offset and parse as an absolute instant."""
-    return F.concat(c, F.lit(offset)).try_cast("timestamp")
+    offset and parse as an absolute instant.  Gated on the strict
+    RFC3339 body shape the reference's parse enforces."""
+    return F.when(c.rlike(_MYSQL_TS_RE),
+                  F.concat(c, F.lit(offset)).try_cast("timestamp")) \
+        .otherwise(F.lit(None).cast("timestamp"))
 
 
 def _scalar_expr(c: Column, t: tt.Type, dialect: str,
@@ -105,13 +149,18 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
                  location: Optional[str] = None) -> Column:
     """The typed-value expression for one scalar column (D5-D12)."""
     if t.name == tt.BOOL:
+        # ParseBool-exact literal set in both dialects — Spark's bare
+        # boolean cast also accepts 'y'/'yes'/'n'/'no'/'tRuE', which
+        # the reference quarantines.
+        parsed = F.when(c.rlike(_GO_BOOL_RE), c.try_cast("boolean")) \
+            .otherwise(F.lit(None).cast("boolean"))
         if dialect == "mysql":
             # MySQL represents bool as tinyint; any int in [-128,127]
             # converts as v != 0 (mysql/data.go:129-147).
             i = c.try_cast("long")
             return (F.when(i.isNotNull() & (i >= -128) & (i <= 127), i != 0)
-                     .otherwise(c.try_cast("boolean")))
-        return c.try_cast("boolean")
+                     .otherwise(parsed))
+        return parsed
     if t.name == tt.BYTES:
         if dialect == "postgres":
             # pg dumps emit hex with a \x prefix (postgres/data.go:148-157)
@@ -120,7 +169,10 @@ def _scalar_expr(c: Column, t: tt.Type, dialect: str,
                           ).otherwise(F.lit(None).cast("binary"))
         return c.try_cast("binary")
     if t.name == tt.DATE:
-        return c.try_cast("date")
+        # civil.ParseDate shape: the bare cast would accept partial
+        # dates ('2024', '2024-1-2') the reference quarantines.
+        return F.when(c.rlike(_GO_DATE_RE), c.try_cast("date")) \
+            .otherwise(F.lit(None).cast("date"))
     if t.name == tt.FLOAT64:
         return c.try_cast("double")
     if t.name == tt.INT64:
@@ -155,7 +207,8 @@ def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
     reference's convArray feeds the same location into convTimestamp
     (postgres/data.go:242,282)."""
     if t.name == tt.BOOL:
-        return x.try_cast("boolean")
+        return F.when(x.rlike(_GO_BOOL_RE), x.try_cast("boolean")) \
+            .otherwise(F.lit(None).cast("boolean"))
     if t.name == tt.BYTES:
         if dialect == "postgres":
             return (F.when(x.startswith("\\x"),
@@ -163,7 +216,8 @@ def _cast_elem_col(x: Column, t: tt.Type, dialect: str,
                     .otherwise(F.lit(None).cast("binary")))
         return x.try_cast("binary")
     if t.name == tt.DATE:
-        return x.try_cast("date")
+        return F.when(x.rlike(_GO_DATE_RE), x.try_cast("date")) \
+            .otherwise(F.lit(None).cast("date"))
     if t.name == tt.FLOAT64:
         return x.try_cast("double")
     if t.name == tt.INT64:

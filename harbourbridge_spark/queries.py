@@ -1512,6 +1512,30 @@ _ROW_TRANSFORM_GOLDENS = [
      "2020-07-19 23:40:26"),                            # D12 +05:30 offset
     ("mysql_dt", "2020-07-20 05:10:26", True,
      "2020-07-20 05:10:26"),                            # D12 datetime naive
+    # r6 parity sweep: Spark's bare casts accept shapes the Go parsers
+    # reject; these rows pin the reference-strict guards
+    ("pg_ts", "2019-10-28T15:00:00", False, None),      # 'T' separator
+    ("pg_ts", "2019-10-28", False, None),               # date-only
+    ("pg_ts", "2019-10-28 15:00", False, None),         # minute precision
+    ("pg_ts", "1880-01-01 00:00:00-07:52:58", True,
+     "1880-01-01 07:52:58"),   # LMT seconds-offset: documented superset
+    ("pg_ts_naive", "2019-10-28 15:00:00", True,
+     "2019-10-28 15:00:00"),                            # naive accepted
+    ("pg_ts_naive", "2019-10-28 15:00:00+05:30", False,
+     None),       # zone on timestamp-WITHOUT-tz: reject, don't shift
+    ("pg_ts_naive", "2019-10-28T15:00:00", False, None),
+    ("mysql_dt", "2020-07-20 05:10:26+02", False, None),
+    ("mysql_ts", "2020-07-20 5:10:26", False, None),    # strict RFC3339
+    ("pg_bool", "t", True, "true"),                     # D5 ParseBool
+    ("pg_bool", "False", True, "false"),
+    ("pg_bool", "yes", False, None),                    # Spark-only literal
+    ("pg_bool", "tRuE", False, None),                   # case not in set
+    ("mysql_bool", "5", True, "true"),                  # tinyint fallback
+    ("mysql_bool", "200", False, None),                 # out of [-128,127]
+    ("mysql_bool", "yes", False, None),
+    ("pg_date", "2024-01-02", True, "2024-01-02"),      # D7 strict shape
+    ("pg_date", "2024-1-2", False, None),               # partial: reject
+    ("pg_date", "2024", False, None),
     ("pg_int_array", "{1,2,3}", True, "1|2|3"),         # D13
     ("pg_str_array", '{"a,b",c,NULL}', True, "a,b|c|␀"),  # D13 quoted
     ("pg_int_array", "{1,bad}", False, None),           # D13 elem cast fail
@@ -1585,6 +1609,11 @@ def q_row_transform_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
                src_type="timestamp"),
         scalar("mysql_dt", "mysql", tt.TIMESTAMP, tz="+05:30",
                src_type="datetime"),
+        scalar("pg_ts_naive", "postgres", tt.TIMESTAMP,
+               src_type="timestamp"),
+        scalar("pg_bool", "postgres", tt.BOOL),
+        scalar("mysql_bool", "mysql", tt.BOOL),
+        scalar("pg_date", "postgres", tt.DATE),
         array("pg_int_array", tt.INT64),
         array("pg_str_array", tt.STRING),
         mysql_set("mysql_set"),
@@ -2254,6 +2283,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "dedup_minhash_lsh_fast", "dedup_lsh_verified", "dedup_keep_first",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_removal_manifest",
     "dedup_clusters",
+    # r6 parity sweep: reference-strict cast guards (bool/date/
+    # timestamp input grammars) changed the convert.py expressions
+    "row_transform_goldens", "cast_projection_lineitem",
+    "good_bad_split_events",
 ]
 
 
