@@ -42,19 +42,19 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
     ``dump_path`` may be a single path or a list (sharded dumps stage
     through one shared writer).  ``show_progress`` renders the A8
     percent meter over the staged-bytes denominator.  ``ingest``
-    selects the pg data pass: "staged" (driver splitter) or
-    "distributed" (executor-side COPY byte-range reads — the path for
-    very large dumps; postgres only)."""
+    selects the data pass: "staged" (driver splitter) or
+    "distributed" (executor-side reads — the path for very large
+    dumps: COPY byte-range scans for postgres, statement-shard
+    tokenization for mysql)."""
     os.makedirs(out_dir, exist_ok=True)
     staging = os.path.join(out_dir, "_staging")
     if dialect == "postgres":
         ctx, results = pgdump.migrate_pg_dump(spark, dump_path, staging,
                                               ctx, mode=ingest)
     elif dialect == "mysql":
-        if ingest != "staged":
-            raise ValueError("distributed ingest is postgres-only")
         ctx, results = mysqldump.migrate_mysql_dump(spark, dump_path,
-                                                    staging, ctx)
+                                                    staging, ctx,
+                                                    mode=ingest)
     else:
         raise ValueError(f"unknown dialect {dialect!r}")
 
@@ -159,9 +159,11 @@ def main(argv: Optional[list[str]] = None) -> int:
                         "the staged-bytes denominator")
     p.add_argument("--ingest", choices=["staged", "distributed"],
                    default="staged",
-                   help="pg data pass: 'staged' splits rows on the "
-                        "driver; 'distributed' scans COPY byte ranges "
-                        "and reads them executor-side (large dumps)")
+                   help="data pass: 'staged' splits rows on the "
+                        "driver; 'distributed' reads executor-side — "
+                        "COPY byte-range scans (postgres) or "
+                        "statement-shard tokenization (mysql) — for "
+                        "large dumps")
     p.add_argument("--cpus", default="8")
     p.add_argument("--session", help="resume from a session.json "
                    "(schema edits preserved; data-only mode)")

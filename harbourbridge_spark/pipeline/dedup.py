@@ -1130,20 +1130,68 @@ def embedding_neardup_lsh_sql(engine: str, threshold: float = 0.35) -> str:
     with different signatures are missed); both engines compute the
     identical approximation. This is the default scale path; the
     label-blocked exact variant (embedding_neardup_sql) remains the
-    small-N option."""
+    small-N option.
+
+    Bucket-join bound (two layers, same policy as the MinHash band join
+    and the SimHash slice join — no LSH-family join in this repo is
+    uncapped):
+
+    1. exact-duplicate pre-collapse — byte-identical vectors are
+       grouped (GROUP BY the array value: one hash shuffle) down to
+       their min-vec_id representative carrying a ``mult``
+       multiplicity BEFORE any signature work, so duplicate-heavy
+       corpora (the dominant real-world shape — scraped embeddings
+       repeat) cannot inflate a bucket at all.  Pair output reports
+       representatives + multiplicities; intra-group pairs are implied
+       by mult > 1 (all have cosine 1.0), never enumerated.
+    2. MAX_BUCKET star-degrade — a signature bucket whose DISTINCT
+       membership still exceeds the cap pairs each member against the
+       bucket's min-vec_id representative only (O(n) per bucket), and
+       those star candidates still pass the exact cosine filter, so
+       emitted pairs stay correct; only recall inside degenerate
+       buckets degrades (the documented LSH trade)."""
     from .similarity import _dot_sql, _norm_sql, _signature_sql
     sig = _signature_sql(engine, "embedding")
-    dot = _dot_sql(engine, "a.embedding", "b.embedding")
+    dot = _dot_sql(engine, "a_emb", "b_emb")
     nrm = _norm_sql(engine, "embedding")
     t = f"""
-    WITH n AS (
-        SELECT vec_id, embedding, {sig} AS sig, {nrm} AS nrm
+    WITH collapsed AS (
+        SELECT MIN(vec_id) AS vec_id,
+               CAST(COUNT(*) AS BIGINT) AS mult,
+               embedding
         FROM embeddings
+        GROUP BY embedding
+    ), n AS (
+        SELECT vec_id, mult, embedding, {sig} AS sig, {nrm} AS nrm
+        FROM collapsed
+    ), b AS (
+        SELECT vec_id, mult, embedding, sig, nrm,
+               COUNT(*) OVER win AS bn,
+               MIN(vec_id) OVER win AS rep,
+               MIN_BY(embedding, vec_id) OVER win AS rep_emb,
+               MIN_BY(nrm, vec_id) OVER win AS rep_nrm,
+               MIN_BY(mult, vec_id) OVER win AS rep_mult
+        FROM n
+        WINDOW win AS (PARTITION BY sig)
+    ), cand AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               x.mult AS mult_a, y.mult AS mult_b,
+               x.embedding AS a_emb, y.embedding AS b_emb,
+               x.nrm AS nrm_a, y.nrm AS nrm_b
+        FROM (SELECT * FROM b WHERE bn <= {MAX_BUCKET}) x
+        JOIN (SELECT * FROM b WHERE bn <= {MAX_BUCKET}) y
+          ON x.sig = y.sig AND x.vec_id < y.vec_id
+        UNION ALL
+        SELECT rep AS vec_a, vec_id AS vec_b,
+               rep_mult AS mult_a, mult AS mult_b,
+               rep_emb AS a_emb, embedding AS b_emb,
+               rep_nrm AS nrm_a, nrm AS nrm_b
+        FROM b
+        WHERE bn > {MAX_BUCKET} AND vec_id <> rep
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({dot} / (a.nrm * b.nrm), 6) AS cosine
-    FROM n a JOIN n b
-      ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+    SELECT vec_a, vec_b, mult_a, mult_b,
+           round({dot} / (nrm_a * nrm_b), 6) AS cosine
+    FROM cand
+    WHERE {dot} / (nrm_a * nrm_b) >= {threshold}
     """
     return render(t, engine)

@@ -1860,8 +1860,11 @@ REGISTRY["dedup_embedding_cosine"] = QuerySpec(
     "doubles bit-identical across engines")
 _register_template(
     "dedup_embedding_lsh", _dedup.embedding_neardup_lsh_sql,
-    "Embedding near-dup via random-hyperplane sign buckets: signature "
-    "equi-join, no label blocking, no quadratic term — the 100 TB path",
+    "Embedding near-dup via random-hyperplane sign buckets: exact-"
+    "duplicate vectors pre-collapsed to a representative + "
+    "multiplicity, then a MAX_BUCKET-capped signature equi-join with "
+    "star-degrade for degenerate buckets — the 100 TB path, no "
+    "unbounded join anywhere",
     tables=("embeddings",))
 REGISTRY["dedup_removal_manifest"] = QuerySpec(
     _dedup.dedup_removal_manifest_fn,
@@ -2271,22 +2274,15 @@ def q_event_second_boundaries(spark: SparkSession,
 # re-verified by the next official gate run regardless of how recently
 # its query was last green.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 6: the {ntext} shim changed the DuckDB rendering of every
-    # trim(lower(text)) template (space-only strip, pinning both
-    # engines to Spark semantics — NOTES_DEV "Cross-engine trim
-    # hazard"); boilerplate_grams additionally dropped its ntok window
-    # and distinct-count in the Spark plan.
-    "boilerplate_grams", "text_quality", "lang_id_confusion",
-    "doc_fingerprints", "token_counts", "doc_surprisal",
-    "doc_repetition", "doc_chunks", "vocab_topk",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
-    "dedup_minhash_lsh_fast", "dedup_lsh_verified", "dedup_keep_first",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_removal_manifest",
-    "dedup_clusters",
-    # r6 parity sweep: reference-strict cast guards (bool/date/
-    # timestamp input grammars) changed the convert.py expressions
-    "row_transform_goldens", "cast_projection_lineitem",
-    "good_bad_split_events",
+    # round 7: embedding-LSH bucket join bounded (exact-duplicate
+    # vector pre-collapse + MAX_BUCKET star-degrade; output schema
+    # grew mult_a/mult_b)
+    "dedup_embedding_lsh",
+    # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
+    # out: all were re-verified green in CORRECTNESS_r06, so the r7
+    # window falls back to least-recently-checked order and re-covers
+    # the r5-checked half, keeping the r06∪r07 union tiling the
+    # registry.)
 ]
 
 

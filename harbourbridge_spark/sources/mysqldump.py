@@ -765,32 +765,38 @@ def _parse_statements_distributed(spark: SparkSession,
                                   stmt_path: str):
     """Executor-side tokenization of one table's INSERT statements.
     Returns (values_df with a staged-layout 'value' column, per-stmt
-    counts dict, reparsed count, unparsable-tuple count) — the counts
-    come back via accumulators so recovery stats reach ctx exactly as
-    the staged pass would have recorded them."""
+    counts dict, reparsed count, unparsable-tuple count).
+
+    The recovery counters travel as a per-statement META ROW
+    (local_idx = -1) inside the materialized DataFrame, NOT as Spark
+    accumulators: accumulators are exactly-once only for actions, so
+    task retries / speculative execution on a real cluster would
+    overcount them inside a transformation, drifting the recovery
+    stats from the staged pass (results rows were never affected).
+    Aggregating the localCheckpoint()ed rows is exact under retries."""
     from pyspark.sql import functions as F
 
     from .pgdump import StagingWriter, _decode_staged_values
 
     known = table in ctx.src_schema
     schema_cols = list(ctx.src_schema[table].col_names) if known else None
-    sc = spark.sparkContext
-    acc_reparsed = sc.accumulator(0)
-    acc_unparsable = sc.accumulator(0)
 
     def gen(batches):
         import pandas as pd
 
         class _RecoveryCtx:
-            """ctx stand-in for parse_insert_with_recovery: routes the
-            two recovery counters into Spark accumulators."""
-            reparsed = 0
+            """ctx stand-in for parse_insert_with_recovery: counts the
+            two recovery events per statement."""
+
+            def __init__(self):
+                self.reparsed = 0
+                self.unparsable = 0
 
             def unexpected(self, msg):
-                acc_unparsable.add(1)
+                self.unparsable += 1
 
         for pdf in batches:
-            idxs, locs, rows_out = [], [], []
+            idxs, locs, rows_out, reps, unps = [], [], [], [], []
             for line in pdf["value"]:
                 tab, _, enc = line.partition("\t")
                 stmt_idx = int(tab)
@@ -804,10 +810,17 @@ def _parse_statements_distributed(spark: SparkSession,
                 rctx = _RecoveryCtx()
                 tuples = parse_insert_with_recovery(rctx,
                                                     m.group("values"))
-                acc_reparsed.add(rctx.reparsed)
+                # meta row: statement-level recovery counters
+                idxs.append(stmt_idx)
+                locs.append(-1)
+                rows_out.append("")
+                reps.append(rctx.reparsed)
+                unps.append(rctx.unparsable)
                 for j, vals in enumerate(tuples):
                     idxs.append(stmt_idx)
                     locs.append(j)
+                    reps.append(0)
+                    unps.append(0)
                     if schema_cols is None:
                         # unknown table: tuples are parsed only so the
                         # schema-mode row stats match the staged pass
@@ -818,29 +831,37 @@ def _parse_statements_distributed(spark: SparkSession,
                     rows_out.append("\t".join(
                         StagingWriter.copy_escape(v) for v in ordered))
             yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
-                                "row": rows_out})
+                                "row": rows_out, "reparsed": reps,
+                                "unparsable": unps})
 
     parsed = (spark.read.text(stmt_path)
-              .mapInPandas(gen, "stmt_idx long, local_idx long, row string")
+              .mapInPandas(gen, "stmt_idx long, local_idx long, "
+                                "row string, reparsed long, "
+                                "unparsable long")
               .localCheckpoint())
+    agg = parsed.agg(F.sum("reparsed").alias("r"),
+                     F.sum("unparsable").alias("u")).first()
+    reparsed = int(agg.r or 0)
+    unparsable = int(agg.u or 0)
+    data = parsed.where(F.col("local_idx") >= 0)
     counts = {r.stmt_idx: r.n for r in
-              parsed.groupBy("stmt_idx").agg(
+              data.groupBy("stmt_idx").agg(
                   F.count("*").alias("n")).collect()}
     if not counts or not known:
-        return None, counts, acc_reparsed.value, acc_unparsable.value
+        return None, counts, reparsed, unparsable
     offsets, run = {}, 0
     for i in sorted(counts):
         offsets[i] = run
         run += counts[i]
     off_df = spark.createDataFrame(
         [(i, o) for i, o in offsets.items()], "stmt_idx long, off long")
-    values = (parsed.join(F.broadcast(off_df), "stmt_idx")
+    values = (data.join(F.broadcast(off_df), "stmt_idx")
               .select(F.concat_ws(
                   "\t",
                   (F.col("off") + F.col("local_idx")).cast("string"),
                   F.col("row")).alias("value")))
     df = _decode_staged_values(values, ctx, table)
-    return df, counts, acc_reparsed.value, acc_unparsable.value
+    return df, counts, reparsed, unparsable
 
 
 def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,

@@ -1023,6 +1023,17 @@ class _OffsetReader:
             if cut >= self.pos:
                 consume_to(cut + 1)
             if not self._fill():
+                # eof is now known: a pending '\.' candidate whose
+                # line-end verdict was None above (terminator with no
+                # trailing newline at EOF) resolves on a re-check —
+                # without it the terminator would be counted as a
+                # bogus data row (staged-path divergence)
+                term, _ = self._find_terminator()
+                if term >= 0:
+                    consume_to(term)
+                    emit(self.base + term)
+                    self.pos = len(self.buf)
+                    return chunks
                 # EOF without terminator: the rest is data; a final
                 # unterminated line still counts as a row
                 had_tail = len(self.buf) > self.pos \
@@ -1188,8 +1199,13 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
                          m.group("cols").split(",")]
                         if m.group("cols")
                         else list(schema_table.col_names))
-                touch(table)
+                # touch only once a tuple actually materializes: an
+                # INSERT whose VALUES yields zero tuples must not
+                # enter fs.order (the staged path skips it silently;
+                # an ordered table with no chunks/ins_paths would
+                # crash the per-table union below)
                 for vals in _parse_insert_values(m.group("values")):
+                    touch(table)
                     by_col = dict(zip(cols, vals))
                     ordered = [by_col.get(c)
                                for c in schema_table.col_names]

@@ -176,9 +176,77 @@ def test_cli_distributed_flag(spark, tmp_path):
     assert os.path.exists(out / "t.parquet")
     df = spark.read.parquet(str(out / "t.parquet"))
     assert df.count() == 2
-    with pytest.raises(ValueError):
-        cli.migrate_dump(spark, str(f), "mysql", str(out / "x"),
-                         ingest="distributed")
+
+
+def test_empty_insert_values_modes_identical(spark, tmp_path):
+    """An INSERT matching the INSERT regex whose VALUES text yields
+    zero tuples must not crash the distributed migration (ADVICE r6:
+    the table entered fs.order with no chunks and dfs[0] threw on an
+    empty list) — parity with the staged pass's silent skip."""
+    f = tmp_path / "empty_ins.sql"
+    f.write_text("CREATE TABLE public.t (id integer NOT NULL, v text, "
+                 "PRIMARY KEY (id));\n"
+                 "CREATE TABLE public.u (a integer);\n"
+                 "INSERT INTO public.u VALUES;\n"
+                 "INSERT INTO public.t VALUES (1, 'a');\n")
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path)
+    assert "u" not in r1                # zero-tuple table skipped
+    assert [row.id for row in r1["t"].good.collect()] == [1]
+
+
+def test_eof_terminator_without_newline_modes_identical(spark, tmp_path):
+    """A dump ending with the COPY terminator '\\.' and NO trailing
+    newline (ADVICE r6: the pending terminator candidate resolved as a
+    bogus data row after EOF) must match the staged pass."""
+    f = tmp_path / "eof_term.sql"
+    f.write_text("CREATE TABLE public.t (id integer NOT NULL, v text, "
+                 "PRIMARY KEY (id));\n"
+                 "COPY public.t (id, v) FROM stdin;\n"
+                 "1\ta\n2\tb\n\\.")           # no trailing newline
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path)
+    assert sorted(row.id for row in r1["t"].good.collect()) == [1, 2]
+    assert r1["t"].bad.count() == 0
+
+
+def test_scan_data_block_eof_terminator_no_newline():
+    """Unit twin of the EOF-terminator fix at every buffer size."""
+    for bufsize in (3, 4, 7, 16, 8 << 20):
+        chunks, end = _scan_all(b"1\ta\n2\tb\n\\.", bufsize, 1 << 20)
+        assert sum(c[2] for c in chunks) == 2
+        assert chunks[-1][1] == 8        # block ends before the '\.'
+        assert end == 10                 # reader consumed the terminator
+        # CR variant: '\.\r' at EOF is still a terminator line
+        chunks, end = _scan_all(b"1\ta\r\n\\.\r", bufsize, 1 << 20)
+        assert sum(c[2] for c in chunks) == 1
+        assert chunks[-1][1] == 5
+
+
+def test_cli_mysql_distributed_matches_staged(spark, tmp_path):
+    """--dialect mysql --ingest distributed through the full CLI
+    lifecycle (VERDICT r6 ask 2): identical parquet rows, report, and
+    schema artifacts to the staged pass."""
+    from harbourbridge_spark import cli
+    f = tmp_path / "m.sql"
+    f.write_text(
+        "CREATE TABLE `acct` (`id` int NOT NULL, `bal` decimal(10,2), "
+        "`note` text, PRIMARY KEY (`id`));\n"
+        "INSERT INTO `acct` VALUES (1,10.50,'first'),(2,20.00,'quo''te'),"
+        "(3,30.25,NULL);\n"
+        "INSERT INTO `acct` VALUES (4,NULL,'fourth');\n")
+    outs, outd = tmp_path / "staged", tmp_path / "dist"
+    cli.migrate_dump(spark, str(f), "mysql", str(outs), ingest="staged")
+    ctx = cli.migrate_dump(spark, str(f), "mysql", str(outd),
+                           ingest="distributed")
+    assert ctx.bad_rows() == 0
+    rows_s = sorted(map(tuple, spark.read.parquet(
+        str(outs / "acct.parquet")).collect()))
+    rows_d = sorted(map(tuple, spark.read.parquet(
+        str(outd / "acct.parquet")).collect()))
+    assert rows_s == rows_d and len(rows_d) == 4
+    assert (open(outs / "schema.txt").read()
+            == open(outd / "schema.txt").read())
+    assert (open(outs / "report.txt").read()
+            == open(outd / "report.txt").read())
 
 
 # ---------------------------------------------------------------------------

@@ -37,23 +37,32 @@ import pandas as pd                      # noqa: E402
 import pyarrow as pa                     # noqa: E402
 import pyarrow.parquet as pq             # noqa: E402
 
-# the r5 audit set (NOTES_DEV.md "Round-5 8x stress audit")
-DEFAULT_OPS = [
-    "dedup_minhash_lsh_fast",
-    "dedup_lsh_verified",
-    "dedup_embedding_lsh",
-    "boilerplate_grams",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "ann_lsh",
-]
-
-# hard regression gates: ratio at factor F must stay <= max(F/2, 3)
-# (sub-linear with noise headroom).  The r5 regressions measured 8.4x
-# and 35x at F=8 — both far above the gate; the fixes measured 1.4x
-# and ~3x — both below.
-GATED_OPS = ("dedup_simhash_pairs", "ann_lsh")
+# the r5 audit set (NOTES_DEV.md "Round-5 8x stress audit") with
+# per-op HARD ratio budgets at factor 8 (VERDICT r6 ask 6: every
+# audited operator gates, not just the two r5 regression fixes).
+# Budget = r6 measured ratio x ~1.3-1.4 noise headroom (the box drifts
+# 20-30 % between rounds — r4/r6 adjudications), rounded up; any
+# breach fails the run.  At a different STRESS_FACTOR the budget
+# scales linearly (budget * factor/8) — all these ops are designed
+# linear-or-better in corpus size.
+#   r6 measured: minhash_fast 2.74 / lsh_verified 3.88 / embedding_lsh
+#   7.83 (UNCAPPED — fixed r7, gate set to the ask's <=4) /
+#   boilerplate 1.79 / decontaminate 0.88-2.24 (its r6 1x baseline was
+#   itself 2.4x noisy — budget from the slower r7 measurement) /
+#   clusters 3.97 /
+#   simhash_pairs 3.89 (old shared gate 4.0 left 3 % headroom — below
+#   documented env noise; rebased to measured x1.3) / ann_lsh 2.48.
+OP_BUDGETS = {
+    "dedup_minhash_lsh_fast": 4.0,
+    "dedup_lsh_verified": 5.5,
+    "dedup_embedding_lsh": 4.0,
+    "boilerplate_grams": 3.0,
+    "decontaminate": 3.0,
+    "dedup_clusters": 5.5,
+    "dedup_simhash_pairs": 5.0,
+    "ann_lsh": 3.5,
+}
+DEFAULT_OPS = list(OP_BUDGETS)
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -131,7 +140,11 @@ def main() -> int:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    gate = max(factor / 2.0, 3.0)
+    # same calibration probe as bench.py: records box speed so ratio
+    # drift across rounds can be separated from code drift
+    from bench import canary_sec
+    canary = canary_sec(spark)
+
     results: dict[str, dict] = {}
     failed: list[str] = []
     for name in ops:
@@ -141,12 +154,15 @@ def main() -> int:
         t1 = time_op(Q, spark, name, base)
         tn = time_op(Q, spark, name, rep_dir)
         ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
-        gated = name in GATED_OPS
+        budget = OP_BUDGETS.get(name)
+        gate = round(budget * factor / 8.0, 2) if budget else None
+        gated = gate is not None
         ok = (not gated) or ratio <= gate
         if not ok:
             failed.append(name)
         results[name] = {"t_1x": round(t1, 3), f"t_{factor}x": round(tn, 3),
-                         "ratio": ratio, "gated": gated, "ok": ok}
+                         "ratio": ratio, "gated": gated,
+                         "max_ratio": gate, "ok": ok}
         print(f"{name:28s} 1x={t1:7.3f}s {factor}x={tn:7.3f}s "
               f"ratio={ratio:5.2f}x"
               + ("" if not gated else
@@ -156,7 +172,7 @@ def main() -> int:
     shutil.rmtree(rep_dir, ignore_errors=True)
 
     artifact = {
-        "base": base, "factor": factor, "gate_max_ratio": gate,
+        "base": base, "factor": factor, "canary_sec": canary,
         "ops": results, "failed": failed,
     }
     with open(out_path, "w") as f:
