@@ -682,15 +682,6 @@ class StagingWriter:
                 + "\t".join(self.copy_escape(v) for v in ordered) + "\n")
         self.seqs[table] += 1
 
-    def write_values_at(self, table: str, seq: int, ordered: list) -> None:
-        """Append one row with an explicit sequence number (the
-        distributed scan owns the per-table counters — INSERT rows must
-        keep their file-order sequence interleaved with COPY rows)."""
-        f = self.file(table)
-        f.write(f"{seq}\t"
-                + "\t".join(self.copy_escape(v) for v in ordered) + "\n")
-        self.seqs[table] = max(self.seqs[table], seq + 1)
-
     def close(self) -> None:
         for f in self.files.values():
             f.close()
@@ -1132,14 +1123,54 @@ class CopyChunk:
 
 @dataclass
 class _FileScan:
-    """Result of the positional scan of one dump file.  All sequence
-    numbers are file-local; migrate composes global offsets in path
-    order, which is what makes concurrent scans deterministic."""
-    order: list[str]
-    chunks: dict[str, list[CopyChunk]]
-    ins_paths: dict[str, str]
-    totals: dict[str, int]
+    """Result of the positional scan of one dump file.  The scan
+    records a file-ordered EVENT TIMELINE per data event — a COPY
+    chunk (byte range) or an INSERT statement shipped verbatim to a
+    per-table shard file — with NO sequence numbers: INSERT tuple
+    counts are only known after the executor tokenization pass, so
+    migrate composes per-table sequences by walking the timelines in
+    path order (which is what makes concurrent scans deterministic
+    and bit-identical to the staged pass)."""
+    # [(table, ("copy", CopyChunk)) | (table, ("ins", stmt_idx))]
+    events: list
+    stmt_paths: dict[str, str]      # table -> raw-statement shard file
     unexpected: list[str]
+
+
+# statement shard line encoding: real newlines inside a statement are
+# parked on NUL (pg text dumps disallow NUL) so one statement is one
+# spark.read.text line, mirroring the mysql shard writer
+_STMT_NL = "\x00"
+
+
+class _PgStmtWriter:
+    """Per-table shard files of raw INSERT statements, one line per
+    statement with a file-local index — executors tokenize them (the
+    mysql r6 pattern, sources/mysqldump.py)."""
+
+    def __init__(self, stmt_dir: str) -> None:
+        self.dir = stmt_dir
+        self.files: dict = {}
+        self.paths: dict[str, str] = {}
+        self.idx: dict[str, int] = {}
+
+    def write(self, table: str, stmt: str) -> int:
+        if table not in self.files:
+            os.makedirs(self.dir, exist_ok=True)
+            path = os.path.join(self.dir, f"{table}.stmts.txt")
+            self.files[table] = open(path, "w", encoding="utf-8")
+            self.paths[table] = path
+            self.idx[table] = 0
+        i = self.idx[table]
+        self.files[table].write(
+            f"{i}\t{stmt.replace(chr(10), _STMT_NL)}\n")
+        self.idx[table] = i + 1
+        return i
+
+    def close(self) -> None:
+        for f in self.files.values():
+            f.close()
+        self.files.clear()
 
 
 def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
@@ -1147,19 +1178,13 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
     """Pass-2 positional scan of ONE dump file.  Thread-safe: reads
     ctx.src_schema only; unexpected-condition messages are collected
     and replayed in deterministic path order by the caller.  INSERT
-    rows (the reference folds them into the COPY stream,
-    postgres/pgdump.go:334-371) go to a per-file side TSV with explicit
-    file-local sequence numbers so they interleave with COPY chunks
-    exactly as the staged path would have ordered them."""
-    w = StagingWriter(shard_dir)
-    fs = _FileScan([], {}, {}, {}, [])
-    seqs: dict[str, int] = {}
-
-    def touch(table: str) -> None:
-        if table not in seqs:
-            seqs[table] = 0
-            fs.order.append(table)
-
+    statements (the reference folds them into the COPY stream,
+    postgres/pgdump.go:334-371) ship VERBATIM to per-table shard
+    files — tokenization happens executor-side, so an INSERT-format
+    dump (pg_dump --inserts) no longer has a per-row driver loop; the
+    driver's work is bulk byte scanning only."""
+    w = _PgStmtWriter(os.path.join(shard_dir, "stmts"))
+    fs = _FileScan([], {}, [])
     try:
         with open(path, "rb") as f:
             for ev in _scan_dump_statements(f, chunk_bytes):
@@ -1167,7 +1192,6 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
                     _, table, cols, ranges = ev
                     if not ranges:
                         continue           # empty block: no data staged
-                    touch(table)
                     schema_table = ctx.src_schema.get(table)
                     schema_cols = list(schema_table.col_names) \
                         if schema_table else []
@@ -1178,10 +1202,10 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
                         idx = {c: i for i, c in enumerate(cols)}
                         reorder = [idx.get(c, -1) for c in schema_cols]
                     for (s, e, n) in ranges:
-                        fs.chunks.setdefault(table, []).append(
-                            CopyChunk(path, s, e, n, seqs[table],
-                                      reorder))
-                        seqs[table] += n
+                        fs.events.append(
+                            (table, ("copy",
+                                     CopyChunk(path, s, e, n, 0,
+                                               reorder))))
                     continue
                 s = ev[1].strip()
                 if not s.upper().startswith("INSERT"):
@@ -1190,32 +1214,61 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
                 if not m:
                     continue
                 table = _clean_name(m.group("table"))
-                schema_table = ctx.src_schema.get(table)
-                if schema_table is None:
+                if table not in ctx.src_schema:
                     fs.unexpected.append(
                         f"INSERT into unknown table {table}")
                     continue
-                cols = ([_clean_name(c) for c in
-                         m.group("cols").split(",")]
-                        if m.group("cols")
-                        else list(schema_table.col_names))
-                # touch only once a tuple actually materializes: an
-                # INSERT whose VALUES yields zero tuples must not
-                # enter fs.order (the staged path skips it silently;
-                # an ordered table with no chunks/ins_paths would
-                # crash the per-table union below)
-                for vals in _parse_insert_values(m.group("values")):
-                    touch(table)
-                    by_col = dict(zip(cols, vals))
-                    ordered = [by_col.get(c)
-                               for c in schema_table.col_names]
-                    w.write_values_at(table, seqs[table], ordered)
-                    seqs[table] += 1
+                fs.events.append((table, ("ins", w.write(table, s))))
     finally:
         w.close()
-    fs.ins_paths = dict(w.paths)
-    fs.totals = dict(seqs)
+    fs.stmt_paths = dict(w.paths)
     return fs
+
+
+def _tokenize_pg_inserts(spark: SparkSession, ctx: MigrationContext,
+                         table: str, stmt_path: str):
+    """Executor-side tokenization of one (file, table) INSERT shard:
+    mapInPandas re-matches each verbatim statement, tokenizes its
+    VALUES tuples with the same _parse_insert_values the staged path
+    uses, and emits COPY-escaped staged-layout rows keyed by
+    (stmt_idx, local_idx).  Returns (rows_df, {stmt_idx: n_tuples});
+    sequence numbers are composed later by the caller from the counts
+    so they interleave with COPY chunks exactly as staged."""
+    schema_cols = list(ctx.src_schema[table].col_names)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            idxs, locs, rows_out = [], [], []
+            for line in pdf["value"]:
+                tab, _, enc = line.partition("\t")
+                stmt_idx = int(tab)
+                s = enc.replace(_STMT_NL, "\n")
+                m = _INSERT_RE.match(s)
+                if not m:
+                    continue
+                cols = ([_clean_name(c) for c in
+                         m.group("cols").split(",")]
+                        if m.group("cols") else schema_cols)
+                for j, vals in enumerate(
+                        _parse_insert_values(m.group("values"))):
+                    by_col = dict(zip(cols, vals))
+                    ordered = [by_col.get(c) for c in schema_cols]
+                    idxs.append(stmt_idx)
+                    locs.append(j)
+                    rows_out.append("\t".join(
+                        StagingWriter.copy_escape(v) for v in ordered))
+            yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
+                                "row": rows_out})
+
+    parsed = (spark.read.text(stmt_path)
+              .mapInPandas(gen, "stmt_idx long, local_idx long, "
+                                "row string")
+              .localCheckpoint())
+    counts = {r.stmt_idx: r.n for r in
+              parsed.groupBy("stmt_idx").agg(
+                  F.count("*").alias("n")).collect()}
+    return parsed, counts
 
 
 def read_copy_chunks(spark: SparkSession, ctx: MigrationContext,
@@ -1402,8 +1455,12 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                          chunk_bytes: int, max_workers: Optional[int],
                          ) -> dict[str, ConversionResult]:
     """Distributed data pass: concurrent per-file positional scans,
-    deterministic offset composition in path order, then per-table
-    union of the chunk reader and any INSERT side TSVs."""
+    executor-side tokenization of INSERT shards, then deterministic
+    sequence composition by walking the per-file event timelines in
+    path order — COPY chunk ranges and INSERT tuple counts interleave
+    into exactly the sequences the staged pass would have written
+    (the counts, one int per statement, are the only tokenization
+    product the driver ever sees)."""
     os.makedirs(staging_dir, exist_ok=True)
     if len(paths) == 1:
         scans = [_scan_dump_file(ctx, paths[0],
@@ -1413,26 +1470,45 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
         scans = _scan_files_parallel(ctx, paths, staging_dir,
                                      chunk_bytes, max_workers)
 
+    # executor tokenization per (file, table) shard: rows stay on the
+    # cluster; the driver receives per-statement tuple counts only
+    parsed: dict[tuple[int, str], tuple[DataFrame, dict[int, int]]] = {}
+    for i, fscan in enumerate(scans):
+        for t, p in fscan.stmt_paths.items():
+            parsed[(i, t)] = _tokenize_pg_inserts(spark, ctx, t, p)
+
+    # walk the global timeline (files in path order, events in file
+    # order): a table enters `order` at its first row-yielding event,
+    # exactly when the staged writer would have opened its TSV
     order: list[str] = []
-    offsets: dict[str, int] = {}
+    seqs: dict[str, int] = {}
     all_chunks: dict[str, list[CopyChunk]] = {}
-    ins_reads: dict[str, list[tuple[str, int]]] = {}
-    for fscan in scans:
+    # (file, table) -> {stmt_idx: base sequence}
+    stmt_offs: dict[tuple[int, str], dict[int, int]] = {}
+
+    def touch(table: str) -> None:
+        if table not in seqs:
+            seqs[table] = 0
+            order.append(table)
+
+    for i, fscan in enumerate(scans):
         for msg in fscan.unexpected:
             ctx.unexpected(msg)
-        for t in fscan.order:
-            if t not in offsets:
-                offsets[t] = 0
-                order.append(t)
-        for t, chs in fscan.chunks.items():
-            for c in chs:
+        for t, ev in fscan.events:
+            if ev[0] == "copy":
+                c = ev[1]
+                touch(t)
                 all_chunks.setdefault(t, []).append(
                     CopyChunk(c.path, c.start, c.end, c.rows,
-                              c.start_seq + offsets[t], c.reorder))
-        for t, p in fscan.ins_paths.items():
-            ins_reads.setdefault(t, []).append((p, offsets[t]))
-        for t, n in fscan.totals.items():
-            offsets[t] += n
+                              seqs[t], c.reorder))
+                seqs[t] += c.rows
+            else:
+                n = parsed[(i, t)][1].get(ev[1], 0)
+                if n == 0:
+                    continue     # zero-tuple INSERT: staged-path skip
+                touch(t)
+                stmt_offs.setdefault((i, t), {})[ev[1]] = seqs[t]
+                seqs[t] += n
 
     results: dict[str, ConversionResult] = {}
     for t in order:
@@ -1442,11 +1518,22 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
         dfs: list[DataFrame] = []
         if t in all_chunks:
             dfs.append(read_copy_chunks(spark, ctx, t, all_chunks[t]))
-        for p, off in ins_reads.get(t, []):
-            d = read_staged_table(spark, ctx, t, p)
-            if off:
-                d = d.withColumn(SEQ_COL, F.col(SEQ_COL) + F.lit(off))
-            dfs.append(d)
+        for i in range(len(scans)):
+            offs = stmt_offs.get((i, t))
+            if not offs:
+                continue
+            rows_df = parsed[(i, t)][0]
+            off_df = spark.createDataFrame(
+                sorted(offs.items()), "stmt_idx long, off long")
+            values = (rows_df.join(F.broadcast(off_df), "stmt_idx")
+                      .select(F.concat_ws(
+                          "\t",
+                          (F.col("off") + F.col("local_idx"))
+                          .cast("string"),
+                          F.col("row")).alias("value")))
+            dfs.append(_decode_staged_values(values, ctx, t))
+        if not dfs:
+            continue
         df = dfs[0]
         for d in dfs[1:]:
             df = df.unionByName(d)

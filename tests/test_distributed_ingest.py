@@ -125,13 +125,14 @@ def test_tiny_chunks_force_many_tasks(spark, tmp_path):
     fscan = pgdump._scan_dump_file(
         pgdump.migrate_pg_dump(spark, str(f), str(tmp_path / "s0"))[0],
         str(f), str(tmp_path / "shard"), chunk_bytes=64)
-    chunks = fscan.chunks["b"]
+    chunks = [ev[1] for t, ev in fscan.events
+              if t == "b" and ev[0] == "copy"]
     assert len(chunks) > 10
     assert sum(c.rows for c in chunks) == 200
-    # chunks tile the block: contiguous byte ranges, contiguous seqs
+    # chunks tile the block: contiguous byte ranges (sequences are
+    # composed later by _migrate_distributed from the event timeline)
     for a, b in zip(chunks, chunks[1:]):
         assert a.end == b.start
-        assert a.start_seq + a.rows == b.start_seq
 
 
 def test_multifile_shards_concurrent_scan(spark, tmp_path):
@@ -176,6 +177,41 @@ def test_cli_distributed_flag(spark, tmp_path):
     assert os.path.exists(out / "t.parquet")
     df = spark.read.parquet(str(out / "t.parquet"))
     assert df.count() == 2
+
+
+def test_insert_heavy_dump_modes_identical(spark, tmp_path):
+    """pg_dump --inserts shape (VERDICT r6 ask 3): an INSERT-only dump
+    — multi-row VALUES, reordered column lists, escapes, NULLs —
+    must be bit-identical between staged and distributed, including
+    the synthetic PKs derived from sequence numbers.  In distributed
+    mode the driver never tokenizes a tuple: statements ship verbatim
+    to shard files and executors tokenize (the r6 mysql pattern)."""
+    f1 = tmp_path / "ins1.sql"
+    f1.write_text(
+        "CREATE TABLE public.t (id integer NOT NULL, v text, "
+        "PRIMARY KEY (id));\n"
+        "CREATE TABLE public.nopk (a text, b text);\n"
+        + "INSERT INTO public.t VALUES "
+        + ",".join(f"({i}, 'row-{i}')" for i in range(100)) + ";\n"
+        + "INSERT INTO public.t (v, id) VALUES ('reordered', 900);\n"
+        + "INSERT INTO public.t VALUES (901, 'esc''ape'), "
+          "(902, NULL);\n"
+        + "INSERT INTO public.nopk VALUES ('x', 'y'), ('z', NULL);\n")
+    f2 = tmp_path / "ins2.sql"
+    f2.write_text(
+        "INSERT INTO public.t VALUES "
+        + ",".join(f"({i}, 'f2-{i}')" for i in range(1000, 1050))
+        + ";\n"
+        "INSERT INTO public.nopk VALUES ('second', 'file');\n")
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, [f1, f2], tmp_path)
+    good = {row.id: row.v for row in r1["t"].good.collect()}
+    assert len(good) == 153
+    assert good[900] == "reordered" and good[901] == "esc'ape"
+    assert good[902] is None
+    # synthetic PKs on the PK-less table: globally unique, same set in
+    # both modes (covered by the fingerprint, spot-checked here)
+    pks = [row.synth_id for row in r1["nopk"].good.collect()]
+    assert len(pks) == len(set(pks)) == 3
 
 
 def test_empty_insert_values_modes_identical(spark, tmp_path):
