@@ -181,6 +181,149 @@ def stratified_sample_sql(engine: str, k: int = 20) -> str:
     return render(t, engine)
 
 
+def _sample_pack_ctes(final_src: str, idiv: str, k: int,
+                      budget: int) -> str:
+    """Shared sample+pack CTE text over a curated-survivor relation
+    (doc_id, lang, n_tokens): deterministic per-language quota sample
+    (multiplicative-hash order, stratified_sample_sql's scheme) then
+    exclusive-prefix-sum token packing (pack_sequences_sql's scheme).
+    Pure integer ops — bit-identical across engines."""
+    return f"""sampled AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT doc_id, lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY (doc_id * {_MULT}) % {_MOD}, doc_id)
+                       AS rk
+            FROM {final_src}) _r
+        WHERE rk <= {k}
+    ), cum AS (
+        SELECT lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM sampled
+    ), packed AS (
+        SELECT lang, cum_before {idiv} {budget} AS bin_id,
+               COUNT(*) AS n, SUM(n_tokens) AS tok
+        FROM cum GROUP BY lang, cum_before {idiv} {budget}
+    )"""
+
+
+def curation_pipeline_materialized_fn(spark, sf_dir: str, k: int = 20,
+                                      budget: int = 2048,
+                                      eval_mod: int = 97):
+    """The curation chain as a real pipeline would run it (VERDICT r6
+    ask 7, mirroring dedup_pipeline_materialized): quality scoring →
+    exact-dedup keep → benchmark decontamination → stratified quota
+    sample → token-budget packing, with each expensive stage
+    materialized ONCE (localCheckpoint) and every downstream stage
+    reading the materialized result — versus the per-query harness
+    shape where corpus_curation / decontaminate / stratified_sample /
+    pack_sequences each re-derive their inputs from the raw corpus.
+    Emits one summary row of stage cardinalities so the entry is
+    oracle-checkable; its bench time is the cost of ONE chain
+    execution (≈ the chain's max stage, not the sum of the separate
+    entries).
+
+    Selection rule matches corpus_curation exactly: a doc survives if
+    it is its exact-content group's keeper AND n_tokens >= 20 AND
+    quality_score >= 0.5; decontamination then drops survivors sharing
+    any 4-gram with the eval slice (doc_id % {eval_mod} == 0).
+
+    100 TB shape: quality/keeps are one projection + one hash-group
+    window; the contamination check is a broadcast gram join; sample
+    and pack shuffle once on the low-cardinality lang key.  Nothing
+    rescans text downstream of the materialized stage outputs."""
+    from pyspark.sql import functions as F
+
+    from .dedup import dedup_keep_first_sql
+    from .text import text_quality_sql
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+
+    # materialize ONLY the relations consumed more than once
+    # (survivors: final + the n_selected aggregate; final: sample/pack
+    # + the n_final aggregate).  quality / keeps / contaminated are
+    # each read exactly once, so they stay lazy and Catalyst pipelines
+    # them into their single consumer — a checkpoint there would be a
+    # pure serialization barrier (measured 3.7 -> 2.1 s at sf0.1).
+    spark.sql(text_quality_sql("spark")) \
+        .createOrReplaceTempView("__cur_quality")
+    spark.sql(dedup_keep_first_sql("spark")) \
+        .createOrReplaceTempView("__cur_keeps")
+    survivors = spark.sql("""
+        SELECT q.doc_id, q.lang, q.n_tokens
+        FROM __cur_quality q JOIN __cur_keeps k ON q.doc_id = k.doc_id
+        WHERE k.keep AND q.n_tokens >= 20 AND q.quality_score >= 0.5
+    """).localCheckpoint()
+    survivors.createOrReplaceTempView("__cur_survivors")
+    decontaminate_fn(spark, sf_dir, eval_mod=eval_mod) \
+        .createOrReplaceTempView("__cur_contam")
+    final = spark.sql("""
+        SELECT s.doc_id, s.lang, s.n_tokens FROM __cur_survivors s
+        LEFT ANTI JOIN __cur_contam c ON c.doc_id = s.doc_id
+    """).localCheckpoint()
+    final.createOrReplaceTempView("__cur_final")
+    sample_pack = spark.sql(f"""
+        WITH {_sample_pack_ctes('__cur_final', 'div', k, budget)}
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled)
+                   AS n_sampled,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(tok) AS BIGINT) AS packed_tokens
+        FROM packed
+    """)
+    s = (spark.table("documents")
+         .agg(F.count("*").cast("long").alias("n_docs"))
+         .crossJoin(survivors.agg(
+             F.count("*").cast("long").alias("n_selected")))
+         .crossJoin(final.agg(
+             F.count("*").cast("long").alias("n_final")))
+         .crossJoin(sample_pack))
+    return s
+
+
+def curation_pipeline_materialized_oracle_sql(k: int = 20,
+                                              budget: int = 2048,
+                                              eval_mod: int = 97) -> str:
+    """DuckDB oracle for curation_pipeline_materialized_fn: the same
+    six summary numbers recomputed as one CTE chain from the shared
+    dual-engine stage templates (correctness only — the Spark side's
+    materialization is what the bench times)."""
+    from .dedup import dedup_keep_first_sql
+    from .text import text_quality_sql
+
+    q = text_quality_sql("duckdb")
+    kp = dedup_keep_first_sql("duckdb")
+    dc = decontaminate_sql("duckdb", eval_mod=eval_mod)
+    return f"""
+    WITH quality AS ({q}),
+    keeps AS ({kp}),
+    survivors AS (
+        SELECT q.doc_id, q.lang, q.n_tokens
+        FROM quality q JOIN keeps k ON q.doc_id = k.doc_id
+        WHERE k.keep AND q.n_tokens >= 20 AND q.quality_score >= 0.5
+    ),
+    contaminated AS ({dc}),
+    final AS (
+        SELECT s.doc_id, s.lang, s.n_tokens FROM survivors s
+        LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+        WHERE c.doc_id IS NULL
+    ),
+    {_sample_pack_ctes('final', '//', k, budget)}
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+               AS n_selected,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+           CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_sampled,
+           CAST((SELECT COUNT(*) FROM packed) AS BIGINT) AS n_bins,
+           CAST((SELECT SUM(tok) FROM packed) AS BIGINT)
+               AS packed_tokens
+    """
+
+
 def pack_sequences_sql(engine: str, budget: int = 2048) -> str:
     """Token-budget sequence packing: documents are laid out per
     language in doc_id order and cut into bins of ``budget`` tokens by

@@ -1772,6 +1772,15 @@ _register_template(
     "Token-budget sequence packing: contiguous bins from integer "
     "division of the exclusive per-language prefix sum; per-bin "
     "manifest with fill ratios")
+REGISTRY["corpus_curation_materialized"] = QuerySpec(
+    _cur.curation_pipeline_materialized_fn,
+    _cur.curation_pipeline_materialized_oracle_sql(),
+    "The curation chain run as a real pipeline: quality -> dedup-keep "
+    "-> decontaminate -> stratified sample -> pack, stages "
+    "materialized once and consumed downstream — one summary row of "
+    "stage cardinalities; bench time is ONE chain execution (the "
+    "separate per-stage entries re-derive inputs per query by "
+    "harness construction)")
 REGISTRY["boilerplate_grams"] = QuerySpec(
     _text.boilerplate_grams_fn,
     _text.boilerplate_grams_sql("duckdb"),
@@ -2276,8 +2285,8 @@ def q_event_second_boundaries(spark: SparkSession,
 _CHANGED_THIS_ROUND: list[str] = [
     # round 7: embedding-LSH bucket join bounded (exact-duplicate
     # vector pre-collapse + MAX_BUCKET star-degrade; output schema
-    # grew mult_a/mult_b)
-    "dedup_embedding_lsh",
+    # grew mult_a/mult_b); new materialized curation-chain entry
+    "dedup_embedding_lsh", "corpus_curation_materialized",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

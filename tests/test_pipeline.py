@@ -820,3 +820,24 @@ def test_pixel_dedup_cross_format(spark, tmp_path):
             for r in pixel_dedup(media).collect()}
     # 4 seeds x 3 containers -> 4 groups of 3, reps = 3*seed (bmp slot)
     assert rows == {0: 3, 3: 3, 6: 3, 9: 3}
+
+
+def test_curation_pipeline_materialized_matches_oracle(spark):
+    """The materialized curation chain (quality -> keep -> decontam ->
+    sample -> pack) must reproduce the oracle's six summary numbers
+    from the SAME shared stage templates, and its stage arithmetic
+    must be internally consistent."""
+    import duckdb
+
+    from harbourbridge_spark import queries as Q
+    spec = Q.REGISTRY["corpus_curation_materialized"]
+    row = spec.fn(spark, SF).first()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(spec.oracle).fetchone()
+    got = (row.n_docs, row.n_selected, row.n_final, row.n_sampled,
+           row.n_bins, row.packed_tokens)
+    assert got == want
+    assert row.n_docs >= row.n_selected >= row.n_final >= row.n_sampled
+    assert row.n_bins > 0 and row.packed_tokens > 0
