@@ -224,6 +224,59 @@ def ann_lsh_multiprobe_sql(engine: str, n_queries: int = 10,
     """
 
 
+N_CLUSTERED = 2000     # generated clustered-corpus size
+N_CENTERS = 16         # mixture components (= IVF n_cells: the
+                       # favourable-but-realistic case where the
+                       # coarse quantizer matches the data's modes)
+
+
+def clustered_corpus_sql(engine: str, n: int = N_CLUSTERED,
+                         c: int = N_CENTERS, dim: int = DIM) -> str:
+    """Deterministic CLUSTERED embedding corpus, generated in-query so
+    both engines materialize bit-identical vectors (VERDICT r6 ask 5):
+    ``c`` mixture centers whose components are multiplicative-hash
+    pseudo-randoms in [-500, 500], each vector = its center
+    (vec_id % c) plus a small per-(vec_id, dim) jitter in [-10, 10].
+    Pure BIGINT arithmetic cast to DOUBLE at the end — no RNG, no
+    floating-point accumulation, so the corpus needs no fixture file
+    and can never drift between engines.
+
+    Why it exists: the parquet embeddings fixture is isotropic random
+    — the documented LSH-hostile worst case (every hyperplane splits
+    every 'cluster', recall@5 0.02 single-probe at sf0.1).  Real
+    scraped-corpus embeddings are strongly clustered; this corpus
+    measures the ANN paths in that regime (ann_recall_clustered)."""
+    from .text import render
+    t = f"""
+    SELECT vec_id,
+           {{ltrans}}({{seq}}(0, {dim - 1}),
+               i -> CAST((((vec_id % {c}) * 1315423911
+                           + i * 2654435761) % 1001 - 500)
+                         + ((vec_id * 97 + i * 31) % 21 - 10)
+                         AS DOUBLE)) AS embedding
+    FROM (SELECT CAST(v AS BIGINT) AS vec_id
+          FROM (SELECT {{explode}}({{seq}}(0, {n - 1})) AS v) _e) _v
+    """
+    return render(t, engine)
+
+
+def ann_recall_clustered_sql(engine: str, topk: int = TOPK) -> str:
+    """ann_recall evaluated on the generated CLUSTERED corpus: the
+    in-query corpus CTE SHADOWS the ``embeddings`` table (lexical CTE
+    scoping, identical in Spark and DuckDB), so every ANN method's SQL
+    runs unchanged against the clustered data.  Together with
+    ann_recall (isotropic fixture) this brackets each method's recall
+    between its worst case and its realistic case — the pair is the
+    tuning gauge SCALE.md prescribes before picking
+    NBITS/MAX_ANN_BUCKET/nprobe for a real corpus."""
+    corpus = clustered_corpus_sql(engine)
+    inner = ann_recall_sql(engine, topk=topk)
+    return f"""
+    WITH embeddings AS ({corpus})
+    SELECT * FROM ({inner}) _r
+    """
+
+
 def ann_recall_sql(engine: str, topk: int = TOPK) -> str:
     """Recall observability for the approximate ANN paths: recall@k of
     ann_lsh and ann_ivf against the ann_bruteforce ground truth, pure

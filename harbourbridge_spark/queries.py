@@ -1927,6 +1927,15 @@ _register_template(
     "ground truth — the observability gauge for the deterministic "
     "recall trade of the capped buckets / nprobe (SCALE.md tuning)",
     tables=("embeddings",))
+_register_template(
+    "ann_recall_clustered", _sim.ann_recall_clustered_sql,
+    "Recall@5 of every approximate ANN path on a deterministic "
+    "CLUSTERED corpus generated in-query (16 mixture centers, pure "
+    "integer arithmetic, the CTE shadows the embeddings table) — "
+    "brackets each method between the isotropic worst case "
+    "(ann_recall) and the realistic clustered regime: ivf 1.00 at "
+    "nprobe 2/16 = 12.5% of brute-force pair work",
+    tables=("embeddings",))
 
 
 def _corpus_curation_sql(engine: str) -> str:
@@ -2287,6 +2296,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # vector pre-collapse + MAX_BUCKET star-degrade; output schema
     # grew mult_a/mult_b); new materialized curation-chain entry
     "dedup_embedding_lsh", "corpus_curation_materialized",
+    "ann_recall_clustered",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -841,3 +841,30 @@ def test_curation_pipeline_materialized_matches_oracle(spark):
     assert got == want
     assert row.n_docs >= row.n_selected >= row.n_final >= row.n_sampled
     assert row.n_bins > 0 and row.packed_tokens > 0
+
+
+def test_ann_recall_clustered_bounds(spark):
+    """On the generated clustered corpus (the realistic regime), the
+    tuned IVF path must reach recall@5 >= 0.8 while probing 2/16 of
+    the cells (<= 20% of brute-force pair work, VERDICT r6 ask 5);
+    the corpus itself must be identical across engines."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline import similarity as S
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    rows = {r.method: r
+            for r in spark.sql(S.ann_recall_clustered_sql("spark"))
+            .collect()}
+    assert rows["ann_ivf"].n_true == 50        # 10 queries x top-5
+    assert rows["ann_ivf"].recall_at_5 >= 0.8
+    # every approximate path beats the isotropic worst case's 0.02
+    assert all(r.recall_at_5 > 0.3 for r in rows.values())
+    # cross-engine: the generated corpus is bit-identical
+    s_corpus = spark.sql(S.clustered_corpus_sql("spark")) \
+        .orderBy("vec_id").limit(3).collect()
+    d_corpus = duckdb.sql(S.clustered_corpus_sql("duckdb")
+                          + " ORDER BY vec_id LIMIT 3").fetchall()
+    for sr, dr in zip(s_corpus, d_corpus):
+        assert sr.vec_id == dr[0]
+        assert list(sr.embedding) == list(dr[1])
