@@ -538,9 +538,54 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
     return decode_stub(kind, content)
 
 
+_PIL_IMAGE = None          # resolved-once optional backend (False =
+                           # probed and absent)
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _pil():
+    """Optional Pillow backend, probed once per process.  Pillow is
+    NOT a dependency of this package: when absent (as in the CI
+    container), every PIL-only container (JPEG/GIF/WEBP) degrades to
+    the deterministic sha-stub — see README 'Multimodal codec
+    support' for the full matrix."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image as _img
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = False
+    return _PIL_IMAGE
+
+
+def decode_pil(content: bytes) -> list[float]:
+    """PIL-backed image decode emitting the SAME feature layout as the
+    native decoders (``[w, h, mean_r, mean_g, mean_b, first_r]``), so
+    a corpus mixing JPEG with BMP/PPM/PNG gets comparable features.
+    The MAX_DECODED_BYTES ceiling is enforced from the header (PIL's
+    open() is lazy) BEFORE any pixel inflation — same bomb guard as
+    decode_png.  Raises ValueError when Pillow is not installed."""
+    img = _pil()
+    if not img:
+        raise ValueError("Pillow not installed")
+    import io as _io
+    with img.open(_io.BytesIO(content)) as im:
+        w, h = im.size
+        if w * h * 3 > MAX_DECODED_BYTES:
+            raise ValueError("decoded size over MAX_DECODED_BYTES")
+        px = np.asarray(im.convert("RGB"), dtype=np.float64)
+    return [float(w), float(h),
+            float(px[..., 0].mean()), float(px[..., 1].mean()),
+            float(px[..., 2].mean()), float(px[0, 0, 0])]
+
+
 def decode_image(kind: str, content: bytes) -> list[float]:
-    """Image dispatch: real BMP/PPM decode on magic-byte match,
-    sha-stub otherwise (PIL would slot in here for JPEG/PNG)."""
+    """Image dispatch: real dependency-free BMP/PPM/PNG decode on
+    magic-byte match; JPEG/GIF/WEBP route to the optional PIL backend
+    when Pillow is installed; sha-stub otherwise (README 'Multimodal
+    codec support')."""
     if content is None:
         return []
     if content[:2] == b"BM":
@@ -560,6 +605,15 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             # MemoryError belt: the MAX_DECODED_BYTES pre-check should
             # make it unreachable, but a corrupt file must degrade to
             # the stub, never fail the whole Spark job
+            pass
+    elif content[:3] == JPEG_MAGIC \
+            or content[:6] in (b"GIF87a", b"GIF89a") \
+            or (content[:4] == b"RIFF" and content[8:12] == b"WEBP"):
+        try:
+            return decode_pil(content)
+        except (ValueError, OSError, MemoryError):
+            # OSError covers PIL's UnidentifiedImageError; absent
+            # Pillow raises ValueError — both degrade to the stub
             pass
     return decode_stub(kind, content)
 

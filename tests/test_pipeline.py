@@ -868,3 +868,56 @@ def test_ann_recall_clustered_bounds(spark):
     for sr, dr in zip(s_corpus, d_corpus):
         assert sr.vec_id == dr[0]
         assert list(sr.embedding) == list(dr[1])
+
+
+def test_decode_pil_guarded_dispatch(monkeypatch):
+    """JPEG/GIF/WEBP route to the optional Pillow backend: absent
+    Pillow degrades to the sha-stub (this container), and with a
+    (faked) Pillow installed the dispatch emits the native decoders'
+    6-feature layout through the same code path."""
+    import io as _io
+    import sys
+    import types
+
+    import numpy as _np
+
+    from harbourbridge_spark.pipeline import multimodal as M
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"fakejpegbody"
+    # 1) Pillow absent: probed False, stub fallback
+    monkeypatch.setattr(M, "_PIL_IMAGE", None)
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    assert M.decode_image("image", jpeg) == M.decode_stub("image", jpeg)
+
+    # 2) fake Pillow: a 2x1 RGB "image" with known pixels
+    class _FakeIm:
+        size = (2, 1)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return _np.array([[[10, 20, 30], [50, 60, 70]]], _np.uint8)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: _FakeIm())
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    monkeypatch.setattr(M, "_PIL_IMAGE", None)   # re-probe
+    got = M.decode_image("image", jpeg)
+    assert got == [2.0, 1.0, 30.0, 40.0, 50.0, 10.0]
+    # oversized header rejected BEFORE pixel decode -> stub
+    class _Huge(_FakeIm):
+        size = (1 << 16, 1 << 16)
+
+        def convert(self, mode):           # must never be reached
+            raise AssertionError("bomb guard failed")
+    pil_pkg.Image = types.SimpleNamespace(open=lambda buf: _Huge())
+    monkeypatch.setattr(M, "_PIL_IMAGE", None)
+    assert M.decode_image("image", jpeg) == M.decode_stub("image", jpeg)
