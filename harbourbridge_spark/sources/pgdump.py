@@ -528,10 +528,49 @@ def _parse_set(ctx: MigrationContext, stmt: str) -> bool:
 # INSERT value parsing (S8) — driver-side, like the reference's AST walk
 # ---------------------------------------------------------------------------
 
+def _estring_escape(text: str, i: int) -> tuple[str, int]:
+    """Decode one C-style escape of a pg E'...' string starting at the
+    char AFTER the backslash (text[i]); returns (decoded, next_i).
+    Grammar per the PostgreSQL lexer: \\b \\f \\n \\r \\t \\v,
+    \\o/\\oo/\\ooo octal, \\xh/\\xhh hex, \\uXXXX / \\UXXXXXXXX
+    unicode; any other escaped char is itself (pg's fallback)."""
+    simple = {"b": "\b", "f": "\f", "n": "\n", "r": "\r",
+              "t": "\t", "v": "\v"}
+    c = text[i]
+    if c in simple:
+        return simple[c], i + 1
+    if c in "01234567":
+        j = i + 1
+        while j < len(text) and j < i + 3 and text[j] in "01234567":
+            j += 1
+        return chr(int(text[i:j], 8) & 0xFF), j
+    if c in "xX":
+        j = i + 1
+        while j < len(text) and j < i + 3 \
+                and text[j] in "0123456789abcdefABCDEF":
+            j += 1
+        if j > i + 1:
+            return chr(int(text[i + 1:j], 16)), j
+        return c, i + 1
+    if c in "uU":
+        width = 4 if c == "u" else 8
+        j = i + 1
+        end = min(len(text), i + 1 + width)
+        while j < end and text[j] in "0123456789abcdefABCDEF":
+            j += 1
+        if j == i + 1 + width:
+            return chr(int(text[i + 1:j], 16)), j
+        return c, i + 1
+    return c, i + 1
+
+
 def _parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
     """Parse VALUES (...),(...) tuples into COPY-equivalent string rows
-    (None = NULL). Handles quoted strings with '' escapes, numbers,
-    NULL, TRUE/FALSE (lowered to pg literals t/f)."""
+    (None = NULL). Handles quoted strings with '' escapes, E'...'
+    escape strings with C-style backslash escapes (the reference's
+    pg_query parser decodes these natively,
+    /root/reference/postgres/pgdump.go:88-105), numbers, NULL,
+    TRUE/FALSE (lowered to pg literals t/f)."""
     rows: list[list[Optional[str]]] = []
     i, n = 0, len(values_text)
     while i < n:
@@ -543,24 +582,34 @@ def _parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
         row: list[Optional[str]] = []
         cur: list[str] = []
         in_squote = False
+        in_estring = False
         was_quoted = False
         while i < n:
             ch = values_text[i]
             if in_squote:
+                if in_estring and ch == "\\" and i + 1 < n:
+                    dec, i = _estring_escape(values_text, i + 1)
+                    cur.append(dec)
+                    continue
                 if ch == "'":
                     if i + 1 < n and values_text[i + 1] == "'":
                         cur.append("'")
                         i += 1
                     else:
                         in_squote = False
+                        in_estring = False
                 else:
                     cur.append(ch)
             else:
                 if ch == "'":
                     in_squote = True
                     was_quoted = True
-                    if not "".join(cur).strip():
-                        cur = []  # drop whitespace preceding the quote
+                    # E'...' / e'...': the accumulated token is the
+                    # escape-string prefix, not data
+                    pref = "".join(cur).strip()
+                    in_estring = pref in ("E", "e")
+                    if in_estring or not pref:
+                        cur = []  # drop prefix/whitespace before '
                 elif ch in ",)":
                     if was_quoted:
                         row.append("".join(cur))

@@ -413,3 +413,24 @@ def test_set_timezone_invalid_zone_logged(spark, tmp_path):
     # conversion fell back to UTC
     rows = results["t"].good.collect()
     assert rows[0].tz == dt.datetime(2019, 10, 28, 15, 0, 0)
+
+
+def test_insert_estring_escapes():
+    """E'...' escape strings decode with pg's C-style escape grammar —
+    the reference's pg_query parser handles these natively
+    (/root/reference/postgres/pgdump.go:88-105), so the hand tokenizer
+    must too (it previously swallowed the rest of the tuple list)."""
+    from harbourbridge_spark.sources.pgdump import _parse_insert_values
+
+    assert _parse_insert_values(r"(901, E'esc\'ape'), (902, NULL)") \
+        == [["901", "esc'ape"], ["902", None]]
+    assert _parse_insert_values(r"(1, E'a\tb\nc\\d')") \
+        == [["1", "a\tb\nc\\d"]]
+    assert _parse_insert_values(r"(1, E'\x41\101é')") \
+        == [["1", "AAé"]]
+    assert _parse_insert_values(r"(1, E'dbl''q'), (2, e'low\tc')") \
+        == [["1", "dbl'q"], ["2", "low\tc"]]
+    # unknown escape falls back to the bare char (pg behavior)
+    assert _parse_insert_values(r"(1, E'\q')") == [["1", "q"]]
+    # plain strings are untouched; a stray E token alone is not a prefix
+    assert _parse_insert_values(r"('no\escape')") == [["no\\escape"]]
