@@ -355,3 +355,47 @@ def pack_sequences_sql(engine: str, budget: int = 2048) -> str:
     GROUP BY lang, cum_before {idiv} {budget}
     """
     return render(t, engine)
+
+
+def source_stats_sql(engine: str) -> str:
+    """Per-source corpus accounting — the curation dashboard a corpus
+    owner reads before deciding source weights: document/token/char
+    mass, language spread, and the exact-duplicate rate (share of a
+    source's docs whose normalized content hash occurs more than once
+    ANYWHERE in the corpus — cross-source duplication counts against
+    both sources, which is the number that matters for mixing
+    weights).
+
+    Scale shape: one projection computes the content hash (8-byte
+    shuffle key, never the text), one window over the hash counts
+    occurrences (single hash shuffle), and the final aggregate groups
+    on the low-cardinality source key with map-side partials — two
+    linear shuffles total, no joins."""
+    from .hashing import hash48
+    from .text import norm_text
+    fp = hash48(norm_text(engine), engine)
+    toks = render(TOKENS, engine)
+    t = f"""
+    WITH base AS (
+        SELECT source, lang,
+               {fp} AS fp,
+               CAST({{alen}}({toks}) AS BIGINT) AS n_toks,
+               CAST(n_chars AS BIGINT) AS nc
+        FROM documents
+    ), occ AS (
+        SELECT source, lang, n_toks, nc,
+               COUNT(*) OVER (PARTITION BY fp) AS occ
+        FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM occ GROUP BY source
+    """
+    return render(t, engine)

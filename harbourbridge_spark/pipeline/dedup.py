@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .hashing import MERSENNE61, hash48, minhash_coeffs, perm_sql
-from .text import norm_text, render
+from .text import TOKENS, norm_text, render
 
 MINHASH_K = 16
 BAND_SIZE = 4           # 4 bands of 4 -> candidates at jaccard ~>0.6
@@ -1195,3 +1195,161 @@ def embedding_neardup_lsh_sql(engine: str, threshold: float = 0.35) -> str:
     WHERE {dot} / (nrm_a * nrm_b) >= {threshold}
     """
     return render(t, engine)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (span-overlap near-dup family)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3            # words per k-gram
+WINNOW_W = 4            # winnowing window: every run of W consecutive
+                        # grams contributes >= 1 fingerprint, so any
+                        # shared span of >= K + W - 1 words is
+                        # GUARANTEED to produce a shared fingerprint
+                        # (the winnowing locality guarantee)
+WINNOW_MIN_SHARED = 2   # emit pairs sharing at least this many fps
+WINNOW_MAX_DF = MAX_BUCKET  # fingerprint document-frequency cap
+
+
+def _winnow_gram_hashes(engine: str) -> str:
+    """Array of hash48 values of the word WINNOW_K-grams of ``tk`` in
+    POSITIONAL order (no dedup — winnowing is positional). Spark
+    lambda indexing over an array is 0-based, DuckDB's is 1-based:
+    shift the index sequence, not the element refs (the
+    decontaminate_sql idiom)."""
+    joined = ", ".join(f"tk[i{f'+{o}' if o else ''}]"
+                       for o in range(WINNOW_K))
+    gram = f"concat_ws(' ', {joined})"
+    if engine == "spark":
+        body = ("{ltrans}({seq}(0, {alen}(tk) - %d), i -> %s)"
+                % (WINNOW_K, hash48(gram, engine)))
+    else:
+        body = ("{ltrans}({seq}(1, {alen}(tk) - %d), i -> %s)"
+                % (WINNOW_K - 1, hash48(gram, engine)))
+    return render(body, engine)
+
+
+def _winnow_tail_sql() -> str:
+    """Shared tail of the winnow pipeline (template and fast path are
+    identical from the positional gram-hash relation ``g(doc_id, pos,
+    h)`` on): sliding-window min -> distinct fingerprints -> df cap ->
+    pair join. Engine-portable as-is."""
+    return f"""win AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS np
+        FROM g
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM win
+        WHERE pos <= greatest(1, np - {WINNOW_W - 1})
+    ), capped AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df
+            FROM fps) _d
+        WHERE df <= {WINNOW_MAX_DF}
+    )"""
+
+
+_WINNOW_FINAL = f"""
+    totals AS (
+        SELECT doc_id, COUNT(*) AS nf FROM capped GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS shared_fps
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared_fps AS BIGINT) AS shared_fps,
+           round(CAST(s.shared_fps AS DOUBLE) / least(ta.nf, tb.nf), 6)
+               AS span_overlap
+    FROM shared s
+    JOIN totals ta ON ta.doc_id = s.doc_a
+    JOIN totals tb ON tb.doc_id = s.doc_b
+    WHERE s.shared_fps >= {WINNOW_MIN_SHARED}
+"""
+
+
+def winnow_pairs_sql(engine: str) -> str:
+    """Winnowing span-overlap pairs (the MOSS local-fingerprint
+    family; Schleimer/Wilkerson/Aiken, SIGMOD'03): per doc take the
+    MIN gram-hash of every sliding window of WINNOW_W word-3-gram
+    hashes, dedupe to the fingerprint set, and pair documents sharing
+    >= WINNOW_MIN_SHARED fingerprints.  Detects COPIED SPANS (any
+    shared run of >= K+W-1 words yields a shared fingerprint — the
+    winnowing guarantee) that whole-document MinHash misses when the
+    rest of the two documents differs.
+
+    Scale shape: tokens explode linearly; the window min is one
+    per-doc sort (bounded partitions — a document's grams); the pair
+    join is df-capped — fingerprints held by more than WINNOW_MAX_DF
+    documents are dropped as boilerplate BEFORE the join (the
+    classical winnowing 'ignore ubiquitous fingerprints' rule; the
+    corpus-level boilerplate op reports them), so no join key can go
+    quadratic in corpus size: pair output is bounded by
+    sum_fp df(fp)^2 <= WINNOW_MAX_DF * total fingerprint mass.
+    Candidate scoring (span_overlap = shared / min(|fps|)) needs no
+    text re-read — the verify stage for emitted pairs is
+    dedup_lsh_verified's gram-Jaccard.
+    """
+    gh = _winnow_gram_hashes(engine)
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), ghs AS (
+        SELECT doc_id, {gh} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {WINNOW_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), {_winnow_tail_sql()},
+    {_WINNOW_FINAL}
+    """
+    return render(t, engine)
+
+
+def winnow_pairs_fn(spark, sf_dir: str):
+    """Spark execution strategy for dedup_winnow_pairs: identical
+    output to winnow_pairs_sql (the oracle keeps the array template),
+    but gram hashes form via posexplode + window LEADs (tokens stream
+    through one (doc_id, pos) sort — no per-row array build), and the
+    capped fingerprint relation is checkpointed ONCE before being
+    read from both sides of the pair join plus the totals aggregate
+    (Spark inlines CTEs, so the template form would re-run the whole
+    tokenize+winnow pipeline three times)."""
+    from .text import render as _render
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w"
+                      for j in range(1, WINNOW_K))
+    capped = spark.sql(f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok)
+        FROM documents WHERE text IS NOT NULL
+    ), g0 AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {WINNOW_K - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), g AS (
+        -- posexplode positions are 0-based; the shared tail's
+        -- full-window filter (pos <= np - W + 1) assumes the
+        -- template's 1-based positions, so shift here
+        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+        FROM g0 WHERE tlast IS NOT NULL
+    ), {_winnow_tail_sql()}
+    SELECT doc_id, fp FROM capped
+    """).localCheckpoint()
+    capped.createOrReplaceTempView("__winnow_capped")
+    return spark.sql(f"""
+    WITH capped AS (SELECT * FROM __winnow_capped),
+    {_WINNOW_FINAL}
+    """)

@@ -31,6 +31,10 @@ _SHIMS = {
     "rsplit": ("split", "regexp_split_to_array"),
     "ajoin": ("array_join", "array_to_string"),
     "collect": ("collect_list", "list"),
+    # 1-based element access OUTSIDE lambdas (inside a transform
+    # lambda Spark's bracket indexing is 0-based — see the
+    # decontaminate_sql sequence-shift idiom instead)
+    "elem": ("element_at", "list_extract"),
     # normalized document text.  Spark's trim strips ASCII 0x20 only,
     # DuckDB's trim strips Unicode whitespace (U+00A0 included), so a
     # shared template using bare trim() diverges on nbsp-adjacent text
@@ -403,3 +407,60 @@ def boilerplate_grams_fn(spark, sf_dir: str):
     FROM per_doc GROUP BY gram
     HAVING COUNT(*) >= 3
     """)
+
+
+def quality_classifier_sql(engine: str) -> str:
+    """Hashed-feature linear text classifier (the fasttext-style model
+    shape every production corpus filter uses: CCNet/RefinedWeb-class
+    quality gates are linear models over hashed word n-grams). Features
+    are word unigrams + bigrams; each maps through the hashing trick
+    straight to an integer weight in [-1000, 1000] derived from the
+    portable hash48 — standing in for trained weights, which a real
+    deployment would broadcast as a lookup table of the same shape.
+    The score is a mean of integer weights (exact in both engines; the
+    only floats are the final division and the logistic squash, both
+    computed once per document from identical exact inputs and rounded
+    to 6 places).
+
+    Scale shape: a pure per-document projection — token split, two
+    array folds, no explode, no shuffle, no UDF; Catalyst keeps the
+    whole thing in one codegen stage, so scoring 100 TB is a single
+    linear scan. The `keep` decision compares the INTEGER weight sum
+    to zero — no float enters the decision."""
+    toks = render(TOKENS, engine)
+    uni_w = f"(({hash48('x', engine)} % 2001) - 1000)"
+    # bigram text via index-shifted transform (Spark lambdas index
+    # 0-based, DuckDB 1-based — the decontaminate_sql idiom)
+    if engine == "spark":
+        bi = ("aggregate({ltrans}({seq}(0, n - 2), "
+              "i -> concat_ws(' ', tk[i], tk[i+1])), 0L, "
+              f"(acc, x) -> acc + {uni_w})")
+        uni = f"aggregate(tk, 0L, (acc, x) -> acc + {uni_w})"
+    else:
+        bi = ("CAST(list_sum(list_transform("
+              "{ltrans}({seq}(1, n - 1), "
+              "i -> concat_ws(' ', tk[i], tk[i+1])), "
+              f"x -> {uni_w})) AS BIGINT)")
+        uni = (f"CAST(list_sum(list_transform(tk, x -> {uni_w})) "
+               "AS BIGINT)")
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, tk, {{alen}}(tk) AS n
+        FROM (SELECT doc_id, {toks} AS tk FROM documents
+              WHERE text IS NOT NULL) _t
+    ), s AS (
+        SELECT doc_id,
+               CAST({uni} AS BIGINT)
+                   + CASE WHEN n >= 2 THEN {bi} ELSE 0 END AS wsum,
+               n + CASE WHEN n >= 2 THEN n - 1 ELSE 0 END AS n_feats
+        FROM tk
+    )
+    SELECT doc_id,
+           round(CAST(wsum AS DOUBLE) / (1000.0 * n_feats), 6)
+               AS clf_score,
+           round(1.0 / (1.0 + exp(-4.0 * CAST(wsum AS DOUBLE)
+                                  / (1000.0 * n_feats))), 6) AS p_keep,
+           wsum >= 0 AS keep
+    FROM s
+    """
+    return render(t, engine)

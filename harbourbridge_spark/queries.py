@@ -1781,6 +1781,26 @@ REGISTRY["corpus_curation_materialized"] = QuerySpec(
     "stage cardinalities; bench time is ONE chain execution (the "
     "separate per-stage entries re-derive inputs per query by "
     "harness construction)")
+_register_template(
+    "corpus_source_stats", _cur.source_stats_sql,
+    "Per-source curation dashboard: doc/token/char mass, language "
+    "spread, exact-duplicate rate (corpus-wide content-hash window, "
+    "8-byte shuffle key) — the numbers behind source mixing weights")
+_register_template(
+    "quality_classifier", _text.quality_classifier_sql,
+    "Hashed-feature linear classifier (fasttext-shaped quality gate): "
+    "word uni+bigrams -> hashing-trick integer weights -> mean score "
+    "+ logistic squash; pure single-pass projection, integer keep "
+    "decision, no shuffle/UDF — the trained-weight deployment shape")
+REGISTRY["dedup_winnow_pairs"] = QuerySpec(
+    _dedup.winnow_pairs_fn,
+    _dedup.winnow_pairs_sql("duckdb"),
+    "Winnowing span-overlap pairs (MOSS local fingerprints): sliding-"
+    "window min of word-3-gram hashes per doc, pairs sharing >= 2 "
+    "fingerprints — catches copied SPANS whole-doc MinHash misses; "
+    "df-capped fingerprint join (ubiquitous fps dropped as "
+    "boilerplate), Spark side checkpoints the fingerprint relation "
+    "once for its three consumers")
 REGISTRY["boilerplate_grams"] = QuerySpec(
     _text.boilerplate_grams_fn,
     _text.boilerplate_grams_sql("duckdb"),
@@ -2297,6 +2317,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # grew mult_a/mult_b); new materialized curation-chain entry
     "dedup_embedding_lsh", "corpus_curation_materialized",
     "ann_recall_clustered",
+    # round-7 additions (never-checked entries sort first anyway;
+    # pinned for explicitness): winnowing span-overlap dedup,
+    # per-source curation stats, hashed linear quality classifier
+    "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -921,3 +921,103 @@ def test_decode_pil_guarded_dispatch(monkeypatch):
     pil_pkg.Image = types.SimpleNamespace(open=lambda buf: _Huge())
     monkeypatch.setattr(M, "_PIL_IMAGE", None)
     assert M.decode_image("image", jpeg) == M.decode_stub("image", jpeg)
+
+
+def test_winnow_finds_planted_span(spark):
+    """Two documents sharing a >= K+W-1 word span must share a
+    fingerprint (the winnowing locality guarantee); documents with no
+    shared span must not pair."""
+    # >= K+W-1 words guarantees ONE shared fingerprint; the emit
+    # threshold is WINNOW_MIN_SHARED=2, so plant a long span (every
+    # further W grams guarantee another fingerprint)
+    span = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    rows = [
+        (1, "unrelated opening words here then " + span +
+            " and a completely different tail one", "en", "s", 120),
+        (2, "other prefix tokens entirely " + span +
+            " closing with distinct material two", "en", "s", 118),
+        (3, "nothing in common with the others at all pasta cooking "
+            "recipes tomatoes basil garlic onions", "en", "s", 90),
+    ]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    _docs_view(spark, rows)
+    got = {(r.doc_a, r.doc_b): r.shared_fps
+           for r in spark.sql(dedup.winnow_pairs_sql("spark")).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= dedup.WINNOW_MIN_SHARED
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_fn_matches_template(spark, tmp_path):
+    """The checkpointed LEAD-based Spark strategy is row-identical to
+    the array template (1-based position parity included)."""
+    import pandas as pd
+    rows = [(i, f"w{i} " * 3 + "shared span of many common words here "
+             + f"tail{i} uniq{i} filler{i} pad{i}", "en", "s", 80)
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    p = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(p)
+    import os
+    os.rename(next(str(f) for f in __import__('pathlib').Path(p).glob('*.parquet')),
+              str(tmp_path / "documents.parquet"))
+    a = dedup.winnow_pairs_fn(spark, str(tmp_path)) \
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    df.createOrReplaceTempView("documents")
+    b = spark.sql(dedup.winnow_pairs_sql("spark")) \
+        .toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_winnow_df_cap_drops_boilerplate_fp(spark):
+    """A fingerprint held by more documents than WINNOW_MAX_DF is
+    dropped before the pair join (the ubiquitous-fingerprint rule), so
+    a boilerplate phrase shared by the whole corpus cannot create a
+    quadratic pair set."""
+    boiler = "this site uses cookies accept terms and conditions apply"
+    n = dedup.WINNOW_MAX_DF + 4
+    rows = [(i, boiler + f" unique{i} trailer{i} words{i} only{i} "
+             f"here{i} now{i}", "en", "s", 90) for i in range(n)]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    _docs_view(spark, rows)
+    pairs = spark.sql(dedup.winnow_pairs_sql("spark")).collect()
+    # every pairing fp would have df == n > cap -> dropped -> no pairs
+    assert pairs == []
+
+
+def test_source_stats_counts_cross_source_dups(spark):
+    from harbourbridge_spark.pipeline import curation
+    rows = [
+        (1, "identical duplicated body", "en", "srcA", 25),
+        (2, "identical duplicated body", "en", "srcB", 25),
+        (3, "a singleton document body", "de", "srcA", 25),
+    ]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    _docs_view(spark, rows)
+    got = {r.source: r for r in
+           spark.sql(curation.source_stats_sql("spark")).collect()}
+    # the cross-source exact dup counts against BOTH sources
+    assert got["srcA"].dup_docs == 1 and got["srcB"].dup_docs == 1
+    assert got["srcA"].n_docs == 2 and got["srcA"].n_langs == 2
+    assert got["srcB"].dup_frac == 1.0
+
+
+def test_quality_classifier_integer_decision(spark):
+    """keep is the SIGN of the integer weight sum (no float in the
+    decision) and p_keep is the logistic of the mean score."""
+    import math
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(
+        ["alpha beta gamma delta", "one", "x y z w v u t s r q p"])]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    _docs_view(spark, rows)
+    out = {r.doc_id: r for r in
+           spark.sql(text.quality_classifier_sql("spark")).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert -1.0 <= r.clf_score <= 1.0
+        assert 0.0 < r.p_keep < 1.0
+        assert r.keep == (r.clf_score >= 0)
+        assert abs(r.p_keep
+                   - 1.0 / (1.0 + math.exp(-4.0 * r.clf_score))) < 1e-4
