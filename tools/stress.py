@@ -61,6 +61,12 @@ OP_BUDGETS = {
     "dedup_clusters": 5.5,
     "dedup_simhash_pairs": 5.0,
     "ann_lsh": 3.5,
+    # r7 addition: winnowing span-overlap pairs.  The near-identical
+    # replicas share virtually every fingerprint, so each fingerprint's
+    # document frequency scales with the factor — the df cap
+    # (WINNOW_MAX_DF) is exactly what keeps the pair join from going
+    # quadratic.  Budget = first measured ratio x ~1.3 headroom.
+    "dedup_winnow_pairs": 4.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
