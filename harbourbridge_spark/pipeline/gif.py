@@ -1,0 +1,340 @@
+"""Dependency-free GIF codec (decoder + fixture encoder).
+
+Completes the native image-container matrix (BMP/PPM/PNG/JPEG/GIF):
+GIF87a/89a decode with a from-scratch LZW expander, so the dispatcher
+no longer needs Pillow for the third-most-common scraped image format.
+
+decoder (`decode_gif` / `decode_gif_pixels`):
+- header + logical screen descriptor + global color table,
+- extension blocks skipped via the sub-block walk (GCE/comment/
+  application — animation control is irrelevant to features),
+- first image descriptor: local color table override, interlace
+  de-weaving (the 8/8/4/2 pass structure), LZW minimum code size,
+- LZW: LSB-first bit packing (the opposite of JPEG), CLEAR/EOI codes,
+  dictionary rebuild on CLEAR, the KwKwK self-reference case, and the
+  giflib code-width schedule (width++ when the per-code counter
+  passes 1 << width, counted per code READ, reset on CLEAR — this is
+  what real encoders interoperate with),
+- the shared MAX_DECODED_BYTES bomb ceiling, enforced from the
+  descriptor before any LZW work.
+
+Returned pixels are the FIRST frame's RGB at the frame's own dims
+(fixtures and the overwhelming majority of scraped GIFs are
+single-frame full-screen; animation compositing — disposal methods,
+partial-frame offsets — is out of scope and documented as such).
+
+fixture encoder (`encode_gif`): real LZW compression with the same
+width schedule (`grow=True`), or a CLEAR-before-width-overflow mode
+(`grow=False`) that keeps the code width constant — a legal stream
+any decoder accepts, used to cross-check the two schedules against
+each other in tests. Optional interlaced row order.
+
+`synth_gif` mirrors synth_bmp's per-row gradient EXACTLY (GIF is
+lossless), so `multimodal_decode_gif` shares the same closed-form
+oracle as the BMP/PPM/PNG fixtures — four containers, one oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAX_DECODED_BYTES = 64 << 20   # same ceiling as decode_png / jpeg
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+class _LSBReader:
+    """LSB-first bit reader (GIF packs the low bit of each code into
+    the low bit of the current byte)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated LZW stream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+def lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: returns exactly ``n_pixels`` color indices."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad LZW min code size {mcs}")
+    clear = 1 << mcs
+    eoi = clear + 1
+    br = _LSBReader(data)
+    out = bytearray()
+    width = mcs + 1
+    table: list[bytes] = []
+    counter = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal width, table, counter, prev
+        width = mcs + 1
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        counter = eoi + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = br.read(width)
+        # giflib schedule: the width counter runs per code READ and
+        # resets on CLEAR (dgif_lib.c DGifDecompressInput)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]        # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if counter < 4096:
+            counter += 1
+            if counter > (1 << width) and width < 12:
+                width += 1
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream ended early")
+    del out[n_pixels:]
+    return out
+
+
+def lzw_encode(indices: bytes, mcs: int, grow: bool = True) -> bytes:
+    """GIF-variant LZW compressor. ``grow=True`` uses the same width
+    schedule as the decoder; ``grow=False`` emits CLEAR right before
+    the width would grow, keeping every code at mcs+1 bits (legal,
+    less compression — the cross-check mode)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {}
+    counter = 0
+
+    def reset():
+        nonlocal width, table, counter
+        width = mcs + 1
+        table = {bytes([i]): i for i in range(clear)}
+        counter = eoi + 1
+
+    def bump():
+        """Per-code width schedule, mirroring the decoder."""
+        nonlocal counter, width
+        if counter < 4096:
+            counter += 1
+            if counter > (1 << width) and width < 12:
+                width += 1
+
+    reset()
+    emit(clear, width)
+    cur = b""
+    for b in bytes(indices):
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        bump()
+        if len(table) + 2 >= 4096 or \
+                (not grow and len(table) + 2 >= (1 << width) - 1):
+            emit(clear, width)
+            bump()
+            reset()
+        else:
+            table[nxt] = len(table) + 2    # +2: clear/eoi slots
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+        bump()
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [y for start, step in _INTERLACE_PASSES
+             for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _skip_subblocks(content: bytes, i: int) -> int:
+    while True:
+        if i >= len(content):
+            raise ValueError("truncated sub-blocks")
+        n = content[i]
+        i += 1
+        if n == 0:
+            return i
+        i += n
+
+
+def _read_subblocks(content: bytes, i: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        if i >= len(content):
+            raise ValueError("truncated sub-blocks")
+        n = content[i]
+        i += 1
+        if n == 0:
+            return b"".join(parts), i
+        parts.append(content[i:i + n])
+        if len(parts[-1]) != n:
+            raise ValueError("truncated sub-block")
+        i += n
+
+
+def decode_gif_pixels(content: bytes) -> np.ndarray:
+    """First frame of a GIF -> H x W x 3 uint8 RGB."""
+    if content[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(content, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(content):
+        b = content[i]
+        i += 1
+        if b == 0x21:                      # extension
+            i += 1                         # label
+            i = _skip_subblocks(content, i)
+        elif b == 0x2C:                    # image descriptor
+            _lx, _ty, w, h, ipacked = struct.unpack_from("<HHHHB",
+                                                         content, i)
+            i += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                ct = np.frombuffer(content, np.uint8,
+                                   3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("no color table")
+            if w == 0 or h == 0:
+                raise ValueError("zero dimension")
+            if w * h * 3 > MAX_DECODED_BYTES:
+                raise ValueError("decoded size over MAX_DECODED_BYTES")
+            mcs = content[i]
+            i += 1
+            data, i = _read_subblocks(content, i)
+            idx = np.frombuffer(lzw_decode(data, mcs, w * h),
+                                np.uint8).reshape(h, w)
+            if int(idx.max()) >= len(ct):
+                raise ValueError("palette index out of range")
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            return ct[idx]
+        elif b == 0x3B:                    # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image descriptor")
+
+
+GIF_FEATURE_LEN = 6
+
+
+def decode_gif(content: bytes) -> list[float]:
+    """Feature layout shared with the other image decoders:
+    [width, height, mean_r, mean_g, mean_b, first_r]."""
+    px = decode_gif_pixels(content).astype(np.float64)
+    h, w = px.shape[:2]
+    return [float(w), float(h),
+            float(px[..., 0].mean()), float(px[..., 1].mean()),
+            float(px[..., 2].mean()), float(px[0, 0, 0])]
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False, grow: bool = True) -> bytes:
+    """Single-frame GIF89a from an HxW uint8 index grid and an (N,3)
+    uint8 palette (N padded to a power of two >= 4)."""
+    h, w = indices.shape
+    n = max(4, 1 << int(np.ceil(np.log2(len(palette)))))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    mcs = max(2, int(np.log2(n)))
+    rows = indices
+    if interlace:
+        order = [y for start, step in _INTERLACE_PASSES
+                 for y in range(start, h, step)]
+        rows = indices[order]
+    data = lzw_encode(rows.tobytes(), mcs, grow=grow)
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0))
+    out.extend(pal.tobytes())
+    out.extend(b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0))
+    out.append(mcs)
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)                          # block terminator
+    out.append(0x3B)                       # trailer
+    return bytes(out)
+
+
+def synth_gif(seed: int, interlace: bool = False) -> bytes:
+    """Same pixel pattern as synth_bmp (row y is the constant color
+    (seed%200 + y, (seed*3)%200 + y, (seed*7)%200 + y)), so the
+    closed-form feature oracle is shared across BMP/PPM/PNG/GIF."""
+    w = 4 + seed % 8
+    h = 2 + seed % 5
+    r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+    palette = np.array([[r0 + y, g0 + y, b0 + y] for y in range(h)],
+                       np.uint8)
+    idx = np.repeat(np.arange(h, dtype=np.uint8)[:, None], w, axis=1)
+    return encode_gif(idx, palette, interlace=interlace)

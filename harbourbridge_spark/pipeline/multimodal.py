@@ -618,8 +618,18 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             return decode_pil(content)
         except (ValueError, OSError, MemoryError):
             pass
-    elif content[:6] in (b"GIF87a", b"GIF89a") \
-            or (content[:4] == b"RIFF" and content[8:12] == b"WEBP"):
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            # dependency-free LZW decoder (pipeline/gif.py)
+            from .gif import decode_gif
+            return decode_gif(content)
+        except (ValueError, struct.error, MemoryError, IndexError):
+            pass
+        try:
+            return decode_pil(content)
+        except (ValueError, OSError, MemoryError):
+            pass
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         try:
             return decode_pil(content)
         except (ValueError, OSError, MemoryError):
@@ -820,6 +830,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "jpeg":
         from .jpeg import synth_jpeg
         synth, mime = synth_jpeg, "image/jpeg"
+    elif fmt == "gif":
+        from .gif import synth_gif
+        synth, mime = synth_gif, "image/gif"
     else:
         synth, mime = synth_bmp, "image/bmp"
 

@@ -2186,6 +2186,30 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_gif",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0 AS mean_r,
+           CAST((doc_id * 3) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_g,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL image decode, PALETTE+LZW container: GIF through the "
+    "dependency-free from-scratch codec (sub-block walk, LSB-first "
+    "bit unpacking, LZW dictionary with CLEAR/KwKwK/width schedule, "
+    "color-table indirection) — same closed-form features as the "
+    "BMP/PPM/PNG fixtures, so all FOUR lossless containers must "
+    "agree through entirely different compression schemes")
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_image_query(spark, sf_dir, fmt="gif")
+
+
+@register(
     "multimodal_decode_ppm",
     """
     SELECT doc_id AS media_id,
@@ -2380,7 +2404,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # per-source curation stats, hashed linear quality classifier,
     # native baseline-JPEG decode
     "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
-    "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg", "multimodal_decode_gif",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -1145,3 +1145,64 @@ def test_jpeg_rejects_degrade_to_stub():
         J.decode_jpeg_pixels(huge + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
     # valid fixture still decodes through the dispatcher (6 features)
     assert len(decode_image("image", J.synth_jpeg(9))) == 6
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pipeline/gif.py)
+# ---------------------------------------------------------------------------
+
+def test_gif_fixture_matches_bmp_fixture():
+    """synth_gif decodes to EXACTLY the synth_bmp pixel pattern (GIF is
+    lossless), in both plain and interlaced row order — the property
+    the shared closed-form oracle needs."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+    from harbourbridge_spark.pipeline.multimodal import synth_bmp, decode_bmp
+    for seed in (0, 3, 7, 12, 39):
+        feats_bmp = decode_bmp(synth_bmp(seed))
+        for inter in (False, True):
+            feats_gif = G.decode_gif(G.synth_gif(seed, interlace=inter))
+            assert feats_gif == feats_bmp, (seed, inter)
+
+
+def test_gif_lzw_roundtrip_growth_and_kwkwk():
+    """LZW round-trips through dictionary growth to 12-bit codes, the
+    KwKwK self-reference case, and both width schedules (grow vs
+    CLEAR-before-overflow); both stay under the 4096-entry cap."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 256, (90, 111)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    for grow in (True, False):
+        buf = G.encode_gif(idx, pal, grow=grow)
+        assert (G.decode_gif_pixels(buf) == pal[idx]).all()
+    # runs of one symbol produce immediate KwKwK codes
+    runs = np.zeros((40, 40), np.uint8)
+    runs[5:35, 5:35] = 1
+    pal2 = np.array([[1, 2, 3], [250, 150, 50]], np.uint8)
+    buf = G.encode_gif(runs, pal2, grow=True)
+    assert (G.decode_gif_pixels(buf) == pal2[runs]).all()
+    # grow-mode must actually compress vs clear-mode on repetitive data
+    assert len(buf) < len(G.encode_gif(runs, pal2, grow=False))
+
+
+def test_gif_rejects_degrade_to_stub():
+    from harbourbridge_spark.pipeline import gif as G
+    from harbourbridge_spark.pipeline.multimodal import decode_image
+    import pytest as _pytest
+    import struct as _struct
+    with _pytest.raises(ValueError):
+        G.decode_gif_pixels(b"not a gif at all")
+    truncated = G.synth_gif(4)[:20]
+    assert len(decode_image("image", truncated)) == 8   # stub layout
+    # bomb guard: descriptor claims a huge frame
+    huge = (b"GIF89a" + _struct.pack("<HHBBB", 60000, 60000, 0x80, 0, 0)
+            + bytes(12)   # 4-entry GCT
+            + b"\x2c" + _struct.pack("<HHHHB", 0, 0, 60000, 60000, 0))
+    with _pytest.raises(ValueError):
+        G.decode_gif_pixels(huge + b"\x02\x01\x00\x00\x3b")
+    # valid fixture decodes through the dispatcher (6 features)
+    assert len(decode_image("image", G.synth_gif(8))) == 6
