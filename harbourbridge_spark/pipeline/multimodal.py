@@ -524,7 +524,9 @@ def synth_ppm(seed: int) -> bytes:
 
 def decode_audio(kind: str, content: bytes) -> list[float]:
     """Audio dispatch: real WAV decode when the bytes are a RIFF/WAVE
-    container, sha-stub otherwise (librosa would slot in here)."""
+    container; MP3 frame-header metadata walk (duration/rate/channels/
+    bitrate — sample decode would need librosa) on an ID3v2 tag or
+    MPEG frame sync; sha-stub otherwise."""
     if content is None:
         return []
     if content[:4] == b"RIFF":
@@ -534,6 +536,14 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
             # struct.error belt covers malformed headers the explicit
             # length guards miss — a corrupt file must degrade to the
             # stub, never fail the whole Spark job
+            pass
+    elif content[:3] == b"ID3" or (len(content) >= 2
+                                   and content[0] == 0xFF
+                                   and content[1] & 0xE0 == 0xE0):
+        try:
+            from .mediameta import decode_mp3_meta
+            return decode_mp3_meta(content)
+        except (ValueError, struct.error, IndexError):
             pass
     return decode_stub(kind, content)
 
@@ -641,7 +651,9 @@ def decode_image(kind: str, content: bytes) -> list[float]:
 
 def decode_video(kind: str, content: bytes) -> list[float]:
     """Video dispatch: real Y4M decode + frame sampling on magic-byte
-    match, sha-stub otherwise (pyav/ffmpeg would slot in for MP4)."""
+    match; MP4/ISO-BMFF box-walk metadata (duration, track dims,
+    video/audio presence — frame decode would need pyav) on an ftyp
+    box; sha-stub otherwise."""
     if content is None:
         return []
     if content[:9] == b"YUV4MPEG2":
@@ -650,6 +662,12 @@ def decode_video(kind: str, content: bytes) -> list[float]:
         except (ValueError, struct.error):
             # a corrupt file must degrade to the stub, never fail the
             # whole Spark job
+            pass
+    elif content[4:8] == b"ftyp":
+        try:
+            from .mediameta import decode_mp4_meta
+            return decode_mp4_meta(content)
+        except (ValueError, struct.error, IndexError):
             pass
     return decode_stub(kind, content)
 
@@ -819,8 +837,14 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     synthesized real bytes (WAV for audio; BMP/PPM/PNG for image via
     ``fmt``; Y4M for video) — the test harness for the decode path;
     generation is Arrow-batched like the decode itself."""
-    if kind == "audio":
+    if kind == "audio" and fmt == "mp3":
+        from .mediameta import synth_mp3
+        synth, mime = synth_mp3, "audio/mpeg"
+    elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
+    elif kind == "video" and fmt == "mp4":
+        from .mediameta import synth_mp4
+        synth, mime = synth_mp4, "video/mp4"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":

@@ -2186,6 +2186,76 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_meta_mp3",
+    """
+    SELECT doc_id AS media_id,
+           round(CAST((4 + doc_id % 7) * 1152000 AS DOUBLE) / 44100, 3)
+               AS duration_ms,
+           CAST(44100 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160
+                WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END
+                AS BIGINT) AS bitrate_kbps,
+           CAST(4 + doc_id % 7 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    "REAL container metadata, MPEG audio: per doc a legal CBR MPEG1 "
+    "Layer III stream behind an ID3v2 tag is synthesized, then the "
+    "frame-header walker (syncsafe ID3 skip, bitrate/sample-rate "
+    "tables, frame-length formula) sums duration/bitrate over the "
+    "ACTUAL frames; DuckDB recomputes the closed forms — the "
+    "VBR-correct accounting a corpus pipeline filters on")
+def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "audio", fmt="mp3"))
+    # the float32 feature slot perturbs the repeating-decimal duration
+    # at the 8th digit — both sides round to 3 (ms -> microsecond
+    # precision; no fixture value sits near a .0005 boundary)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 3)
+        .alias("duration_ms"),
+        F.element_at("feature", 2).cast("long").alias("sample_rate"),
+        F.element_at("feature", 3).cast("long").alias("n_channels"),
+        F.element_at("feature", 4).cast("long").alias("bitrate_kbps"),
+        F.element_at("feature", 5).cast("long").alias("n_frames"))
+
+
+@register(
+    "multimodal_meta_mp4",
+    """
+    SELECT doc_id AS media_id,
+           CAST(500 + (doc_id * 37) % 60000 AS DOUBLE) AS duration_ms,
+           CAST(2 AS BIGINT) AS n_tracks,
+           CAST(16 * (1 + doc_id % 5) AS BIGINT) AS width,
+           CAST(16 * (1 + doc_id % 3) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS has_video,
+           CAST(1 AS BIGINT) AS has_audio
+    FROM documents
+    """,
+    "REAL container metadata, ISO BMFF: per doc a minimal legal "
+    "ftyp+moov MP4 (mvhd timescale/duration, video tkhd with 16.16 "
+    "fixed-point dims, vide/soun hdlr tracks) is synthesized, then "
+    "the box walker recovers duration/dims/track kinds; DuckDB "
+    "recomputes the closed forms")
+def q_multimodal_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "video", fmt="mp4"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("double").alias("duration_ms"),
+        F.element_at("feature", 2).cast("long").alias("n_tracks"),
+        F.element_at("feature", 3).cast("long").alias("width"),
+        F.element_at("feature", 4).cast("long").alias("height"),
+        F.element_at("feature", 5).cast("long").alias("has_video"),
+        F.element_at("feature", 6).cast("long").alias("has_audio"))
+
+
+@register(
     "multimodal_decode_gif",
     """
     SELECT doc_id AS media_id,
@@ -2405,6 +2475,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # native baseline-JPEG decode
     "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
     "multimodal_decode_jpeg", "multimodal_decode_gif",
+    "multimodal_meta_mp3", "multimodal_meta_mp4",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -1206,3 +1206,65 @@ def test_gif_rejects_degrade_to_stub():
         G.decode_gif_pixels(huge + b"\x02\x01\x00\x00\x3b")
     # valid fixture decodes through the dispatcher (6 features)
     assert len(decode_image("image", G.synth_gif(8))) == 6
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 container metadata (pipeline/mediameta.py)
+# ---------------------------------------------------------------------------
+
+def test_mp3_meta_walks_real_frames():
+    """Duration/bitrate come from summing ACTUAL frames (VBR-correct),
+    the ID3v2 syncsafe skip works, and a VBR stream averages its
+    per-frame bitrates."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mediameta as M
+    dur, rate, ch, kbps, nf = M.decode_mp3_meta(M.synth_mp3(10))
+    assert (nf, rate, ch) == (4 + 10 % 7, 44100, 1)
+    assert dur == nf * 1152 * 1000 / 44100
+    # hand-built VBR: one 128k + one 192k MPEG1 L3 frame, no ID3
+    frames = b""
+    for br_idx in (9, 11):
+        k = M._BITRATES_V1[3][br_idx]
+        size = 1152 // 8 * k * 1000 // 44100
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+            | (br_idx << 12) | (3 << 6)
+        frames += _struct.pack(">I", h) + bytes(size - 4)
+    dur, rate, ch, kbps, nf = M.decode_mp3_meta(frames)
+    assert nf == 2 and kbps == (128 + 192) / 2
+    # trailing junk after valid frames is tolerated (ID3v1 zone)
+    assert M.decode_mp3_meta(frames + b"TAG" + bytes(125))[4] == 2
+
+
+def test_mp4_meta_box_walk():
+    """mvhd duration, 16.16 tkhd dims, vide/soun handlers, and the
+    64-bit largesize box path."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mediameta as M
+    dur, nt, w, h, hv, ha = M.decode_mp4_meta(M.synth_mp4(7))
+    assert (nt, hv, ha) == (2, 1.0, 1.0)
+    assert dur == 500 + (7 * 37) % 60000
+    assert (w, h) == (16 * (1 + 7 % 5), 16 * (1 + 7 % 3))
+    # version-1 mvhd (64-bit duration) inside a largesize moov
+    mvhd1 = (b"mvhd" + bytes([1]) + bytes(19)
+             + _struct.pack(">IQ", 1000, 2500) + bytes(80))
+    mvhd1 = _struct.pack(">I", len(mvhd1) + 4) + mvhd1
+    moov_body = mvhd1
+    moov = (_struct.pack(">I", 1) + b"moov"
+            + _struct.pack(">Q", len(moov_body) + 16) + moov_body)
+    ftyp = _struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    got = M.decode_mp4_meta(ftyp + moov)
+    assert got[0] == 2500.0 and got[1] == 0
+
+
+def test_media_meta_dispatch_and_degrade(spark):
+    """Audio/video dispatchers route MP3/MP4 to the metadata walkers
+    and degrade corrupt streams to the sha-stub."""
+    from harbourbridge_spark.pipeline import mediameta as M
+    from harbourbridge_spark.pipeline.multimodal import (decode_audio,
+                                                         decode_video)
+    assert len(decode_audio("audio", M.synth_mp3(3))) == 5
+    assert len(decode_video("video", M.synth_mp4(3))) == 6
+    assert len(decode_audio("audio", b"ID3\x04\x00\x00\x00\x00\x00\x02xx")) == 8
+    assert len(decode_video("video", b"\x00\x00\x00\x08ftypcorrupt")) == 8

@@ -63,10 +63,14 @@ OP_BUDGETS = {
     "ann_lsh": 3.5,
     # r7 addition: winnowing span-overlap pairs.  The near-identical
     # replicas share virtually every fingerprint, so each fingerprint's
-    # document frequency scales with the factor — the df cap
-    # (WINNOW_MAX_DF) is exactly what keeps the pair join from going
-    # quadratic.  Budget = first measured ratio x ~1.3 headroom.
-    "dedup_winnow_pairs": 4.5,
+    # document frequency scales with the factor and the PAIR OUTPUT
+    # below the df cap grows ~quadratically in duplicate multiplicity
+    # (df^2 per fingerprint) — the df cap (WINNOW_MAX_DF) is what
+    # bounds it.  Measured 4.67x / 3.13x / 5.85x over three r7 runs
+    # (the superlinear pair output makes this the highest-variance
+    # op); budget = max measured x ~1.3 headroom, same convention as
+    # the rest of this table.
+    "dedup_winnow_pairs": 7.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
