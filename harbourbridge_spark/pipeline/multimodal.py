@@ -870,7 +870,15 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
                           "duration_ms": None}] * len(pdf),
             })
 
-    return ids.select("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    # the id source is typically a 1-2 row-group parquet scan; without
+    # a repartition the whole Python synth+decode chain serializes
+    # into those tasks (the boilerplate_grams lesson) — spread it
+    # across the cluster before the codec work
+    ids = ids.select("media_id")
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:

@@ -250,3 +250,39 @@ def test_q8_dims_broadcast_single_fact_pass(spark):
     # lineitem is scanned exactly once
     assert plan.count("FileScan parquet") >= 5
     assert len(re.findall(r"FileScan parquet \[[^\]]*l_orderkey", plan)) == 1
+
+
+def test_quality_classifier_single_stage_no_shuffle(spark):
+    """The hashed classifier must be a pure projection: no Exchange,
+    no Generate (explode), no Python-UDF node — one codegen scan."""
+    plan = _plan(spark, "quality_classifier")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_winnow_pairs_equijoin_and_checkpoint(spark):
+    """The winnow pair join must be a hash equi-join on the
+    fingerprint (never a cartesian), reading the CHECKPOINTED capped
+    relation (not re-deriving the token pipeline per consumer)."""
+    plan = _plan(spark, "dedup_winnow_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
+        not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                     plan), plan
+    # the three consumers read the checkpointed RDD, so the final plan
+    # contains NO parquet scan of documents and no explode
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
+
+
+def test_source_stats_shuffles_hash_not_text(spark):
+    """corpus_source_stats: the duplicate-attribution window shuffles
+    the 8-byte content hash, and the final aggregate has a map-side
+    partial; the text column never crosses an exchange."""
+    plan = _plan(spark, "corpus_source_stats")
+    assert re.search(r"Exchange hashpartitioning\(fp#", plan), plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
