@@ -235,9 +235,11 @@ def _bands_clause(sig_source: str) -> str:
     return _bands_clause_at(sig_source, n_bands, BAND_SIZE)
 
 
-def _bands_clause_at(sig_source: str, n_bands: int, band_size: int) -> str:
-    """_bands_clause for an explicit (bands, rows) choice — see
-    bands_rows_for for deriving one from a Jaccard threshold."""
+def _band_expand_clause(sig_source: str, n_bands: int,
+                        band_size: int) -> str:
+    """Just the band-expansion CTE text (``bands AS (...)``) over a
+    signature relation — shared by the symmetric self-join clause
+    below and the asymmetric incremental probe."""
     band_key = "CASE t.band " + " ".join(
         "WHEN {b} THEN concat_ws(',', {cols})".format(
             b=b, cols=", ".join(
@@ -247,7 +249,13 @@ def _bands_clause_at(sig_source: str, n_bands: int, band_size: int) -> str:
     return f"""bands AS (
         SELECT doc_id, t.band, {band_key} AS key
         FROM {sig_source} CROSS JOIN (VALUES {values}) AS t(band)
-    ), sized AS (
+    )"""
+
+
+def _bands_clause_at(sig_source: str, n_bands: int, band_size: int) -> str:
+    """_bands_clause for an explicit (bands, rows) choice — see
+    bands_rows_for for deriving one from a Jaccard threshold."""
+    return f"""{_band_expand_clause(sig_source, n_bands, band_size)}, sized AS (
         SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
         FROM bands GROUP BY band, key
     ), ok AS (
@@ -1352,4 +1360,93 @@ def winnow_pairs_fn(spark, sf_dir: str):
     return spark.sql(f"""
     WITH capped AS (SELECT * FROM __winnow_capped),
     {_WINNOW_FINAL}
+    """)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+INCOMING_MOD = 10
+INCOMING_RES = 8        # doc_id % 10 >= 8 stands in for the new batch
+
+
+def _incremental_tail(mod: int, res: int) -> str:
+    """Asymmetric band probe over ``bands``: incoming docs join only
+    EXISTING-side buckets (sized on the existing side; over-cap
+    buckets degrade to the min-existing-doc representative, the same
+    star policy as the symmetric join). Engine-portable as-is."""
+    return f"""ex AS (
+        SELECT doc_id, band, key FROM bands
+        WHERE doc_id % {mod} < {res}
+    ), inc AS (
+        SELECT doc_id, band, key FROM bands
+        WHERE doc_id % {mod} >= {res}
+    ), sized AS (
+        SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
+        FROM ex GROUP BY band, key
+    ), cand AS (
+        SELECT i.doc_id AS new_doc, e.doc_id AS dup_of
+        FROM inc i
+        JOIN sized s ON s.band = i.band AND s.key = i.key
+                    AND s.n <= {MAX_BUCKET}
+        JOIN ex e ON e.band = i.band AND e.key = i.key
+        UNION
+        SELECT i.doc_id AS new_doc, s.rep AS dup_of
+        FROM inc i
+        JOIN sized s ON s.band = i.band AND s.key = i.key
+                    AND s.n > {MAX_BUCKET}
+    )
+    SELECT new_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+           MIN(dup_of) AS dup_of
+    FROM cand GROUP BY new_doc"""
+
+
+def dedup_incremental_sql(engine: str, mod: int = INCOMING_MOD,
+                          res: int = INCOMING_RES) -> str:
+    """Incremental (one-sided) dedup — the shape every production
+    ingest actually runs: a NEW batch is admitted against the
+    EXISTING corpus, never re-deduplicating the corpus against
+    itself.  doc_id % {mod} >= {res} stands in for the batch; a real
+    deployment reads the batch from its landing table and the
+    PRE-COMPUTED corpus signature store (signatures are append-only:
+    this round's admitted batch becomes next round's corpus rows).
+
+    Output: one row per flagged incoming doc with its distinct
+    corpus-match count and the minimum matching corpus doc (the
+    canonical it duplicates) — the admission-filter verdict list.
+
+    Scale shape vs the symmetric self-join: the probe join is
+    |batch| x bands against bucketed corpus keys — batch-sized, not
+    corpus-sized; corpus-side buckets carry the same MAX_BUCKET
+    star-degrade so a boilerplate bucket costs each incoming doc one
+    representative row, never |bucket| rows.  Candidates here are
+    band-collision verdicts (the lsh_verified gram-Jaccard stage
+    applies downstream unchanged when exactness matters)."""
+    sig = minhash_signature_sql(engine)
+    n_bands = MINHASH_K // BAND_SIZE
+    t = f"""
+    WITH sig AS ({sig}),
+    {_band_expand_clause('sig', n_bands, BAND_SIZE)},
+    {_incremental_tail(mod, res)}
+    """
+    return render(t, engine)
+
+
+def dedup_incremental_fn(spark, sf_dir: str, mod: int = INCOMING_MOD,
+                         res: int = INCOMING_RES):
+    """Spark strategy: signature materialized once (the
+    minhash_lsh_pairs_fn lesson — the CTE form would recompute the
+    shingle/md5 pipeline for the ex/inc/sized references), then the
+    asymmetric probe SQL."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
+    sig.createOrReplaceTempView("__mhinc_sig")
+    n_bands = MINHASH_K // BAND_SIZE
+    return spark.sql(f"""
+    WITH {_band_expand_clause('__mhinc_sig', n_bands, BAND_SIZE)},
+    {_incremental_tail(mod, res)}
     """)

@@ -1895,6 +1895,14 @@ _register_template(
     "star-degrade for degenerate buckets — the 100 TB path, no "
     "unbounded join anywhere",
     tables=("embeddings",))
+REGISTRY["dedup_incremental"] = QuerySpec(
+    _dedup.dedup_incremental_fn,
+    _dedup.dedup_incremental_sql("duckdb"),
+    "Incremental (one-sided) dedup — the production ingest shape: a "
+    "NEW batch probes the existing corpus's band buckets (batch-"
+    "sized join, corpus-side MAX_BUCKET star-degrade), one verdict "
+    "row per flagged incoming doc with match count + canonical; "
+    "signatures append-only across rounds")
 REGISTRY["dedup_removal_manifest"] = QuerySpec(
     _dedup.dedup_removal_manifest_fn,
     _dedup.dedup_removal_manifest_oracle_sql(),
@@ -1940,6 +1948,14 @@ _register_template(
     "Multi-probe LSH ANN: each query also searches buckets within "
     "Hamming distance 2 of its signature — recall@5 0.02 -> 0.52 on "
     "the isotropic fixture at ~14% of the brute-force work",
+    tables=("embeddings",))
+_register_template(
+    "ann_sq_rerank", _sim.ann_sq_rerank_sql,
+    "Scalar-quantized approximate scan + exact top-k rerank (the "
+    "SQ8/PQ compressed-candidate architecture): per-dim min/max grid, "
+    "8-bit floor quantization (no .5 ties), approximate cosine "
+    "top-4k candidates, exact rerank of only Q x 4k pairs — recovers "
+    "the brute-force top-k exactly on the fixture corpus",
     tables=("embeddings",))
 _register_template(
     "ann_recall", _sim.ann_recall_sql,
@@ -2475,7 +2491,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # native baseline-JPEG decode
     "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
     "multimodal_decode_jpeg", "multimodal_decode_gif",
-    "multimodal_meta_mp3", "multimodal_meta_mp4",
+    "multimodal_meta_mp3", "multimodal_meta_mp4", "ann_sq_rerank",
+    "dedup_incremental",
     # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
     # out: all were re-verified green in CORRECTNESS_r06, so the r7
     # window falls back to least-recently-checked order and re-covers

@@ -1268,3 +1268,47 @@ def test_media_meta_dispatch_and_degrade(spark):
     assert len(decode_video("video", M.synth_mp4(3))) == 6
     assert len(decode_audio("audio", b"ID3\x04\x00\x00\x00\x00\x00\x02xx")) == 8
     assert len(decode_video("video", b"\x00\x00\x00\x08ftypcorrupt")) == 8
+
+
+def test_dedup_incremental_flags_only_corpus_matches(spark):
+    """An incoming doc near-duplicating an EXISTING doc is flagged
+    with that doc as canonical; two incoming docs duplicating each
+    other but nothing existing are NOT flagged (one-sided semantics)."""
+    base = ("spark executors exchange shuffle blocks whenever wide "
+            "dependencies require data co-location across the cluster")
+    # shingle-DISJOINT from the existing docs (no shared character
+    # 5-grams), so a band collision would need an exact min-hash tie
+    # across a whole band — short shared-vocabulary English texts DO
+    # band-collide occasionally (observed: 'sourdough' text collided
+    # with 'gardens' text), which is correct LSH candidate semantics
+    other = "qzxvw jkqpy vvkzz wqqjx zzpqk xkwvj qqzzy pjxkw zyxqv kwwpz"
+    rows = [
+        (1, base, "en", "s", len(base)),            # existing (1 % 10 < 8)
+        (2, "unrelated existing content about gardens and tomatoes "
+            "growing in summer heat", "en", "s", 80),
+        (18, base + " quickly", "en", "s", len(base) + 8),  # incoming dup
+        (28, other, "en", "s", len(other)),         # incoming, no match
+        (38, other, "en", "s", len(other)),         # incoming, dups 28 only
+    ]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    _docs_view(spark, rows)
+    got = {r.doc_id: r for r in
+           spark.sql(dedup.dedup_incremental_sql("spark")).collect()}
+    assert 18 in got and got[18].dup_of == 1
+    # incoming-vs-incoming duplication is invisible to the one-sided
+    # probe by design (the batch deduplicates against itself via the
+    # symmetric operators)
+    assert 28 not in got and 38 not in got
+
+
+def test_ann_sq_rerank_recovers_bruteforce_topk(spark):
+    """8-bit scalar quantization + exact rerank returns the exact
+    brute-force top-k on the fixture corpus (rank-for-rank)."""
+    from harbourbridge_spark.pipeline import similarity
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    sq = {(r.query_id, r.rk): r.neighbor_id for r in
+          spark.sql(similarity.ann_sq_rerank_sql("spark")).collect()}
+    bf = {(r.query_id, r.rk): r.neighbor_id for r in
+          spark.sql(similarity.ann_bruteforce_sql("spark")).collect()}
+    assert sq == bf and len(sq) == 50
