@@ -40,7 +40,9 @@ import struct
 
 import numpy as np
 
-MAX_DECODED_BYTES = 64 << 20   # same ceiling as decode_png / jpeg
+# the shared decompression-bomb ceiling (see jpeg.py: a re-declared
+# copy drifted before review; always import it)
+from .multimodal import MAX_DECODED_BYTES
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
@@ -289,11 +291,8 @@ GIF_FEATURE_LEN = 6
 def decode_gif(content: bytes) -> list[float]:
     """Feature layout shared with the other image decoders:
     [width, height, mean_r, mean_g, mean_b, first_r]."""
-    px = decode_gif_pixels(content).astype(np.float64)
-    h, w = px.shape[:2]
-    return [float(w), float(h),
-            float(px[..., 0].mean()), float(px[..., 1].mean()),
-            float(px[..., 2].mean()), float(px[0, 0, 0])]
+    from .multimodal import pixel_features
+    return pixel_features(decode_gif_pixels(content))
 
 
 def encode_gif(indices: np.ndarray, palette: np.ndarray,

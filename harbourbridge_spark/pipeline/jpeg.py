@@ -50,7 +50,10 @@ import struct
 
 import numpy as np
 
-MAX_DECODED_BYTES = 64 << 20   # same ceiling as decode_png
+# the ONE decompression-bomb ceiling, shared with decode_png — a
+# re-declared copy here drifted to 64 MB (8x weaker) before a code
+# review caught it, so it is now imported, never redefined
+from .multimodal import MAX_DECODED_BYTES
 
 # zigzag index -> row-major position (ITU-T T.81 Figure 5); pinned by
 # test_jpeg_zigzag_matches_walk against the diagonal-walk generator
@@ -270,6 +273,13 @@ def _decode_scan(content, start, sof, scan, qt, huff, dri):
         raise ValueError("zero dimension")
     if w * h * 3 > MAX_DECODED_BYTES:
         raise ValueError("decoded size over MAX_DECODED_BYTES")
+    # malformed-header validation: every failure below must surface as
+    # ValueError so the dispatcher degrades to the stub — a raw
+    # KeyError/ZeroDivisionError here used to escape decode_image's
+    # except clause and fail the whole Spark job (code-review r7)
+    if any(hs < 1 or hs > 4 or vs < 1 or vs > 4
+           for _, hs, vs, _ in comps):
+        raise ValueError("bad sampling factors")
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
@@ -277,7 +287,13 @@ def _decode_scan(content, start, sof, scan, qt, huff, dri):
     mcuy = -(-h // (8 * vmax))
     order = []                        # (cid, hs, vs, dchuff, achuff, q)
     for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("SOS references unknown component")
         hs, vs, tq = by_id[cs]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("SOS references undeclared Huffman table")
+        if tq not in qt:
+            raise ValueError("SOF references undeclared quant table")
         order.append((cs, hs, vs, huff[(0, td)], huff[(1, ta)], qt[tq]))
     if len(order) != len(comps):
         raise ValueError("partial scans not supported")
@@ -365,11 +381,8 @@ JPEG_FEATURE_LEN = 6
 def decode_jpeg(content: bytes) -> list[float]:
     """Feature layout shared with decode_bmp/ppm/png/pil:
     [width, height, mean_r, mean_g, mean_b, first_r]."""
-    px = decode_jpeg_pixels(content).astype(np.float64)
-    h, w = px.shape[:2]
-    return [float(w), float(h),
-            float(px[..., 0].mean()), float(px[..., 1].mean()),
-            float(px[..., 2].mean()), float(px[0, 0, 0])]
+    from .multimodal import pixel_features
+    return pixel_features(decode_jpeg_pixels(content))
 
 
 # ---------------------------------------------------------------------------

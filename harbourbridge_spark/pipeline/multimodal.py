@@ -62,6 +62,21 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def pixel_features(px) -> list[float]:
+    """The shared 6-float image feature block
+    ``[width, height, mean_r, mean_g, mean_b, first_r]`` of an HxWx3
+    RGB raster — ONE implementation consumed by decode_pil and the
+    jpeg/gif codecs (a layout change must not be replicated by hand
+    across containers; bmp/ppm/png compute the same layout from their
+    native channel orders and are pinned equal by the shared oracle).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    return [float(w), float(h),
+            float(px[..., 0].mean()), float(px[..., 1].mean()),
+            float(px[..., 2].mean()), float(px[0, 0, 0])]
+
+
 def decode_stub(kind: str, content: bytes) -> list[float]:
     """STUB decoder: a real deployment replaces this with PIL/librosa/
     pyav decode + feature extraction. Deterministic fake: 8 floats
@@ -586,9 +601,7 @@ def decode_pil(content: bytes) -> list[float]:
         if w * h * 3 > MAX_DECODED_BYTES:
             raise ValueError("decoded size over MAX_DECODED_BYTES")
         px = np.asarray(im.convert("RGB"), dtype=np.float64)
-    return [float(w), float(h),
-            float(px[..., 0].mean()), float(px[..., 1].mean()),
-            float(px[..., 2].mean()), float(px[0, 0, 0])]
+    return pixel_features(px)
 
 
 def decode_image(kind: str, content: bytes) -> list[float]:
@@ -621,7 +634,11 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             # dependency-free baseline decoder (pipeline/jpeg.py)
             from .jpeg import decode_jpeg
             return decode_jpeg(content)
-        except (ValueError, struct.error, MemoryError, IndexError):
+        except (ValueError, struct.error, MemoryError, IndexError,
+                KeyError, ZeroDivisionError):
+            # the codec validates headers and raises ValueError; the
+            # extra classes are a belt so no malformed byte pattern
+            # can ever fail the Spark job
             pass
         try:
             # non-baseline (progressive etc.): optional Pillow backend
@@ -633,7 +650,8 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             # dependency-free LZW decoder (pipeline/gif.py)
             from .gif import decode_gif
             return decode_gif(content)
-        except (ValueError, struct.error, MemoryError, IndexError):
+        except (ValueError, struct.error, MemoryError, IndexError,
+                KeyError, ZeroDivisionError):
             pass
         try:
             return decode_pil(content)

@@ -37,7 +37,9 @@ from ..context import MigrationContext
 from ..convert import ConversionResult, convert_table
 from ..toddl import schema_to_ddl
 from ..types import SourceType
-from .pgdump import StagingWriter, read_staged_table
+from .pgdump import (StagingWriter, StmtShardWriter as _StmtWriter,
+                     decode_stmt_line as _decode_stmt_line,
+                     read_staged_table)
 
 _COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
 _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
@@ -726,38 +728,12 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
 # write order.  Parse runs once (localCheckpoint) — the counts
 # aggregate and the final projection both read the materialized rows.
 
-# statements may contain literal newlines (hand-written multi-line
-# INSERTs); encode them so each statement-file line is one statement.
-# NUL cannot appear in dump text (mysql escapes it as \\0).
-_NL_SENTINEL = "\x00"
-
-
-class _StmtWriter:
-    """Per-table statement shard files: ``<idx>\\t<encoded stmt>``."""
-
-    def __init__(self, stmt_dir: str) -> None:
-        os.makedirs(stmt_dir, exist_ok=True)
-        self.dir = stmt_dir
-        self.files: dict = {}
-        self.paths: dict[str, str] = {}
-        self.idx: dict[str, int] = {}
-
-    def write(self, table: str, stmt: str) -> int:
-        if table not in self.files:
-            path = os.path.join(self.dir, f"{table}.stmts.txt")
-            self.files[table] = open(path, "w", encoding="utf-8")
-            self.paths[table] = path
-            self.idx[table] = 0
-        i = self.idx[table]
-        self.files[table].write(
-            f"{i}\t{stmt.replace(chr(10), _NL_SENTINEL)}\n")
-        self.idx[table] = i + 1
-        return i
-
-    def close(self) -> None:
-        for f in self.files.values():
-            f.close()
-        self.files.clear()
+# The statement shard writer + line codec are shared with the pg
+# distributed path (sources/pgdump.py StmtShardWriter, imported at
+# the top as _StmtWriter): it parks BOTH \n and \r on the NUL escape
+# — Hadoop's line reader splits on bare CR too, so the \n-only
+# sentinel that used to live here corrupted statements containing
+# raw carriage returns.
 
 
 def _parse_statements_distributed(spark: SparkSession,
@@ -800,8 +776,7 @@ def _parse_statements_distributed(spark: SparkSession,
             for line in pdf["value"]:
                 tab, _, enc = line.partition("\t")
                 stmt_idx = int(tab)
-                s = _unwrap_conditional(
-                    enc.replace(_NL_SENTINEL, "\n")).strip()
+                s = _unwrap_conditional(_decode_stmt_line(enc)).strip()
                 m = _INSERT_RE.match(s)
                 if not m:
                     continue
@@ -873,7 +848,7 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
     w = _StmtWriter(os.path.join(staging_dir, "stmts"))
     try:
         for p in paths:
-            with open(p, encoding="utf-8") as f:
+            with open(p, encoding="utf-8", newline="\n") as f:
                 for stmt in _iter_statements(f, ctx):
                     s = _unwrap_conditional(stmt).strip()
                     if not s.upper().startswith("INSERT"):
@@ -928,7 +903,7 @@ def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
         ctx = MigrationContext()
     paths = [dump_path] if isinstance(dump_path, str) else list(dump_path)
     for p in paths:
-        with open(p, encoding="utf-8") as f:
+        with open(p, encoding="utf-8", newline="\n") as f:
             process_mysql_dump_schema(ctx, f,
                                       count_rows=(mode == "staged"))
     schema_to_ddl(ctx, "mysql")
@@ -943,7 +918,7 @@ def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     writer = StagingWriter(staging_dir)
     try:
         for p in paths:
-            with open(p, encoding="utf-8") as f:
+            with open(p, encoding="utf-8", newline="\n") as f:
                 stage_mysql_dump_data(ctx, f, staging_dir, writer=writer)
     finally:
         writer.close()

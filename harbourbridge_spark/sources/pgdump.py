@@ -559,7 +559,33 @@ def _estring_escape(text: str, i: int) -> tuple[str, int]:
         while j < end and text[j] in "0123456789abcdefABCDEF":
             j += 1
         if j == i + 1 + width:
-            return chr(int(text[i + 1:j], 16)), j
+            cp = int(text[i + 1:j], 16)
+            # PostgreSQL's lexer combines UTF-16 surrogate PAIRS into
+            # one code point and rejects lone surrogates; decoding
+            # them independently yields Python strings that cannot be
+            # UTF-8 encoded (the staging writer would crash much
+            # later with UnicodeEncodeError). chr() itself rejects
+            # cp > 0x10FFFF with the same ValueError the statement
+            # guard quarantines.
+            if 0xD800 <= cp <= 0xDBFF:
+                # decode the low half's hex directly (recursing into
+                # _estring_escape would hit the lone-surrogate
+                # rejection below before returning)
+                if j + 1 < len(text) and text[j] == "\\" \
+                        and text[j + 1] in "uU":
+                    w2 = 4 if text[j + 1] == "u" else 8
+                    hx = text[j + 2:j + 2 + w2]
+                    if len(hx) == w2 and all(
+                            ch in "0123456789abcdefABCDEF" for ch in hx):
+                        low = int(hx, 16)
+                        if 0xDC00 <= low <= 0xDFFF:
+                            return chr(0x10000
+                                       + ((cp - 0xD800) << 10)
+                                       + (low - 0xDC00)), j + 2 + w2
+                raise ValueError("invalid Unicode surrogate pair")
+            if 0xDC00 <= cp <= 0xDFFF:
+                raise ValueError("invalid Unicode surrogate pair")
+            return chr(cp), j
         return c, i + 1
     return c, i + 1
 
@@ -673,8 +699,18 @@ def process_pg_dump_schema(ctx: MigrationContext,
             m = _INSERT_RE.match(s)
             if m:
                 table = _clean_name(m.group("table"))
-                ctx.stats_add_row(table, len(_parse_insert_values(m.group("values"))))
-                ctx.data_statement("InsertStmt")
+                try:
+                    n_rows = len(_parse_insert_values(m.group("values")))
+                except ValueError as e:
+                    # e.g. lone \\u surrogate, \\U beyond U+10FFFF —
+                    # pg's own parser rejects the statement, so it
+                    # lands in the error bucket like any unparsable
+                    # statement (both data passes skip it)
+                    ctx.unexpected(f"unparsable INSERT values: {e}")
+                    ctx.error_in_statement("InsertStmt")
+                else:
+                    ctx.stats_add_row(table, n_rows)
+                    ctx.data_statement("InsertStmt")
             else:
                 ctx.error_in_statement("InsertStmt")
         else:
@@ -786,7 +822,14 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
             continue
         cols = ([_clean_name(c) for c in m.group("cols").split(",")]
                 if m.group("cols") else list(schema_table.col_names))
-        for vals in _parse_insert_values(m.group("values")):
+        try:
+            tuples = _parse_insert_values(m.group("values"))
+        except ValueError:
+            # already counted as error_in_statement by the schema
+            # pass; skip the statement (reference: pg_query parse
+            # error drops the whole statement)
+            continue
+        for vals in tuples:
             # reorder INSERT cols into full schema column order
             by_col = dict(zip(cols, vals))
             ordered = [by_col.get(c) for c in schema_table.col_names]
@@ -1186,16 +1229,33 @@ class _FileScan:
     unexpected: list[str]
 
 
-# statement shard line encoding: real newlines inside a statement are
-# parked on NUL (pg text dumps disallow NUL) so one statement is one
-# spark.read.text line, mirroring the mysql shard writer
-_STMT_NL = "\x00"
+# Statement shard line encoding. Hadoop's text line reader splits on
+# LF, CR, and CRLF alike, so BOTH \n and \r inside a statement (legal
+# raw inside pg standard string literals; hand-written multi-line
+# INSERTs) must be parked or spark.read.text splits one statement
+# into garbage fragments. NUL is the escape character because it
+# cannot occur in dump text (Postgres text rejects NUL bytes;
+# mysqldump escapes it as \\0), so the escape itself never needs
+# escaping: \n -> NUL+'n', \r -> NUL+'r'. Shared by the pg and mysql
+# distributed paths — ONE implementation (a prior copy in
+# mysqldump.py parked only \n and has been retired onto this one).
+_STMT_ESC = "\x00"
 
 
-class _PgStmtWriter:
+def encode_stmt_line(stmt: str) -> str:
+    return stmt.replace("\n", _STMT_ESC + "n") \
+               .replace("\r", _STMT_ESC + "r")
+
+
+def decode_stmt_line(enc: str) -> str:
+    return enc.replace(_STMT_ESC + "n", "\n") \
+              .replace(_STMT_ESC + "r", "\r")
+
+
+class StmtShardWriter:
     """Per-table shard files of raw INSERT statements, one line per
-    statement with a file-local index — executors tokenize them (the
-    mysql r6 pattern, sources/mysqldump.py)."""
+    statement with a file-local index (``<idx>\\t<encoded stmt>``) —
+    executors tokenize them (the r6 distributed-ingest pattern)."""
 
     def __init__(self, stmt_dir: str) -> None:
         self.dir = stmt_dir
@@ -1211,8 +1271,7 @@ class _PgStmtWriter:
             self.paths[table] = path
             self.idx[table] = 0
         i = self.idx[table]
-        self.files[table].write(
-            f"{i}\t{stmt.replace(chr(10), _STMT_NL)}\n")
+        self.files[table].write(f"{i}\t{encode_stmt_line(stmt)}\n")
         self.idx[table] = i + 1
         return i
 
@@ -1232,7 +1291,7 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
     files — tokenization happens executor-side, so an INSERT-format
     dump (pg_dump --inserts) no longer has a per-row driver loop; the
     driver's work is bulk byte scanning only."""
-    w = _PgStmtWriter(os.path.join(shard_dir, "stmts"))
+    w = StmtShardWriter(os.path.join(shard_dir, "stmts"))
     fs = _FileScan([], {}, [])
     try:
         with open(path, "rb") as f:
@@ -1292,15 +1351,19 @@ def _tokenize_pg_inserts(spark: SparkSession, ctx: MigrationContext,
             for line in pdf["value"]:
                 tab, _, enc = line.partition("\t")
                 stmt_idx = int(tab)
-                s = enc.replace(_STMT_NL, "\n")
+                s = decode_stmt_line(enc)
                 m = _INSERT_RE.match(s)
                 if not m:
                     continue
                 cols = ([_clean_name(c) for c in
                          m.group("cols").split(",")]
                         if m.group("cols") else schema_cols)
-                for j, vals in enumerate(
-                        _parse_insert_values(m.group("values"))):
+                try:
+                    tuples = _parse_insert_values(m.group("values"))
+                except ValueError:
+                    continue    # statement-level skip, parity with
+                                # the staged pass's guard
+                for j, vals in enumerate(tuples):
                     by_col = dict(zip(cols, vals))
                     ordered = [by_col.get(c) for c in schema_cols]
                     idxs.append(stmt_idx)
@@ -1433,7 +1496,7 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     # pass 1 stays serial per file: DDL statements are tiny and must
     # apply in dump order (ALTERs may follow CREATEs across files)
     for p in paths:
-        with open(p, encoding="utf-8") as f:
+        with open(p, encoding="utf-8", newline="\n") as f:
             process_pg_dump_schema(ctx, f)
     schema_to_ddl(ctx, "postgres")
     ctx.add_synthetic_pkeys()
@@ -1448,7 +1511,7 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     writer = StagingWriter(staging_dir)
     try:
         for p in paths:
-            with open(p, encoding="utf-8") as f:
+            with open(p, encoding="utf-8", newline="\n") as f:
                 stage_pg_dump_data(ctx, f, staging_dir, writer=writer)
     finally:
         writer.close()
@@ -1520,11 +1583,26 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                                      chunk_bytes, max_workers)
 
     # executor tokenization per (file, table) shard: rows stay on the
-    # cluster; the driver receives per-statement tuple counts only
+    # cluster; the driver receives per-statement tuple counts only.
+    # Shards are SUBMITTED CONCURRENTLY — each one is a small Spark
+    # job (localCheckpoint + counts aggregate) dominated by scheduler
+    # latency, so a serial loop would pay F x T sequential round
+    # trips on exactly the very-large-dump path this mode targets
+    # (code-review r7); Spark job submission is thread-safe.
+    shard_items = [(i, t, p) for i, fscan in enumerate(scans)
+                   for t, p in fscan.stmt_paths.items()]
     parsed: dict[tuple[int, str], tuple[DataFrame, dict[int, int]]] = {}
-    for i, fscan in enumerate(scans):
-        for t, p in fscan.stmt_paths.items():
+    if len(shard_items) <= 1:
+        for i, t, p in shard_items:
             parsed[(i, t)] = _tokenize_pg_inserts(spark, ctx, t, p)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        pool_n = min(len(shard_items), max_workers or 8)
+        with ThreadPoolExecutor(max_workers=pool_n) as pool:
+            futs = {(i, t): pool.submit(_tokenize_pg_inserts, spark,
+                                        ctx, t, p)
+                    for i, t, p in shard_items}
+        parsed = {k: f.result() for k, f in futs.items()}
 
     # walk the global timeline (files in path order, events in file
     # order): a table enters `order` at its first row-yielding event,

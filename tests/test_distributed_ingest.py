@@ -457,3 +457,47 @@ def test_mysql_multifile_modes_identical(spark, tmp_path):
     _, _, r1 = _assert_mysql_modes_identical(spark, [f1, f2], tmp_path)
     pks = [row.synth_id for row in r1["s"].good.collect()]
     assert len(pks) == len(set(pks)) == 120
+
+
+def test_cr_inside_insert_literal_modes_identical(spark, tmp_path):
+    """A raw carriage return (and CRLF, and lone LF) inside a pg
+    standard string literal must survive distributed mode: Hadoop's
+    line reader splits shard-file lines on bare CR too, so the
+    \\n-only sentinel used to break the statement into garbage
+    fragments (code-review r7). Both modes must agree bit-for-bit."""
+    f = tmp_path / "cr.sql"
+    f.write_text(
+        "CREATE TABLE public.t (id integer NOT NULL, v text, "
+        "PRIMARY KEY (id));\n"
+        "INSERT INTO public.t VALUES (1, 'has\rcarriage'), "
+        "(2, 'has\r\nboth'), (3, 'has\nnewline'), (4, 'plain');\n",
+        newline="")   # keep the embedded \r bytes verbatim
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path)
+    good = {row.id: row.v for row in r1["t"].good.collect()}
+    # lone \r and lone \n inside literals survive exactly; a literal
+    # \r\n is indistinguishable from a CRLF LINE ENDING at read time,
+    # so the documented CRLF-dump normalization (strip one trailing CR
+    # per line, S2) maps it to \n — identically in both modes
+    assert good == {1: "has\rcarriage", 2: "has\nboth",
+                    3: "has\nnewline", 4: "plain"}
+
+
+def test_mysql_cr_inside_statement_modes_identical(spark, tmp_path):
+    """The mysql distributed path shares the fixed shard codec: a
+    hand-written INSERT broken across CRLF lines (raw \\r\\n inside
+    the statement text) must parse identically in both modes."""
+    f = tmp_path / "cr_my.sql"
+    f.write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL, `v` varchar(20), "
+        "PRIMARY KEY (`id`));\r\n"
+        "INSERT INTO `t` VALUES\r\n(1, 'a'),\r\n(2, 'b');\r\n",
+        newline="")
+    from harbourbridge_spark.sources.mysqldump import migrate_mysql_dump
+    outs = []
+    for mode in ("staged", "distributed"):
+        out = tmp_path / mode
+        ctx, res = migrate_mysql_dump(spark, str(f), str(out),
+                                      mode=mode)
+        outs.append({row.id: row.v
+                     for row in res["t"].good.collect()})
+    assert outs[0] == outs[1] == {1: "a", 2: "b"}

@@ -434,3 +434,29 @@ def test_insert_estring_escapes():
     assert _parse_insert_values(r"(1, E'\q')") == [["1", "q"]]
     # plain strings are untouched; a stray E token alone is not a prefix
     assert _parse_insert_values(r"('no\escape')") == [["no\\escape"]]
+
+
+def test_estring_surrogate_pairs_and_rejects(spark, tmp_path):
+    """pg E'...' \\u escapes: a UTF-16 surrogate PAIR combines into
+    one code point (PostgreSQL lexer behavior); a LONE surrogate or a
+    \\U beyond U+10FFFF quarantines the STATEMENT instead of crashing
+    the staging writer with UnicodeEncodeError later (code-review
+    r7)."""
+    from harbourbridge_spark.sources import pgdump
+    f = tmp_path / "sur.sql"
+    f.write_text(
+        "CREATE TABLE public.t (id integer NOT NULL, v text, "
+        "PRIMARY KEY (id));\n"
+        "INSERT INTO public.t VALUES (1, E'\\ud83d\\ude00');\n"  # pair
+        "INSERT INTO public.t VALUES (2, E'\\ud83d lone');\n"    # lone
+        "INSERT INTO public.t VALUES (3, E'\\U00110000');\n"     # > max
+        "INSERT INTO public.t VALUES (4, 'plain');\n")
+    for mode in ("staged", "distributed"):
+        ctx, res = pgdump.migrate_pg_dump(
+            spark, str(f), str(tmp_path / mode), mode=mode)
+        good = {r.id: r.v for r in res["t"].good.collect()}
+        assert good == {1: "\U0001F600", 4: "plain"}, (mode, good)
+    # the schema pass records the two rejected statements
+    assert sum(1 for u in ctx.unexpecteds
+               if "unparsable INSERT" in u) >= 2 \
+        or ctx.statement_errors.get("InsertStmt", 0) >= 2

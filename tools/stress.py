@@ -165,7 +165,13 @@ def main() -> int:
         tn = time_op(Q, spark, name, rep_dir)
         ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
         budget = OP_BUDGETS.get(name)
-        gate = round(budget * factor / 8.0, 2) if budget else None
+        # budgets are calibrated at factor 8; scale linearly for other
+        # factors but FLOOR at 3.0 — sub-linear ratios come from fixed
+        # overheads that do not shrink with the factor, so a small
+        # factor would otherwise produce gates near/below 1.0 that no
+        # op can pass (code-review r7)
+        gate = round(max(budget * factor / 8.0, 3.0), 2) if budget \
+            else None
         gated = gate is not None
         ok = (not gated) or ratio <= gate
         if not ok:
