@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Repo-wide physical-plan linter: every registry entry's executed
+plan is swept for scale anti-patterns. tests/test_plans.py pins ~25
+entries' SPECIFIC plan properties (broadcasts, pushdown, pruning);
+this tool enforces the NEGATIVE invariants across all ~98 entries
+automatically, so a regression in an un-pinned entry (a join
+degrading to a cartesian, a Python UDF sneaking into a hot path)
+fails CI instead of surfacing in a benchmark three rounds later.
+
+Checks per entry:
+- no CartesianProduct;
+- no BroadcastNestedLoopJoin, UNLESS every such join in the plan has
+  a literal/one-row side (the legitimate tiny-cross-join shape, e.g.
+  a 1-row per-dimension stats relation or a VALUES band list) —
+  entries that need one are ALLOWLISTED with a justification;
+- no BatchEvalPython (row-at-a-time Python UDF) anywhere, ever;
+- ArrowEvalPython / (Flat)MapInPandas / MapInArrow only in entries
+  allowlisted as deliberately Python-kernel-backed (multimodal
+  decode, vectorized hash kernels).
+
+Usage: python tools/plan_lint.py [name ...]; exits non-zero on any
+violation. Also wired into pytest (tests/test_plan_lint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("PLAN_LINT_SF_DIR", "/root/testdata/sf0.001")
+
+# Entries whose plans legitimately contain a Python eval node: the
+# operator IS an Arrow-batched Python kernel by design (multimodal
+# decode, numpy signature kernels). BatchEvalPython (row-at-a-time)
+# is never acceptable, even here.
+PYTHON_KERNEL_OK = {
+    "multimodal_features", "multimodal_decode_wav",
+    "multimodal_decode_bmp", "multimodal_decode_ppm",
+    "multimodal_decode_png", "multimodal_decode_jpeg",
+    "multimodal_decode_gif", "multimodal_decode_y4m",
+    "multimodal_meta_mp3", "multimodal_meta_mp4",
+    "multimodal_resize", "multimodal_frame_features",
+    "multimodal_pixel_dedup",
+    # vectorized Arrow kernels (numpy minhash/simhash signatures)
+    "dedup_minhash_lsh_fast", "dedup_simhash", "dedup_simhash_pairs",
+    "lsh_bucket_stats", "dedup_minhash_lsh_t35",
+    # sessionize twin drives applyInPandasWithState's batch analogue
+    "sessionize_batch",
+}
+
+# Entries allowed to contain BroadcastNestedLoopJoin because every
+# nested-loop build side is bounded tiny — cost = O(|big side|), not
+# a quadratic pair scan. Empirically derived (run with this set empty
+# to re-derive), each with its shape:
+TINY_CROSS_OK = {
+    # literal VALUES band list (4-8 rows) cross-joined for band
+    # expansion (_band_expand_clause)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
+    "dedup_minhash_lsh_fast", "lsh_bucket_stats", "dedup_incremental",
+    # ANN: the n_queries<=10 query side broadcasts onto a non-equi
+    # (vec_id !=) probe — the documented brute-force/recall design
+    "ann_bruteforce", "ann_ivf", "ann_recall", "ann_recall_clustered",
+    # + the 1-row per-dimension min/max stats CROSS JOIN
+    "ann_sq_rerank",
+    # 1-row corpus-total / stage-summary relations
+    "doc_surprisal", "corpus_curation_materialized",
+    "dedup_pipeline_materialized",
+    # TPC-H scalar subqueries (1-row broadcast threshold)
+    "q11_important_stock", "q22_inactive_customer_balance",
+}
+
+BAD_ALWAYS = ("CartesianProduct", "BatchEvalPython")
+
+
+def lint_one(spark, Q, name: str) -> list[str]:
+    df = Q.REGISTRY[name].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems = []
+    for marker in BAD_ALWAYS:
+        if marker in plan:
+            problems.append(marker)
+    if "BroadcastNestedLoopJoin" in plan and name not in TINY_CROSS_OK:
+        problems.append("BroadcastNestedLoopJoin (not allowlisted)")
+    if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow", plan) \
+            and name not in PYTHON_KERNEL_OK:
+        problems.append("Python eval node (not allowlisted)")
+    return problems
+
+
+def main(argv: list[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    from harbourbridge_spark import queries as Q
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    names = argv or list(Q.REGISTRY)
+    failures = {}
+    for name in names:
+        try:
+            problems = lint_one(spark, Q, name)
+        except Exception as e:          # noqa: BLE001 — report, don't die
+            problems = [f"plan build failed: {e!r:.120}"]
+        if problems:
+            failures[name] = problems
+            print(f"FAIL  {name}: {problems}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(failures)} failures / {len(names)} entries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
