@@ -85,3 +85,101 @@ def test_gram_kernel_matches_template(texts):
     rows = dict(con.execute(sql).fetchall())
     for i, t in enumerate(texts):
         assert sorted(_hashed_gram_set(_norm(t))) == sorted(rows[i])
+
+
+# ---------------------------------------------------------------------------
+# codec properties (pipeline/jpeg.py, gif.py, mediameta.py)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_gif_lzw_roundtrip_property(data):
+    """ANY index grid through ANY palette size round-trips exactly,
+    under both width schedules and both row orders."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    npal = data.draw(st.sampled_from([2, 3, 4, 7, 16, 200, 256]),
+                     label="npal")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    grow = data.draw(st.booleans(), label="grow")
+    inter = data.draw(st.booleans(), label="interlace")
+    buf = G.encode_gif(idx, pal, interlace=inter, grow=grow)
+    assert (G.decode_gif_pixels(buf) == pal[idx]).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_roundtrip_bounded_error_property(data):
+    """ANY uint8 image (any dims, including non-8-multiples) survives
+    encode->decode with per-pixel error bounded by the worst-case
+    quantization budget; dims always exact; no exception."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    h = data.draw(st.integers(1, 40), label="h")
+    w = data.draw(st.integers(1, 40), label="w")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    gray = data.draw(st.booleans(), label="gray")
+    rng = np.random.RandomState(seed)
+    if gray:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    else:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(img))
+    assert dec.shape == (h, w, 3)
+    ref = img if not gray else np.stack([img] * 3, axis=-1)
+    # random noise is JPEG's pathological worst case: bound the MEAN
+    # error loosely (Annex-K high-freq steps reach ~120) — the tight
+    # bounds live in the smooth-image unit test
+    err = np.abs(dec.astype(float) - ref.astype(float)).mean()
+    assert err < 80.0, err
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_mp3_frame_walk_property(data):
+    """Any legal CBR/VBR frame sequence (random layer/version/bitrate
+    per frame) decodes to the exact frame count and the exact summed
+    duration."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mediameta as M
+    n = data.draw(st.integers(1, 12), label="n_frames")
+    out = bytearray()
+    want_samples = {}
+    rate = None
+    # one (version, rate-idx) per stream (mixed-rate streams are not
+    # a thing); vary bitrate per frame (VBR)
+    ver = data.draw(st.sampled_from([3, 2, 0]), label="ver")
+    sr_idx = data.draw(st.integers(0, 2), label="sr_idx")
+    rate = M._SAMPLE_RATES[ver][sr_idx]
+    total_samples = 0
+    for k in range(n):
+        layer = data.draw(st.sampled_from([1, 2, 3]),
+                          label=f"layer{k}")
+        table = M._BITRATES_V1 if ver == 3 else M._BITRATES_V2
+        br_idx = data.draw(st.integers(1, 14), label=f"br{k}")
+        kbps = table[layer][br_idx]
+        if layer == 1:
+            samples = 384
+            size = (12 * kbps * 1000 // rate) * 4
+        else:
+            samples = 1152 if (ver == 3 or layer == 2) else 576
+            size = samples // 8 * kbps * 1000 // rate
+        if size <= 4:
+            continue
+        h = ((0x7FF << 21) | (ver << 19) | ((4 - layer) << 17)
+             | (1 << 16) | (br_idx << 12) | (sr_idx << 10) | (3 << 6))
+        out += _struct.pack(">I", h) + bytes(size - 4)
+        total_samples += samples
+    if not total_samples:
+        return
+    dur, got_rate, ch, kbps_mean, nf = M.decode_mp3_meta(bytes(out))
+    assert got_rate == rate and ch == 1
+    assert dur == total_samples * 1000.0 / rate
