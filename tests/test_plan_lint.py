@@ -22,8 +22,15 @@ def test_allowlists_not_stale(spark):
     exemption — a stale allowlist hides future regressions."""
     for name in PL.TINY_CROSS_OK | PL.PYTHON_KERNEL_OK:
         assert name in Q.REGISTRY, f"allowlisted {name} not in registry"
+    import re
     for name in sorted(PL.TINY_CROSS_OK):
         df = Q.REGISTRY[name].fn(spark, PL.SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan, \
             f"{name} no longer needs its TINY_CROSS_OK exemption"
+    for name in sorted(PL.PYTHON_KERNEL_OK):
+        df = Q.REGISTRY[name].fn(spark, PL.SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"ArrowEvalPython|MapInPandas|MapInArrow",
+                         plan), \
+            f"{name} no longer needs its PYTHON_KERNEL_OK exemption"
