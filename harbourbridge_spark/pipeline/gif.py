@@ -42,7 +42,7 @@ import numpy as np
 
 # the shared decompression-bomb ceiling (see jpeg.py: a re-declared
 # copy drifted before review; always import it)
-from .multimodal import MAX_DECODED_BYTES
+from .limits import MAX_DECODED_BYTES
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 

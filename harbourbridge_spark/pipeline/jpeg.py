@@ -53,7 +53,7 @@ import numpy as np
 # the ONE decompression-bomb ceiling, shared with decode_png — a
 # re-declared copy here drifted to 64 MB (8x weaker) before a code
 # review caught it, so it is now imported, never redefined
-from .multimodal import MAX_DECODED_BYTES
+from .limits import MAX_DECODED_BYTES
 
 # zigzag index -> row-major position (ITU-T T.81 Figure 5); pinned by
 # test_jpeg_zigzag_matches_walk against the diagonal-walk generator

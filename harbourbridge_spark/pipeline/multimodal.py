@@ -47,11 +47,8 @@ MEDIA_SCHEMA = T.StructType([
     ]), True),
 ])
 
-# Decompression-bomb ceiling for compressed containers (PNG): the
-# largest pixel buffer a single decode may inflate. The unfilter loop
-# is Python-serial per row, so the cap also bounds CPU: 8 MB ≈ a
-# 1600² truecolor image — far above any fixture, bounded work per row.
-MAX_DECODED_BYTES = 8 * 1024 * 1024
+from .limits import MAX_DECODED_BYTES  # noqa: F401  (re-exported:
+#     the bomb ceiling's home is pipeline/limits.py — see that module)
 
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -596,11 +593,23 @@ def decode_pil(content: bytes) -> list[float]:
     if not img:
         raise ValueError("Pillow not installed")
     import io as _io
-    with img.open(_io.BytesIO(content)) as im:
-        w, h = im.size
-        if w * h * 3 > MAX_DECODED_BYTES:
-            raise ValueError("decoded size over MAX_DECODED_BYTES")
-        px = np.asarray(im.convert("RGB"), dtype=np.float64)
+    try:
+        with img.open(_io.BytesIO(content)) as im:
+            w, h = im.size
+            if w * h * 3 > MAX_DECODED_BYTES:
+                raise ValueError("decoded size over MAX_DECODED_BYTES")
+            px = np.asarray(im.convert("RGB"), dtype=np.float64)
+    except ValueError:
+        raise
+    except Exception as e:
+        # PIL raises classes OUTSIDE (ValueError, OSError, Memory-
+        # Error): DecompressionBombError subclasses Exception directly
+        # and fires inside open() BEFORE our ceiling check, so a
+        # crafted huge-dims header would otherwise escape the
+        # dispatcher's except tuple and fail the whole Spark job
+        # (code-review r7). decode_pil's contract is 'ValueError on
+        # anything undecodable' — translate everything.
+        raise ValueError(f"PIL decode failed: {e}") from e
     return pixel_features(px)
 
 

@@ -386,8 +386,7 @@ def ann_sq_rerank_sql(engine: str, n_queries: int = 10,
     codes (8x smaller scan) and keeps this exact plan shape. Recall
     loss at 8 bits is negligible (ann_recall-style measurement: the
     top-cand set virtually always contains the true top-k)."""
-    from .similarity import _dot_sql, _norm_sql  # self-import safe
-    from ..pipeline.text import render
+    from .text import render
     mins = ", ".join(
         f"MIN(CAST({{elem}}(embedding, {i}) AS DOUBLE))"
         for i in range(1, DIM + 1))

@@ -20,7 +20,7 @@ def test_registry_plans_clean(spark):
 def test_allowlists_not_stale(spark):
     """Every allowlisted entry must still exist AND still need its
     exemption — a stale allowlist hides future regressions."""
-    for name in PL.TINY_CROSS_OK | PL.PYTHON_KERNEL_OK:
+    for name in set(PL.TINY_CROSS_OK) | PL.PYTHON_KERNEL_OK:
         assert name in Q.REGISTRY, f"allowlisted {name} not in registry"
     import re
     for name in sorted(PL.TINY_CROSS_OK):

@@ -54,23 +54,31 @@ PYTHON_KERNEL_OK = {
 
 # Entries allowed to contain BroadcastNestedLoopJoin because every
 # nested-loop build side is bounded tiny — cost = O(|big side|), not
-# a quadratic pair scan. Empirically derived (run with this set empty
-# to re-derive), each with its shape:
+# a quadratic pair scan. Value = the MAX number of BNLJ nodes the
+# entry's plan may contain (empirically derived; run with this dict
+# emptied to re-derive): a future edit that introduces an ADDITIONAL
+# nested-loop join to an allowlisted entry trips the count instead of
+# hiding behind the exemption (a degradation of an EXISTING join's
+# build side from tiny to corpus-sized remains out of this linter's
+# reach — that is what the per-entry pins in test_plans.py and the
+# stress harness cover).
 TINY_CROSS_OK = {
     # literal VALUES band list (4-8 rows) cross-joined for band
     # expansion (_band_expand_clause)
-    "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
-    "dedup_minhash_lsh_fast", "lsh_bucket_stats", "dedup_incremental",
+    "dedup_minhash_lsh": 6, "dedup_minhash_lsh_t35": 6,
+    "dedup_minhash_lsh_fast": 6, "lsh_bucket_stats": 1,
+    "dedup_incremental": 5,
     # ANN: the n_queries<=10 query side broadcasts onto a non-equi
     # (vec_id !=) probe — the documented brute-force/recall design
-    "ann_bruteforce", "ann_ivf", "ann_recall", "ann_recall_clustered",
+    "ann_bruteforce": 1, "ann_ivf": 2, "ann_recall": 8,
+    "ann_recall_clustered": 8,
     # + the 1-row per-dimension min/max stats CROSS JOIN
-    "ann_sq_rerank",
+    "ann_sq_rerank": 3,
     # 1-row corpus-total / stage-summary relations
-    "doc_surprisal", "corpus_curation_materialized",
-    "dedup_pipeline_materialized",
+    "doc_surprisal": 1, "corpus_curation_materialized": 3,
+    "dedup_pipeline_materialized": 2,
     # TPC-H scalar subqueries (1-row broadcast threshold)
-    "q11_important_stock", "q22_inactive_customer_balance",
+    "q11_important_stock": 1, "q22_inactive_customer_balance": 1,
 }
 
 BAD_ALWAYS = ("CartesianProduct", "BatchEvalPython")
@@ -83,8 +91,13 @@ def lint_one(spark, Q, name: str) -> list[str]:
     for marker in BAD_ALWAYS:
         if marker in plan:
             problems.append(marker)
-    if "BroadcastNestedLoopJoin" in plan and name not in TINY_CROSS_OK:
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj and name not in TINY_CROSS_OK:
         problems.append("BroadcastNestedLoopJoin (not allowlisted)")
+    elif n_bnlj > TINY_CROSS_OK.get(name, 0):
+        problems.append(
+            f"{n_bnlj} BroadcastNestedLoopJoin nodes "
+            f"(allowlisted max {TINY_CROSS_OK[name]})")
     if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow", plan) \
             and name not in PYTHON_KERNEL_OK:
         problems.append("Python eval node (not allowlisted)")
