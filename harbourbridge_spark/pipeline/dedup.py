@@ -1450,3 +1450,78 @@ def dedup_incremental_fn(spark, sf_dir: str, mod: int = INCOMING_MOD,
     WITH {_band_expand_clause('__mhinc_sig', n_bands, BAND_SIZE)},
     {_incremental_tail(mod, res)}
     """)
+
+
+# ---------------------------------------------------------------------------
+# persistent signature store (the production incremental-dedup flow)
+# ---------------------------------------------------------------------------
+
+def signature_store_write(spark, docs_df, store_path: str,
+                          mode: str = "overwrite") -> None:
+    """Compute MinHash signatures for ``docs_df`` (documents schema)
+    and persist them as the parquet SIGNATURE STORE — the append-only
+    corpus-side state of incremental dedup. Signatures are |docs| x
+    (1 + K) longs: the store for a 100 TB corpus is ~1/1000th of the
+    text and is the ONLY thing future batches ever read — the corpus
+    text is never re-tokenized."""
+    docs_df.createOrReplaceTempView("__sig_store_in")
+    sig_sql = minhash_signature_sql("spark").replace(
+        "FROM documents", "FROM __sig_store_in")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.sql(sig_sql).write.mode(mode).parquet(store_path)
+
+
+def dedup_incremental_against_store(spark, store_path: str, batch_df,
+                                    admit: bool = False):
+    """Probe a NEW batch against the persisted signature store: only
+    the batch is tokenized (corpus signatures come straight off
+    parquet), the probe is the same asymmetric band join as
+    dedup_incremental (corpus-side MAX_BUCKET star-degrade), and with
+    ``admit=True`` the CLEAN batch docs' signatures are APPENDED to
+    the store — the next batch then dedups against them too, which is
+    the whole append-only contract. Returns the verdict DataFrame
+    (doc_id, n_corpus_matches, dup_of) for flagged batch docs.
+
+    Scale: one batch-sized signature job, one batch-sized band probe
+    against bucketed store keys, one batch-sized append. Nothing is
+    ever recomputed over the corpus."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    batch_df.createOrReplaceTempView("__inc_batch_in")
+    batch_sig_sql = minhash_signature_sql("spark").replace(
+        "FROM documents", "FROM __inc_batch_in")
+    batch_sig = spark.sql(batch_sig_sql).localCheckpoint()
+    batch_sig.createOrReplaceTempView("__inc_batch_sig")
+    spark.read.parquet(store_path) \
+        .createOrReplaceTempView("__inc_store_sig")
+    n_bands = MINHASH_K // BAND_SIZE
+    verdicts = spark.sql(f"""
+    WITH {_band_expand_clause('__inc_store_sig', n_bands, BAND_SIZE)},
+    ex AS (SELECT doc_id, band, key FROM bands),
+    {_band_expand_clause('__inc_batch_sig', n_bands, BAND_SIZE)
+        .replace('bands AS', 'inc_bands AS')},
+    inc AS (SELECT doc_id, band, key FROM inc_bands),
+    sized AS (
+        SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
+        FROM ex GROUP BY band, key
+    ), cand AS (
+        SELECT i.doc_id AS new_doc, e.doc_id AS dup_of
+        FROM inc i
+        JOIN sized s ON s.band = i.band AND s.key = i.key
+                    AND s.n <= {MAX_BUCKET}
+        JOIN ex e ON e.band = i.band AND e.key = i.key
+        UNION
+        SELECT i.doc_id AS new_doc, s.rep AS dup_of
+        FROM inc i
+        JOIN sized s ON s.band = i.band AND s.key = i.key
+                    AND s.n > {MAX_BUCKET}
+    )
+    SELECT new_doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+           MIN(dup_of) AS dup_of
+    FROM cand GROUP BY new_doc
+    """).localCheckpoint()
+    if admit:
+        flagged = verdicts.select("doc_id")
+        clean_sig = batch_sig.join(flagged, "doc_id", "left_anti")
+        clean_sig.write.mode("append").parquet(store_path)
+    return verdicts

@@ -1312,3 +1312,41 @@ def test_ann_sq_rerank_recovers_bruteforce_topk(spark):
     bf = {(r.query_id, r.rk): r.neighbor_id for r in
           spark.sql(similarity.ann_bruteforce_sql("spark")).collect()}
     assert sq == bf and len(sq) == 50
+
+
+def test_incremental_signature_store_append_only(spark, tmp_path):
+    """The production incremental flow: build the store once, probe a
+    batch (only the batch is tokenized), ADMIT the clean docs, and
+    verify the next batch dedups against the admitted ones — the
+    append-only contract end to end."""
+    store = str(tmp_path / "sigstore")
+    corpus_text = ("spark executors exchange shuffle blocks whenever "
+                   "wide dependencies require co-location of rows")
+    # shingle-disjoint from the corpus docs (see
+    # test_dedup_incremental_flags_only_corpus_matches: short English
+    # texts band-collide through shared common 5-grams)
+    novel = "qzxvw jkqpy vvkzz wqqjx zzpqk xkwvj qqzzy pjxkw zyxqv"
+    corpus = spark.createDataFrame(
+        [(1, corpus_text, "en", "s", len(corpus_text)),
+         (2, "gardens and tomatoes growing through a hot summer "
+             "afternoon with bees around", "en", "s", 80)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    dedup.signature_store_write(spark, corpus, store)
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    batch1 = mk([(101, corpus_text + " quickly", "en", "s", 90),
+                 (102, novel, "en", "s", len(novel))])
+    v1 = {r.doc_id: r.dup_of for r in
+          dedup.dedup_incremental_against_store(
+              spark, store, batch1, admit=True).collect()}
+    assert v1 == {101: 1}            # near-dup of corpus doc 1 flagged
+    # doc 102 was clean and ADMITTED: a later batch duplicating it
+    # must now flag against it
+    batch2 = mk([(201, novel + " tail", "en", "s", len(novel) + 5)])
+    v2 = {r.doc_id: r.dup_of for r in
+          dedup.dedup_incremental_against_store(
+              spark, store, batch2).collect()}
+    assert v2 == {201: 102}
