@@ -809,7 +809,13 @@ def _parse_statements_distributed(spark: SparkSession,
                                 "row": rows_out, "reparsed": reps,
                                 "unparsable": unps})
 
-    parsed = (spark.read.text(stmt_path)
+    # single-split shard file -> single tokenize task without a
+    # repartition (see pgdump._tokenize_pg_inserts; same fix)
+    par = spark.sparkContext.defaultParallelism
+    src = spark.read.text(stmt_path)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    parsed = (src
               .mapInPandas(gen, "stmt_idx long, local_idx long, "
                                 "row string, reparsed long, "
                                 "unparsable long")

@@ -460,3 +460,90 @@ def test_estring_surrogate_pairs_and_rejects(spark, tmp_path):
     assert sum(1 for u in ctx.unexpecteds
                if "unparsable INSERT" in u) >= 2 \
         or ctx.statement_errors.get("InsertStmt", 0) >= 2
+
+
+def test_count_insert_tuples_matches_parser():
+    """The schema-pass fast tuple counter must agree with the full
+    tokenizer on every adversarial VALUES shape (strings containing
+    parens/commas/quotes, E-string escapes, nested parens, NULLs),
+    and must route \\u/\\U statements to the full parser so invalid
+    Unicode still errors at schema time."""
+    import pytest as _pytest
+
+    from harbourbridge_spark.sources.pgdump import (
+        _count_insert_tuples, _parse_insert_values)
+    bs = chr(92)
+    cases = [
+        "(1, 'a'), (2, 'b'), (3, 'c')",
+        "(1, 'pa(ren')",
+        "(1, 'two''quotes ))((')",
+        "(1, E'esc" + bs + "'quote ( deep')",
+        "(1, E'" + bs + "n" + bs + "t'), (2, NULL), (3, 'x,y')",
+        # (function calls in VALUES are out of the pg_dump grammar:
+        # both the parser and the counter treat nested parens as
+        # garbage-in — no case for them here)
+        "(42, '),(')",                   # tuple-separator INSIDE string
+        "(1, 'a')",
+        "(1, E'" + bs + "ud83d" + bs + "ude00')",   # slow path, valid
+    ]
+    for vals in cases:
+        assert _count_insert_tuples(vals) \
+            == len(_parse_insert_values(vals)), vals
+    with _pytest.raises(ValueError):
+        _count_insert_tuples("(1, E'" + bs + "ud83d lone')")
+
+
+def test_strip_sql_comments_matches_reference_walk():
+    """The span-copying strip (fast) must agree with the obvious
+    per-char reference implementation on adversarial inputs —
+    comments in/out of strings, doubling, unterminated constructs."""
+    from harbourbridge_spark.sources.pgdump import strip_sql_comments
+
+    def reference(stmt):
+        out, i, n, in_squote = [], 0, len(stmt), False
+        while i < n:
+            ch = stmt[i]
+            if in_squote:
+                out.append(ch)
+                if ch == "'":
+                    if i + 1 < n and stmt[i + 1] == "'":
+                        out.append("'")
+                        i += 1
+                    else:
+                        in_squote = False
+            elif ch == "'":
+                in_squote = True
+                out.append(ch)
+            elif stmt.startswith("/*", i):
+                end = stmt.find("*/", i + 2)
+                i = (end + 1) if end != -1 else n
+            elif stmt.startswith("--", i):
+                end = stmt.find("\n", i)
+                i = (end - 1) if end != -1 else n
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
+    cases = [
+        "SELECT 1; -- tail comment",
+        "SELECT 1 /* mid */ + 2;",
+        "SELECT '--not a comment' /* c */;",
+        "SELECT 'it''s -- fine /* too */';",
+        "a -- c1\nb -- c2\nc",
+        "unterminated 'string -- kept",
+        "/* unterminated block",
+        "-- only a comment",
+        "no comments at all",
+        "'/*'||'*/' -- both in strings\nrest",
+        "a /* one */ b /* two */ c -- three",
+        "", "'", "--", "/*", "x'--'y",
+    ]
+    import random
+    rng = random.Random(7)
+    toks = ["'", "''", "--", "/*", "*/", "\n", ";", "a", " ", "$x$"]
+    for _ in range(300):
+        cases.append("".join(rng.choice(toks)
+                             for _ in range(rng.randint(0, 40))))
+    for c in cases:
+        assert strip_sql_comments(c) == reference(c), repr(c)
