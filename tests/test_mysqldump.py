@@ -210,3 +210,136 @@ def test_alter_fk_roundtrips_into_ddl(altered):
     ddl = get_ddl(altered, comments=False)
     text = "\n".join(ddl) if not isinstance(ddl, str) else ddl
     assert "FOREIGN KEY" in text and "REFERENCES" in text
+
+
+def test_mysql_chunker_token_walk_matches_reference():
+    """The regex-token chunker must yield IDENTICAL statements to the
+    old per-char reference on adversarial inputs — escapes, doubling,
+    backticks, '-- ' comments, DELIMITER blocks, mid-line splits,
+    multi-line strings."""
+    import io
+    import random
+
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources.mysqldump import _iter_statements
+
+    def reference(stream, ctx):
+        parts = []
+        in_squote = in_dquote = in_backtick = False
+        delimiter_mode = False
+        for raw in stream:
+            line = raw.rstrip("\n")
+            if line.endswith("\r"):
+                line = line[:-1]
+            stripped = line.strip()
+            if not parts and not (in_squote or in_dquote):
+                if not stripped or stripped.startswith("--") \
+                        or stripped.startswith("#"):
+                    continue
+                up = stripped.upper()
+                if up.startswith("DELIMITER"):
+                    delimiter_mode = not up.replace(
+                        "DELIMITER", "").strip() == ";"
+                    ctx.skip_statement("DelimiterStmt")
+                    continue
+                if delimiter_mode:
+                    continue
+            seg_start = 0
+            i = 0
+            comment_tail = False
+            comment_start = len(line)
+            while i < len(line):
+                ch = line[i]
+                if in_squote:
+                    if ch == "\\":
+                        i += 1
+                    elif ch == "'":
+                        if i + 1 < len(line) and line[i + 1] == "'":
+                            i += 1
+                        else:
+                            in_squote = False
+                elif in_dquote:
+                    if ch == "\\":
+                        i += 1
+                    elif ch == '"':
+                        in_dquote = False
+                elif in_backtick:
+                    if ch == "`":
+                        in_backtick = False
+                else:
+                    if ch == "'":
+                        in_squote = True
+                    elif ch == '"':
+                        in_dquote = True
+                    elif ch == "`":
+                        in_backtick = True
+                    elif ch == "-" and line.startswith("-- ", i):
+                        comment_tail = True
+                        comment_start = i
+                        break
+                    elif ch == ";":
+                        segment = line[seg_start:i + 1]
+                        yield "\n".join(parts + [segment]) if parts \
+                            else segment
+                        parts = []
+                        seg_start = i + 1
+                i += 1
+            tail = line[seg_start:]
+            if comment_tail and not parts \
+                    and not line[seg_start:comment_start].strip():
+                continue
+            if comment_tail or parts or tail.strip() \
+                    or in_squote or in_dquote:
+                if parts or tail.strip() or in_squote or in_dquote:
+                    parts.append(tail)
+        if parts and any(p.strip() for p in parts):
+            yield "\n".join(parts)
+
+    bs = chr(92)
+    cases = [
+        "INSERT INTO `t` VALUES (1, 'a;b'), (2, \"c;d\");\n",
+        "SELECT 1; SELECT 2;\nSELECT 3;\n",
+        "INSERT INTO t VALUES (1, 'it''s'), (2, '" + bs + "'x');\n",
+        "a 'multi\nline' ; b;\n",
+        "x; -- tail ; comment\nnext;\n",
+        "DELIMITER $$\nCREATE TRIGGER z BEGIN END$$\nDELIMITER ;\nafter;\n",
+        "`quoted ; ident` ;\n",
+        "# hash comment\nreal;\n",
+        'w "dq ' + bs + '" esc" ; y;\n',
+        "'" + bs + bs + "';\n",
+    ]
+    rng = random.Random(11)
+    toks = ["'", '"', "`", ";", "-- ", "\n", bs, "a", " ", "''", "#"]
+    for _ in range(300):
+        cases.append("".join(rng.choice(toks)
+                             for _ in range(rng.randint(0, 40))) + "\n")
+    for c in cases:
+        got = list(_iter_statements(io.StringIO(c), MigrationContext()))
+        want = list(reference(io.StringIO(c), MigrationContext()))
+        assert got == want, repr(c)
+
+
+def test_mysql_count_insert_tuples_matches_recovery():
+    """The fast counter equals the recovery parser's row count on
+    clean extended INSERTs and abstains (None -> full parse) on
+    everything suspicious."""
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources.mysqldump import (
+        count_insert_tuples, parse_insert_with_recovery)
+    bs = chr(92)
+    clean = [
+        "(1, 'a'), (2, 'b'), (3, NULL)",
+        "(1, 'semi;colon'), (2, 'paren (x)')",
+        "(1, 'it''s'), (2, '" + bs + "'esc')",
+        "(1, 2.5, 'x,y'), (2, -3, '')",
+        "(1, 'a')",
+    ]
+    for vals in clean:
+        n = count_insert_tuples(vals)
+        assert n is not None, vals
+        assert n == len(parse_insert_with_recovery(
+            MigrationContext(), vals)), vals
+    # suspicious shapes abstain rather than guess
+    for vals in ["(1, 'broken", "(1, func(2)), (3, 'x')",
+                 "(1, `tick`)", "no parens at all"]:
+        assert count_insert_tuples(vals) is None, vals
