@@ -547,3 +547,114 @@ def test_strip_sql_comments_matches_reference_walk():
                              for _ in range(rng.randint(0, 40))))
     for c in cases:
         assert strip_sql_comments(c) == reference(c), repr(c)
+
+
+def test_parse_insert_values_matches_reference():
+    """The bulk-advancement tokenizer must be byte-identical to the
+    per-char reference (kept here verbatim) on adversarial inputs —
+    including its established quirks (post-string whitespace joins
+    the quoted value; unterminated input discards the pending token),
+    which downstream goldens pin."""
+    import random
+
+    from harbourbridge_spark.sources.pgdump import (_estring_escape,
+                                                    _parse_insert_values)
+
+    def reference(values_text):
+        rows = []
+        i, n = 0, len(values_text)
+        while i < n:
+            while i < n and values_text[i] != "(":
+                i += 1
+            if i >= n:
+                break
+            i += 1
+            row, cur = [], []
+            in_squote = in_estring = was_quoted = False
+            while i < n:
+                ch = values_text[i]
+                if in_squote:
+                    if in_estring and ch == "\\" and i + 1 < n:
+                        dec, i = _estring_escape(values_text, i + 1)
+                        cur.append(dec)
+                        continue
+                    if ch == "'":
+                        if i + 1 < n and values_text[i + 1] == "'":
+                            cur.append("'")
+                            i += 1
+                        else:
+                            in_squote = False
+                            in_estring = False
+                    else:
+                        cur.append(ch)
+                else:
+                    if ch == "'":
+                        in_squote = True
+                        was_quoted = True
+                        pref = "".join(cur).strip()
+                        in_estring = pref in ("E", "e")
+                        if in_estring or not pref:
+                            cur = []
+                    elif ch in ",)":
+                        if was_quoted:
+                            row.append("".join(cur))
+                        else:
+                            tok = "".join(cur).strip()
+                            if tok.upper() == "NULL":
+                                row.append(None)
+                            elif tok.upper() == "TRUE":
+                                row.append("t")
+                            elif tok.upper() == "FALSE":
+                                row.append("f")
+                            else:
+                                row.append(tok)
+                        cur = []
+                        was_quoted = False
+                        if ch == ")":
+                            i += 1
+                            break
+                    else:
+                        cur.append(ch)
+                i += 1
+            rows.append(row)
+        return rows
+
+    bs = chr(92)
+    cases = [
+        "(1, 'a'), (2, NULL), (3, TRUE), (4, false)",
+        "(1, 'it''s'), (2, E'" + bs + "n" + bs + "t')",
+        "( 'post space'  , 2 )",
+        "('a' 'b', 3)",                     # adjacent quoted strings
+        "(1, E'" + bs + "x41" + bs + "101')",
+        "(e'" + bs + "'', ')",
+        "(1, 'unterminated",
+        "(1, E'" + bs,                      # backslash at EOF
+        "(), (,), ( , )",
+        "(1, 'a)b'), (2, 'c,(d')",
+        "junk before (1) junk after",
+        "",
+        "(E 'spaced prefix')",
+        "(  e  'lower prefix')",
+        "(NOTNULL, nullx, TRUEISH)",
+    ]
+    rng = random.Random(13)
+    toks = ["'", "''", ",", "(", ")", "E", "e", bs, "n", "1", " ",
+            "NULL", "TRUE", bs + "u0041", bs + "x41"]
+    for _ in range(500):
+        cases.append("".join(rng.choice(toks)
+                             for _ in range(rng.randint(0, 30))))
+
+    def run_both(v):
+        try:
+            got = ("ok", _parse_insert_values(v))
+        except ValueError as ex:
+            got = ("err", str(ex))
+        try:
+            want = ("ok", reference(v))
+        except ValueError as ex:
+            want = ("err", str(ex))
+        return got, want
+
+    for c in cases:
+        got, want = run_both(c)
+        assert got == want, (repr(c), got, want)
