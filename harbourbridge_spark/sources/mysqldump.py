@@ -566,74 +566,97 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
             "_": "\\_"}
 
 
+_MY_VALUE_ACTION_RE = re.compile(r"[',)]")
+_MY_ESC_OR_QUOTE_RE = re.compile(r"[\\']")
+
+
 def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
     """Tokenize (...),(...) tuples with MySQL escaping. Returns rows of
-    strings (None = NULL)."""
+    strings (None = NULL).
+
+    Same bulk-advancement rewrite as pgdump._parse_insert_values
+    (state machine unchanged, C-speed regex jumps between action
+    characters); parity pinned by the fuzz test against the per-char
+    reference (test_mysqldump)."""
     rows: list[list[Optional[str]]] = []
     i, n = 0, len(values_text)
     while i < n:
-        while i < n and values_text[i] != "(":
-            i += 1
-        if i >= n:
+        j = values_text.find("(", i)
+        if j < 0:
             break
-        i += 1
+        i = j + 1
         row: list[Optional[str]] = []
         cur: list[str] = []
         in_squote = False
         was_quoted = False
         while i < n:
-            ch = values_text[i]
             if in_squote:
+                m = _MY_ESC_OR_QUOTE_RE.search(values_text, i)
+                if not m:
+                    i = n
+                    break
+                if m.start() > i:
+                    cur.append(values_text[i:m.start()])
+                i = m.start()
+                ch = values_text[i]
                 if ch == "\\" and i + 1 < n:
                     nxt = values_text[i + 1]
                     cur.append(_ESCAPES.get(nxt, nxt))
-                    i += 1
+                    i += 2
                 elif ch == "'":
                     if i + 1 < n and values_text[i + 1] == "'":
                         cur.append("'")
-                        i += 1
+                        i += 2
                     else:
                         in_squote = False
-                else:
-                    cur.append(ch)
-            else:
-                if ch == "'":
-                    in_squote = True
-                    was_quoted = True
-                    if not "".join(cur).strip():
-                        cur = []  # drop whitespace preceding the quote
-                elif ch in ",)":
-                    if ch == ")" and not row and not was_quoted \
-                            and not "".join(cur).strip():
-                        # empty tuple '()' — no values
                         i += 1
-                        break
-                    if was_quoted:
-                        row.append("".join(cur))
-                    else:
-                        tok = "".join(cur).strip()
-                        if tok.upper() == "NULL":
-                            row.append(None)
-                        elif tok.upper() == "TRUE":
-                            row.append("1")
-                        elif tok.upper() == "FALSE":
-                            row.append("0")
-                        elif tok.startswith("0x") or tok.startswith("0X"):
-                            try:  # hex literal -> raw string bytes
-                                row.append(bytes.fromhex(tok[2:]).decode(
-                                    "utf-8", errors="surrogateescape"))
-                            except ValueError:
-                                row.append(tok)
-                        else:
+                else:            # lone backslash at end of input
+                    cur.append(ch)
+                    i += 1
+                continue
+            m = _MY_VALUE_ACTION_RE.search(values_text, i)
+            if not m:
+                i = n
+                break
+            if m.start() > i:
+                cur.append(values_text[i:m.start()])
+            i = m.start()
+            ch = values_text[i]
+            if ch == "'":
+                in_squote = True
+                was_quoted = True
+                if not "".join(cur).strip():
+                    cur = []  # drop whitespace preceding the quote
+                i += 1
+            else:                # ',' or ')'
+                if ch == ")" and not row and not was_quoted \
+                        and not "".join(cur).strip():
+                    # empty tuple '()' — no values
+                    i += 1
+                    break
+                if was_quoted:
+                    row.append("".join(cur))
+                else:
+                    tok = "".join(cur).strip()
+                    if tok.upper() == "NULL":
+                        row.append(None)
+                    elif tok.upper() == "TRUE":
+                        row.append("1")
+                    elif tok.upper() == "FALSE":
+                        row.append("0")
+                    elif tok.startswith("0x") or tok.startswith("0X"):
+                        try:  # hex literal -> raw string bytes
+                            row.append(bytes.fromhex(tok[2:]).decode(
+                                "utf-8", errors="surrogateescape"))
+                        except ValueError:
                             row.append(tok)
-                    cur = []
-                    was_quoted = False
-                    if ch == ")":
-                        i += 1
-                        break
-                else:
-                    cur.append(ch)
-            i += 1
+                    else:
+                        row.append(tok)
+                cur = []
+                was_quoted = False
+                i += 1
+                if ch == ")":
+                    break
         if row:
             rows.append(row)
     return rows

@@ -343,3 +343,104 @@ def test_mysql_count_insert_tuples_matches_recovery():
     for vals in ["(1, 'broken", "(1, func(2)), (3, 'x')",
                  "(1, `tick`)", "no parens at all"]:
         assert count_insert_tuples(vals) is None, vals
+
+
+def test_mysql_parse_insert_values_matches_reference():
+    """The bulk-advancement mysql tokenizer must be byte-identical to
+    the per-char reference on adversarial inputs (backslash escapes,
+    '' doubling, hex literals, empty tuples, unterminated strings)."""
+    import random
+
+    from harbourbridge_spark.sources.mysqldump import (_ESCAPES,
+                                                       parse_insert_values)
+
+    def reference(values_text):
+        rows = []
+        i, n = 0, len(values_text)
+        while i < n:
+            while i < n and values_text[i] != "(":
+                i += 1
+            if i >= n:
+                break
+            i += 1
+            row, cur = [], []
+            in_squote = was_quoted = False
+            while i < n:
+                ch = values_text[i]
+                if in_squote:
+                    if ch == "\\" and i + 1 < n:
+                        nxt = values_text[i + 1]
+                        cur.append(_ESCAPES.get(nxt, nxt))
+                        i += 1
+                    elif ch == "'":
+                        if i + 1 < n and values_text[i + 1] == "'":
+                            cur.append("'")
+                            i += 1
+                        else:
+                            in_squote = False
+                    else:
+                        cur.append(ch)
+                else:
+                    if ch == "'":
+                        in_squote = True
+                        was_quoted = True
+                        if not "".join(cur).strip():
+                            cur = []
+                    elif ch in ",)":
+                        if ch == ")" and not row and not was_quoted \
+                                and not "".join(cur).strip():
+                            i += 1
+                            break
+                        if was_quoted:
+                            row.append("".join(cur))
+                        else:
+                            tok = "".join(cur).strip()
+                            if tok.upper() == "NULL":
+                                row.append(None)
+                            elif tok.upper() == "TRUE":
+                                row.append("1")
+                            elif tok.upper() == "FALSE":
+                                row.append("0")
+                            elif tok.startswith("0x") \
+                                    or tok.startswith("0X"):
+                                try:
+                                    row.append(bytes.fromhex(
+                                        tok[2:]).decode(
+                                        "utf-8",
+                                        errors="surrogateescape"))
+                                except ValueError:
+                                    row.append(tok)
+                            else:
+                                row.append(tok)
+                        cur = []
+                        was_quoted = False
+                        if ch == ")":
+                            i += 1
+                            break
+                    else:
+                        cur.append(ch)
+                i += 1
+            if row:
+                rows.append(row)
+        return rows
+
+    bs = chr(92)
+    cases = [
+        "(1, 'a'), (2, NULL), (3, TRUE), (4, false)",
+        "(1, 'it''s'), (2, '" + bs + "n" + bs + "t" + bs + "0')",
+        "(1, 0x48692100), (2, 0xZZ)",
+        "(), (1), ( )",
+        "(1, '" + bs + "'esc'), (2, '" + bs + bs + "')",
+        "(1, 'unterminated",
+        "(1, '" + bs,
+        "( 'post space'  , 2 )",
+        "(1, 'a)b'), (2, 'c,(d')",
+    ]
+    rng = random.Random(17)
+    toks = ["'", "''", ",", "(", ")", bs, "n", "0x41", "1", " ",
+            "NULL", "TRUE"]
+    for _ in range(500):
+        cases.append("".join(rng.choice(toks)
+                             for _ in range(rng.randint(0, 30))))
+    for c in cases:
+        assert parse_insert_values(c) == reference(c), repr(c)
