@@ -236,17 +236,19 @@ def _bands_clause(sig_source: str) -> str:
 
 
 def _band_expand_clause(sig_source: str, n_bands: int,
-                        band_size: int) -> str:
-    """Just the band-expansion CTE text (``bands AS (...)``) over a
-    signature relation — shared by the symmetric self-join clause
-    below and the asymmetric incremental probe."""
+                        band_size: int, cte_name: str = "bands") -> str:
+    """Just the band-expansion CTE text (``<cte_name> AS (...)``) over
+    a signature relation — shared by the symmetric self-join clause
+    below and the asymmetric incremental probes (which instantiate it
+    twice under different names; the name is a parameter so no caller
+    has to string-surgery the SQL)."""
     band_key = "CASE t.band " + " ".join(
         "WHEN {b} THEN concat_ws(',', {cols})".format(
             b=b, cols=", ".join(
                 f"m{i}" for i in range(b * band_size, (b + 1) * band_size)))
         for b in range(n_bands)) + " END"
     values = ",".join(f"({b})" for b in range(n_bands))
-    return f"""bands AS (
+    return f"""{cte_name} AS (
         SELECT doc_id, t.band, {band_key} AS key
         FROM {sig_source} CROSS JOIN (VALUES {values}) AS t(band)
     )"""
@@ -1497,8 +1499,8 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
     verdicts = spark.sql(f"""
     WITH {_band_expand_clause('__inc_store_sig', n_bands, BAND_SIZE)},
     ex AS (SELECT doc_id, band, key FROM bands),
-    {_band_expand_clause('__inc_batch_sig', n_bands, BAND_SIZE)
-        .replace('bands AS', 'inc_bands AS')},
+    {_band_expand_clause('__inc_batch_sig', n_bands, BAND_SIZE,
+                         cte_name='inc_bands')},
     inc AS (SELECT doc_id, band, key FROM inc_bands),
     sized AS (
         SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
@@ -1521,7 +1523,24 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
     FROM cand GROUP BY new_doc
     """).localCheckpoint()
     if admit:
-        flagged = verdicts.select("doc_id")
-        clean_sig = batch_sig.join(flagged, "doc_id", "left_anti")
+        # WITHIN-batch near-duplicates must not all be admitted: two
+        # new docs duplicating each other (but nothing in the store)
+        # produce no verdicts, and admitting both would plant a
+        # permanent duplicate pair no future probe can ever flag
+        # (code-review r7). A batch-internal band self-join excludes
+        # every doc that collides with a SMALLER batch doc — the
+        # min-doc representative of each candidate group is admitted,
+        # consistent with the candidate-level semantics of the store
+        # probe itself.
+        intra = spark.sql(f"""
+        WITH {_band_expand_clause('__inc_batch_sig', n_bands,
+                                  BAND_SIZE)}
+        SELECT DISTINCT b.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+        """)
+        excluded = verdicts.select("doc_id").union(intra)
+        clean_sig = batch_sig.join(excluded, "doc_id", "left_anti")
         clean_sig.write.mode("append").parquet(store_path)
     return verdicts

@@ -38,8 +38,9 @@ from ..convert import ConversionResult, convert_table
 from ..toddl import schema_to_ddl
 from ..types import SourceType
 from .pgdump import (StagingWriter, StmtShardWriter as _StmtWriter,
+                     _ESC_OR_QUOTE_RE, _VALUE_ACTION_RE,
                      decode_stmt_line as _decode_stmt_line,
-                     read_staged_table)
+                     read_shard_lines, read_staged_table)
 
 _COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
 _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
@@ -566,8 +567,10 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
             "_": "\\_"}
 
 
-_MY_VALUE_ACTION_RE = re.compile(r"[',)]")
-_MY_ESC_OR_QUOTE_RE = re.compile(r"[\\']")
+# action-character patterns shared with pgdump (byte-identical there;
+# imported, not redefined — see the StmtShardWriter precedent)
+_MY_VALUE_ACTION_RE = _VALUE_ACTION_RE
+_MY_ESC_OR_QUOTE_RE = _ESC_OR_QUOTE_RE
 
 
 def parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
@@ -677,16 +680,24 @@ _MY_CLEAN_TUPLES_RE = re.compile(
     re.DOTALL)
 
 
+_MY_TUPLE_RE = re.compile(r"\(([^()'\"`]*)\)")
+
+
 def count_insert_tuples(values_text: str) -> Optional[int]:
     """Fast tuple count for the schema pass's row stats, or None when
     the statement is not cleanly shaped (mangled quoting, nesting) —
     the caller then runs parse_insert_with_recovery, preserving the
     recovery counters and drop semantics exactly. The schema pass
     used to FULLY tokenize every extended INSERT just to count rows
-    (profiled: half the pass)."""
+    (profiled: half the pass).
+
+    Empty tuples ``()`` are NOT counted — parse_insert_values drops
+    them (the all-defaults INSERT guard), and the schema-pass stats
+    must match what the data pass actually writes (code-review r7)."""
     stripped = _MY_STRING_RE.sub("S", values_text)
     if _MY_CLEAN_TUPLES_RE.match(stripped):
-        return stripped.count("(")
+        return sum(1 for m in _MY_TUPLE_RE.finditer(stripped)
+                   if m.group(1).strip())
     return None
 
 
@@ -912,13 +923,7 @@ def _parse_statements_distributed(spark: SparkSession,
                                 "row": rows_out, "reparsed": reps,
                                 "unparsable": unps})
 
-    # single-split shard file -> single tokenize task without a
-    # repartition (see pgdump._tokenize_pg_inserts; same fix)
-    par = spark.sparkContext.defaultParallelism
-    src = spark.read.text(stmt_path)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    parsed = (src
+    parsed = (read_shard_lines(spark, stmt_path)
               .mapInPandas(gen, "stmt_idx long, local_idx long, "
                                 "row string, reparsed long, "
                                 "unparsable long")

@@ -583,10 +583,17 @@ def _estring_escape(text: str, i: int) -> tuple[str, int]:
 
 # string literals (E-strings first: a backslash-escaped quote inside
 # one would terminate the plain pattern early), for the fast tuple
-# counter below
+# counter below. The lookbehind keeps a token merely ENDING in e/E
+# (e.g. value'...') from being misread as an escape string — the
+# parser only honors an exact bare E/e prefix.
 _STRING_LIT_RE = re.compile(
-    r"[eE]'(?:\\.|''|[^'\\])*'|'(?:''|[^'])*'", re.DOTALL)
-_NON_PAREN_RE = re.compile(r"[^()]+")
+    r"(?<![A-Za-z0-9_])[eE]'(?:\\.|''|[^'\\])*'|'(?:''|[^'])*'",
+    re.DOTALL)
+# after string stripping, a WELL-FORMED VALUES list is strictly
+# quote-free tuples; anything else (stray quotes from a strip/parser
+# disagreement, unterminated strings) must take the full parse
+_PG_CLEAN_TUPLES_RE = re.compile(
+    r"\A\s*\([^()']*\)(?:\s*,\s*\([^()']*\))*\s*;?\s*\Z", re.DOTALL)
 # action characters of the value tokenizer's normal / E-string states
 _VALUE_ACTION_RE = re.compile(r"[',)]")
 _ESC_OR_QUOTE_RE = re.compile(r"[\\']")
@@ -607,20 +614,19 @@ def _count_insert_tuples(values_text: str) -> int:
     Statements containing \\u/\\U escapes take the full-parse path so
     invalid Unicode (lone surrogates, cp > 0x10FFFF) is still
     detected AT SCHEMA TIME and lands in the error bucket exactly as
-    before — the fast path cannot raise."""
+    before — the fast path cannot raise. The stripped residue must
+    also pass a strict clean-shape check (quote-free tuples only;
+    the mysql counter's abstain rule) — any strip/parser divergence
+    leaves stray quotes or unbalanced parens behind and falls back
+    to the full parse instead of silently miscounting (code-review
+    r7: a token ENDING in e next to a quote used to fool the
+    E-string strip)."""
     if "\\u" in values_text or "\\U" in values_text:
         return len(_parse_insert_values(values_text))
-    parens = _NON_PAREN_RE.sub(
-        "", _STRING_LIT_RE.sub("''", values_text))
-    in_tuple = False
-    n = 0
-    for ch in parens:
-        if ch == "(" and not in_tuple:
-            in_tuple = True
-            n += 1
-        elif ch == ")" and in_tuple:
-            in_tuple = False
-    return n
+    stripped = _STRING_LIT_RE.sub("S", values_text)
+    if not _PG_CLEAN_TUPLES_RE.match(stripped):
+        return len(_parse_insert_values(values_text))
+    return stripped.count("(")
 
 
 def _parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
@@ -1419,6 +1425,20 @@ def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
     return fs
 
 
+def read_shard_lines(spark: SparkSession, stmt_path: str):
+    """Read a statement shard file spread across the cluster: a shard
+    is typically ONE input split (well under maxPartitionBytes), so
+    without a repartition the whole tokenize pass would run as a
+    single task (profiled 12.9 s -> ~1 s at 400k rows). Line identity
+    (not order) carries stmt_idx, so the round-robin shuffle has no
+    ordering hazard. Shared by the pg and mysql distributed paths."""
+    par = spark.sparkContext.defaultParallelism
+    src = spark.read.text(stmt_path)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src
+
+
 def _tokenize_pg_inserts(spark: SparkSession, ctx: MigrationContext,
                          table: str, stmt_path: str):
     """Executor-side tokenization of one (file, table) INSERT shard:
@@ -1459,16 +1479,7 @@ def _tokenize_pg_inserts(spark: SparkSession, ctx: MigrationContext,
             yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
                                 "row": rows_out})
 
-    # a shard file is typically ONE input split (well under
-    # maxPartitionBytes), so without a repartition the whole tokenize
-    # pass runs as a single task — profiled 12.9 s -> ~1 s at 400k
-    # rows; line identity (not order) carries stmt_idx, so the
-    # round-robin shuffle is free of ordering hazards
-    par = spark.sparkContext.defaultParallelism
-    src = spark.read.text(stmt_path)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    parsed = (src
+    parsed = (read_shard_lines(spark, stmt_path)
               .mapInPandas(gen, "stmt_idx long, local_idx long, "
                                 "row string")
               .localCheckpoint())

@@ -1350,3 +1350,35 @@ def test_incremental_signature_store_append_only(spark, tmp_path):
           dedup.dedup_incremental_against_store(
               spark, store, batch2).collect()}
     assert v2 == {201: 102}
+
+
+def test_incremental_store_excludes_within_batch_dups(spark, tmp_path):
+    """Two near-identical docs in the SAME batch (no store match) must
+    not both be admitted — only the min-doc representative enters the
+    store, and a later duplicate flags against it (code-review r7:
+    admitting both planted a permanent unflaggable pair)."""
+    store = str(tmp_path / "sigstore2")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    dedup.signature_store_write(
+        spark, mk([(1, "qq ww ee rr tt yy uu ii oo pp completely "
+                       "unrelated seed corpus text", "en", "s", 60)]),
+        store)
+    dup_text = ("zmxncb vccxz qwpoei rutyqh asldkj fghjza "
+                "pqowie urytla zxcvbn mnbvcx")
+    batch = mk([(301, dup_text, "en", "s", len(dup_text)),
+                (302, dup_text + " x", "en", "s", len(dup_text) + 2)])
+    v = dedup.dedup_incremental_against_store(
+        spark, store, batch, admit=True).collect()
+    assert v == []                       # no STORE matches
+    # only doc 301 (the min) was admitted: a later duplicate flags
+    # against 301, and exactly one of the pair is in the store
+    batch3 = mk([(401, dup_text + " y", "en", "s", len(dup_text) + 2)])
+    v3 = {r.doc_id: r.dup_of for r in
+          dedup.dedup_incremental_against_store(
+              spark, store, batch3).collect()}
+    assert v3 == {401: 301}
+    stored_ids = {r.doc_id for r in
+                  spark.read.parquet(store).select("doc_id").collect()}
+    assert 301 in stored_ids and 302 not in stored_ids
