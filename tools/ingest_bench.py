@@ -5,8 +5,11 @@ distributed-ingest speedup is a measured, reproducible number instead
 of NOTES prose. Writes one JSON line.
 
 Usage:  python tools/ingest_bench.py
-Env:    INGEST_ROWS   total rows (default 200_000)
-        INGEST_FILES  dump files  (default 3)
+Env:    INGEST_ROWS    total rows (default 200_000)
+        INGEST_FILES   dump files  (default 3)
+        INGEST_MIX     copy | insert | mixed (default mixed; pg only —
+                       mysql dumps are INSERT-only by format)
+        INGEST_DIALECT postgres | mysql (default postgres)
         SPARK_GRAFT_CPUS (default 32)
 
 The dump mixes the two data layouts ~50/50: COPY blocks (the
@@ -26,6 +29,28 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_mysql_dump(root: str, rows: int, files: int) -> list[str]:
+    """Extended-INSERT mysql dump (the only layout mysqldump emits)."""
+    paths = []
+    per_file = rows // files
+    for f in range(files):
+        p = os.path.join(root, f"mdump_{f}.sql")
+        with open(p, "w", encoding="utf-8", newline="\n") as out:
+            if f == 0:
+                out.write("CREATE TABLE `i` (`id` int NOT NULL, "
+                          "`v` varchar(40), `x` decimal(12,2), "
+                          "PRIMARY KEY (`id`));\n")
+            base = f * per_file
+            for chunk in range(0, per_file, 1000):
+                n = min(1000, per_file - chunk)
+                vals = ",".join(
+                    f"({base + chunk + k}, 'ins-{base + chunk + k}', "
+                    f"{(chunk + k) % 997}.50)" for k in range(n))
+                out.write(f"INSERT INTO `i` VALUES {vals};\n")
+        paths.append(p)
+    return paths
 
 
 def build_dump(root: str, rows: int, files: int,
@@ -67,8 +92,9 @@ def build_dump(root: str, rows: int, files: int,
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from harbourbridge_spark.sources import pgdump
+    from harbourbridge_spark.sources import mysqldump, pgdump
 
+    dialect = os.environ.get("INGEST_DIALECT", "postgres")
     rows = int(os.environ.get("INGEST_ROWS", "200000"))
     files = int(os.environ.get("INGEST_FILES", "3"))
     mix = os.environ.get("INGEST_MIX", "mixed")
@@ -80,25 +106,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
-        paths = build_dump(work, rows, files, mix)
+        if dialect == "mysql":
+            paths = build_mysql_dump(work, rows, files)
+            mix = "insert"
+        else:
+            paths = build_dump(work, rows, files, mix)
         # the schema pass is SHARED by both modes (serial by design:
         # DDL applies in dump order) — time it standalone so the
         # DATA-phase speedup, the thing distributed mode exists for,
         # is not diluted by a constant both modes pay
         from harbourbridge_spark.context import MigrationContext
+        schema_fn = (mysqldump.process_mysql_dump_schema
+                     if dialect == "mysql"
+                     else pgdump.process_pg_dump_schema)
         t0 = time.time()
         ctx_probe = MigrationContext()
         for p in paths:
             with open(p, encoding="utf-8", newline="\n") as f:
-                pgdump.process_pg_dump_schema(ctx_probe, f)
+                schema_fn(ctx_probe, f)
         schema_sec = round(time.time() - t0, 3)
         counts = {}
         timings = {}
         for mode in ("staged", "distributed"):
             out = os.path.join(work, mode)
             t0 = time.time()
-            ctx, res = pgdump.migrate_pg_dump(spark, paths, out,
-                                              mode=mode)
+            if dialect == "mysql":
+                ctx, res = mysqldump.migrate_mysql_dump(
+                    spark, paths, out, mode=mode)
+            else:
+                ctx, res = pgdump.migrate_pg_dump(spark, paths, out,
+                                                  mode=mode)
             # migrate returns with conversion DataFrames still lazy:
             # everything EAGER up to here is the driver-side ingest
             # work (staged: parse + rewrite every row to TSV;
@@ -117,6 +154,7 @@ def main() -> int:
                       - schema_sec, 0.001)
         print(json.dumps({
             "metric": "ingest_staged_vs_distributed",
+            "dialect": dialect,
             "mix": mix,
             "rows": total,
             "files": files,
