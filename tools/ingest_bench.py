@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Ingest-path benchmark: staged vs distributed migration of a
-GENERATED pg dump (mixed COPY + INSERT, multiple files), so the
-distributed-ingest speedup is a measured, reproducible number instead
-of NOTES prose. Writes one JSON line.
+GENERATED dump (pg: mixed COPY + INSERT; mysql: extended INSERTs —
+the only layout mysqldump emits), so the distributed-ingest speedup
+is a measured, reproducible number instead of NOTES prose. Writes
+one JSON line with the schema pass split out (both modes share it).
 
 Usage:  python tools/ingest_bench.py
 Env:    INGEST_ROWS    total rows (default 200_000)
