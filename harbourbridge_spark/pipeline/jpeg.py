@@ -469,8 +469,9 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
 def encode_jpeg(px: np.ndarray, subsample: str = "444",
                 restart: int = 0) -> bytes:
     """Baseline JPEG encoder for test fixtures. ``px`` is HxWx3 uint8
-    RGB (4:4:4 or 4:2:0) or HxW uint8 grayscale (single-component
-    scan). ``restart`` > 0 emits DRI + RSTn every ``restart`` MCUs."""
+    RGB (4:4:4, 4:2:2, or 4:2:0) or HxW uint8 grayscale (single-
+    component scan). ``restart`` > 0 emits DRI + RSTn every
+    ``restart`` MCUs."""
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -490,6 +491,8 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
         comps = [(1, 1, 1, 0)]
     elif subsample == "420":
         comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsample == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     else:
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     body = struct.pack(">BHHB", 8, h, w, len(comps))
@@ -526,9 +529,17 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
             crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
             cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        elif subsample == "422":        # horizontal-only subsample
+            pw = -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
         ql, qc = QT_LUMA.reshape(8, 8), QT_CHROMA.reshape(8, 8)
         if subsample == "420":
             planes = [(y, ql, 2, 2), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+        elif subsample == "422":
+            planes = [(y, ql, 2, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
         else:
             planes = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
 

@@ -1382,3 +1382,45 @@ def test_incremental_store_excludes_within_batch_dups(spark, tmp_path):
     stored_ids = {r.doc_id for r in
                   spark.read.parquet(store).select("doc_id").collect()}
     assert 301 in stored_ids and 302 not in stored_ids
+
+
+def test_jpeg_422_subsample_roundtrip():
+    """4:2:2 (horizontal-only chroma subsample) exercises the
+    decoder's asymmetric upsample path end to end."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    xx, yy = np.meshgrid(np.arange(35), np.arange(21))
+    smooth = np.stack([(xx * 3 + yy * 2) % 256, (xx * 5) % 256,
+                       (yy * 7) % 256], axis=-1).astype(np.uint8)
+    dec = J.decode_jpeg_pixels(J.encode_jpeg(smooth, subsample="422"))
+    assert dec.shape == smooth.shape
+    err = np.abs(dec.astype(float) - smooth.astype(float)).mean()
+    assert err < 10.0, err
+    rst = J.decode_jpeg_pixels(
+        J.encode_jpeg(smooth, subsample="422", restart=2))
+    assert (dec == rst).all()
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame-level local color table must override the global one
+    (the decoder path encode_gif never emits — built by hand here),
+    and a GIF87a header must be accepted."""
+    import struct as _struct
+
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+    # 2x2 frame, global table = garbage, local table = real colors
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    lct = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    data = G.lzw_encode(idx.tobytes(), 2)
+    buf = bytearray(b"GIF87a")
+    buf += _struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)   # GCT: 2 entries
+    buf += bytes([255, 0, 255] * 2)                   # garbage GCT
+    buf += b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 2, 0x80)  # LCT flag
+    buf += lct.tobytes()                              # LCT: 2 entries
+    buf += bytes([2])                                 # LZW min code size
+    buf += bytes([len(data)]) + data + b"\x00\x3b"
+    px = G.decode_gif_pixels(bytes(buf))
+    assert (px == lct[idx]).all()
