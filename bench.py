@@ -104,13 +104,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver records the TAIL of this line, so
+    # the headline numbers (value / total_sec / canary_sec) go LAST —
+    # they survive even when the per-query map is head-truncated
+    # (BENCH_r07 lost both to truncation; VERDICT r7 ask 2).
     print(json.dumps({
         "metric": "headline_queries_total_time",
-        "value": total,
         "unit": "sec",
-        "canary_sec": canary,
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "value": total,
+        "total_sec": total,
+        "canary_sec": canary,
     }))
     spark.stop()
 

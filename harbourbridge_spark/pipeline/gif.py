@@ -110,10 +110,12 @@ def lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytearray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
+            if len(table) < 4096:          # deferred-clear: table full
+                table.append(prev + entry[:1])
         elif code == len(table):
             entry = prev + prev[:1]        # KwKwK
-            table.append(entry)
+            if len(table) < 4096:
+                table.append(entry)
         else:
             raise ValueError("LZW code out of range")
         out.extend(entry)

@@ -210,6 +210,9 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
     while i + 4 <= n:
         if content[i] != 0xFF:
             raise ValueError("marker expected")
+        # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        while i + 1 < n and content[i + 1] == 0xFF:
+            i += 1
         m = content[i + 1]
         if m == 0xD9:                  # EOI
             break

@@ -87,6 +87,11 @@ def decode_mp3_meta(content: bytes) -> list[float]:
         mode = (h >> 6) & 3            # 3 = mono
         if ver == 1 or layer_bits == 0 or br_idx in (0, 15) \
                 or sr_idx == 3:
+            if n_frames:
+                break                  # sync-loss tolerance: keep the
+                                       # frames already walked (0xFF-
+                                       # leading trailing garbage or a
+                                       # corrupt mid-stream header)
             raise ValueError("invalid MPEG frame header")
         layer = 4 - layer_bits         # 1, 2, 3
         table = _BITRATES_V1 if ver == 3 else _BITRATES_V2
@@ -99,6 +104,8 @@ def decode_mp3_meta(content: bytes) -> list[float]:
             samples = 1152 if (ver == 3 or layer == 2) else 576
             size = samples // 8 * kbps * 1000 // sr + pad
         if size <= 4:
+            if n_frames:
+                break                  # same sync-loss tolerance
             raise ValueError("degenerate frame size")
         n_frames += 1
         total_samples += samples

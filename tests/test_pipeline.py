@@ -1424,3 +1424,111 @@ def test_gif_local_color_table_overrides_global():
     buf += bytes([len(data)]) + data + b"\x00\x3b"
     px = G.decode_gif_pixels(bytes(buf))
     assert (px == lct[idx]).all()
+
+
+def test_mp3_meta_sync_loss_tolerance():
+    """A corrupt header AFTER valid frames must not discard the
+    accumulated metadata (ADVICE r7): 0xFF-leading trailing garbage
+    and a degenerate mid-stream header both degrade to break, matching
+    the non-0xFF junk tolerance."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mediameta as M
+    frames = b""
+    for br_idx in (9, 11):
+        k = M._BITRATES_V1[3][br_idx]
+        size = 1152 // 8 * k * 1000 // 44100
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+            | (br_idx << 12) | (3 << 6)
+        frames += _struct.pack(">I", h) + bytes(size - 4)
+    # sync bits present but sr_idx=3 (reserved) -> invalid header
+    bad = _struct.pack(
+        ">I", (0x7FF << 21) | (3 << 19) | (1 << 17) | (3 << 10))
+    assert M.decode_mp3_meta(frames + bad)[4] == 2
+    # 0xFF-leading garbage that fails the sync check entirely
+    assert M.decode_mp3_meta(frames + b"\xff\x00\x00\x00")[4] == 2
+    # a stream that STARTS with the bad header still raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        M.decode_mp3_meta(bad + frames)
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """Optional 0xFF fill bytes before a marker are legal
+    (T.81 B.1.1.2) and must not break the native marker walk
+    (ADVICE r7)."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    raw = J.synth_jpeg(5)
+    # insert fill bytes right after SOI, before the first segment
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    assert (J.decode_jpeg_pixels(padded)
+            == J.decode_jpeg_pixels(raw)).all()
+    assert isinstance(J.decode_jpeg_pixels(padded), np.ndarray)
+
+
+def test_gif_lzw_deferred_clear_full_table():
+    """Deferred-clear stream (encoder never emits CLEAR, table parks
+    at 4096): the decoder must stop growing its table at the 4096
+    ceiling and keep decoding correctly (ADVICE r7 made the implicit
+    invariant explicit)."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+
+    def encode_deferred(indices: bytes, mcs: int) -> bytes:
+        clear = 1 << mcs
+        eoi = clear + 1
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int, width: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        width = mcs + 1
+        table = {bytes([i]): i for i in range(clear)}
+        counter = eoi + 1
+
+        def bump():
+            nonlocal counter, width
+            if counter < 4096:
+                counter += 1
+                if counter > (1 << width) and width < 12:
+                    width += 1
+
+        emit(clear, width)
+        cur = b""
+        full = False
+        for b in bytes(indices):
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur], width)
+            bump()
+            if len(table) + 2 < 4096:
+                table[nxt] = len(table) + 2
+            else:
+                full = True            # deferred clear: stop growing
+            cur = bytes([b])
+        if cur:
+            emit(table[cur], width)
+            bump()
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        assert full, "fixture too small to fill the LZW table"
+        return bytes(out)
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=16384, dtype=np.uint8).tobytes()
+    stream = encode_deferred(px, 8)
+    assert bytes(G.lzw_decode(stream, 8, len(px))) == px

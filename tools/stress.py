@@ -71,6 +71,17 @@ OP_BUDGETS = {
     # op); budget = max measured x ~1.3 headroom, same convention as
     # the rest of this table.
     "dedup_winnow_pairs": 7.5,
+    # r8 additions (VERDICT r7 ask 7): the four previously ungated r7
+    # newcomers.  Budgets = r8 calibration run measured ratio x ~1.3
+    # noise headroom, same convention as above.
+    #   r8 measured: dedup_incremental 3.50 / ann_sq_rerank 2.53 /
+    #   quality_classifier 5.48 (8x docs -> 8x training rows AND 8x
+    #   scored rows, so ~8x work is the design shape; measured well
+    #   under thanks to fixed overheads) / curation_materialized 4.00.
+    "dedup_incremental": 4.6,
+    "ann_sq_rerank": 3.3,
+    "quality_classifier": 7.2,
+    "corpus_curation_materialized": 5.2,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
@@ -170,8 +181,19 @@ def main() -> int:
         # overheads that do not shrink with the factor, so a small
         # factor would otherwise produce gates near/below 1.0 that no
         # op can pass (code-review r7)
-        gate = round(max(budget * factor / 8.0, 3.0), 2) if budget \
-            else None
+        gate = None
+        if budget is not None:
+            scaled = budget * factor / 8.0
+            gate = round(max(scaled, 3.0), 2)
+            if scaled < 3.0:
+                # the floor silently widens the gate exactly when the
+                # factor shrinks (code-review r7 / ADVICE r7): make the
+                # engagement visible so small-factor runs are read as
+                # smoke checks, not calibrated gates
+                print(f"!! {name}: gate floor engaged "
+                      f"(scaled budget {scaled:.2f} < 3.0 at factor "
+                      f"{factor}; run at factor 8 for a calibrated "
+                      f"gate)", file=sys.stderr)
         gated = gate is not None
         ok = (not gated) or ratio <= gate
         if not ok:
@@ -187,9 +209,11 @@ def main() -> int:
     spark.stop()
     shutil.rmtree(rep_dir, ignore_errors=True)
 
+    # summary keys LAST so they survive head-truncation of the
+    # artifact, mirroring bench.py (VERDICT r7 ask 2)
     artifact = {
-        "base": base, "factor": factor, "canary_sec": canary,
-        "ops": results, "failed": failed,
+        "base": base, "factor": factor, "ops": results,
+        "failed": failed, "canary_sec": canary,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
