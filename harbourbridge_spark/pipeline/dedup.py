@@ -33,6 +33,11 @@ from .text import TOKENS, norm_text, render
 
 MINHASH_K = 16
 BAND_SIZE = 4           # 4 bands of 4 -> candidates at jaccard ~>0.6
+DEFAULT_JACCARD_T = 0.7  # default target threshold for the banding
+                         # solver (bands_rows_for): solves to 4x4 under
+                         # K=16 — the historical default banding, now
+                         # DERIVED from the threshold rather than fixed
+                         # (VERDICT r7 ask 5)
 SHINGLE = 5             # character shingles
 MAX_BUCKET = 256        # band-bucket membership cap (LSH skew guard):
                         # a degenerate bucket (all-identical boilerplate)
@@ -281,19 +286,24 @@ _PAIRS_SELECT = """SELECT DISTINCT doc_a, doc_b FROM (
     ) _u"""
 
 
-def minhash_bands_sql(engine: str, sig_source: str) -> str:
+def minhash_bands_sql(engine: str, sig_source: str,
+                      threshold: float = DEFAULT_JACCARD_T) -> str:
     """The banding + candidate-join stage over an existing signature
     relation (``sig_source``). Split out so the Spark executor can
     cache the signature once (see minhash_lsh_pairs_fn) while the
-    oracle keeps the single-statement CTE form."""
+    oracle keeps the single-statement CTE form. Banding is solved from
+    the target Jaccard ``threshold`` (bands_rows_for); the default
+    solves to the historical 4x4."""
+    b, r = bands_rows_for(threshold)
     t = f"""
-    WITH {_bands_clause(sig_source)}
+    WITH {_bands_clause_at(sig_source, b, r)}
     {_PAIRS_SELECT}
     """
     return render(t, engine)
 
 
-def minhash_lsh_pairs_fn(spark, sf_dir: str):
+def minhash_lsh_pairs_fn(spark, sf_dir: str,
+                         threshold: float = DEFAULT_JACCARD_T):
     """Spark execution strategy for the LSH pairs: materialize the
     signature ONCE (localCheckpoint + temp view) before the self-join —
     the CTE form would inline the whole shingle/hash pipeline into
@@ -302,13 +312,19 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str):
     Spark 4.1 (the executed plan showed 4 full md5/shingle recomputes
     with the cache "enabled"). The checkpointed signature is |docs| x
     17 longs — tiny. Produces exactly the rows of
-    minhash_lsh_pairs_sql."""
+    minhash_lsh_pairs_sql.
+
+    ``threshold`` is the production knob (VERDICT r7 ask 5): banding
+    is DERIVED from the target Jaccard threshold via bands_rows_for —
+    lower it and the banding reshapes (more bands, fewer rows) so the
+    S-curve's knee lands on it. The default 0.7 solves to the same
+    4x4 banding the pipeline has always used (frozen oracles)."""
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
     sig.createOrReplaceTempView("__mh_sig")
-    return spark.sql(minhash_bands_sql("spark", "__mh_sig"))
+    return spark.sql(minhash_bands_sql("spark", "__mh_sig", threshold))
 
 
 def _minhash_md5_signature(text: str) -> list:
@@ -381,7 +397,8 @@ def _minhash_numpy_signature(text: str) -> list:
             for a, b in minhash_coeffs(MINHASH_K)]
 
 
-def minhash_lsh_pairs_fast_fn(spark, sf_dir: str):
+def minhash_lsh_pairs_fast_fn(spark, sf_dir: str,
+                              threshold: float = DEFAULT_JACCARD_T):
     """minhash_lsh_pairs_fn with the signature computed in a
     VECTORIZED Arrow-batched pandas_udf instead of SQL higher-order
     functions — the corpus-scale knob, and the repo's documented
@@ -398,25 +415,31 @@ def minhash_lsh_pairs_fast_fn(spark, sf_dir: str):
     Values are bit-identical to minhash_signature_sql(fast=True) (the
     single-statement form the DuckDB oracle runs), verified by the
     driver gate.  Same localCheckpoint caching, same banding/skew
-    guards as the md5 path."""
+    guards, and same solver-derived ``threshold`` knob as the md5
+    path."""
     vectorized_signature_view(spark, sf_dir, "__mh_sig_fast",
                               kernel=_minhash_numpy_signature)
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    return spark.sql(minhash_bands_sql("spark", "__mh_sig_fast"))
+    return spark.sql(
+        minhash_bands_sql("spark", "__mh_sig_fast", threshold))
 
 
-def minhash_lsh_pairs_fast_sql(engine: str) -> str:
+def minhash_lsh_pairs_fast_sql(engine: str,
+                               threshold: float = DEFAULT_JACCARD_T
+                               ) -> str:
     """Single-statement (oracle) form of the fast-hash LSH pairs."""
     sig = minhash_signature_sql(engine, fast=True)
+    b, r = bands_rows_for(threshold)
     t = f"""
     WITH sig AS ({sig}),
-    {_bands_clause('sig')}
+    {_bands_clause_at('sig', b, r)}
     {_PAIRS_SELECT}
     """
     return render(t, engine)
 
 
-def minhash_lsh_pairs_sql(engine: str) -> str:
+def minhash_lsh_pairs_sql(engine: str,
+                          threshold: float = DEFAULT_JACCARD_T) -> str:
     """MinHash-LSH candidate pairs: band the signature (bands of
     BAND_SIZE), self-join on band keys, distinct pairs. The join is on
     the band hash — equality only, no quadratic scan, and bucket
@@ -429,11 +452,15 @@ def minhash_lsh_pairs_sql(engine: str) -> str:
     Spark path minhash_lsh_pairs_fn caches it once), but the join
     distributes bucket expansion across tasks — a collect_list/flatten
     bucket expansion was measured 2-4x WORSE because giant buckets
-    become single-row quadratic arrays with no parallelism."""
+    become single-row quadratic arrays with no parallelism.
+
+    Banding derives from the target Jaccard ``threshold`` via
+    bands_rows_for (default 0.7 -> the historical 4x4)."""
     sig = minhash_signature_sql(engine)
+    b, r = bands_rows_for(threshold)
     t = f"""
     WITH sig AS ({sig}),
-    {_bands_clause('sig')}
+    {_bands_clause_at('sig', b, r)}
     {_PAIRS_SELECT}
     """
     return render(t, engine)

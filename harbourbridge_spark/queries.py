@@ -2480,24 +2480,18 @@ def q_event_second_boundaries(spark: SparkSession,
 # re-verified by the next official gate run regardless of how recently
 # its query was last green.
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 7: embedding-LSH bucket join bounded (exact-duplicate
-    # vector pre-collapse + MAX_BUCKET star-degrade; output schema
-    # grew mult_a/mult_b); new materialized curation-chain entry
-    "dedup_embedding_lsh", "corpus_curation_materialized",
-    "ann_recall_clustered",
-    # round-7 additions (never-checked entries sort first anyway;
-    # pinned for explicitness): winnowing span-overlap dedup,
-    # per-source curation stats, hashed linear quality classifier,
-    # native baseline-JPEG decode
-    "dedup_winnow_pairs", "corpus_source_stats", "quality_classifier",
-    "multimodal_decode_jpeg", "multimodal_decode_gif",
-    "multimodal_meta_mp3", "multimodal_meta_mp4", "ann_sq_rerank",
-    "dedup_incremental",
-    # (r6 pins — the {ntext} shim sweep + cast-guard sweep — rotated
-    # out: all were re-verified green in CORRECTNESS_r06, so the r7
-    # window falls back to least-recently-checked order and re-covers
-    # the r5-checked half, keeping the r06∪r07 union tiling the
-    # registry.)
+    # round 8: codec tolerance fixes (MP3 trailing sync loss, JPEG
+    # inter-segment fill bytes, GIF LZW table ceiling) — decoder code
+    # touched, fixture outputs unchanged
+    "multimodal_meta_mp3", "multimodal_decode_jpeg",
+    "multimodal_decode_gif",
+    # round 8: MinHash banding now solver-derived (threshold= knob on
+    # the flagship path; default SQL verified byte-identical to r7)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
+    "dedup_minhash_lsh_t35",
+    # (r7 pins rotated out: all were re-verified green in
+    # CORRECTNESS_r07, so the r8 window falls back to least-recently-
+    # checked order and the r07∪r08 union keeps tiling the registry.)
 ]
 
 
