@@ -1571,3 +1571,31 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
         clean_sig = batch_sig.join(excluded, "doc_id", "left_anti")
         clean_sig.write.mode("append").parquet(store_path)
     return verdicts
+
+
+def dedup_incremental_store_entry_fn(spark, sf_dir: str,
+                                     mod: int = INCOMING_MOD,
+                                     res: int = INCOMING_RES):
+    """Registry/bench twin of dedup_incremental probing the PERSISTED
+    signature store — the amortized production shape (VERDICT r7 ask
+    6): the corpus-side store is built once per fixture (keyed by the
+    documents file's identity) and REUSED across runs, so the measured
+    cost is the batch-sized probe, not the corpus signature recompute
+    the harness-shaped entry (dedup_incremental) pays every run.
+    Value-identical to dedup_incremental_sql: the store holds exactly
+    the corpus docs' signatures, the probe is the same asymmetric band
+    join."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = (f"{os.path.basename(sf_dir.rstrip('/'))}"
+           f"_{int(st.st_mtime)}_{mod}_{res}")
+    store = os.path.join(tempfile.gettempdir(), f"hb_sig_store_{key}")
+    docs = spark.read.parquet(src)
+    if not os.path.exists(store):
+        signature_store_write(
+            spark, docs.where(f"doc_id % {mod} < {res}"), store)
+    return dedup_incremental_against_store(
+        spark, store, docs.where(f"doc_id % {mod} >= {res}"))

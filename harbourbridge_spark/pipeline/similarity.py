@@ -446,3 +446,274 @@ def ann_sq_rerank_sql(engine: str, n_queries: int = 10,
     WHERE rk <= {topk}
     """
     return render(t, engine)
+
+
+# ---------------------------------------------------------------------------
+# persistent ANN index store (VERDICT r7 ask 4)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the dedup signature store (dedup.py signature_store_write):
+# the corpus-side ANN state — SQ8 grid, IVF centroids, per-vector
+# quantized codes + cell assignment — is computed ONCE and persisted
+# as parquet; every future query batch probes the store without ever
+# touching the corpus embeddings again.  At 100 TB the store's codes
+# table is ~8x smaller than the raw vectors (one int8-valued code per
+# dimension instead of a double), and the grid/centroid tables are a
+# handful of rows that broadcast.
+#
+# The grid fragments are kept in LOCKSTEP with ann_sq_rerank_sql's
+# inline quantizer (same 1e-9-widened 256-level floor grid, same
+# midpoint dequantization) — the two must quantize identically; the
+# rerank entry is a frozen oracle so the strings are restated here
+# rather than refactored out of it.
+
+ANN_STORE_CELLS = 16     # IVF coarse cells (= ann_ivf default)
+ANN_STORE_NPROBE = 2     # cells probed per query (= ann_ivf default)
+
+_SQ_STEP = "(({elem}(mx, i) - {elem}(mn, i) + 1e-9) / 256.0)"
+_SQ_CODE = ("floor(least(255.0, greatest(0.0, "
+            "(CAST({elem}(embedding, i) AS DOUBLE) - {elem}(mn, i)) "
+            f"/ {_SQ_STEP})))")
+# dequantize STORED int codes back to grid midpoints
+_SQ_DQ_CODES = ("{ltrans}({seq}(1, " + str(DIM) + "), "
+                "i -> {elem}(mn, i) + "
+                f"(CAST({{elem}}(codes, i) AS DOUBLE) + 0.5) * {_SQ_STEP})")
+
+
+def _sq_codes_expr() -> str:
+    """SQ8 code array (int per dimension) from a raw embedding + the
+    mn/mx grid columns."""
+    return ("{ltrans}({seq}(1, " + str(DIM) + "), "
+            f"i -> CAST({_SQ_CODE} AS INT))")
+
+
+def _sq_stats_select(source: str) -> str:
+    """Per-dim [mn, mx] grid arrays over ``source`` (engine-templated;
+    the array literal shims render per engine via {arr_o}/{arr_c})."""
+    mins = ", ".join(
+        f"MIN(CAST({{elem}}(embedding, {i}) AS DOUBLE))"
+        for i in range(1, DIM + 1))
+    maxs = ", ".join(
+        f"MAX(CAST({{elem}}(embedding, {i}) AS DOUBLE))"
+        for i in range(1, DIM + 1))
+    return (f"SELECT {{arr_o}}{mins}{{arr_c}} AS mn, "
+            f"{{arr_o}}{maxs}{{arr_c}} AS mx FROM {source}")
+
+
+def _arr_shims(engine: str) -> dict:
+    return {"arr_o": "array(" if engine == "spark" else "[",
+            "arr_c": ")" if engine == "spark" else "]"}
+
+
+def ann_against_store_sql(engine: str, n_queries: int = 10,
+                          topk: int = TOPK,
+                          n_cells: int = ANN_STORE_CELLS,
+                          nprobe: int = ANN_STORE_NPROBE) -> str:
+    """Single-statement (oracle) form of the persistent-index probe:
+    vec_id >= n_queries is the CORPUS (indexed: grid + centroids +
+    codes), vec_id < n_queries is the NEW QUERY BATCH.  Everything
+    after the ``codes`` CTE touches only store-shaped relations — the
+    corpus embeddings appear exactly once, in the index-build CTEs —
+    so this statement is value-identical to the staged Spark flow
+    (ann_index_store_write + ann_query_store) that round-trips the
+    store through parquet (ints and doubles round-trip exactly)."""
+    from .text import render
+    dot_vc = _dot_sql(engine, "c.embedding", "cent.cvec")
+    dot_bc = _dot_sql(engine, "b.embedding", "cent.cvec")
+    dot_bd = _dot_sql(engine, "b.embedding", "c.demb")
+    nrm = _norm_sql(engine, "embedding")
+    nrm_d = _norm_sql(engine, "demb")
+    t = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        WHERE vec_id >= {n_queries}
+    ), stats AS (
+        {_sq_stats_select('corpus')}
+    ), cent AS (
+        SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+        FROM corpus WHERE vec_id < {n_queries + n_cells}
+    ), asg AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {dot_vc} / (c.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM corpus c CROSS JOIN cent) _a
+        WHERE rk = 1
+    ), codes AS (
+        SELECT c.vec_id, a.cent_id AS cell_id,
+               {_sq_codes_expr()} AS codes
+        FROM corpus c CROSS JOIN stats
+        JOIN asg a ON a.vec_id = c.vec_id
+    ), dq AS (
+        SELECT vec_id, cell_id, {_SQ_DQ_CODES} AS demb
+        FROM codes CROSS JOIN stats
+    ), dqn AS (
+        SELECT vec_id, cell_id, demb, {nrm_d} AS dnrm FROM dq
+    ), batch AS (
+        SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        WHERE vec_id < {n_queries}
+    ), qprobe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT b.vec_id AS query_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_bc} / (b.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM batch b CROSS JOIN cent) _p
+        WHERE rk <= {nprobe}
+    ), sims AS (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               {dot_bd} / (b.nrm * c.dnrm) AS cos
+        FROM qprobe qp
+          JOIN dqn c ON c.cell_id = qp.cent_id
+          JOIN batch b ON b.vec_id = qp.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {topk}
+    """
+    return render(t, engine, **_arr_shims(engine))
+
+
+def ann_index_store_write(spark, emb_df, store_path: str,
+                          n_cells: int = ANN_STORE_CELLS,
+                          mode: str = "overwrite") -> None:
+    """Build and persist the ANN index for ``emb_df`` (embeddings
+    schema: vec_id, embedding):
+
+      {store}/grid       1 row   per-dim [mn, mx] arrays (SQ8 grid)
+      {store}/centroids  n_cells (cent_id, cvec, cnrm) — raw vectors,
+                                 tiny, broadcast at query time
+      {store}/codes      |N|     (vec_id, cell_id, codes, dnrm) —
+                                 int codes + dequantized norm, ~8x
+                                 smaller than the raw embeddings
+
+    Centroids are the ``n_cells`` lowest-vec_id rows (deterministic;
+    a production deployment would k-means and store those instead —
+    the store layout is unchanged).  Build cost: one aggregate pass
+    for the grid, one TakeOrdered for centroids, one projection pass
+    for codes — no shuffle of the corpus, no self-join."""
+    from .text import render
+    emb_df.createOrReplaceTempView("__ann_store_in")
+    spark.sql(render(_sq_stats_select("__ann_store_in"), "spark",
+                     **_arr_shims("spark"))) \
+        .write.mode(mode).parquet(f"{store_path}/grid")
+    nrm = _norm_sql("spark", "embedding")
+    cent = spark.sql(f"""
+        SELECT vec_id AS cent_id, embedding AS cvec, {nrm} AS cnrm
+        FROM __ann_store_in""").orderBy("cent_id").limit(n_cells)
+    cent.write.mode(mode).parquet(f"{store_path}/centroids")
+    spark.read.parquet(f"{store_path}/centroids") \
+        .createOrReplaceTempView("__ann_store_cent")
+    dot_vc = _dot_sql("spark", "c.embedding", "cent.cvec")
+    nrm_d = _norm_sql("spark", "demb")
+    t = f"""
+    WITH c AS (
+        SELECT vec_id, embedding, {nrm} AS nrm FROM __ann_store_in
+    ), stats AS (SELECT * FROM __ann_store_grid),
+    asg AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {dot_vc} / (c.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM c CROSS JOIN __ann_store_cent cent) _a
+        WHERE rk = 1
+    ), codes AS (
+        SELECT c.vec_id, a.cent_id AS cell_id,
+               {_sq_codes_expr()} AS codes
+        FROM c CROSS JOIN stats
+        JOIN asg a ON a.vec_id = c.vec_id
+    ), dq AS (
+        SELECT vec_id, cell_id, codes, {_SQ_DQ_CODES} AS demb
+        FROM codes CROSS JOIN stats
+    )
+    SELECT vec_id, cell_id, codes, {nrm_d} AS dnrm FROM dq
+    """
+    spark.read.parquet(f"{store_path}/grid") \
+        .createOrReplaceTempView("__ann_store_grid")
+    spark.sql(render(t, "spark", **_arr_shims("spark"))) \
+        .write.mode(mode).parquet(f"{store_path}/codes")
+
+
+def ann_query_store(spark, store_path: str, batch_df, topk: int = TOPK,
+                    nprobe: int = ANN_STORE_NPROBE):
+    """Probe a NEW query batch against the persisted index WITHOUT
+    touching the corpus embeddings: centroids pick each query's
+    ``nprobe`` cells (broadcast — n_cells rows), the probe equi-joins
+    the codes table on cell_id, and scoring dequantizes codes on the
+    fly (the SQ8 scan: ~8x less I/O than raw vectors).  Returns
+    (query_id, neighbor_id, cosine, rk) — value-identical to
+    ann_against_store_sql when the store was built from the same
+    corpus."""
+    from .text import render
+    batch_df.createOrReplaceTempView("__ann_q_batch")
+    spark.read.parquet(f"{store_path}/grid") \
+        .createOrReplaceTempView("__ann_q_grid")
+    spark.read.parquet(f"{store_path}/centroids") \
+        .createOrReplaceTempView("__ann_q_cent")
+    spark.read.parquet(f"{store_path}/codes") \
+        .createOrReplaceTempView("__ann_q_codes")
+    dot_bc = _dot_sql("spark", "b.embedding", "cent.cvec")
+    dot_bd = _dot_sql("spark", "b.embedding", "c.demb")
+    nrm = _norm_sql("spark", "embedding")
+    t = f"""
+    WITH batch AS (
+        SELECT vec_id, embedding, {nrm} AS nrm FROM __ann_q_batch
+    ), qprobe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT b.vec_id AS query_id, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY {dot_bc} / (b.nrm * cent.cnrm) DESC,
+                                cent.cent_id) AS rk
+            FROM batch b CROSS JOIN __ann_q_cent cent) _p
+        WHERE rk <= {nprobe}
+    ), dq AS (
+        SELECT vec_id, cell_id, {_SQ_DQ_CODES} AS demb, dnrm
+        FROM __ann_q_codes CROSS JOIN __ann_q_grid
+    ), sims AS (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               {dot_bd} / (b.nrm * c.dnrm) AS cos
+        FROM qprobe qp
+          JOIN dq c ON c.cell_id = qp.cent_id
+          JOIN batch b ON b.vec_id = qp.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {topk}
+    """
+    return spark.sql(render(t, "spark", **_arr_shims("spark")))
+
+
+def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
+                         topk: int = TOPK,
+                         n_cells: int = ANN_STORE_CELLS,
+                         nprobe: int = ANN_STORE_NPROBE):
+    """Registry twin of ann_against_store_sql, exercising the REAL
+    store flow: build the index from the corpus split, round-trip it
+    through parquet, probe with the query split.  The probe plan
+    never scans the embeddings fixture (asserted by the e2e test)."""
+    import os
+    import tempfile
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"hb_ann_store_{os.path.basename(sf_dir.rstrip('/'))}")
+    ann_index_store_write(
+        spark, emb.where(f"vec_id >= {n_queries}"), store,
+        n_cells=n_cells)
+    return ann_query_store(
+        spark, store, emb.where(f"vec_id < {n_queries}"),
+        topk=topk, nprobe=nprobe)

@@ -74,6 +74,10 @@ TINY_CROSS_OK = {
     "ann_recall_clustered": 8,
     # + the 1-row per-dimension min/max stats CROSS JOIN
     "ann_sq_rerank": 3,
+    # store probe: 1-row SQ8 grid CROSS JOIN (code dequantization) +
+    # the n_cells=16 centroid table cross-joined onto the <=10-query
+    # batch for cell probing — both build sides bounded tiny
+    "ann_against_store": 2,
     # 1-row corpus-total / stage-summary relations
     "doc_surprisal": 1, "corpus_curation_materialized": 3,
     "dedup_pipeline_materialized": 2,
