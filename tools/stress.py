@@ -74,14 +74,18 @@ OP_BUDGETS = {
     # r8 additions (VERDICT r7 ask 7): the four previously ungated r7
     # newcomers.  Budgets = r8 calibration run measured ratio x ~1.3
     # noise headroom, same convention as above.
-    #   r8 measured: dedup_incremental 3.50 / ann_sq_rerank 2.53 /
-    #   quality_classifier 5.48 (8x docs -> 8x training rows AND 8x
-    #   scored rows, so ~8x work is the design shape; measured well
-    #   under thanks to fixed overheads) / curation_materialized 4.00.
-    "dedup_incremental": 4.6,
-    "ann_sq_rerank": 3.3,
-    "quality_classifier": 7.2,
-    "corpus_curation_materialized": 5.2,
+    #   r8 measured (two runs): dedup_incremental 5.47/6.53 (8x docs
+    #   -> 8x signature work AND every replica collides in the probe
+    #   buckets — the dup-heavy adversarial shape; sub-linear only via
+    #   fixed overheads) / ann_sq_rerank 1.43/2.34 (grid+codes are one
+    #   linear pass; candidate set stays Q x 4k regardless of corpus)
+    #   / quality_classifier 6.52/6.75 (8x scored rows ~= 8x work is
+    #   the design shape) / corpus_curation_materialized 2.82/2.41.
+    #   Budgets take the WORSE of the two runs x ~1.3.
+    "dedup_incremental": 8.5,
+    "ann_sq_rerank": 3.0,
+    "quality_classifier": 8.8,
+    "corpus_curation_materialized": 3.7,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
