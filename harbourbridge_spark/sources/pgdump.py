@@ -1064,13 +1064,17 @@ class _OffsetReader:
     byte-range scanning for COPY data blocks (find/count only — no
     per-row Python).  Tracks absolute file offsets throughout."""
 
-    def __init__(self, f, bufsize: int = 8 << 20) -> None:
+    def __init__(self, f, bufsize: int = 8 << 20, base: int = 0) -> None:
         self.f = f
         self.bufsize = bufsize
         self.buf = b""
-        self.base = 0            # file offset of buf[0]
+        self.base = base         # file offset of buf[0] (``base`` > 0
+                                 # when ``f`` was seeked: byte-range
+                                 # scans report absolute offsets)
         self.pos = 0             # current index into buf
         self.eof = False
+        self.line_start = base   # absolute offset of the last line
+                                 # returned by readline()
 
     def _fill(self) -> bool:
         """Compact consumed bytes and append one read; False at EOF."""
@@ -1093,11 +1097,13 @@ class _OffsetReader:
             nl = self.buf.find(b"\n", self.pos)
             if nl >= 0:
                 line = self.buf[self.pos:nl]
+                self.line_start = self.base + self.pos
                 self.pos = nl + 1
                 return line
             if not self._fill():
                 if self.pos < len(self.buf):
                     line = self.buf[self.pos:]
+                    self.line_start = self.base + self.pos
                     self.pos = len(self.buf)
                     return line
                 return None
@@ -1220,31 +1226,92 @@ class _OffsetReader:
                 return chunks
 
 
-def _scan_dump_statements(f, chunk_bytes: int = 32 << 20):
+def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
+                          base: int = 0,
+                          limit: Optional[int] = None,
+                          hard_limit: Optional[int] = None,
+                          sync_marks: Optional[list] = None):
     """Positional pass-2 scan of one dump file: yields
-    ``("copy", table, cols, [(start, end, nrows), ...])`` for each COPY
-    data block (byte ranges, no row materialization) and
-    ``("stmt", text)`` for every other complete statement (the caller
-    picks out INSERTs).  Statement boundary rules mirror
+    ``("copy", table, cols, [(start, end, nrows), ...], start, end)``
+    for each COPY data block (byte ranges, no row materialization) and
+    ``("stmt", text, start, end)`` for every other complete statement
+    (the caller picks out INSERTs); start/end are absolute byte
+    offsets of the event.  Statement boundary rules mirror
     _iter_statements; the differential tests in test_dump_edges hold
-    the two parsers to identical results."""
-    r = _OffsetReader(f)
+    the two parsers to identical results.
+
+    ``base`` is the absolute offset of ``f``'s current position (pass
+    a seeked file for byte-range scans).  With ``limit``, the scan
+    stops at the first CLEAN point (between statements, no open
+    quote/comment/dollar) at/after that offset — events that START
+    before the limit are completed even when they end past it (the
+    spill rule the distributed reconciliation relies on).
+    ``hard_limit`` aborts an in-flight statement past that offset
+    without yielding it (the runaway guard for SPECULATIVE range scans
+    that start mid-construct and would otherwise accumulate unbounded
+    text); exact scans leave it None."""
+    r = _OffsetReader(f, base=base)
     st = _SqlScanState()
     parts: list[str] = []
+    stmt_start = 0
 
-    def copy_event(m):
+    def copy_event(m, start_off: int):
         table = _clean_name(m.group("table"))
         cols = [_clean_name(c.strip()) for c in
                 (m.group("cols") or "").split(",") if c.strip()]
-        return ("copy", table, cols, r.scan_data_block(chunk_bytes))
+        # data chunks are the unit of READ parallelism (one executor
+        # task each), so they stay small even when the scan uses large
+        # byte ranges: a 5M-row block at 32 MB chunks was 6 read tasks
+        # on 32 cores — capping at 8 MB quadruples the read fan-out
+        # with no extra scan cost (the cut points fall out of the same
+        # bulk pass)
+        ranges = r.scan_data_block(min(chunk_bytes, _DATA_CHUNK_BYTES))
+        return ("copy", table, cols, ranges, start_off, r.base + r.pos)
 
     while True:
+        pos_abs = r.base + r.pos
+        if limit is not None and pos_abs >= limit and not parts \
+                and not st.in_squote and st.in_dollar is None \
+                and not st.in_block_comment:
+            yield ("end", pos_abs, True)
+            return
+        if hard_limit is not None and pos_abs >= hard_limit:
+            # aborted mid-construct: the trailing statement is NOT
+            # yielded and the segment past the last yielded event is
+            # unverified — the reconciliation must rescan it
+            yield ("end", pos_abs, False)
+            return
         bline = r.readline()
         if bline is None:
             break
         line = bline.decode("utf-8")
         if line.endswith("\r"):
             line = line[:-1]
+        if sync_marks is not None and line == "\\.":
+            # SPECULATIVE terminator sync: a bare '\\.' line is almost
+            # certainly the end of a COPY data block this range
+            # started inside of.  Reset to a clean state and record
+            # the offset — the reconciliation accepts the rest of this
+            # range's parse iff its trusted cursor (the block end
+            # proven by the block owner's scan) lands exactly on a
+            # recorded sync (then both lexers are provably neutral at
+            # the same offset).  A false sync (a '\\.' line inside a
+            # multi-line literal) just fails the cursor match and
+            # falls back to the exact rescan.
+            parts = []
+            st.in_squote = False
+            st.in_dollar = None
+            st.in_block_comment = False
+            sync_marks.append(r.base + r.pos)
+            yield ("sync", r.base + r.pos)
+            continue
+        line_abs = r.line_start
+        ascii_line = bline.isascii()
+
+        def b_off(k: int) -> int:
+            return line_abs + (k if ascii_line
+                               else len(line[:k].encode("utf-8")))
+
         stripped = line.strip()
         if not parts and not st.in_block_comment:
             if not stripped or stripped.startswith("--"):
@@ -1252,18 +1319,21 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20):
             if not st.in_squote and st.in_dollar is None:
                 m = COPY_RE.match(stripped)
                 if m:
-                    yield copy_event(m)
+                    yield copy_event(m, line_abs)
                     continue
         seg_start = 0
         copy_entered = False
         comment_start = len(line)
         while True:
+            if not parts:
+                stmt_start = b_off(seg_start)
             semi, comment_start = _scan_sql_to_semi(st, line, seg_start)
             if semi < 0:
                 break
             segment = line[seg_start:semi + 1]
             yield ("stmt",
-                   "\n".join(parts + [segment]) if parts else segment)
+                   "\n".join(parts + [segment]) if parts else segment,
+                   stmt_start, b_off(semi + 1))
             parts = []
             seg_start = semi + 1
             rest = line[seg_start:].strip()
@@ -1273,7 +1343,7 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20):
                 # poison the quote state), same as _iter_statements
                 m = COPY_RE.match(rest)
                 if m:
-                    yield copy_event(m)
+                    yield copy_event(m, b_off(seg_start))
                     copy_entered = True
                     break
         if copy_entered:
@@ -1290,7 +1360,8 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20):
                     or st.in_dollar is not None:
                 parts.append(tail)
     if parts and any(p.strip() for p in parts):
-        yield ("stmt", "\n".join(parts))
+        yield ("stmt", "\n".join(parts), stmt_start, r.base + r.pos)
+    yield ("end", r.base + r.pos, True)
 
 
 @dataclass
@@ -1303,22 +1374,6 @@ class CopyChunk:
     rows: int
     start_seq: int
     reorder: Optional[list[int]]   # schema-ordered source index, -1=NULL
-
-
-@dataclass
-class _FileScan:
-    """Result of the positional scan of one dump file.  The scan
-    records a file-ordered EVENT TIMELINE per data event — a COPY
-    chunk (byte range) or an INSERT statement shipped verbatim to a
-    per-table shard file — with NO sequence numbers: INSERT tuple
-    counts are only known after the executor tokenization pass, so
-    migrate composes per-table sequences by walking the timelines in
-    path order (which is what makes concurrent scans deterministic
-    and bit-identical to the staged pass)."""
-    # [(table, ("copy", CopyChunk)) | (table, ("ins", stmt_idx))]
-    events: list
-    stmt_paths: dict[str, str]      # table -> raw-statement shard file
-    unexpected: list[str]
 
 
 # Statement shard line encoding. Hadoop's text line reader splits on
@@ -1373,56 +1428,312 @@ class StmtShardWriter:
         self.files.clear()
 
 
-def _scan_dump_file(ctx: MigrationContext, path: str, shard_dir: str,
-                    chunk_bytes: int = 32 << 20) -> _FileScan:
-    """Pass-2 positional scan of ONE dump file.  Thread-safe: reads
-    ctx.src_schema only; unexpected-condition messages are collected
-    and replayed in deterministic path order by the caller.  INSERT
-    statements (the reference folds them into the COPY stream,
-    postgres/pgdump.go:334-371) ship VERBATIM to per-table shard
-    files — tokenization happens executor-side, so an INSERT-format
-    dump (pg_dump --inserts) no longer has a per-row driver loop; the
-    driver's work is bulk byte scanning only."""
-    w = StmtShardWriter(os.path.join(shard_dir, "stmts"))
-    fs = _FileScan([], {}, [])
+# ---------------------------------------------------------------------------
+# distributed statement-boundary scan (VERDICT r7 ask 1)
+# ---------------------------------------------------------------------------
+#
+# The last serial O(dump-bytes) ingest component was the driver's
+# statement-boundary token walk.  It is now byte-range split: the file
+# is cut into ~chunk_bytes ranges at arbitrary offsets; each executor
+# aligns to the first line start in its range and runs the SHARED
+# token-walk scanner SPECULATIVELY from a neutral lexer state,
+# emitting statement-run SPANS and COPY block ranges with absolute
+# byte offsets.  A speculative parse is exact whenever the true lexer
+# state at its aligned start is clean (between statements, nothing
+# open) — always the case for machine-generated dumps except when a
+# multi-line string literal, dollar-quote, block comment, or COPY
+# data block happens to cross the range boundary.  The driver
+# RECONCILES the per-range results with a trusted cursor: a range's
+# events are accepted when the cursor (a byte offset proven clean by
+# the trusted parse so far) coincides with the range's aligned start
+# or one of its own event boundaries (then both lexers provably agree
+# from that offset on); otherwise the affected range is rescanned
+# serially from the cursor with the exact scanner — rare, bounded to
+# one range per boundary-crossing construct.  This is the same
+# overlap-window / first-boundary-after-offset resolution the COPY
+# chunk reader uses, applied to the SQL statement stream itself.
+
+# speculative ranges abort a runaway in-flight statement this far past
+# their limit (a range starting inside COPY data would otherwise
+# token-walk and accumulate the rest of the block — up to the whole
+# file — as statement text, turning the parallel scan quadratic on
+# COPY-heavy dumps); real statements are almost always far smaller,
+# and the rare larger one is recovered exactly by the reconciliation
+# rescan
+_SPEC_HARD_ALLOWANCE = 1 << 20
+
+# cap on statement-run span size: the tokenize stage gets one task per
+# span, so a single-file statement run must split (at statement
+# boundaries) or the serial-scan branch would tokenize a whole dump in
+# one task
+_MAX_SPAN_BYTES = 8 << 20
+
+# cap on COPY data chunk size (read-task granularity), independent of
+# the scan's byte-range size
+_DATA_CHUNK_BYTES = 8 << 20
+
+# smallest byte-range a scan task is worth dispatching for (below it
+# the Spark round trip dominates and the driver-side exact scan wins);
+# tests shrink it to force many ranges + reconciliation on tiny dumps
+_RANGE_FLOOR = 1 << 20
+
+# serial-vs-distributed cutover: dispatching the range-scan Spark job
+# costs ~1.5-2.5 s of fixed overhead (job round trips, Arrow setup,
+# checkpoint).  Rather than guess a bytes threshold — scan speed is
+# mix-dependent (statement token-walk ~25 MB/s, COPY data find-skip
+# ~1 GB/s) — the driver TIMES an exact scan of the first ~1 MB and
+# extrapolates: below the floor the serial scan finishes before the
+# cluster job would even spin up.  Above _DIST_SCAN_FORCE_BYTES the
+# job always wins and the probe is skipped (a copy-heavy probe can
+# spill through its first data block, so it is only bounded when the
+# whole input is modest).
+_DIST_MIN_SERIAL_SEC = 2.0
+_DIST_SCAN_FORCE_BYTES = 1 << 30
+
+
+def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
+                              chunk_bytes: int) -> float:
+    """Extrapolated driver-side exact-scan time from timing the first
+    ~1 MB of up to three files."""
+    import time as _time
+    bps = []
+    for p in paths[:3]:
+        n = min(sizes[p], 1 << 20)
+        if n == 0:
+            continue
+        t0 = _time.perf_counter()
+        consumed = n
+        try:
+            with open(p, "rb") as f:
+                _events, stop, _clean = _collect_scan_events(
+                    f, 0, n, chunk_bytes, hard_allowance=0)
+                consumed = max(stop, n)
+        except (UnicodeDecodeError, ValueError):
+            pass
+        dt = max(_time.perf_counter() - t0, 1e-6)
+        bps.append(consumed / dt)
+    if not bps:
+        return 0.0
+    return sum(sizes.values()) / (sum(bps) / len(bps))
+
+
+def _collect_scan_events(f, base: int, limit: Optional[int],
+                         chunk_bytes: int,
+                         hard_allowance: Optional[int] = None,
+                         on_stmt=None, sync_marks: Optional[list] = None):
+    """Run the token-walk scanner over ``f`` (seeked to absolute
+    offset ``base``) and coalesce its yields into offset-only events:
+    ``["span", start, end, n_stmts, has_insert]`` for size-capped runs
+    of consecutive statements (text is NOT shipped) and ``["copy",
+    table, cols, ranges, start, end]`` for COPY blocks.  Returns (events, stop,
+    clean): ``stop`` is where the scan ended; ``clean`` False means a
+    hard abort left the tail after the last event unverified.
+
+    ``on_stmt(ev, span_start)`` is called for every statement event
+    with the enclosing span's start offset — the FUSED scan+tokenize
+    hook: the range task tokenizes INSERTs in the same pass that
+    discovers their boundaries, so the dump bytes are read once."""
+    hard = None if hard_allowance is None or limit is None \
+        else limit + hard_allowance
+    events: list = []
+    span: Optional[list] = None
+    stop, clean = base, True
+    for ev in _scan_dump_statements(f, chunk_bytes, base=base,
+                                    limit=limit, hard_limit=hard,
+                                    sync_marks=sync_marks):
+        if ev[0] == "stmt":
+            _, text, s, e = ev
+            is_ins = text.lstrip()[:6].upper() == "INSERT"
+            if span is not None and span[1] <= s \
+                    and s - span[1] < _MAX_SPAN_BYTES:
+                span[2] = e
+                span[3] += 1
+                span[4] = span[4] or is_ins
+            else:
+                # cap span size so the tokenize stage parallelizes
+                # even when ONE statement run covers a whole file
+                # (serial-scan branch); new spans start at statement
+                # starts, which are clean points by construction
+                span = ["span", s, e, 1, is_ins]
+                events.append(span)
+            if on_stmt is not None:
+                on_stmt(ev, span[1])
+        elif ev[0] == "copy":
+            span = None
+            events.append(list(ev))
+        elif ev[0] == "sync":
+            span = None     # post-sync statements start a fresh span:
+                            # the trusted cursor must be able to land
+                            # exactly on the sync = first span start
+        else:                              # ("end", stop, clean)
+            stop, clean = ev[1], ev[2]
+    return events, stop, clean
+
+
+def _tokenize_stmt(ev, schema_cols_by_table: dict, ordinals: dict,
+                   emit_row, emit_unknown) -> None:
+    """Tokenize one ("stmt", text, start, end) event exactly as the
+    staged pass would: INSERT rows become staged-layout TSV via the
+    shared _parse_insert_values; unknown tables report; statements
+    with unparsable VALUES or zero tuples are skipped.  Shared by the
+    fused range scan and the span tokenizer (one implementation, so
+    the two paths cannot drift)."""
+    s = ev[1].strip()
+    if not s.upper().startswith("INSERT"):
+        return
+    m = _INSERT_RE.match(s)
+    if not m:
+        return
+    table = _clean_name(m.group("table"))
+    if table not in schema_cols_by_table:
+        emit_unknown(ev[2], f"INSERT into unknown table {table}")
+        return
+    schema_cols = schema_cols_by_table[table]
+    cols = ([_clean_name(c) for c in m.group("cols").split(",")]
+            if m.group("cols") else schema_cols)
     try:
-        with open(path, "rb") as f:
-            for ev in _scan_dump_statements(f, chunk_bytes):
-                if ev[0] == "copy":
-                    _, table, cols, ranges = ev
-                    if not ranges:
-                        continue           # empty block: no data staged
-                    schema_table = ctx.src_schema.get(table)
-                    schema_cols = list(schema_table.col_names) \
-                        if schema_table else []
-                    if not cols or not schema_table \
-                            or cols == schema_cols:
-                        reorder = None
-                    else:
-                        idx = {c: i for i, c in enumerate(cols)}
-                        reorder = [idx.get(c, -1) for c in schema_cols]
-                    for (s, e, n) in ranges:
-                        fs.events.append(
-                            (table, ("copy",
-                                     CopyChunk(path, s, e, n, 0,
-                                               reorder))))
-                    continue
-                s = ev[1].strip()
-                if not s.upper().startswith("INSERT"):
-                    continue
-                m = _INSERT_RE.match(s)
-                if not m:
-                    continue
-                table = _clean_name(m.group("table"))
-                if table not in ctx.src_schema:
-                    fs.unexpected.append(
-                        f"INSERT into unknown table {table}")
-                    continue
-                fs.events.append((table, ("ins", w.write(table, s))))
-    finally:
-        w.close()
-    fs.stmt_paths = dict(w.paths)
-    return fs
+        tuples = _parse_insert_values(m.group("values"))
+    except ValueError:
+        return          # statement-level skip, staged-pass parity
+    for vals in tuples:
+        by_col = dict(zip(cols, vals))
+        ordered = [by_col.get(c) for c in schema_cols]
+        k = ordinals.get(table, 0)
+        ordinals[table] = k + 1
+        emit_row(table, k, ev[2], "\t".join(
+            StagingWriter.copy_escape(v) for v in ordered))
+
+
+def _scan_pg_range(path: str, start: int, end: int,
+                   chunk_bytes: int,
+                   hard_allowance: Optional[int] = None,
+                   on_stmt=None) -> dict:
+    """Executor-side speculative scan of one byte range.  Returns a
+    JSON-able summary: aligned start (first line start in the range;
+    None when the range is the middle of one giant line), events with
+    absolute offsets, the stop offset, and whether the scan ended
+    clean.  ``on_stmt`` fuses tokenization into the same pass (see
+    _collect_scan_events); fused side effects for a range later judged
+    invalid are discarded by keying them on (range, span start)."""
+    with open(path, "rb") as f:
+        if start == 0:
+            aligned = 0
+        else:
+            aligned = None
+            f.seek(start - 1)
+            off = start - 1
+            while off < end:
+                chunk = f.read(min(1 << 20, end - off))
+                if not chunk:
+                    break
+                j = chunk.find(b"\n")
+                if j >= 0:
+                    aligned = off + j + 1
+                    break
+                off += len(chunk)
+        if aligned is None or aligned >= end:
+            return {"aligned": None, "events": [], "stop": start,
+                    "clean": True, "syncs": []}
+        f.seek(aligned)
+        if hard_allowance is None:
+            hard_allowance = _SPEC_HARD_ALLOWANCE
+        syncs: list = []
+        try:
+            events, stop, clean = _collect_scan_events(
+                f, aligned, end, chunk_bytes,
+                hard_allowance=hard_allowance, on_stmt=on_stmt,
+                sync_marks=syncs)
+        except (UnicodeDecodeError, ValueError):
+            # undecodable speculative garbage (e.g. a range starting
+            # inside binary-ish COPY data): contribute nothing; the
+            # reconciliation rescan covers the segment exactly
+            return {"aligned": aligned, "events": [], "stop": aligned,
+                    "clean": False, "syncs": []}
+    return {"aligned": aligned, "events": events, "stop": stop,
+            "clean": clean, "syncs": syncs}
+
+
+def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
+                       chunk_bytes: int):
+    """Exact serial rescan of [start, first clean point >= limit):
+    the reconciliation fallback.  ``start`` must be a clean offset
+    (proven by the trusted parse)."""
+    with open(path, "rb") as f:
+        f.seek(start)
+        events, stop, _clean = _collect_scan_events(
+            f, start, limit, chunk_bytes, hard_allowance=None)
+    return events, stop
+
+
+def _ev_start(ev) -> int:
+    return ev[4] if ev[0] == "copy" else ev[1]
+
+
+def _ev_end(ev) -> int:
+    return ev[5] if ev[0] == "copy" else ev[2]
+
+
+def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
+                       chunk_bytes: int) -> list:
+    """Merge per-range speculative scans into the exact event list for
+    one file.  ``results`` are in range order; each carries its
+    range_start/range_end.  See the module comment above for the
+    trusted-cursor argument."""
+    out: list = []
+    cursor = 0
+    dirty = False       # segment after `cursor` unverified (hard stop)
+    for res in results:
+        rng_end = res["range_end"]
+        if res["aligned"] is None:
+            continue
+        evs = [e for e in res["events"] if _ev_start(e) >= cursor]
+        if cursor >= rng_end and not evs:
+            continue                      # consumed by an earlier spill
+        bounds = {res["aligned"]}
+        bounds.update(res.get("syncs", ()))
+        for e in res["events"]:
+            bounds.add(_ev_start(e))
+            bounds.add(_ev_end(e))
+        if (not dirty and cursor <= res["aligned"]) or cursor in bounds:
+            # a sync VALIDATES the parse only up to the NEXT sync: at
+            # a sync the speculative parser dropped a '\\.' line that
+            # a true parser (outside copy data) would have kept as
+            # statement text, so events past an unvalidated sync are
+            # not provably true.  cursor == sync proves THAT sync was
+            # a real block end; acceptance caps at the first sync
+            # STRICTLY after the cursor and the remainder rescans
+            # exactly (never triggered by machine-generated dumps —
+            # their terminators are consumed inside properly-parsed
+            # copy events and produce no sync marks).
+            cap = min((s for s in res.get("syncs", ())
+                       if s > cursor), default=None)
+            if cap is not None:
+                evs = [e for e in evs if _ev_end(e) <= cap]
+            out.extend(evs)
+            if evs:
+                cursor = max(cursor, _ev_end(evs[-1]))
+            if cap is not None:
+                ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
+                                                chunk_bytes)
+                out.extend(ev2)
+                cursor = max(cursor, stop2)
+                dirty = False
+            elif res["clean"]:
+                cursor = max(cursor, res["stop"])
+                dirty = False
+            else:
+                dirty = True
+        else:
+            ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
+                                            chunk_bytes)
+            out.extend(ev2)
+            cursor = max(cursor, stop2)
+            dirty = False
+    if cursor < file_size:
+        ev2, _stop2 = _rescan_pg_segment(path, cursor, None,
+                                         chunk_bytes)
+        out.extend(ev2)
+    return out
 
 
 def read_shard_lines(spark: SparkSession, stmt_path: str):
@@ -1439,54 +1750,98 @@ def read_shard_lines(spark: SparkSession, stmt_path: str):
     return src
 
 
-def _tokenize_pg_inserts(spark: SparkSession, ctx: MigrationContext,
-                         table: str, stmt_path: str):
-    """Executor-side tokenization of one (file, table) INSERT shard:
-    mapInPandas re-matches each verbatim statement, tokenizes its
-    VALUES tuples with the same _parse_insert_values the staged path
-    uses, and emits COPY-escaped staged-layout rows keyed by
-    (stmt_idx, local_idx).  Returns (rows_df, {stmt_idx: n_tuples});
-    sequence numbers are composed later by the caller from the counts
-    so they interleave with COPY chunks exactly as staged."""
-    schema_cols = list(ctx.src_schema[table].col_names)
+def _tokenize_pg_spans(spark: SparkSession, ctx: MigrationContext,
+                       span_rows: list):
+    """Executor-side tokenization of statement-run spans for the
+    NON-FUSED cases (small single-range inputs and reconciliation
+    rescans): mapInPandas re-reads each span's byte range from the
+    dump file, re-runs the SAME token-walk scanner (span starts are
+    proven clean points, so the re-parse is exact), and tokenizes via
+    the shared _tokenize_stmt kernel.  Rows are keyed
+    (path, rng, span_start, table, ordinal) — the same key space the
+    fused scan emits, so both sources union into one relation.
+
+    ``span_rows``: [(path, rng, start, end)].  Returns (parsed_df,
+    counts, unknowns): counts = {(path, rng, span_start, table):
+    (n_rows, first_stmt_off)}, unknowns = [(path, rng, span_start,
+    off, msg)]."""
+    import io as _io
+
+    schema_cols_by_table = {t: list(st.col_names)
+                            for t, st in ctx.src_schema.items()}
 
     def gen(batches):
         import pandas as pd
         for pdf in batches:
-            idxs, locs, rows_out = [], [], []
-            for line in pdf["value"]:
-                tab, _, enc = line.partition("\t")
-                stmt_idx = int(tab)
-                s = decode_stmt_line(enc)
-                m = _INSERT_RE.match(s)
-                if not m:
-                    continue
-                cols = ([_clean_name(c) for c in
-                         m.group("cols").split(",")]
-                        if m.group("cols") else schema_cols)
-                try:
-                    tuples = _parse_insert_values(m.group("values"))
-                except ValueError:
-                    continue    # statement-level skip, parity with
-                                # the staged pass's guard
-                for j, vals in enumerate(tuples):
-                    by_col = dict(zip(cols, vals))
-                    ordered = [by_col.get(c) for c in schema_cols]
-                    idxs.append(stmt_idx)
-                    locs.append(j)
-                    rows_out.append("\t".join(
-                        StagingWriter.copy_escape(v) for v in ordered))
-            yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
-                                "row": rows_out})
+            rows: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    fh.seek(rec.start)
+                    data = fh.read(rec.end - rec.start)
+                ordinals: dict[str, int] = {}
+                span_counts: dict[str, list] = {}
 
-    parsed = (read_shard_lines(spark, stmt_path)
-              .mapInPandas(gen, "stmt_idx long, local_idx long, "
-                                "row string")
-              .localCheckpoint())
-    counts = {r.stmt_idx: r.n for r in
-              parsed.groupBy("stmt_idx").agg(
-                  F.count("*").alias("n")).collect()}
-    return parsed, counts
+                def emit_row(table, k, off, payload, rec=rec,
+                             rows=rows, span_counts=span_counts):
+                    c = span_counts.setdefault(table, [0, off])
+                    c[0] += 1
+                    rows.append((rec.path, rec.rng, rec.start, table,
+                                 k, off, "r", payload))
+
+                def emit_unknown(off, msg, rec=rec, rows=rows):
+                    rows.append((rec.path, rec.rng, rec.start, "", 0,
+                                 off, "u", msg))
+
+                for ev in _scan_dump_statements(_io.BytesIO(data),
+                                                base=rec.start):
+                    if ev[0] == "stmt":
+                        _tokenize_stmt(ev, schema_cols_by_table,
+                                       ordinals, emit_row,
+                                       emit_unknown)
+                for t, (n, first) in span_counts.items():
+                    rows.append((rec.path, rec.rng, rec.start, t,
+                                 n, first, "c", ""))
+            yield pd.DataFrame(
+                rows, columns=["path", "rng", "span_start", "table",
+                               "ordinal", "off", "kind", "payload"])
+
+    desc = spark.createDataFrame(
+        [(p_, r_, s_, e_) for p_, r_, s_, e_ in span_rows],
+        "path string, rng long, start long, end long")
+    # one task per span: span size (~chunk_bytes), not span count, is
+    # the unit of work
+    desc = desc.repartition(max(len(span_rows), 1))
+    parsed = (desc.mapInPandas(
+        gen, _PARSED_SCHEMA).localCheckpoint())
+    counts, unknowns, _summaries = _collect_span_meta(parsed)
+    return parsed, counts, unknowns
+
+
+_PARSED_SCHEMA = ("path string, rng long, span_start long, "
+                  "table string, ordinal long, off long, "
+                  "kind string, payload string")
+
+
+def _collect_span_meta(parsed: DataFrame):
+    """Pull the executor-emitted metadata rows off a parsed relation
+    in ONE job: per-(span, table) counts (kind 'c': ordinal carries n,
+    off carries the first statement offset — counted executor-side, so
+    no groupBy shuffle), unknown-table messages (kind 'u'), and range
+    summaries (kind 's', fused scan only).  O(ranges + spans x tables
+    + unknowns) driver rows, never per-statement."""
+    counts: dict = {}
+    unknowns: list = []
+    summaries: dict = {}
+    for r in parsed.where("kind != 'r'").collect():
+        if r.kind == "c":
+            counts[(r.path, r.rng, r.span_start, r.table)] = \
+                (r.ordinal, r.off)
+        elif r.kind == "u":
+            unknowns.append(
+                (r.path, r.rng, r.span_start, r.off, r.payload))
+        else:                               # 's'
+            summaries[(r.path, r.off)] = r.payload
+    return counts, unknowns, summaries
 
 
 def read_copy_chunks(spark: SparkSession, ctx: MigrationContext,
@@ -1633,82 +1988,188 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     return ctx, results
 
 
-def _scan_files_parallel(ctx: MigrationContext, paths: list[str],
-                         staging_dir: str, chunk_bytes: int,
-                         max_workers: Optional[int]) -> list[_FileScan]:
-    """Scan dump files in parallel.  A fork-based process pool when
-    available: the scan is C-level bytes work that still holds the
-    GIL, so threads serialize (measured: 8 threads ≈ serial, 8
-    processes ≈ 2.8× on a 1 GB 8-file corpus) — processes are what
-    make 'ingest parallelism scales with file count' true.  Falls back
-    to a thread pool (which at least overlaps file I/O) when fork or
-    pickling is unavailable.  Results are composed by the caller in
-    path order, so worker scheduling cannot affect output."""
-    import pickle
-    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
-    workers = max_workers or min(len(paths), os.cpu_count() or 4)
-    jobs = [(p, os.path.join(staging_dir, f"ins_{i}"))
-            for i, p in enumerate(paths)]
-    use_procs = hasattr(os, "fork")
-    if use_procs:
-        try:
-            pickle.dumps(ctx)
-        except Exception:
-            use_procs = False
-    if use_procs:
-        import multiprocessing
-        mp_ctx = multiprocessing.get_context("fork")
-        with ProcessPoolExecutor(workers, mp_context=mp_ctx) as ex:
-            futs = [ex.submit(_scan_dump_file, ctx, p, sd, chunk_bytes)
-                    for p, sd in jobs]
-            return [f.result() for f in futs]
-    with ThreadPoolExecutor(workers) as ex:
-        futs = [ex.submit(_scan_dump_file, ctx, p, sd, chunk_bytes)
-                for p, sd in jobs]
-        return [f.result() for f in futs]
+def _scan_paths_distributed(spark: SparkSession, paths: list[str],
+                            chunk_bytes: int, ctx: MigrationContext):
+    """Byte-range-split FUSED scan+tokenize of all dump files as ONE
+    Spark job, then per-file driver reconciliation.  Each range task
+    walks its bytes once: statement boundaries, COPY block ranges, AND
+    tokenized INSERT rows come out of the same token walk (the dump is
+    never read twice).  Returns (file_events, parsed, counts,
+    unknowns): parsed/counts/unknowns cover exactly the ACCEPTED spans
+    (speculative output of ranges the reconciliation rejected is
+    dropped by key; rescanned segments re-tokenize through
+    _tokenize_pg_spans and union in).
+
+    Small inputs (single range) skip the Spark scan and parse
+    driver-side with the same primitives — identical events by
+    construction."""
+    import json as _json
+    import math as _math
+
+    schema_cols_by_table = {t: list(st.col_names)
+                            for t, st in ctx.src_schema.items()}
+    sizes = {p: os.path.getsize(p) for p in paths}
+    total = sum(sizes.values())
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    range_bytes = max(_RANGE_FLOOR,
+                      min(chunk_bytes, _math.ceil(total / par) or 1))
+    descs = []               # (path, range_idx, start, end)
+    for p in paths:
+        n = sizes[p]
+        for ri, s in enumerate(range(0, n, range_bytes)):
+            descs.append((p, ri, s, min(s + range_bytes, n)))
+
+    serial = len(descs) <= 1
+    if not serial and total < _DIST_SCAN_FORCE_BYTES:
+        serial = _estimate_serial_scan_sec(
+            paths, sizes, chunk_bytes) < _DIST_MIN_SERIAL_SEC
+    if serial:
+        file_events: dict[str, list] = {}
+        span_rows = []
+        for p in paths:
+            if sizes[p] == 0:
+                file_events[p] = []
+                continue
+            with open(p, "rb") as f:
+                events, _stop, _clean = _collect_scan_events(
+                    f, 0, None, chunk_bytes, hard_allowance=None)
+            for ev in events:
+                if ev[0] == "span":
+                    ev.append(0)                    # rng tag
+                    if ev[4]:       # has INSERTs: worth a tokenize task
+                        span_rows.append((p, 0, ev[1], ev[2]))
+            file_events[p] = events
+        if span_rows:
+            parsed, counts, unknowns = _tokenize_pg_spans(
+                spark, ctx, span_rows)
+        else:
+            parsed, counts, unknowns = None, {}, []
+        return file_events, parsed, counts, unknowns
+
+    cb = chunk_bytes
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                ordinal_state = {"span": None, "ordinals": {}}
+                span_counts: dict[tuple, list] = {}
+
+                def on_stmt(ev, span_start, rec=rec, rows=rows,
+                            st=ordinal_state, span_counts=span_counts):
+                    if st["span"] != span_start:
+                        st["span"] = span_start
+                        st["ordinals"] = {}
+
+                    def emit_row(table, k, off, payload):
+                        c = span_counts.setdefault(
+                            (span_start, table), [0, off])
+                        c[0] += 1
+                        rows.append((rec.path, rec.ri, span_start,
+                                     table, k, off, "r", payload))
+
+                    def emit_unknown(off, msg):
+                        rows.append((rec.path, rec.ri, span_start,
+                                     "", 0, off, "u", msg))
+
+                    _tokenize_stmt(ev, schema_cols_by_table,
+                                   st["ordinals"], emit_row,
+                                   emit_unknown)
+
+                res = _scan_pg_range(rec.path, rec.start, rec.end, cb,
+                                     on_stmt=on_stmt)
+                res["range_end"] = rec.end
+                for (ss, t), (n, first) in span_counts.items():
+                    rows.append((rec.path, rec.ri, ss, t, n, first,
+                                 "c", ""))
+                rows.append((rec.path, rec.ri, rec.start, "", 0,
+                             rec.ri, "s", _json.dumps(res)))
+            yield pd.DataFrame(
+                rows, columns=["path", "rng", "span_start", "table",
+                               "ordinal", "off", "kind", "payload"])
+
+    desc_df = spark.createDataFrame(
+        descs, "path string, ri long, start long, end long") \
+        .repartition(len(descs))
+    parsed = desc_df.mapInPandas(gen, _PARSED_SCHEMA).localCheckpoint()
+    counts, unknowns, raw_summaries = _collect_span_meta(parsed)
+    summaries = {k: _json.loads(v) for k, v in raw_summaries.items()}
+
+    file_events = {}
+    rescan_rows = []
+    accepted: set[tuple] = set()        # (path, rng, span_start)
+    rescan_rng = -1
+    for p in paths:
+        ris = sorted(ri for q, ri in summaries if q == p)
+        results = []
+        for ri in ris:
+            res = summaries[(p, ri)]
+            for ev in res["events"]:
+                if ev[0] == "span":
+                    ev.append(ri)                   # rng tag
+            results.append(res)
+        events = _reconcile_pg_scan(p, sizes[p], results, chunk_bytes)
+        for ev in events:
+            if ev[0] != "span":
+                continue
+            if len(ev) >= 6:                        # fused range span
+                accepted.add((p, ev[5], ev[1]))
+            else:                                   # rescan-discovered
+                ev.append(rescan_rng)
+                if ev[4]:       # has INSERTs: worth a tokenize task
+                    rescan_rows.append((p, rescan_rng, ev[1], ev[2]))
+                rescan_rng -= 1
+        file_events[p] = events
+
+    # drop speculative output of rejected spans; tokenize rescans
+    counts = {k: v for k, v in counts.items()
+              if (k[0], k[1], k[2]) in accepted}
+    unknowns = [u for u in unknowns
+                if (u[0], u[1], u[2]) in accepted]
+    if rescan_rows:
+        parsed2, counts2, unknowns2 = _tokenize_pg_spans(
+            spark, ctx, rescan_rows)
+        parsed = parsed.unionByName(parsed2)
+        counts.update(counts2)
+        unknowns.extend(unknowns2)
+    return file_events, parsed, counts, unknowns
 
 
 def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                          paths: list[str], staging_dir: str,
                          chunk_bytes: int, max_workers: Optional[int],
                          ) -> dict[str, ConversionResult]:
-    """Distributed data pass: concurrent per-file positional scans,
-    executor-side tokenization of INSERT shards, then deterministic
-    sequence composition by walking the per-file event timelines in
-    path order — COPY chunk ranges and INSERT tuple counts interleave
-    into exactly the sequences the staged pass would have written
-    (the counts, one int per statement, are the only tokenization
-    product the driver ever sees)."""
-    os.makedirs(staging_dir, exist_ok=True)
-    if len(paths) == 1:
-        scans = [_scan_dump_file(ctx, paths[0],
-                                 os.path.join(staging_dir, "ins_0"),
-                                 chunk_bytes)]
-    else:
-        scans = _scan_files_parallel(ctx, paths, staging_dir,
-                                     chunk_bytes, max_workers)
+    """Distributed data pass, serial-driver-free end to end:
 
-    # executor tokenization per (file, table) shard: rows stay on the
-    # cluster; the driver receives per-statement tuple counts only.
-    # Shards are SUBMITTED CONCURRENTLY — each one is a small Spark
-    # job (localCheckpoint + counts aggregate) dominated by scheduler
-    # latency, so a serial loop would pay F x T sequential round
-    # trips on exactly the very-large-dump path this mode targets
-    # (code-review r7); Spark job submission is thread-safe.
-    shard_items = [(i, t, p) for i, fscan in enumerate(scans)
-                   for t, p in fscan.stmt_paths.items()]
-    parsed: dict[tuple[int, str], tuple[DataFrame, dict[int, int]]] = {}
-    if len(shard_items) <= 1:
-        for i, t, p in shard_items:
-            parsed[(i, t)] = _tokenize_pg_inserts(spark, ctx, t, p)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-        pool_n = min(len(shard_items), max_workers or 8)
-        with ThreadPoolExecutor(max_workers=pool_n) as pool:
-            futs = {(i, t): pool.submit(_tokenize_pg_inserts, spark,
-                                        ctx, t, p)
-                    for i, t, p in shard_items}
-        parsed = {k: f.result() for k, f in futs.items()}
+    1. the statement-boundary scan runs as byte-range Spark tasks
+       (speculative token walk + driver reconciliation,
+       _scan_paths_distributed) — the driver never walks dump bytes;
+    2. INSERT tokenization is FUSED into the same executor pass (the
+       dump is read once); the driver sees per-(span, table) counts,
+       O(spans), never per-statement data;
+    3. sequence numbers compose deterministically by walking the
+       per-file event timelines in path order, so COPY chunks and
+       INSERT tuples interleave into exactly the sequences the staged
+       pass would have written — results are bit-identical to
+       ``"staged"`` (the differential suite pins this).
+
+    ``max_workers`` is kept for signature compatibility (the scan
+    parallelizes as one Spark job regardless of file count)."""
+    del max_workers
+    os.makedirs(staging_dir, exist_ok=True)
+    file_events, parsed, counts, unknowns = _scan_paths_distributed(
+        spark, paths, chunk_bytes, ctx)
+
+    unknowns_by_span: dict[tuple, list] = {}
+    for p_, rng_, ss_, off_, msg_ in unknowns:
+        unknowns_by_span.setdefault((p_, rng_, ss_), []).append(
+            (off_, msg_))
+    counts_by_span: dict[tuple, list] = {}
+    for (p_, rng_, ss_, t_), (n_, first_) in counts.items():
+        if n_ > 0:
+            counts_by_span.setdefault((p_, rng_, ss_), []).append(
+                (t_, n_, first_))
 
     # walk the global timeline (files in path order, events in file
     # order): a table enters `order` at its first row-yielding event,
@@ -1716,32 +2177,46 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
     order: list[str] = []
     seqs: dict[str, int] = {}
     all_chunks: dict[str, list[CopyChunk]] = {}
-    # (file, table) -> {stmt_idx: base sequence}
-    stmt_offs: dict[tuple[int, str], dict[int, int]] = {}
+    # t -> [(path, rng, span_start, base_seq)]
+    span_bases: dict[str, list[tuple]] = {}
 
     def touch(table: str) -> None:
         if table not in seqs:
             seqs[table] = 0
             order.append(table)
 
-    for i, fscan in enumerate(scans):
-        for msg in fscan.unexpected:
-            ctx.unexpected(msg)
-        for t, ev in fscan.events:
+    for p in paths:
+        for ev in file_events[p]:
             if ev[0] == "copy":
-                c = ev[1]
-                touch(t)
-                all_chunks.setdefault(t, []).append(
-                    CopyChunk(c.path, c.start, c.end, c.rows,
-                              seqs[t], c.reorder))
-                seqs[t] += c.rows
+                _, table, cols, ranges, _s, _e = ev
+                if not ranges:
+                    continue          # empty block: no data staged
+                schema_table = ctx.src_schema.get(table)
+                schema_cols = list(schema_table.col_names) \
+                    if schema_table else []
+                if not cols or not schema_table \
+                        or cols == schema_cols:
+                    reorder = None
+                else:
+                    idx = {c: i for i, c in enumerate(cols)}
+                    reorder = [idx.get(c, -1) for c in schema_cols]
+                touch(table)
+                for (s, e, n) in ranges:
+                    all_chunks.setdefault(table, []).append(
+                        CopyChunk(p, s, e, n, seqs[table], reorder))
+                    seqs[table] += n
             else:
-                n = parsed[(i, t)][1].get(ev[1], 0)
-                if n == 0:
-                    continue     # zero-tuple INSERT: staged-path skip
-                touch(t)
-                stmt_offs.setdefault((i, t), {})[ev[1]] = seqs[t]
-                seqs[t] += n
+                key = (p, ev[5], ev[1])
+                for _off, msg in sorted(
+                        unknowns_by_span.get(key, [])):
+                    ctx.unexpected(msg)
+                span_tables = sorted(counts_by_span.get(key, []),
+                                     key=lambda x: x[2])
+                for t, n, _first in span_tables:
+                    touch(t)
+                    span_bases.setdefault(t, []).append(
+                        (key[0], key[1], key[2], seqs[t]))
+                    seqs[t] += n
 
     results: dict[str, ConversionResult] = {}
     for t in order:
@@ -1751,20 +2226,34 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
         dfs: list[DataFrame] = []
         if t in all_chunks:
             dfs.append(read_copy_chunks(spark, ctx, t, all_chunks[t]))
-        for i in range(len(scans)):
-            offs = stmt_offs.get((i, t))
-            if not offs:
-                continue
-            rows_df = parsed[(i, t)][0]
-            off_df = spark.createDataFrame(
-                sorted(offs.items()), "stmt_idx long, off long")
-            values = (rows_df.join(F.broadcast(off_df), "stmt_idx")
+        if t in span_bases:
+            base_df = spark.createDataFrame(
+                sorted(span_bases[t]),
+                "path string, rng long, span_start long, base long")
+            values = (parsed
+                      .where(F.col("kind") == "r")
+                      .where(F.col("table") == t)
+                      .join(F.broadcast(base_df),
+                            ["path", "rng", "span_start"])
                       .select(F.concat_ws(
                           "\t",
-                          (F.col("off") + F.col("local_idx"))
+                          (F.col("base") + F.col("ordinal"))
                           .cast("string"),
-                          F.col("row")).alias("value")))
-            dfs.append(_decode_staged_values(values, ctx, t))
+                          F.col("payload")).alias("value")))
+            # Materialize the sequenced values as staged-layout text
+            # (an EXECUTOR-side write — the driver never sees a row)
+            # instead of converting on top of the live join: the
+            # conversion's ~7 expression trees over split(value) each
+            # re-evaluate the join projection, measured 2.9x slower
+            # end-to-end than scanning a materialized text source —
+            # and every downstream action (good/bad counts, sink
+            # writes) rescans cheap text instead of re-running the
+            # join.  This is exactly the staged pass's artifact,
+            # produced distributed.
+            txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
+            values.write.mode("overwrite").text(txt)
+            dfs.append(_decode_staged_values(
+                spark.read.text(txt), ctx, t))
         if not dfs:
             continue
         df = dfs[0]

@@ -122,17 +122,17 @@ def test_tiny_chunks_force_many_tasks(spark, tmp_path):
         "COPY public.b (id, v) FROM stdin;\n" + rows + "\\.\n")
     _assert_modes_identical(spark, f, tmp_path, chunk_bytes=64)
     # the scanner really did cut many chunks
-    fscan = pgdump._scan_dump_file(
-        pgdump.migrate_pg_dump(spark, str(f), str(tmp_path / "s0"))[0],
-        str(f), str(tmp_path / "shard"), chunk_bytes=64)
-    chunks = [ev[1] for t, ev in fscan.events
-              if t == "b" and ev[0] == "copy"]
+    with open(f, "rb") as fh:
+        events, _stop, _clean = pgdump._collect_scan_events(
+            fh, 0, None, 64, hard_allowance=None)
+    chunks = [r for ev in events
+              if ev[0] == "copy" and ev[1] == "b" for r in ev[3]]
     assert len(chunks) > 10
-    assert sum(c.rows for c in chunks) == 200
+    assert sum(n for _s, _e, n in chunks) == 200
     # chunks tile the block: contiguous byte ranges (sequences are
     # composed later by _migrate_distributed from the event timeline)
     for a, b in zip(chunks, chunks[1:]):
-        assert a.end == b.start
+        assert a[1] == b[0]
 
 
 def test_multifile_shards_concurrent_scan(spark, tmp_path):
@@ -501,3 +501,180 @@ def test_mysql_cr_inside_statement_modes_identical(spark, tmp_path):
         outs.append({row.id: row.v
                      for row in res["t"].good.collect()})
     assert outs[0] == outs[1] == {1: "a", 2: "b"}
+
+
+# ---------------------------------------------------------------------------
+# byte-range-split statement-boundary scan (VERDICT r7 ask 1)
+# ---------------------------------------------------------------------------
+
+def _expand_events(path, events, chunk_bytes=1 << 20):
+    """Flatten scan events to a comparable (kind, payload) sequence:
+    spans re-parse their byte range (also PROVING every span start is
+    a clean point), copy blocks compare header + ranges."""
+    import io as _io
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    for ev in events:
+        if ev[0] == "copy":
+            out.append(("copy", ev[1], tuple(ev[2]),
+                        tuple(map(tuple, ev[3]))))
+            continue
+        s, e = ev[1], ev[2]
+        for sub in pgdump._scan_dump_statements(
+                _io.BytesIO(data[s:e]), chunk_bytes, base=s):
+            if sub[0] == "stmt":
+                out.append(("stmt", sub[1]))
+            elif sub[0] == "copy":
+                out.append(("copy!", sub[1]))   # must never happen
+    return out
+
+
+def _exact_events(path, chunk_bytes=1 << 20):
+    with open(path, "rb") as f:
+        events, _stop, _clean = pgdump._collect_scan_events(
+            f, 0, None, chunk_bytes, hard_allowance=None)
+    return events
+
+
+def _ranged_events(path, range_bytes, chunk_bytes=1 << 20,
+                   hard_allowance=None):
+    size = os.path.getsize(path)
+    results = []
+    for s in range(0, size, range_bytes):
+        res = pgdump._scan_pg_range(path, s, min(s + range_bytes, size),
+                                    chunk_bytes,
+                                    hard_allowance=hard_allowance)
+        res["range_end"] = min(s + range_bytes, size)
+        results.append(res)
+    return pgdump._reconcile_pg_scan(path, size, results, chunk_bytes)
+
+
+TRICKY_DUMP = (
+    "CREATE TABLE public.t (id integer NOT NULL, v text);\n"
+    "INSERT INTO public.t VALUES (1, 'multi\n"
+    "line with; semicolons and\n"
+    "INSERT INTO public.fake VALUES (9, ''x'');\n"
+    "COPY public.t (id, v) FROM stdin;\n"
+    "even a fake copy header');\n"
+    "INSERT INTO public.t VALUES (2, 'qu''ote'), (3, NULL);\n"
+    "/* block comment\n"
+    "spanning; lines INSERT INTO nope VALUES (1); */\n"
+    "CREATE FUNCTION public.f() RETURNS void AS $body$\n"
+    "fake ; statements $notbody$ inside\n"
+    "$body$ LANGUAGE sql;\n"
+    "COPY public.t (id, v) FROM stdin;\n"
+    "10\tdata with 'quotes' and ; semis\n"
+    "11\tINSERT INTO public.t VALUES (99, 'trap');\n"
+    "12\t\\N\n"
+    "\\.\n"
+    "INSERT INTO public.t VALUES (4, 'after copy');\n"
+    "SET timezone = 'UTC';INSERT INTO public.t VALUES (5, 'mid');\n"
+    "-- trailing comment\n")
+
+
+@pytest.mark.parametrize("range_bytes", [23, 57, 101, 256, 4096])
+def test_range_scan_reconciles_exactly(tmp_path, range_bytes):
+    """The speculative byte-range scan + reconciliation must produce
+    the exact scan's statements and copy blocks at ANY range size —
+    boundaries land inside literals, comments, dollar quotes, and
+    copy data."""
+    f = tmp_path / "tricky.sql"
+    f.write_text(TRICKY_DUMP)
+    exact = _expand_events(str(f), _exact_events(str(f)))
+    got = _expand_events(str(f), _ranged_events(str(f), range_bytes))
+    assert got == exact
+    assert any(k == "stmt" for k, *_ in exact)
+    assert any(k == "copy" for k, *_ in exact)
+    assert not any(k == "copy!" for k, *_ in exact)
+
+
+@pytest.mark.parametrize("range_bytes", [31, 64])
+def test_range_scan_hard_stop_recovers(tmp_path, range_bytes):
+    """A statement larger than the speculative hard allowance is
+    aborted executor-side and recovered exactly by the reconciliation
+    rescan."""
+    big = "x" * 500
+    f = tmp_path / "big_stmt.sql"
+    f.write_text(
+        "INSERT INTO public.t VALUES (1, 'a');\n"
+        f"INSERT INTO public.t VALUES (2, '{big}');\n"
+        "INSERT INTO public.t VALUES (3, 'b');\n")
+    exact = _expand_events(str(f), _exact_events(str(f)))
+    got = _expand_events(
+        str(f), _ranged_events(str(f), range_bytes, hard_allowance=50))
+    assert got == exact
+
+
+def test_range_scan_random_differential(tmp_path):
+    """Property-style: random dumps (multi-line literals with fake
+    headers/semicolons, dollar quotes, comments, CRLF, copy blocks
+    with deceptive data) scanned at random range sizes must always
+    reconcile to the exact scan."""
+    rng = random.Random(7)
+    nasty_bits = ["a", "qu''ote", "semi;colon", "INSERT INTO f VALUES (1);",
+                  "COPY public.x (a) FROM stdin;", "\\.",
+                  "li\nne", "d$tag$q", "--cmt", "/*blk*/", ""]
+    for it in range(25):
+        lines = ["CREATE TABLE public.t (id integer NOT NULL, "
+                 "v text);\n"]
+        for i in range(rng.randrange(2, 12)):
+            kind = rng.randrange(5)
+            if kind == 0:
+                lit = "&".join(rng.choice(nasty_bits)
+                               for _ in range(rng.randrange(1, 4)))
+                lit = lit.replace("'", "''") if rng.random() < 0.3 \
+                    else lit.replace("''", "'").replace("'", "''")
+                lines.append(
+                    f"INSERT INTO public.t VALUES ({i}, '{lit}');\n")
+            elif kind == 1:
+                rows = "".join(f"{j}\t{rng.choice(nasty_bits)}\n"
+                               .replace("\n", "", 1) + "\n"
+                               for j in range(rng.randrange(0, 5)))
+                lines.append("COPY public.t (id, v) FROM stdin;\n"
+                             + rows + "\\.\n")
+            elif kind == 2:
+                lines.append(f"/* c{i}\nmulti ; line */\n")
+            elif kind == 3:
+                lines.append(f"CREATE FUNCTION public.f{i}() RETURNS "
+                             f"void AS $b$\nfake; {i}\n$b$ "
+                             "LANGUAGE sql;\n")
+            else:
+                lines.append(f"SET x = {i};"
+                             f"INSERT INTO public.t VALUES "
+                             f"({i + 100}, 'mid');\n")
+        body = "".join(lines)
+        f = tmp_path / f"rand_{it}.sql"
+        f.write_bytes(body.encode())
+        exact = _expand_events(str(f), _exact_events(str(f)))
+        for range_bytes in (rng.randrange(17, 80),
+                            rng.randrange(80, 400)):
+            got = _expand_events(str(f),
+                                 _ranged_events(str(f), range_bytes))
+            assert got == exact, (it, range_bytes)
+
+
+def test_spark_range_split_modes_identical(spark, tmp_path,
+                                           monkeypatch):
+    """End-to-end through the Spark job: _RANGE_FLOOR shrunk so even a
+    small INSERT-heavy dump splits into many executor ranges; results
+    must stay bit-identical to staged."""
+    monkeypatch.setattr(pgdump, "_RANGE_FLOOR", 128)
+    monkeypatch.setattr(pgdump, "_DIST_MIN_SERIAL_SEC", 0.0)
+    f = tmp_path / "many_ranges.sql"
+    f.write_text(
+        "CREATE TABLE public.t (id integer NOT NULL, v text, "
+        "PRIMARY KEY (id));\n"
+        "CREATE TABLE public.u (a text);\n"
+        + "".join(f"INSERT INTO public.t VALUES ({i}, 'r{i}-multi\n"
+                  f"line; with semi');\n" for i in range(40))
+        + "COPY public.t (id, v) FROM stdin;\n"
+        + "".join(f"{i}\tcopy-{i}\n" for i in range(100, 160))
+        + "\\.\n"
+        + "INSERT INTO public.u VALUES ('x'), ('y');\n"
+        + "INSERT INTO public.ghost VALUES (1);\n")
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path,
+                                             chunk_bytes=256)
+    ids = {row.id for row in r1["t"].good.collect()}
+    assert len(ids) == 100
+    assert any("ghost" in m for m in ctx2.unexpecteds)
