@@ -204,6 +204,7 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}
     sof = None
+    progressive = False
     dri = 0
     i = 2
     n = len(content)
@@ -244,7 +245,7 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
                 vals = bytes(body[j + 17:j + 17 + nv])
                 huff[(tc, th)] = _Huff(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:   # SOF0/1: baseline(+ext seq)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -253,7 +254,8 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF not supported")
         elif m == 0xDD:                # DRI
@@ -261,6 +263,9 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
         elif m == 0xDA:                # SOS
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                return _decode_progressive(content, i, body, sof, qt,
+                                           huff, dri)
             ns = body[0]
             scan = []
             for c in range(ns):
@@ -344,6 +349,347 @@ def _decode_scan(content, start, sof, scan, qt, huff, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (ITU-T T.81 Annex G, Huffman, 8-bit)
+# ---------------------------------------------------------------------------
+
+def _decode_progressive(content, i, body, sof, qt, huff, dri):
+    """Progressive (SOF2) decode: coefficients accumulate across
+    scans — spectral selection (Ss..Se bands) and successive
+    approximation (Ah/Al bit planes) — then one dequant + IDCT pass
+    reconstructs the image.  Supports interleaved and single-component
+    DC scans (first + refinement), single-component AC scans (first +
+    refinement with EOB-run decoding, T.81 G.1.2.2-3), restart
+    intervals, and DHT/DQT/DRI redefinition between scans.
+
+    Reference parity: the reference has no media pipeline; this is a
+    training-data-pipeline addition (SURVEY beyond-parity scope)."""
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("zero dimension")
+    if w * h * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over MAX_DECODED_BYTES")
+    if any(hs < 1 or hs > 4 or vs < 1 or vs > 4
+           for _, hs, vs, _ in comps):
+        raise ValueError("bad sampling factors")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    # zigzag-order coefficient store per component, int (exact)
+    coef = {cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+            for cid, hs, vs, _ in comps}
+    # true block grid for non-interleaved scans (G.1: ceil of the
+    # component's own dimensions, NOT the MCU-padded grid)
+    def _ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
+    grid = {cid: (_ceil_div(_ceil_div(w * hs, hmax), 8),
+                  _ceil_div(_ceil_div(h * vs, vmax), 8))
+            for cid, hs, vs, _ in comps}
+
+    n = len(content)
+    while True:
+        ns = body[0]
+        scan = []
+        for c in range(ns):
+            cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+            scan.append((cs, tables >> 4, tables & 15))
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        ahal = body[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 15
+        segs, i = _split_scan(content, i)
+        _decode_prog_scan(coef, by_id, huff, scan, ss, se, ah, al,
+                          segs, dri, mcux, mcuy, grid)
+        # continue the marker walk: tables may be redefined, more
+        # scans may follow, EOI ends the frame
+        body = None
+        while i + 2 <= n:
+            if content[i] != 0xFF:
+                raise ValueError("marker expected")
+            while i + 1 < n and content[i + 1] == 0xFF:
+                i += 1
+            m = content[i + 1]
+            if m == 0xD9:              # EOI
+                i = n
+                break
+            if i + 4 > n:
+                i = n
+                break
+            seglen = struct.unpack(">H", content[i + 2:i + 4])[0]
+            seg_body = content[i + 4:i + 2 + seglen]
+            i += 2 + seglen
+            if m == 0xC4:              # DHT
+                j = 0
+                while j < len(seg_body):
+                    tc, th = seg_body[j] >> 4, seg_body[j] & 15
+                    bits = list(seg_body[j + 1:j + 17])
+                    nv = sum(bits)
+                    vals = bytes(seg_body[j + 17:j + 17 + nv])
+                    huff[(tc, th)] = _Huff(bits, vals)
+                    j += 17 + nv
+            elif m == 0xDB:            # DQT
+                j = 0
+                while j < len(seg_body):
+                    pq, tq_id = seg_body[j] >> 4, seg_body[j] & 15
+                    j += 1
+                    if pq:
+                        t = np.frombuffer(seg_body[j:j + 128],
+                                          dtype=">u2").astype(np.int32)
+                        j += 128
+                    else:
+                        t = np.frombuffer(seg_body[j:j + 64],
+                                          dtype=np.uint8
+                                          ).astype(np.int32)
+                        j += 64
+                    dq = np.zeros(64, dtype=np.int32)
+                    dq[ZIGZAG] = t
+                    qt[tq_id] = dq.reshape(8, 8)
+            elif m == 0xDD:            # DRI
+                dri = struct.unpack(">H", seg_body[:2])[0]
+            elif m == 0xDA:            # next SOS
+                body = seg_body
+                break
+            # APPn/COM/etc: skipped
+        if body is None:
+            break
+
+    # reconstruction: dezigzag, dequantize, IDCT — all blocks at once
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError("SOF references undeclared quant table")
+        q = qt[tq]                                     # 8x8 row-major
+        zz = coef[cid].astype(np.float64)              # (ny, nx, 64)
+        rm = np.zeros_like(zz)
+        rm[:, :, ZIGZAG] = zz                          # dezigzag
+        ny, nx = rm.shape[:2]
+        plane = np.zeros((ny * 8, nx * 8))
+        for by in range(ny):
+            for bx in range(nx):
+                # per-block matmuls matching _decode_block's float
+                # ops exactly, so a progressive file with the same
+                # coefficients as a baseline file decodes to the
+                # same pixels even at np.round knife edges
+                blk = rm[by, bx].reshape(8, 8) * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _M.T @ blk @ _M + 128.0
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(planes) != 3:
+        raise ValueError("unsupported component count")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(coef, by_id, huff, scan, ss, se, ah, al, segs,
+                      dri, mcux, mcuy, grid):
+    """One progressive scan over ``segs`` restart intervals."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        order = []
+        for cs, td, _ta in scan:
+            if cs not in by_id:
+                raise ValueError("SOS references unknown component")
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError("undeclared DC Huffman table")
+            order.append((cs, huff.get((0, td))))
+        if len(scan) > 1:
+            _prog_dc_interleaved(coef, by_id, order, ah, al, segs,
+                                 dri, mcux, mcuy)
+        else:
+            _prog_dc_single(coef, order[0], ah, al, segs, dri,
+                            grid[order[0][0]])
+        return
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan in progressive frame")
+    cs, _td, ta = scan[0]
+    if cs not in by_id:
+        raise ValueError("SOS references unknown component")
+    if (1, ta) not in huff:
+        raise ValueError("undeclared AC Huffman table")
+    if ah == 0:
+        _prog_ac_first(coef[cs], huff[(1, ta)], ss, se, al, segs,
+                       dri, grid[cs])
+    else:
+        _prog_ac_refine(coef[cs], huff[(1, ta)], ss, se, al, segs,
+                        dri, grid[cs])
+
+
+def _prog_dc_interleaved(coef, by_id, order, ah, al, segs, dri,
+                         mcux, mcuy):
+    nmcu = mcux * mcuy
+    per_seg = dri if dri else nmcu
+    if len(segs) < -(-nmcu // per_seg):
+        raise ValueError("missing restart segment")
+    mcu = 0
+    for seg in segs:
+        if mcu >= nmcu:
+            break
+        br = _BitReader(seg)
+        pred = {cid: 0 for cid, _ in order}
+        for _ in range(min(per_seg, nmcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for cid, dc in order:
+                hs, vs, _tq = by_id[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        c = coef[cid][my * vs + by, mx * hs + bx]
+                        if ah == 0:
+                            s = dc.decode(br)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            c[0] = pred[cid] << al
+                        else:
+                            if br.bit():
+                                c[0] |= 1 << al
+            mcu += 1
+
+
+def _prog_dc_single(coef_c, order0, ah, al, segs, dri, grid_c):
+    cid, dc = order0
+    nx, ny = grid_c
+    nblk = nx * ny
+    per_seg = dri if dri else nblk
+    if len(segs) < -(-nblk // per_seg):
+        raise ValueError("missing restart segment")
+    blk = 0
+    c = coef_c[cid]
+    for seg in segs:
+        if blk >= nblk:
+            break
+        br = _BitReader(seg)
+        pred = 0
+        for _ in range(min(per_seg, nblk - blk)):
+            by, bx = divmod(blk, nx)
+            cc = c[by, bx]
+            if ah == 0:
+                s = dc.decode(br)
+                diff = _extend(br.bits(s), s) if s else 0
+                pred += diff
+                cc[0] = pred << al
+            else:
+                if br.bit():
+                    cc[0] |= 1 << al
+            blk += 1
+
+
+def _prog_ac_first(coef_c, ac, ss, se, al, segs, dri, grid_c):
+    """First AC scan of a band (Ah == 0): RLE + EOB runs
+    (T.81 G.1.2.2)."""
+    nx, ny = grid_c
+    nblk = nx * ny
+    per_seg = dri if dri else nblk
+    if len(segs) < -(-nblk // per_seg):
+        raise ValueError("missing restart segment")
+    blk = 0
+    for seg in segs:
+        if blk >= nblk:
+            break
+        br = _BitReader(seg)
+        eobrun = 0
+        for _ in range(min(per_seg, nblk - blk)):
+            by, bx = divmod(blk, nx)
+            cc = coef_c[by, bx]
+            blk += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac.decode(br)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:        # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of range")
+                cc[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(coef_c, ac, ss, se, al, segs, dri, grid_c):
+    """AC refinement scan (Ah == Al + 1): one correction bit per
+    already-nonzero coefficient, newly-significant coefficients
+    +-2^Al, EOB runs still carry correction bits (T.81 G.1.2.3,
+    the libjpeg decode_mcu_AC_refine structure)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    nx, ny = grid_c
+    nblk = nx * ny
+    per_seg = dri if dri else nblk
+    if len(segs) < -(-nblk // per_seg):
+        raise ValueError("missing restart segment")
+    blk = 0
+    for seg in segs:
+        if blk >= nblk:
+            break
+        br = _BitReader(seg)
+        eobrun = 0
+        for _ in range(min(per_seg, nblk - blk)):
+            by, bx = divmod(blk, nx)
+            cc = coef_c[by, bx]
+            blk += 1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = ac.decode(br)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break      # EOB: tail handled below
+                        val = 0        # ZRL in refinement
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad refinement magnitude")
+                        val = p1 if br.bit() else m1
+                    # advance over r zero-history coefficients,
+                    # emitting correction bits for nonzero ones
+                    while k <= se:
+                        if cc[k] != 0:
+                            if br.bit() and (cc[k] & p1) == 0:
+                                cc[k] += p1 if cc[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        cc[k] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB run covers this block: correction bits for the
+                # remaining nonzero coefficients
+                while k <= se:
+                    if cc[k] != 0:
+                        if br.bit() and (cc[k] & p1) == 0:
+                            cc[k] += p1 if cc[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def _decode_block(br, dc, ac, pred, cid, q):
@@ -586,6 +932,317 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
     out.extend(bw.out)
     out.extend(b"\xff\xd9")                          # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive fixture encoder (spectral selection + successive approx)
+# ---------------------------------------------------------------------------
+
+# progressive AC tables additionally need the EOBn symbols (r<<4 with
+# r < 15); same deliberately-simple shape: every symbol at 8 bits
+_ACP_SYMBOLS = sorted([r << 4 for r in range(15)] + [0xF0]
+                      + [(r << 4) | s for r in range(16)
+                         for s in range(1, 11)])
+_ACP_BITS = [0] * 7 + [len(_ACP_SYMBOLS)] + [0] * 8
+_ACP_VALS = bytes(_ACP_SYMBOLS)
+_ACP_CODE = {v: (i, 8) for i, v in enumerate(_ACP_SYMBOLS)}
+
+
+def _fdct_zz_blocks(plane: np.ndarray, q: np.ndarray,
+                    need_h: int, need_w: int) -> np.ndarray:
+    """Quantized zigzag coefficients for every 8x8 block of a plane
+    padded (edge-replicated) to (need_h, need_w)."""
+    p = np.pad(plane, ((0, need_h - plane.shape[0]),
+                       (0, need_w - plane.shape[1])), mode="edge")
+    ny, nx = need_h // 8, need_w // 8
+    out = np.zeros((ny, nx, 64), dtype=np.int64)
+    for by in range(ny):
+        for bx in range(nx):
+            # per-block matmuls, NOT a batched einsum: bit-identical
+            # floats to the baseline encoder's _encode_block, so the
+            # two encoders quantize identically even at np.round
+            # knife edges (the progressive-vs-baseline differential
+            # tests rely on exact equality)
+            blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            f = _M @ blk @ _M.T
+            coef = np.round(f / q).astype(np.int64)
+            out[by, bx] = coef.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _EobRun:
+    """Deferred EOB-run emission for progressive AC scans."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.n = 0
+        self.pending_bits: list[int] = []
+
+    def flush(self):
+        if self.n == 0:
+            return
+        r = self.n.bit_length() - 1
+        self.bw.write(*_ACP_CODE[r << 4])
+        if r:
+            self.bw.write(self.n - (1 << r), r)
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.n = 0
+        self.pending_bits = []
+
+
+def encode_jpeg_progressive(px: np.ndarray, subsample: str = "444",
+                            dc_al: int = 0, ac_al: int = 0,
+                            bands: tuple = ((1, 5), (6, 63)),
+                            use_eobrun: bool = True) -> bytes:
+    """Progressive (SOF2) fixture encoder: interleaved DC first scan
+    (+ successive-approximation refinements down from ``dc_al``),
+    per-component spectral-band AC scans (+ refinements down from
+    ``ac_al``), EOB-run coding across blocks when ``use_eobrun``.
+    With the full refinement ladder emitted, decoded coefficients are
+    bit-identical to the baseline encoder's, so the block-constant
+    gray fixtures stay EXACTLY decodable (the synth_jpeg closed-form
+    oracle carries over)."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(QT_LUMA[z]) for z in ZIGZAG))
+    if not gray:
+        seg(0xDB, bytes([0x01])
+            + bytes(int(QT_CHROMA[z]) for z in ZIGZAG))
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    elif subsample == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsample == "422":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        body += bytes([cid, (hs << 4) | vs, tq])
+    seg(0xC2, body)                                  # SOF2
+    for tc, th, bits, vals in [(0, 0, _DC_BITS, _DC_VALS),
+                               (1, 0, _ACP_BITS, _ACP_VALS)] + (
+            [] if gray else [(0, 1, _DC_BITS, _DC_VALS),
+                             (1, 1, _ACP_BITS, _ACP_VALS)]):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+    # color transform + quantized coefficient planes (same pixel math
+    # as the baseline encoder)
+    pxf = px.astype(np.float64)
+    if gray:
+        planes = [(pxf, QT_LUMA.reshape(8, 8), 1, 1)]
+    else:
+        r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "420":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        elif subsample == "422":
+            pw = -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, 0), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
+        ql, qc = QT_LUMA.reshape(8, 8), QT_CHROMA.reshape(8, 8)
+        hs0, vs0 = comps[0][1], comps[0][2]
+        planes = [(y, ql, hs0, vs0), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zz = []                      # per comp: (coef (ny,nx,64), nx_true, ny_true)
+    for plane, q, hs, vs in planes:
+        need_h, need_w = mcuy * vs * 8, mcux * hs * 8
+        coefs = _fdct_zz_blocks(plane, q, need_h, need_w)
+        cw = -(-(w * hs) // hmax)          # component width (G.1)
+        ch = -(-(h * vs) // vmax)
+        nxt, nyt = -(-cw // 8), -(-ch // 8)
+        zz.append((coefs, nxt, nyt, hs, vs))
+
+    def sos(scan_comps: list, ss: int, se: int, ah: int, al: int,
+            payload: bytes):
+        b2 = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            cid = comps[ci][0]
+            th = 0 if ci == 0 or gray else 1
+            b2 += bytes([cid, (th << 4) | th])
+        b2 += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, b2)
+        out.extend(payload)
+
+    # --- DC first scan (interleaved), point transform dc_al ---
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (coefs, _nxt, _nyt, hs, vs) in enumerate(zz):
+            for by in range(vs):
+                for bx in range(hs):
+                    v = int(coefs[my * vs + by, mx * hs + bx, 0]) \
+                        >> dc_al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _cat(diff)
+                    bw.write(*_DC_CODE[s])
+                    if s:
+                        bw.write(diff if diff > 0
+                                 else diff + (1 << s) - 1, s)
+    bw.flush()
+    sos(list(range(len(comps))), 0, 0, 0, dc_al, bytes(bw.out))
+
+    # --- AC first scans per component/band, point transform ac_al ---
+    for ci, (coefs, nxt, nyt, _hs, _vs) in enumerate(zz):
+        for (ss, se) in bands:
+            bw = _BitWriter()
+            eob = _EobRun(bw)
+            for blk in range(nxt * nyt):
+                by, bx = divmod(blk, nxt)
+                cc = coefs[by, bx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    t = _pt(int(cc[k]), ac_al)
+                    if t == 0:
+                        run += 1
+                        continue
+                    eob.flush()
+                    emitted = True
+                    while run > 15:
+                        bw.write(*_ACP_CODE[0xF0])
+                        run -= 16
+                    s = _cat(t)
+                    bw.write(*_ACP_CODE[(run << 4) | s])
+                    bw.write(t if t > 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if run > 0 or not emitted:
+                    if use_eobrun:
+                        eob.n += 1
+                        if eob.n == 0x7FFF:
+                            eob.flush()
+                    else:
+                        bw.write(*_ACP_CODE[0x00])
+            eob.flush()
+            bw.flush()
+            sos([ci], ss, se, 0, ac_al, bytes(bw.out))
+
+    # --- DC refinements ---
+    for al in range(dc_al - 1, -1, -1):
+        bw = _BitWriter()
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (coefs, _nxt, _nyt, hs, vs) in enumerate(zz):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(coefs[my * vs + by, mx * hs + bx, 0])
+                        bw.write((v >> al) & 1, 1)
+        bw.flush()
+        sos(list(range(len(comps))), 0, 0, al + 1, al, bytes(bw.out))
+
+    # --- AC refinements (T.81 G.1.2.3 encoder mirror) ---
+    for al in range(ac_al - 1, -1, -1):
+        for ci, (coefs, nxt, nyt, _hs, _vs) in enumerate(zz):
+            for (ss, se) in bands:
+                bw = _BitWriter()
+                eob = _EobRun(bw)
+                for blk in range(nxt * nyt):
+                    by, bx = divmod(blk, nxt)
+                    cc = coefs[by, bx]
+                    # pending items since the last emitted code, in
+                    # POSITIONAL order: None = a still-zero position,
+                    # 0/1 = a correction bit of an already-significant
+                    # position.  The decoder consumes correction bits
+                    # as it walks positions, so a ZRL must carry only
+                    # the bits interleaved before its 16th zero — a
+                    # flat flush desyncs when a significant
+                    # coefficient sits between the 16th zero and the
+                    # newly-significant one.
+                    pending: list = []
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = int(cc[k])
+                        t = abs(v) >> al
+                        if t == 0:
+                            pending.append(None)
+                            continue
+                        if t > 1:      # already significant
+                            pending.append(t & 1)
+                            continue
+                        # newly significant at this bit plane
+                        eob.flush()
+                        emitted = True
+                        nzeros = sum(1 for x in pending if x is None)
+                        while nzeros > 15:
+                            bw.write(*_ACP_CODE[0xF0])
+                            seen = 0
+                            while seen < 16:
+                                x = pending.pop(0)
+                                if x is None:
+                                    seen += 1
+                                else:
+                                    bw.write(x, 1)
+                            nzeros -= 16
+                        bw.write(*_ACP_CODE[(nzeros << 4) | 1])
+                        bw.write(1 if v > 0 else 0, 1)
+                        for x in pending:
+                            if x is not None:
+                                bw.write(x, 1)
+                        pending = []
+                    tail_bits = [x for x in pending if x is not None]
+                    if pending or not emitted:
+                        if use_eobrun:
+                            eob.n += 1
+                            eob.pending_bits.extend(tail_bits)
+                            if eob.n == 0x7FFF:
+                                eob.flush()
+                        else:
+                            bw.write(*_ACP_CODE[0x00])
+                            for x in tail_bits:
+                                bw.write(x, 1)
+                eob.flush()
+                bw.flush()
+                sos([ci], ss, se, al + 1, al, bytes(bw.out))
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def synth_jpeg_progressive(seed: int) -> bytes:
+    """Progressive twin of synth_jpeg: IDENTICAL pixel pattern (the
+    closed-form oracle carries over — with the full successive-
+    approximation ladder the decoded coefficients equal the baseline
+    encoder's exactly), spectral-split scans, EOB runs, and
+    seed-varied successive approximation."""
+    w = 8 * (1 + seed % 4)
+    h = 8 * (1 + seed % 3)
+    ny, nx = h // 8, w // 8
+    px = np.zeros((h, w, 3), np.uint8)
+    for by in range(ny):
+        for bx in range(nx):
+            px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = \
+                synth_jpeg_block_value(seed, bx, by)
+    return encode_jpeg_progressive(
+        px, dc_al=seed % 3, ac_al=(seed // 3) % 3,
+        bands=((1, 5), (6, 63)) if seed % 2 else ((1, 63),),
+        use_eobrun=True)
 
 
 # ---------------------------------------------------------------------------

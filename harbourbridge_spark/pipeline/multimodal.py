@@ -881,6 +881,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "jpeg":
         from .jpeg import synth_jpeg
         synth, mime = synth_jpeg, "image/jpeg"
+    elif fmt == "jpeg_progressive":
+        from .jpeg import synth_jpeg_progressive
+        synth, mime = synth_jpeg_progressive, "image/jpeg"
     elif fmt == "gif":
         from .gif import synth_gif
         synth, mime = synth_gif, "image/gif"

@@ -1626,3 +1626,141 @@ def test_dedup_incremental_store_entry_matches_recompute(spark):
              for r in D.dedup_incremental_store_entry_fn(
                  spark, sf_dir).collect()}
     assert again == want
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode — spectral selection, successive
+    approximation, EOB runs — must reproduce the BASELINE codec's
+    pixels bit-exactly on random images (both encoders share the
+    per-block FDCT float ops, so their quantized coefficients are
+    identical and any decoder divergence surfaces as a pixel diff),
+    across subsamplings, band splits, and Ah/Al ladders."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        h = int(rng.integers(8, 48))
+        w = int(rng.integers(8, 48))
+        gray = trial % 4 == 3
+        sub = ["444", "420", "422", "444"][trial % 4]
+        px = rng.integers(0, 256, size=(h, w) if gray else (h, w, 3),
+                          dtype=np.uint8)
+        base = J.decode_jpeg_pixels(
+            J.encode_jpeg(px, subsample="444" if gray else sub))
+        for dc_al, ac_al, bands, eob in [
+                (0, 0, ((1, 63),), False),
+                (1, 2, ((1, 5), (6, 63)), True),
+                (2, 1, ((1, 2), (3, 20), (21, 63)), True)]:
+            prog = J.decode_jpeg_pixels(J.encode_jpeg_progressive(
+                px, subsample="444" if gray else sub, dc_al=dc_al,
+                ac_al=ac_al, bands=bands, use_eobrun=eob))
+            assert (prog == base).all(), \
+                (trial, sub, gray, dc_al, ac_al, eob)
+
+
+def test_jpeg_progressive_fixture_closed_form():
+    """synth_jpeg_progressive: block-constant even-gray fixtures must
+    decode EXACTLY (full refinement restores every coefficient bit),
+    giving the multimodal_decode_jpeg_progressive oracle its closed
+    form."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    for seed in range(10):
+        px = J.decode_jpeg_pixels(J.synth_jpeg_progressive(seed))
+        w, h = 8 * (1 + seed % 4), 8 * (1 + seed % 3)
+        assert px.shape == (h, w, 3)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = J.synth_jpeg_block_value(seed, bx, by)
+                blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :]
+                assert (blk == v).all(), (seed, bx, by)
+
+
+def test_jpeg_progressive_eobrun_and_refinement_bits():
+    """Hand-built single-component progressive stream exercising the
+    EOB-run path against a direct coefficient expectation: two 8x8
+    blocks, first AC scan at Al=1 with an EOB2 run code (r=1 +
+    1 appended bit), then a refinement scan adding a
+    newly-significant coefficient behind an already-significant one —
+    the interleaving the flat-flush encoder bug got wrong."""
+    import struct as _struct
+
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import jpeg as J
+
+    # target coefficients (zigzag): block0: k1 = -3, k3 = 1; block1
+    # DC only.  Scans: DC(Al=0) first; AC first Al=1 encodes
+    # block0 k1 -> -1 (|−3|>>1); EOB2 covers nothing else... block0
+    # has content so EOB after it, block1 joins the run.
+    q = J.QT_LUMA.reshape(8, 8)
+    coef = np.zeros((1, 2, 64), dtype=np.int64)
+    coef[0, 0, 0] = 4
+    coef[0, 0, 1] = -3
+    coef[0, 0, 3] = 1
+    coef[0, 1, 0] = -6
+    # build the file through the encoder's own scan machinery by
+    # synthesizing pixels whose FDCT gives exactly these coefficients
+    # (IDCT of the dequantized grid, clipped to a representable
+    # image, is NOT generally exact) — instead hand-write the scans:
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(_struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0x00]) + bytes(int(J.QT_LUMA[z]) for z in
+                                    J.ZIGZAG))
+    seg(0xC2, _struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(J._DC_BITS) + J._DC_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(J._ACP_BITS) + J._ACP_VALS)
+
+    bw = J._BitWriter()
+    # DC first scan (Ss=Se=0, Ah=0, Al=0): diffs 4, -10
+    for diff in (4, -10):
+        s = J._cat(diff)
+        bw.write(*J._DC_CODE[s])
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out.extend(bw.out)
+    # AC first scan Al=1: block0: k1 value -1 (code run0/size1,
+    # bit 0), then EOB2 (r=1, append bit 0 -> run of 2 incl. block1)
+    bw = J._BitWriter()
+    bw.write(*J._ACP_CODE[0x01])
+    bw.write(0, 1)                     # -1
+    bw.write(*J._ACP_CODE[0x10])       # EOBn, r=1
+    bw.write(0, 1)                     # run = 2 + 0 = 2
+    bw.flush()
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    out.extend(bw.out)
+    # AC refinement Al=0 (Ah=1): block0: k1 history -2 -> correction
+    # bit 1 (|-3| has bit0 = 1); k3 newly significant +1 AFTER the
+    # significant k1: code run1/size1 (one zero-history pos k2), sign
+    # 1, then the pending correction bit for k1 — positional
+    # interleaving: decoder reads corr(k1) DURING the walk, i.e.
+    # after the code+sign.  Then EOB for the rest; block1: EOB.
+    bw = J._BitWriter()
+    bw.write(*J._ACP_CODE[0x11])       # run=1, size=1
+    bw.write(1, 1)                     # sign +
+    bw.write(1, 1)                     # correction bit for k1
+    bw.write(*J._ACP_CODE[0x00])       # EOB block0 tail
+    bw.write(*J._ACP_CODE[0x00])       # EOB block1
+    bw.flush()
+    seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+
+    px = J.decode_jpeg_pixels(bytes(out))
+    # expected: IDCT of the dequantized coefficient grid
+    want = np.zeros((8, 16))
+    for bx in range(2):
+        rm = np.zeros(64)
+        rm[J.ZIGZAG] = coef[0, bx]
+        blk = rm.reshape(8, 8) * q
+        want[:, bx * 8:bx * 8 + 8] = J._M.T @ blk @ J._M + 128.0
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert (px[:, :, 0] == want).all()
+    assert (px[:, :, 1] == want).all()
