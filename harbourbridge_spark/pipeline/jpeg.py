@@ -214,6 +214,11 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
         # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
         while i + 1 < n and content[i + 1] == 0xFF:
             i += 1
+        if i + 4 > n:
+            # the skip may have consumed the headroom the loop bound
+            # checked: a file truncated inside fill bytes must fail
+            # with the codec's promised ValueError, not struct.error
+            raise ValueError("truncated segment")
         m = content[i + 1]
         if m == 0xD9:                  # EOI
             break
@@ -412,6 +417,9 @@ def _decode_progressive(content, i, body, sof, qt, huff, dri):
                 raise ValueError("marker expected")
             while i + 1 < n and content[i + 1] == 0xFF:
                 i += 1
+            if i + 1 >= n:             # truncated inside fill bytes
+                i = n
+                break
             m = content[i + 1]
             if m == 0xD9:              # EOI
                 i = n

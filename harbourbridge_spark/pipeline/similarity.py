@@ -705,12 +705,14 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     store flow: build the index from the corpus split, round-trip it
     through parquet, probe with the query split.  The probe plan
     never scans the embeddings fixture (asserted by the e2e test)."""
-    import os
     import tempfile
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    store = os.path.join(
-        tempfile.gettempdir(),
-        f"hb_ann_store_{os.path.basename(sf_dir.rstrip('/'))}")
+    # a fresh private dir per call: the index is rebuilt every run
+    # anyway (this entry measures the full build+probe flow), and a
+    # fixed shared path would let concurrent sessions overwrite each
+    # other's index mid-probe (code-review r8); the dir must outlive
+    # this function — the returned DataFrame reads it lazily
+    store = tempfile.mkdtemp(prefix="hb_ann_store_")
     ann_index_store_write(
         spark, emb.where(f"vec_id >= {n_queries}"), store,
         n_cells=n_cells)

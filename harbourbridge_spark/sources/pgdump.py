@@ -2218,6 +2218,50 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                         (key[0], key[1], key[2], seqs[t]))
                     seqs[t] += n
 
+    # Materialize each table's sequenced values as staged-layout text
+    # (an EXECUTOR-side write — the driver never sees a row) instead
+    # of converting on top of the live join: the conversion's ~7
+    # expression trees over split(value) each re-evaluate the join
+    # projection, measured 2.9x slower end-to-end than scanning a
+    # materialized text source — and every downstream action
+    # (good/bad counts, sink writes) rescans cheap text instead of
+    # re-running the join.  The per-table write jobs are SUBMITTED
+    # CONCURRENTLY: each is a small Spark job dominated by scheduler
+    # latency, so a serial loop would pay T sequential round trips on
+    # exactly the wide-schema path (the r7 shard-tokenize lesson;
+    # Spark job submission is thread-safe).
+    def _write_values(t: str) -> str:
+        base_df = spark.createDataFrame(
+            sorted(span_bases[t]),
+            "path string, rng long, span_start long, base long")
+        values = (parsed
+                  .where(F.col("kind") == "r")
+                  .where(F.col("table") == t)
+                  .join(F.broadcast(base_df),
+                        ["path", "rng", "span_start"])
+                  .select(F.concat_ws(
+                      "\t",
+                      (F.col("base") + F.col("ordinal"))
+                      .cast("string"),
+                      F.col("payload")).alias("value")))
+        txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
+        values.write.mode("overwrite").text(txt)
+        return txt
+
+    span_tables_to_write = [t for t in order
+                            if t in span_bases and t in ctx.src_schema]
+    txt_paths: dict[str, str] = {}
+    if len(span_tables_to_write) == 1:
+        t = span_tables_to_write[0]
+        txt_paths[t] = _write_values(t)
+    elif span_tables_to_write:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(len(span_tables_to_write), 8)) as pool:
+            futs = {t: pool.submit(_write_values, t)
+                    for t in span_tables_to_write}
+        txt_paths = {t: f.result() for t, f in futs.items()}
+
     results: dict[str, ConversionResult] = {}
     for t in order:
         if t not in ctx.src_schema:
@@ -2226,34 +2270,9 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
         dfs: list[DataFrame] = []
         if t in all_chunks:
             dfs.append(read_copy_chunks(spark, ctx, t, all_chunks[t]))
-        if t in span_bases:
-            base_df = spark.createDataFrame(
-                sorted(span_bases[t]),
-                "path string, rng long, span_start long, base long")
-            values = (parsed
-                      .where(F.col("kind") == "r")
-                      .where(F.col("table") == t)
-                      .join(F.broadcast(base_df),
-                            ["path", "rng", "span_start"])
-                      .select(F.concat_ws(
-                          "\t",
-                          (F.col("base") + F.col("ordinal"))
-                          .cast("string"),
-                          F.col("payload")).alias("value")))
-            # Materialize the sequenced values as staged-layout text
-            # (an EXECUTOR-side write — the driver never sees a row)
-            # instead of converting on top of the live join: the
-            # conversion's ~7 expression trees over split(value) each
-            # re-evaluate the join projection, measured 2.9x slower
-            # end-to-end than scanning a materialized text source —
-            # and every downstream action (good/bad counts, sink
-            # writes) rescans cheap text instead of re-running the
-            # join.  This is exactly the staged pass's artifact,
-            # produced distributed.
-            txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
-            values.write.mode("overwrite").text(txt)
+        if t in txt_paths:
             dfs.append(_decode_staged_values(
-                spark.read.text(txt), ctx, t))
+                spark.read.text(txt_paths[t]), ctx, t))
         if not dfs:
             continue
         df = dfs[0]

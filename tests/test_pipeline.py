@@ -1614,13 +1614,18 @@ def test_dedup_incremental_store_entry_matches_recompute(spark):
            for r in D.dedup_incremental_store_entry_fn(
                spark, sf_dir).collect()}
     assert got == want and got
-    # the store path exists and a second call reuses it
+    # the store path exists (full-identity key + atomic rename) and a
+    # second call reuses it
+    import hashlib
     import os
     import tempfile
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    store = os.path.join(
-        tempfile.gettempdir(),
-        f"hb_sig_store_sf0.001_{int(st.st_mtime)}_10_8")
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|10|8".encode()).hexdigest()[:16]
+    store = os.path.join(tempfile.gettempdir(),
+                         f"hb_sig_store_{ident}")
     assert os.path.exists(store)
     again = {(r.doc_id, r.n_corpus_matches, r.dup_of)
              for r in D.dedup_incremental_store_entry_fn(
@@ -1940,3 +1945,16 @@ def test_streaming_outer_join_eviction_emits_unmatched(spark,
     assert (2, 3, None) in final        # evicted-unmatched outer row
     # and it emitted exactly once
     assert sum(1 for u, f, t in final if u == 2) == 1
+
+
+def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
+    """A file truncated inside inter-segment fill bytes must fail
+    with the codec's promised ValueError, never struct.error
+    (code-review r8)."""
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import jpeg as J
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_pixels(b"\xff\xd8\xff\xff\xff\xc4")
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_pixels(b"\xff\xd8\xff\xff\xff")
