@@ -31,16 +31,20 @@ import re
 from typing import Iterator, Optional, TextIO, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schema_ir as ir
 from ..context import MigrationContext
 from ..convert import ConversionResult, convert_table
 from ..toddl import schema_to_ddl
 from ..types import SourceType
-from .pgdump import (StagingWriter, StmtShardWriter as _StmtWriter,
-                     _ESC_OR_QUOTE_RE, _VALUE_ACTION_RE,
-                     decode_stmt_line as _decode_stmt_line,
-                     read_shard_lines, read_staged_table)
+from .pgdump import (StagingWriter, _DIST_MIN_SERIAL_SEC,
+                     _DIST_SCAN_FORCE_BYTES, _ESC_OR_QUOTE_RE,
+                     _OffsetReader, _PARSED_SCHEMA, _RANGE_FLOOR,
+                     _VALUE_ACTION_RE, _collect_scan_events,
+                     _decode_staged_values, _estimate_serial_scan_sec,
+                     _reconcile_pg_scan, _scan_pg_range,
+                     read_staged_table)
 
 _COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
 _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
@@ -568,7 +572,7 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
 
 
 # action-character patterns shared with pgdump (byte-identical there;
-# imported, not redefined — see the StmtShardWriter precedent)
+# imported, not redefined)
 _MY_VALUE_ACTION_RE = _VALUE_ACTION_RE
 _MY_ESC_OR_QUOTE_RE = _ESC_OR_QUOTE_RE
 
@@ -824,180 +828,511 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
 
 
 # ---------------------------------------------------------------------------
-# distributed data pass: executor-side tuple parsing
+# distributed data pass: fused byte-range scan + executor tokenization
 # ---------------------------------------------------------------------------
 #
-# mysqldump data is extended INSERT statements, and tokenizing their
-# VALUES lists (quote machine + escapes, parse_insert_values) dominates
-# the driver cost of the staged pass.  The distributed pass keeps ONE
-# driver responsibility — the statement chunker, which must be
-# sequential because quoting state spans the stream — and ships each
-# raw INSERT statement to executors, where the real tokenizer +
-# recovery + COPY escaping run in parallel.  Sequence numbers stay
-# bit-identical to the staged pass: every statement carries its
-# per-table index, the parsed rows carry (stmt_idx, local_idx), and
-# per-statement row counts (tiny — one row per INSERT statement)
-# compose into offsets driver-side, so
-# seq = offset[stmt_idx] + local_idx reproduces exactly the staged
-# write order.  Parse runs once (localCheckpoint) — the counts
-# aggregate and the final projection both read the materialized rows.
-
-# The statement shard writer + line codec are shared with the pg
-# distributed path (sources/pgdump.py StmtShardWriter, imported at
-# the top as _StmtWriter): it parks BOTH \n and \r on the NUL escape
-# — Hadoop's line reader splits on bare CR too, so the \n-only
-# sentinel that used to live here corrupted statements containing
-# raw carriage returns.
+# mysqldump data is extended INSERT statements; both the statement-
+# boundary scan AND the VALUES tokenization (quote machine + escapes,
+# parse_insert_values) now run as byte-range Spark tasks in one fused
+# pass, sharing pgdump's speculative-scan + trusted-cursor
+# reconciliation machinery (see the design comment there).  mysql has
+# no COPY data blocks, so no terminator syncs are needed; the one
+# dialect-specific construct is the DELIMITER stored-program block,
+# which travels as a single whole-block event (emitted at its close
+# with the staged pass's skip count) so the reconciliation cursor
+# steps over it atomically — speculative ranges that started inside a
+# block are rejected by the cursor match and their segments rescan
+# exactly.  Sequence numbers compose from per-(span, table) counts in
+# event order, reproducing the staged write order bit-identically;
+# recovery counters and unknown-table messages replay from ACCEPTED
+# spans only.
 
 
-def _parse_statements_distributed(spark: SparkSession,
-                                  ctx: MigrationContext, table: str,
-                                  stmt_path: str):
-    """Executor-side tokenization of one table's INSERT statements.
-    Returns (values_df with a staged-layout 'value' column, per-stmt
-    counts dict, reparsed count, unparsable-tuple count).
+def _scan_mysql_statements(f, chunk_bytes: int = 32 << 20,
+                           base: int = 0,
+                           limit=None, hard_limit=None,
+                           sync_marks=None):
+    """Offset-aware twin of _iter_statements for byte-range scans:
+    yields ``("stmt", text, start, end)`` for every statement,
+    ``("dblock", start, end, n_skips)`` for DELIMITER stored-program
+    blocks (one event covering the WHOLE block, emitted at its close,
+    carrying how many DELIMITER statements the staged pass would have
+    counted via ctx.skip_statement — a block must advance the
+    reconciliation cursor in one piece, or speculative ranges inside
+    it would have their garbage parses accepted), and
+    ``("end", stop, clean)`` exactly like pgdump._scan_dump_statements
+    (same limit spill / hard-abort semantics; mysql has no COPY data,
+    so ``sync_marks`` is accepted for interface parity and unused).
+    Statement boundary rules mirror _iter_statements; the differential
+    tests hold the two parsers to identical statement streams."""
+    del chunk_bytes, sync_marks
+    r = _OffsetReader(f, base=base)
+    st = _MyScanState()
+    parts: list[str] = []
+    stmt_start = 0
+    delimiter_mode = False
+    dblock_start = 0
+    dblock_skips = 0
+    while True:
+        pos_abs = r.base + r.pos
+        if limit is not None and pos_abs >= limit and not parts \
+                and not st.in_squote and not st.in_dquote \
+                and not st.in_backtick and not delimiter_mode:
+            yield ("end", pos_abs, True)
+            return
+        if hard_limit is not None and pos_abs >= hard_limit:
+            yield ("end", pos_abs, False)
+            return
+        bline = r.readline()
+        if bline is None:
+            break
+        line = bline.decode("utf-8")
+        if line.endswith("\r"):
+            line = line[:-1]
+        line_abs = r.line_start
+        ascii_line = bline.isascii()
 
-    The recovery counters travel as a per-statement META ROW
-    (local_idx = -1) inside the materialized DataFrame, NOT as Spark
-    accumulators: accumulators are exactly-once only for actions, so
-    task retries / speculative execution on a real cluster would
-    overcount them inside a transformation, drifting the recovery
-    stats from the staged pass (results rows were never affected).
-    Aggregating the localCheckpoint()ed rows is exact under retries."""
-    from pyspark.sql import functions as F
+        def b_off(k: int) -> int:
+            return line_abs + (k if ascii_line
+                               else len(line[:k].encode("utf-8")))
 
-    from .pgdump import StagingWriter, _decode_staged_values
+        stripped = line.strip()
+        if not parts and not (st.in_squote or st.in_dquote):
+            if not stripped or stripped.startswith("--") \
+                    or stripped.startswith("#"):
+                continue
+            up = stripped.upper()
+            if up.startswith("DELIMITER"):
+                was = delimiter_mode
+                delimiter_mode = \
+                    not up.replace("DELIMITER", "").strip() == ";"
+                if was and not delimiter_mode:
+                    yield ("dblock", dblock_start, r.base + r.pos,
+                           dblock_skips + 1)
+                    dblock_skips = 0
+                elif delimiter_mode:
+                    if not was:
+                        dblock_start = line_abs
+                        dblock_skips = 1
+                    else:
+                        dblock_skips += 1
+                else:       # standalone "DELIMITER ;" outside a block
+                    yield ("dblock", line_abs, r.base + r.pos, 1)
+                continue
+            if delimiter_mode:
+                continue
+        seg_start = 0
+        comment_start = len(line)
+        while True:
+            if not parts:
+                stmt_start = b_off(seg_start)
+            semi, comment_start = _my_scan_to_semi(st, line, seg_start)
+            if semi < 0:
+                break
+            segment = line[seg_start:semi + 1]
+            yield ("stmt",
+                   "\n".join(parts + [segment]) if parts else segment,
+                   stmt_start, b_off(semi + 1))
+            parts = []
+            seg_start = semi + 1
+        comment_tail = comment_start < len(line)
+        tail = line[seg_start:]
+        if comment_tail and not parts \
+                and not line[seg_start:comment_start].strip():
+            continue
+        if comment_tail or parts or tail.strip() \
+                or st.in_squote or st.in_dquote:
+            if parts or tail.strip() or st.in_squote or st.in_dquote:
+                parts.append(tail)
+    if parts and any(p.strip() for p in parts):
+        yield ("stmt", "\n".join(parts), stmt_start, r.base + r.pos)
+    if delimiter_mode:
+        # unterminated block at EOF: still report its skip count
+        yield ("dblock", dblock_start, r.base + r.pos, dblock_skips)
+    yield ("end", r.base + r.pos, True)
 
-    known = table in ctx.src_schema
-    schema_cols = list(ctx.src_schema[table].col_names) if known else None
+
+def _scan_tokenize_mysql_distributed(spark: SparkSession,
+                                     ctx: MigrationContext,
+                                     paths: list, chunk_bytes: int):
+    """mysql twin of pgdump._scan_paths_distributed: byte-range FUSED
+    scan + tokenize as one Spark job, driver reconciliation with the
+    shared trusted-cursor machinery (DELIMITER blocks advance the
+    cursor as single events), serial-scan cutover by timed probe.
+    Returns (file_events, parsed, counts, unknowns, recovery):
+    counts = {(path, rng, span_start, table): (n_rows, first_off)},
+    unknowns = [(path, rng, span_start, off, msg)],
+    recovery = {(path, rng, span_start, table): (reparsed,
+    unparsable)} — per accepted span, so rejected speculative output
+    never pollutes the counters."""
+    import json as _json
+    import math as _math
+
+    schema_cols_by_table = {t: list(s.col_names)
+                           for t, s in ctx.src_schema.items()}
+    sizes = {p: os.path.getsize(p) for p in paths}
+    total = sum(sizes.values())
+    par = max(int(spark.sparkContext.defaultParallelism), 1)
+    range_bytes = max(_RANGE_FLOOR,
+                      min(chunk_bytes, _math.ceil(total / par) or 1))
+    descs = []
+    for p in paths:
+        n = sizes[p]
+        for ri, s in enumerate(range(0, n, range_bytes)):
+            descs.append((p, ri, s, min(s + range_bytes, n)))
+
+    serial = len(descs) <= 1
+    if not serial and total < _DIST_SCAN_FORCE_BYTES:
+        serial = _estimate_serial_scan_sec(
+            paths, sizes, chunk_bytes,
+            scanner=_scan_mysql_statements) < _DIST_MIN_SERIAL_SEC
+    if serial:
+        file_events: dict[str, list] = {}
+        span_rows = []
+        for p in paths:
+            if sizes[p] == 0:
+                file_events[p] = []
+                continue
+            with open(p, "rb") as f:
+                events, _stop, _clean = _collect_scan_events(
+                    f, 0, None, chunk_bytes, hard_allowance=None,
+                    scanner=_scan_mysql_statements)
+            for ev in events:
+                if ev[0] == "span":
+                    ev.append(0)
+                    if ev[4]:
+                        span_rows.append((p, 0, ev[1], ev[2]))
+            file_events[p] = events
+        if span_rows:
+            parsed, counts, unknowns, recovery = _tokenize_mysql_spans(
+                spark, ctx, span_rows)
+        else:
+            parsed, counts, unknowns, recovery = None, {}, [], {}
+        return file_events, parsed, counts, unknowns, recovery
+
+    cb = chunk_bytes
 
     def gen(batches):
         import pandas as pd
-
-        class _RecoveryCtx:
-            """ctx stand-in for parse_insert_with_recovery: counts the
-            two recovery events per statement."""
-
-            def __init__(self):
-                self.reparsed = 0
-                self.unparsable = 0
-
-            def unexpected(self, msg):
-                self.unparsable += 1
-
         for pdf in batches:
-            idxs, locs, rows_out, reps, unps = [], [], [], [], []
-            for line in pdf["value"]:
-                tab, _, enc = line.partition("\t")
-                stmt_idx = int(tab)
-                s = _unwrap_conditional(_decode_stmt_line(enc)).strip()
-                m = _INSERT_RE.match(s)
-                if not m:
-                    continue
-                cols = ([_clean(c) for c in m.group("cols").split(",")]
-                        if m.group("cols") else schema_cols)
-                rctx = _RecoveryCtx()
-                tuples = parse_insert_with_recovery(rctx,
-                                                    m.group("values"))
-                # meta row: statement-level recovery counters
-                idxs.append(stmt_idx)
-                locs.append(-1)
-                rows_out.append("")
-                reps.append(rctx.reparsed)
-                unps.append(rctx.unparsable)
-                for j, vals in enumerate(tuples):
-                    idxs.append(stmt_idx)
-                    locs.append(j)
-                    reps.append(0)
-                    unps.append(0)
-                    if schema_cols is None:
-                        # unknown table: tuples are parsed only so the
-                        # schema-mode row stats match the staged pass
-                        rows_out.append("")
-                        continue
-                    by_col = dict(zip(cols, vals))
-                    ordered = [by_col.get(c) for c in schema_cols]
-                    rows_out.append("\t".join(
-                        StagingWriter.copy_escape(v) for v in ordered))
-            yield pd.DataFrame({"stmt_idx": idxs, "local_idx": locs,
-                                "row": rows_out, "reparsed": reps,
-                                "unparsable": unps})
+            rows: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                state = {"span": None}
+                span_counts: dict[tuple, list] = {}
+                span_rec: dict[tuple, list] = {}
 
-    parsed = (read_shard_lines(spark, stmt_path)
-              .mapInPandas(gen, "stmt_idx long, local_idx long, "
-                                "row string, reparsed long, "
-                                "unparsable long")
-              .localCheckpoint())
-    agg = parsed.agg(F.sum("reparsed").alias("r"),
-                     F.sum("unparsable").alias("u")).first()
-    reparsed = int(agg.r or 0)
-    unparsable = int(agg.u or 0)
-    data = parsed.where(F.col("local_idx") >= 0)
-    counts = {r.stmt_idx: r.n for r in
-              data.groupBy("stmt_idx").agg(
-                  F.count("*").alias("n")).collect()}
-    if not counts or not known:
-        return None, counts, reparsed, unparsable
-    offsets, run = {}, 0
-    for i in sorted(counts):
-        offsets[i] = run
-        run += counts[i]
-    off_df = spark.createDataFrame(
-        [(i, o) for i, o in offsets.items()], "stmt_idx long, off long")
-    values = (data.join(F.broadcast(off_df), "stmt_idx")
-              .select(F.concat_ws(
-                  "\t",
-                  (F.col("off") + F.col("local_idx")).cast("string"),
-                  F.col("row")).alias("value")))
-    df = _decode_staged_values(values, ctx, table)
-    return df, counts, reparsed, unparsable
+                def on_stmt(ev, span_start, rec=rec, rows=rows,
+                            state=state, span_counts=span_counts,
+                            span_rec=span_rec):
+                    if state["span"] != span_start:
+                        state["span"] = span_start
+                        state["ordinals"] = {}
+                    _tokenize_mysql_stmt(
+                        ev, schema_cols_by_table, state["ordinals"],
+                        rec, span_start, rows, span_counts, span_rec)
+
+                res = _scan_pg_range(rec.path, rec.start, rec.end, cb,
+                                     on_stmt=on_stmt,
+                                     scanner=_scan_mysql_statements)
+                res["range_end"] = rec.end
+                for (ss, t), (n, first) in span_counts.items():
+                    rows.append((rec.path, rec.ri, ss, t, n, first,
+                                 "c", ""))
+                for (ss, t), (rp, un) in span_rec.items():
+                    if rp or un:
+                        rows.append((rec.path, rec.ri, ss, t, rp, un,
+                                     "m", ""))
+                rows.append((rec.path, rec.ri, rec.start, "", 0,
+                             rec.ri, "s", _json.dumps(res)))
+            yield pd.DataFrame(
+                rows, columns=["path", "rng", "span_start", "table",
+                               "ordinal", "off", "kind", "payload"])
+
+    desc_df = spark.createDataFrame(
+        descs, "path string, ri long, start long, end long") \
+        .repartition(len(descs))
+    parsed = desc_df.mapInPandas(gen, _PARSED_SCHEMA).localCheckpoint()
+    counts, unknowns, recovery, raw_summaries = \
+        _collect_mysql_span_meta(parsed)
+    summaries = {k: _json.loads(v) for k, v in raw_summaries.items()}
+
+    file_events = {}
+    rescan_rows = []
+    accepted: set[tuple] = set()
+    rescan_rng = -1
+    for p in paths:
+        ris = sorted(ri for q, ri in summaries if q == p)
+        results = []
+        for ri in ris:
+            res = summaries[(p, ri)]
+            for ev in res["events"]:
+                if ev[0] == "span":
+                    ev.append(ri)
+            results.append(res)
+        events = _reconcile_pg_scan(p, sizes[p], results, chunk_bytes,
+                                    scanner=_scan_mysql_statements)
+        for ev in events:
+            if ev[0] != "span":
+                continue
+            if len(ev) >= 6:
+                accepted.add((p, ev[5], ev[1]))
+            else:
+                ev.append(rescan_rng)
+                if ev[4]:
+                    rescan_rows.append((p, rescan_rng, ev[1], ev[2]))
+                rescan_rng -= 1
+        file_events[p] = events
+
+    counts = {k: v for k, v in counts.items()
+              if (k[0], k[1], k[2]) in accepted}
+    unknowns = [u for u in unknowns if (u[0], u[1], u[2]) in accepted]
+    recovery = {k: v for k, v in recovery.items()
+                if (k[0], k[1], k[2]) in accepted}
+    if rescan_rows:
+        parsed2, counts2, unknowns2, recovery2 = _tokenize_mysql_spans(
+            spark, ctx, rescan_rows)
+        parsed = parsed.unionByName(parsed2)
+        counts.update(counts2)
+        unknowns.extend(unknowns2)
+        recovery.update(recovery2)
+    return file_events, parsed, counts, unknowns, recovery
+
+
+def _tokenize_mysql_stmt(ev, schema_cols_by_table, ordinals, rec,
+                         span_start, rows, span_counts,
+                         span_rec) -> None:
+    """Tokenize one mysql ("stmt", ...) event exactly as the staged
+    pass would: conditional-comment unwrap, INSERT match, recovery
+    parse; emits staged-layout rows for known tables, count/recovery
+    metadata for all, unknown-table messages.  Shared by the fused
+    range scan and the span tokenizer."""
+    s = _unwrap_conditional(ev[1]).strip()
+    if not s.upper().startswith("INSERT"):
+        return
+    m = _INSERT_RE.match(s)
+    if not m:
+        return
+    table = _clean(m.group("table"))
+    known = table in schema_cols_by_table
+    rng = rec.rng if hasattr(rec, "rng") else rec.ri
+    if not known:
+        rows.append((rec.path, rng, span_start, table, 0, ev[2], "u",
+                     f"INSERT into unknown table {table}"))
+    schema_cols = schema_cols_by_table.get(table)
+    cols = ([_clean(c) for c in m.group("cols").split(",")]
+            if m.group("cols") else schema_cols)
+
+    class _RecoveryCtx:
+        def __init__(self):
+            self.reparsed = 0
+            self.unparsable = 0
+
+        def unexpected(self, msg):
+            self.unparsable += 1
+
+    rctx = _RecoveryCtx()
+    tuples = parse_insert_with_recovery(rctx, m.group("values"))
+    if rctx.reparsed or rctx.unparsable:
+        sr = span_rec.setdefault((span_start, table), [0, 0])
+        sr[0] += rctx.reparsed
+        sr[1] += rctx.unparsable
+    for vals in tuples:
+        c = span_counts.setdefault((span_start, table), [0, ev[2]])
+        c[0] += 1
+        if not known:
+            continue            # counted for row stats, no data row
+        by_col = dict(zip(cols, vals))
+        ordered = [by_col.get(cn) for cn in schema_cols]
+        k = ordinals.get(table, 0)
+        ordinals[table] = k + 1
+        rows.append((rec.path, rng, span_start, table, k, ev[2], "r",
+                     "\t".join(StagingWriter.copy_escape(v)
+                                for v in ordered)))
+
+
+def _tokenize_mysql_spans(spark: SparkSession, ctx: MigrationContext,
+                          span_rows: list):
+    """Non-fused span tokenizer (serial-scan branch + reconciliation
+    rescans), mirroring pgdump._tokenize_pg_spans with the mysql
+    statement scanner and recovery parse."""
+    import io as _io
+
+    schema_cols_by_table = {t: list(s.col_names)
+                           for t, s in ctx.src_schema.items()}
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    fh.seek(rec.start)
+                    data = fh.read(rec.end - rec.start)
+                ordinals: dict[str, int] = {}
+                span_counts: dict[tuple, list] = {}
+                span_rec: dict[tuple, list] = {}
+                for ev in _scan_mysql_statements(_io.BytesIO(data),
+                                                 base=rec.start):
+                    if ev[0] == "stmt":
+                        _tokenize_mysql_stmt(
+                            ev, schema_cols_by_table, ordinals, rec,
+                            rec.start, rows, span_counts, span_rec)
+                for (ss, t), (n, first) in span_counts.items():
+                    rows.append((rec.path, rec.rng, ss, t, n, first,
+                                 "c", ""))
+                for (ss, t), (rp, un) in span_rec.items():
+                    if rp or un:
+                        rows.append((rec.path, rec.rng, ss, t, rp, un,
+                                     "m", ""))
+            yield pd.DataFrame(
+                rows, columns=["path", "rng", "span_start", "table",
+                               "ordinal", "off", "kind", "payload"])
+
+    desc = spark.createDataFrame(
+        span_rows, "path string, rng long, start long, end long") \
+        .repartition(max(len(span_rows), 1))
+    parsed = desc.mapInPandas(gen, _PARSED_SCHEMA).localCheckpoint()
+    counts, unknowns, recovery, _summaries = \
+        _collect_mysql_span_meta(parsed)
+    return parsed, counts, unknowns, recovery
+
+
+def _collect_mysql_span_meta(parsed):
+    """One collect for counts ('c'), unknowns ('u'), recovery ('m'),
+    and fused-scan summaries ('s')."""
+    counts: dict = {}
+    unknowns: list = []
+    recovery: dict = {}
+    summaries: dict = {}
+    for r in parsed.where("kind != 'r'").collect():
+        key = (r.path, r.rng, r.span_start, r.table)
+        if r.kind == "c":
+            counts[key] = (r.ordinal, r.off)
+        elif r.kind == "u":
+            unknowns.append(
+                (r.path, r.rng, r.span_start, r.off, r.payload))
+        elif r.kind == "m":
+            recovery[key] = (r.ordinal, r.off)
+        else:
+            summaries[(r.path, r.off)] = r.payload
+    return counts, unknowns, recovery, summaries
 
 
 def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
                                paths: list, staging_dir: str,
+                               chunk_bytes: int = 32 << 20,
                                ) -> dict[str, ConversionResult]:
-    """Distributed data pass: driver chunker streams statements to
-    per-table shard files; executors tokenize + escape; offsets
-    compose from per-statement counts (bit-identical sequences)."""
-    w = _StmtWriter(os.path.join(staging_dir, "stmts"))
-    try:
-        for p in paths:
-            with open(p, encoding="utf-8", newline="\n") as f:
-                for stmt in _iter_statements(f, ctx):
-                    s = _unwrap_conditional(stmt).strip()
-                    if not s.upper().startswith("INSERT"):
-                        continue
-                    m = _INSERT_RE.match(s)
-                    if not m:
-                        continue
-                    table = _clean(m.group("table"))
-                    if table not in ctx.src_schema:
-                        # staged pass-2 parity: flagged per statement;
-                        # the statements are still shipped so the
-                        # pass-1 row stats can be reproduced
-                        ctx.unexpected(f"INSERT into unknown table {table}")
-                    w.write(table, stmt)
-    finally:
-        w.close()
+    """Distributed data pass, serial-driver-free like the pg dialect:
+    the statement-boundary scan runs as byte-range Spark tasks with
+    FUSED tokenization (dump bytes read once), the driver reconciles
+    per-range results and sees only per-(span, table) counts, and
+    each table's sequenced rows materialize as staged-layout text via
+    concurrent executor writes.  DELIMITER stored-program blocks
+    travel as single whole-block events so the trusted cursor steps
+    over them atomically; skip/unknown/recovery side effects replay
+    from accepted events in statement order, so ctx stats are
+    bit-identical to the staged pass."""
+    os.makedirs(staging_dir, exist_ok=True)
+    file_events, parsed, counts, unknowns, recovery = \
+        _scan_tokenize_mysql_distributed(spark, ctx, paths,
+                                         chunk_bytes)
+
+    unknowns_by_span: dict[tuple, list] = {}
+    for p_, rng_, ss_, off_, msg_ in unknowns:
+        unknowns_by_span.setdefault((p_, rng_, ss_), []).append(
+            (off_, msg_))
+    counts_by_span: dict[tuple, list] = {}
+    for (p_, rng_, ss_, t_), (n_, first_) in counts.items():
+        if n_ > 0:
+            counts_by_span.setdefault((p_, rng_, ss_), []).append(
+                (t_, n_, first_))
+
+    order: list[str] = []
+    seqs: dict[str, int] = {}
+    span_bases: dict[str, list[tuple]] = {}
+
+    def touch(table: str) -> None:
+        if table not in seqs:
+            seqs[table] = 0
+            order.append(table)
+
+    for p in paths:
+        for ev in file_events[p]:
+            if ev[0] == "dblock":
+                for _ in range(ev[3]):
+                    ctx.skip_statement("DelimiterStmt")
+                continue
+            if ev[0] != "span":
+                continue
+            key = (p, ev[5], ev[1])
+            for _off, msg in sorted(unknowns_by_span.get(key, [])):
+                ctx.unexpected(msg)
+            span_tables = sorted(counts_by_span.get(key, []),
+                                 key=lambda x: x[2])
+            for t, n, _first in span_tables:
+                touch(t)
+                span_bases.setdefault(t, []).append(
+                    (key[0], key[1], key[2], seqs[t]))
+                seqs[t] += n
+
+    # per-table recovery counters: staged tokenizes each KNOWN
+    # table's statements twice (pass-1 row counting + pass-2
+    # staging), so its counters increment twice; unknown tables parse
+    # only in pass 1.  Match exactly.
+    rec_by_table: dict[str, list] = {}
+    for (_p, _rng, _ss, t), (rp, un) in recovery.items():
+        r = rec_by_table.setdefault(t, [0, 0])
+        r[0] += rp
+        r[1] += un
+    for t in order:
+        rp, un = rec_by_table.get(t, (0, 0))
+        factor = 2 if t in ctx.src_schema else 1
+        ctx.reparsed += factor * rp
+        for _ in range(factor * un):
+            ctx.unexpected("unparsable INSERT tuple")
+        # schema-mode row totals deferred from pass 1
+        # (count_rows=False)
+        ctx.stats_add_row(t, seqs[t])
+
+    def _write_values(t: str) -> str:
+        base_df = spark.createDataFrame(
+            sorted(span_bases[t]),
+            "path string, rng long, span_start long, base long")
+        values = (parsed
+                  .where(F.col("kind") == "r")
+                  .where(F.col("table") == t)
+                  .join(F.broadcast(base_df),
+                        ["path", "rng", "span_start"])
+                  .select(F.concat_ws(
+                      "\t",
+                      (F.col("base") + F.col("ordinal"))
+                      .cast("string"),
+                      F.col("payload")).alias("value")))
+        txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
+        values.write.mode("overwrite").text(txt)
+        return txt
+
+    known_tables = [t for t in order if t in ctx.src_schema
+                    and t in span_bases]
+    txt_paths: dict[str, str] = {}
+    if len(known_tables) == 1:
+        t = known_tables[0]
+        txt_paths[t] = _write_values(t)
+    elif known_tables:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(len(known_tables), 8)) as pool:
+            futs = {t: pool.submit(_write_values, t)
+                    for t in known_tables}
+        txt_paths = {t: f.result() for t, f in futs.items()}
 
     results: dict[str, ConversionResult] = {}
-    for table, path in w.paths.items():
-        known = table in ctx.src_schema
-        df, counts, reparsed, unparsable = \
-            _parse_statements_distributed(spark, ctx, table, path)
-        # the staged flow tokenizes each KNOWN table's statements twice
-        # (pass-1 row counting + pass-2 staging), so its recovery
-        # counters increment twice; unknown tables parse only in
-        # pass 1.  Match exactly.
-        factor = 2 if known else 1
-        ctx.reparsed += factor * reparsed
-        for _ in range(factor * unparsable):
-            ctx.unexpected("unparsable INSERT tuple")
-        # schema-mode row totals deferred from pass 1 (count_rows=False)
-        ctx.stats_add_row(table, sum(counts.values()))
-        if df is None:
-            continue
-        results[table] = convert_table(ctx, df, table, "mysql")
+    for t in order:
+        if t not in txt_paths:
+            continue                    # unknown table: stats only
+        df = _decode_staged_values(
+            spark.read.text(txt_paths[t]), ctx, t)
+        results[t] = convert_table(ctx, df, t, "mysql")
     return results
 
 

@@ -1376,58 +1376,6 @@ class CopyChunk:
     reorder: Optional[list[int]]   # schema-ordered source index, -1=NULL
 
 
-# Statement shard line encoding. Hadoop's text line reader splits on
-# LF, CR, and CRLF alike, so BOTH \n and \r inside a statement (legal
-# raw inside pg standard string literals; hand-written multi-line
-# INSERTs) must be parked or spark.read.text splits one statement
-# into garbage fragments. NUL is the escape character because it
-# cannot occur in dump text (Postgres text rejects NUL bytes;
-# mysqldump escapes it as \\0), so the escape itself never needs
-# escaping: \n -> NUL+'n', \r -> NUL+'r'. Shared by the pg and mysql
-# distributed paths — ONE implementation (a prior copy in
-# mysqldump.py parked only \n and has been retired onto this one).
-_STMT_ESC = "\x00"
-
-
-def encode_stmt_line(stmt: str) -> str:
-    return stmt.replace("\n", _STMT_ESC + "n") \
-               .replace("\r", _STMT_ESC + "r")
-
-
-def decode_stmt_line(enc: str) -> str:
-    return enc.replace(_STMT_ESC + "n", "\n") \
-              .replace(_STMT_ESC + "r", "\r")
-
-
-class StmtShardWriter:
-    """Per-table shard files of raw INSERT statements, one line per
-    statement with a file-local index (``<idx>\\t<encoded stmt>``) —
-    executors tokenize them (the r6 distributed-ingest pattern)."""
-
-    def __init__(self, stmt_dir: str) -> None:
-        self.dir = stmt_dir
-        self.files: dict = {}
-        self.paths: dict[str, str] = {}
-        self.idx: dict[str, int] = {}
-
-    def write(self, table: str, stmt: str) -> int:
-        if table not in self.files:
-            os.makedirs(self.dir, exist_ok=True)
-            path = os.path.join(self.dir, f"{table}.stmts.txt")
-            self.files[table] = open(path, "w", encoding="utf-8")
-            self.paths[table] = path
-            self.idx[table] = 0
-        i = self.idx[table]
-        self.files[table].write(f"{i}\t{encode_stmt_line(stmt)}\n")
-        self.idx[table] = i + 1
-        return i
-
-    def close(self) -> None:
-        for f in self.files.values():
-            f.close()
-        self.files.clear()
-
-
 # ---------------------------------------------------------------------------
 # distributed statement-boundary scan (VERDICT r7 ask 1)
 # ---------------------------------------------------------------------------
@@ -1492,7 +1440,7 @@ _DIST_SCAN_FORCE_BYTES = 1 << 30
 
 
 def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
-                              chunk_bytes: int) -> float:
+                              chunk_bytes: int, scanner=None) -> float:
     """Extrapolated driver-side exact-scan time from timing the first
     ~1 MB of up to three files."""
     import time as _time
@@ -1506,7 +1454,8 @@ def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
         try:
             with open(p, "rb") as f:
                 _events, stop, _clean = _collect_scan_events(
-                    f, 0, n, chunk_bytes, hard_allowance=0)
+                    f, 0, n, chunk_bytes, hard_allowance=0,
+                    scanner=scanner)
                 consumed = max(stop, n)
         except (UnicodeDecodeError, ValueError):
             pass
@@ -1520,7 +1469,8 @@ def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
 def _collect_scan_events(f, base: int, limit: Optional[int],
                          chunk_bytes: int,
                          hard_allowance: Optional[int] = None,
-                         on_stmt=None, sync_marks: Optional[list] = None):
+                         on_stmt=None, sync_marks: Optional[list] = None,
+                         scanner=None):
     """Run the token-walk scanner over ``f`` (seeked to absolute
     offset ``base``) and coalesce its yields into offset-only events:
     ``["span", start, end, n_stmts, has_insert]`` for size-capped runs
@@ -1538,9 +1488,10 @@ def _collect_scan_events(f, base: int, limit: Optional[int],
     events: list = []
     span: Optional[list] = None
     stop, clean = base, True
-    for ev in _scan_dump_statements(f, chunk_bytes, base=base,
-                                    limit=limit, hard_limit=hard,
-                                    sync_marks=sync_marks):
+    scan = scanner or _scan_dump_statements
+    for ev in scan(f, chunk_bytes, base=base,
+                   limit=limit, hard_limit=hard,
+                   sync_marks=sync_marks):
         if ev[0] == "stmt":
             _, text, s, e = ev
             is_ins = text.lstrip()[:6].upper() == "INSERT"
@@ -1558,7 +1509,10 @@ def _collect_scan_events(f, base: int, limit: Optional[int],
                 events.append(span)
             if on_stmt is not None:
                 on_stmt(ev, span[1])
-        elif ev[0] == "copy":
+        elif ev[0] in ("copy", "dblock"):
+            # dialect-specific block events (pg COPY data blocks,
+            # mysql DELIMITER stored-program blocks) break spans and
+            # pass through verbatim
             span = None
             events.append(list(ev))
         elif ev[0] == "sync":
@@ -1607,7 +1561,7 @@ def _tokenize_stmt(ev, schema_cols_by_table: dict, ordinals: dict,
 def _scan_pg_range(path: str, start: int, end: int,
                    chunk_bytes: int,
                    hard_allowance: Optional[int] = None,
-                   on_stmt=None) -> dict:
+                   on_stmt=None, scanner=None) -> dict:
     """Executor-side speculative scan of one byte range.  Returns a
     JSON-able summary: aligned start (first line start in the range;
     None when the range is the middle of one giant line), events with
@@ -1642,7 +1596,7 @@ def _scan_pg_range(path: str, start: int, end: int,
             events, stop, clean = _collect_scan_events(
                 f, aligned, end, chunk_bytes,
                 hard_allowance=hard_allowance, on_stmt=on_stmt,
-                sync_marks=syncs)
+                sync_marks=syncs, scanner=scanner)
         except (UnicodeDecodeError, ValueError):
             # undecodable speculative garbage (e.g. a range starting
             # inside binary-ish COPY data): contribute nothing; the
@@ -1654,14 +1608,15 @@ def _scan_pg_range(path: str, start: int, end: int,
 
 
 def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
-                       chunk_bytes: int):
+                       chunk_bytes: int, scanner=None):
     """Exact serial rescan of [start, first clean point >= limit):
     the reconciliation fallback.  ``start`` must be a clean offset
     (proven by the trusted parse)."""
     with open(path, "rb") as f:
         f.seek(start)
         events, stop, _clean = _collect_scan_events(
-            f, start, limit, chunk_bytes, hard_allowance=None)
+            f, start, limit, chunk_bytes, hard_allowance=None,
+            scanner=scanner)
     return events, stop
 
 
@@ -1674,7 +1629,7 @@ def _ev_end(ev) -> int:
 
 
 def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
-                       chunk_bytes: int) -> list:
+                       chunk_bytes: int, scanner=None) -> list:
     """Merge per-range speculative scans into the exact event list for
     one file.  ``results`` are in range order; each carries its
     range_start/range_end.  See the module comment above for the
@@ -1714,7 +1669,7 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
                 cursor = max(cursor, _ev_end(evs[-1]))
             if cap is not None:
                 ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
-                                                chunk_bytes)
+                                                chunk_bytes, scanner)
                 out.extend(ev2)
                 cursor = max(cursor, stop2)
                 dirty = False
@@ -1725,29 +1680,15 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
                 dirty = True
         else:
             ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
-                                            chunk_bytes)
+                                            chunk_bytes, scanner)
             out.extend(ev2)
             cursor = max(cursor, stop2)
             dirty = False
     if cursor < file_size:
         ev2, _stop2 = _rescan_pg_segment(path, cursor, None,
-                                         chunk_bytes)
+                                         chunk_bytes, scanner)
         out.extend(ev2)
     return out
-
-
-def read_shard_lines(spark: SparkSession, stmt_path: str):
-    """Read a statement shard file spread across the cluster: a shard
-    is typically ONE input split (well under maxPartitionBytes), so
-    without a repartition the whole tokenize pass would run as a
-    single task (profiled 12.9 s -> ~1 s at 400k rows). Line identity
-    (not order) carries stmt_idx, so the round-robin shuffle has no
-    ordering hazard. Shared by the pg and mysql distributed paths."""
-    par = spark.sparkContext.defaultParallelism
-    src = spark.read.text(stmt_path)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    return src
 
 
 def _tokenize_pg_spans(spark: SparkSession, ctx: MigrationContext,

@@ -678,3 +678,160 @@ def test_spark_range_split_modes_identical(spark, tmp_path,
     ids = {row.id for row in r1["t"].good.collect()}
     assert len(ids) == 100
     assert any("ghost" in m for m in ctx2.unexpecteds)
+
+
+# ---------------------------------------------------------------------------
+# mysql byte-range-split statement scan
+# ---------------------------------------------------------------------------
+
+def _my_exact_stmts(path):
+    """Ground truth: the staged stream parser's statement list."""
+    from harbourbridge_spark.sources import mysqldump as M
+
+    class _Ctx:
+        def __init__(self):
+            self.skips = 0
+
+        def skip_statement(self, kind):
+            self.skips += 1
+
+    ctx = _Ctx()
+    with open(path, encoding="utf-8", newline="\n") as f:
+        stmts = list(M._iter_statements(f, ctx))
+    return stmts, ctx.skips
+
+
+def _my_ranged_stmts(path, range_bytes, hard_allowance=None):
+    """Speculative range scan + reconcile + span re-parse."""
+    import io as _io
+
+    from harbourbridge_spark.sources import mysqldump as M
+
+    size = os.path.getsize(path)
+    results = []
+    for s in range(0, size, range_bytes):
+        res = pgdump._scan_pg_range(
+            path, s, min(s + range_bytes, size), 1 << 20,
+            hard_allowance=hard_allowance,
+            scanner=M._scan_mysql_statements)
+        res["range_end"] = min(s + range_bytes, size)
+        results.append(res)
+    events = pgdump._reconcile_pg_scan(
+        path, size, results, 1 << 20,
+        scanner=M._scan_mysql_statements)
+    with open(path, "rb") as f:
+        data = f.read()
+    stmts, skips = [], 0
+    for ev in events:
+        if ev[0] == "dblock":
+            skips += ev[3]
+            continue
+        for sub in M._scan_mysql_statements(
+                _io.BytesIO(data[ev[1]:ev[2]]), base=ev[1]):
+            if sub[0] == "stmt":
+                stmts.append(sub[1])
+    return stmts, skips
+
+
+MYSQL_TRICKY = (
+    "CREATE TABLE `t` (`id` int NOT NULL, `v` text);\n"
+    "INSERT INTO `t` VALUES (1,'semi;colon'),(2,'quo''te'),"
+    "(3,'back\\\\slash');\n"
+    "# hash comment with ; semi\n"
+    "INSERT INTO `t` VALUES\n"
+    "(4, 'multi\\nline'),\n"
+    "(5, 'x');\n"
+    "DELIMITER ;;\n"
+    "CREATE TRIGGER tr BEFORE INSERT ON t FOR EACH ROW\n"
+    "BEGIN\n"
+    "  INSERT INTO fake VALUES (9, 'not; real');\n"
+    "END;;\n"
+    "DELIMITER ;\n"
+    "INSERT INTO `t` VALUES (6, 'after block');\n"
+    "SET x = 1;INSERT INTO `t` VALUES (7, 'mid');\n"
+    "-- trailing\n")
+
+
+@pytest.mark.parametrize("range_bytes", [19, 41, 97, 256, 4096])
+def test_mysql_range_scan_reconciles_exactly(tmp_path, range_bytes):
+    """The mysql speculative range scan must reproduce the staged
+    stream parser's exact statement list AND DELIMITER skip count at
+    any range size — boundaries land inside literals, stored-program
+    blocks, and multi-statement lines."""
+    f = tmp_path / "m.sql"
+    f.write_text(MYSQL_TRICKY)
+    want, want_skips = _my_exact_stmts(str(f))
+    got, got_skips = _my_ranged_stmts(str(f), range_bytes)
+    assert got == want
+    assert got_skips == want_skips == 2
+    assert any("after block" in s for s in want)
+    assert not any("not; real" in s for s in want)
+
+
+def test_mysql_range_scan_random_differential(tmp_path):
+    """Property-style: random mysql dumps (literal traps, DELIMITER
+    blocks, hash/dash comments, multi-line inserts, CRLF) at random
+    range sizes always reconcile to the staged parser."""
+    rng = random.Random(11)
+    bits = ["a", "qu''te", "semi;colon", "back\\\\slash",
+            "INSERT INTO f VALUES (1);", "multi\\nline", "",
+            "DELIMITER ;;"]
+    for it in range(20):
+        lines = ["CREATE TABLE `t` (`id` int NOT NULL, `v` text);\n"]
+        for i in range(rng.randrange(2, 10)):
+            k = rng.randrange(4)
+            if k == 0:
+                lit = rng.choice(bits)
+                lines.append(
+                    f"INSERT INTO `t` VALUES ({i}, '{lit}');\n")
+            elif k == 1:
+                lines.append("DELIMITER ;;\n"
+                             f"CREATE TRIGGER tr{i} BEFORE INSERT ON "
+                             "t FOR EACH ROW\n"
+                             f"BEGIN INSERT INTO x VALUES ({i}); "
+                             "END;;\n"
+                             "DELIMITER ;\n")
+            elif k == 2:
+                lines.append(f"# c{i} with ; semi\n")
+            else:
+                lines.append(f"SET x = {i};"
+                             f"INSERT INTO `t` VALUES ({i + 50}, "
+                             "'mid');\n")
+        body = "".join(lines)
+        if it % 3 == 0:
+            body = body.replace("\n", "\r\n")
+        f = tmp_path / f"mr_{it}.sql"
+        f.write_bytes(body.encode())
+        want, want_skips = _my_exact_stmts(str(f))
+        for range_bytes in (rng.randrange(13, 70),
+                            rng.randrange(70, 300)):
+            got, got_skips = _my_ranged_stmts(str(f), range_bytes)
+            assert got == want, (it, range_bytes)
+            assert got_skips == want_skips, (it, range_bytes)
+
+
+def test_mysql_spark_range_split_modes_identical(spark, tmp_path,
+                                                 monkeypatch):
+    """End-to-end through the Spark job: shrink the floors so a small
+    mysql dump splits into many executor ranges; results, recovery
+    stats, and reports must stay identical to staged."""
+    monkeypatch.setattr(pgdump, "_RANGE_FLOOR", 128)
+    from harbourbridge_spark.sources import mysqldump as M
+    monkeypatch.setattr(M, "_RANGE_FLOOR", 128)
+    monkeypatch.setattr(M, "_DIST_MIN_SERIAL_SEC", 0.0)
+    f = tmp_path / "mbig.sql"
+    f.write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL, `v` varchar(60), "
+        "PRIMARY KEY (`id`));\n"
+        "CREATE TABLE `u` (`a` text);\n"
+        + "".join(f"INSERT INTO `t` VALUES ({i},'r{i}-semi;colon'),"
+                  f"({i + 1000},'q''{i}');\n" for i in range(40))
+        + "DELIMITER ;;\n"
+          "CREATE TRIGGER tr BEFORE INSERT ON t FOR EACH ROW BEGIN "
+          "END;;\n"
+          "DELIMITER ;\n"
+        + "INSERT INTO `u` VALUES ('x'), ('y');\n"
+        + "INSERT INTO `ghost` VALUES (1);\n")
+    ctx1, ctx2, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
+    assert len({row.id for row in r1["t"].good.collect()}) == 80
+    assert any("ghost" in m_ for m_ in ctx2.unexpecteds)
