@@ -21,15 +21,18 @@ stream, postgres/pgdump.go:334-371).
 
 Scale notes (100 TB): the staged pass above is the reference-parity
 path (one driver loop, postgres/pgdump.go:50-84).  For large dumps use
-``mode="distributed"``: a positional scan per file (bulk find/count
-over 8 MB buffers — ~500 MB/s/core, no per-row Python) locates each
-COPY block's byte ranges, executors read the ranges directly, and
-sequence numbers are byte-position-derived so the output is
-bit-identical to the staged path.  Multiple files scan concurrently on
-a fork-based process pool (measured 2.8× at 8 files; thread fallback),
-so ingest parallelism scales with file count AND, within one huge
-file, with chunk count.  Every expensive step (escape decode, casts,
-error split, write) runs distributed in both modes.
+``mode="distributed"`` (r8): the statement-boundary scan itself runs
+as byte-range Spark tasks with INSERT tokenization FUSED into the
+same pass — dump bytes are read once, COPY blocks are skipped with
+bulk find/count (~500 MB/s/core) into chunk ranges executors read
+directly, and the driver reconciles per-range speculative scans with
+a trusted-cursor protocol (see the design comment above
+_SPEC_HARD_ALLOWANCE) whose serial-rescan fallback guarantees
+exactness on any input.  Driver state is O(ranges + spans), never
+O(rows) or O(bytes); sequence numbers compose from per-(span, table)
+counts so the output is bit-identical to the staged path.  Every
+expensive step (escape decode, casts, error split, write) runs
+distributed in both modes.
 
 Statement chunking: the reference accumulates lines until ';' and
 re-parses on failure (readAndParseChunk, postgres/pgdump.go:88-120) to
