@@ -1336,6 +1336,71 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
     return results
 
 
+def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
+                      ctx: Optional[MigrationContext] = None,
+                      chunk_bytes: int = 32 << 20,
+                      ) -> tuple[MigrationContext, dict[str, ConversionResult]]:
+    r"""``mysqldump --tab`` ingest: the directory holds per-table
+    ``<table>.sql`` (CREATE TABLE DDL) and ``<table>.txt`` (TSV data,
+    FIELDS TERMINATED BY '\t' ESCAPED BY '\\', ``\N`` nulls — the
+    same escape contract as the staged layout, minus the sequence
+    column).  The fastest mysql path by construction: no statement
+    scanning and no tokenization at all — each .txt is ONE data block,
+    split into line-aligned byte-range chunks by the same bulk
+    find/count scan the pg COPY path uses, read directly by executors
+    (read_copy_chunks) with byte-position-derived sequence numbers, so
+    synthetic PKs are deterministic at any parallelism.
+
+    Caveat: mysqldump writes ``\0`` for NUL bytes in --tab files; the
+    shared decoder passes it through literally (pg text disallows NUL,
+    so the staged contract has no escape for it) — binary columns with
+    embedded NULs should ship through the INSERT-format path instead.
+
+    Scale: driver work is one cheap find/count pass per .txt (no
+    per-row Python, ~500 MB/s/core); everything else is executor
+    tasks."""
+    import glob as _glob
+
+    from .pgdump import CopyChunk, _OffsetReader, read_copy_chunks
+
+    if ctx is None:
+        ctx = MigrationContext()
+    sql_files = sorted(_glob.glob(os.path.join(tab_dir, "*.sql")))
+    if not sql_files:
+        raise ValueError(f"no .sql DDL files in {tab_dir}")
+    ctx.set_schema_mode()
+    for p in sql_files:
+        with open(p, encoding="utf-8", newline="\n") as f:
+            process_mysql_dump_schema(ctx, f, count_rows=False)
+    schema_to_ddl(ctx, "mysql")
+    ctx.add_synthetic_pkeys()
+
+    ctx.set_data_mode()
+    results: dict[str, ConversionResult] = {}
+    for p in sql_files:
+        name = os.path.splitext(os.path.basename(p))[0]
+        table = _clean(name)
+        txt = os.path.join(tab_dir, f"{name}.txt")
+        if not os.path.exists(txt):
+            continue                    # schema-only table
+        if table not in ctx.src_schema:
+            ctx.unexpected(f"data for unknown table {table}")
+            continue
+        if os.path.getsize(txt) == 0:
+            continue
+        with open(txt, "rb") as f:
+            ranges = _OffsetReader(f).scan_data_block(chunk_bytes)
+        seq = 0
+        chunks = []
+        for (s, e, n) in ranges:
+            chunks.append(CopyChunk(txt, s, e, n, seq, None))
+            seq += n
+        ctx.stats_add_row(table, seq)
+        df = read_copy_chunks(spark, ctx, table, chunks)
+        results[table] = convert_table(ctx, df, table, "mysql")
+    return ctx, results
+
+
 def migrate_mysql_dump(spark: SparkSession, dump_path: Union[str, list[str]],
                        staging_dir: str,
                        ctx: Optional[MigrationContext] = None,
