@@ -467,6 +467,8 @@ def ann_sq_rerank_sql(engine: str, n_queries: int = 10,
 # rerank entry is a frozen oracle so the strings are restated here
 # rather than refactored out of it.
 
+_ANN_STORE_DIR = None    # per-process registry-entry store location
+
 ANN_STORE_CELLS = 16     # IVF coarse cells (= ann_ivf default)
 ANN_STORE_NPROBE = 2     # cells probed per query (= ann_ivf default)
 
@@ -705,14 +707,18 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     store flow: build the index from the corpus split, round-trip it
     through parquet, probe with the query split.  The probe plan
     never scans the embeddings fixture (asserted by the e2e test)."""
-    import tempfile
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # a fresh private dir per call: the index is rebuilt every run
-    # anyway (this entry measures the full build+probe flow), and a
-    # fixed shared path would let concurrent sessions overwrite each
-    # other's index mid-probe (code-review r8); the dir must outlive
-    # this function — the returned DataFrame reads it lazily
-    store = tempfile.mkdtemp(prefix="hb_ann_store_")
+    # ONE private dir per process, rebuilt in place per call: unique
+    # to this process so concurrent sessions cannot overwrite each
+    # other's index mid-probe, and bounded so repeated bench/registry
+    # invocations do not leak a parquet index per call (code-review
+    # r8 x2).  Must outlive this function — the returned DataFrame
+    # reads it lazily.
+    global _ANN_STORE_DIR
+    if _ANN_STORE_DIR is None:
+        import tempfile
+        _ANN_STORE_DIR = tempfile.mkdtemp(prefix="hb_ann_store_")
+    store = _ANN_STORE_DIR
     ann_index_store_write(
         spark, emb.where(f"vec_id >= {n_queries}"), store,
         n_cells=n_cells)

@@ -44,7 +44,7 @@ from .pgdump import (StagingWriter, _DIST_MIN_SERIAL_SEC,
                      _VALUE_ACTION_RE, _collect_scan_events,
                      _decode_staged_values, _estimate_serial_scan_sec,
                      _reconcile_pg_scan, _scan_pg_range,
-                     read_staged_table)
+                     _write_sequenced_values, read_staged_table)
 
 _COND_COMMENT_RE = re.compile(r"/\*!\d{5}\s+(.*?)\*/", re.DOTALL)
 _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
@@ -848,6 +848,14 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
 # spans only.
 
 
+def _my_is_data_stmt(text: str) -> bool:
+    """has-INSERT predicate for span filtering: conditional comments
+    (/*!40000 INSERT ... */) carry executable INSERTs and must count
+    (code-review r8 — a span whose only INSERTs were wrapped was
+    skipped by the tokenize dispatch and silently dropped rows)."""
+    return _unwrap_conditional(text).strip()[:6].upper() == "INSERT"
+
+
 def _scan_mysql_statements(f, chunk_bytes: int = 32 << 20,
                            base: int = 0,
                            limit=None, hard_limit=None,
@@ -996,7 +1004,8 @@ def _scan_tokenize_mysql_distributed(spark: SparkSession,
             with open(p, "rb") as f:
                 events, _stop, _clean = _collect_scan_events(
                     f, 0, None, chunk_bytes, hard_allowance=None,
-                    scanner=_scan_mysql_statements)
+                    scanner=_scan_mysql_statements,
+                    is_data=_my_is_data_stmt)
             for ev in events:
                 if ev[0] == "span":
                     ev.append(0)
@@ -1033,7 +1042,8 @@ def _scan_tokenize_mysql_distributed(spark: SparkSession,
 
                 res = _scan_pg_range(rec.path, rec.start, rec.end, cb,
                                      on_stmt=on_stmt,
-                                     scanner=_scan_mysql_statements)
+                                     scanner=_scan_mysql_statements,
+                                     is_data=_my_is_data_stmt)
                 res["range_end"] = rec.end
                 for (ss, t), (n, first) in span_counts.items():
                     rows.append((rec.path, rec.ri, ss, t, n, first,
@@ -1070,7 +1080,8 @@ def _scan_tokenize_mysql_distributed(spark: SparkSession,
                     ev.append(ri)
             results.append(res)
         events = _reconcile_pg_scan(p, sizes[p], results, chunk_bytes,
-                                    scanner=_scan_mysql_statements)
+                                    scanner=_scan_mysql_statements,
+                                    is_data=_my_is_data_stmt)
         for ev in events:
             if ev[0] != "span":
                 continue
@@ -1098,6 +1109,21 @@ def _scan_tokenize_mysql_distributed(spark: SparkSession,
     return file_events, parsed, counts, unknowns, recovery
 
 
+class _RecoveryCtx:
+    """ctx stand-in for parse_insert_with_recovery inside executors:
+    counts the two recovery events per statement (module-level so the
+    per-statement hot loop pays instantiation only)."""
+
+    __slots__ = ("reparsed", "unparsable")
+
+    def __init__(self):
+        self.reparsed = 0
+        self.unparsable = 0
+
+    def unexpected(self, msg):
+        self.unparsable += 1
+
+
 def _tokenize_mysql_stmt(ev, schema_cols_by_table, ordinals, rec,
                          span_start, rows, span_counts,
                          span_rec) -> None:
@@ -1121,23 +1147,17 @@ def _tokenize_mysql_stmt(ev, schema_cols_by_table, ordinals, rec,
     schema_cols = schema_cols_by_table.get(table)
     cols = ([_clean(c) for c in m.group("cols").split(",")]
             if m.group("cols") else schema_cols)
-
-    class _RecoveryCtx:
-        def __init__(self):
-            self.reparsed = 0
-            self.unparsable = 0
-
-        def unexpected(self, msg):
-            self.unparsable += 1
-
     rctx = _RecoveryCtx()
     tuples = parse_insert_with_recovery(rctx, m.group("values"))
     if rctx.reparsed or rctx.unparsable:
         sr = span_rec.setdefault((span_start, table), [0, 0])
         sr[0] += rctx.reparsed
         sr[1] += rctx.unparsable
+    # presence marker even at zero tuples: stats/recovery replay must
+    # see tables whose INSERTs all parsed empty or unparsable
+    # (code-review r8)
+    c = span_counts.setdefault((span_start, table), [0, ev[2]])
     for vals in tuples:
-        c = span_counts.setdefault((span_start, table), [0, ev[2]])
         c[0] += 1
         if not known:
             continue            # counted for row stats, no data row
@@ -1243,12 +1263,15 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
             (off_, msg_))
     counts_by_span: dict[tuple, list] = {}
     for (p_, rng_, ss_, t_), (n_, first_) in counts.items():
-        if n_ > 0:
-            counts_by_span.setdefault((p_, rng_, ss_), []).append(
-                (t_, n_, first_))
+        # n == 0 entries are PRESENCE markers (a table whose INSERTs
+        # all parsed empty/unparsable) — they drive stats and
+        # recovery replay but contribute no sequence range
+        counts_by_span.setdefault((p_, rng_, ss_), []).append(
+            (t_, n_, first_))
 
     order: list[str] = []
     seqs: dict[str, int] = {}
+    present: list[str] = []
     span_bases: dict[str, list[tuple]] = {}
 
     def touch(table: str) -> None:
@@ -1270,13 +1293,18 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
             span_tables = sorted(counts_by_span.get(key, []),
                                  key=lambda x: x[2])
             for t, n, _first in span_tables:
+                if t not in present:
+                    present.append(t)
+                if n == 0:
+                    continue
                 touch(t)
                 span_bases.setdefault(t, []).append(
                     (key[0], key[1], key[2], seqs[t]))
                 seqs[t] += n
 
-    # per-table recovery counters: staged tokenizes each KNOWN
-    # table's statements twice (pass-1 row counting + pass-2
+    # per-table recovery counters over every PRESENT table (not just
+    # row-yielding ones — code-review r8): staged tokenizes each
+    # KNOWN table's statements twice (pass-1 row counting + pass-2
     # staging), so its counters increment twice; unknown tables parse
     # only in pass 1.  Match exactly.
     rec_by_table: dict[str, list] = {}
@@ -1284,7 +1312,7 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
         r = rec_by_table.setdefault(t, [0, 0])
         r[0] += rp
         r[1] += un
-    for t in order:
+    for t in present:
         rp, un = rec_by_table.get(t, (0, 0))
         factor = 2 if t in ctx.src_schema else 1
         ctx.reparsed += factor * rp
@@ -1292,39 +1320,12 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
             ctx.unexpected("unparsable INSERT tuple")
         # schema-mode row totals deferred from pass 1
         # (count_rows=False)
-        ctx.stats_add_row(t, seqs[t])
+        ctx.stats_add_row(t, seqs.get(t, 0))
 
-    def _write_values(t: str) -> str:
-        base_df = spark.createDataFrame(
-            sorted(span_bases[t]),
-            "path string, rng long, span_start long, base long")
-        values = (parsed
-                  .where(F.col("kind") == "r")
-                  .where(F.col("table") == t)
-                  .join(F.broadcast(base_df),
-                        ["path", "rng", "span_start"])
-                  .select(F.concat_ws(
-                      "\t",
-                      (F.col("base") + F.col("ordinal"))
-                      .cast("string"),
-                      F.col("payload")).alias("value")))
-        txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
-        values.write.mode("overwrite").text(txt)
-        return txt
-
-    known_tables = [t for t in order if t in ctx.src_schema
-                    and t in span_bases]
-    txt_paths: dict[str, str] = {}
-    if len(known_tables) == 1:
-        t = known_tables[0]
-        txt_paths[t] = _write_values(t)
-    elif known_tables:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(
-                max_workers=min(len(known_tables), 8)) as pool:
-            futs = {t: pool.submit(_write_values, t)
-                    for t in known_tables}
-        txt_paths = {t: f.result() for t, f in futs.items()}
+    txt_paths = _write_sequenced_values(
+        spark, parsed, span_bases,
+        [t for t in order if t in ctx.src_schema and t in span_bases],
+        staging_dir)
 
     results: dict[str, ConversionResult] = {}
     for t in order:
@@ -1336,32 +1337,204 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
     return results
 
 
+def _scan_tab_chunks(f, chunk_bytes: int = 32 << 20):
+    """Chunk ranges + row counts over a mysqldump --tab TSV.  Rows end
+    at UNESCAPED newlines only: SELECT INTO OUTFILE escapes an
+    embedded line terminator as backslash + LITERAL newline, so a raw
+    count(b"\\n") would split rows (code-review r8).  Bulk ops: one
+    count + one regex sweep over backslash-run-before-newline sites
+    per buffer region; chunk cuts land on unescaped newlines, so runs
+    never span region boundaries."""
+    import re as _re
+    esc_nl = _re.compile(rb"\\+\n")
+    chunks: list[tuple[int, int, int]] = []
+    buf = b""
+    base = 0                  # abs offset of buf[0]; always a row start
+    eof = False
+
+    def count_rows(seg: bytes) -> int:
+        n = seg.count(b"\n")
+        for m in esc_nl.finditer(seg):
+            if (m.end() - 1 - m.start()) % 2:      # odd backslashes
+                n -= 1
+        return n
+
+    def last_unescaped_nl(seg: bytes) -> int:
+        i = len(seg)
+        while True:
+            j = seg.rfind(b"\n", 0, i)
+            if j < 0:
+                return -1
+            k = j - 1
+            while k >= 0 and seg[k] == 0x5C:
+                k -= 1
+            if (j - 1 - k) % 2 == 0:
+                return j
+            i = j
+
+    while True:
+        while not eof and len(buf) < chunk_bytes + (1 << 16):
+            more = f.read(8 << 20)
+            if not more:
+                eof = True
+                break
+            buf += more
+        if not buf:
+            break
+        cut = last_unescaped_nl(buf[:chunk_bytes + (1 << 16)]) \
+            if not eof else last_unescaped_nl(buf)
+        if cut < 0:
+            if eof:
+                # unterminated final line: one row
+                chunks.append((base, base + len(buf), 1))
+                break
+            # a single row larger than the window: grow the buffer
+            chunk_bytes *= 2
+            continue
+        end = cut + 1
+        seg = buf[:end]
+        if eof and end == len(buf):
+            chunks.append((base, base + end, count_rows(seg)))
+            break
+        if eof:
+            tail = buf[end:]
+            chunks.append((base, base + end, count_rows(seg)))
+            chunks.append((base + end, base + len(buf), 1))
+            break
+        chunks.append((base, base + end, count_rows(seg)))
+        buf = buf[end:]
+        base += end
+    return chunks
+
+
+def _decode_tab_row(row: bytes) -> list:
+    """One --tab row (no trailing newline) -> field values
+    (None for \\N).  Unescaped tabs split fields; backslash+X decodes
+    to X (with \\0 -> NUL, matching LOAD DATA), exactly inverting what
+    OUTFILE writes.  Escape positions resolve via backslash-run
+    parity, all C-speed regex."""
+    import re as _re
+    runs = [(m.start(), m.end())
+            for m in _re.finditer(rb"\\+", row)]
+
+    def escaped(pos: int) -> bool:
+        # is row[pos] preceded by an odd-length backslash run?
+        import bisect
+        i = bisect.bisect_right(runs, (pos,)) - 1
+        if i < 0:
+            return False
+        s, e = runs[i]
+        return e == pos and (e - s) % 2 == 1
+
+    cuts = [m.start() for m in _re.finditer(rb"\t", row)
+            if not escaped(m.start())]
+    fields = []
+    prev = 0
+    for c in cuts + [len(row)]:
+        fields.append(row[prev:c])
+        prev = c + 1
+    sub = _re.compile(rb"\\(.|\n)", _re.DOTALL)
+
+    def unesc(m):
+        ch = m.group(1)
+        return b"\x00" if ch == b"0" else ch
+
+    out = []
+    for fb in fields:
+        if fb == b"\\N":
+            out.append(None)
+        else:
+            out.append(sub.sub(unesc, fb).decode("utf-8"))
+    return out
+
+
+def read_tab_chunks(spark: SparkSession, ctx: MigrationContext,
+                    src_table: str, chunks: list):
+    """Distributed --tab chunk reader: each (path, start, end, rows,
+    start_seq) range is one executor task that splits its slice at
+    unescaped newlines, decodes the OUTFILE escaping, and emits
+    STAGED-layout values (seq + copy_escape fields) for the shared
+    JVM decoder — so casts/quarantine run identically to every other
+    ingest path.  The driver never touches a row."""
+    import re as _re
+
+    from .pgdump import _decode_staged_values
+
+    schema_cols = list(ctx.src_schema[src_table].col_names)
+    ncols = len(schema_cols)
+    desc = spark.createDataFrame(
+        [(c[0], c[1], c[2], c[3], c[4]) for c in chunks],
+        "path string, start long, end long, rows long, start_seq long")
+    desc = desc.repartition(max(len(chunks), 1))
+    esc_nl = _re.compile(rb"\\+\n")
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    fh.seek(rec.start)
+                    data = fh.read(rec.end - rec.start)
+                if data.endswith(b"\n"):
+                    data = data[:-1]
+                # split at unescaped newlines (runs via parity)
+                cuts = []
+                for m in _re.finditer(rb"\n", data):
+                    j = m.start()
+                    k = j - 1
+                    while k >= 0 and data[k] == 0x5C:
+                        k -= 1
+                    if (j - 1 - k) % 2 == 0:
+                        cuts.append(j)
+                rows_out = []
+                seq = rec.start_seq
+                prev = 0
+                for c in cuts + [len(data)]:
+                    vals = _decode_tab_row(data[prev:c])
+                    prev = c + 1
+                    if len(vals) < ncols:
+                        vals += [None] * (ncols - len(vals))
+                    rows_out.append(
+                        f"{seq}\t" + "\t".join(
+                            StagingWriter.copy_escape(v)
+                            for v in vals[:ncols]))
+                    seq += 1
+                if seq - rec.start_seq != rec.rows:
+                    raise ValueError(
+                        f"tab chunk row mismatch for {rec.path}"
+                        f"[{rec.start}:{rec.end}]: scanned {rec.rows},"
+                        f" read {seq - rec.start_seq}")
+                yield pd.DataFrame({"value": rows_out})
+
+    values = desc.mapInPandas(gen, "value string")
+    return _decode_staged_values(values, ctx, src_table)
+
+
 def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
                       ctx: Optional[MigrationContext] = None,
                       chunk_bytes: int = 32 << 20,
                       ) -> tuple[MigrationContext, dict[str, ConversionResult]]:
     r"""``mysqldump --tab`` ingest: the directory holds per-table
-    ``<table>.sql`` (CREATE TABLE DDL) and ``<table>.txt`` (TSV data,
-    FIELDS TERMINATED BY '\t' ESCAPED BY '\\', ``\N`` nulls — the
-    same escape contract as the staged layout, minus the sequence
-    column).  The fastest mysql path by construction: no statement
-    scanning and no tokenization at all — each .txt is ONE data block,
-    split into line-aligned byte-range chunks by the same bulk
-    find/count scan the pg COPY path uses, read directly by executors
-    (read_copy_chunks) with byte-position-derived sequence numbers, so
-    synthetic PKs are deterministic at any parallelism.
+    ``<table>.sql`` (CREATE TABLE DDL) and ``<table>.txt`` (TSV data
+    in the SELECT INTO OUTFILE contract: FIELDS TERMINATED BY '\t'
+    ESCAPED BY '\\' LINES TERMINATED BY '\n' — embedded tabs/newlines
+    appear as backslash + the LITERAL character, NUL as ``\0``,
+    NULL as ``\N``, CR passes raw).  The fastest mysql path by
+    construction: no statement scanning and no tokenization — each
+    .txt splits into byte-range chunks at UNESCAPED newlines by a
+    bulk regex scan, executors decode the OUTFILE escaping and emit
+    staged-layout values with byte-position-derived sequences, so
+    synthetic PKs are deterministic at any parallelism and
+    casts/quarantine run through the shared JVM decoder.
 
-    Caveat: mysqldump writes ``\0`` for NUL bytes in --tab files; the
-    shared decoder passes it through literally (pg text disallows NUL,
-    so the staged contract has no escape for it) — binary columns with
-    embedded NULs should ship through the INSERT-format path instead.
+    NUL bytes (``\0``) decode to NUL and are then stripped by the
+    staged escaper — identical to how the INSERT-format path stages
+    them (copy_escape drops NUL; the staged text contract reserves
+    it).
 
-    Scale: driver work is one cheap find/count pass per .txt (no
-    per-row Python, ~500 MB/s/core); everything else is executor
-    tasks."""
+    Scale: driver work is one regex pass per .txt; everything else is
+    executor tasks."""
     import glob as _glob
-
-    from .pgdump import CopyChunk, _OffsetReader, read_copy_chunks
 
     if ctx is None:
         ctx = MigrationContext()
@@ -1389,14 +1562,14 @@ def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
         if os.path.getsize(txt) == 0:
             continue
         with open(txt, "rb") as f:
-            ranges = _OffsetReader(f).scan_data_block(chunk_bytes)
+            ranges = _scan_tab_chunks(f, chunk_bytes)
         seq = 0
         chunks = []
         for (s, e, n) in ranges:
-            chunks.append(CopyChunk(txt, s, e, n, seq, None))
+            chunks.append((txt, s, e, n, seq))
             seq += n
         ctx.stats_add_row(table, seq)
-        df = read_copy_chunks(spark, ctx, table, chunks)
+        df = read_tab_chunks(spark, ctx, table, chunks)
         results[table] = convert_table(ctx, df, table, "mysql")
     return ctx, results
 

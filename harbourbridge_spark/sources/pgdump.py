@@ -1469,11 +1469,15 @@ def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
     return sum(sizes.values()) / (sum(bps) / len(bps))
 
 
+def _is_insert_stmt(text: str) -> bool:
+    return text.lstrip()[:6].upper() == "INSERT"
+
+
 def _collect_scan_events(f, base: int, limit: Optional[int],
                          chunk_bytes: int,
                          hard_allowance: Optional[int] = None,
                          on_stmt=None, sync_marks: Optional[list] = None,
-                         scanner=None):
+                         scanner=None, is_data=None):
     """Run the token-walk scanner over ``f`` (seeked to absolute
     offset ``base``) and coalesce its yields into offset-only events:
     ``["span", start, end, n_stmts, has_insert]`` for size-capped runs
@@ -1492,12 +1496,13 @@ def _collect_scan_events(f, base: int, limit: Optional[int],
     span: Optional[list] = None
     stop, clean = base, True
     scan = scanner or _scan_dump_statements
+    data_pred = is_data or _is_insert_stmt
     for ev in scan(f, chunk_bytes, base=base,
                    limit=limit, hard_limit=hard,
                    sync_marks=sync_marks):
         if ev[0] == "stmt":
             _, text, s, e = ev
-            is_ins = text.lstrip()[:6].upper() == "INSERT"
+            is_ins = data_pred(text)
             if span is not None and span[1] <= s \
                     and s - span[1] < _MAX_SPAN_BYTES:
                 span[2] = e
@@ -1564,7 +1569,7 @@ def _tokenize_stmt(ev, schema_cols_by_table: dict, ordinals: dict,
 def _scan_pg_range(path: str, start: int, end: int,
                    chunk_bytes: int,
                    hard_allowance: Optional[int] = None,
-                   on_stmt=None, scanner=None) -> dict:
+                   on_stmt=None, scanner=None, is_data=None) -> dict:
     """Executor-side speculative scan of one byte range.  Returns a
     JSON-able summary: aligned start (first line start in the range;
     None when the range is the middle of one giant line), events with
@@ -1599,7 +1604,7 @@ def _scan_pg_range(path: str, start: int, end: int,
             events, stop, clean = _collect_scan_events(
                 f, aligned, end, chunk_bytes,
                 hard_allowance=hard_allowance, on_stmt=on_stmt,
-                sync_marks=syncs, scanner=scanner)
+                sync_marks=syncs, scanner=scanner, is_data=is_data)
         except (UnicodeDecodeError, ValueError):
             # undecodable speculative garbage (e.g. a range starting
             # inside binary-ish COPY data): contribute nothing; the
@@ -1611,7 +1616,7 @@ def _scan_pg_range(path: str, start: int, end: int,
 
 
 def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
-                       chunk_bytes: int, scanner=None):
+                       chunk_bytes: int, scanner=None, is_data=None):
     """Exact serial rescan of [start, first clean point >= limit):
     the reconciliation fallback.  ``start`` must be a clean offset
     (proven by the trusted parse)."""
@@ -1619,7 +1624,7 @@ def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
         f.seek(start)
         events, stop, _clean = _collect_scan_events(
             f, start, limit, chunk_bytes, hard_allowance=None,
-            scanner=scanner)
+            scanner=scanner, is_data=is_data)
     return events, stop
 
 
@@ -1632,7 +1637,8 @@ def _ev_end(ev) -> int:
 
 
 def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
-                       chunk_bytes: int, scanner=None) -> list:
+                       chunk_bytes: int, scanner=None,
+                       is_data=None) -> list:
     """Merge per-range speculative scans into the exact event list for
     one file.  ``results`` are in range order; each carries its
     range_start/range_end.  See the module comment above for the
@@ -1671,8 +1677,9 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
             if evs:
                 cursor = max(cursor, _ev_end(evs[-1]))
             if cap is not None:
-                ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
-                                                chunk_bytes, scanner)
+                ev2, stop2 = _rescan_pg_segment(
+                    path, cursor, rng_end, chunk_bytes, scanner,
+                    is_data)
                 out.extend(ev2)
                 cursor = max(cursor, stop2)
                 dirty = False
@@ -1683,13 +1690,15 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
                 dirty = True
         else:
             ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
-                                            chunk_bytes, scanner)
+                                            chunk_bytes, scanner,
+                                            is_data)
             out.extend(ev2)
             cursor = max(cursor, stop2)
             dirty = False
     if cursor < file_size:
         ev2, _stop2 = _rescan_pg_segment(path, cursor, None,
-                                         chunk_bytes, scanner)
+                                         chunk_bytes, scanner,
+                                         is_data)
         out.extend(ev2)
     return out
 
@@ -2080,6 +2089,49 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
     return file_events, parsed, counts, unknowns
 
 
+def _write_sequenced_values(spark: SparkSession, parsed: DataFrame,
+                            span_bases: dict, tables: list[str],
+                            staging_dir: str) -> dict[str, str]:
+    """Materialize each table's sequenced span rows as staged-layout
+    text (an EXECUTOR-side write — the driver never sees a row)
+    instead of converting on top of the live join: the conversion's
+    ~7 expression trees over split(value) each re-evaluate the join
+    projection, measured 2.9x slower end-to-end than scanning a
+    materialized text source — and every downstream action (good/bad
+    counts, sink writes) rescans cheap text instead of re-running the
+    join.  Per-table write jobs are SUBMITTED CONCURRENTLY: each is a
+    small scheduler-latency-bound Spark job, so a serial loop would
+    pay T sequential round trips on wide-schema dumps.  Shared by the
+    pg and mysql distributed passes."""
+
+    def write_one(t: str) -> str:
+        base_df = spark.createDataFrame(
+            sorted(span_bases[t]),
+            "path string, rng long, span_start long, base long")
+        values = (parsed
+                  .where(F.col("kind") == "r")
+                  .where(F.col("table") == t)
+                  .join(F.broadcast(base_df),
+                        ["path", "rng", "span_start"])
+                  .select(F.concat_ws(
+                      "\t",
+                      (F.col("base") + F.col("ordinal"))
+                      .cast("string"),
+                      F.col("payload")).alias("value")))
+        txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
+        values.write.mode("overwrite").text(txt)
+        return txt
+
+    if not tables:
+        return {}
+    if len(tables) == 1:
+        return {tables[0]: write_one(tables[0])}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(len(tables), 8)) as pool:
+        futs = {t: pool.submit(write_one, t) for t in tables}
+    return {t: f.result() for t, f in futs.items()}
+
+
 def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                          paths: list[str], staging_dir: str,
                          chunk_bytes: int, max_workers: Optional[int],
@@ -2162,49 +2214,10 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                         (key[0], key[1], key[2], seqs[t]))
                     seqs[t] += n
 
-    # Materialize each table's sequenced values as staged-layout text
-    # (an EXECUTOR-side write — the driver never sees a row) instead
-    # of converting on top of the live join: the conversion's ~7
-    # expression trees over split(value) each re-evaluate the join
-    # projection, measured 2.9x slower end-to-end than scanning a
-    # materialized text source — and every downstream action
-    # (good/bad counts, sink writes) rescans cheap text instead of
-    # re-running the join.  The per-table write jobs are SUBMITTED
-    # CONCURRENTLY: each is a small Spark job dominated by scheduler
-    # latency, so a serial loop would pay T sequential round trips on
-    # exactly the wide-schema path (the r7 shard-tokenize lesson;
-    # Spark job submission is thread-safe).
-    def _write_values(t: str) -> str:
-        base_df = spark.createDataFrame(
-            sorted(span_bases[t]),
-            "path string, rng long, span_start long, base long")
-        values = (parsed
-                  .where(F.col("kind") == "r")
-                  .where(F.col("table") == t)
-                  .join(F.broadcast(base_df),
-                        ["path", "rng", "span_start"])
-                  .select(F.concat_ws(
-                      "\t",
-                      (F.col("base") + F.col("ordinal"))
-                      .cast("string"),
-                      F.col("payload")).alias("value")))
-        txt = os.path.join(staging_dir, f"{t}.dist_values.txt")
-        values.write.mode("overwrite").text(txt)
-        return txt
-
-    span_tables_to_write = [t for t in order
-                            if t in span_bases and t in ctx.src_schema]
-    txt_paths: dict[str, str] = {}
-    if len(span_tables_to_write) == 1:
-        t = span_tables_to_write[0]
-        txt_paths[t] = _write_values(t)
-    elif span_tables_to_write:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(
-                max_workers=min(len(span_tables_to_write), 8)) as pool:
-            futs = {t: pool.submit(_write_values, t)
-                    for t in span_tables_to_write}
-        txt_paths = {t: f.result() for t, f in futs.items()}
+    txt_paths = _write_sequenced_values(
+        spark, parsed, span_bases,
+        [t for t in order if t in span_bases and t in ctx.src_schema],
+        staging_dir)
 
     results: dict[str, ConversionResult] = {}
     for t in order:

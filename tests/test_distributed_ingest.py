@@ -835,3 +835,37 @@ def test_mysql_spark_range_split_modes_identical(spark, tmp_path,
     ctx1, ctx2, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
     assert len({row.id for row in r1["t"].good.collect()}) == 80
     assert any("ghost" in m_ for m_ in ctx2.unexpecteds)
+
+
+def test_mysql_conditional_insert_spans_modes_identical(spark,
+                                                        tmp_path):
+    """Conditional-comment-wrapped INSERTs (/*!40000 INSERT ... */;)
+    must not be skipped by the span has-data filter (code-review r8:
+    the raw-text INSERT check missed them and distributed mode
+    silently dropped their rows)."""
+    f = tmp_path / "cond.sql"
+    f.write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL, `v` text);\n"
+        "/*!40000 INSERT INTO `t` VALUES (1,'wrapped')*/;\n"
+        "/*!40000 INSERT INTO `t` VALUES (2,'also')*/;\n")
+    _, _, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
+    assert {row.id for row in r1["t"].good.collect()} == {1, 2}
+
+
+def test_mysql_tupleless_table_stats_modes_identical(spark, tmp_path):
+    """A table whose only INSERT has an unparsable VALUES list (or an
+    all-defaults empty tuple) yields no rows, but its recovery
+    counters and row stats must still replay identically to staged
+    (code-review r8: the replay iterated only row-yielding tables)."""
+    f = tmp_path / "tless.sql"
+    f.write_text(
+        "CREATE TABLE `ok` (`id` int NOT NULL);\n"
+        "CREATE TABLE `broken` (`id` int NOT NULL);\n"
+        "INSERT INTO `broken` VALUES (((((;\n"
+        "INSERT INTO `ok` VALUES (1),(2);\n")
+    ctx1, ctx2, r1 = _assert_mysql_modes_identical(spark, f, tmp_path)
+    assert "broken" not in r1
+    assert sorted(row.id for row in r1["ok"].good.collect()) == [1, 2]
+    assert ctx1.reparsed == ctx2.reparsed
+    assert (sorted(m for m in ctx1.unexpecteds)
+            == sorted(m for m in ctx2.unexpecteds))

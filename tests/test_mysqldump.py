@@ -480,7 +480,10 @@ def test_mysql_tab_ingest_matches_insert_dump(spark, tmp_path):
     _ctx1, r1 = migrate_mysql_dump(spark, str(fdump),
                                    str(tmp_path / "st"))
 
-    # --tab shape: per-table .sql + .txt with mysqldump TSV escaping
+    # --tab shape: per-table .sql + .txt in the REAL SELECT INTO
+    # OUTFILE contract — embedded tab/newline are backslash + the
+    # LITERAL character (not letter escapes), backslash doubles,
+    # NULL is \N (code-review r8)
     tab = tmp_path / "tab"
     os.makedirs(tab)
     (tab / "t.sql").write_text(ddl)
@@ -489,12 +492,13 @@ def test_mysql_tab_ingest_matches_insert_dump(spark, tmp_path):
     def esc_tab(v):
         if v is None:
             return "\\N"
-        return v.replace("\\", "\\\\").replace("\t", "\\t") \
-            .replace("\n", "\\n")
+        return v.replace("\\", "\\\\").replace("\t", "\\\t") \
+            .replace("\n", "\\\n")
 
-    (tab / "t.txt").write_text(
-        "".join(f"{i}\t{esc_tab(v)}\n" for i, v in rows))
-    (tab / "u.txt").write_text("x\ty\nz\t\\N\n")
+    (tab / "t.txt").write_bytes(
+        "".join(f"{i}\t{esc_tab(v)}\n"
+                for i, v in rows).encode("utf-8"))
+    (tab / "u.txt").write_bytes(b"x\ty\nz\t\\N\n")
     ctx2, r2 = migrate_mysql_tab(spark, str(tab))
 
     assert set(r1) == set(r2) == {"t", "u"}
@@ -528,3 +532,53 @@ def test_mysql_tab_chunked_many_tasks(spark, tmp_path):
     assert len(set(pks)) == 2000
     ids = sorted(r.id for r in good.collect())
     assert ids == list(range(2000))
+
+
+def test_mysql_tab_real_outfile_edges(spark, tmp_path):
+    """OUTFILE-contract edges (code-review r8): embedded newlines as
+    backslash+LITERAL LF must not split rows even when chunk cuts
+    land nearby; \\0 decodes to NUL and is stripped at staging (the
+    INSERT-path contract); raw CR passes through untouched; a final
+    unterminated line still counts."""
+    import os
+
+    from harbourbridge_spark.sources.mysqldump import (
+        _decode_tab_row, _scan_tab_chunks, migrate_mysql_tab)
+
+    # unit: decoder
+    assert _decode_tab_row(b"a\\\tb\tc") == ["a\tb", "c"]
+    assert _decode_tab_row(b"x\\\ny\t\\N") == ["x\ny", None]
+    # decoder yields the raw NUL; the staged escaper strips it later
+    assert _decode_tab_row(b"nu\\0l\tcr\rhere") == \
+        ["nu\x00l", "cr\rhere"]
+    assert _decode_tab_row(b"back\\\\slash\t\\\\N") == \
+        ["back\\slash", "\\N"]      # escaped backslash + literal N
+
+    # unit: chunk scan never cuts inside an escaped newline
+    body = b"".join(b"%d\tval\\\nue\n" % i for i in range(50))
+    import io
+    for cb in (8, 13, 64, 1 << 20):
+        chunks = _scan_tab_chunks(io.BytesIO(body), cb)
+        assert sum(n for _s, _e, n in chunks) == 50, cb
+        for _s, e, _n in chunks:
+            assert body[e - 1:e] == b"\n"
+            assert not (e >= 2 and body[e - 2:e - 1] == b"\\"), cb
+
+    # e2e: tiny chunks + nasty values
+    tab = tmp_path / "tab"
+    os.makedirs(tab)
+    (tab / "t.sql").write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL, `v` varchar(40));\n")
+    (tab / "t.txt").write_bytes(
+        b"1\tmulti\\\nline\n"
+        b"2\ttab\\\there\n"
+        b"3\tnu\\0l\n"
+        b"4\tcr\rkept\n"
+        b"5\t\\N\n"
+        b"6\tlast-no-newline")        # unterminated final row
+    ctx, res = migrate_mysql_tab(spark, str(tab), chunk_bytes=16)
+    vals = {r.id: r.v for r in res["t"].good.collect()}
+    assert vals == {1: "multi\nline", 2: "tab\there", 3: "nul",
+                    4: "cr\rkept", 5: None, 6: "last-no-newline"}
+    pks = [r.synth_id for r in res["t"].good.collect()]
+    assert len(set(pks)) == 6
