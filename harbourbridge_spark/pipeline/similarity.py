@@ -467,7 +467,10 @@ def ann_sq_rerank_sql(engine: str, n_queries: int = 10,
 # rerank entry is a frozen oracle so the strings are restated here
 # rather than refactored out of it.
 
-_ANN_STORE_DIR = None    # per-process registry-entry store location
+_ANN_STORE_DIR = None    # per-process registry-entry store parent
+_ANN_STORE_SEQ = [0]     # per-call subdir counter (ring of 4)
+import threading as _threading                       # noqa: E402
+_ANN_STORE_LOCK = _threading.Lock()
 
 ANN_STORE_CELLS = 16     # IVF coarse cells (= ann_ivf default)
 ANN_STORE_NPROBE = 2     # cells probed per query (= ann_ivf default)
@@ -707,18 +710,28 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     store flow: build the index from the corpus split, round-trip it
     through parquet, probe with the query split.  The probe plan
     never scans the embeddings fixture (asserted by the e2e test)."""
+    import os
+    import shutil
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # ONE private dir per process, rebuilt in place per call: unique
-    # to this process so concurrent sessions cannot overwrite each
-    # other's index mid-probe, and bounded so repeated bench/registry
-    # invocations do not leak a parquet index per call (code-review
-    # r8 x2).  Must outlive this function — the returned DataFrame
-    # reads it lazily.
+    # a ring of per-call subdirs under ONE per-process parent
+    # (code-review r8 x3): unique to this process so concurrent
+    # sessions never touch each other's index; per-call subdirs so a
+    # previously RETURNED lazy DataFrame keeps reading its own intact
+    # store (an in-place overwrite would clobber it mid-action); the
+    # ring bound (keep the last 4) stops repeated invocations leaking
+    # a parquet index per call.  The lock covers the check-then-set
+    # and the counter.
     global _ANN_STORE_DIR
-    if _ANN_STORE_DIR is None:
-        import tempfile
-        _ANN_STORE_DIR = tempfile.mkdtemp(prefix="hb_ann_store_")
-    store = _ANN_STORE_DIR
+    with _ANN_STORE_LOCK:
+        if _ANN_STORE_DIR is None:
+            import tempfile
+            _ANN_STORE_DIR = tempfile.mkdtemp(prefix="hb_ann_store_")
+        _ANN_STORE_SEQ[0] += 1
+        n = _ANN_STORE_SEQ[0]
+    store = os.path.join(_ANN_STORE_DIR, f"v{n}")
+    stale = os.path.join(_ANN_STORE_DIR, f"v{n - 4}")
+    shutil.rmtree(stale, ignore_errors=True)
     ann_index_store_write(
         spark, emb.where(f"vec_id >= {n_queries}"), store,
         n_cells=n_cells)

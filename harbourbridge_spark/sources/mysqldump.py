@@ -31,7 +31,6 @@ import re
 from typing import Iterator, Optional, TextIO, Union
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .. import schema_ir as ir
 from ..context import MigrationContext
@@ -1407,44 +1406,50 @@ def _scan_tab_chunks(f, chunk_bytes: int = 32 << 20):
     return chunks
 
 
+_TAB_NL_RE = re.compile(rb"\n")
+_TAB_BSRUN_RE = re.compile(rb"\\+")
+_TAB_FIELD_RE = re.compile(rb"\t")
+_TAB_UNESC_RE = re.compile(rb"\\(.|\n)", re.DOTALL)
+
+
+def _tab_unesc(m):
+    ch = m.group(1)
+    return b"\x00" if ch == b"0" else ch
+
+
 def _decode_tab_row(row: bytes) -> list:
     """One --tab row (no trailing newline) -> field values
     (None for \\N).  Unescaped tabs split fields; backslash+X decodes
     to X (with \\0 -> NUL, matching LOAD DATA), exactly inverting what
     OUTFILE writes.  Escape positions resolve via backslash-run
-    parity, all C-speed regex."""
-    import re as _re
+    parity; patterns precompiled at module level (this runs once per
+    data row in the executor hot loop — code-review r8)."""
+    from bisect import bisect_right
     runs = [(m.start(), m.end())
-            for m in _re.finditer(rb"\\+", row)]
+            for m in _TAB_BSRUN_RE.finditer(row)]
 
     def escaped(pos: int) -> bool:
         # is row[pos] preceded by an odd-length backslash run?
-        import bisect
-        i = bisect.bisect_right(runs, (pos,)) - 1
+        i = bisect_right(runs, (pos,)) - 1
         if i < 0:
             return False
         s, e = runs[i]
         return e == pos and (e - s) % 2 == 1
 
-    cuts = [m.start() for m in _re.finditer(rb"\t", row)
+    cuts = [m.start() for m in _TAB_FIELD_RE.finditer(row)
             if not escaped(m.start())]
     fields = []
     prev = 0
     for c in cuts + [len(row)]:
         fields.append(row[prev:c])
         prev = c + 1
-    sub = _re.compile(rb"\\(.|\n)", _re.DOTALL)
-
-    def unesc(m):
-        ch = m.group(1)
-        return b"\x00" if ch == b"0" else ch
-
     out = []
     for fb in fields:
         if fb == b"\\N":
             out.append(None)
         else:
-            out.append(sub.sub(unesc, fb).decode("utf-8"))
+            out.append(_TAB_UNESC_RE.sub(_tab_unesc, fb)
+                       .decode("utf-8"))
     return out
 
 
@@ -1456,8 +1461,6 @@ def read_tab_chunks(spark: SparkSession, ctx: MigrationContext,
     STAGED-layout values (seq + copy_escape fields) for the shared
     JVM decoder — so casts/quarantine run identically to every other
     ingest path.  The driver never touches a row."""
-    import re as _re
-
     from .pgdump import _decode_staged_values
 
     schema_cols = list(ctx.src_schema[src_table].col_names)
@@ -1466,7 +1469,14 @@ def read_tab_chunks(spark: SparkSession, ctx: MigrationContext,
         [(c[0], c[1], c[2], c[3], c[4]) for c in chunks],
         "path string, start long, end long, rows long, start_seq long")
     desc = desc.repartition(max(len(chunks), 1))
-    esc_nl = _re.compile(rb"\\+\n")
+
+    def _ends_unescaped_nl(data: bytes) -> bool:
+        if not data.endswith(b"\n"):
+            return False
+        k = len(data) - 2
+        while k >= 0 and data[k] == 0x5C:
+            k -= 1
+        return (len(data) - 2 - k) % 2 == 0
 
     def gen(batches):
         import pandas as pd
@@ -1475,11 +1485,14 @@ def read_tab_chunks(spark: SparkSession, ctx: MigrationContext,
                 with open(rec.path, "rb") as fh:
                     fh.seek(rec.start)
                     data = fh.read(rec.end - rec.start)
-                if data.endswith(b"\n"):
+                # strip the ROW TERMINATOR only: a trailing ESCAPED
+                # newline is field content of an unterminated final
+                # row and must survive (code-review r8)
+                if _ends_unescaped_nl(data):
                     data = data[:-1]
                 # split at unescaped newlines (runs via parity)
                 cuts = []
-                for m in _re.finditer(rb"\n", data):
+                for m in _TAB_NL_RE.finditer(data):
                     j = m.start()
                     k = j - 1
                     while k >= 0 and data[k] == 0x5C:
@@ -1541,6 +1554,12 @@ def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
     sql_files = sorted(_glob.glob(os.path.join(tab_dir, "*.sql")))
     if not sql_files:
         raise ValueError(f"no .sql DDL files in {tab_dir}")
+    ddl_names = {os.path.splitext(os.path.basename(q))[0]
+                 for q in sql_files}
+    orphan_txt = sorted(
+        os.path.basename(t)
+        for t in _glob.glob(os.path.join(tab_dir, "*.txt"))
+        if os.path.splitext(os.path.basename(t))[0] not in ddl_names)
     ctx.set_schema_mode()
     for p in sql_files:
         with open(p, encoding="utf-8", newline="\n") as f:
@@ -1549,6 +1568,11 @@ def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
     ctx.add_synthetic_pkeys()
 
     ctx.set_data_mode()
+    for t in orphan_txt:
+        # a data file whose DDL is missing must be REPORTED, not
+        # silently ignored (parity with the INSERT path's
+        # unknown-table flagging; code-review r8)
+        ctx.unexpected(f"data file with no DDL: {t}")
     results: dict[str, ConversionResult] = {}
     for p in sql_files:
         name = os.path.splitext(os.path.basename(p))[0]

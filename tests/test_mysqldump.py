@@ -582,3 +582,26 @@ def test_mysql_tab_real_outfile_edges(spark, tmp_path):
                     4: "cr\rkept", 5: None, 6: "last-no-newline"}
     pks = [r.synth_id for r in res["t"].good.collect()]
     assert len(set(pks)) == 6
+
+
+def test_mysql_tab_trailing_escaped_newline_and_orphans(spark,
+                                                        tmp_path):
+    """A truncated --tab file whose final unterminated row ends with
+    an ESCAPED newline must keep that newline as field content (the
+    terminator strip checks backslash parity — code-review r8), and
+    a .txt with no matching .sql must be reported, not silently
+    dropped."""
+    import os
+
+    from harbourbridge_spark.sources.mysqldump import migrate_mysql_tab
+
+    tab = tmp_path / "tab"
+    os.makedirs(tab)
+    (tab / "t.sql").write_text(
+        "CREATE TABLE `t` (`id` int NOT NULL, `v` varchar(20));\n")
+    (tab / "t.txt").write_bytes(b"1\ta\n2\tends\\\n")
+    (tab / "orphan.txt").write_bytes(b"9\tlost\n")
+    ctx, res = migrate_mysql_tab(spark, str(tab))
+    vals = {r.id: r.v for r in res["t"].good.collect()}
+    assert vals == {1: "a", 2: "ends\n"}
+    assert any("orphan.txt" in m for m in ctx.unexpecteds)
