@@ -1125,6 +1125,34 @@ class _OffsetReader:
             return False
         return True if self.eof else None
 
+    def skip_to_candidate_terminator(self, max_bytes: int) -> bool:
+        """SPECULATIVE fast-forward: consume up to ``max_bytes``
+        looking for the next line that starts with ``\\.`` and
+        position at its line start (the caller's line parse decides
+        whether it is a real terminator).  Returns False when no
+        candidate appears within the budget (position then sits at
+        the budget edge / EOF).  Bulk find() only — this is how a
+        range that started inside a huge COPY block skips its data at
+        ~memory speed instead of token-walking it."""
+        consumed = 0
+        while True:
+            j = self.buf.find(b"\n\\.", self.pos)
+            if j >= 0 and j - self.pos <= max_bytes - consumed:
+                self.pos = j + 1
+                return True
+            # keep 2 bytes of tail so a boundary-straddling candidate
+            # is still found after the refill
+            safe = len(self.buf) - 3
+            if safe > self.pos:
+                step = min(safe - self.pos, max_bytes - consumed)
+                self.pos += step
+                consumed += step
+            if consumed >= max_bytes:
+                return False
+            if not self._fill():
+                self.pos = len(self.buf)
+                return False
+
     def _find_terminator(self) -> tuple[int, int]:
         """Locate the ``\\.`` terminator line in the buffered region.
         Returns (term_index, safe_end): term_index >= 0 when found
@@ -1256,7 +1284,9 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
     r = _OffsetReader(f, base=base)
     st = _SqlScanState()
     parts: list[str] = []
+    parts_bytes = 0
     stmt_start = 0
+    hard = hard_limit
 
     def copy_event(m, start_off: int):
         table = _clean_name(m.group("table"))
@@ -1278,12 +1308,38 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
                 and not st.in_block_comment:
             yield ("end", pos_abs, True)
             return
-        if hard_limit is not None and pos_abs >= hard_limit:
+        if hard is not None and pos_abs >= hard:
             # aborted mid-construct: the trailing statement is NOT
             # yielded and the segment past the last yielded event is
             # unverified — the reconciliation must rescan it
             yield ("end", pos_abs, False)
             return
+        if sync_marks is not None and parts_bytes > _SPEC_SKIP_BYTES:
+            # SPECULATIVE fast-forward: this much accumulated text
+            # with no boundary almost certainly means the range
+            # started inside COPY data.  Instead of token-walking the
+            # rest of the hard window, bulk-find the next candidate
+            # '\.' line (the terminator-sync site) at memory speed;
+            # correctness is unaffected either way — a wrong guess
+            # just fails the reconciliation cursor match and rescans.
+            found = r.skip_to_candidate_terminator(
+                _SPEC_HARD_ALLOWANCE if hard is None
+                else max(hard - pos_abs, 0))
+            parts = []
+            parts_bytes = 0
+            st.in_squote = False
+            st.in_dollar = None
+            st.in_block_comment = False
+            if not found:
+                yield ("end", r.base + r.pos, False)
+                return
+            # grant the post-candidate parse a fresh allowance: the
+            # skip may have crossed the original hard window, and the
+            # content from the candidate line on is (probably) clean
+            if hard is not None:
+                hard = max(hard,
+                           r.base + r.pos + _SPEC_HARD_ALLOWANCE)
+            continue
         bline = r.readline()
         if bline is None:
             break
@@ -1302,6 +1358,7 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
             # multi-line literal) just fails the cursor match and
             # falls back to the exact rescan.
             parts = []
+            parts_bytes = 0
             st.in_squote = False
             st.in_dollar = None
             st.in_block_comment = False
@@ -1338,6 +1395,7 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
                    "\n".join(parts + [segment]) if parts else segment,
                    stmt_start, b_off(semi + 1))
             parts = []
+            parts_bytes = 0
             seg_start = semi + 1
             rest = line[seg_start:].strip()
             if rest:
@@ -1362,6 +1420,7 @@ def _scan_dump_statements(f, chunk_bytes: int = 32 << 20,
             if parts or tail.strip() or st.in_squote \
                     or st.in_dollar is not None:
                 parts.append(tail)
+                parts_bytes += len(tail) + 1
     if parts and any(p.strip() for p in parts):
         yield ("stmt", "\n".join(parts), stmt_start, r.base + r.pos)
     yield ("end", r.base + r.pos, True)
@@ -1412,6 +1471,12 @@ class CopyChunk:
 # and the rare larger one is recovered exactly by the reconciliation
 # rescan
 _SPEC_HARD_ALLOWANCE = 1 << 20
+
+# accumulated statement text past which a SPECULATIVE parse stops
+# token-walking and bulk-finds the next candidate COPY terminator
+# (almost certainly mid-data; a wrong guess is caught by the
+# reconciliation cursor match)
+_SPEC_SKIP_BYTES = 64 << 10
 
 # cap on statement-run span size: the tokenize stage gets one task per
 # span, so a single-file statement run must split (at statement

@@ -869,3 +869,42 @@ def test_mysql_tupleless_table_stats_modes_identical(spark, tmp_path):
     assert ctx1.reparsed == ctx2.reparsed
     assert (sorted(m for m in ctx1.unexpecteds)
             == sorted(m for m in ctx2.unexpecteds))
+
+
+def test_spec_fast_forward_in_big_copy_block(tmp_path):
+    """A speculative range starting inside a COPY block bigger than
+    the fast-forward threshold must bulk-skip to the terminator
+    candidate and still reconcile exactly (the skip is pure
+    optimization — a wrong guess fails the cursor match and
+    rescans)."""
+    rows = "".join(f"{i}\tpayload-{'x' * 40}-{i}\n"
+                   for i in range(4000))           # ~200 KB of data
+    body = ("CREATE TABLE public.t (id integer NOT NULL, v text);\n"
+            "COPY public.t (id, v) FROM stdin;\n"
+            + rows + "\\.\n"
+            "INSERT INTO public.t VALUES (9000, 'after');\n")
+    f = tmp_path / "big_copy.sql"
+    f.write_text(body)
+    exact = _expand_events(str(f), _exact_events(str(f)))
+    size = os.path.getsize(str(f))
+    # ranges of ~60 KB: several land fully inside the data block
+    got = _expand_events(str(f), _ranged_events(str(f), 60_000))
+    assert got == exact
+    # the range containing the terminator really did record a sync
+    import harbourbridge_spark.sources.pgdump as P
+    term_off = body.index("\n\\.\n") + 1
+    s = (term_off // 60_000) * 60_000
+    res = P._scan_pg_range(str(f), s, min(s + 60_000, size), 1 << 20)
+    assert any(abs(x - (term_off + 3)) <= 1 for x in res["syncs"])
+
+
+def test_skip_to_candidate_terminator_unit():
+    """Reader unit: the bounded bulk skip finds '\\n\\\\.' across
+    buffer refills and respects its byte budget."""
+    data = b"x" * 70000 + b"\n\\.\n" + b"rest"
+    for bufsize in (7, 64, 8 << 20):
+        r = _OffsetReader(io.BytesIO(data), bufsize=bufsize)
+        assert r.skip_to_candidate_terminator(1 << 20) is True
+        assert r.base + r.pos == 70001          # at the '\\.' line
+    r = _OffsetReader(io.BytesIO(data), bufsize=64)
+    assert r.skip_to_candidate_terminator(1000) is False
