@@ -908,3 +908,35 @@ def test_skip_to_candidate_terminator_unit():
         assert r.base + r.pos == 70001          # at the '\\.' line
     r = _OffsetReader(io.BytesIO(data), bufsize=64)
     assert r.skip_to_candidate_terminator(1000) is False
+
+
+def test_range_scan_binary_garbage_robustness(tmp_path):
+    """Speculative ranges over binary-ish content (invalid UTF-8 in
+    what the range believes is SQL) must degrade to the rescan path,
+    never crash, and still reconcile exactly when the garbage is COPY
+    data of a bytea-ish table."""
+    rng = random.Random(3)
+    # statements, then a 'copy block' whose rows carry latin-1 bytes
+    # that are NOT valid UTF-8 (pg dumps are UTF-8, but a speculative
+    # range must not die on a mid-codepoint alignment either way)
+    data_rows = b"".join(
+        b"%d\t" % i + bytes(rng.randrange(161, 255) for _ in range(20))
+        + b"\n" for i in range(200))
+    body = (b"CREATE TABLE public.t (id integer NOT NULL, v text);\n"
+            b"INSERT INTO public.t VALUES (1, 'a');\n"
+            b"COPY public.t (id, v) FROM stdin;\n"
+            + data_rows + b"\\.\n"
+            b"INSERT INTO public.t VALUES (2, 'b');\n")
+    f = tmp_path / "bin.sql"
+    f.write_bytes(body)
+    size = os.path.getsize(str(f))
+    exact = _exact_events(str(f))
+    for range_bytes in (97, 499, 2048):
+        got = _ranged_events(str(f), range_bytes)
+        # compare event layout (copy ranges + span offsets) — the
+        # latin-1 bytes aren't decodable for text re-parse, but the
+        # boundary structure must be identical
+        assert [(e[0], pgdump._ev_start(e), pgdump._ev_end(e))
+                for e in got] \
+            == [(e[0], pgdump._ev_start(e), pgdump._ev_end(e))
+                for e in exact], range_bytes
