@@ -616,12 +616,28 @@ def ann_index_store_write(spark, emb_df, store_path: str,
     cent.write.mode(mode).parquet(f"{store_path}/centroids")
     spark.read.parquet(f"{store_path}/centroids") \
         .createOrReplaceTempView("__ann_store_cent")
+    spark.read.parquet(f"{store_path}/grid") \
+        .createOrReplaceTempView("__ann_store_grid")
+    spark.sql(render(
+        _codes_sql("__ann_store_in", "__ann_store_grid",
+                   "__ann_store_cent"),
+        "spark", **_arr_shims("spark"))) \
+        .write.mode(mode).parquet(f"{store_path}/codes")
+
+
+def _codes_sql(in_view: str, grid_view: str, cent_view: str) -> str:
+    """Codes-building statement over an input embeddings view and a
+    (grid, centroids) pair: nearest-cell assignment, SQ8 codes, and
+    the dequantized norm.  Shared by the initial store build and the
+    APPEND path, which runs it with the STORED grid/centroids so
+    appended codes quantize on the identical lattice."""
+    nrm = _norm_sql("spark", "embedding")
     dot_vc = _dot_sql("spark", "c.embedding", "cent.cvec")
     nrm_d = _norm_sql("spark", "demb")
-    t = f"""
+    return f"""
     WITH c AS (
-        SELECT vec_id, embedding, {nrm} AS nrm FROM __ann_store_in
-    ), stats AS (SELECT * FROM __ann_store_grid),
+        SELECT vec_id, embedding, {nrm} AS nrm FROM {in_view}
+    ), stats AS (SELECT * FROM {grid_view}),
     asg AS (
         SELECT vec_id, cent_id FROM (
             SELECT c.vec_id, cent.cent_id,
@@ -629,7 +645,7 @@ def ann_index_store_write(spark, emb_df, store_path: str,
                        PARTITION BY c.vec_id
                        ORDER BY {dot_vc} / (c.nrm * cent.cnrm) DESC,
                                 cent.cent_id) AS rk
-            FROM c CROSS JOIN __ann_store_cent cent) _a
+            FROM c CROSS JOIN {cent_view} cent) _a
         WHERE rk = 1
     ), codes AS (
         SELECT c.vec_id, a.cent_id AS cell_id,
@@ -642,10 +658,30 @@ def ann_index_store_write(spark, emb_df, store_path: str,
     )
     SELECT vec_id, cell_id, codes, {nrm_d} AS dnrm FROM dq
     """
+
+
+def ann_index_store_append(spark, store_path: str, emb_df) -> None:
+    """Append a NEW vector batch to a persisted ANN index: codes and
+    cell assignments compute against the STORED grid and centroids
+    (frozen — appended vectors quantize on the identical lattice, so
+    probes mix old and new codes coherently) and append to the codes
+    parquet.  The append-only contract mirrors the dedup signature
+    store: the batch is the only thing scanned; the corpus codes are
+    never rewritten.  Out-of-grid components clamp to the edge cells
+    of the frozen lattice (the standard SQ8 behavior) — re-fitting
+    the grid would require re-encoding the corpus, which is exactly
+    what the store exists to avoid."""
+    from .text import render
+    emb_df.createOrReplaceTempView("__ann_append_in")
     spark.read.parquet(f"{store_path}/grid") \
-        .createOrReplaceTempView("__ann_store_grid")
-    spark.sql(render(t, "spark", **_arr_shims("spark"))) \
-        .write.mode(mode).parquet(f"{store_path}/codes")
+        .createOrReplaceTempView("__ann_append_grid")
+    spark.read.parquet(f"{store_path}/centroids") \
+        .createOrReplaceTempView("__ann_append_cent")
+    spark.sql(render(
+        _codes_sql("__ann_append_in", "__ann_append_grid",
+                   "__ann_append_cent"),
+        "spark", **_arr_shims("spark"))) \
+        .write.mode("append").parquet(f"{store_path}/codes")
 
 
 def ann_query_store(spark, store_path: str, batch_df, topk: int = TOPK,

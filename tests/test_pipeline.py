@@ -1958,3 +1958,51 @@ def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
         J.decode_jpeg_pixels(b"\xff\xd8\xff\xff\xff\xc4")
     with _pytest.raises(ValueError):
         J.decode_jpeg_pixels(b"\xff\xd8\xff\xff\xff")
+
+
+def test_ann_store_append_only_flow(spark, tmp_path):
+    """ANN index append (the dedup-signature-store contract): batch-2
+    vectors append codes computed against the FROZEN grid/centroids,
+    batch-3 queries then find batch-1 AND batch-2 neighbors in one
+    probe, the corpus codes are never rewritten, and appended codes
+    quantize identically to a from-scratch build over the same grid."""
+    from harbourbridge_spark.pipeline import similarity as S
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    store = str(tmp_path / "ann_store")
+    # batch-1 = vec_id in [20, 60); batch-2 = [60, 100)
+    S.ann_index_store_write(
+        spark, emb.where("vec_id >= 20 AND vec_id < 60"), store)
+    codes1 = {r.vec_id for r in
+              spark.read.parquet(f"{store}/codes").collect()}
+    S.ann_index_store_append(
+        spark, store, emb.where("vec_id >= 60 AND vec_id < 100"))
+    codes_df = spark.read.parquet(f"{store}/codes")
+    codes2 = {r.vec_id: (list(r.codes), r.cell_id, r.dnrm)
+              for r in codes_df.collect()}
+    assert set(codes2) == set(range(20, 100))
+    assert codes1 == set(range(20, 60))       # originals untouched
+    # appended codes == the same vectors encoded against the same
+    # frozen grid via the build path (lattice identity)
+    store2 = str(tmp_path / "ann_store_ref")
+    import shutil
+    shutil.copytree(f"{store}/grid", f"{store2}/grid")
+    shutil.copytree(f"{store}/centroids", f"{store2}/centroids")
+    S.ann_index_store_append(
+        spark, store2, emb.where("vec_id >= 60 AND vec_id < 100"))
+    ref = {r.vec_id: (list(r.codes), r.cell_id, r.dnrm) for r in
+           spark.read.parquet(f"{store2}/codes").collect()}
+    for v in range(60, 100):
+        assert codes2[v] == ref[v], v
+    # batch-3 probe sees both batches
+    batch = spark.createDataFrame(
+        emb.where("vec_id < 10").collect(), emb.schema)
+    res = S.ann_query_store(spark, store, batch).collect()
+    neigh = {r.neighbor_id for r in res}
+    assert neigh & set(range(20, 60))
+    assert neigh & set(range(60, 100))
+    plan_ok = "embeddings.parquet" not in \
+        S.ann_query_store(spark, store, batch) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan_ok
