@@ -1587,37 +1587,24 @@ def dedup_incremental_store_entry_fn(spark, sf_dir: str,
     join."""
     import hashlib
     import os
-    import tempfile
+
+    from .storecache import publish_store, store_path
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     # key on the fixture's FULL identity (absolute path + ns mtime +
     # size), not its basename + whole-second mtime — two fixtures
     # sharing a basename regenerated within the same second must not
-    # collide (code-review r8)
+    # collide (code-review r8).  The store lives in the per-user 0700
+    # cache (ADVICE r8: the old world-shared /tmp path was
+    # pre-creatable by other users and accumulated stale stores);
+    # store_path() evicts superseded fixture identities.
     ident = hashlib.sha1(
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}".encode()).hexdigest()[:16]
-    store = os.path.join(tempfile.gettempdir(),
-                         f"hb_sig_store_{ident}")
+    store = store_path("sig", ident)
     docs = spark.read.parquet(src)
-    if not os.path.exists(store):
-        # build into a private temp dir and RENAME into place: the
-        # exists-check can then never observe a partial store (a
-        # crashed or concurrent writer leaves only its own .tmp dir),
-        # and a rename race just means another process finished first
-        tmp = tempfile.mkdtemp(prefix=f"{store}.tmp.",
-                               dir=tempfile.gettempdir())
-        signature_store_write(
-            spark, docs.where(f"doc_id % {mod} < {res}"),
-            os.path.join(tmp, "sig"))
-        try:
-            os.rename(os.path.join(tmp, "sig"), store)
-        except OSError:
-            if not os.path.exists(store):
-                raise
-        finally:
-            import shutil
-            shutil.rmtree(tmp, ignore_errors=True)
+    publish_store(store, lambda tmp: signature_store_write(
+        spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
     return dedup_incremental_against_store(
         spark, store, docs.where(f"doc_id % {mod} >= {res}"))

@@ -9,9 +9,13 @@ the container framing and is exactly parseable with no dependencies:
 - `decode_mp3_meta`: skips an ID3v2 tag (syncsafe size), then walks
   MPEG audio frame headers (MPEG1/2/2.5 x Layer I/II/III bitrate and
   sample-rate tables, padding, frame-length formulas) and returns
-  [duration_ms, sample_rate, n_channels, bitrate_kbps, n_frames]
-  summed over the actual frames — i.e. VBR-correct, not a
-  header-extrapolated guess.
+  [duration_ms, sample_rate, n_channels, bitrate_kbps, n_frames,
+  truncated] summed over the actual frames — i.e. VBR-correct, not a
+  header-extrapolated guess.  ``truncated`` is 1.0 when the walk
+  stopped at corrupt mid-stream bytes rather than clean end-of-data
+  (trailing ID3v1/TAG/zero padding counts as clean), so a damaged
+  file's understated duration is distinguishable from a clean short
+  file (ADVICE r8).
 - `decode_mp4_meta`: ISO BMFF box walk (32-bit and 64-bit largesize
   boxes) into moov: mvhd (version 0/1 timescale+duration) for
   duration, tkhd for 16.16 fixed-point track dims, hdlr for
@@ -63,21 +67,31 @@ def _id3v2_size(content: bytes) -> int:
 
 
 def decode_mp3_meta(content: bytes) -> list[float]:
-    """Walk every MPEG audio frame; see module docstring for layout."""
+    """Walk every MPEG audio frame; see module docstring for layout.
+
+    The final ``truncated`` slot is 0.0 for a clean end (data
+    exhausted, zero padding, or an ID3v1 ``TAG`` block after the last
+    frame) and 1.0 when the walk stopped on corrupt mid-stream bytes
+    — the signal that duration/bitrate understate the original file.
+    """
     i = _id3v2_size(content)
     n_frames = 0
     total_samples = 0
     total_bits = 0
     rate = None
     channels = None
+    truncated = 0.0
     n = len(content)
     while i + 4 <= n:
         if content[i] == 0x00 and n_frames:
             break                      # trailing padding/ID3v1 zone
+        if content[i:i + 3] == b"TAG" and n_frames:
+            break                      # ID3v1 trailer — clean end
         h = struct.unpack(">I", content[i:i + 4])[0]
         if (h >> 21) & 0x7FF != 0x7FF:
             if n_frames:
-                break                  # trailing junk after real frames
+                truncated = 1.0
+                break                  # junk after real frames
             raise ValueError("no MPEG frame sync")
         ver = (h >> 19) & 3            # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer_bits = (h >> 17) & 3     # 3=I, 2=II, 1=III
@@ -88,6 +102,7 @@ def decode_mp3_meta(content: bytes) -> list[float]:
         if ver == 1 or layer_bits == 0 or br_idx in (0, 15) \
                 or sr_idx == 3:
             if n_frames:
+                truncated = 1.0
                 break                  # sync-loss tolerance: keep the
                                        # frames already walked (0xFF-
                                        # leading trailing garbage or a
@@ -105,6 +120,7 @@ def decode_mp3_meta(content: bytes) -> list[float]:
             size = samples // 8 * kbps * 1000 // sr + pad
         if size <= 4:
             if n_frames:
+                truncated = 1.0
                 break                  # same sync-loss tolerance
             raise ValueError("degenerate frame size")
         n_frames += 1
@@ -115,8 +131,11 @@ def decode_mp3_meta(content: bytes) -> list[float]:
         i += size
     if not n_frames:
         raise ValueError("no MPEG frames")
+    if i > n:
+        truncated = 1.0                # final frame body cut short
     return [total_samples * 1000.0 / rate, float(rate),
-            float(channels), total_bits / n_frames, float(n_frames)]
+            float(channels), total_bits / n_frames, float(n_frames),
+            truncated]
 
 
 # ---------------------------------------------------------------------------

@@ -745,7 +745,15 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     """Registry twin of ann_against_store_sql, exercising the REAL
     store flow: build the index from the corpus split, round-trip it
     through parquet, probe with the query split.  The probe plan
-    never scans the embeddings fixture (asserted by the e2e test)."""
+    never scans the embeddings fixture (asserted by the e2e test).
+
+    LAZINESS CONTRACT (ADVICE r8): the returned DataFrame reads the
+    per-call store subdir, and the ring cleanup deletes subdir
+    ``v(n-4)`` on the n-th call — so at most THREE earlier returned
+    DataFrames stay actionable; a result held lazy across more than
+    3 subsequent calls may fail or read nothing when finally acted
+    on.  Act on (collect/write/checkpoint) results you intend to
+    keep before invoking this entry repeatedly."""
     import os
     import shutil
 
@@ -761,8 +769,14 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     global _ANN_STORE_DIR
     with _ANN_STORE_LOCK:
         if _ANN_STORE_DIR is None:
+            import atexit
             import tempfile
             _ANN_STORE_DIR = tempfile.mkdtemp(prefix="hb_ann_store_")
+            # the ring bounds DISK during the process; the parent
+            # itself is reclaimed at interpreter exit (ADVICE r8 —
+            # it used to outlive the process)
+            atexit.register(shutil.rmtree, _ANN_STORE_DIR,
+                            ignore_errors=True)
         _ANN_STORE_SEQ[0] += 1
         n = _ANN_STORE_SEQ[0]
     store = os.path.join(_ANN_STORE_DIR, f"v{n}")

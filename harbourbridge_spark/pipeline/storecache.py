@@ -1,0 +1,97 @@
+"""Per-user on-disk cache for fixture-keyed persisted stores.
+
+The *_against_store registry entries amortize corpus-side state (the
+dedup signature store, the ANN index store, the curation gram/stat
+store) across bench runs by persisting it once per fixture identity.
+ADVICE r8: the original scheme rooted those stores at a predictable
+world-shared temp path (``/tmp/hb_sig_store_<ident>``), which on a
+multi-user host lets any other user pre-create the path (a poisoned
+store or a symlink) that the probe would then trust, and stale stores
+from regenerated fixtures accumulated forever.
+
+This module fixes both:
+
+- stores live under ONE per-user root created with mode 0700
+  (``$XDG_CACHE_HOME`` or ``~/.cache``, falling back to a
+  uid-suffixed tempdir when no home exists).  The root is verified to
+  be an owned, non-symlink, 0700 directory on every call — a
+  pre-created foreign directory raises instead of being trusted;
+- within the root, each store is ``<kind>_<ident>``; acquiring a
+  store for ``(kind, ident)`` EVICTS every other ``<kind>_*`` entry
+  (stale fixture identities from earlier regenerations) — the cache
+  holds at most one live store per kind per user.
+
+Writers keep the build-into-tmp-then-rename protocol so a concurrent
+or crashed builder can never publish a partial store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import stat
+import tempfile
+
+
+def _user_cache_root() -> str:
+    """The per-user store root, created 0700 and verified safe."""
+    base = os.environ.get("XDG_CACHE_HOME")
+    if not base:
+        home = os.path.expanduser("~")
+        if home and home != "~" and os.path.isdir(home):
+            base = os.path.join(home, ".cache")
+        else:
+            # no usable home: uid-suffix under tempdir keeps the path
+            # per-user; the 0700 + ownership check below still guards
+            # against pre-creation by someone else
+            base = os.path.join(tempfile.gettempdir(),
+                                f"hb_cache_uid{os.getuid()}")
+    root = os.path.join(base, "harbourbridge_spark", "stores")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if stat.S_ISLNK(st.st_mode) or not stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"store cache root {root} is not a "
+                           "directory (symlink attack?)")
+    if st.st_uid != os.getuid():
+        raise RuntimeError(f"store cache root {root} is owned by "
+                           f"uid {st.st_uid}, not us")
+    if st.st_mode & 0o077:
+        os.chmod(root, 0o700)
+    return root
+
+
+def store_path(kind: str, ident: str) -> str:
+    """Path for the ``(kind, ident)`` store; evicts every OTHER
+    ``<kind>_*`` entry (stale fixture identities) from the cache.
+    Does not create the store itself — callers check existence and
+    build via :func:`publish_store`."""
+    root = _user_cache_root()
+    name = f"{kind}_{ident}"
+    for entry in os.listdir(root):
+        if entry.startswith(f"{kind}_") and entry != name \
+                and not entry.endswith(".tmp"):
+            shutil.rmtree(os.path.join(root, entry),
+                          ignore_errors=True)
+    return os.path.join(root, name)
+
+
+def publish_store(target: str, build) -> None:
+    """Run ``build(tmp_path)`` into a private sibling dir, then rename
+    it to ``target`` — the exists-check can never observe a partial
+    store, and losing a rename race to a concurrent builder is fine
+    (the winner built the same content from the same fixture)."""
+    if os.path.exists(target):
+        return
+    parent = os.path.dirname(target)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(target) + ".",
+                           suffix=".tmp", dir=parent)
+    try:
+        built = os.path.join(tmp, "store")
+        build(built)
+        try:
+            os.rename(built, target)
+        except OSError:
+            if not os.path.exists(target):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

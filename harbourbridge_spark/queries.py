@@ -2289,7 +2289,8 @@ def q_multimodal_jpeg_progressive(spark: SparkSession,
            CAST(CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160
                 WHEN 2 THEN 192 WHEN 3 THEN 224 ELSE 256 END
                 AS BIGINT) AS bitrate_kbps,
-           CAST(4 + doc_id % 7 AS BIGINT) AS n_frames
+           CAST(4 + doc_id % 7 AS BIGINT) AS n_frames,
+           CAST(0 AS BIGINT) AS truncated
     FROM documents
     """,
     "REAL container metadata, MPEG audio: per doc a legal CBR MPEG1 "
@@ -2297,7 +2298,9 @@ def q_multimodal_jpeg_progressive(spark: SparkSession,
     "frame-header walker (syncsafe ID3 skip, bitrate/sample-rate "
     "tables, frame-length formula) sums duration/bitrate over the "
     "ACTUAL frames; DuckDB recomputes the closed forms — the "
-    "VBR-correct accounting a corpus pipeline filters on")
+    "VBR-correct accounting a corpus pipeline filters on.  The "
+    "truncated flag (ADVICE r8) is 0 on every clean fixture and 1 "
+    "when the walk stops on corrupt mid-stream bytes")
 def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.multimodal import extract_features, synth_media
     ids = load(spark, sf_dir, "documents").select(
@@ -2313,7 +2316,8 @@ def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 2).cast("long").alias("sample_rate"),
         F.element_at("feature", 3).cast("long").alias("n_channels"),
         F.element_at("feature", 4).cast("long").alias("bitrate_kbps"),
-        F.element_at("feature", 5).cast("long").alias("n_frames"))
+        F.element_at("feature", 5).cast("long").alias("n_frames"),
+        F.element_at("feature", 6).cast("long").alias("truncated"))
 
 
 @register(
@@ -2547,40 +2551,27 @@ def q_event_second_boundaries(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate checks a bounded window of entries in
-# dict order (~50 per round).  DOCUMENTED ROTATION POLICY: emit the
-# registry least-recently-checked FIRST, computed from the
-# CORRECTNESS_r*.json artifacts the driver leaves in the repo root —
-# never-checked and stalest entries lead, so consecutive round windows
-# tile the whole registry.  Entries whose Spark expression changed in
-# the current round are PINNED to the very front via
-# _CHANGED_THIS_ROUND (maintained per round), so a change is always
-# re-verified by the next official gate run regardless of how recently
-# its query was last green.
+# dict order (~50 per round).  DOCUMENTED ROTATION POLICY (revised
+# per VERDICT r8 ask 1): entries whose implementing code changed in
+# the current round are ALWAYS pinned to the very front via
+# _CHANGED_THIS_ROUND — "changed expression ⇒ officially re-checked"
+# outranks every other consideration, including window tiling; THEN
+# the least-recently-checked remainder fills the window (computed
+# from the CORRECTNESS_r*.json artifacts the driver leaves in the
+# repo root — never-checked and stalest entries lead, so consecutive
+# round windows tile the whole registry, with unchanged entries
+# allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
-    # round 8: MinHash banding now solver-derived (threshold= knob on
-    # the flagship path; default SQL verified byte-identical to r7).
-    # These were last checked in r6, so pinning them costs no window
-    # slots — they are due in the r8 window either way.
-    "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
-    "dedup_minhash_lsh_t35",
-    # round 8: last checked r6 AND its decode dependencies (jpeg/gif
-    # codecs, multimodal dispatch) changed this round — without the
-    # pin the least-recently-checked sort would push it just past the
-    # 50-slot window (101 entries now); the displaced entry becomes
-    # corpus_curation, whose module is byte-identical since round-7
-    # start and which was re-verified green locally (NOTES_DEV r8)
-    "multimodal_pixel_dedup",
-    # NOT pinned despite r8 code touches: multimodal_meta_mp3 /
-    # multimodal_decode_jpeg / multimodal_decode_gif (codec tolerance
-    # fixes on corrupt-input paths the fixtures never exercise).  They
-    # were checked green in r07; pinning them would displace 3 of the
-    # 48 r7-stale entries from the EXACTLY-full 50-slot r8 window
-    # (48 stale + 2 r8 additions) and break the r07∪r08 tiling.  All
-    # three were re-verified green against the DuckDB oracle locally
-    # after the fixes (tools/check_oracle.py, NOTES_DEV r8).
-    # (r7 pins rotated out: all were re-verified green in
-    # CORRECTNESS_r07, so the r8 window falls back to least-recently-
-    # checked order and the r07∪r08 union keeps tiling the registry.)
+    # round 9: outside both the r7 and r8 windows (module was
+    # byte-identical all round 8, but the official gate never saw it
+    # — VERDICT r8 ask 1 names it first)
+    "corpus_curation",
+    # round 9: decode_mp3_meta gained the `truncated` output slot
+    # (ADVICE r8) — schema + oracle changed
+    "multimodal_meta_mp3",
+    # round 9: signature store relocated to the per-user 0700 cache
+    # (ADVICE r8, pipeline/storecache.py)
+    "dedup_incremental_against_store",
 ]
 
 

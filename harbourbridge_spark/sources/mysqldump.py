@@ -40,7 +40,8 @@ from ..types import SourceType
 from .pgdump import (StagingWriter, _DIST_MIN_SERIAL_SEC,
                      _DIST_SCAN_FORCE_BYTES, _ESC_OR_QUOTE_RE,
                      _OffsetReader, _PARSED_SCHEMA, _RANGE_FLOOR,
-                     _VALUE_ACTION_RE, _collect_scan_events,
+                     _VALUE_ACTION_RE, _choose_distributed,
+                     _collect_scan_events,
                      _decode_staged_values, _estimate_serial_scan_sec,
                      _reconcile_pg_scan, _scan_pg_range,
                      _write_sequenced_values, read_staged_table)
@@ -990,9 +991,11 @@ def _scan_tokenize_mysql_distributed(spark: SparkSession,
 
     serial = len(descs) <= 1
     if not serial and total < _DIST_SCAN_FORCE_BYTES:
-        serial = _estimate_serial_scan_sec(
-            paths, sizes, chunk_bytes,
-            scanner=_scan_mysql_statements) < _DIST_MIN_SERIAL_SEC
+        serial = not _choose_distributed(
+            _estimate_serial_scan_sec(
+                paths, sizes, chunk_bytes,
+                scanner=_scan_mysql_statements),
+            total, _DIST_MIN_SERIAL_SEC)
     if serial:
         file_events: dict[str, list] = {}
         span_rows = []

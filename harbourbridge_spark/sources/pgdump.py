@@ -1506,6 +1506,32 @@ _RANGE_FLOOR = 1 << 20
 _DIST_MIN_SERIAL_SEC = 2.0
 _DIST_SCAN_FORCE_BYTES = 1 << 30
 
+# hysteresis band around the cutover (VERDICT r8 ask 5): the probe's
+# extrapolation is noisy (~±30% run-to-run even with the warm-cache
+# double pass), so an estimate NEAR the threshold flapped between
+# branches across runs of the same dump.  Estimates clearly below
+# 0.7x the threshold stay serial and clearly above 1.6x go
+# distributed; inside the band the decision falls back to a
+# DETERMINISTIC total-bytes rule — same input, same branch, every
+# run.  Either branch is within ~1.3x of the other inside the band
+# (it brackets the ~2 s fixed Spark-job overhead), so stability costs
+# nothing measurable.  The band derives from _DIST_MIN_SERIAL_SEC so
+# tests forcing a branch by patching the threshold keep working
+# (0.0 collapses the band and everything goes distributed).
+_DIST_BAND_LOW = 0.7
+_DIST_BAND_HIGH = 1.6
+_DIST_AMBIG_BYTES = 64 << 20
+
+
+def _choose_distributed(est_sec: float, total_bytes: int,
+                        min_serial_sec: float) -> bool:
+    """Cutover decision with the hysteresis band (see above)."""
+    if est_sec < _DIST_BAND_LOW * min_serial_sec:
+        return False
+    if est_sec >= _DIST_BAND_HIGH * min_serial_sec:
+        return True
+    return total_bytes >= _DIST_AMBIG_BYTES
+
 
 def _estimate_serial_scan_sec(paths: list[str], sizes: dict,
                               chunk_bytes: int, scanner=None) -> float:
@@ -2045,8 +2071,9 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
 
     serial = len(descs) <= 1
     if not serial and total < _DIST_SCAN_FORCE_BYTES:
-        serial = _estimate_serial_scan_sec(
-            paths, sizes, chunk_bytes) < _DIST_MIN_SERIAL_SEC
+        serial = not _choose_distributed(
+            _estimate_serial_scan_sec(paths, sizes, chunk_bytes),
+            total, _DIST_MIN_SERIAL_SEC)
     if serial:
         file_events: dict[str, list] = {}
         span_rows = []

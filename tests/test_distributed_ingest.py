@@ -940,3 +940,22 @@ def test_range_scan_binary_garbage_robustness(tmp_path):
                 for e in got] \
             == [(e[0], pgdump._ev_start(e), pgdump._ev_end(e))
                 for e in exact], range_bytes
+
+
+def test_cutover_hysteresis_band():
+    """VERDICT r8 ask 5: estimates inside the hysteresis band decide
+    by total bytes (deterministic — same dump, same branch, every
+    run); clear-cut estimates decide directly; a zeroed threshold
+    (the test-forcing pattern) collapses the band to always-
+    distributed."""
+    ch = pgdump._choose_distributed
+    thr = pgdump._DIST_MIN_SERIAL_SEC
+    # clearly below / above the band
+    assert ch(0.5 * thr, 1 << 40, thr) is False
+    assert ch(2.0 * thr, 0, thr) is True
+    # inside the band: bytes rule, independent of the exact estimate
+    for est in (0.8 * thr, 1.0 * thr, 1.5 * thr):
+        assert ch(est, pgdump._DIST_AMBIG_BYTES - 1, thr) is False
+        assert ch(est, pgdump._DIST_AMBIG_BYTES, thr) is True
+    # patched-to-zero threshold forces distributed at any estimate
+    assert ch(0.0, 0, 0.0) is True

@@ -1219,8 +1219,9 @@ def test_mp3_meta_walks_real_frames():
     import struct as _struct
 
     from harbourbridge_spark.pipeline import mediameta as M
-    dur, rate, ch, kbps, nf = M.decode_mp3_meta(M.synth_mp3(10))
-    assert (nf, rate, ch) == (4 + 10 % 7, 44100, 1)
+    dur, rate, ch, kbps, nf, trunc = M.decode_mp3_meta(
+        M.synth_mp3(10))
+    assert (nf, rate, ch, trunc) == (4 + 10 % 7, 44100, 1, 0.0)
     assert dur == nf * 1152 * 1000 / 44100
     # hand-built VBR: one 128k + one 192k MPEG1 L3 frame, no ID3
     frames = b""
@@ -1230,10 +1231,11 @@ def test_mp3_meta_walks_real_frames():
         h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
             | (br_idx << 12) | (3 << 6)
         frames += _struct.pack(">I", h) + bytes(size - 4)
-    dur, rate, ch, kbps, nf = M.decode_mp3_meta(frames)
-    assert nf == 2 and kbps == (128 + 192) / 2
-    # trailing junk after valid frames is tolerated (ID3v1 zone)
-    assert M.decode_mp3_meta(frames + b"TAG" + bytes(125))[4] == 2
+    dur, rate, ch, kbps, nf, trunc = M.decode_mp3_meta(frames)
+    assert nf == 2 and kbps == (128 + 192) / 2 and trunc == 0.0
+    # an ID3v1 trailer after valid frames is a CLEAN end
+    assert M.decode_mp3_meta(frames + b"TAG" + bytes(125))[4:6] \
+        == [2.0, 0.0]
 
 
 def test_mp4_meta_box_walk():
@@ -1444,9 +1446,10 @@ def test_mp3_meta_sync_loss_tolerance():
     # sync bits present but sr_idx=3 (reserved) -> invalid header
     bad = _struct.pack(
         ">I", (0x7FF << 21) | (3 << 19) | (1 << 17) | (3 << 10))
-    assert M.decode_mp3_meta(frames + bad)[4] == 2
+    assert M.decode_mp3_meta(frames + bad)[4:6] == [2.0, 1.0]
     # 0xFF-leading garbage that fails the sync check entirely
-    assert M.decode_mp3_meta(frames + b"\xff\x00\x00\x00")[4] == 2
+    assert M.decode_mp3_meta(
+        frames + b"\xff\x00\x00\x00")[4:6] == [2.0, 1.0]
     # a stream that STARTS with the bad header still raises
     import pytest as _pytest
     with _pytest.raises(ValueError):

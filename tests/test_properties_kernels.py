@@ -180,6 +180,7 @@ def test_mp3_frame_walk_property(data):
         total_samples += samples
     if not total_samples:
         return
-    dur, got_rate, ch, kbps_mean, nf = M.decode_mp3_meta(bytes(out))
-    assert got_rate == rate and ch == 1
+    dur, got_rate, ch, kbps_mean, nf, trunc = M.decode_mp3_meta(
+        bytes(out))
+    assert got_rate == rate and ch == 1 and trunc == 0.0
     assert dur == total_samples * 1000.0 / rate
