@@ -788,3 +788,35 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     return ann_query_store(
         spark, store, emb.where(f"vec_id < {n_queries}"),
         topk=topk, nprobe=nprobe)
+
+
+def ann_store_probe_fn(spark, sf_dir: str, n_queries: int = 10,
+                       topk: int = TOPK,
+                       n_cells: int = ANN_STORE_CELLS,
+                       nprobe: int = ANN_STORE_NPROBE):
+    """PROBE-ONLY twin of ann_against_store_fn (VERDICT r8 ask 3,
+    mirroring dedup_incremental_store_entry_fn): the index is built
+    once per fixture identity into the per-user store cache and
+    REUSED across runs, so the measured cost is the batch probe
+    against the persisted SQ8/IVF index — the production
+    index-once/query-many amortization — not the per-run index build
+    ann_against_store pays.  Value-identical to ann_against_store_sql
+    (same corpus split, same frozen deterministic centroids/grid)."""
+    import hashlib
+    import os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{n_queries}|{n_cells}".encode()).hexdigest()[:16]
+    store = store_path("annidx", ident)
+    emb = spark.read.parquet(src)
+    publish_store(store, lambda tmp: ann_index_store_write(
+        spark, emb.where(f"vec_id >= {n_queries}"), tmp,
+        n_cells=n_cells))
+    return ann_query_store(
+        spark, store, emb.where(f"vec_id < {n_queries}"),
+        topk=topk, nprobe=nprobe)

@@ -17,9 +17,13 @@ This module fixes both:
   be an owned, non-symlink, 0700 directory on every call — a
   pre-created foreign directory raises instead of being trusted;
 - within the root, each store is ``<kind>_<ident>``; acquiring a
-  store for ``(kind, ident)`` EVICTS every other ``<kind>_*`` entry
-  (stale fixture identities from earlier regenerations) — the cache
-  holds at most one live store per kind per user.
+  store for ``(kind, ident)`` EVICTS the oldest other ``<kind>_*``
+  entries past a small keep bound (stale fixture identities from
+  earlier regenerations age out) — the cache is bounded per kind per
+  user while the handful of live fixture scales (sf0.001 tests,
+  sf0.01 oracle, sf0.1 bench) keep their stores concurrently, which
+  is what makes the probe-only bench entries measure the amortized
+  shape.
 
 Writers keep the build-into-tmp-then-rename protocol so a concurrent
 or crashed builder can never publish a partial store.
@@ -60,18 +64,29 @@ def _user_cache_root() -> str:
     return root
 
 
+_KEEP_PER_KIND = 3           # other-identity stores kept (newest)
+
+
 def store_path(kind: str, ident: str) -> str:
-    """Path for the ``(kind, ident)`` store; evicts every OTHER
-    ``<kind>_*`` entry (stale fixture identities) from the cache.
+    """Path for the ``(kind, ident)`` store; evicts all but the
+    newest ``_KEEP_PER_KIND`` OTHER ``<kind>_*`` entries (stale
+    fixture identities age out; concurrent live scales survive).
     Does not create the store itself — callers check existence and
     build via :func:`publish_store`."""
     root = _user_cache_root()
     name = f"{kind}_{ident}"
+    others = []
     for entry in os.listdir(root):
         if entry.startswith(f"{kind}_") and entry != name \
                 and not entry.endswith(".tmp"):
-            shutil.rmtree(os.path.join(root, entry),
-                          ignore_errors=True)
+            p = os.path.join(root, entry)
+            try:
+                others.append((os.stat(p).st_mtime_ns, p))
+            except OSError:
+                continue
+    others.sort(reverse=True)
+    for _, p in others[_KEEP_PER_KIND:]:
+        shutil.rmtree(p, ignore_errors=True)
     return os.path.join(root, name)
 
 

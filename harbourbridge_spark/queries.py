@@ -1974,6 +1974,15 @@ REGISTRY["ann_against_store"] = QuerySpec(
     "scores dequantized codes — the probe plan never rescans the "
     "corpus embeddings; oracle is the single-statement CTE twin "
     "(ints/doubles round-trip parquet exactly)")
+REGISTRY["ann_store_probe"] = QuerySpec(
+    _sim.ann_store_probe_fn,
+    _sim.ann_against_store_sql("duckdb"),
+    "PROBE-ONLY store query (VERDICT r8 ask 3): the persisted SQ8/IVF "
+    "index is built once per fixture into the per-user store cache "
+    "and reused across runs, so this entry times the amortized "
+    "index-once/query-many shape — the batch-sized cell probe + "
+    "dequantized-code scan — while ann_against_store times "
+    "build+probe; value-identical oracle (same frozen grid/centroids)")
 _register_template(
     "ann_recall", _sim.ann_recall_sql,
     "Recall@5 of ann_lsh and ann_ivf against the ann_bruteforce "

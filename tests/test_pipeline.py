@@ -2009,3 +2009,46 @@ def test_ann_store_append_only_flow(spark, tmp_path):
         S.ann_query_store(spark, store, batch) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan_ok
+
+
+def test_ann_store_probe_reuses_cached_index(spark):
+    """VERDICT r8 ask 3: ann_store_probe builds the index once per
+    fixture identity into the per-user store cache; a second
+    invocation probes WITHOUT rebuilding (store files untouched) and
+    returns identical results."""
+    import os
+
+    from harbourbridge_spark.pipeline import similarity as S
+    from harbourbridge_spark.pipeline import storecache as SC
+
+    r1 = S.ann_store_probe_fn(
+        spark, "/root/testdata/sf0.001").collect()
+    root = SC._user_cache_root()
+    stores = [d for d in os.listdir(root) if d.startswith("annidx_")]
+    assert len(stores) == 1
+    path = os.path.join(root, stores[0], "codes")
+    mtimes = {f: os.stat(os.path.join(path, f)).st_mtime_ns
+              for f in os.listdir(path)}
+    r2 = S.ann_store_probe_fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert mtimes == {f: os.stat(os.path.join(path, f)).st_mtime_ns
+                      for f in os.listdir(path)}
+    # stale identities age out past the keep bound (newest
+    # _KEEP_PER_KIND other-identity stores survive)
+    for i in range(SC._KEEP_PER_KIND + 1):
+        d = os.path.join(root, f"annidx_stale{i:02d}")
+        os.makedirs(d, exist_ok=True)
+        os.utime(d, ns=(i, i))        # distinct ages, all ancient
+    got = SC.store_path("annidx", stores[0].split("_", 1)[1])
+    assert got == os.path.join(root, stores[0])
+    left = sorted(d for d in os.listdir(root)
+                  if d.startswith("annidx_"))
+    # the real store survives (newest); the single oldest stale one
+    # was evicted
+    assert stores[0] in left
+    assert "annidx_stale00" not in left
+    assert len(left) == 1 + SC._KEEP_PER_KIND
+    for d in left:
+        if d.startswith("annidx_stale"):
+            os.rmdir(os.path.join(root, d))
