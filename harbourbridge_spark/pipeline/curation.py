@@ -399,3 +399,308 @@ def source_stats_sql(engine: str) -> str:
     FROM occ GROUP BY source
     """
     return render(t, engine)
+
+
+# ---------------------------------------------------------------------------
+# persistent curation store (VERDICT r8 ask 2): corpus-side curation
+# aggregates persisted parquet-side, new batches scored against them
+# ---------------------------------------------------------------------------
+
+# corpus/batch split convention shared with dedup's incremental flow
+CUR_MOD = 10
+CUR_RES = 8             # doc_id % 10 >= 8 stands in for the new batch
+CUR_EVAL_MOD = 97       # corpus docs with doc_id % 97 == 0 = eval set
+BOILER_MIN_DOCS = 3     # corpus DF >= 3 => boilerplate gram
+
+
+def _gram_expr(engine: str, n: int, clamp: bool = False) -> str:
+    """Distinct word ``n``-gram array over a token array column
+    ``tk`` — decontaminate_sql's sliding-window idiom generalized.
+    ``clamp=True`` uses boilerplate_grams_sql's short-doc semantics
+    (docs shorter than ``n`` tokens form one degenerate gram);
+    without it such docs form none (callers filter
+    ``{alen}(tk) >= n``, decontaminate's semantics)."""
+    joined = ", ".join(f"tk[i{f'+{o}' if o else ''}]"
+                       for o in range(n))
+    if engine == "spark":
+        lo, hi = "0", f"{{alen}}(tk) - {n}"
+    else:
+        lo, hi = "1", f"{{alen}}(tk) - {n - 1}"
+    if clamp:
+        hi = f"greatest({hi}, {lo})"
+    return render(f"{{adist}}({{ltrans}}({{seq}}({lo}, {hi}), "
+                  f"i -> concat_ws(' ', {joined})))", engine)
+
+
+def _store_build_ctes(engine: str, corpus_src: str,
+                      eval_mod: int = CUR_EVAL_MOD) -> dict[str, str]:
+    """The four corpus-side aggregate statements (eval grams, boiler
+    grams, vocab, totals) over a corpus relation — shared verbatim by
+    the Spark store build and the DuckDB oracle's inline CTEs, so the
+    persisted store holds exactly what the oracle recomputes."""
+    toks = render(TOKENS, engine)
+    g4 = _gram_expr(engine, 4)
+    g5 = _gram_expr(engine, 5, clamp=True)
+    ctk = (f"SELECT doc_id, {toks} AS tk FROM {corpus_src}")
+    return {
+        "eval_grams": render(f"""
+            SELECT DISTINCT gram FROM (
+                SELECT {{explode}}(g) AS gram
+                FROM (SELECT {g4} AS g FROM ({ctk}) _c
+                      WHERE doc_id % {eval_mod} = 0
+                        AND {{alen}}(tk) >= 4) _g) _e""", engine),
+        "boiler_grams": render(f"""
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id, {{explode}}(g) AS gram
+                    FROM (SELECT doc_id, {g5} AS g
+                          FROM ({ctk}) _c) _g) _x) _d
+            GROUP BY gram HAVING COUNT(*) >= {BOILER_MIN_DOCS}""",
+            engine),
+        "vocab": render(f"""
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT {{explode}}(tk) AS tok FROM ({ctk}) _c) _t
+            GROUP BY tok""", engine),
+        "totals": "SELECT CAST(SUM(n) AS BIGINT) AS t FROM {vocab}",
+    }
+
+
+def _against_store_tail(engine: str, batch_src: str, eval_src: str,
+                        boiler_src: str, vocab_src: str,
+                        tot_src: str) -> str:
+    """Batch-scoring statement over a batch relation plus the four
+    store relations: per-doc quality (stateless), eval-gram
+    contamination, boilerplate-gram fraction, and corpus-model rarity
+    (surprisal_sql's integer bucket ladder; tokens absent from the
+    stored vocab are OOV -> bucket 31).  Shared text between the
+    Spark probe (store views over parquet) and the DuckDB oracle
+    (store CTEs inline over the corpus split), so values are
+    bit-identical by construction."""
+    from .text import text_quality_sql
+    toks = render(TOKENS, engine)
+    g4 = _gram_expr(engine, 4)
+    g5 = _gram_expr(engine, 5, clamp=True)
+    quality = text_quality_sql(engine).replace(
+        "FROM documents", f"FROM {batch_src}")
+    ladder = " ".join(f"WHEN v.n * {1 << k} >= tt.t THEN {k}"
+                      for k in range(31))
+    t = f"""
+    q AS (SELECT doc_id, n_tokens, quality_score FROM ({quality}) _q),
+    btk AS (SELECT doc_id, {toks} AS tk FROM {batch_src}),
+    bg4 AS (
+        SELECT doc_id, {{explode}}(g) AS gram
+        FROM (SELECT doc_id, {g4} AS g FROM btk
+              WHERE {{alen}}(tk) >= 4) _g
+    ), ev AS (
+        SELECT g.doc_id, COUNT(*) AS n_eval
+        FROM bg4 g JOIN {eval_src} e ON e.gram = g.gram
+        GROUP BY g.doc_id
+    ), bg5 AS (
+        SELECT doc_id, {{explode}}(g) AS gram
+        FROM (SELECT doc_id, {g5} AS g FROM btk) _g
+    ), bo AS (
+        SELECT g.doc_id, COUNT(*) AS n_g5,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_boiler
+        FROM bg5 g LEFT JOIN {boiler_src} b ON b.gram = g.gram
+        GROUP BY g.doc_id
+    ), btok AS (
+        SELECT doc_id, {{explode}}(tk) AS tok FROM btk
+    ), rar AS (
+        SELECT t.doc_id, COUNT(*) AS n_tok,
+               SUM(CASE {ladder} ELSE 31 END) AS rarity_sum,
+               SUM(CASE WHEN v.n IS NULL OR v.n <= 2
+                   THEN 1 ELSE 0 END) AS n_rare
+        FROM btok t
+        LEFT JOIN {vocab_src} v ON v.tok = t.tok
+        CROSS JOIN {tot_src} tt
+        GROUP BY t.doc_id
+    )
+    SELECT q.doc_id,
+           CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           q.quality_score,
+           CAST(COALESCE(ev.n_eval, 0) AS BIGINT) AS n_eval_grams,
+           CAST(CASE WHEN ev.n_eval IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated,
+           CAST(bo.n_g5 AS BIGINT) AS n_grams5,
+           CAST(COALESCE(bo.n_boiler, 0) AS BIGINT) AS n_boiler_grams,
+           round(CAST(COALESCE(bo.n_boiler, 0) AS DOUBLE) / bo.n_g5,
+                 6) AS boiler_frac,
+           CAST(rar.rarity_sum AS BIGINT) AS rarity_sum,
+           round(CAST(rar.rarity_sum AS DOUBLE) / rar.n_tok, 6)
+               AS mean_rarity,
+           round(CAST(rar.n_rare AS DOUBLE) / rar.n_tok, 6)
+               AS oov_rate
+    FROM q
+    JOIN bo ON bo.doc_id = q.doc_id
+    JOIN rar ON rar.doc_id = q.doc_id
+    LEFT JOIN ev ON ev.doc_id = q.doc_id
+    """
+    return render(t, engine)
+
+
+def curation_store_write(spark, docs_df, store_path: str,
+                         eval_mod: int = CUR_EVAL_MOD,
+                         mode: str = "overwrite") -> None:
+    """Compute the corpus-side curation aggregates for ``docs_df``
+    (documents schema) and persist them as the parquet CURATION
+    STORE:
+
+      {store}/eval_grams    distinct eval-set 4-grams (tiny)
+      {store}/boiler_grams  corpus 5-grams with DF >= {BOILER_MIN_DOCS}
+      {store}/vocab         corpus unigram counts
+      {store}/totals        1 row: corpus token total
+
+    For a 100 TB corpus these are MB-to-low-GB relations computed in
+    ONE pass each over the corpus text; every future batch is scored
+    against them without re-reading (or re-tokenizing) a single
+    corpus byte — the same amortization contract as dedup's signature
+    store and the ANN index store."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    docs_df.createOrReplaceTempView("__cur_store_in")
+    ctes = _store_build_ctes("spark", "__cur_store_in",
+                             eval_mod=eval_mod)
+    for name in ("eval_grams", "boiler_grams", "vocab"):
+        spark.sql(ctes[name]).write.mode(mode) \
+            .parquet(f"{store_path}/{name}")
+    spark.read.parquet(f"{store_path}/vocab") \
+        .createOrReplaceTempView("__cur_store_vocab")
+    spark.sql(ctes["totals"].format(vocab="__cur_store_vocab")) \
+        .write.mode(mode).parquet(f"{store_path}/totals")
+
+
+def curation_store_append(spark, store_path: str, docs_df) -> None:
+    """Fold an ADMITTED batch into the persisted curation store —
+    the append-only contract: eval grams and boilerplate DF and the
+    vocab model must reflect batch docs once they join the corpus.
+    Vocab counts and gram DFs are additive, so the merge is a
+    groupBy-sum of old store + batch increments; boiler_grams keeps
+    only rows at/above the DF floor, with sub-floor counts NOT
+    retained (a gram must re-earn the floor within a merge window —
+    the bounded-state tradeoff, documented)."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    docs_df.createOrReplaceTempView("__cur_app_in")
+    toks = render(TOKENS, "spark")
+    g5 = _gram_expr("spark", 5, clamp=True)
+    g4 = _gram_expr("spark", 4)
+    # batch increments
+    inc_df = spark.sql(f"""
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, explode(g) AS gram
+                FROM (SELECT doc_id, {g5} AS g
+                      FROM (SELECT doc_id, {toks} AS tk
+                            FROM __cur_app_in) _c) _g) _x) _d
+        GROUP BY gram""").localCheckpoint()
+    inc_df.createOrReplaceTempView("__cur_app_g5")
+    old = spark.read.parquet(f"{store_path}/boiler_grams") \
+        .localCheckpoint()
+    old.createOrReplaceTempView("__cur_app_boiler_old")
+    merged = spark.sql(f"""
+        SELECT gram, CAST(SUM(n_docs) AS BIGINT) AS n_docs FROM (
+            SELECT * FROM __cur_app_boiler_old
+            UNION ALL SELECT * FROM __cur_app_g5) _u
+        GROUP BY gram HAVING SUM(n_docs) >= {BOILER_MIN_DOCS}
+    """).localCheckpoint()
+    merged.write.mode("overwrite") \
+        .parquet(f"{store_path}/boiler_grams")
+    # vocab + totals merge
+    vinc = spark.sql(f"""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT explode(tk) AS tok
+            FROM (SELECT {toks} AS tk FROM __cur_app_in) _c) _t
+        GROUP BY tok""").localCheckpoint()
+    vinc.createOrReplaceTempView("__cur_app_vinc")
+    vold = spark.read.parquet(f"{store_path}/vocab").localCheckpoint()
+    vold.createOrReplaceTempView("__cur_app_vold")
+    vmerged = spark.sql("""
+        SELECT tok, CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT * FROM __cur_app_vold
+            UNION ALL SELECT * FROM __cur_app_vinc) _u
+        GROUP BY tok""").localCheckpoint()
+    vmerged.write.mode("overwrite").parquet(f"{store_path}/vocab")
+    spark.sql("""SELECT CAST(SUM(n) AS BIGINT) AS t
+                 FROM __cur_app_vold
+                 UNION ALL
+                 SELECT CAST(SUM(n) AS BIGINT) FROM __cur_app_vinc""") \
+        .groupBy().sum("t").selectExpr("CAST(`sum(t)` AS BIGINT) AS t") \
+        .write.mode("overwrite").parquet(f"{store_path}/totals")
+    # new eval grams (batch docs on the eval residue)
+    spark.sql(f"""
+        SELECT DISTINCT gram FROM (
+            SELECT explode(g) AS gram
+            FROM (SELECT {g4} AS g
+                  FROM (SELECT doc_id, {toks} AS tk FROM __cur_app_in)
+                  _c WHERE doc_id % {CUR_EVAL_MOD} = 0
+                     AND size(tk) >= 4) _g) _e
+    """).write.mode("append").parquet(f"{store_path}/eval_grams")
+
+
+def curate_against_store(spark, store_path: str, batch_df):
+    """Score a NEW batch against the persisted curation store: per-doc
+    quality (stateless projection), contamination vs the stored eval
+    grams, boilerplate fraction vs the stored high-DF grams, and
+    corpus-model rarity/OOV vs the stored vocab — the corpus text is
+    never read.
+
+    Scale shape: quality is a batch projection; eval and boiler joins
+    are broadcast-sized (grams that matter are tiny relative to any
+    corpus); the vocab join is a hash join on token — all
+    batch-bound, nothing corpus-bound."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    batch_df.createOrReplaceTempView("__curb_batch")
+    for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
+        spark.read.parquet(f"{store_path}/{name}") \
+            .createOrReplaceTempView(f"__curs_{name}")
+    return spark.sql("WITH " + _against_store_tail(
+        "spark", "__curb_batch", "__curs_eval_grams",
+        "__curs_boiler_grams", "__curs_vocab", "__curs_totals"))
+
+
+def curation_against_store_sql(engine: str = "duckdb",
+                               mod: int = CUR_MOD,
+                               res: int = CUR_RES,
+                               eval_mod: int = CUR_EVAL_MOD) -> str:
+    """Single-statement oracle twin of the store flow: the corpus
+    split's aggregates as inline CTEs (the exact statements
+    curation_store_write persists) feeding the same scoring tail the
+    Spark probe runs over the parquet store."""
+    ctes = _store_build_ctes(engine, "corpus", eval_mod=eval_mod)
+    tail = _against_store_tail(engine, "batch", "eval_grams",
+                               "boiler_grams", "vocab", "tot")
+    return f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % {mod} < {res}
+    ), batch AS (
+        SELECT * FROM documents WHERE doc_id % {mod} >= {res}
+    ), eval_grams AS ({ctes['eval_grams']}),
+    boiler_grams AS ({ctes['boiler_grams']}),
+    vocab AS ({ctes['vocab']}),
+    tot AS ({ctes['totals'].format(vocab='vocab')}),
+    {tail}
+    """
+
+
+def curation_store_entry_fn(spark, sf_dir: str, mod: int = CUR_MOD,
+                            res: int = CUR_RES):
+    """Registry/bench entry: the curation store is built once per
+    fixture identity into the per-user store cache and REUSED across
+    runs (dedup_incremental_against_store's protocol), so the
+    measured cost is the batch-sized scoring probe — never the
+    corpus-side aggregate build."""
+    import hashlib
+    import os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}".encode()).hexdigest()[:16]
+    store = store_path("curation", ident)
+    docs = spark.read.parquet(src)
+    publish_store(store, lambda tmp: curation_store_write(
+        spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
+    return curate_against_store(
+        spark, store, docs.where(f"doc_id % {mod} >= {res}"))

@@ -1974,6 +1974,17 @@ REGISTRY["ann_against_store"] = QuerySpec(
     "scores dequantized codes — the probe plan never rescans the "
     "corpus embeddings; oracle is the single-statement CTE twin "
     "(ints/doubles round-trip parquet exactly)")
+REGISTRY["curation_against_store"] = QuerySpec(
+    _cur.curation_store_entry_fn,
+    _cur.curation_against_store_sql("duckdb"),
+    "Batch curation against the PERSISTED curation store (VERDICT r8 "
+    "ask 2): corpus-side aggregates (eval-set 4-grams, high-DF "
+    "boilerplate 5-grams, unigram vocab + total) are parquet-persisted "
+    "once per fixture and a NEW batch (doc_id % 10 >= 8) is scored — "
+    "quality, contamination, boilerplate fraction, integer-bucket "
+    "rarity/OOV vs the corpus model — without reading one corpus "
+    "byte; oracle recomputes the store statements as inline CTEs over "
+    "the corpus split feeding the identical scoring tail")
 REGISTRY["ann_store_probe"] = QuerySpec(
     _sim.ann_store_probe_fn,
     _sim.ann_against_store_sql("duckdb"),

@@ -2052,3 +2052,80 @@ def test_ann_store_probe_reuses_cached_index(spark):
     for d in left:
         if d.startswith("annidx_stale"):
             os.rmdir(os.path.join(root, d))
+
+
+def test_curation_store_batch2_without_corpus(spark, tmp_path):
+    """VERDICT r8 ask 2: the curation store is built from batch-1,
+    then batch-2 is scored against the PERSISTED state — the
+    documents fixture never appears in the probe plan (corpus read
+    zero times), and the scores equal the inline-CTE oracle
+    recomputed over the same split."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline import curation as C
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    store = str(tmp_path / "cur_store")
+    C.curation_store_write(spark, docs.where("doc_id % 10 < 8"),
+                           store)
+    # land the batch in its own table (the production shape: batches
+    # arrive from a landing zone, not from the corpus fixture) so the
+    # plan assertion isolates CORPUS reads
+    landing = str(tmp_path / "batch2")
+    docs.where("doc_id % 10 >= 8").write.parquet(landing)
+    batch2 = spark.read.parquet(landing)
+    res = C.curate_against_store(spark, store, batch2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    got = sorted(map(tuple, (res.collect())))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+    want = sorted(map(tuple, con.execute(
+        C.curation_against_store_sql("duckdb")).fetchall()))
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        for a, b in zip(g[1:], w[1:]):
+            assert abs(float(a) - float(b)) < 1e-9, (g, w)
+
+
+def test_curation_store_append_merges_state(spark, tmp_path):
+    """curation_store_append folds an admitted batch into the store:
+    the merged vocab/totals/boiler DF equal a from-scratch build over
+    corpus+batch (additive aggregates), modulo boiler grams whose
+    sub-floor corpus counts were not retained."""
+    from harbourbridge_spark.pipeline import curation as C
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    a = docs.where("doc_id % 10 < 5")
+    b = docs.where("doc_id % 10 >= 5 AND doc_id % 10 < 8")
+    store = str(tmp_path / "s_inc")
+    ref = str(tmp_path / "s_ref")
+    C.curation_store_write(spark, a, store)
+    C.curation_store_append(spark, store, b)
+    C.curation_store_write(spark, a.unionByName(b), ref)
+    vinc = {(r.tok, r.n) for r in
+            spark.read.parquet(f"{store}/vocab").collect()}
+    vref = {(r.tok, r.n) for r in
+            spark.read.parquet(f"{ref}/vocab").collect()}
+    assert vinc == vref
+    tinc = spark.read.parquet(f"{store}/totals").collect()
+    tref = spark.read.parquet(f"{ref}/totals").collect()
+    assert tinc == tref
+    binc = {(r.gram, r.n_docs) for r in
+            spark.read.parquet(f"{store}/boiler_grams").collect()}
+    bref = {(r.gram, r.n_docs) for r in
+            spark.read.parquet(f"{ref}/boiler_grams").collect()}
+    # incremental keeps only grams that reached the floor within one
+    # side or across the merge of RETAINED counts — every incremental
+    # survivor must be a from-scratch survivor with count <= ref
+    ref_map = dict(bref)
+    for gram, n in binc:
+        assert gram in ref_map and n <= ref_map[gram], gram
+    einc = {r.gram for r in
+            spark.read.parquet(f"{store}/eval_grams").collect()}
+    eref = {r.gram for r in
+            spark.read.parquet(f"{ref}/eval_grams").collect()}
+    assert einc == eref

@@ -79,6 +79,11 @@ TINY_CROSS_OK = {
     # the n_cells=16 centroid table cross-joined onto the <=10-query
     # batch for cell probing — both build sides bounded tiny
     "ann_against_store": 2,
+    # identical probe plan against the CACHED persisted index
+    "ann_store_probe": 2,
+    # 1-row stored corpus-token-total CROSS JOINed onto the batch
+    # token stream for the rarity ladder
+    "curation_against_store": 1,
     # 1-row corpus-total / stage-summary relations
     "doc_surprisal": 1, "corpus_curation_materialized": 3,
     "dedup_pipeline_materialized": 2,
