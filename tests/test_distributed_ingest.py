@@ -959,3 +959,39 @@ def test_cutover_hysteresis_band():
         assert ch(est, pgdump._DIST_AMBIG_BYTES, thr) is True
     # patched-to-zero threshold forces distributed at any estimate
     assert ch(0.0, 0, 0.0) is True
+
+
+def test_semicolon_copy_data_skips_and_matches(tmp_path):
+    """VERDICT r8 ask 6: COPY data containing semicolons made
+    speculative mid-data ranges token-walk their whole slice (every
+    ';' yielded a fake statement and reset the byte accumulator).
+    The bogus-statement-run detector must (a) keep the distributed
+    scan bit-identical to exact and (b) actually engage — a mid-data
+    speculative scan may yield only a bounded handful of events, not
+    one per fake statement."""
+    f = tmp_path / "semi.sql"
+    rows = 5000
+    f.write_text(
+        "CREATE TABLE public.t (id integer NOT NULL, v text);\n"
+        + "COPY public.t (id, v) FROM stdin;\n"
+        + "".join(f"{i}\tval-{i}; with semi; more; txt\n"
+                  for i in range(rows))
+        + "\\.\n"
+        + "INSERT INTO public.t VALUES (1, 'after; semi');\n")
+    exact = _expand_events(str(f), _exact_events(str(f)))
+    for range_bytes in (4096, 16384, 60000):
+        got = _expand_events(str(f), _ranged_events(str(f), range_bytes))
+        assert got == exact, range_bytes
+    # engagement check: speculative scan from mid-data yields few
+    # events (the skip collapses the fake-statement stream)
+    import io as _io
+    data = f.read_bytes()
+    base = len(data) // 2
+    bf = _io.BytesIO(data)
+    bf.seek(base)
+    sync = []
+    ev, _stop, _clean = pgdump._collect_scan_events(
+        bf, base, len(data), 1 << 20,
+        hard_allowance=pgdump._SPEC_HARD_ALLOWANCE, sync_marks=sync)
+    assert len(ev) <= pgdump._SPEC_BOGUS_WINDOW + 2, len(ev)
+    assert sync, "terminator sync not reached"

@@ -71,12 +71,14 @@ def build_dump(root: str, rows: int, files: int,
             base = f * per_file
             half = {"mixed": per_file // 2, "copy": per_file,
                     "insert": 0}[mix]
+            semi = "; semi; txt" if os.environ.get("INGEST_SEMI") \
+                else ""
             if half:
                 out.write("COPY public.c (id, v, x) FROM stdin;\n")
                 for r in range(half):
                     rid = base + r
-                    out.write(f"{rid}\trow-{rid}-{'pad' * (rid % 7)}\t"
-                              f"{rid % 1000}.25\n")
+                    out.write(f"{rid}\trow-{rid}-{'pad' * (rid % 7)}"
+                              f"{semi}\t{rid % 1000}.25\n")
                 out.write("\\.\n")
             for chunk in range(0, per_file - half, 1000):
                 n = min(1000, per_file - half - chunk)
