@@ -1339,6 +1339,21 @@ def _migrate_mysql_distributed(spark: SparkSession, ctx: MigrationContext,
     return results
 
 
+# multi-file --tab scan cutover (VERDICT r8 ask 7): below this total
+# the per-file regex scans run serially on the driver (a Spark job
+# round trip would dominate); above it each .txt is scanned by one
+# executor task — a per-table-file directory is embarrassingly
+# parallel and the scan is the only remaining driver-side O(bytes)
+# work on this path
+_TAB_PARALLEL_MIN_BYTES = 64 << 20
+
+
+def _scan_tab_chunks_path(path: str, chunk_bytes: int = 32 << 20):
+    """Executor-side wrapper: open + scan one --tab .txt."""
+    with open(path, "rb") as f:
+        return _scan_tab_chunks(f, chunk_bytes)
+
+
 def _scan_tab_chunks(f, chunk_bytes: int = 32 << 20):
     """Chunk ranges + row counts over a mysqldump --tab TSV.  Rows end
     at UNESCAPED newlines only: SELECT INTO OUTFILE escapes an
@@ -1577,6 +1592,7 @@ def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
         # unknown-table flagging; code-review r8)
         ctx.unexpected(f"data file with no DDL: {t}")
     results: dict[str, ConversionResult] = {}
+    work: list[tuple[str, str]] = []    # (table, txt) in DDL order
     for p in sql_files:
         name = os.path.splitext(os.path.basename(p))[0]
         table = _clean(name)
@@ -1588,8 +1604,24 @@ def migrate_mysql_tab(spark: SparkSession, tab_dir: str,
             continue
         if os.path.getsize(txt) == 0:
             continue
-        with open(txt, "rb") as f:
-            ranges = _scan_tab_chunks(f, chunk_bytes)
+        work.append((table, txt))
+    total = sum(os.path.getsize(t) for _, t in work)
+    if len(work) > 1 and total >= _TAB_PARALLEL_MIN_BYTES:
+        # one executor task per file: the scans are independent regex
+        # passes, so a directory of per-table files parallelizes
+        # perfectly (VERDICT r8 ask 7); ctx side effects below keep
+        # DDL order regardless of task completion order
+        cb = chunk_bytes
+        scanned = dict(
+            spark.sparkContext
+            .parallelize([t for _, t in work], len(work))
+            .map(lambda path: (path, _scan_tab_chunks_path(path, cb)))
+            .collect())
+    else:
+        scanned = {txt: _scan_tab_chunks_path(txt, chunk_bytes)
+                   for _, txt in work}
+    for table, txt in work:
+        ranges = scanned[txt]
         seq = 0
         chunks = []
         for (s, e, n) in ranges:

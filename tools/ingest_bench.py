@@ -10,7 +10,9 @@ Env:    INGEST_ROWS    total rows (default 200_000)
         INGEST_FILES   dump files  (default 3)
         INGEST_MIX     copy | insert | mixed (default mixed; pg only —
                        mysql dumps are INSERT-only by format)
-        INGEST_DIALECT postgres | mysql (default postgres)
+        INGEST_DIALECT postgres | mysql | mysql_tab (default
+                       postgres; mysql_tab benches the --tab dir
+                       path: serial vs file-parallel chunk scan)
         SPARK_GRAFT_CPUS (default 32)
 
 The dump mixes the two data layouts ~50/50: COPY blocks (the
@@ -30,6 +32,62 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_tab_dir(root: str, rows: int, files: int) -> str:
+    """--tab directory: one table per file pair, OUTFILE escaping."""
+    tab = os.path.join(root, "tabdir")
+    os.makedirs(tab, exist_ok=True)
+    per_file = rows // files
+    for f in range(files):
+        name = f"t{f}"
+        with open(os.path.join(tab, f"{name}.sql"), "w",
+                  encoding="utf-8", newline="\n") as out:
+            out.write(f"CREATE TABLE `{name}` (`id` int NOT NULL, "
+                      "`v` varchar(60), `x` decimal(12,2), "
+                      "PRIMARY KEY (`id`));\n")
+        with open(os.path.join(tab, f"{name}.txt"), "w",
+                  encoding="utf-8", newline="\n") as out:
+            for r in range(per_file):
+                out.write(f"{r}\trow-{r}-{'pad' * (r % 7)}"
+                          f"\t{r % 1000}.25\n")
+    return tab
+
+
+def bench_tab(spark, work: str, rows: int, files: int) -> None:
+    """Time migrate_mysql_tab with the file-parallel scan vs the
+    serial-driver scan (cutover forced each way)."""
+    from harbourbridge_spark.sources import mysqldump as M
+    tab = build_tab_dir(work, rows, files)
+    out = {}
+    counts = {}
+    for label, floor in (("serial", 1 << 60), ("parallel", 0)):
+        old = M._TAB_PARALLEL_MIN_BYTES
+        M._TAB_PARALLEL_MIN_BYTES = floor
+        try:
+            t0 = time.time()
+            _ctx, res = M.migrate_mysql_tab(spark, tab)
+            t_driver = time.time() - t0
+            counts[label] = {t: r.good.count() for t, r in res.items()}
+            out[label] = {"driver_phase_sec": round(t_driver, 3),
+                          "total_sec": round(time.time() - t0, 3)}
+        finally:
+            M._TAB_PARALLEL_MIN_BYTES = old
+    assert counts["serial"] == counts["parallel"], counts
+    print(json.dumps({
+        "metric": "ingest_tab_serial_vs_parallel_scan",
+        "dialect": "mysql_tab",
+        "rows": sum(counts["serial"].values()),
+        "files": files,
+        "serial": out["serial"],
+        "parallel": out["parallel"],
+        "scan_phase_speedup": round(
+            out["serial"]["driver_phase_sec"]
+            / max(out["parallel"]["driver_phase_sec"], 0.001), 2),
+        "total_speedup": round(
+            out["serial"]["total_sec"]
+            / max(out["parallel"]["total_sec"], 0.001), 2),
+    }))
 
 
 def build_mysql_dump(root: str, rows: int, files: int) -> list[str]:
@@ -118,6 +176,9 @@ def main() -> int:
         lambda it: it, "id long").count()
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
+        if dialect == "mysql_tab":
+            bench_tab(spark, work, rows, files)
+            return 0
         if dialect == "mysql":
             paths = build_mysql_dump(work, rows, files)
             mix = "insert"
