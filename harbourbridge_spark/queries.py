@@ -1787,6 +1787,13 @@ _register_template(
     "spread, exact-duplicate rate (corpus-wide content-hash window, "
     "8-byte shuffle key) — the numbers behind source mixing weights")
 _register_template(
+    "corpus_drift", _cur.corpus_drift_sql,
+    "Corpus drift / stats-over-time (VERDICT r8 ask 10): per "
+    "(ingest-epoch, source) cell doc/token mass, mean quality, and "
+    "corpus-wide exact-dup rate — one hash projection, one fp window, "
+    "one grouped agg on the tiny (epoch, source) key; the trend "
+    "dashboard a long-running ingest watches for source decay")
+_register_template(
     "quality_classifier", _text.quality_classifier_sql,
     "Hashed-feature linear classifier (fasttext-shaped quality gate): "
     "word uni+bigrams -> hashing-trick integer weights -> mean score "
