@@ -339,3 +339,190 @@ def synth_gif(seed: int, interlace: bool = False) -> bytes:
                        np.uint8)
     idx = np.repeat(np.arange(h, dtype=np.uint8)[:, None], w, axis=1)
     return encode_gif(idx, palette, interlace=interlace)
+
+
+# ---------------------------------------------------------------------------
+# animation: multi-frame compositing (VERDICT r8 ask 8)
+# ---------------------------------------------------------------------------
+
+def decode_gif_frames(content: bytes) -> list[np.ndarray]:
+    """Full GIF89a animation walk: every frame composited onto the
+    logical-screen canvas per its Graphic Control Extension —
+    partial-frame offsets, transparency masking, and disposal methods
+    1 (leave), 2 (restore region to the logical background color),
+    and 3 (restore to the pre-frame canvas).  Returns one
+    sw x sh x 3 uint8 RGB canvas snapshot per frame.
+
+    Convention: disposal 2 restores to the header's background color
+    from the global color table (the GIF89a letter; browsers restore
+    to transparent, which an RGB canvas cannot represent) — fixtures
+    and oracle share the choice.  The bomb ceiling bounds the
+    CUMULATIVE composited bytes (frames x canvas), so a
+    thousand-frame 1-px-delta animation cannot inflate past
+    MAX_DECODED_BYTES."""
+    if content[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg_idx, _ar = struct.unpack_from("<HHBBB",
+                                                     content, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("zero logical screen dimension")
+    if sw * sh * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over MAX_DECODED_BYTES")
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(content, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) \
+        else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent = None         # GCE state for the NEXT image
+    disposal = 0
+    while i < len(content):
+        b = content[i]
+        i += 1
+        if b == 0x21:                      # extension
+            label = content[i]
+            i += 1
+            if label == 0xF9:              # Graphic Control Extension
+                body, i = _read_subblocks(content, i)
+                if len(body) < 4:
+                    raise ValueError("short GCE body")
+                gpacked = body[0]
+                disposal = (gpacked >> 2) & 7
+                transparent = body[3] if gpacked & 1 else None
+            else:
+                i = _skip_subblocks(content, i)
+        elif b == 0x2C:                    # image descriptor
+            lx, ty, w, h, ipacked = struct.unpack_from("<HHHHB",
+                                                       content, i)
+            i += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                ct = np.frombuffer(content, np.uint8,
+                                   3 * n, i).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("no color table")
+            if w == 0 or h == 0:
+                raise ValueError("zero frame dimension")
+            if lx + w > sw or ty + h > sh:
+                raise ValueError("frame outside logical screen")
+            if (len(frames) + 1) * sw * sh * 3 > MAX_DECODED_BYTES:
+                raise ValueError(
+                    "animation exceeds cumulative decode cap")
+            mcs = content[i]
+            i += 1
+            data, i = _read_subblocks(content, i)
+            idx = np.frombuffer(lzw_decode(data, mcs, w * h),
+                                np.uint8).reshape(h, w)
+            if int(idx.max()) >= len(ct):
+                raise ValueError("palette index out of range")
+            if ipacked & 0x40:
+                idx = _deinterlace(idx)
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[ty:ty + h, lx:lx + w]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = ct[idx][mask]
+            else:
+                region[:] = ct[idx]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[ty:ty + h, lx:lx + w] = bg
+            elif disposal == 3:
+                canvas = prev
+            transparent = None
+            disposal = 0
+        elif b == 0x3B:                    # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image descriptor")
+    return frames
+
+
+def encode_gif_animated(sw: int, sh: int, palette: np.ndarray,
+                        frames: list[dict], bg_index: int = 0) -> bytes:
+    """Multi-frame GIF89a fixture encoder.  Each frame dict:
+    ``indices`` (HxW uint8), ``lx``/``ty`` offsets, ``disposal``
+    (0-3), optional ``transparent`` palette index.  Same real LZW and
+    code-width schedule as the single-frame encoder."""
+    n = max(4, 1 << int(np.ceil(np.log2(len(palette)))))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    size_bits = int(np.log2(n)) - 1
+    mcs = max(2, int(np.log2(n)))
+    out = bytearray(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", sw, sh, 0x80 | size_bits,
+                           bg_index, 0))
+    out.extend(pal.tobytes())
+    for fr in frames:
+        idxs = fr["indices"]
+        h, w = idxs.shape
+        t = fr.get("transparent")
+        gpacked = ((fr.get("disposal", 0) & 7) << 2) \
+            | (1 if t is not None else 0)
+        out.extend(b"\x21\xf9\x04")
+        out.extend(bytes([gpacked, 0, 0, t if t is not None else 0]))
+        out.append(0)                      # GCE terminator
+        out.extend(b"\x2c" + struct.pack(
+            "<HHHHB", fr.get("lx", 0), fr.get("ty", 0), w, h, 0))
+        out.append(mcs)
+        data = lzw_encode(idxs.tobytes(), mcs)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+GIF_ANIM_BG = (200, 150, 100)
+
+
+def synth_gif_animated(seed: int) -> bytes:
+    """Closed-form 4-frame animation over the synth_bmp-style canvas
+    (w = 4 + seed%8, h = 2 + seed%5, row gradient from
+    (seed%200, 3seed%200, 7seed%200)):
+
+      F0  full-canvas gradient, disposal 1 (leave)
+      F1  top-row overlay K1, disposal 3 (restore to previous)
+      F2  bottom-row overlay: left w//2 px TRANSPARENT, rest K2,
+          disposal 2 (restore region to background)
+      F3  single pixel K3 at (0,0), disposal 0
+
+    so the composited canvases are: gradient; gradient with K1 top
+    row; gradient with the bottom row's right ceil(w/2) px K2;
+    gradient with bottom row = background color and pixel (0,0) K3 —
+    each channel mean an exact rational of seed, the shared
+    closed-form-oracle convention."""
+    w = 4 + seed % 8
+    h = 2 + seed % 5
+    r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+    k1 = (100 + seed % 100, 90 + seed % 100, 80 + seed % 100)
+    k2 = (10 + seed % 150, 20 + seed % 150, 30 + seed % 150)
+    k3 = (5 + seed % 77, 15 + seed % 77, 25 + seed % 77)
+    rows = [(r0 + y, g0 + y, b0 + y) for y in range(h)]
+    # palette: h gradient rows, K1, K2, K3, BG, transparent slot
+    palette = np.array(rows + [k1, k2, k3, GIF_ANIM_BG, (0, 0, 0)],
+                       np.uint8)
+    i_k1, i_k2, i_k3 = h, h + 1, h + 2
+    i_bg, i_t = h + 3, h + 4
+    grad = np.repeat(np.arange(h, dtype=np.uint8)[:, None], w, axis=1)
+    f1 = np.full((1, w), i_k1, np.uint8)
+    f2 = np.full((1, w), i_k2, np.uint8)
+    f2[0, :w // 2] = i_t
+    f3 = np.full((1, 1), i_k3, np.uint8)
+    return encode_gif_animated(w, h, palette, [
+        {"indices": grad, "disposal": 1},
+        {"indices": f1, "ty": 0, "disposal": 3},
+        {"indices": f2, "ty": h - 1, "disposal": 2,
+         "transparent": i_t},
+        {"indices": f3, "disposal": 0},
+    ], bg_index=i_bg)

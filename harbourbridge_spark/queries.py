@@ -2403,6 +2403,110 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decode_image_query(spark, sf_dir, fmt="gif")
 
 
+# animated-GIF oracle closed forms (VERDICT r8 ask 8): per doc a
+# 4-frame animation over the w x h gradient canvas (see
+# gif.synth_gif_animated) — frame 0 full gradient (disposal 1),
+# frame 1 top-row K1 overlay (disposal 3: restored before frame 2),
+# frame 2 bottom-row overlay with the left w//2 px TRANSPARENT and
+# the rest K2 (disposal 2: region restored to the logical background
+# color), frame 3 a single K3 pixel at (0,0) over the
+# background-restored bottom row.  Each composited canvas's channel
+# total is an exact integer of doc_id; both engines divide the SAME
+# integer numerator by w*h, so the doubles are bit-identical with no
+# rounding.
+_GIF_ANIM_PARAMS = """
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS w,
+           CAST(2 + doc_id % 5 AS BIGINT) AS h,
+           CAST(doc_id % 200 AS BIGINT) AS r0,
+           CAST((doc_id * 3) % 200 AS BIGINT) AS g0,
+           CAST((doc_id * 7) % 200 AS BIGINT) AS b0,
+           CAST(100 + doc_id % 100 AS BIGINT) AS k1r,
+           CAST(90 + doc_id % 100 AS BIGINT) AS k1g,
+           CAST(80 + doc_id % 100 AS BIGINT) AS k1b,
+           CAST(10 + doc_id % 150 AS BIGINT) AS k2r,
+           CAST(20 + doc_id % 150 AS BIGINT) AS k2g,
+           CAST(30 + doc_id % 150 AS BIGINT) AS k2b,
+           CAST(5 + doc_id % 77 AS BIGINT) AS k3r,
+           CAST(15 + doc_id % 77 AS BIGINT) AS k3g,
+           CAST(25 + doc_id % 77 AS BIGINT) AS k3b
+    FROM documents
+"""
+
+
+def _gif_anim_oracle(idiv: str) -> str:
+    def grad_total(c0: str) -> str:
+        return f"w * (h * {c0} + (h * (h - 1)) {idiv} 2)"
+
+    def mean(total: str) -> str:
+        return f"CAST({total} AS DOUBLE) / (w * h)"
+
+    def f1_total(kc: str, c0: str) -> str:
+        return (f"w * {kc} + w * ((h - 1) * {c0} "
+                f"+ ((h - 1) * h) {idiv} 2)")
+
+    def f2_total(kc: str, c0: str) -> str:
+        cw = f"(w - w {idiv} 2)"
+        return (f"{grad_total(c0)} - {cw} * ({c0} + h - 1) "
+                f"+ {cw} * {kc}")
+
+    def f3_total(kc: str, c0: str, bg: int) -> str:
+        return (f"{grad_total(c0)} - w * ({c0} + h - 1) "
+                f"+ w * {bg} - {c0} + {kc}")
+
+    frames = []
+    frames.append(f"""
+        SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS frame_idx,
+               w AS width, h AS height,
+               {mean(grad_total('r0'))} AS mean_r,
+               {mean(grad_total('g0'))} AS mean_g,
+               {mean(grad_total('b0'))} AS mean_b,
+               r0 AS first_r
+        FROM p""")
+    frames.append(f"""
+        SELECT doc_id, CAST(1 AS BIGINT), w, h,
+               {mean(f1_total('k1r', 'r0'))},
+               {mean(f1_total('k1g', 'g0'))},
+               {mean(f1_total('k1b', 'b0'))},
+               k1r
+        FROM p""")
+    frames.append(f"""
+        SELECT doc_id, CAST(2 AS BIGINT), w, h,
+               {mean(f2_total('k2r', 'r0'))},
+               {mean(f2_total('k2g', 'g0'))},
+               {mean(f2_total('k2b', 'b0'))},
+               r0
+        FROM p""")
+    frames.append(f"""
+        SELECT doc_id, CAST(3 AS BIGINT), w, h,
+               {mean(f3_total('k3r', 'r0', 200))},
+               {mean(f3_total('k3g', 'g0', 150))},
+               {mean(f3_total('k3b', 'b0', 100))},
+               k3r
+        FROM p""")
+    u = " UNION ALL ".join(frames)
+    return f"WITH p AS ({_GIF_ANIM_PARAMS}) {u}"
+
+
+@register(
+    "multimodal_decode_gif_animated",
+    _gif_anim_oracle("//"),
+    "REAL animation decode (VERDICT r8 ask 8): 4-frame GIF89a per doc "
+    "through the native compositing walk — Graphic Control "
+    "Extensions, partial-frame offsets, transparency masking, and "
+    "disposal methods 1/2/3 (leave / restore-region-to-background / "
+    "restore-to-previous) — one row per COMPOSITED frame; the oracle "
+    "recomputes each canvas's exact integer channel totals from the "
+    "fixture closed forms")
+def q_multimodal_gif_animated(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import gif_frame_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    media = synth_media(ids, "image", fmt="gif_animated")
+    return gif_frame_features(media)
+
+
 @register(
     "multimodal_decode_ppm",
     """

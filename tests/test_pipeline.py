@@ -2129,3 +2129,117 @@ def test_curation_store_append_merges_state(spark, tmp_path):
     eref = {r.gram for r in
             spark.read.parquet(f"{ref}/eval_grams").collect()}
     assert einc == eref
+
+
+def test_gif_animation_compositing_reference():
+    """Randomized animation walks vs a naive reference compositor:
+    random frame rects, disposal methods, transparency — the decoder
+    must reproduce the reference canvas sequence exactly (and the
+    fixture's 4 frames must hit disposal 1, 2, 3 and transparency)."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+
+    rng = np.random.RandomState(42)
+    for it in range(30):
+        sw = int(rng.randint(3, 14))
+        sh = int(rng.randint(2, 10))
+        npal = int(rng.randint(4, 12))
+        palette = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+        bg_index = int(rng.randint(0, npal))
+        t_idx = int(rng.randint(0, npal))
+        frames = []
+        for _ in range(int(rng.randint(1, 6))):
+            w = int(rng.randint(1, sw + 1))
+            h = int(rng.randint(1, sh + 1))
+            lx = int(rng.randint(0, sw - w + 1))
+            ty = int(rng.randint(0, sh - h + 1))
+            fr = {"indices": rng.randint(0, npal, (h, w))
+                  .astype(np.uint8),
+                  "lx": lx, "ty": ty,
+                  "disposal": int(rng.randint(0, 4))}
+            if rng.rand() < 0.5:
+                fr["transparent"] = t_idx
+            frames.append(fr)
+        data = G.encode_gif_animated(sw, sh, palette, frames,
+                                     bg_index=bg_index)
+        got = G.decode_gif_frames(data)
+        # naive reference
+        bg = palette[bg_index]
+        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        want = []
+        for fr in frames:
+            idxs = fr["indices"]
+            h, w = idxs.shape
+            lx, ty = fr["lx"], fr["ty"]
+            prev = canvas.copy()
+            for y in range(h):
+                for x in range(w):
+                    if fr.get("transparent") is not None \
+                            and idxs[y, x] == fr["transparent"]:
+                        continue
+                    canvas[ty + y, lx + x] = palette[idxs[y, x]]
+            want.append(canvas.copy())
+            if fr["disposal"] == 2:
+                canvas[ty:ty + h, lx:lx + w] = bg
+            elif fr["disposal"] == 3:
+                canvas = prev
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert (a == b).all(), it
+
+
+def test_gif_animation_guards():
+    """Cumulative bomb ceiling, out-of-screen frames, short GCE."""
+    import numpy as np
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import gif as G
+    from harbourbridge_spark.pipeline.limits import MAX_DECODED_BYTES
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    # frame rect extending past the logical screen
+    bad = G.encode_gif_animated(4, 4, pal, [
+        {"indices": np.zeros((3, 3), np.uint8), "lx": 2, "ty": 2}])
+    with _pytest.raises(ValueError):
+        G.decode_gif_frames(bad)
+    # cumulative cap: enough full-canvas frames to cross the ceiling
+    side = 256
+    n_frames = MAX_DECODED_BYTES // (side * side * 3) + 1
+    idx = np.zeros((side, side), np.uint8)
+    huge = G.encode_gif_animated(side, side, pal, [
+        {"indices": idx} for _ in range(n_frames)])
+    with _pytest.raises(ValueError, match="cumulative"):
+        G.decode_gif_frames(huge)
+
+
+def test_sample_frames_animated_gif_native(spark):
+    """Frame fan-out (multimodal.sample_frames) handles animated GIFs
+    natively: one row per sampled COMPOSITED frame with the Rec.601
+    luma mean."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import gif as G
+    from harbourbridge_spark.pipeline import multimodal as M
+
+    ids = spark.range(6).selectExpr("id AS media_id")
+    media = M.synth_media(ids, "video", fmt=None).unionByName(
+        M.synth_media(ids.selectExpr("media_id + 100 AS media_id"),
+                      "image", fmt="gif_animated"))
+    rows = M.sample_frames(media, sample_every=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # gif rows present: frames 0 and 2 of 4 (sample_every=2)
+    for mid in range(100, 106):
+        frs = sorted(by_media[mid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in frs] == [0, 2]
+        seed = mid
+        frames = G.decode_gif_frames(G.synth_gif_animated(seed))
+        for r in frs:
+            want = float(np.dot(
+                frames[r.frame_idx].reshape(-1, 3).mean(axis=0),
+                (0.299, 0.587, 0.114)))
+            assert abs(r.frame_y - want) < 1e-12
+    # y4m rows still flow
+    assert any(m < 100 for m in by_media)
