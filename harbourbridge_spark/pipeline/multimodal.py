@@ -668,6 +668,15 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             pass
     elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
         try:
+            # dependency-free lossless VP8L decoder (pipeline/vp8l.py)
+            from .vp8l import decode_webp
+            return decode_webp(content)
+        except (ValueError, struct.error, MemoryError, IndexError,
+                KeyError, ZeroDivisionError):
+            # lossy 'VP8 ' chunks raise ValueError here and fall to
+            # the optional PIL backend
+            pass
+        try:
             return decode_pil(content)
         except (ValueError, OSError, MemoryError):
             # OSError covers PIL's UnidentifiedImageError; absent
@@ -890,6 +899,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "gif_animated":
         from .gif import synth_gif_animated
         synth, mime = synth_gif_animated, "image/gif"
+    elif fmt == "webp":
+        from .vp8l import synth_webp
+        synth, mime = synth_webp, "image/webp"
     else:
         synth, mime = synth_bmp, "image/bmp"
 

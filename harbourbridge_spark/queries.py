@@ -2508,6 +2508,32 @@ def q_multimodal_gif_animated(spark: SparkSession,
 
 
 @register(
+    "multimodal_decode_webp",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0 AS mean_r,
+           CAST((doc_id * 3) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_g,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL image decode, WEBP-VP8L container (VERDICT r8 ask 9): the "
+    "from-scratch lossless-WebP decoder — LSB-first prefix codes "
+    "(simple + code-length-coded), color cache, LZ77 with the 2D "
+    "distance map, and the predictor / cross-color / subtract-green "
+    "/ color-indexing transforms — over fixtures whose encoder "
+    "options rotate with the seed (plain, subtract-green, predictor, "
+    "packed palette, cache+LZ77); lossless, so the shared "
+    "BMP/PPM/PNG/GIF closed-form oracle carries over unchanged")
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_image_query(spark, sf_dir, fmt="webp")
+
+
+@register(
     "multimodal_decode_ppm",
     """
     SELECT doc_id AS media_id,

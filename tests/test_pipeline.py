@@ -2243,3 +2243,177 @@ def test_sample_frames_animated_gif_native(spark):
             assert abs(r.frame_y - want) < 1e-12
     # y4m rows still flow
     assert any(m < 100 for m in by_media)
+
+
+def test_vp8l_distance_map_spec_prefix():
+    """The generated 120-entry neighborhood map must reproduce the
+    spec's published table prefix (pins the construction rule)."""
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    want = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+            (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+            (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
+            (-3, 2), (0, 4), (4, 0), (1, 4), (-1, 4), (4, 1), (-4, 1),
+            (3, 3), (-3, 3), (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5),
+            (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert V._DIST_MAP[:40] == want
+    assert len(V._DIST_MAP) == 120
+    assert len(set(V._DIST_MAP)) == 120
+
+
+def test_vp8l_roundtrip_all_options():
+    """Random images through every encoder option combination —
+    transforms, cache, LZ77, simple codes — decode exactly."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    rng = np.random.RandomState(2)
+    combos = (
+        {}, {"subtract_green": True}, {"predictor": 2},
+        {"predictor": 1, "subtract_green": True}, {"predictor": 7},
+        {"predictor": 11}, {"predictor": 12}, {"predictor": 13},
+        {"color": (0x10, 0x20, 0xF0)},
+        {"color": (0x85, 0x05, 0x33), "subtract_green": True},
+        {"palette": True}, {"cache_bits": 6},
+        {"cache_bits": 3, "subtract_green": True},
+        {"lz77": False}, {"simple": True, "lz77": False},
+    )
+    for it in range(40):
+        h, w = int(rng.randint(1, 16)), int(rng.randint(1, 16))
+        px = (rng.randint(0, 5, (h, w, 3)) * 37 % 256).astype(np.uint8)
+        for opts in combos:
+            data = V.encode_webp(px, **opts)
+            assert (V.decode_webp_pixels(data) == px).all(), (it, opts)
+
+
+def test_vp8l_all_predictor_modes_and_palettes():
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    rng = np.random.RandomState(3)
+    for mode in range(14):
+        h, w = int(rng.randint(2, 10)), int(rng.randint(2, 10))
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        data = V.encode_webp(px, predictor=mode)
+        assert (V.decode_webp_pixels(data) == px).all(), mode
+    # bundled palette widths (2/4/16 colors) and unbundled (>16)
+    for n in (2, 3, 4, 9, 16, 17, 256):
+        vals = (np.arange(n)[:, None] * np.array([13, 29, 47])
+                % 256).astype(np.uint8)
+        pick = rng.randint(0, n, (5, 13))
+        px = vals[pick]
+        data = V.encode_webp(px, palette=True)
+        assert (V.decode_webp_pixels(data) == px).all(), n
+
+
+def test_vp8l_meta_prefix_path():
+    """Handcrafted two-group meta-prefix stream: tiles alternate
+    between two prefix-code groups; the decoder must pick the group
+    per (x >> meta_bits, y >> meta_bits) from the entropy image."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    w = h = 8
+    meta_bits = 2                           # 4x4 tiles -> 2x2 meta
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 4, (h, w, 3)).astype(np.uint8) * 50
+    img = ((np.uint32(0xFF) << 24)
+           | (px[..., 0].astype(np.uint32) << 16)
+           | (px[..., 1].astype(np.uint32) << 8)
+           | px[..., 2].astype(np.uint32))
+    bw = V._BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                          # no transforms
+    bw.write(0, 1)                          # no color cache
+    bw.write(1, 1)                          # use meta prefix codes
+    bw.write(meta_bits - 2, 3)
+    # 2x2 meta image: group index in (red<<8)|green -> groups 0,1,1,0
+    meta_img = np.array([[0, 1 << 8], [1 << 8, 0]], np.uint32)
+    V._write_entropy_image(bw, meta_img, False, lz77=False)
+    # two groups, each a full 5-code set over the SAME histograms
+    flat = [int(v) for v in img.reshape(-1)]
+    hists = [np.zeros(V._GREEN_BASE, np.int64)] + \
+        [np.zeros(256, np.int64) for _ in range(3)] + \
+        [np.zeros(V._NUM_DIST_CODES, np.int64)]
+    for v in flat:
+        hists[0][(v >> 8) & 0xFF] += 1
+        hists[1][(v >> 16) & 0xFF] += 1
+        hists[2][v & 0xFF] += 1
+        hists[3][(v >> 24) & 0xFF] += 1
+    hists[4][0] = 1                         # dummy distance code
+    groups = []
+    for _ in range(2):
+        codes = []
+        for hist in hists:
+            lengths = V._code_lengths_from_histogram(hist)
+            V._write_prefix_code(bw, lengths)
+            codes.append(V._PrefixCode(lengths))
+        groups.append(codes)
+    meta_lookup = ((meta_img >> 8) & 0xFFFF)
+    for pos, v in enumerate(flat):
+        y, x = divmod(pos, w)
+        g = groups[int(meta_lookup[y >> meta_bits, x >> meta_bits])]
+        V._write_symbol(bw, g[0], (v >> 8) & 0xFF)
+        V._write_symbol(bw, g[1], (v >> 16) & 0xFF)
+        V._write_symbol(bw, g[2], v & 0xFF)
+        V._write_symbol(bw, g[3], (v >> 24) & 0xFF)
+    argb = V.decode_vp8l(b"\x2f" + bw.bytes())
+    assert (argb == img).all()
+
+
+def test_vp8l_guards_and_container():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import multimodal as M
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    good = V.encode_webp(px)
+    # truncation raises, never hangs
+    for cut in (4, 11, 20, len(good) - 1):
+        with _pytest.raises(ValueError):
+            V.decode_webp_pixels(good[:cut])
+    # lossy VP8 chunk raises -> dispatcher degrades to the stub
+    lossy = (b"RIFF" + _struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + _struct.pack("<I", 0))
+    with _pytest.raises(ValueError, match="lossy"):
+        V.decode_webp_pixels(lossy)
+    assert M.decode_image("image", lossy) == M.decode_stub(
+        "image", lossy)
+    # native path reaches the dispatcher
+    want = [2.0, 2.0, 0.0, 0.0, 0.0, 0.0]
+    assert M.decode_image("image", good) == want
+    # bomb ceiling from the header, before any entropy work
+    bw = V._BitWriter()
+    bw.write(0x3FFF, 14)
+    bw.write(0x3FFF, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with _pytest.raises(ValueError, match="MAX_DECODED"):
+        V.decode_vp8l(b"\x2f" + bw.bytes())
+
+
+def test_webp_synth_closed_forms_all_variants():
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    for seed in range(25):
+        px = V.decode_webp_pixels(V.synth_webp(seed))
+        w = 4 + seed % 8
+        h = 2 + seed % 5
+        r0, g0, b0 = seed % 200, (seed * 3) % 200, (seed * 7) % 200
+        want = np.stack(
+            [np.broadcast_to(
+                np.array([c0 + y for y in range(h)])[:, None], (h, w))
+             for c0 in (r0, g0, b0)], -1)
+        assert px.shape == (h, w, 3) and (px == want).all(), seed

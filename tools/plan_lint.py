@@ -42,6 +42,7 @@ PYTHON_KERNEL_OK = {
     "multimodal_decode_png", "multimodal_decode_jpeg",
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_gif", "multimodal_decode_gif_animated",
+    "multimodal_decode_webp",
     "multimodal_decode_y4m",
     "multimodal_meta_mp3", "multimodal_meta_mp4",
     "multimodal_resize", "multimodal_frame_features",
