@@ -2729,6 +2729,27 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 9: signature store relocated to the per-user 0700 cache
     # (ADVICE r8, pipeline/storecache.py)
     "dedup_incremental_against_store",
+    # round 9: ann_against_store_fn gained atexit cleanup of the
+    # per-process store parent (ADVICE r8)
+    "ann_against_store",
+    # round 9 NEW entries (never checked; pinned for explicitness —
+    # the least-recently-checked sort would front them anyway)
+    "ann_store_probe", "curation_against_store", "corpus_drift",
+    "multimodal_decode_gif_animated", "multimodal_decode_webp",
+    # round 9: the shared multimodal plumbing changed — decode_image
+    # gained the native-WEBP branch, synth_media the
+    # gif_animated/webp formats, sample_frames the native
+    # animated-GIF dispatch.  Per the revised policy, EVERY entry
+    # routed through a changed function is pinned even when its own
+    # format's branch is behaviorally untouched — changed code is
+    # always officially re-checked (VERDICT r8 ask 1).
+    "multimodal_features", "multimodal_decode_wav",
+    "multimodal_decode_bmp", "multimodal_decode_png",
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",
+    "multimodal_meta_mp4", "multimodal_decode_gif",
+    "multimodal_decode_ppm", "multimodal_resize",
+    "multimodal_frame_features", "multimodal_decode_y4m",
+    "multimodal_pixel_dedup",
 ]
 
 
