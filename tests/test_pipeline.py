@@ -1266,7 +1266,7 @@ def test_media_meta_dispatch_and_degrade(spark):
     from harbourbridge_spark.pipeline import mediameta as M
     from harbourbridge_spark.pipeline.multimodal import (decode_audio,
                                                          decode_video)
-    assert len(decode_audio("audio", M.synth_mp3(3))) == 5
+    assert len(decode_audio("audio", M.synth_mp3(3))) == 6
     assert len(decode_video("video", M.synth_mp4(3))) == 6
     assert len(decode_audio("audio", b"ID3\x04\x00\x00\x00\x00\x00\x02xx")) == 8
     assert len(decode_video("video", b"\x00\x00\x00\x08ftypcorrupt")) == 8
@@ -2024,8 +2024,16 @@ def test_ann_store_probe_reuses_cached_index(spark):
     r1 = S.ann_store_probe_fn(
         spark, "/root/testdata/sf0.001").collect()
     root = SC._user_cache_root()
-    stores = [d for d in os.listdir(root) if d.startswith("annidx_")]
-    assert len(stores) == 1
+    # other fixture scales may legitimately hold their own stores
+    # (keep-3 policy): target THIS fixture's identity
+    import hashlib
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|10|{S.ANN_STORE_CELLS}".encode()).hexdigest()[:16]
+    stores = [f"annidx_{ident}"]
+    assert os.path.isdir(os.path.join(root, stores[0]))
     path = os.path.join(root, stores[0], "codes")
     mtimes = {f: os.stat(os.path.join(path, f)).st_mtime_ns
               for f in os.listdir(path)}
