@@ -1392,6 +1392,111 @@ def winnow_pairs_fn(spark, sf_dir: str):
     """)
 
 
+def _winnow_df_bucket_expr() -> tuple[str, int]:
+    """Integer log2 CASE ladder over fingerprint document frequency
+    (the surprisal rarity-bucket trick: exact integer comparisons, no
+    cross-engine float log): bucket k = smallest k with df <= 2^k,
+    k in 0..log2(WINNOW_MAX_DF); anything beyond the cap lands in
+    bucket kmax+1 — exactly the fingerprints the df cap drops."""
+    kmax = WINNOW_MAX_DF.bit_length() - 1
+    ladder = " ".join(f"WHEN df <= {1 << k} THEN {k}"
+                      for k in range(kmax + 1))
+    return f"CASE {ladder} ELSE {kmax + 1} END", kmax
+
+
+_WINNOW_STATS_TAIL = """
+    dfreq AS (
+        SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp
+    )
+    SELECT CAST(df_bucket AS BIGINT) AS df_bucket,
+           CAST(MAX(df_le) AS BIGINT) AS df_le,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(df) AS BIGINT) AS fp_mass,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(MAX(dropped) AS BIGINT) AS dropped_by_cap
+    FROM (SELECT df, {bucket} AS df_bucket,
+                 CASE WHEN df <= {cap} THEN {cap_le} ELSE -1 END AS df_le,
+                 CASE WHEN df > {cap} THEN 1 ELSE 0 END AS dropped
+          FROM dfreq) _b
+    GROUP BY df_bucket
+"""
+
+
+def _winnow_stats_tail() -> str:
+    bucket, kmax = _winnow_df_bucket_expr()
+    # df_le per bucket is min(2^bucket, cap) — but since the bucket is
+    # already the group key, render it as a second ladder over df so
+    # the relation stays a single projection.
+    le_ladder = " ".join(f"WHEN df <= {1 << k} THEN {1 << k}"
+                         for k in range(kmax + 1))
+    return _WINNOW_STATS_TAIL.format(
+        bucket=bucket, cap=WINNOW_MAX_DF,
+        cap_le=f"CASE {le_ladder} END")
+
+
+def winnow_fp_stats_sql(engine: str) -> str:
+    """Winnowing cap observability (the lsh_bucket_stats analogue for
+    the span-overlap family): fingerprint document-frequency
+    distribution as an integer log2 histogram — per bucket the
+    fingerprint count, total posting mass, max df, the bucket's upper
+    bound (df_le; -1 for the over-cap bucket), and whether the
+    WINNOW_MAX_DF cap drops it from the pair join.  At 100 TB this is
+    the query run to tune the boilerplate cap before dedup: the
+    over-cap bucket's fp_mass is exactly the posting volume the cap
+    saves the join, and a fat tail just under the cap says the cap is
+    too high.  Single grouped aggregation over the fingerprint
+    relation; no pair join."""
+    gh = _winnow_gram_hashes(engine)
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), ghs AS (
+        SELECT doc_id, {gh} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {WINNOW_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), {_winnow_tail_sql()},
+    {_winnow_stats_tail()}
+    """
+    return render(t, engine)
+
+
+def winnow_fp_stats_fn(spark, sf_dir: str):
+    """Spark strategy for winnow_fp_stats: same histogram, gram
+    hashes via posexplode + window LEADs (the winnow_pairs_fn kernel —
+    one (doc_id, pos) sort, no per-row array build).  Single consumer
+    chain, so nothing is checkpointed; the fp shuffle key is the
+    8-byte hash, never text."""
+    from .text import render as _render
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w"
+                      for j in range(1, WINNOW_K))
+    return spark.sql(f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok)
+        FROM documents WHERE text IS NOT NULL
+    ), g0 AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {WINNOW_K - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), g AS (
+        -- posexplode positions are 0-based; the shared tail assumes
+        -- the template's 1-based positions (winnow_pairs_fn note)
+        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+        FROM g0 WHERE tlast IS NOT NULL
+    ), {_winnow_tail_sql()},
+    {_winnow_stats_tail()}
+    """)
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------

@@ -1799,6 +1799,14 @@ _register_template(
     "word uni+bigrams -> hashing-trick integer weights -> mean score "
     "+ logistic squash; pure single-pass projection, integer keep "
     "decision, no shuffle/UDF — the trained-weight deployment shape")
+REGISTRY["winnow_fp_stats"] = QuerySpec(
+    _dedup.winnow_fp_stats_fn,
+    _dedup.winnow_fp_stats_sql("duckdb"),
+    "Winnowing cap observability (lsh_bucket_stats analogue): "
+    "fingerprint document-frequency distribution as an integer log2 "
+    "histogram — per bucket fp count, posting mass, max df, and "
+    "whether the WINNOW_MAX_DF boilerplate cap drops it; the query "
+    "run to tune the cap before the span-overlap pair join")
 REGISTRY["dedup_winnow_pairs"] = QuerySpec(
     _dedup.winnow_pairs_fn,
     _dedup.winnow_pairs_sql("duckdb"),
@@ -2736,6 +2744,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # the least-recently-checked sort would front them anyway)
     "ann_store_probe", "curation_against_store", "corpus_drift",
     "multimodal_decode_gif_animated", "multimodal_decode_webp",
+    "winnow_fp_stats",
     # round 9: the shared multimodal plumbing changed — decode_image
     # gained the native-WEBP branch, synth_media the
     # gif_animated/webp formats, sample_frames the native
