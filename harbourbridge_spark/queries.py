@@ -2727,6 +2727,13 @@ def q_event_second_boundaries(spark: SparkSession,
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 10: the r9 red row — mean_quality/dup_frac moved to exact
+    # integer micro-unit half-up arithmetic (VERDICT r9 ask 1;
+    # curation.py corpus_drift_sql)
+    "corpus_drift",
+]
+
+_CHANGED_ROUND_9: list[str] = [
     # round 9: outside both the r7 and r8 windows (module was
     # byte-identical all round 8, but the official gate never saw it
     # — VERDICT r8 ask 1 names it first)

@@ -4,11 +4,18 @@ __spark_entry__.queries() against its oracle_sql() via DuckDB at sf0.01
 and compare row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [name ...]
+Env:   CHECK_SHUFFLE_PARTITIONS=N (default 16) — run at a second
+       partitioning to smoke out order-dependent float aggregation.
+       CHECK_SF_DIR=/path (default /root/testdata/sf0.01).
+
+The comparison itself lives in harbourbridge_spark.oraclecheck and is
+shared with tests/test_oracle_gate.py (the in-CI gate), so tool and CI
+cannot drift apart.
 """
 
 from __future__ import annotations
 
-import math
+import os
 import sys
 import time
 
@@ -17,42 +24,25 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
+from harbourbridge_spark.oraclecheck import (  # noqa: E402
+    compare_entry, register_views)
 
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
-
-
-def canon(df) -> list[tuple]:
-    """Sort columns by name, canonicalize values, sort rows."""
-    cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    vals.append(f"{v:.10g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> int:
+    # CHECK_SHUFFLE_PARTITIONS lets the gate run at two different
+    # partitionings (VERDICT r9 ask 1): order-dependent float
+    # aggregation shows up as a hash flip between settings.
+    nshuf = os.environ.get("CHECK_SHUFFLE_PARTITIONS", "16")
     spark = (SparkSession.builder.master("local[16]")
              .appName("oracle-check")
-             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.sql.shuffle.partitions", nshuf)
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    register_views(con, SF_DIR)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -63,38 +53,16 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            failed.append(name)
-            continue
-        if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
-            continue
-        try:
-            odf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failed.append(name)
-            continue
-        ok = True
-        if sorted(sdf.columns) != sorted(odf.columns):
-            print(f"FAIL  {name}: columns differ: spark={sorted(sdf.columns)} "
-                  f"duckdb={sorted(odf.columns)}")
-            ok = False
-        elif len(sdf) != len(odf):
-            print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
-            ok = False
-        else:
-            a, b = canon(sdf), canon(odf)
-            if a != b:
-                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                print(f"FAIL  {name}: values differ; first diffs: {diffs}")
-                ok = False
+            ok, detail = compare_entry(spark, con, name, fn,
+                                       oracles.get(name), SF_DIR)
+        except Exception as e:  # noqa: BLE001 — gate tool reports all
+            ok, detail = False, f"error: {e}"
+        dt = time.time() - t0
         if ok:
-            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            tag = "rows " if name not in oracles else "OK   "
+            print(f"{tag} {name}: {detail} [{dt:.1f}s]")
         else:
+            print(f"FAIL  {name}: {detail}")
             failed.append(name)
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     spark.stop()
