@@ -577,7 +577,16 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
     groupBy-sum of old store + batch increments; boiler_grams keeps
     only rows at/above the DF floor, with sub-floor counts NOT
     retained (a gram must re-earn the floor within a merge window —
-    the bounded-state tradeoff, documented)."""
+    the bounded-state tradeoff, documented).
+
+    Consequence bound (pinned by
+    tests/test_pipeline.py::test_curation_store_3batch_chain_drift_bound):
+    scoring a later batch against a store appended from batches 1-2
+    vs a from-scratch store over 1+2, every output column is exactly
+    equal EXCEPT the boiler pair, whose drift is one-sided
+    (incremental retains a subset of ref's boiler grams, so
+    n_boiler_grams_inc <= ref) and bounded at <= 0.10 absolute
+    boiler_frac per document on the test corpus."""
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     docs_df.createOrReplaceTempView("__cur_app_in")
     toks = render(TOKENS, "spark")
@@ -625,7 +634,13 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
                  SELECT CAST(SUM(n) AS BIGINT) FROM __cur_app_vinc""") \
         .groupBy().sum("t").selectExpr("CAST(`sum(t)` AS BIGINT) AS t") \
         .write.mode("overwrite").parquet(f"{store_path}/totals")
-    # new eval grams (batch docs on the eval residue)
+    # new eval grams (batch docs on the eval residue) — merged with
+    # the existing store via DISTINCT-union + overwrite, like
+    # boiler_grams/vocab: a bare mode('append') deduplicated only
+    # within the batch, so a gram seen in several appended batches
+    # (or already stored) got duplicate rows and the ev join in
+    # _against_store_tail multiplied matches, inflating
+    # n_eval_grams (ADVICE r9)
     spark.sql(f"""
         SELECT DISTINCT gram FROM (
             SELECT explode(g) AS gram
@@ -633,7 +648,16 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
                   FROM (SELECT doc_id, {toks} AS tk FROM __cur_app_in)
                   _c WHERE doc_id % {CUR_EVAL_MOD} = 0
                      AND size(tk) >= 4) _g) _e
-    """).write.mode("append").parquet(f"{store_path}/eval_grams")
+    """).createOrReplaceTempView("__cur_app_ev_new")
+    eold = spark.read.parquet(f"{store_path}/eval_grams") \
+        .localCheckpoint()
+    eold.createOrReplaceTempView("__cur_app_ev_old")
+    emerged = spark.sql("""
+        SELECT DISTINCT gram FROM (
+            SELECT * FROM __cur_app_ev_old
+            UNION ALL SELECT * FROM __cur_app_ev_new) _u
+    """).localCheckpoint()
+    emerged.write.mode("overwrite").parquet(f"{store_path}/eval_grams")
 
 
 def curate_against_store(spark, store_path: str, batch_df):

@@ -234,10 +234,20 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         max_symbol = 2 + br.read(length_nbits)
         if max_symbol > alphabet_size:
             raise ValueError("max_symbol exceeds alphabet")
+    # max_symbol bounds the number of code-length SYMBOLS READ from
+    # the stream (RFC 9649 §5.2.2 / libwebp ReadHuffmanCodeLengths),
+    # NOT the number of slots filled: a repeat token 16/17/18 is one
+    # read but fills many slots.  libwebp emits the field whenever a
+    # code has long trailing zeros — i.e. for most real files — with
+    # max_symbol counting only the leading tokens, so treating it as
+    # a slot bound rejected spec-legal streams (ADVICE r9).
     lengths = [0] * alphabet_size
     prev_len = 8
     i = 0
-    while i < max_symbol:
+    while i < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
         sym = clc.decode(br)
         if sym < 16:
             lengths[i] = sym
@@ -246,9 +256,11 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
                 prev_len = sym
         elif sym == 16:
             rep = 3 + br.read(2)
+            # a run past the alphabet is a bitstream error, not a
+            # truncation (libwebp strictness; ADVICE r9)
+            if i + rep > alphabet_size:
+                raise ValueError("repeat run overflows alphabet")
             for _ in range(rep):
-                if i >= max_symbol:
-                    break
                 lengths[i] = prev_len
                 i += 1
         elif sym == 17:
@@ -494,9 +506,13 @@ def _predict(mode: int, left, top, topleft, topright) -> tuple:
         return tuple(min(255, max(0, lf + tp - tl))
                      for lf, tp, tl in zip(left, top, topleft))
     if mode == 13:                     # ClampAddSubtractHalf
+        # (a - tl) / 2 uses C division truncating toward ZERO
+        # (libwebp AddSubtractComponentHalf); Python floor division
+        # diverges for negative odd deltas (ADVICE r9)
         ave = tuple(_avg2(lf, tp) for lf, tp in zip(left, top))
-        return tuple(min(255, max(0, a + (a - tl) // 2))
-                     for a, tl in zip(ave, topleft))
+        return tuple(
+            min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
+            for a, tl in zip(ave, topleft) for d in (a - tl,))
     raise ValueError(f"bad predictor mode {mode}")
 
 

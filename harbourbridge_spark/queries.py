@@ -2731,6 +2731,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # integer micro-unit half-up arithmetic (VERDICT r9 ask 1;
     # curation.py corpus_drift_sql)
     "corpus_drift",
+    # round 10: vp8l decoder changed (ADVICE r9 — max_symbol read
+    # semantics, predictor-13 truncating division, repeat-overflow
+    # strictness); the webp entry routes through vp8l.decode
+    "multimodal_decode_webp",
 ]
 
 _CHANGED_ROUND_9: list[str] = [

@@ -2425,3 +2425,136 @@ def test_webp_synth_closed_forms_all_variants():
                 np.array([c0 + y for y in range(h)])[:, None], (h, w))
              for c0 in (r0, g0, b0)], -1)
         assert px.shape == (h, w, 3) and (px == want).all(), seed
+
+
+def _clc_stream_header(bw, clc_lens):
+    """Write the non-simple prefix-code header: num_codes + 3-bit
+    code-length-code lengths in _CLC_ORDER, covering every nonzero
+    slot."""
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    need = max(i for i, s in enumerate(V._CLC_ORDER) if clc_lens[s]) + 1
+    bw.write(0, 1)                          # not simple
+    bw.write(need - 4, 4)                   # num_codes
+    for i in range(need):
+        bw.write(clc_lens[V._CLC_ORDER[i]], 3)
+
+
+def test_vp8l_max_symbol_counts_reads_not_slots():
+    """RFC 9649: the optional max_symbol field bounds code-length
+    SYMBOLS READ, not slots filled — repeat tokens legally fill past
+    the countdown.  libwebp writes this field for most real files
+    (long trailing zeros), so the ADVICE r9 stream [lit-2, rep16]
+    with max_symbol=2 must decode to lengths [2,2,2,2]."""
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    clc_lens = [0] * 19
+    clc_lens[2] = 1                         # symbol "length 2"
+    clc_lens[16] = 1                        # repeat-previous
+    bw = V._BitWriter()
+    _clc_stream_header(bw, clc_lens)
+    bw.write(1, 1)                          # use max_symbol
+    bw.write(0, 3)                          # length_nbits = 2
+    bw.write(0, 2)                          # max_symbol = 2 + 0
+    # canonical 1-bit codes: sym2 -> 0, sym16 -> 1 (MSB-first walk)
+    bw.write(0, 1)                          # lit: length 2
+    bw.write(1, 1)                          # rep16
+    bw.write(0, 2)                          # repeat count = 3 + 0
+    code = V._read_prefix_code(V._BitReader(bw.bytes()), 4)
+    assert code.codes.keys() == {0, 1, 2, 3}
+    assert all(code.codes[s][0] == 2 for s in range(4))
+
+
+def test_vp8l_repeat_overflow_raises():
+    """A repeat-16 run extending past the alphabet is a bitstream
+    error (libwebp strictness), not a silent truncation."""
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    clc_lens = [0] * 19
+    clc_lens[2] = 1
+    clc_lens[16] = 1
+    bw = V._BitWriter()
+    _clc_stream_header(bw, clc_lens)
+    bw.write(0, 1)                          # no max_symbol field
+    bw.write(0, 1)                          # lit: length 2
+    bw.write(0, 1)                          # lit: length 2   (i=2)
+    bw.write(1, 1)                          # rep16
+    bw.write(0, 2)                          # repeat 3 -> i would be 5
+    with _pytest.raises(ValueError, match="overflows alphabet"):
+        V._read_prefix_code(V._BitReader(bw.bytes()), 4)
+
+
+def test_vp8l_predictor13_truncates_toward_zero():
+    """ClampAddSubtractHalf divides (ave - topleft) with C semantics
+    (truncate toward zero); Python floor division diverged for
+    negative odd deltas (ADVICE r9)."""
+    from harbourbridge_spark.pipeline import vp8l as V
+
+    # ave = 10, topleft = 13 -> d = -3: C gives 10 + (-1) = 9,
+    # floor division gave 10 + (-2) = 8
+    got = V._predict(13, (10,) * 4, (10,) * 4, (13,) * 4, (0,) * 4)
+    assert got == (9, 9, 9, 9)
+    # positive delta unchanged: ave = 13, tl = 10 -> 13 + 1 = 14
+    got = V._predict(13, (13,) * 4, (13,) * 4, (10,) * 4, (0,) * 4)
+    assert got == (14, 14, 14, 14)
+
+
+def test_curation_store_append_eval_grams_stay_distinct(spark, tmp_path):
+    """Appending batches whose eval grams overlap the store (here:
+    the same batch twice) must not create duplicate eval_gram rows —
+    a bare mode('append') did, and the ev join then multiplied
+    matches, inflating n_eval_grams (ADVICE r9)."""
+    from harbourbridge_spark.pipeline import curation as C
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where("doc_id % 10 < 5")
+    b = docs.where("doc_id % 10 >= 5 AND doc_id % 10 < 8")
+    store = str(tmp_path / "s_dup")
+    C.curation_store_write(spark, a, store)
+    C.curation_store_append(spark, store, b)
+    C.curation_store_append(spark, store, b)
+    ev = spark.read.parquet(f"{store}/eval_grams")
+    assert ev.count() == ev.distinct().count() > 0
+
+
+def test_curation_store_3batch_chain_drift_bound(spark, tmp_path):
+    """VERDICT r9 ask 6: batch 3 scored against a store appended from
+    batches 1-2 vs a from-scratch store over batches 1+2.  The ONLY
+    documented drift source is boiler grams whose sub-floor counts
+    were not retained across the merge (curation_store_append's
+    bounded-state tradeoff): incremental can only LOSE boiler grams,
+    never gain, so per-doc n_boiler_grams_inc <= ref and the
+    boiler_frac drift is one-sided.  Every other output column is
+    exactly equal (vocab/totals/eval merges are exact)."""
+    from harbourbridge_spark.pipeline import curation as C
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b1 = docs.where("doc_id % 12 < 4")
+    b2 = docs.where("doc_id % 12 >= 4 AND doc_id % 12 < 7")
+    b3 = docs.where("doc_id % 12 >= 7 AND doc_id % 12 < 10")
+    inc = str(tmp_path / "s3_inc")
+    ref = str(tmp_path / "s3_ref")
+    C.curation_store_write(spark, b1, inc)
+    C.curation_store_append(spark, inc, b2)
+    C.curation_store_write(spark, b1.unionByName(b2), ref)
+    got = {r.doc_id: r for r in
+           C.curate_against_store(spark, inc, b3).collect()}
+    want = {r.doc_id: r for r in
+            C.curate_against_store(spark, ref, b3).collect()}
+    assert got.keys() == want.keys() and got
+    exact_cols = ("n_tokens", "quality_score", "n_eval_grams",
+                  "contaminated", "n_grams5", "rarity_sum",
+                  "mean_rarity", "oov_rate")
+    max_drift = 0.0
+    for did, g in got.items():
+        w = want[did]
+        for c in exact_cols:
+            assert g[c] == w[c], (did, c, g[c], w[c])
+        # one-sided: incremental retains a subset of boiler grams
+        assert g.n_boiler_grams <= w.n_boiler_grams, did
+        max_drift = max(max_drift,
+                        float(w.boiler_frac) - float(g.boiler_frac))
+    # stated bound for the tradeoff note: <= 10% absolute per doc
+    assert max_drift <= 0.10, max_drift
