@@ -467,7 +467,7 @@ def _store_build_ctes(engine: str, corpus_src: str,
 
 def _against_store_tail(engine: str, batch_src: str, eval_src: str,
                         boiler_src: str, vocab_src: str,
-                        tot_src: str) -> str:
+                        tot_src: str, btk_src: str | None = None) -> str:
     """Batch-scoring statement over a batch relation plus the four
     store relations: per-doc quality (stateless), eval-gram
     contamination, boilerplate-gram fraction, and corpus-model rarity
@@ -475,7 +475,18 @@ def _against_store_tail(engine: str, batch_src: str, eval_src: str,
     stored vocab are OOV -> bucket 31).  Shared text between the
     Spark probe (store views over parquet) and the DuckDB oracle
     (store CTEs inline over the corpus split), so values are
-    bit-identical by construction."""
+    bit-identical by construction.
+
+    ``btk_src`` (Spark side): an optional PRE-TOKENIZED batch
+    relation (doc_id, tk) replacing the inline btk definition.  This
+    is load-bearing for performance, not cosmetics: with the inline
+    definition, Catalyst's CollapseProject + inferred join filters
+    inline the FULL ``split(trim(lower(text)))`` tokenization into
+    every ``tk[i+o]`` access of the gram lambda — re-tokenizing the
+    document once per gram index, O(len^2) per doc (measured 14.2 s
+    for the eval join on a 1000-doc sf0.1 batch vs 0.6 s
+    materialized).  DuckDB materializes CTEs, so the oracle keeps the
+    inline form; values are identical either way."""
     from .text import text_quality_sql
     toks = render(TOKENS, engine)
     g4 = _gram_expr(engine, 4)
@@ -484,9 +495,11 @@ def _against_store_tail(engine: str, batch_src: str, eval_src: str,
         "FROM documents", f"FROM {batch_src}")
     ladder = " ".join(f"WHEN v.n * {1 << k} >= tt.t THEN {k}"
                       for k in range(31))
+    btk_def = (f"SELECT doc_id, tk FROM {btk_src}" if btk_src
+               else f"SELECT doc_id, {toks} AS tk FROM {batch_src}")
     t = f"""
     q AS (SELECT doc_id, n_tokens, quality_score FROM ({quality}) _q),
-    btk AS (SELECT doc_id, {toks} AS tk FROM {batch_src}),
+    btk AS ({btk_def}),
     bg4 AS (
         SELECT doc_id, {{explode}}(g) AS gram
         FROM (SELECT doc_id, {g4} AS g FROM btk
@@ -670,15 +683,22 @@ def curate_against_store(spark, store_path: str, batch_df):
     Scale shape: quality is a batch projection; eval and boiler joins
     are broadcast-sized (grams that matter are tiny relative to any
     corpus); the vocab join is a hash join on token — all
-    batch-bound, nothing corpus-bound."""
+    batch-bound, nothing corpus-bound.  The batch is tokenized ONCE
+    into a localCheckpointed (doc_id, tk) relation feeding the three
+    gram/token consumers — see _against_store_tail's btk_src note for
+    why the inline form re-tokenized per gram (23x slower measured)."""
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     batch_df.createOrReplaceTempView("__curb_batch")
     for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
         spark.read.parquet(f"{store_path}/{name}") \
             .createOrReplaceTempView(f"__curs_{name}")
+    toks = render(TOKENS, "spark")
+    spark.sql(f"SELECT doc_id, {toks} AS tk FROM __curb_batch") \
+        .localCheckpoint().createOrReplaceTempView("__curb_btk")
     return spark.sql("WITH " + _against_store_tail(
         "spark", "__curb_batch", "__curs_eval_grams",
-        "__curs_boiler_grams", "__curs_vocab", "__curs_totals"))
+        "__curs_boiler_grams", "__curs_vocab", "__curs_totals",
+        btk_src="__curb_btk"))
 
 
 def curation_against_store_sql(engine: str = "duckdb",

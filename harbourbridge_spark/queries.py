@@ -2000,6 +2000,17 @@ REGISTRY["curation_against_store"] = QuerySpec(
     "rarity/OOV vs the corpus model — without reading one corpus "
     "byte; oracle recomputes the store statements as inline CTEs over "
     "the corpus split feeding the identical scoring tail")
+REGISTRY["curation_store_probe"] = QuerySpec(
+    lambda spark, sf_dir: _cur.curation_store_entry_fn(
+        spark, sf_dir, mod=100, res=98),
+    _cur.curation_against_store_sql("duckdb", mod=100, res=98),
+    "PROBE-ONLY curation store entry (VERDICT r9 ask 4, mirroring "
+    "ann_store_probe): a SMALL batch (2% of docs) is scored against "
+    "the persisted store built from the other 98% — the amortized "
+    "index-once/score-many operating shape, where the timed cost is "
+    "batch-bound (one tokenize pass + broadcast gram joins), while "
+    "curation_against_store times the production 80/20 split")
+
 REGISTRY["ann_store_probe"] = QuerySpec(
     _sim.ann_store_probe_fn,
     _sim.ann_against_store_sql("duckdb"),
@@ -2735,6 +2746,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # semantics, predictor-13 truncating division, repeat-overflow
     # strictness); the webp entry routes through vp8l.decode
     "multimodal_decode_webp",
+    # round 10: probe tail re-plumbed onto a once-materialized
+    # tokenization (the 14s-per-join Catalyst re-tokenization fix)
+    # + the new probe-only split entry (VERDICT r9 ask 4)
+    "curation_against_store", "curation_store_probe",
+    "corpus_curation_materialized",
 ]
 
 _CHANGED_ROUND_9: list[str] = [

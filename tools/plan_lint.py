@@ -86,6 +86,9 @@ TINY_CROSS_OK = {
     # 1-row stored corpus-token-total CROSS JOINed onto the batch
     # token stream for the rarity ladder
     "curation_against_store": 1,
+    # identical rarity-ladder CROSS JOIN in the probe-only split
+    # entry (2% batch vs 98%-corpus store)
+    "curation_store_probe": 1,
     # 1-row corpus-total / stage-summary relations
     "doc_surprisal": 1, "corpus_curation_materialized": 3,
     "dedup_pipeline_materialized": 2,
