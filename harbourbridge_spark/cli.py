@@ -97,8 +97,17 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
             else:
                 write_table(ctx, result.good, tgt,
                             os.path.join(out_dir, f"{tgt}.parquet"))
-        n_bad = write_bad_data(
-            result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
+        # the good write fired obs_all (total + bad counts in the
+        # SAME pass); only spend a second conversion scan collecting
+        # bad samples when there is something to sample — on a clean
+        # table this halves the per-table cost (r10 rehearsal cliff)
+        bad_total = (result.bad_count_from_good_pass()
+                     if target == "parquet" else None)
+        if bad_total == 0:
+            n_bad = 0
+        else:
+            n_bad = write_bad_data(
+                result.bad, os.path.join(out_dir, f"{tgt}.dropped.txt"))
         if wstats is not None:
             # foreachPartition is an RDD action — observations never
             # fire; take the counts from the writer's accumulators
@@ -118,10 +127,14 @@ def migrate_dump(spark: SparkSession, dump_path, dialect: str,
                     for row in wstats.dropped_samples or []:
                         f.write(repr(row) + "\n")
         else:
-            # observations populated by the writes above (A1/A8)
-            result.record_stats(ctx, src_table)
+            # observations populated by the writes above (A1/A8);
+            # bad_n comes from the good pass's obs_all — obs_bad may
+            # never fire when the bad-sample scan was skipped
+            result.record_stats(ctx, src_table, bad_n=bad_total)
         if n_bad == 0:
-            os.remove(os.path.join(out_dir, f"{tgt}.dropped.txt"))
+            dropped = os.path.join(out_dir, f"{tgt}.dropped.txt")
+            if os.path.exists(dropped):
+                os.remove(dropped)
 
     if meter is not None:
         meter.done()

@@ -463,6 +463,17 @@ class ConversionResult:
     bad: DataFrame      # source string columns + ERRS_COL (failing columns)
     obs_good: "object" = None   # pyspark Observation (A1/A8)
     obs_bad: "object" = None
+    obs_all: "object" = None    # pre-split totals: rows + bad_rows
+
+    def bad_count_from_good_pass(self) -> "Optional[int]":
+        """Bad-row count harvested from the observation the GOOD
+        write fired (obs_all sits above the split), so a sink can
+        learn whether it needs a bad-row pass at all without running
+        one.  None when no good action has run yet would block — the
+        caller must have acted on `good` first."""
+        if self.obs_all is None:
+            return None
+        return self.obs_all.get["bad_rows"] or 0
 
     def record_stats(self, ctx: MigrationContext, src_table: str,
                      good_n: "Optional[int]" = None,
@@ -504,7 +515,6 @@ def _assemble_result(ctx: MigrationContext, df: DataFrame,
     errs = F.filter(errs, lambda x: x.isNotNull())
     with_errs = df.withColumn(ERRS_COL, errs)
 
-    good = with_errs.where(F.size(ERRS_COL) == 0)
     bad = with_errs.where(F.size(ERRS_COL) > 0)
 
     cols = [p.expr.alias(p.target_col) for p in plans]
@@ -515,13 +525,28 @@ def _assemble_result(ctx: MigrationContext, df: DataFrame,
                 f"table {src_table}: synthetic key requires {SEQ_COL}")
         cols.append(
             F.expr(_bit_reverse_sql(SEQ_COL)).alias(synth.col))
-    good = good.select(*cols)
 
-    obs_good, obs_bad = Observation(), Observation()
-    good = good.observe(obs_good, F.count(F.lit(1)).alias("rows"))
+    obs_good, obs_bad, obs_all = Observation(), Observation(), \
+        Observation()
+    # obs_all sits ABOVE the good/bad split on the good rail: any
+    # action on `good` (the table write) reports BOTH the total and
+    # the bad-row count in that same single pass, so a clean table
+    # never pays a second full conversion scan just to learn it had
+    # zero bad rows (the r10 ingest-rehearsal cliff: the CLI ran the
+    # whole conversion twice per table).  Catalyst does not push the
+    # split filter through CollectMetrics, so the counts see every
+    # row.
+    good = (with_errs
+            .observe(obs_all, F.count(F.lit(1)).alias("rows"),
+                     F.sum((F.size(ERRS_COL) > 0).cast("long"))
+                     .alias("bad_rows"))
+            .where(F.size(ERRS_COL) == 0)
+            .select(*cols)
+            .observe(obs_good, F.count(F.lit(1)).alias("rows")))
     bad = bad.observe(obs_bad, F.count(F.lit(1)).alias("rows"))
     return ConversionResult(good=good, bad=bad,
-                            obs_good=obs_good, obs_bad=obs_bad)
+                            obs_good=obs_good, obs_bad=obs_bad,
+                            obs_all=obs_all)
 
 
 def convert_table(ctx: MigrationContext, df: DataFrame, src_table: str,

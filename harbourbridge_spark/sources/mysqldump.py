@@ -561,10 +561,24 @@ def _parse_index(ctx: MigrationContext, stmt: str) -> bool:
 # INSERT tokenizer (mysql escape rules) + re-split recovery (S12b)
 # ---------------------------------------------------------------------------
 
-_INSERT_RE = re.compile(
-    r"^INSERT\s+(?:IGNORE\s+)?INTO\s+(?P<table>`[^`]+`|[\w.]+)\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES?\s*(?P<values>.*?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL)
+_INSERT_HEAD_RE = re.compile(
+    r"INSERT\s+(?:IGNORE\s+)?INTO\s+(?P<table>`[^`]+`|[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES?\s*",
+    re.IGNORECASE)
+
+
+def _match_insert(s: str):
+    """(table, cols, values_text) or None — header-only match + body
+    slice, replacing the lazy ``.*?`` + anchored-tail regex that cost
+    O(len) engine steps per multi-MB extended INSERT (same fix as
+    pgdump._match_insert; profiled on the r10 ingest rehearsal)."""
+    m = _INSERT_HEAD_RE.match(s)
+    if not m:
+        return None
+    v = s[m.end():].rstrip()
+    if v.endswith(";"):
+        v = v[:-1].rstrip()
+    return m.group("table"), m.group("cols"), v
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0", "b": "\b",
             "Z": "\x1a", "\\": "\\", "'": "'", '"': '"', "%": "\\%",
@@ -763,14 +777,14 @@ def process_mysql_dump_schema(ctx: MigrationContext, stream: TextIO,
             if not _parse_index(ctx, s):
                 ctx.error_in_statement("CreateIndexStmt")
         elif up.startswith("INSERT"):
-            m = _INSERT_RE.match(s)
+            m = _match_insert(s)
             if m:
                 if count_rows:
-                    n = count_insert_tuples(m.group("values"))
+                    n = count_insert_tuples(m[2])
                     if n is None:
                         n = len(parse_insert_with_recovery(
-                            ctx, m.group("values")))
-                    ctx.stats_add_row(_clean(m.group("table")), n)
+                            ctx, m[2]))
+                    ctx.stats_add_row(_clean(m[0]), n)
                 ctx.data_statement("InsertStmt")
             else:
                 ctx.error_in_statement("InsertStmt")
@@ -808,17 +822,17 @@ def stage_mysql_dump_data(ctx: MigrationContext, stream: TextIO,
         s = _unwrap_conditional(stmt).strip()
         if not s.upper().startswith("INSERT"):
             continue
-        m = _INSERT_RE.match(s)
+        m = _match_insert(s)
         if not m:
             continue
-        table = _clean(m.group("table"))
+        table = _clean(m[0])
         schema_table = ctx.src_schema.get(table)
         if schema_table is None:
             ctx.unexpected(f"INSERT into unknown table {table}")
             continue
-        cols = ([_clean(c) for c in m.group("cols").split(",")]
-                if m.group("cols") else list(schema_table.col_names))
-        for vals in parse_insert_with_recovery(ctx, m.group("values")):
+        cols = ([_clean(c) for c in m[1].split(",")]
+                if m[1] else list(schema_table.col_names))
+        for vals in parse_insert_with_recovery(ctx, m[2]):
             by_col = dict(zip(cols, vals))
             ordered = [by_col.get(c) for c in schema_table.col_names]
             w.write_values(table, ordered)
@@ -1137,20 +1151,20 @@ def _tokenize_mysql_stmt(ev, schema_cols_by_table, ordinals, rec,
     s = _unwrap_conditional(ev[1]).strip()
     if not s.upper().startswith("INSERT"):
         return
-    m = _INSERT_RE.match(s)
+    m = _match_insert(s)
     if not m:
         return
-    table = _clean(m.group("table"))
+    table = _clean(m[0])
     known = table in schema_cols_by_table
     rng = rec.rng if hasattr(rec, "rng") else rec.ri
     if not known:
         rows.append((rec.path, rng, span_start, table, 0, ev[2], "u",
                      f"INSERT into unknown table {table}"))
     schema_cols = schema_cols_by_table.get(table)
-    cols = ([_clean(c) for c in m.group("cols").split(",")]
-            if m.group("cols") else schema_cols)
+    cols = ([_clean(c) for c in m[1].split(",")]
+            if m[1] else schema_cols)
     rctx = _RecoveryCtx()
-    tuples = parse_insert_with_recovery(rctx, m.group("values"))
+    tuples = parse_insert_with_recovery(rctx, m[2])
     if rctx.reparsed or rctx.unparsable:
         sr = span_rec.setdefault((span_start, table), [0, 0])
         sr[0] += rctx.reparsed

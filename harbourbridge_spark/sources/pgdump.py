@@ -83,9 +83,132 @@ class CopyBlock:
     cols: list[str]
     first_row_line: int
     rows: Iterator[str]  # raw tab-separated row lines (terminator excluded)
+    nrows: Optional[int] = None  # pre-counted (bulk schema pass); rows empty
 
 
-def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
+class _PushbackLines:
+    """Line iterator over a text stream that also supports bulk chunk
+    reads with pushback — the schema pass skips COPY bodies with
+    C-speed scans instead of per-line Python, then hands unconsumed
+    text back to line iteration.  readline() (not file iteration)
+    keeps the underlying buffer coherent across the mode switches."""
+
+    def __init__(self, stream: TextIO):
+        self.stream = stream
+        self.buffer = ""
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> str:
+        buf = self.buffer
+        if buf:
+            nl = buf.find("\n")
+            if nl >= 0:
+                self.buffer = buf[nl + 1:]
+                return buf[:nl + 1]
+            self.buffer = ""
+            line = buf + (self.stream.readline() or "")
+            if line:
+                return line
+            raise StopIteration
+        line = self.stream.readline()
+        if not line:
+            raise StopIteration
+        return line
+
+    def read_chunk(self, n: int) -> str:
+        if self.buffer:
+            out, self.buffer = self.buffer, ""
+            return out
+        return self.stream.read(n)
+
+    def pushback(self, text: str) -> None:
+        self.buffer = text + self.buffer
+
+
+def _copy_term_end(buf: str, k: int, eof: bool):
+    """If a COPY terminator line starts at ``k`` (a line start),
+    return the index just past it; ``"maybe"`` if more input could
+    still complete one; None if ``k`` starts a data row."""
+    if not buf.startswith("\\.", k):
+        return None
+    p = k + 2
+    if p == len(buf):
+        return p if eof else "maybe"
+    c = buf[p]
+    if c == "\n":
+        return p + 1
+    if c == "\r":
+        if p + 1 == len(buf):
+            return p + 1 if eof else "maybe"
+        if buf[p + 1] == "\n":
+            return p + 2
+    return None
+
+
+def _bulk_count_copy_rows(src: _PushbackLines) -> tuple[int, int]:
+    """Count COPY data rows up to the ``\\.`` terminator with chunked
+    C-speed scans (find/count), matching _read_copy_rows' line
+    semantics exactly (CRLF rows, unterminated-at-EOF blocks, rows
+    that merely START with ``\\.``).  Returns (n_rows,
+    lines_consumed); text after the terminator is pushed back."""
+    rows = 0
+    buf = ""
+    eof = False
+    while True:
+        if not eof:
+            chunk = src.read_chunk(1 << 20)
+            if chunk:
+                buf += chunk
+            else:
+                eof = True
+        # buf always begins at a line start
+        r = _copy_term_end(buf, 0, eof)
+        if r == "maybe":
+            continue
+        if r is not None:
+            src.pushback(buf[r:])
+            return rows, rows + 1
+        start, boundary = 0, -1
+        while True:
+            j = buf.find("\n\\.", start)
+            if j < 0:
+                break
+            r = _copy_term_end(buf, j + 1, eof)
+            if r == "maybe":
+                boundary = j + 1
+                break
+            if r is not None:
+                rows += buf.count("\n", 0, j + 1)
+                src.pushback(buf[r:])
+                return rows, rows + 1
+            start = j + 1
+        if boundary >= 0:
+            rows += buf.count("\n", 0, boundary)
+            buf = buf[boundary:]
+            continue
+        if eof:
+            # no terminator: every line (incl. a final partial) is a row
+            rows += buf.count("\n")
+            if buf and not buf.endswith("\n"):
+                rows += 1
+            return rows, rows
+        # keep the last partial line (it may be an incomplete row OR
+        # the start of a terminator split across the chunk boundary)
+        cut = buf.rfind("\n") + 1
+        rows += buf.count("\n", 0, cut)
+        buf = buf[cut:]
+
+
+# below this, the exact token scan is cheap enough that the count
+# checks aren't worth their own passes (tests lower it to force both
+# paths over the same input)
+_FAST_INSERT_MIN_LEN = 4096
+
+
+def _iter_statements(stream: TextIO, on_copy,
+                     copy_rows: bool = True) -> Iterator[Statement]:
     """Yield SQL statements from a pg_dump stream; COPY data blocks are
     handed to ``on_copy(CopyBlock)`` inline (they must be consumed
     before the iterator resumes).
@@ -96,12 +219,19 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
     postgres/pgdump_test.go "Multiple statements on one line"). CRLF
     dumps are normalized by stripping one trailing CR per line — the
     COPY terminator ``\\.\\r`` otherwise reads as a data row and every
-    last column gains a carriage return."""
+    last column gains a carriage return.
+
+    ``copy_rows=False`` (schema pass): COPY bodies are bulk-counted
+    with C-speed chunk scans instead of per-line Python — the blocks
+    arrive with ``nrows`` set and an empty ``rows`` iterator.  On a
+    COPY-format dump this takes pass 1 from per-row Python cost to
+    ~I/O speed (the r10 10 GB-rehearsal cliff)."""
     parts: list[str] = []
     start_line = 1
     st = _SqlScanState()
     lineno = 0
-    it = iter(stream)
+    src = _PushbackLines(stream) if not copy_rows else None
+    it = iter(src) if src is not None else iter(stream)
 
     def _read_copy_rows() -> Iterator[str]:
         nonlocal lineno
@@ -118,6 +248,7 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
         """A fresh statement segment that is a COPY header: hand the
         following data lines to on_copy. (pg format: data always starts
         on the next physical line, so the header ends its line.)"""
+        nonlocal lineno
         m = COPY_RE.match(segment.strip())
         if not m:
             return False
@@ -126,7 +257,14 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
         # always lists columns, hand-written dumps may not)
         cols = [_clean_name(c.strip()) for c in
                 (m.group("cols") or "").split(",") if c.strip()]
-        on_copy(CopyBlock(table, cols, lineno + 1, _read_copy_rows()))
+        if src is not None:
+            n, consumed = _bulk_count_copy_rows(src)
+            first = lineno + 1
+            lineno += consumed
+            on_copy(CopyBlock(table, cols, first, iter(()), nrows=n))
+        else:
+            on_copy(CopyBlock(table, cols, lineno + 1,
+                              _read_copy_rows()))
         return True
 
     for raw in it:
@@ -142,6 +280,32 @@ def _iter_statements(stream: TextIO, on_copy) -> Iterator[Statement]:
             if not st.in_squote and st.in_dollar is None \
                     and _try_copy(line):
                 continue
+            # FAST PATH for long extended-INSERT lines (the dominant
+            # bytes of --inserts dumps): pure C-speed count checks
+            # prove the whole line is ONE complete statement, skipping
+            # the per-token scan loop (~2000 Python-loop events per
+            # 1000-tuple line).  Proof sketch: with no dollar tags,
+            # comment openers, or backslash-quote sequences anywhere
+            # in the line, string regions are delimited purely by "'"
+            # chars ('' doubling adds 2), so an EVEN quote count means
+            # every string is terminated; the line's single ';' is its
+            # last non-ws char, and a ';' inside a string would need a
+            # closing quote after it — contradiction, so the ';' is
+            # top-level.  Any other shape (including false negatives
+            # like a "--" inside a value) falls through to the exact
+            # scanner — the fast path can only decline, never
+            # mis-split.
+            if not st.in_squote and st.in_dollar is None \
+                    and len(line) >= _FAST_INSERT_MIN_LEN \
+                    and line[:6].upper() == "INSERT" \
+                    and line.count(";") == 1 \
+                    and "$" not in line and "--" not in line \
+                    and "/*" not in line and "\\'" not in line \
+                    and line.count("'") % 2 == 0:
+                stmt_text = line.rstrip()
+                if stmt_text.endswith(";"):
+                    yield Statement(stmt_text, start_line)
+                    continue
         # scan for top-level semicolons, tracking quotes, dollar
         # quotes, and /* */ block comments; split statements mid-line
         # (delegated to the shared regex-token scanner — see
@@ -274,10 +438,29 @@ _INDEX_RE = re.compile(
 _SET_TZ_RE = re.compile(
     r"^SET\s+(?:TIME\s+ZONE|timezone\s*=)\s*(?P<val>[^;]+);?\s*$",
     re.IGNORECASE)
-_INSERT_RE = re.compile(
-    rf"^INSERT\s+INTO\s+(?P<table>{_NAME})\s*"
-    r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*(?P<values>.*?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL)
+_INSERT_HEAD_RE = re.compile(
+    rf"INSERT\s+INTO\s+(?P<table>{_NAME})\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*",
+    re.IGNORECASE)
+
+
+def _match_insert(s: str):
+    """(table, cols, values_text) of an INSERT statement, or None.
+    The old single regex captured the body with a LAZY ``.*?`` plus an
+    anchored ``\\s*;?\\s*$`` tail, which re-attempts the tail match at
+    every position — O(len) regex-engine steps over multi-MB extended
+    INSERTs (profiled ~45 MB/s on the r10 ingest rehearsal, and every
+    INSERT passes here twice across the two passes).  Matching the
+    HEADER only and slicing the body off is O(header); the slice
+    reproduces the old group semantics exactly (trailing whitespace
+    and one optional ';' stripped)."""
+    m = _INSERT_HEAD_RE.match(s)
+    if not m:
+        return None
+    v = s[m.end():].rstrip()
+    if v.endswith(";"):
+        v = v[:-1].rstrip()
+    return m.group("table"), m.group("cols"), v
 
 # column types that may appear in pg dumps, longest-match first; mirrors
 # the id set of toSpannerType (postgres/toddl.go:107-163)
@@ -748,13 +931,14 @@ def process_pg_dump_schema(ctx: MigrationContext,
     ctx.set_schema_mode()
 
     def on_copy(block: CopyBlock) -> None:
-        n = 0
-        for _ in block.rows:
-            n += 1
+        # copy_rows=False: the body was bulk-counted at chunk speed
+        n = block.nrows
+        if n is None:
+            n = sum(1 for _ in block.rows)
         ctx.stats_add_row(block.table, n)
         ctx.data_statement("CopyFrom")
 
-    for stmt in _iter_statements(stream, on_copy):
+    for stmt in _iter_statements(stream, on_copy, copy_rows=False):
         s = strip_sql_comments(stmt.text).strip()
         up = s.upper()
         if up.startswith("CREATE TABLE"):
@@ -773,11 +957,11 @@ def process_pg_dump_schema(ctx: MigrationContext,
             if not _parse_set(ctx, s):
                 ctx.skip_statement("VariableSetStmt")
         elif up.startswith("INSERT"):
-            m = _INSERT_RE.match(s)
+            m = _match_insert(s)
             if m:
-                table = _clean_name(m.group("table"))
+                table = _clean_name(m[0])
                 try:
-                    n_rows = _count_insert_tuples(m.group("values"))
+                    n_rows = _count_insert_tuples(m[2])
                 except ValueError as e:
                     # e.g. lone \\u surrogate, \\U beyond U+10FFFF —
                     # pg's own parser rejects the statement, so it
@@ -889,18 +1073,18 @@ def stage_pg_dump_data(ctx: MigrationContext, stream: TextIO,
         s = stmt.text.strip()
         if not s.upper().startswith("INSERT"):
             continue
-        m = _INSERT_RE.match(s)
+        m = _match_insert(s)
         if not m:
             continue
-        table = _clean_name(m.group("table"))
+        table = _clean_name(m[0])
         schema_table = ctx.src_schema.get(table)
         if schema_table is None:
             ctx.unexpected(f"INSERT into unknown table {table}")
             continue
-        cols = ([_clean_name(c) for c in m.group("cols").split(",")]
-                if m.group("cols") else list(schema_table.col_names))
+        cols = ([_clean_name(c) for c in m[1].split(",")]
+                if m[1] else list(schema_table.col_names))
         try:
-            tuples = _parse_insert_values(m.group("values"))
+            tuples = _parse_insert_values(m[2])
         except ValueError:
             # already counted as error_in_statement by the schema
             # pass; skip the statement (reference: pg_query parse
@@ -1689,18 +1873,18 @@ def _tokenize_stmt(ev, schema_cols_by_table: dict, ordinals: dict,
     s = ev[1].strip()
     if not s.upper().startswith("INSERT"):
         return
-    m = _INSERT_RE.match(s)
+    m = _match_insert(s)
     if not m:
         return
-    table = _clean_name(m.group("table"))
+    table = _clean_name(m[0])
     if table not in schema_cols_by_table:
         emit_unknown(ev[2], f"INSERT into unknown table {table}")
         return
     schema_cols = schema_cols_by_table[table]
-    cols = ([_clean_name(c) for c in m.group("cols").split(",")]
-            if m.group("cols") else schema_cols)
+    cols = ([_clean_name(c) for c in m[1].split(",")]
+            if m[1] else schema_cols)
     try:
-        tuples = _parse_insert_values(m.group("values"))
+        tuples = _parse_insert_values(m[2])
     except ValueError:
         return          # statement-level skip, staged-pass parity
     for vals in tuples:

@@ -341,3 +341,87 @@ def test_fk_name_legalization_collision_matches_reference():
         [("A_fk_test_2", ["d"], "test"),
          ("A_fk_test_2_4", ["c"], "test3")]
     assert t2.pk_cols() == ["synth_id"]
+
+
+def test_fast_insert_line_path_differential():
+    """The count-check fast path for long INSERT lines must yield
+    statement streams IDENTICAL to the exact token scanner — over
+    adversarial contents (';' and '--' and quotes inside values,
+    '' doubling, E-strings with backslash-quotes, dollar quotes,
+    multi-statement lines).  The threshold is dropped to 0 so every
+    line is OFFERED to the fast path; lines it declines take the
+    exact scanner, and the combined output must equal the
+    all-exact-scanner run."""
+    import io
+
+    from harbourbridge_spark.sources import pgdump as P
+
+    lines = [
+        "INSERT INTO t VALUES (1, 'plain'), (2, 'x');",
+        "INSERT INTO t VALUES (1, 'semi;colon'), (2, 'a');",
+        "INSERT INTO t VALUES (1, 'it''s'), (2, 'b');",
+        "INSERT INTO t VALUES (1, E'esc\\'aped'), (2, 'c');",
+        "INSERT INTO t VALUES (1, 'dash--dash'), (2, 'd');",
+        "INSERT INTO t VALUES (1, 'sl/*ash*/'), (2, 'e');",
+        "INSERT INTO t VALUES (1, $tag$dollar;$tag$), (2, 'f');",
+        "INSERT INTO t VALUES (1, 'x'); INSERT INTO t VALUES (2, 'y');",
+        "INSERT INTO t VALUES (1, 'no-semi'),",
+        "(2, 'continued');",
+        "INSERT INTO t VALUES (3, 'i18n '';'' déjà');",
+        "INSERT INTO t VALUES (4, 'backslash \\\\ inside');",
+    ]
+    dump = "\n".join(lines) + "\n"
+
+    def collect():
+        out = []
+        for stmt in P._iter_statements(io.StringIO(dump),
+                                       lambda b: None):
+            out.append((stmt.text, stmt.line))
+        return out
+
+    old = P._FAST_INSERT_MIN_LEN
+    try:
+        P._FAST_INSERT_MIN_LEN = 1 << 60      # never: exact only
+        exact = collect()
+        P._FAST_INSERT_MIN_LEN = 0            # always offered
+        fast = collect()
+    finally:
+        P._FAST_INSERT_MIN_LEN = old
+    assert fast == exact
+    # sanity: the suite exercises real statements
+    assert sum("INSERT" in s for s, _ in exact) >= 10
+
+
+def test_bulk_copy_count_matches_line_iteration():
+    """Schema-pass bulk COPY counting must equal per-line counting on
+    every edge: CRLF rows, rows that START with '\\.', unterminated
+    blocks at EOF, empty blocks, terminators straddling the 1 MiB
+    chunk boundary."""
+    import io
+
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources import pgdump as P
+
+    def schema_rows(dump: str) -> dict:
+        ctx = MigrationContext()
+        P.process_pg_dump_schema(ctx, io.StringIO(dump))
+        return {t: s.rows for t, s in ctx.table_stats.items() if s.rows}
+
+    hdr = "CREATE TABLE public.t (a integer, PRIMARY KEY (a));\n"
+    cp = "COPY public.t (a) FROM stdin;\n"
+    # plain, CRLF, row starting with \., empty, unterminated-at-EOF
+    assert schema_rows(hdr + cp + "1\n2\n3\n\\.\n") == {"t": 3}
+    assert schema_rows(hdr + cp + "1\r\n2\r\n\\.\r\n") == {"t": 2}
+    assert schema_rows(hdr + cp + "\\.x\n\\.y\n\\.\n") == {"t": 2}
+    assert schema_rows(hdr + cp + "\\.\n") == {}
+    assert schema_rows(hdr + cp + "1\n2\n") == {"t": 2}
+    assert schema_rows(hdr + cp + "1\n2") == {"t": 2}
+    # terminator split across the bulk-read chunk boundary
+    big = "x" * ((1 << 20) - len(hdr + cp) - 2) + "\n"
+    assert schema_rows(hdr + cp + big + "\\.\n") == {"t": 1}
+    # statements AFTER the block still parse (pushback correctness)
+    dump = (hdr + cp + "1\n2\n\\.\n"
+            + "CREATE TABLE public.u (b integer, PRIMARY KEY (b));\n"
+            + "COPY public.u (b) FROM stdin;\n9\n\\.\n")
+    got = schema_rows(dump)
+    assert got == {"t": 2, "u": 1}
