@@ -536,9 +536,11 @@ def synth_ppm(seed: int) -> bytes:
 
 def decode_audio(kind: str, content: bytes) -> list[float]:
     """Audio dispatch: real WAV decode when the bytes are a RIFF/WAVE
-    container; MP3 frame-header metadata walk (duration/rate/channels/
-    bitrate — sample decode would need librosa) on an ID3v2 tag or
-    MPEG frame sync; sha-stub otherwise."""
+    container; real FLAC sample decode (native codec, MD5-verified)
+    on an fLaC marker; MP3 frame-header metadata walk (duration/rate/
+    channels/bitrate — sample decode needs normative Huffman tables
+    unavailable in-sandbox) on an ID3v2 tag or MPEG frame sync;
+    sha-stub otherwise."""
     if content is None:
         return []
     if content[:4] == b"RIFF":
@@ -548,6 +550,12 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
             # struct.error belt covers malformed headers the explicit
             # length guards miss — a corrupt file must degrade to the
             # stub, never fail the whole Spark job
+            pass
+    elif content[:4] == b"fLaC":
+        try:
+            from .flac import decode_flac
+            return decode_flac(content)
+        except (ValueError, struct.error, IndexError):
             pass
     elif content[:3] == b"ID3" or (len(content) >= 2
                                    and content[0] == 0xFF
@@ -876,6 +884,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     if kind == "audio" and fmt == "mp3":
         from .mediameta import synth_mp3
         synth, mime = synth_mp3, "audio/mpeg"
+    elif kind == "audio" and fmt == "flac":
+        from .flac import synth_flac
+        synth, mime = synth_flac, "audio/flac"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":

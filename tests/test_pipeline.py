@@ -2558,3 +2558,219 @@ def test_curation_store_3batch_chain_drift_bound(spark, tmp_path):
                         float(w.boiler_frac) - float(g.boiler_frac))
     # stated bound for the tradeoff note: <= 10% absolute per doc
     assert max_drift <= 0.10, max_drift
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec (round 10)
+# ---------------------------------------------------------------------------
+
+def _flac_single_frame(write_subframes, n, rate=8000, channels=1,
+                       bps=16, md5=b"\x00" * 16, ch_code=None):
+    """Hand-built one-frame FLAC stream: STREAMINFO + frame shell
+    around a caller-provided subframe writer (drives decoder paths
+    the repo encoder never emits: LPC, wasted bits, escapes)."""
+    import struct
+
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    si = Fl._BitWriter()
+    si.write(n, 16); si.write(n, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(channels - 1, 3)
+    si.write(bps - 1, 5); si.write(n, 36)
+    si.align()
+    head = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + si.bytes() + md5)
+
+    bw = Fl._BitWriter()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4)                    # 16-bit blocksize-1 field
+    bw.write(0, 4)                    # rate from STREAMINFO
+    bw.write(channels - 1 if ch_code is None else ch_code, 4)
+    bw.write(0, 3); bw.write(0, 1)
+    Fl._write_coded_number(bw, 0)
+    bw.write(n - 1, 16)
+    bw.align()
+    hdr = bw.bytes()
+    hdr += bytes([Fl.crc8(hdr)])
+    body = Fl._BitWriter()
+    write_subframes(body)
+    body.align()
+    frame = hdr + body.bytes()
+    frame += struct.pack(">H", Fl.crc16(frame))
+    return head + frame
+
+
+def test_flac_roundtrip_fuzz_all_modes():
+    """Random mono/stereo signals at 8/16/24 bit through the encoder
+    (which rotates all four stereo assignments and partition orders)
+    must decode sample-exact, with the in-stream MD5 verifying."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    rng = np.random.RandomState(5)
+    for it in range(12):
+        channels = 1 + it % 2
+        bps = (8, 16, 24)[it % 3]
+        lim = 1 << (bps - 1)
+        n = int(rng.randint(1, 2000))
+        sig = rng.randint(-lim, lim, (channels, n))
+        # mix smooth + noise segments so different fixed orders win
+        if n > 50:
+            t = np.arange(n)
+            sig[0] = np.clip((lim // 2 * np.sin(t / 9)).astype(int),
+                             -lim, lim - 1)
+        data = Fl.encode_flac(sig, 44100, bps=bps, blocksize=192)
+        info, out = Fl.decode_flac_samples(data)
+        assert (out == sig).all(), (it, channels, bps, n)
+        assert info.total_samples == n
+
+
+def test_flac_lpc_subframe():
+    """LPC path via a hand-built stream: warmup + quantized
+    coefficients + residuals computed by an INDEPENDENT recurrence in
+    the test; the decoder must reproduce the target exactly."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    rng = np.random.RandomState(11)
+    n, order, prec, shift = 64, 3, 12, 5
+    target = rng.randint(-20000, 20000, n).tolist()
+    coefs = [37, -81, 22]
+    resid = []
+    for i in range(order, n):
+        acc = sum(c * target[i - 1 - j] for j, c in enumerate(coefs))
+        resid.append(target[i] - (acc >> shift))
+
+    def subframes(bw):
+        bw.write(0, 1)
+        bw.write(32 + (order - 1), 6)     # LPC, order 3
+        bw.write(0, 1)                    # no wasted bits
+        for s in target[:order]:
+            bw.write(s & 0xFFFF, 16)
+        bw.write(prec - 1, 4)
+        bw.write(shift & 0x1F, 5)
+        for c in coefs:
+            bw.write(c & ((1 << prec) - 1), prec)
+        Fl._write_residual(bw, resid, 0, order, n)
+
+    data = _flac_single_frame(subframes, n)
+    _, out = Fl.decode_flac_samples(data)
+    assert out[0].tolist() == target
+
+
+def test_flac_wasted_bits_and_verbatim():
+    """Wasted-bits subframe (values sharing low zero bits are coded
+    narrower and shifted back) and VERBATIM both decode exactly."""
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    n = 16
+    target = [(i - 8) * 8 for i in range(n)]       # all multiples of 8
+
+    def wasted(bw):
+        bw.write(0, 1)
+        bw.write(1, 6)                    # VERBATIM
+        bw.write(1, 1)                    # wasted flag
+        bw.write_unary(2)                 # wasted = 2 + 1 = 3
+        for s in target:
+            bw.write((s >> 3) & 0x1FFF, 13)
+
+    data = _flac_single_frame(wasted, n)
+    _, out = Fl.decode_flac_samples(data)
+    assert out[0].tolist() == target
+
+
+def test_flac_escape_partition_and_constant():
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    n = 32
+    target = [12345] * n
+
+    def const(bw):
+        bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
+        bw.write(12345, 16)
+
+    data = _flac_single_frame(const, n)
+    _, out = Fl.decode_flac_samples(data)
+    assert out[0].tolist() == target
+
+    # escape partition: FIXED order 0 with raw 15-bit residuals
+    vals = [(i * 911) % 16000 - 8000 for i in range(n)]
+
+    def escape(bw):
+        bw.write(0, 1); bw.write(8, 6); bw.write(0, 1)
+        bw.write(0, 2)                    # rice method 0
+        bw.write(0, 4)                    # partition order 0
+        bw.write(0xF, 4)                  # escape
+        bw.write(15, 5)
+        for v in vals:
+            bw.write(v & 0x7FFF, 15)
+
+    data = _flac_single_frame(escape, n)
+    _, out = Fl.decode_flac_samples(data)
+    assert out[0].tolist() == vals
+
+
+def test_flac_crc_and_md5_reject_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    sig = np.arange(-500, 500, dtype=np.int64)
+    data = bytearray(Fl.encode_flac(sig[None, :], 8000))
+    Fl.decode_flac_samples(bytes(data))   # sanity: clean decodes
+    # flip one bit mid-frame: CRC-16 (or an upstream check) must trip
+    data[-40] ^= 0x10
+    with _pytest.raises(ValueError):
+        Fl.decode_flac_samples(bytes(data))
+    # corrupt the stored MD5: structure is intact, samples hash wrong
+    data = bytearray(Fl.encode_flac(sig[None, :], 8000))
+    md5_off = 8 + 18                      # fLaC + blockhdr + 18 bytes
+    data[md5_off] ^= 0xFF
+    with _pytest.raises(ValueError, match="MD5"):
+        Fl.decode_flac_samples(bytes(data))
+
+
+def test_flac_decode_ceiling():
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    def huge(bw):
+        pass
+
+    # STREAMINFO declaring more samples than the ceiling must refuse
+    # before any frame work
+    data = _flac_single_frame(huge, 16)
+    # patch total_samples field to 2^35 (bits 144..180 of STREAMINFO)
+    import numpy as np
+    del np
+    with _pytest.raises(ValueError, match="ceiling"):
+        from harbourbridge_spark.pipeline.limits import MAX_DECODED_BYTES
+        si = Fl.StreamInfo(16, 16, 8000, 1, 16,
+                           MAX_DECODED_BYTES, b"\x00" * 16)
+        # direct guard check via the decode path: craft header
+        bw = Fl._BitWriter()
+        bw.write(16, 16); bw.write(16, 16)
+        bw.write(0, 24); bw.write(0, 24)
+        bw.write(8000, 20); bw.write(0, 3); bw.write(15, 5)
+        bw.write((1 << 36) - 1, 36)
+        bw.align()
+        blob = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                + bw.bytes() + b"\x00" * 16)
+        Fl.decode_flac_samples(blob)
+
+
+def test_flac_feature_contract_matches_wav():
+    """decode_audio dispatch: the FLAC fixture's features equal the
+    WAV fixture's for the same seed (lossless + same synth wave)."""
+    from harbourbridge_spark.pipeline import flac as Fl
+    from harbourbridge_spark.pipeline import multimodal as M
+
+    for seed in (0, 3, 17, 255):
+        wav = M.decode_audio("audio", M.synth_wav(seed))
+        fl = M.decode_audio("audio", Fl.synth_flac(seed))
+        assert fl == wav, seed
