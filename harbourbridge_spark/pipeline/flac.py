@@ -701,3 +701,49 @@ def synth_flac(seed: int, rate: int = 8000) -> bytes:
     sig[1::2] = -amp
     # small blocksize exercises multi-frame streams at fixture scale
     return encode_flac(sig[None, :], rate, bps=16, blocksize=96)
+
+
+def synth_flac_tone(seed: int, rate: int = 8000) -> bytes:
+    """Square-wave TONE fixture with seed-controlled period for the
+    audio-analysis entry: period p = 2*(1 + seed%8) samples, c =
+    8 + seed%16 full cycles (n = p*c samples), amplitude
+    1 + (seed*53)%30000.  Closed forms: duration_ms = n/8 (exact
+    dyadic), zero-crossing count = 2c - 1, dominant rFFT bin = c
+    (square-wave harmonics fall off 1/k, so the fundamental is the
+    strict argmax) -> dominant_hz = c*rate/n = rate/p, and
+    rms = amp/32768 exactly."""
+    p = 2 * (1 + seed % 8)
+    c = 8 + seed % 16
+    amp = 1 + (seed * 53) % 30000
+    half = p // 2
+    cell = np.concatenate([np.full(half, amp, dtype=np.int64),
+                           np.full(half, -amp, dtype=np.int64)])
+    sig = np.tile(cell, c)
+    return encode_flac(sig[None, :], rate, bps=16, blocksize=128)
+
+
+def audio_analysis(content: bytes) -> list[float]:
+    """Sample-level DSP over a decoded FLAC stream (channel 0):
+    [duration_ms, zcr, dominant_hz, rms].  zcr = sign changes /
+    (n-1); dominant_hz = argmax |rFFT| * rate / n (bin 0 excluded so
+    DC offset never wins); rms normalized by 2^(bps-1).  This is the
+    entry point a training-data pipeline uses for audio quality
+    filtering — computed from REAL decoded samples, not header
+    metadata."""
+    info, samples = decode_flac_samples(content)
+    sig = samples[0].astype(np.float64)
+    n = sig.size
+    if n < 2:
+        return [n * 1000.0 / info.sample_rate, 0.0, 0.0, 0.0]
+    signs = np.sign(sig)
+    # zero samples adopt the previous sign (no phantom crossings)
+    for i in range(1, n):
+        if signs[i] == 0:
+            signs[i] = signs[i - 1]
+    zcr = float(np.sum(signs[1:] != signs[:-1])) / (n - 1)
+    mag = np.abs(np.fft.rfft(sig))
+    k = int(np.argmax(mag[1:])) + 1
+    dominant_hz = k * float(info.sample_rate) / n
+    norm = sig / (1 << (info.bits_per_sample - 1))
+    rms = float(np.sqrt(np.mean(norm * norm)))
+    return [n * 1000.0 / info.sample_rate, zcr, dominant_hz, rms]

@@ -887,6 +887,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "flac":
         from .flac import synth_flac
         synth, mime = synth_flac, "audio/flac"
+    elif kind == "audio" and fmt == "flac_tone":
+        from .flac import synth_flac_tone
+        synth, mime = synth_flac_tone, "audio/flac"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -965,6 +968,45 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_ANALYSIS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("dominant_hz", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Sample-level audio DSP (zero-crossing rate, dominant rFFT
+    frequency, RMS) over decoded FLAC streams — the quality-filter
+    features a training-data pipeline computes from REAL samples,
+    Arrow-batched like extract_features.  Non-FLAC / corrupt rows
+    yield nulls (quarantine convention)."""
+    from .flac import audio_analysis
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"], "duration_ms": [],
+                    "zcr": [], "dominant_hz": [], "rms": []}
+            for c in pdf["content"]:
+                try:
+                    d, z, f0, r = audio_analysis(c)
+                except (ValueError, struct.error, IndexError,
+                        TypeError):
+                    d = z = f0 = r = None
+                rows["duration_ms"].append(d)
+                rows["zcr"].append(z)
+                rows["dominant_hz"].append(f0)
+                rows["rms"].append(r)
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=AUDIO_ANALYSIS_SCHEMA)
 
 
 def repartition_for_media(media: DataFrame,

@@ -2147,6 +2147,36 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_analysis",
+    """
+    SELECT doc_id AS media_id,
+           ((2 * (1 + doc_id % 8)) * (8 + doc_id % 16)) / 8.0
+               AS duration_ms,
+           CAST(2 * (8 + doc_id % 16) - 1 AS DOUBLE)
+               / ((2 * (1 + doc_id % 8)) * (8 + doc_id % 16) - 1)
+               AS zcr,
+           CAST((8 + doc_id % 16) * 8000 AS DOUBLE)
+               / ((2 * (1 + doc_id % 8)) * (8 + doc_id % 16))
+               AS dominant_hz,
+           CAST(1 + (doc_id * 53) % 30000 AS DOUBLE) / 32768.0 AS rms
+    FROM documents
+    """,
+    "REAL audio ANALYSIS over decoded samples: per doc a square-wave "
+    "tone with seed-controlled period is FLAC-encoded, sample-decoded "
+    "(CRC+MD5 verified) and run through actual DSP — zero-crossing "
+    "rate and dominant rFFT frequency — not header metadata.  Closed "
+    "forms: p = 2*(1+seed%8) period, c = 8+seed%16 cycles, zcr = "
+    "(2c-1)/(pc-1), dominant_hz = 8000/p, rms = amp/32768 (all exact "
+    "IEEE: dyadic or single-division expressions on both engines)")
+def q_multimodal_audio_analysis(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import analyze_audio, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return analyze_audio(synth_media(ids, "audio", fmt="flac_tone"))
+
+
+@register(
     "multimodal_decode_wav",
     """
     SELECT doc_id AS media_id,
@@ -2784,11 +2814,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # + the new probe-only split entry (VERDICT r9 ask 4)
     "curation_against_store", "curation_store_probe",
     "corpus_curation_materialized",
-    # round 10: native FLAC codec (VERDICT r9 ask 7) — new entry,
+    # round 10: native FLAC codec (VERDICT r9 ask 7) — new entries,
     # plus the whole multimodal family re-pinned because the SHARED
     # plumbing changed (decode_audio gained the fLaC dispatch,
-    # synth_media the flac format; the r9 pin-policy precedent)
-    "multimodal_decode_flac",
+    # synth_media the flac/flac_tone formats; the r9 pin-policy
+    # precedent)
+    "multimodal_decode_flac", "multimodal_audio_analysis",
     "multimodal_features", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",

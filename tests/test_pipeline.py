@@ -2774,3 +2774,34 @@ def test_flac_feature_contract_matches_wav():
         wav = M.decode_audio("audio", M.synth_wav(seed))
         fl = M.decode_audio("audio", Fl.synth_flac(seed))
         assert fl == wav, seed
+
+
+def test_flac_tone_analysis_closed_forms():
+    """synth_flac_tone -> audio_analysis reproduces the documented
+    closed forms exactly (same IEEE expressions as the oracle)."""
+    from harbourbridge_spark.pipeline import flac as Fl
+
+    for seed in (0, 1, 5, 13, 77, 255, 499):
+        p = 2 * (1 + seed % 8)
+        c = 8 + seed % 16
+        n = p * c
+        amp = 1 + (seed * 53) % 30000
+        got = Fl.audio_analysis(Fl.synth_flac_tone(seed))
+        assert got == [n / 8.0, (2 * c - 1) / (n - 1.0),
+                       c * 8000.0 / n, amp / 32768.0], seed
+
+
+def test_analyze_audio_quarantines_non_flac(spark):
+    """analyze_audio yields nulls for corrupt / non-FLAC bytes and
+    real values for FLAC rows in the same batch."""
+    from harbourbridge_spark.pipeline import flac as Fl
+    from harbourbridge_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, analyze_audio)
+
+    rows = [(1, "audio", bytearray(Fl.synth_flac_tone(1)), None),
+            (2, "audio", bytearray(b"not flac at all"), None),
+            (3, "audio", None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in analyze_audio(media).collect()}
+    assert got[1].zcr is not None and got[1].rms is not None
+    assert got[2].zcr is None and got[3].rms is None

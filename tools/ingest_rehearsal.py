@@ -39,9 +39,12 @@ def _descendants(root_pid: int) -> list[int]:
             continue
         try:
             with open(f"/proc/{pid}/stat") as f:
-                parts = f.read().split()
-            kids.setdefault(int(parts[3]), []).append(int(pid))
-        except OSError:
+                stat = f.read()
+            # comm (field 2) may contain spaces/parens: fields after
+            # it start past the LAST ')'; ppid is the 2nd of those
+            ppid = int(stat.rsplit(")", 1)[1].split()[1])
+            kids.setdefault(ppid, []).append(int(pid))
+        except (OSError, IndexError, ValueError):
             continue
     out, stack = [], [root_pid]
     while stack:
