@@ -61,6 +61,11 @@ _SPATIAL_TYPES = ("geometry", "point", "linestring", "polygon",
 # handled at line level like before)
 _MY_TOKEN_RE = re.compile(r"['\"`;]|-- ")
 
+# below this, the exact token scan is cheap enough that the fast-line
+# count checks aren't worth their own passes (tests lower it to force
+# both paths over the same input; pgdump has its own twin constant)
+_FAST_INSERT_MIN_LEN = 4096
+
 
 class _MyScanState:
     __slots__ = ("in_squote", "in_dquote", "in_backtick")
@@ -163,6 +168,33 @@ def _iter_statements(stream: TextIO, ctx: MigrationContext) -> Iterator[str]:
                 continue
             if delimiter_mode:
                 continue
+            # FAST PATH for long extended-INSERT lines (pgdump's r10
+            # count-check idea, adapted to MySQL quoting): with no
+            # backslash, double quote, or comment opener anywhere,
+            # string/backtick regions are delimited purely by their
+            # quote chars.  Even backtick count + quote/';'-free
+            # BACKTICK interiors + even quote count OUTSIDE backticks
+            # + a single ';' as the line's last non-ws char together
+            # prove the line is one complete statement: any
+            # interleaving that would fool one parity (a backtick
+            # inside a string, a quote inside an identifier, an
+            # unterminated region hiding the ';') lands a forbidden
+            # char in some checked segment and ABSTAINS to the exact
+            # scanner — the fast path can decline, never mis-split.
+            if (len(line) >= _FAST_INSERT_MIN_LEN
+                    and line[:6].upper() == "INSERT"
+                    and "\\" not in line and '"' not in line
+                    and "-- " not in line
+                    and line.count(";") == 1):
+                stmt_text = line.rstrip()
+                if stmt_text.endswith(";") \
+                        and line.count("`") % 2 == 0:
+                    segs = line.split("`")
+                    if all("'" not in s and ";" not in s
+                           for s in segs[1::2]) \
+                            and "".join(segs[0::2]).count("'") % 2 == 0:
+                        yield stmt_text
+                        continue
         seg_start = 0
         comment_start = len(line)
         while True:
@@ -699,6 +731,7 @@ _MY_CLEAN_TUPLES_RE = re.compile(
 
 
 _MY_TUPLE_RE = re.compile(r"\(([^()'\"`]*)\)")
+_MY_EMPTY_TUPLE_RE = re.compile(r"\(\s*\)")
 
 
 def count_insert_tuples(values_text: str) -> Optional[int]:
@@ -714,8 +747,15 @@ def count_insert_tuples(values_text: str) -> Optional[int]:
     must match what the data pass actually writes (code-review r7)."""
     stripped = _MY_STRING_RE.sub("S", values_text)
     if _MY_CLEAN_TUPLES_RE.match(stripped):
-        return sum(1 for m in _MY_TUPLE_RE.finditer(stripped)
-                   if m.group(1).strip())
+        # clean shape = flat non-nested tuples, so count('(') IS the
+        # tuple count; subtract whitespace-only tuples, which the
+        # full parser drops (the per-tuple finditer sum was ~1M
+        # Python loop steps per MB — r10 profile)
+        n = stripped.count("(")
+        if _MY_EMPTY_TUPLE_RE.search(stripped):
+            n -= sum(1 for m in _MY_TUPLE_RE.finditer(stripped)
+                     if not m.group(1).strip())
+        return n
     return None
 
 

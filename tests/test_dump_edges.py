@@ -425,3 +425,57 @@ def test_bulk_copy_count_matches_line_iteration():
             + "COPY public.u (b) FROM stdin;\n9\n\\.\n")
     got = schema_rows(dump)
     assert got == {"t": 2, "u": 1}
+
+
+def test_mysql_fast_insert_line_path_differential():
+    """The MySQL fast-line path must yield statement streams
+    IDENTICAL to the exact token scanner over adversarial quoting:
+    backslash escapes, backticked identifiers with quotes/semicolons,
+    double-quoted strings, '--' comments, multi-statement lines,
+    unterminated strings continuing across lines."""
+    import io
+
+    from harbourbridge_spark.context import MigrationContext
+    from harbourbridge_spark.sources import mysqldump as M
+
+    lines = [
+        "INSERT INTO `t` VALUES (1, 'plain'), (2, 'x');",
+        "INSERT INTO `t` VALUES (1, 'semi;colon'), (2, 'a');",
+        "INSERT INTO `t` VALUES (1, 'it''s'), (2, 'b');",
+        "INSERT INTO `t` VALUES (1, 'esc\\'aped'), (2, 'c');",
+        "INSERT INTO `t` VALUES (1, 'back`tick'), (2, 'd');",
+        "INSERT INTO `we;rd` VALUES (1, 'e');",
+        "INSERT INTO `qu'ote` VALUES (1, 'f');",
+        'INSERT INTO `t` VALUES (1, "dquoted;"), (2, \'g\');',
+        "INSERT INTO `t` VALUES (1, 'dash -- dash'), (2, 'h');",
+        "INSERT INTO `t` VALUES (1, 'x'); INSERT INTO `t` VALUES (2, 'y');",
+        "INSERT INTO `t` VALUES (1, 'no-semi'),",
+        "(2, 'continued');",
+        "INSERT INTO `t` VALUES (3, 'a`x`b');",
+        "INSERT INTO `t` VALUES (4, 'open",
+        "still open; not a boundary');",
+    ]
+    dump = "\n".join(lines) + "\n"
+
+    def collect():
+        ctx = MigrationContext()
+        return list(M._iter_statements(io.StringIO(dump), ctx))
+
+    old = M._FAST_INSERT_MIN_LEN
+    try:
+        M._FAST_INSERT_MIN_LEN = 1 << 60
+        exact = collect()
+        M._FAST_INSERT_MIN_LEN = 0
+        fast = collect()
+    finally:
+        M._FAST_INSERT_MIN_LEN = old
+    assert fast == exact
+    assert sum("INSERT" in s for s in exact) >= 12
+
+
+def test_mysql_tuple_count_fast_path_empty_tuples():
+    from harbourbridge_spark.sources import mysqldump as M
+
+    assert M.count_insert_tuples("(1,'a'),(2,'b'),(3,'c')") == 3
+    assert M.count_insert_tuples("(),(1),( ),(2)") == 2
+    assert M.count_insert_tuples("(1,'(nested'),(2,')')") == 2
