@@ -1,0 +1,145 @@
+"""Continuous corpus ingest: the STREAMING twin of the persisted-store
+pipeline — new document batches arrive as files, and each micro-batch
+is quality-scored and near-dup-probed against the PERSISTED stores
+(curation store + MinHash signature store) with batch-sized work only,
+then admitted: clean docs' signatures append to the signature store so
+LATER micro-batches dedup against earlier ones.
+
+This closes the loop the r8/r9 verdicts called the right 100 TB shape
+("index once, score many"): the batch entries prove the amortized
+probe; this module runs it as a real ``StreamingQuery`` —
+``readStream`` file source -> ``foreachBatch`` -> store probe +
+append — i.e. the operational form a training-data pipeline actually
+deploys for continuous crawling.
+
+Semantics / scale notes:
+
+- ``foreachBatch`` is the right tool (not ``applyInPandasWithState``):
+  the dedup state is the PARQUET signature store, deliberately outside
+  Spark's streaming state store — it is shared with the batch
+  pipeline, survives checkpoint resets, and is queryable on its own.
+  In-engine state would duplicate it per-query.
+- Exactly-once: verdict output is idempotent per epoch (overwrite into
+  an ``epoch=N`` partition directory keyed by the foreachBatch
+  ``epoch_id``); on restart-and-replay the epoch is rewritten, not
+  duplicated.  The signature-store APPEND is at-least-once across
+  crash-replays — duplicate signatures only create extra dup-candidate
+  edges against the same doc_id, which the verdict's MIN/aggregate
+  semantics absorb (documented store contract;
+  pipeline/dedup.signature_store_write).
+- Per micro-batch the work is batch-bound: one signature job over the
+  new docs, one asymmetric band probe against bucketed store keys
+  (corpus-side MAX_BUCKET star-degrade), one batch-sized append.  The
+  corpus is never re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def document_stream(spark: SparkSession, docs_dir: str,
+                    max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source readStream over parquet document batches — the
+    arrival shape of a crawler dropping one parquet file per fetch
+    round.  ``maxFilesPerTrigger=1`` makes each file one micro-batch
+    (deterministic epochs for the tests; production raises it)."""
+    return (spark.readStream
+            .schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir))
+
+
+def streaming_incremental_dedup(stream: DataFrame, store_path: str,
+                                out_dir: str, checkpoint_dir: str,
+                                admit: bool = True):
+    """Continuous near-dup filtering: each micro-batch probes the
+    persisted MinHash signature store and (``admit=True``) appends its
+    clean docs' signatures, so epoch N+1 dedups against epochs <= N as
+    well as the original corpus.  Returns the started
+    ``StreamingQuery``; verdicts land under ``{out_dir}/epoch=K/``."""
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..pipeline.dedup import dedup_incremental_against_store
+        spark = batch_df.sparkSession
+        verdicts = dedup_incremental_against_store(
+            spark, store_path, batch_df, admit=admit)
+        # idempotent per-epoch sink: replay overwrites, never dups
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}")
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_corpus_admission(stream: DataFrame, sig_store: str,
+                               cur_store: str, out_dir: str,
+                               checkpoint_dir: str,
+                               max_boiler_frac: float = 0.5,
+                               require_clean_eval: bool = True):
+    """The full continuous-admission gate: per micro-batch, score
+    against the CURATION store (quality / eval-contamination /
+    boilerplate / rarity — zero corpus reads) AND probe the SIGNATURE
+    store for near-dups; emit one admission row per doc with the
+    rejection reason, append ONLY admitted docs' signatures to the
+    signature store, and fold them into the curation store's vocab/
+    gram aggregates (curation_store_append) so drift in later batches
+    is measured against the grown corpus.
+
+    Output schema per epoch: doc_id, quality_score, contaminated,
+    boiler_frac, dup_of (nullable), admitted (boolean), reason."""
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..pipeline.curation import (curate_against_store,
+                                         curation_store_append)
+        from ..pipeline.dedup import dedup_incremental_against_store
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        scores = curate_against_store(spark, cur_store, batch_df)
+        flagged = dedup_incremental_against_store(
+            spark, sig_store, batch_df, admit=False)
+        verdict = (scores.alias("s")
+                   .join(flagged.alias("d"), "doc_id", "left")
+                   .select(
+                       "doc_id", "quality_score", "contaminated",
+                       "boiler_frac", F.col("d.dup_of").alias("dup_of")))
+        reason = (F.when(F.col("contaminated") == 1,
+                         F.lit("eval_contaminated"))
+                  .when(F.col("boiler_frac") > max_boiler_frac,
+                        F.lit("boilerplate"))
+                  .when(F.col("dup_of").isNotNull(), F.lit("near_dup"))
+                  .otherwise(F.lit(None)))
+        if not require_clean_eval:
+            reason = (F.when(F.col("boiler_frac") > max_boiler_frac,
+                             F.lit("boilerplate"))
+                      .when(F.col("dup_of").isNotNull(),
+                            F.lit("near_dup"))
+                      .otherwise(F.lit(None)))
+        verdict = (verdict.withColumn("reason", reason)
+                   .withColumn("admitted", F.col("reason").isNull())
+                   .localCheckpoint())
+        verdict.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}")
+        admitted_ids = verdict.where("admitted").select("doc_id")
+        admitted = batch_df.join(admitted_ids, "doc_id")
+        # grow both stores with ONLY the admitted docs
+        from ..pipeline.dedup import signature_store_write
+        signature_store_write(spark, admitted, sig_store,
+                              mode="append")
+        curation_store_append(spark, cur_store, admitted)
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -2805,3 +2805,153 @@ def test_analyze_audio_quarantines_non_flac(spark):
     got = {r.media_id: r for r in analyze_audio(media).collect()}
     assert got[1].zcr is not None and got[1].rms is not None
     assert got[2].zcr is None and got[3].rms is None
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus ingest (round 10)
+# ---------------------------------------------------------------------------
+
+def test_streaming_incremental_dedup_e2e(spark, tmp_path):
+    """REAL StreamingQuery continuous dedup: micro-batch epochs probe
+    the persisted signature store; admitted epochs' signatures append,
+    so epoch 2 docs that duplicate EPOCH-1 docs (never in the original
+    corpus) are flagged — the continuous-crawl contract."""
+    import os
+    import time
+
+    from harbourbridge_spark.pipeline.dedup import signature_store_write
+    from harbourbridge_spark.streaming.corpus import (
+        document_stream, streaming_incremental_dedup)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 3 = 0")
+    store = str(tmp_path / "sig_store")
+    signature_store_write(spark, corpus, store)
+
+    b1 = docs.where("doc_id % 3 = 1").limit(40).collect()
+    base = 10_000_000
+    batch1 = [(base + i, r.source, r.lang, r.text)
+              for i, r in enumerate(b1)]
+    # epoch-2: half FRESH ids duplicating epoch-1 texts, half clean
+    batch2 = [(base + 1000 + i, r.source, r.lang, r.text)
+              for i, r in enumerate(b1[:20])]
+    clean2 = docs.where("doc_id % 3 = 2").limit(20).collect()
+    batch2 += [(base + 2000 + i, r.source, r.lang, r.text)
+               for i, r in enumerate(clean2)]
+
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    cols = "doc_id long, source string, lang string, text string"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode(
+        "overwrite").parquet(stream_dir + "/b1")
+    # file source lists files recursively only with a glob; write one
+    # parquet FILE per epoch at the top level instead
+    import glob
+    import shutil
+    for sub, stamp in (("b1", 1), ):
+        part = glob.glob(f"{stream_dir}/{sub}/part-*.parquet")[0]
+        shutil.move(part, f"{stream_dir}/batch_{stamp}.parquet")
+        shutil.rmtree(f"{stream_dir}/{sub}")
+    time.sleep(1.1)     # distinct mtimes => deterministic epoch order
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode(
+        "overwrite").parquet(stream_dir + "/b2")
+    part = glob.glob(f"{stream_dir}/b2/part-*.parquet")[0]
+    shutil.move(part, f"{stream_dir}/batch_2.parquet")
+    shutil.rmtree(f"{stream_dir}/b2")
+
+    out = str(tmp_path / "verdicts")
+    q = streaming_incremental_dedup(
+        document_stream(spark, stream_dir), store, out,
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    epochs = sorted(os.listdir(out))
+    assert len(epochs) == 2, epochs
+    v2 = spark.read.parquet(f"{out}/{epochs[1]}")
+    flagged2 = {r.doc_id: r.dup_of for r in v2.collect()}
+    # epoch-2 copies of epoch-1 docs MUST be flagged, and their dup_of
+    # must be the epoch-1 ids (appended signatures), not corpus ids
+    hits = [d for d in flagged2 if base + 1000 <= d < base + 2000]
+    assert len(hits) >= 15, (len(hits), sorted(flagged2)[:5])
+    assert any(base <= flagged2[d] < base + 1000 for d in hits)
+
+
+def test_streaming_corpus_admission_e2e(spark, tmp_path):
+    """Full continuous-admission gate: curation scoring + dedup probe
+    per epoch; only ADMITTED docs grow the stores; epoch-2 dups of
+    epoch-1 ADMITTED docs are rejected as near_dup."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from harbourbridge_spark.pipeline.curation import (
+        curation_store_write)
+    from harbourbridge_spark.pipeline.dedup import signature_store_write
+    from harbourbridge_spark.streaming.corpus import (
+        document_stream, streaming_corpus_admission)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 3 = 0")
+    sig_store = str(tmp_path / "sig")
+    cur_store = str(tmp_path / "cur")
+    signature_store_write(spark, corpus, sig_store)
+    curation_store_write(spark, corpus, cur_store)
+
+    base = 20_000_000
+    # synthetic-unique texts: disjoint vocab per doc, so epoch-1 docs
+    # can ONLY be flagged by their own later copies, never by the
+    # (heavily templated) corpus fixtures
+    uniq = [" ".join(f"tok{i}x{j} word{i}y{j}" for j in range(30))
+            for i in range(10)]
+    dup_of_corpus = corpus.limit(5).collect()
+    batch1 = [(base + i, "synthetic", "en", t)
+              for i, t in enumerate(uniq)]
+    batch1 += [(base + 500 + i, r.source, r.lang, r.text)
+               for i, r in enumerate(dup_of_corpus)]
+    # epoch 2 re-sends copies of epoch-1 CLEAN docs under fresh ids
+    batch2 = [(base + 1000 + i, "synthetic", "en", t)
+              for i, t in enumerate(uniq)]
+
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    cols = "doc_id long, source string, lang string, text string"
+    for name, rows, pause in (("e1", batch1, True), ("e2", batch2, False)):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "overwrite").parquet(f"{stream_dir}/{name}_tmp")
+        part = glob.glob(f"{stream_dir}/{name}_tmp/part-*.parquet")[0]
+        shutil.move(part, f"{stream_dir}/{name}.parquet")
+        shutil.rmtree(f"{stream_dir}/{name}_tmp")
+        if pause:
+            time.sleep(1.1)
+
+    out = str(tmp_path / "adm")
+    q = streaming_corpus_admission(
+        document_stream(spark, stream_dir), sig_store, cur_store, out,
+        str(tmp_path / "ckpt2"))
+    q.awaitTermination(180)
+
+    e = sorted(os.listdir(out))
+    assert len(e) == 2, e
+    v1 = {r.doc_id: r for r in
+          spark.read.parquet(f"{out}/{e[0]}").collect()}
+    v2 = {r.doc_id: r for r in
+          spark.read.parquet(f"{out}/{e[1]}").collect()}
+    # epoch 1: the corpus-duplicates are all REJECTED — as near_dup,
+    # or under a higher-precedence reason when the duplicated corpus
+    # doc is itself an eval doc / boilerplate (documented precedence)
+    corp_dups = [base + 500 + i for i in range(5)]
+    assert all(not v1[d].admitted for d in corp_dups)
+    assert sum(v1[d].reason == "near_dup" for d in corp_dups) >= 3
+    admitted1 = {d for d, r in v1.items() if r.admitted}
+    # the synthetic-unique docs cannot match anything: all admitted
+    assert all(base + i in admitted1 for i in range(10)), admitted1
+    # epoch 2: every copy of an epoch-1 admitted doc is rejected as
+    # near_dup, and dup_of points INTO epoch 1 (proving the admitted
+    # signatures were appended)
+    for i in range(10):
+        r = v2[base + 1000 + i]
+        assert not r.admitted and r.reason == "near_dup", (i, r)
+        assert base <= r.dup_of < base + 500, (i, r.dup_of)
