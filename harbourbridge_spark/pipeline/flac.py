@@ -554,8 +554,61 @@ def _fixed_residual(sig: list[int], order: int) -> list[int]:
     return out
 
 
+def _lpc_quantized(sig: list[int], order: int, precision: int = 12):
+    """Levinson-Durbin LPC fit, coefficients quantized to
+    ``precision`` bits at a shift chosen from their magnitude (a
+    fixed shift clamps a1 ~ 2cos(w) ~ +1.9 for tonal signals and
+    ruins the fit) — or None when degenerate.  Returns
+    (coefs, residual, shift): residual uses the DECODER's exact
+    integer recurrence, so the encode is lossless no matter how
+    rough the float fit was."""
+    x = np.asarray(sig, dtype=np.float64)
+    n = len(x)
+    if n <= order + 1:
+        return None
+    ac = np.array([float(np.dot(x[:n - k], x[k:]))
+                   for k in range(order + 1)])
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a: list[float] = []
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        nxt = [aj - k * ar for aj, ar in zip(a, reversed(a))] + [k]
+        nerr = err * (1.0 - k * k)
+        if nerr <= 0.0 or not all(np.isfinite(nxt)):
+            # a zero/negative error means the signal is ALREADY fully
+            # predicted at this order (pure tones hit this): keep the
+            # partial fit instead of bailing — it is the best one
+            break
+        a, err = nxt, nerr
+    if not a:
+        return None
+    order = len(a)
+    lim = 1 << (precision - 1)
+    cmax = max(abs(c) for c in a)
+    if cmax == 0.0:
+        return None
+    import math
+    shift = min(15, max(0, int(math.floor(
+        math.log2((lim - 1) / cmax)))))
+    coefs = [max(-lim, min(lim - 1, int(round(c * (1 << shift)))))
+             for c in a]
+    if all(c == 0 for c in coefs):
+        return None
+    resid = []
+    for i in range(order, n):
+        acc = 0
+        for j, c in enumerate(coefs):
+            acc += c * sig[i - 1 - j]
+        resid.append(sig[i] - (acc >> shift))
+    return coefs, resid, shift
+
+
 def _write_subframe(bw: _BitWriter, sig: list[int], bps: int,
-                    po: int, blocksize: int) -> None:
+                    po: int, blocksize: int,
+                    try_lpc: bool = True) -> None:
     bw.write(0, 1)                    # padding
     if all(s == sig[0] for s in sig):
         bw.write(0, 6)                # CONSTANT
@@ -573,6 +626,28 @@ def _write_subframe(bw: _BitWriter, sig: list[int], bps: int,
         cost = sum(abs(r) for r in resid)
         if cost < best_cost:
             best, best_resid, best_cost = order, resid, cost
+    # real LPC (order 8): quantized Levinson-Durbin fit; taken when
+    # it beats the fixed predictors — smooth signals compress far
+    # better, and round-trip fuzz then drives the decoder's LPC path
+    # with genuinely varied in-stream coefficients
+    lpc = _lpc_quantized(sig, 8) if try_lpc else None
+    if lpc is not None:
+        lcoefs, lresid, lshift = lpc
+        order = len(lcoefs)
+        lcost = sum(abs(r) for r in lresid)
+        if lcost < best_cost:
+            if blocksize % (1 << po) or (blocksize >> po) <= order:
+                po = 0
+            bw.write(32 + (order - 1), 6)     # LPC
+            bw.write(0, 1)                    # no wasted bits
+            for s in sig[:order]:
+                bw.write(s & ((1 << bps) - 1), bps)
+            bw.write(12 - 1, 4)               # precision
+            bw.write(lshift, 5)               # shift
+            for c in lcoefs:
+                bw.write(c & 0xFFF, 12)
+            _write_residual(bw, lresid, po, order, blocksize)
+            return
     order = best
     if blocksize % (1 << po) or (blocksize >> po) <= order:
         po = 0
@@ -722,28 +797,37 @@ def synth_flac_tone(seed: int, rate: int = 8000) -> bytes:
     return encode_flac(sig[None, :], rate, bps=16, blocksize=128)
 
 
-def audio_analysis(content: bytes) -> list[float]:
-    """Sample-level DSP over a decoded FLAC stream (channel 0):
+def audio_dsp(sig: np.ndarray, rate: int, norm_div: float
+              ) -> list[float]:
+    """The shared sample-level DSP core (one channel of raw samples):
     [duration_ms, zcr, dominant_hz, rms].  zcr = sign changes /
-    (n-1); dominant_hz = argmax |rFFT| * rate / n (bin 0 excluded so
-    DC offset never wins); rms normalized by 2^(bps-1).  This is the
-    entry point a training-data pipeline uses for audio quality
-    filtering — computed from REAL decoded samples, not header
-    metadata."""
-    info, samples = decode_flac_samples(content)
-    sig = samples[0].astype(np.float64)
+    (n-1) with zero samples adopting the previous sign (no phantom
+    crossings); dominant_hz = argmax |rFFT| * rate / n with bin 0
+    excluded so DC offset never wins; rms normalized by
+    ``norm_div``.  Container-agnostic — the FLAC and WAV analysis
+    paths both call here, so their features are comparable."""
+    sig = sig.astype(np.float64)
     n = sig.size
     if n < 2:
-        return [n * 1000.0 / info.sample_rate, 0.0, 0.0, 0.0]
+        return [n * 1000.0 / rate, 0.0, 0.0, 0.0]
     signs = np.sign(sig)
-    # zero samples adopt the previous sign (no phantom crossings)
     for i in range(1, n):
         if signs[i] == 0:
             signs[i] = signs[i - 1]
     zcr = float(np.sum(signs[1:] != signs[:-1])) / (n - 1)
     mag = np.abs(np.fft.rfft(sig))
     k = int(np.argmax(mag[1:])) + 1
-    dominant_hz = k * float(info.sample_rate) / n
-    norm = sig / (1 << (info.bits_per_sample - 1))
+    dominant_hz = k * float(rate) / n
+    norm = sig / norm_div
     rms = float(np.sqrt(np.mean(norm * norm)))
-    return [n * 1000.0 / info.sample_rate, zcr, dominant_hz, rms]
+    return [n * 1000.0 / rate, zcr, dominant_hz, rms]
+
+
+def audio_analysis(content: bytes) -> list[float]:
+    """Sample-level DSP over a decoded FLAC stream (channel 0) —
+    the entry point a training-data pipeline uses for audio quality
+    filtering: computed from REAL (MD5-verified) decoded samples,
+    not header metadata."""
+    info, samples = decode_flac_samples(content)
+    return audio_dsp(samples[0], info.sample_rate,
+                     float(1 << (info.bits_per_sample - 1)))

@@ -87,14 +87,11 @@ def decode_stub(kind: str, content: bytes) -> list[float]:
     return [b / 255.0 for b in d[:8]]
 
 
-def decode_wav(content: bytes) -> list[float]:
-    """Real WAV decoder (no libraries): walk RIFF chunks, read the
-    ``fmt `` block (PCM only, 8/16-bit, any channel count), decode the
-    ``data`` samples with numpy, and return
-    ``[duration_ms, sample_rate, n_channels, rms, peak]`` with
-    amplitude features normalized to [-1, 1]. Raises ValueError on
-    anything that is not an uncompressed PCM WAVE file.
-    """
+def wav_samples(content: bytes) -> tuple:
+    """RIFF/WAVE parse shared by the feature and DSP paths:
+    ``(sample_rate, n_channels, samples)`` with samples normalized
+    interleaved float64 in [-1, 1].  Raises ValueError on anything
+    that is not an uncompressed PCM WAVE file."""
     if len(content) < 12 or content[:4] != b"RIFF" \
             or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
@@ -127,6 +124,14 @@ def decode_wav(content: bytes) -> list[float]:
     else:  # 8-bit PCM is unsigned, midpoint 128
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
                    - 128.0) / 128.0
+    return rate, n_ch, samples
+
+
+def decode_wav(content: bytes) -> list[float]:
+    """Real WAV decoder (no libraries): ``wav_samples`` parse +
+    ``[duration_ms, sample_rate, n_channels, rms, peak]`` features
+    with amplitudes normalized to [-1, 1]."""
+    rate, n_ch, samples = wav_samples(content)
     n_frames = len(samples) // n_ch
     duration_ms = n_frames * 1000.0 / rate
     if len(samples):
@@ -981,11 +986,20 @@ AUDIO_ANALYSIS_SCHEMA = T.StructType([
 
 def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Sample-level audio DSP (zero-crossing rate, dominant rFFT
-    frequency, RMS) over decoded FLAC streams — the quality-filter
-    features a training-data pipeline computes from REAL samples,
-    Arrow-batched like extract_features.  Non-FLAC / corrupt rows
-    yield nulls (quarantine convention)."""
-    from .flac import audio_analysis
+    frequency, RMS) over decoded FLAC streams or PCM WAV — one shared
+    DSP core (flac.audio_dsp), so the features are comparable across
+    containers; the quality-filter features a training-data pipeline
+    computes from REAL samples, Arrow-batched like extract_features.
+    Unsupported / corrupt rows yield nulls (quarantine convention)."""
+    from .flac import audio_analysis, audio_dsp
+
+    def one(c: bytes) -> list:
+        if c[:4] == b"fLaC":
+            return audio_analysis(bytes(c))
+        if c[:4] == b"RIFF":
+            rate, n_ch, samples = wav_samples(bytes(c))
+            return audio_dsp(samples[0::n_ch], rate, 1.0)
+        raise ValueError("unsupported audio container for DSP")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -993,7 +1007,7 @@ def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     "zcr": [], "dominant_hz": [], "rms": []}
             for c in pdf["content"]:
                 try:
-                    d, z, f0, r = audio_analysis(c)
+                    d, z, f0, r = one(c)
                 except (ValueError, struct.error, IndexError,
                         TypeError):
                     d = z = f0 = r = None

@@ -2955,3 +2955,32 @@ def test_streaming_corpus_admission_e2e(spark, tmp_path):
         r = v2[base + 1000 + i]
         assert not r.admitted and r.reason == "near_dup", (i, r)
         assert base <= r.dup_of < base + 500, (i, r.dup_of)
+
+
+def test_audio_dsp_container_agnostic():
+    """The SAME tone as WAV and as FLAC yields identical DSP features
+    (shared core + lossless codec): container choice cannot skew a
+    quality filter."""
+    import numpy as np
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import flac as Fl
+    from harbourbridge_spark.pipeline.multimodal import wav_samples
+
+    for seed in (1, 9, 123):
+        p = 2 * (1 + seed % 8)
+        c = 8 + seed % 16
+        amp = 1 + (seed * 53) % 30000
+        half = p // 2
+        cell = np.concatenate([np.full(half, amp, np.int64),
+                               np.full(half, -amp, np.int64)])
+        sig = np.tile(cell, c).astype("<i2")
+        data = sig.tobytes()
+        wav = (b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                        16000, 2, 16)
+               + b"data" + _struct.pack("<I", len(data)) + data)
+        rate, n_ch, samples = wav_samples(wav)
+        got_wav = Fl.audio_dsp(samples[0::n_ch], rate, 1.0)
+        got_flac = Fl.audio_analysis(Fl.synth_flac_tone(seed))
+        assert got_wav == got_flac, (seed, got_wav, got_flac)
