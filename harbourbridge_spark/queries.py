@@ -1781,6 +1781,18 @@ REGISTRY["corpus_curation_materialized"] = QuerySpec(
     "stage cardinalities; bench time is ONE chain execution (the "
     "separate per-stage entries re-derive inputs per query by "
     "harness construction)")
+from .pipeline import bridge as _bridge  # noqa: E402
+
+REGISTRY["corpus_from_relational"] = QuerySpec(
+    _bridge.corpus_from_relational_fn,
+    _bridge.corpus_from_relational_sql("duckdb"),
+    "Migration->corpus bridge: migrated relational tables linearized "
+    "into the documents schema (col/val interleaved text, NULL kept "
+    "as a token, table-banded doc_ids) + the token-count/fingerprint "
+    "projection every downstream dedup/curation op starts from — the "
+    "product loop: migrate a dump, then curate and dedup it with the "
+    "same engine; narrow pruned projections + union, zero shuffles")
+
 _register_template(
     "corpus_source_stats", _cur.source_stats_sql,
     "Per-source curation dashboard: doc/token/char mass, language "
@@ -2820,6 +2832,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # synth_media the flac/flac_tone formats; the r9 pin-policy
     # precedent)
     "multimodal_decode_flac", "multimodal_audio_analysis",
+    # round 10: migration->corpus bridge (new entry)
+    "corpus_from_relational",
     "multimodal_features", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",

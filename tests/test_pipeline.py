@@ -2984,3 +2984,34 @@ def test_audio_dsp_container_agnostic():
         got_wav = Fl.audio_dsp(samples[0::n_ch], rate, 1.0)
         got_flac = Fl.audio_analysis(Fl.synth_flac_tone(seed))
         assert got_wav == got_flac, (seed, got_wav, got_flac)
+
+
+def test_bridge_feeds_dedup_stack(spark):
+    """Migrated tables -> documents -> EXACT dedup end-to-end: two
+    relational rows with identical linearized text collapse under
+    the existing corpus dedup operator — the migrate-then-curate
+    product loop in one test."""
+    from harbourbridge_spark.pipeline.bridge import (
+        documents_from_tables)
+    from harbourbridge_spark.pipeline.dedup import (
+        dedup_keep_first_sql)
+
+    t1 = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "alpha", 10)],
+        "id long, name string, v int")
+    t2 = spark.createDataFrame(
+        [(1, "gamma", None)], "id long, name string, v int")
+    docs = documents_from_tables(
+        spark, {"t1": (t1, "id", ["name", "v"]),
+                "t2": (t2, "id", ["name", "v"])})
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert rows[1].text == "name alpha v 10"
+    assert rows[(1 << 40) + 1].text == "name gamma v null"
+    assert rows[(1 << 40) + 1].source == "t2"
+    # rows 1 and 3 are exact dups through the EXISTING operator
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    docs.createOrReplaceTempView("documents")
+    verdict = {r.doc_id: r.keep for r in
+               spark.sql(dedup_keep_first_sql("spark")).collect()}
+    assert verdict[1] and not verdict[3]
+    assert verdict[2] and verdict[(1 << 40) + 1]
