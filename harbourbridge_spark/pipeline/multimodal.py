@@ -142,6 +142,107 @@ def decode_wav(content: bytes) -> list[float]:
     return [duration_ms, float(rate), float(n_ch), rms, peak]
 
 
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field):
+    1 sign, 15 exponent (bias 16383), 64 mantissa with EXPLICIT
+    leading bit.  Exactly specified arithmetic — no tables."""
+    if len(b) < 10:
+        raise ValueError("short extended float")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_extended80(v: int) -> bytes:
+    """Integer -> 80-bit extended (encoder/fixture side)."""
+    if v <= 0:
+        raise ValueError("rate must be positive")
+    e = v.bit_length() - 1
+    mant = v << (63 - e)
+    return bytes([((16383 + e) >> 8) & 0x7F, (16383 + e) & 0xFF]) \
+        + mant.to_bytes(8, "big")
+
+
+def aiff_samples(content: bytes) -> tuple:
+    """AIFF/AIFC parse: ``(sample_rate, n_channels, samples)`` with
+    normalized interleaved float64 — the big-endian sibling of
+    wav_samples (8-bit AIFF is SIGNED, unlike WAV's unsigned 8-bit;
+    AIFC accepted only with the 'NONE' no-compression tag)."""
+    if len(content) < 12 or content[:4] != b"FORM" \
+            or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC container")
+    is_aifc = content[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        csz = struct.unpack_from(">I", content, pos + 4)[0]
+        body = content[pos + 8:pos + 8 + csz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + csz + (csz & 1)      # chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 \
+            or len(ssnd) < 8:
+        raise ValueError("missing/short COMM or SSND chunk")
+    n_ch, _frames, bits = struct.unpack_from(">hIh", comm, 0)
+    rate_f = _read_extended80(comm[8:18])
+    rate = int(round(rate_f))
+    if is_aifc:
+        if len(comm) < 22 or comm[18:22] != b"NONE":
+            raise ValueError("compressed AIFC not supported")
+    if n_ch < 1 or rate < 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported aiff n_ch={n_ch} bits={bits}")
+    offset = struct.unpack_from(">I", ssnd, 0)[0]
+    data = ssnd[8 + offset:]
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) // 2 * 2], dtype=">i2").astype(np.float64)
+        samples /= 32768.0
+    else:                               # 8-bit AIFF PCM is SIGNED
+        samples = np.frombuffer(data, dtype=np.int8) \
+            .astype(np.float64) / 128.0
+    return rate, n_ch, samples
+
+
+def decode_aiff(content: bytes) -> list[float]:
+    """Real AIFF decoder (no libraries): aiff_samples parse + the
+    shared audio feature contract
+    ``[duration_ms, sample_rate, n_channels, rms, peak]``."""
+    rate, n_ch, samples = aiff_samples(content)
+    n_frames = len(samples) // n_ch
+    duration_ms = n_frames * 1000.0 / rate
+    if len(samples):
+        rms = float(np.sqrt(np.mean(samples * samples)))
+        peak = float(np.max(np.abs(samples)))
+    else:
+        rms = peak = 0.0
+    return [duration_ms, float(rate), float(n_ch), rms, peak]
+
+
+def synth_aiff(seed: int, rate: int = 8000) -> bytes:
+    """The synth_wav square wave as a legal AIFF (big-endian 16-bit,
+    80-bit extended rate) — same closed-form features."""
+    n = 64 + 8 * (seed % 32)
+    amp = 1 + (seed * 37) % 30000
+    samples = np.empty(n, dtype=">i2")
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    data = samples.tobytes()
+    comm = (struct.pack(">hIh", 1, n, 16) + _write_extended80(rate))
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def decode_bmp(content: bytes) -> list[float]:
     """Real BMP decoder (no libraries): BITMAPFILEHEADER +
     BITMAPINFOHEADER, uncompressed 24bpp only. Handles the format's
@@ -562,6 +663,11 @@ def decode_audio(kind: str, content: bytes) -> list[float]:
             return decode_flac(content)
         except (ValueError, struct.error, IndexError):
             pass
+    elif content[:4] == b"FORM":
+        try:
+            return decode_aiff(content)
+        except (ValueError, struct.error, IndexError):
+            pass
     elif content[:3] == b"ID3" or (len(content) >= 2
                                    and content[0] == 0xFF
                                    and content[1] & 0xE0 == 0xE0):
@@ -895,6 +1001,8 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "flac_tone":
         from .flac import synth_flac_tone
         synth, mime = synth_flac_tone, "audio/flac"
+    elif kind == "audio" and fmt == "aiff":
+        synth, mime = synth_aiff, "audio/aiff"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -998,6 +1106,9 @@ def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
             return audio_analysis(bytes(c))
         if c[:4] == b"RIFF":
             rate, n_ch, samples = wav_samples(bytes(c))
+            return audio_dsp(samples[0::n_ch], rate, 1.0)
+        if c[:4] == b"FORM":
+            rate, n_ch, samples = aiff_samples(bytes(c))
             return audio_dsp(samples[0::n_ch], rate, 1.0)
         raise ValueError("unsupported audio container for DSP")
 

@@ -464,3 +464,63 @@ def quality_classifier_sql(engine: str) -> str:
     FROM s
     """
     return render(t, engine)
+
+
+def bigram_surprisal_sql(engine: str) -> str:
+    """Per-document CONDITIONAL surprisal against the corpus bigram
+    model — the next-word-predictability quality signal one rung above
+    surprisal_sql's unigram rarity: templated/boilerplate text scores
+    near bucket 0 (every next word is the usual one), scrambled or
+    machine-garbled text scores high even when its unigrams are
+    common.  Conditional bucket k means P(w2 | w1) lies in
+    (2^-(k+1), 2^-k], computed as floor(log2(n(w1)/n(w1,w2))) via the
+    same pure-integer comparison ladder as surprisal_sql — log() ulp
+    drift across engines never enters.  novel_rate counts bigrams
+    seen <= 2 times corpus-wide (the creativity/typo signal).
+
+    Scale shape: ONE tokenize pass, a position explode (0/1-based
+    index shift is the only engine difference), bigram counts as one
+    (w1, w2) shuffle with map-side partials, a broadcast-sized
+    unigram join; at 100 TB the pair key would be hashed first like
+    boilerplate_grams' hashed-gram path."""
+    toks = render(TOKENS, engine)
+    lo, hi = ("0", "size(tk) - 2") if engine == "spark" \
+        else ("1", "len(tk) - 1")
+    ladder = " ".join(f"WHEN b.nb * {1 << k} >= v.n THEN {k}"
+                      for k in range(31))
+    t = f"""
+    WITH docs2 AS (
+        SELECT doc_id, tk
+        FROM (SELECT doc_id, {toks} AS tk FROM documents) _t
+        WHERE {{alen}}(tk) >= 2
+    ), pos AS (
+        SELECT doc_id, tk, {{explode}}(ia) AS i
+        FROM (SELECT doc_id, tk, {{seq}}({lo}, {hi}) AS ia
+              FROM docs2) _p
+    ), occ AS (
+        SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM pos
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT {{explode}}(tka) AS tok
+              FROM (SELECT {toks} AS tka FROM documents) _v) _w
+        GROUP BY tok
+    ), big AS (
+        SELECT w1, w2, COUNT(*) AS nb FROM occ GROUP BY w1, w2
+    ), scored AS (
+        SELECT o.doc_id,
+               CASE {ladder} ELSE 31 END AS cond_rarity,
+               CASE WHEN b.nb <= 2 THEN 1 ELSE 0 END AS is_novel
+        FROM occ o
+        JOIN big b ON b.w1 = o.w1 AND b.w2 = o.w2
+        JOIN vocab v ON v.tok = o.w1
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(cond_rarity) AS BIGINT) AS cond_sum,
+           CAST(CAST(SUM(cond_rarity) AS BIGINT) AS DOUBLE)
+               / COUNT(*) AS mean_cond_rarity,
+           CAST(MAX(cond_rarity) AS BIGINT) AS max_cond_rarity,
+           CAST(CAST(SUM(is_novel) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS novel_rate
+    FROM scored GROUP BY doc_id
+    """
+    return render(t, engine)

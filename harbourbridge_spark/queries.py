@@ -1748,6 +1748,13 @@ _register_template(
     "rarity buckets (floor-log2 of inverse frequency via pure integer "
     "comparisons, no floating log), oov rate; the perplexity-proxy "
     "quality signal")
+_register_template(
+    "bigram_surprisal", _text.bigram_surprisal_sql,
+    "Per-doc CONDITIONAL surprisal vs the corpus bigram model — "
+    "floor-log2 of 1/P(w2|w1) via the integer comparison ladder "
+    "(no floating log), plus the <=2-count novel-bigram rate; the "
+    "next-word-predictability signal that separates boilerplate "
+    "(bucket ~0) from garbled text (high) even at common unigrams")
 from .pipeline import curation as _cur  # noqa: E402
 
 REGISTRY["decontaminate"] = QuerySpec(
@@ -2149,6 +2156,37 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"))
     feats = extract_features(synth_media(ids, "audio", fmt="flac"))
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("duration_ms"),
+        F.element_at("feature", 2).cast("long").alias("sample_rate"),
+        F.element_at("feature", 3).cast("long").alias("n_channels"),
+        F.element_at("feature", 4).cast("double").alias("rms"),
+        F.element_at("feature", 5).cast("double").alias("peak"))
+
+
+@register(
+    "multimodal_decode_aiff",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 32 AS BIGINT) AS duration_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(1 + (doc_id * 37) % 30000 AS DOUBLE) / 32768.0 AS rms,
+           CAST(1 + (doc_id * 37) % 30000 AS DOUBLE) / 32768.0 AS peak
+    FROM documents
+    """,
+    "REAL audio decode, big-endian container: per doc the synth_wav "
+    "square wave as a legal AIFF (COMM chunk with the 80-bit IEEE "
+    "extended sample-rate field decoded exactly, big-endian 16-bit "
+    "SSND with offset handling); shares the WAV closed-form oracle — "
+    "any chunk-walk, extended-float, or byte-order defect breaks the "
+    "hash")
+def q_multimodal_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import extract_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    feats = extract_features(synth_media(ids, "audio", fmt="aiff"))
     return feats.select(
         "media_id",
         F.element_at("feature", 1).cast("long").alias("duration_ms"),
@@ -2832,8 +2870,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # synth_media the flac/flac_tone formats; the r9 pin-policy
     # precedent)
     "multimodal_decode_flac", "multimodal_audio_analysis",
-    # round 10: migration->corpus bridge (new entry)
-    "corpus_from_relational",
+    # round 10: migration->corpus bridge, bigram LM surprisal, and
+    # AIFF decode (new entries)
+    "corpus_from_relational", "bigram_surprisal",
+    "multimodal_decode_aiff",
     "multimodal_features", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",

@@ -3015,3 +3015,57 @@ def test_bridge_feeds_dedup_stack(spark):
                spark.sql(dedup_keep_first_sql("spark")).collect()}
     assert verdict[1] and not verdict[3]
     assert verdict[2] and verdict[(1 << 40) + 1]
+
+
+def test_aiff_roundtrip_and_edges():
+    """AIFF decode: synth round trip, 80-bit extended-float rates
+    (incl. non-powers-of-two), 8-bit SIGNED PCM, stereo interleave,
+    AIFC NONE acceptance, compressed-AIFC rejection."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline import multimodal as M
+
+    for seed in (0, 7, 31, 200):
+        n = 64 + 8 * (seed % 32)
+        amp = 1 + (seed * 37) % 30000
+        got = M.decode_aiff(M.synth_aiff(seed))
+        assert got == [n / 8.0, 8000.0, 1.0, amp / 32768.0,
+                       amp / 32768.0], seed
+    # extended-float exactness on awkward rates
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        assert M._read_extended80(M._write_extended80(rate)) == rate
+    # 8-bit signed + stereo
+    sig = np.array([100, -100, 50, -50], dtype=np.int8)
+    comm = _struct.pack(">hIh", 2, 2, 8) + M._write_extended80(8000)
+    ssnd = _struct.pack(">II", 0, 0) + sig.tobytes()
+    body = (b"AIFF" + b"COMM" + _struct.pack(">I", len(comm)) + comm
+            + b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd)
+    blob = b"FORM" + _struct.pack(">I", len(body)) + body
+    rate, n_ch, samples = M.aiff_samples(blob)
+    assert (rate, n_ch) == (8000, 2)
+    assert samples.tolist() == [100 / 128, -100 / 128, 50 / 128,
+                                -50 / 128]
+    # AIFC: NONE ok, compressed rejected
+    # odd-sized COMM bodies carry a pad byte NOT counted in the size
+    comm_c = comm[:18] + b"NONE" + b"\x00"
+    body_c = (b"AIFC" + b"COMM" + _struct.pack(">I", len(comm_c))
+              + comm_c + b"\x00"
+              + b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd)
+    M.aiff_samples(b"FORM" + _struct.pack(">I", len(body_c)) + body_c)
+    comm_x = comm[:18] + b"ima4" + b"\x00"
+    body_x = (b"AIFC" + b"COMM" + _struct.pack(">I", len(comm_x))
+              + comm_x + b"\x00"
+              + b"SSND" + _struct.pack(">I", len(ssnd)) + ssnd)
+    with _pytest.raises(ValueError, match="compressed"):
+        M.aiff_samples(b"FORM" + _struct.pack(">I", len(body_x))
+                       + body_x)
+    # DSP dispatch parity: same wave via WAV and AIFF
+    from harbourbridge_spark.pipeline import flac as Fl
+    for seed in (3, 12):
+        rate, n_ch, s_w = M.wav_samples(M.synth_wav(seed))
+        ra, na, s_a = M.aiff_samples(M.synth_aiff(seed))
+        assert Fl.audio_dsp(s_w[0::n_ch], rate, 1.0) == \
+            Fl.audio_dsp(s_a[0::na], ra, 1.0), seed
