@@ -43,8 +43,9 @@ PYTHON_KERNEL_OK = {
     "multimodal_decode_jpeg_progressive",
     "multimodal_decode_gif", "multimodal_decode_gif_animated",
     "multimodal_decode_webp",
-    # r10: Arrow-batched FLAC synth+decode / sample-DSP kernels
+    # r10: Arrow-batched FLAC/AIFF synth+decode / sample-DSP kernels
     "multimodal_decode_flac", "multimodal_audio_analysis",
+    "multimodal_decode_aiff",
     "multimodal_decode_y4m",
     "multimodal_meta_mp3", "multimodal_meta_mp4",
     "multimodal_resize", "multimodal_frame_features",
