@@ -1119,11 +1119,21 @@ def _decode_staged_values(df: DataFrame, ctx: MigrationContext,
     sentinel restores to a backslash.
     """
     table = ctx.src_schema[src_table]
-    parts = F.split(F.col("value"), "\t")
-    cols = [parts.getItem(0).cast("long").alias(SEQ_COL)]
+    split_layout = "value" not in df.columns
+    if split_layout:
+        # (seq long, line string) layout from the distributed COPY
+        # reader: the sequence never round-trips through a string and
+        # the Python side never concatenates per row
+        parts = F.split(F.col("line"), "\t")
+        cols = [F.col("seq").alias(SEQ_COL)]
+        base = 0
+    else:
+        parts = F.split(F.col("value"), "\t")
+        cols = [parts.getItem(0).cast("long").alias(SEQ_COL)]
+        base = 1
     nul = F.lit("\x00")
     for i, cn in enumerate(table.col_names):
-        raw = parts.getItem(i + 1)
+        raw = parts.getItem(i + base)
         s = F.replace(raw, F.lit("\\\\"), nul)
         s = F.replace(s, F.lit("\\t"), F.lit("\t"))
         s = F.replace(s, F.lit("\\n"), F.lit("\n"))
@@ -2149,6 +2159,7 @@ def read_copy_chunks(spark: SparkSession, ctx: MigrationContext,
     desc = desc.repartition(len(rows))
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
@@ -2161,27 +2172,33 @@ def read_copy_chunks(spark: SparkSession, ctx: MigrationContext,
                     continue
                 reorder = None if rec.reorder is None \
                     else [int(k) for k in rec.reorder]
-                out = []
-                seq = rec.start_seq
-                for bl in data.split(b"\n"):
-                    s = bl.decode("utf-8")
-                    if s.endswith("\r"):
-                        s = s[:-1]
-                    if reorder is not None:
+                # C-speed common path: one decode + one split; the
+                # old per-row f-string seq prefix (re-parsed JVM-side)
+                # is replaced by a native long column
+                lines = data.decode("utf-8").split("\n")
+                if b"\r" in data:
+                    lines = [s[:-1] if s.endswith("\r") else s
+                             for s in lines]
+                if reorder is not None:
+                    fixed = []
+                    for s in lines:
                         vals = s.split("\t")
-                        s = "\t".join(
+                        fixed.append("\t".join(
                             vals[k] if 0 <= k < len(vals) else "\\N"
-                            for k in reorder)
-                    out.append(f"{seq}\t{s}")
-                    seq += 1
-                if seq - rec.start_seq != rec.rows:
+                            for k in reorder))
+                    lines = fixed
+                if len(lines) != rec.rows:
                     raise ValueError(
                         f"chunk row mismatch for {rec.path}"
                         f"[{rec.start}:{rec.end}]: scanned {rec.rows}, "
-                        f"read {seq - rec.start_seq}")
-                yield pd.DataFrame({"value": out})
+                        f"read {len(lines)}")
+                yield pd.DataFrame({
+                    "seq": np.arange(rec.start_seq,
+                                     rec.start_seq + len(lines),
+                                     dtype=np.int64),
+                    "line": lines})
 
-    values = desc.mapInPandas(gen, schema="value string")
+    values = desc.mapInPandas(gen, schema="seq long, line string")
     return _decode_staged_values(values, ctx, src_table)
 
 
