@@ -820,3 +820,104 @@ def ann_store_probe_fn(spark, sf_dir: str, n_queries: int = 10,
     return ann_query_store(
         spark, store, emb.where(f"vec_id < {n_queries}"),
         topk=topk, nprobe=nprobe)
+
+
+def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
+               dim: int = DIM, sample_per_cluster: int = 0) -> str:
+    """Integer-exact k-means over the embedding corpus — the
+    clustering half of cluster-balanced ("diversity") sampling, a
+    standard curation step for spreading a training mix across
+    semantic regions instead of letting one dominate.
+
+    Engine-exactness (the corpus_drift discipline applied to an
+    ITERATIVE float algorithm): components are quantized once per row
+    to offset micro-units (round(x*1e6) + 1e6, non-negative so
+    integer division truncates identically in both engines — Spark
+    `div` truncates toward zero, DuckDB `//` floors, and the two
+    agree only for non-negative operands).  Distances, assignments,
+    centroid means, and inertia are then PURE INTEGER arithmetic:
+    partition-order-independent and bit-identical across engines, so
+    even the argmin tie-break (ORDER BY d, cluster) is stable.  The
+    uniform offset cancels in every distance.
+
+    Scale shape: vectors live in LONG FORM (vec_id, pos, val) — one
+    explode; each iteration is (a) a distance aggregation against the
+    k x dim centroid table (broadcast-sized: k*dim rows regardless of
+    corpus), grouped (vec_id, cluster) with map-side partials, (b) an
+    argmin window per vec_id, (c) per-(cluster, pos) integer means.
+    Iterations unroll as CTEs — ``iters`` is fixed at plan time, the
+    Spark/100 TB variant loops the same three steps with a
+    localCheckpoint per round.  ``sample_per_cluster`` > 0 appends
+    the balanced-sample tail: top-m per final cluster by the
+    deterministic multiplicative hash (stratified_sample's
+    convention), emitting the kept members instead of cluster
+    stats."""
+    from .text import render
+    idiv = "div" if engine == "spark" else "//"
+    lo, hi = ("0", str(dim - 1)) if engine == "spark" \
+        else ("1", str(dim))
+    quant = render(
+        "{ltrans}(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+        "* 1000000) AS BIGINT) + 1000000)", engine)
+    ctes = [f"""
+    q AS (SELECT vec_id, {quant} AS qv FROM embeddings),
+    pts AS (
+        SELECT vec_id, i AS pos, qv[i] AS val
+        FROM (SELECT vec_id, qv, {render('{explode}(ia)', engine)} AS i
+              FROM (SELECT vec_id, qv, {render('{seq}', engine)}({lo}, {hi})
+                    AS ia FROM q) _s) _p
+    ),
+    c0 AS (SELECT vec_id AS cluster, pos, val FROM pts
+           WHERE vec_id < {k})"""]
+    prev = "c0"
+    last_assign = None
+    for it in range(1, iters + 1):
+        a, b, m, c = f"a{it}", f"b{it}", f"m{it}", f"c{it}"
+        ctes.append(f"""
+    {a} AS (
+        SELECT p.vec_id, c.cluster,
+               CAST(SUM((p.val - c.val) * (p.val - c.val)) AS BIGINT)
+                   AS d
+        FROM pts p JOIN {prev} c ON c.pos = p.pos
+        GROUP BY p.vec_id, c.cluster
+    ), {b} AS (
+        SELECT vec_id, cluster, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cluster) AS rn
+        FROM {a}
+    ), {m} AS (SELECT vec_id, cluster, d FROM {b} WHERE rn = 1
+    ), {c} AS (
+        SELECT m.cluster, p.pos,
+               SUM(p.val) {idiv} COUNT(*) AS val
+        FROM pts p JOIN {m} m ON m.vec_id = p.vec_id
+        GROUP BY m.cluster, p.pos
+    )""")
+        prev = c
+        last_assign = m
+    body = ",".join(ctes)
+    if sample_per_cluster > 0:
+        keep_hash = "(vec_id * 2654435761) % 1000000007"
+        return f"""
+    WITH {body}
+    SELECT cluster AS cluster_id, vec_id
+    FROM (SELECT cluster, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster
+                                    ORDER BY {keep_hash}, vec_id)
+                     AS krn
+          FROM {last_assign}) _r
+    WHERE krn <= {sample_per_cluster}
+    """
+    return f"""
+    WITH {body},
+    stats AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(d) AS BIGINT) AS inertia
+        FROM {last_assign} GROUP BY cluster
+    ), cmass AS (
+        SELECT cluster, CAST(SUM(val) AS BIGINT) AS centroid_mass
+        FROM {prev} GROUP BY cluster
+    )
+    SELECT s.cluster AS cluster_id, s.n_members, s.inertia,
+           cm.centroid_mass
+    FROM stats s JOIN cmass cm ON cm.cluster = s.cluster
+    """

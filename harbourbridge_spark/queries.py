@@ -2030,6 +2030,23 @@ REGISTRY["curation_store_probe"] = QuerySpec(
     "batch-bound (one tokenize pass + broadcast gram joins), while "
     "curation_against_store times the production 80/20 split")
 
+_register_template(
+    "embedding_kmeans", _sim.kmeans_sql,
+    "Integer-exact k-means over the embedding corpus (k=8, 2 "
+    "unrolled Lloyd iterations): offset micro-unit quantization "
+    "makes distances/means/inertia pure integer arithmetic — "
+    "order-independent and engine-identical even through the "
+    "iterative argmin; long-form points vs a broadcast-sized k x dim "
+    "centroid table", tables=("embeddings",))
+_register_template(
+    "cluster_balanced_sample",
+    lambda e: _sim.kmeans_sql(e, sample_per_cluster=20),
+    "Diversity sampling: top-20 members per k-means cluster by the "
+    "deterministic multiplicative hash — the cluster-balanced "
+    "training-mix selection that stops one semantic region from "
+    "dominating; same integer-exact clustering, plus one window",
+    tables=("embeddings",))
+
 REGISTRY["ann_store_probe"] = QuerySpec(
     _sim.ann_store_probe_fn,
     _sim.ann_against_store_sql("duckdb"),
@@ -2870,10 +2887,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # synth_media the flac/flac_tone formats; the r9 pin-policy
     # precedent)
     "multimodal_decode_flac", "multimodal_audio_analysis",
-    # round 10: migration->corpus bridge, bigram LM surprisal, and
-    # AIFF decode (new entries)
+    # round 10: migration->corpus bridge, bigram LM surprisal,
+    # AIFF decode, integer-exact k-means + diversity sampling
+    # (new entries)
     "corpus_from_relational", "bigram_surprisal",
-    "multimodal_decode_aiff",
+    "multimodal_decode_aiff", "embedding_kmeans",
+    "cluster_balanced_sample",
     "multimodal_features", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
     "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",
