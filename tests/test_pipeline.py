@@ -2904,8 +2904,9 @@ def test_streaming_corpus_admission_e2e(spark, tmp_path):
     # synthetic-unique texts: disjoint vocab per doc, so epoch-1 docs
     # can ONLY be flagged by their own later copies, never by the
     # (heavily templated) corpus fixtures
-    uniq = [" ".join(f"tok{i}x{j} word{i}y{j}" for j in range(30))
-            for i in range(10)]
+    import hashlib as _hl
+    uniq = [" ".join(_hl.md5(f"adm-{i}-{j}".encode()).hexdigest()[:12]
+                     for j in range(30)) for i in range(10)]
     dup_of_corpus = corpus.limit(5).collect()
     batch1 = [(base + i, "synthetic", "en", t)
               for i, t in enumerate(uniq)]
@@ -3069,3 +3070,48 @@ def test_aiff_roundtrip_and_edges():
         ra, na, s_a = M.aiff_samples(M.synth_aiff(seed))
         assert Fl.audio_dsp(s_w[0::n_ch], rate, 1.0) == \
             Fl.audio_dsp(s_a[0::na], ra, 1.0), seed
+
+
+def test_streaming_admission_replay_is_decision_stable(spark, tmp_path):
+    """Pins the documented at-least-once store-append contract: if a
+    crash replays an epoch (same batch re-processed), the verdict
+    output is OVERWRITTEN (no duplicate rows) and every ADMISSION
+    DECISION of the following epoch is unchanged — duplicated store
+    signatures may inflate match counts but never flip dup_of/admitted
+    (MIN/aggregate semantics)."""
+    from harbourbridge_spark.pipeline.curation import (
+        curation_store_write)
+    from harbourbridge_spark.pipeline.dedup import (
+        dedup_incremental_against_store, signature_store_write)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id % 3 = 0")
+    sig = str(tmp_path / "sig")
+    signature_store_write(spark, corpus, sig)
+
+    base = 30_000_000
+    import hashlib as _hl
+    uniq = [" ".join(_hl.md5(f"rep-{i}-{j}".encode()).hexdigest()[:12]
+                     for j in range(30)) for i in range(8)]
+    cols = "doc_id long, source string, lang string, text string"
+    b1 = spark.createDataFrame(
+        [(base + i, "s", "en", t) for i, t in enumerate(uniq)], cols)
+    # epoch-1 admitted -> append (admit=True); REPLAY the same epoch:
+    # the append happens twice, as a crash between sink and append
+    # would produce
+    dedup_incremental_against_store(spark, sig, b1, admit=True)
+    dedup_incremental_against_store(spark, sig, b1, admit=True)
+
+    b2 = spark.createDataFrame(
+        [(base + 1000 + i, "s", "en", t)
+         for i, t in enumerate(uniq)], cols)
+    out = {r.doc_id: r for r in dedup_incremental_against_store(
+        spark, sig, b2, admit=False).collect()}
+    # every copy is still flagged exactly once per doc, dup_of points
+    # at the FIRST epoch-1 id (MIN semantics) despite the double
+    # append
+    assert len(out) == 8
+    for i in range(8):
+        r = out[base + 1000 + i]
+        assert r.dup_of == base + i, (i, r)
