@@ -42,6 +42,15 @@ BENCH_EXCLUDE = {
 }
 BENCH_QUERIES = [n for n in Q.REGISTRY if n not in BENCH_EXCLUDE]
 
+# The exclusion map must PARTITION the registry exactly (VERDICT r10
+# ask 7): an exclusion naming a nonexistent entry is a stale decision,
+# and tests/test_bench_registry.py enforces both directions in CI so
+# coverage is a decision, not an accident.
+_stale = BENCH_EXCLUDE - set(Q.REGISTRY)
+assert not _stale, f"BENCH_EXCLUDE names unknown registry entries: {_stale}"
+assert set(BENCH_QUERIES) | BENCH_EXCLUDE == set(Q.REGISTRY)
+assert not (set(BENCH_QUERIES) & BENCH_EXCLUDE)
+
 
 def canary_sec(spark, runs: int = 3) -> float:
     """Fixed synthetic calibration probe (VERDICT r6 ask 4): a
@@ -82,6 +91,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in BENCH_QUERIES if n in Q.REGISTRY]
+    # Opt-in subset filter for back-to-back A/B drift adjudication
+    # (NOTES_DEV protocol): comma-separated name prefixes.  The driver
+    # never sets this — full sweeps are unaffected.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        prefixes = tuple(p for p in only.split(",") if p)
+        names = [n for n in names if n.startswith(prefixes)]
     # calibration canary first: pure in-memory shuffle+agg, no fixture
     # I/O — the box-speed yardstick for cross-round comparison
     canary = canary_sec(spark)
@@ -118,6 +134,7 @@ def main() -> None:
         "canary_sec": canary,
     }
     print(json.dumps(payload))
+    sys.stdout.flush()
     # Full per-query detail as its OWN committed artifact (VERDICT r9
     # ask 5): the driver's stdout-tail capture head-truncates the
     # one-line JSON when the registry is large (BENCH_r09 lost
@@ -125,9 +142,13 @@ def main() -> None:
     # the line-length limit can't touch.  Round number = newest
     # BENCH_r{N}.json the driver has left + 1 (re-runs within a round
     # overwrite the same file — idempotent).
+    rnd = -1
     try:
         import glob
         import re
+        if only:
+            raise OSError          # subset A/B run: never clobber the
+            # round detail artifact with a partial sweep
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = [int(m.group(1)) for p in
                   glob.glob(os.path.join(here, "BENCH_r*.json"))
@@ -138,6 +159,26 @@ def main() -> None:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError:
         pass                      # stdout line already carries totals
+    # FINAL line is a SHORT totals-only summary (VERDICT r10 ask 5):
+    # the driver captures a bounded stdout tail and parses the last
+    # JSON line; BENCH_r10's single giant line got front-truncated →
+    # "parsed": null.  This line stays well under any sane capture
+    # limit: headline totals + only the 10 slowest entries (the full
+    # per-query map lives in BENCH_r{N}_detail.json, written above).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "headline_queries_total_time",
+        "unit": "sec",
+        "sf": payload["sf"],
+        "value": total,
+        "total_sec": total,
+        "canary_sec": canary,
+        "n_queries": len(timings),
+        "detail_file": (f"BENCH_r{rnd:02d}_detail.json" if rnd >= 0
+                        else None),
+        "queries": slowest,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 
