@@ -925,9 +925,99 @@ def _parse_insert_values(values_text: str) -> list[list[Optional[str]]]:
 # the two passes
 # ---------------------------------------------------------------------------
 
+# statement prefixes the schema-pass switch parses as DDL (the "D"
+# compact events below); everything else is either an INSERT (reduced
+# to counts executor-side) or a skip-counted statement kind
+_SCHEMA_DDL_PREFIXES = ("CREATE TABLE", "ALTER TABLE", "CREATE INDEX",
+                        "CREATE UNIQUE INDEX", "SET")
+
+
+def _schema_stmt_event(text: str) -> tuple:
+    """Reduce one statement to a COMPACT schema-pass event — the
+    shared kernel of the serial pass, the distributed range scan
+    (executor-side), and the reconciliation rescan, so the three
+    cannot drift.  Event forms (counts let executors pre-aggregate):
+
+    - ``("D", stripped_text)`` — DDL: replayed through the full parse
+      switch on the driver (CREATE/ALTER/INDEX/SET texts are tiny)
+    - ``("K", kind_word, n)`` — skipped statements of that first-word
+      kind (statement body is never shipped)
+    - ``("I", table, total_rows, n_stmts)`` — INSERT row stats
+    - ``("E", n)`` — INSERTs whose shape didn't match
+    - ``("X", errmsg)`` — INSERT whose VALUES raise ValueError (e.g.
+      lone \\u surrogate, \\U beyond U+10FFFF — pg's own parser
+      rejects the statement, so it lands in the error bucket like any
+      unparsable statement; both data passes skip it)
+    """
+    s = strip_sql_comments(text).strip()
+    up = s.upper()
+    if up.startswith("INSERT"):
+        m = _match_insert(s)
+        if not m:
+            return ("E", 1)
+        try:
+            n_rows = _count_insert_tuples(m[2])
+        except ValueError as e:
+            return ("X", str(e))
+        return ("I", _clean_name(m[0]), n_rows, 1)
+    if up.startswith(_SCHEMA_DDL_PREFIXES):
+        return ("D", s)
+    # everything else (SELECT set_config, ALTER OWNER, comments...)
+    kind = up.split(None, 1)[0] if up else "?"
+    return ("K", kind, 1)
+
+
+def _apply_schema_ddl(ctx: MigrationContext, s: str) -> None:
+    """Apply one comment-stripped DDL statement (a "D" event) to ctx —
+    the schema-pass parse switch minus the INSERT/skip branches."""
+    up = s.upper()
+    if up.startswith("CREATE TABLE"):
+        if "INHERITS" in up:
+            ctx.skip_statement("CreateStmt")  # inherited tables skipped
+        elif not _parse_create_table(ctx, s):
+            ctx.error_in_statement("CreateStmt")
+    elif up.startswith("ALTER TABLE"):
+        if not _parse_alter_table(ctx, s):
+            ctx.skip_statement("AlterTableStmt")
+    elif up.startswith("CREATE INDEX") or up.startswith("CREATE UNIQUE INDEX"):
+        if not _parse_index(ctx, s):
+            ctx.error_in_statement("IndexStmt")
+    else:                                     # SET...
+        if not _parse_set(ctx, s):
+            ctx.skip_statement("VariableSetStmt")
+
+
+def _replay_schema_events(ctx: MigrationContext, events) -> None:
+    """Apply compact schema-pass events to ctx in statement order.
+    ``("C", table, n)`` is the COPY-block form the statement kernel
+    never emits (blocks arrive as scan copy events)."""
+    for ev in events:
+        k = ev[0]
+        if k == "D":
+            _apply_schema_ddl(ctx, ev[1])
+        elif k == "I":
+            ctx.stats_add_row(ev[1], ev[2])
+            if ctx.schema_mode():
+                ctx._sstats("InsertStmt").data += ev[3]
+        elif k == "K":
+            if ctx.schema_mode():
+                ctx._sstats(ev[1].title() + "Stmt").skip += ev[2]
+        elif k == "C":
+            ctx.stats_add_row(ev[1], ev[2])
+            ctx.data_statement("CopyFrom")
+        elif k == "E":
+            if ctx.schema_mode():
+                ctx._sstats("InsertStmt").error += ev[1]
+        else:                                 # "X"
+            ctx.unexpected(f"unparsable INSERT values: {ev[1]}")
+            ctx.error_in_statement("InsertStmt")
+
+
 def process_pg_dump_schema(ctx: MigrationContext,
                            stream: TextIO) -> None:
-    """Pass 1: build ctx.src_schema from the dump (S1 schema mode)."""
+    """Pass 1: build ctx.src_schema from the dump (S1 schema mode).
+    Serial driver walk — the reference-parity path for small dumps;
+    process_pg_dump_schema_distributed is the byte-range twin."""
     ctx.set_schema_mode()
 
     def on_copy(block: CopyBlock) -> None:
@@ -935,49 +1025,10 @@ def process_pg_dump_schema(ctx: MigrationContext,
         n = block.nrows
         if n is None:
             n = sum(1 for _ in block.rows)
-        ctx.stats_add_row(block.table, n)
-        ctx.data_statement("CopyFrom")
+        _replay_schema_events(ctx, [("C", block.table, n)])
 
     for stmt in _iter_statements(stream, on_copy, copy_rows=False):
-        s = strip_sql_comments(stmt.text).strip()
-        up = s.upper()
-        if up.startswith("CREATE TABLE"):
-            if "INHERITS" in up:
-                ctx.skip_statement("CreateStmt")  # inherited tables skipped
-                continue
-            if not _parse_create_table(ctx, s):
-                ctx.error_in_statement("CreateStmt")
-        elif up.startswith("ALTER TABLE"):
-            if not _parse_alter_table(ctx, s):
-                ctx.skip_statement("AlterTableStmt")
-        elif up.startswith("CREATE INDEX") or up.startswith("CREATE UNIQUE INDEX"):
-            if not _parse_index(ctx, s):
-                ctx.error_in_statement("IndexStmt")
-        elif up.startswith("SET"):
-            if not _parse_set(ctx, s):
-                ctx.skip_statement("VariableSetStmt")
-        elif up.startswith("INSERT"):
-            m = _match_insert(s)
-            if m:
-                table = _clean_name(m[0])
-                try:
-                    n_rows = _count_insert_tuples(m[2])
-                except ValueError as e:
-                    # e.g. lone \\u surrogate, \\U beyond U+10FFFF —
-                    # pg's own parser rejects the statement, so it
-                    # lands in the error bucket like any unparsable
-                    # statement (both data passes skip it)
-                    ctx.unexpected(f"unparsable INSERT values: {e}")
-                    ctx.error_in_statement("InsertStmt")
-                else:
-                    ctx.stats_add_row(table, n_rows)
-                    ctx.data_statement("InsertStmt")
-            else:
-                ctx.error_in_statement("InsertStmt")
-        else:
-            # everything else (SELECT set_config, ALTER OWNER, comments...)
-            kind = up.split(None, 1)[0] if up else "?"
-            ctx.skip_statement(kind.title() + "Stmt")
+        _replay_schema_events(ctx, [_schema_stmt_event(stmt.text)])
 
 
 class StagingWriter:
@@ -1956,7 +2007,8 @@ def _scan_pg_range(path: str, start: int, end: int,
 
 
 def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
-                       chunk_bytes: int, scanner=None, is_data=None):
+                       chunk_bytes: int, scanner=None, is_data=None,
+                       on_stmt=None):
     """Exact serial rescan of [start, first clean point >= limit):
     the reconciliation fallback.  ``start`` must be a clean offset
     (proven by the trusted parse)."""
@@ -1964,7 +2016,7 @@ def _rescan_pg_segment(path: str, start: int, limit: Optional[int],
         f.seek(start)
         events, stop, _clean = _collect_scan_events(
             f, start, limit, chunk_bytes, hard_allowance=None,
-            scanner=scanner, is_data=is_data)
+            scanner=scanner, is_data=is_data, on_stmt=on_stmt)
     return events, stop
 
 
@@ -1978,11 +2030,14 @@ def _ev_end(ev) -> int:
 
 def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
                        chunk_bytes: int, scanner=None,
-                       is_data=None) -> list:
+                       is_data=None, on_stmt=None) -> list:
     """Merge per-range speculative scans into the exact event list for
     one file.  ``results`` are in range order; each carries its
     range_start/range_end.  See the module comment above for the
-    trusted-cursor argument."""
+    trusted-cursor argument.  ``on_stmt`` is forwarded to the exact
+    rescans only (their events are trusted by construction) — the
+    distributed schema pass uses it to recover statement events the
+    speculative ranges lost."""
     out: list = []
     cursor = 0
     dirty = False       # segment after `cursor` unverified (hard stop)
@@ -2019,7 +2074,7 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
             if cap is not None:
                 ev2, stop2 = _rescan_pg_segment(
                     path, cursor, rng_end, chunk_bytes, scanner,
-                    is_data)
+                    is_data, on_stmt)
                 out.extend(ev2)
                 cursor = max(cursor, stop2)
                 dirty = False
@@ -2031,14 +2086,14 @@ def _reconcile_pg_scan(path: str, file_size: int, results: list[dict],
         else:
             ev2, stop2 = _rescan_pg_segment(path, cursor, rng_end,
                                             chunk_bytes, scanner,
-                                            is_data)
+                                            is_data, on_stmt)
             out.extend(ev2)
             cursor = max(cursor, stop2)
             dirty = False
     if cursor < file_size:
         ev2, _stop2 = _rescan_pg_segment(path, cursor, None,
                                          chunk_bytes, scanner,
-                                         is_data)
+                                         is_data, on_stmt)
         out.extend(ev2)
     return out
 
@@ -2254,18 +2309,30 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
         ctx = MigrationContext()
     paths = [dump_path] if isinstance(dump_path, str) else list(dump_path)
 
-    # pass 1 stays serial per file: DDL statements are tiny and must
-    # apply in dump order (ALTERs may follow CREATEs across files)
+    if mode == "distributed":
+        # pass 1 runs as byte-range Spark tasks (compact schema
+        # events, driver replay in byte order) and hands its
+        # reconciled event timelines to the data pass — the driver
+        # never walks dump bytes, even on interleaved DDL/data dumps,
+        # and the files are never boundary-scanned twice
+        file_events = process_pg_dump_schema_distributed(
+            spark, ctx, paths, chunk_bytes)
+        schema_to_ddl(ctx, "postgres")
+        ctx.add_synthetic_pkeys()
+        ctx.set_data_mode()
+        return ctx, _migrate_distributed(spark, ctx, paths, staging_dir,
+                                         chunk_bytes, max_workers,
+                                         file_events)
+
+    # staged pass 1 is serial per file (the reference-parity path):
+    # DDL statements are tiny and must apply in dump order (ALTERs may
+    # follow CREATEs across files)
     for p in paths:
         with open(p, encoding="utf-8", newline="\n") as f:
             process_pg_dump_schema(ctx, f)
     schema_to_ddl(ctx, "postgres")
     ctx.add_synthetic_pkeys()
-
     ctx.set_data_mode()
-    if mode == "distributed":
-        return ctx, _migrate_distributed(spark, ctx, paths, staging_dir,
-                                         chunk_bytes, max_workers)
 
     # one writer across all dump files: appends + continuous per-table
     # sequence (sharded dumps put one table's rows in several files)
@@ -2288,26 +2355,44 @@ def migrate_pg_dump(spark: SparkSession, dump_path: Union[str, list[str]],
     return ctx, results
 
 
-def _scan_paths_distributed(spark: SparkSession, paths: list[str],
-                            chunk_bytes: int, ctx: MigrationContext):
-    """Byte-range-split FUSED scan+tokenize of all dump files as ONE
-    Spark job, then per-file driver reconciliation.  Each range task
-    walks its bytes once: statement boundaries, COPY block ranges, AND
-    tokenized INSERT rows come out of the same token walk (the dump is
-    never read twice).  Returns (file_events, parsed, counts,
-    unknowns): parsed/counts/unknowns cover exactly the ACCEPTED spans
-    (speculative output of ranges the reconciliation rejected is
-    dropped by key; rescanned segments re-tokenize through
-    _tokenize_pg_spans and union in).
+def process_pg_dump_schema_distributed(spark: SparkSession,
+                                       ctx: MigrationContext,
+                                       paths: list[str],
+                                       chunk_bytes: int = 32 << 20,
+                                       ) -> dict[str, list]:
+    """Distributed pass 1: schema discovery with ZERO O(dump-bytes)
+    driver work, correct for INTERLEAVED DDL/data dumps (the 100-TB
+    worst case a hand-assembled dump hits; real pg_dump puts DDL in a
+    prefix but nothing guarantees it).
 
-    Small inputs (single range) skip the Spark scan and parse
-    driver-side with the same primitives — identical events by
-    construction."""
+    The byte-range speculative scan (the same _scan_pg_range +
+    _reconcile_pg_scan machinery the data pass trusts) runs once as a
+    Spark job; each range task reduces every statement it finds to a
+    COMPACT schema event via the shared _schema_stmt_event kernel —
+    DDL text ships whole (tiny), INSERTs ship as per-(span, table)
+    row/statement counts, skipped statements as per-kind counts — and
+    the driver replays the reconciled per-file event timeline in byte
+    order through the same switch the serial pass uses, so results
+    are bit-identical: ordering matters only for ctx.location
+    (last-valid-SET-wins) and the capped unexpected log, both
+    preserved by the offset sort; all other effects are order-free
+    counter sums.  Speculative events of ranges the reconciliation
+    rejects are dropped by (path, range, span) key exactly like the
+    data pass drops fused rows; reconciliation rescans re-capture
+    their statements through the forwarded on_stmt.
+
+    Returns the reconciled per-file event timelines (spans tagged
+    with their owning range) for _migrate_distributed to REUSE — the
+    dump is never boundary-scanned twice.
+
+    Small inputs take the serial-cutover branch: ONE driver walk
+    produces both the schema events and the data-pass timeline
+    (strictly cheaper than the pre-r11 flow, which walked every file
+    serially for schema and then scanned it again for data)."""
     import json as _json
     import math as _math
 
-    schema_cols_by_table = {t: list(st.col_names)
-                            for t, st in ctx.src_schema.items()}
+    ctx.set_schema_mode()
     sizes = {p: os.path.getsize(p) for p in paths}
     total = sum(sizes.values())
     par = max(int(spark.sparkContext.defaultParallelism), 1)
@@ -2324,28 +2409,34 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
         serial = not _choose_distributed(
             _estimate_serial_scan_sec(paths, sizes, chunk_bytes),
             total, _DIST_MIN_SERIAL_SEC)
+
+    def _copy_item(ev):
+        return (ev[4], ("C", ev[1], sum(n for _s, _e, n in ev[3])))
+
     if serial:
         file_events: dict[str, list] = {}
-        span_rows = []
         for p in paths:
             if sizes[p] == 0:
                 file_events[p] = []
                 continue
+            items: list[tuple] = []
+
+            def on_stmt(ev, span_start, items=items):
+                items.append((ev[2], _schema_stmt_event(ev[1])))
+
             with open(p, "rb") as f:
                 events, _stop, _clean = _collect_scan_events(
-                    f, 0, None, chunk_bytes, hard_allowance=None)
+                    f, 0, None, chunk_bytes, hard_allowance=None,
+                    on_stmt=on_stmt)
             for ev in events:
                 if ev[0] == "span":
                     ev.append(0)                    # rng tag
-                    if ev[4]:       # has INSERTs: worth a tokenize task
-                        span_rows.append((p, 0, ev[1], ev[2]))
+                else:
+                    items.append(_copy_item(ev))
+            items.sort(key=lambda it: it[0])
+            _replay_schema_events(ctx, (c for _off, c in items))
             file_events[p] = events
-        if span_rows:
-            parsed, counts, unknowns = _tokenize_pg_spans(
-                spark, ctx, span_rows)
-        else:
-            parsed, counts, unknowns = None, {}, []
-        return file_events, parsed, counts, unknowns
+        return file_events
 
     cb = chunk_bytes
 
@@ -2354,36 +2445,46 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
         for pdf in batches:
             rows: list[tuple] = []
             for rec in pdf.itertuples(index=False):
-                ordinal_state = {"span": None, "ordinals": {}}
-                span_counts: dict[tuple, list] = {}
+                # per-span pre-aggregation: INSERT stats and skip
+                # kinds collapse to counts executor-side, so the
+                # driver collects O(DDL + spans x kinds + ranges)
+                # rows, never O(statements)
+                aggs: dict[tuple, list] = {}
 
                 def on_stmt(ev, span_start, rec=rec, rows=rows,
-                            st=ordinal_state, span_counts=span_counts):
-                    if st["span"] != span_start:
-                        st["span"] = span_start
-                        st["ordinals"] = {}
-
-                    def emit_row(table, k, off, payload):
-                        c = span_counts.setdefault(
-                            (span_start, table), [0, off])
-                        c[0] += 1
+                            aggs=aggs):
+                    c = _schema_stmt_event(ev[1])
+                    k = c[0]
+                    if k in ("D", "X"):
                         rows.append((rec.path, rec.ri, span_start,
-                                     table, k, off, "r", payload))
-
-                    def emit_unknown(off, msg):
-                        rows.append((rec.path, rec.ri, span_start,
-                                     "", 0, off, "u", msg))
-
-                    _tokenize_stmt(ev, schema_cols_by_table,
-                                   st["ordinals"], emit_row,
-                                   emit_unknown)
+                                     "", 0, ev[2], k, c[1]))
+                    elif k == "I":
+                        a = aggs.setdefault((span_start, "I", c[1]),
+                                            [0, 0])
+                        a[0] += c[2]
+                        a[1] += c[3]
+                    elif k == "K":
+                        a = aggs.setdefault((span_start, "K", c[1]),
+                                            [0])
+                        a[0] += c[2]
+                    else:                           # "E"
+                        a = aggs.setdefault((span_start, "E", ""),
+                                            [0])
+                        a[0] += c[1]
 
                 res = _scan_pg_range(rec.path, rec.start, rec.end, cb,
                                      on_stmt=on_stmt)
                 res["range_end"] = rec.end
-                for (ss, t), (n, first) in span_counts.items():
-                    rows.append((rec.path, rec.ri, ss, t, n, first,
-                                 "c", ""))
+                for (ss, kind, word), a in aggs.items():
+                    if kind == "I":
+                        rows.append((rec.path, rec.ri, ss, word, a[0],
+                                     a[1], "I", ""))
+                    elif kind == "K":
+                        rows.append((rec.path, rec.ri, ss, word, a[0],
+                                     0, "K", ""))
+                    else:
+                        rows.append((rec.path, rec.ri, ss, "", a[0],
+                                     0, "E", ""))
                 rows.append((rec.path, rec.ri, rec.start, "", 0,
                              rec.ri, "s", _json.dumps(res)))
             yield pd.DataFrame(
@@ -2393,13 +2494,30 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
     desc_df = spark.createDataFrame(
         descs, "path string, ri long, start long, end long") \
         .repartition(len(descs))
-    parsed = desc_df.mapInPandas(gen, _PARSED_SCHEMA).localCheckpoint()
-    counts, unknowns, raw_summaries = _collect_span_meta(parsed)
-    summaries = {k: _json.loads(v) for k, v in raw_summaries.items()}
+    # every row is metadata (no data rows), so a straight collect is
+    # O(DDL + spans x kinds + ranges) driver memory
+    meta = desc_df.mapInPandas(gen, _PARSED_SCHEMA).collect()
+
+    summaries: dict[tuple, dict] = {}
+    span_items: dict[tuple, list] = {}   # ordered D/X events per span
+    span_aggs: dict[tuple, list] = {}    # order-free count events
+    for r in meta:
+        key = (r.path, r.rng, r.span_start)
+        if r.kind == "s":
+            summaries[(r.path, r.off)] = _json.loads(r.payload)
+        elif r.kind in ("D", "X"):
+            span_items.setdefault(key, []).append(
+                (r.off, (r.kind, r.payload)))
+        elif r.kind == "I":
+            span_aggs.setdefault(key, []).append(
+                ("I", r.table, r.ordinal, r.off))
+        elif r.kind == "K":
+            span_aggs.setdefault(key, []).append(
+                ("K", r.table, r.ordinal))
+        else:                               # "E"
+            span_aggs.setdefault(key, []).append(("E", r.ordinal))
 
     file_events = {}
-    rescan_rows = []
-    accepted: set[tuple] = set()        # (path, rng, span_start)
     rescan_rng = -1
     for p in paths:
         ris = sorted(ri for q, ri in summaries if q == p)
@@ -2410,31 +2528,30 @@ def _scan_paths_distributed(spark: SparkSession, paths: list[str],
                 if ev[0] == "span":
                     ev.append(ri)                   # rng tag
             results.append(res)
-        events = _reconcile_pg_scan(p, sizes[p], results, chunk_bytes)
-        for ev in events:
-            if ev[0] != "span":
-                continue
-            if len(ev) >= 6:                        # fused range span
-                accepted.add((p, ev[5], ev[1]))
-            else:                                   # rescan-discovered
-                ev.append(rescan_rng)
-                if ev[4]:       # has INSERTs: worth a tokenize task
-                    rescan_rows.append((p, rescan_rng, ev[1], ev[2]))
-                rescan_rng -= 1
-        file_events[p] = events
+        rescan_items: list[tuple] = []
 
-    # drop speculative output of rejected spans; tokenize rescans
-    counts = {k: v for k, v in counts.items()
-              if (k[0], k[1], k[2]) in accepted}
-    unknowns = [u for u in unknowns
-                if (u[0], u[1], u[2]) in accepted]
-    if rescan_rows:
-        parsed2, counts2, unknowns2 = _tokenize_pg_spans(
-            spark, ctx, rescan_rows)
-        parsed = parsed.unionByName(parsed2)
-        counts.update(counts2)
-        unknowns.extend(unknowns2)
-    return file_events, parsed, counts, unknowns
+        def on_rescan_stmt(ev, span_start, items=rescan_items):
+            items.append((ev[2], _schema_stmt_event(ev[1])))
+
+        events = _reconcile_pg_scan(p, sizes[p], results, chunk_bytes,
+                                    on_stmt=on_rescan_stmt)
+        items = rescan_items
+        for ev in events:
+            if ev[0] == "copy":
+                items.append(_copy_item(ev))
+            elif ev[0] == "span":
+                if len(ev) >= 6:            # accepted range span
+                    key = (p, ev[5], ev[1])
+                    items.extend(span_items.get(key, ()))
+                    for a in span_aggs.get(key, ()):
+                        items.append((ev[1], a))
+                else:                       # rescan-discovered span
+                    ev.append(rescan_rng)
+                    rescan_rng -= 1
+        items.sort(key=lambda it: it[0])
+        _replay_schema_events(ctx, (c for _off, c in items))
+        file_events[p] = events
+    return file_events
 
 
 def _write_sequenced_values(spark: SparkSession, parsed: DataFrame,
@@ -2483,15 +2600,19 @@ def _write_sequenced_values(spark: SparkSession, parsed: DataFrame,
 def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
                          paths: list[str], staging_dir: str,
                          chunk_bytes: int, max_workers: Optional[int],
+                         file_events: dict[str, list],
                          ) -> dict[str, ConversionResult]:
     """Distributed data pass, serial-driver-free end to end:
 
-    1. the statement-boundary scan runs as byte-range Spark tasks
-       (speculative token walk + driver reconciliation,
-       _scan_paths_distributed) — the driver never walks dump bytes;
-    2. INSERT tokenization is FUSED into the same executor pass (the
-       dump is read once); the driver sees per-(span, table) counts,
-       O(spans), never per-statement data;
+    1. ``file_events`` are the reconciled per-file event timelines the
+       distributed SCHEMA pass already produced (byte-range Spark
+       tasks + driver reconciliation) — the driver never walks dump
+       bytes and the boundary scan never re-runs;
+    2. INSERT tokenization re-reads only the statement-run spans
+       (executor tasks over proven-clean byte ranges,
+       _tokenize_pg_spans) — schema column order is known by now, so
+       rows come out in staged layout; the driver sees per-(span,
+       table) counts, O(spans), never per-statement data;
     3. sequence numbers compose deterministically by walking the
        per-file event timelines in path order, so COPY chunks and
        INSERT tuples interleave into exactly the sequences the staged
@@ -2502,8 +2623,14 @@ def _migrate_distributed(spark: SparkSession, ctx: MigrationContext,
     parallelizes as one Spark job regardless of file count)."""
     del max_workers
     os.makedirs(staging_dir, exist_ok=True)
-    file_events, parsed, counts, unknowns = _scan_paths_distributed(
-        spark, paths, chunk_bytes, ctx)
+    span_rows = [(p, ev[5], ev[1], ev[2])
+                 for p in paths for ev in file_events[p]
+                 if ev[0] == "span" and ev[4]]
+    if span_rows:
+        parsed, counts, unknowns = _tokenize_pg_spans(
+            spark, ctx, span_rows)
+    else:
+        parsed, counts, unknowns = None, {}, []
 
     unknowns_by_span: dict[tuple, list] = {}
     for p_, rng_, ss_, off_, msg_ in unknowns:

@@ -19,6 +19,25 @@ def _results_fingerprint(results):
             results.items()}
 
 
+def _ctx_fingerprint(ctx):
+    """Everything the schema pass writes into ctx — the distributed
+    schema pass (r11) must reproduce the serial pass bit-for-bit:
+    parsed schema, per-statement-kind counters, per-table row stats,
+    the SET-timezone location, and the ordered unexpected log."""
+    return {
+        "schema": {t: (list(st.col_names),
+                       {c: repr(st.col_defs[c]) for c in st.col_names},
+                       repr(st.primary_keys), repr(st.foreign_keys),
+                       repr(st.indexes))
+                   for t, st in ctx.src_schema.items()},
+        "stmts": {k: (v.schema, v.data, v.skip, v.error)
+                  for k, v in ctx.statement_stats.items()},
+        "rows": {t: v.rows for t, v in ctx.table_stats.items()},
+        "location": ctx.location,
+        "unexpected": list(ctx.unexpecteds.items()),
+    }
+
+
 def _assert_modes_identical(spark, paths, tmp_path, chunk_bytes=32 << 20):
     if isinstance(paths, (str, os.PathLike)):
         paths = str(paths)
@@ -36,6 +55,7 @@ def _assert_modes_identical(spark, paths, tmp_path, chunk_bytes=32 << 20):
     # bad rows split identically too
     for t in r1:
         assert sorted(r1[t].bad.collect()) == sorted(r2[t].bad.collect())
+    assert _ctx_fingerprint(ctx1) == _ctx_fingerprint(ctx2)
     return ctx1, ctx2, r1
 
 
@@ -995,3 +1015,95 @@ def test_semicolon_copy_data_skips_and_matches(tmp_path):
         hard_allowance=pgdump._SPEC_HARD_ALLOWANCE, sync_marks=sync)
     assert len(ev) <= pgdump._SPEC_BOGUS_WINDOW + 2, len(ev)
     assert sync, "terminator sync not reached"
+
+
+def test_interleaved_ddl_data_modes_identical(spark, tmp_path,
+                                              monkeypatch):
+    """The r11 distributed-schema-pass worst case: DDL scattered
+    BETWEEN data blocks (CREATE after another table's data, SET
+    timezone mid-file, post-data ALTER adding the PK, an INSERT
+    arriving before its table's CREATE) across many forced executor
+    ranges.  Staged and distributed must agree on every ctx artifact
+    (schema, statement stats, row stats, location, unexpected log)
+    and every converted row."""
+    monkeypatch.setattr(pgdump, "_RANGE_FLOOR", 96)
+    monkeypatch.setattr(pgdump, "_DIST_MIN_SERIAL_SEC", 0.0)
+    f = tmp_path / "interleaved.sql"
+    f.write_text(
+        "SET timezone = 'America/New_York';\n"
+        "CREATE TABLE public.a (id integer NOT NULL, ts timestamp "
+        "with time zone, PRIMARY KEY (id));\n"
+        "COPY public.a (id, ts) FROM stdin;\n"
+        "1\t2024-03-10 01:30:00\n"
+        "\\.\n"
+        # INSERT for a table whose CREATE comes LATER in the dump
+        "INSERT INTO public.b VALUES (100, 'early'), (101, 'rows');\n"
+        "CREATE TABLE public.b (k integer, w text);\n"
+        + "".join(f"INSERT INTO public.b VALUES ({i}, 'x{i}');\n"
+                  for i in range(30))
+        # DDL sandwiched between two COPY blocks of the same table
+        + "COPY public.b (k, w) FROM stdin;\n"
+        + "".join(f"{i}\tcopy{i}\n" for i in range(200, 230))
+        + "\\.\n"
+        "CREATE TABLE public.c (n numeric(6,2));\n"
+        "SET timezone = 'UTC';\n"
+        "COPY public.a (id, ts) FROM stdin;\n"
+        "2\t2024-03-10 01:30:00\n"
+        "\\.\n"
+        "COPY public.c (n) FROM stdin;\n"
+        "12.50\n"
+        "\\.\n"
+        # post-data schema statements (real pg_dump layout)
+        "ALTER TABLE public.b ADD CONSTRAINT b_pk PRIMARY KEY (k);\n"
+        "CREATE INDEX c_idx ON public.c (n);\n"
+        # an unknown zone: both modes must log + keep the prior zone
+        "SET timezone = 'Not/AZone';\n"
+        "INSERT INTO public.ghost VALUES (1);\n")
+    ctx1, ctx2, r1 = _assert_modes_identical(spark, f, tmp_path,
+                                             chunk_bytes=192)
+    assert ctx2.location == "UTC"
+    assert set(ctx2.src_schema) == {"a", "b", "c"}
+    assert [k.column for k in ctx2.src_schema["b"].primary_keys] \
+        == ["k"]
+    ks = {row.k for row in r1["b"].good.collect()}
+    assert {100, 101} <= ks and len(ks) == 62
+    assert any("ghost" in m for m in ctx2.unexpecteds)
+    assert any("Not/AZone" in m or "VariableSetStmt" in m
+               for m in ctx2.unexpecteds)
+
+
+def test_interleaved_random_differential(spark, tmp_path, monkeypatch):
+    """Randomized interleavings of DDL/INSERT/COPY/SET/garbage across
+    tiny forced ranges: ctx + results parity on every layout."""
+    monkeypatch.setattr(pgdump, "_RANGE_FLOOR", 64)
+    monkeypatch.setattr(pgdump, "_DIST_MIN_SERIAL_SEC", 0.0)
+    rng = random.Random(1107)
+    for it in range(3):
+        made = []
+        lines = []
+        for i in range(rng.randrange(20, 40)):
+            roll = rng.random()
+            if roll < 0.2:
+                t = f"t{len(made)}"
+                made.append(t)
+                lines.append(f"CREATE TABLE public.{t} "
+                             "(id integer, v text);\n")
+            elif roll < 0.5 and made:
+                t = rng.choice(made)
+                lines.append(
+                    f"INSERT INTO public.{t} VALUES ({i}, 'se;mi\n"
+                    f"multi{i}'), ({i + 1000}, NULL);\n")
+            elif roll < 0.8 and made:
+                t = rng.choice(made)
+                body = "".join(f"{j}\tc{j}\n"
+                               for j in range(i * 10, i * 10 + 5))
+                lines.append(f"COPY public.{t} (id, v) FROM stdin;\n"
+                             f"{body}\\.\n")
+            elif roll < 0.9:
+                lines.append(f"SET search_path = p{i};\n")
+            else:
+                lines.append(f"SELECT set_config('x', '{i}', "
+                             "false);\n")
+        f = tmp_path / f"ileave_{it}.sql"
+        f.write_text("".join(lines))
+        _assert_modes_identical(spark, f, tmp_path, chunk_bytes=128)

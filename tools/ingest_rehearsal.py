@@ -10,6 +10,16 @@ Env:    REHEARSAL_GB      target dump size in GB (default 10)
         REHEARSAL_TABLES  table count (default 8)
         REHEARSAL_FILES   dump shard files (default 8)
         REHEARSAL_KEEP    keep workdir (default: deleted)
+        REHEARSAL_INTERLEAVED  1 = scatter the DDL BETWEEN data blocks
+                          (each CREATE right before its table's first
+                          data, post-data ALTERs at the tail — the
+                          schema-pass worst case; default: DDL prefix)
+        REHEARSAL_SCHEMA_AB    1 = additionally time the serial vs
+                          distributed SCHEMA PASS alone on the same
+                          dump (VERDICT r10 ask 1 evidence)
+        REHEARSAL_MAX_RSS_GIB  hard peak-RSS gate (default 96; the
+                          run FAILS if the sampled peak exceeds it —
+                          VERDICT r10 ask 6)
         SPARK_GRAFT_CPUS  (default 32)
 
 Memory is sampled by a 1 Hz thread summing VmRSS of this process and
@@ -82,31 +92,53 @@ class PeakSampler(threading.Thread):
 
 
 def build_dump(root: str, target_gb: float, n_tables: int,
-               n_files: int) -> tuple[list[str], int]:
+               n_files: int, interleaved: bool = False,
+               ) -> tuple[list[str], int]:
     """Multi-table mixed COPY/INSERT pg dump totalling ~target_gb.
     Returns (paths, total_rows).  Row payload ~115 bytes, varied
     width; every table gets a PK + a text + a numeric column (the
-    D5/D7/D8 scalar paths) so conversion is exercised, not skipped."""
+    D5/D7/D8 scalar paths) so conversion is exercised, not skipped.
+
+    ``interleaved`` scatters the DDL through the data instead of a
+    file-0 prefix: each CREATE TABLE is written immediately before
+    its table's first data block (so CREATEs land mid-file, between
+    other tables' data), PKs arrive as post-data ALTERs at the end of
+    the last file, and a SET timezone sits between data blocks — the
+    hand-assembled-dump worst case the distributed schema pass must
+    handle without a serial driver walk."""
     target_bytes = int(target_gb * (1 << 30))
     paths = []
     total_rows = 0
     written = 0
     rid = 0
+    created: set[int] = set()
     per_file = target_bytes // n_files
     for f in range(n_files):
         p = os.path.join(root, f"dump_{f}.sql")
         with open(p, "w", encoding="utf-8", newline="\n") as out:
-            if f == 0:
+            if f == 0 and not interleaved:
                 for t in range(n_tables):
                     out.write(
                         f"CREATE TABLE public.t{t} (id bigint NOT "
                         "NULL, v text, x numeric(12,2), ts timestamp"
                         ", PRIMARY KEY (id));\n")
+                created.update(range(n_tables))
             file_written = 0
             # alternate COPY blocks and INSERT runs across tables
             t = 0
             while file_written < per_file:
-                tbl = f"t{t % n_tables}"
+                ti = t % n_tables
+                tbl = f"t{ti}"
+                if interleaved and ti not in created:
+                    # CREATE mid-stream, WITHOUT the PK (added as a
+                    # post-data ALTER at the tail of the last file)
+                    out.write(
+                        f"CREATE TABLE public.t{ti} (id bigint NOT "
+                        "NULL, v text, x numeric(12,2), ts "
+                        "timestamp);\n")
+                    if ti % 3 == 0:
+                        out.write("SET timezone = 'UTC';\n")
+                    created.add(ti)
                 if t % 2 == 0:   # COPY block, ~200k rows
                     out.write(f"COPY public.{tbl} (id, v, x, ts) "
                               "FROM stdin;\n")
@@ -145,6 +177,11 @@ def build_dump(root: str, target_gb: float, n_tables: int,
                         file_written += len(s)
                     total_rows += 100_000
                 t += 1
+            if interleaved and f == n_files - 1:
+                for ti in sorted(created):
+                    out.write(f"ALTER TABLE public.t{ti} ADD "
+                              f"CONSTRAINT t{ti}_pk PRIMARY KEY "
+                              "(id);\n")
         written += os.path.getsize(p)
         paths.append(p)
     return paths, total_rows
@@ -159,13 +196,17 @@ def main() -> int:
     n_tables = int(os.environ.get("REHEARSAL_TABLES", "8"))
     n_files = int(os.environ.get("REHEARSAL_FILES", "8"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    interleaved = os.environ.get("REHEARSAL_INTERLEAVED") == "1"
+    schema_ab = os.environ.get("REHEARSAL_SCHEMA_AB") == "1"
+    max_rss_gib = float(os.environ.get("REHEARSAL_MAX_RSS_GIB", "96"))
     work = tempfile.mkdtemp(prefix="ingest_rehearsal_",
                             dir=os.environ.get("REHEARSAL_TMP"))
     sampler = PeakSampler()
     sampler.start()
     try:
         t0 = time.time()
-        paths, gen_rows = build_dump(work, gb, n_tables, n_files)
+        paths, gen_rows = build_dump(work, gb, n_tables, n_files,
+                                     interleaved=interleaved)
         dump_bytes = sum(os.path.getsize(p) for p in paths)
         gen_sec = round(time.time() - t0, 1)
         print(f"# generated {dump_bytes / (1 << 30):.2f} GiB, "
@@ -183,6 +224,31 @@ def main() -> int:
         spark.range(64).repartition(64).mapInPandas(
             lambda it: it, "id long").count()
 
+        schema_times = {}
+        if schema_ab:
+            from harbourbridge_spark.context import MigrationContext
+            from harbourbridge_spark.sources import pgdump as _pg
+            t0 = time.time()
+            ctx_s = MigrationContext()
+            for p in paths:
+                with open(p, encoding="utf-8", newline="\n") as fh:
+                    _pg.process_pg_dump_schema(ctx_s, fh)
+            schema_times["schema_serial_sec"] = round(
+                time.time() - t0, 1)
+            t0 = time.time()
+            ctx_d = MigrationContext()
+            _pg.process_pg_dump_schema_distributed(spark, ctx_d, paths)
+            schema_times["schema_distributed_sec"] = round(
+                time.time() - t0, 1)
+            assert sorted(ctx_s.src_schema) == sorted(ctx_d.src_schema)
+            assert {t: v.rows for t, v in ctx_s.table_stats.items()} \
+                == {t: v.rows for t, v in ctx_d.table_stats.items()}
+            print(f"# schema pass serial "
+                  f"{schema_times['schema_serial_sec']}s vs "
+                  f"distributed "
+                  f"{schema_times['schema_distributed_sec']}s",
+                  file=sys.stderr)
+
         out_dir = os.path.join(work, "migrated")
         t0 = time.time()
         ctx = migrate_dump(spark, paths, "postgres", out_dir,
@@ -196,19 +262,28 @@ def main() -> int:
         bad = ctx.stats.get("bad_rows", 0) if hasattr(ctx, "stats") \
             else 0
         sampler.stop.set()
+        peak_gib = round(sampler.peak_kb / (1 << 20), 2)
         print(json.dumps({
             "metric": "ingest_rehearsal_distributed_cli",
             "dump_gib": round(dump_bytes / (1 << 30), 2),
             "files": n_files, "tables": n_tables,
+            "interleaved_ddl": interleaved,
             "rows": gen_rows, "rows_out": out_rows, "bad": bad,
             "migrate_sec": round(migrate_sec, 1),
             "rows_per_sec": int(gen_rows / migrate_sec),
             "mb_per_sec": round(dump_bytes / (1 << 20) / migrate_sec,
                                 1),
-            "peak_rss_gib": round(sampler.peak_kb / (1 << 20), 2),
+            "peak_rss_gib": peak_gib,
+            "max_rss_gib": max_rss_gib,
             "cpus": int(cpus),
+            **schema_times,
         }))
         assert out_rows == gen_rows, (out_rows, gen_rows)
+        # hard peak-RSS gate (VERDICT r10 ask 6): a breach FAILS the
+        # rehearsal instead of merely documenting the curve
+        assert peak_gib <= max_rss_gib, (
+            f"peak RSS {peak_gib} GiB breached the "
+            f"{max_rss_gib} GiB gate")
         spark.stop()
         return 0
     finally:
