@@ -1621,15 +1621,17 @@ def test_dedup_incremental_store_entry_matches_recompute(spark):
     # second call reuses it
     import hashlib
     import os
-    import tempfile
+    from harbourbridge_spark.pipeline.storecache import store_path
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     ident = hashlib.sha1(
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|10|8".encode()).hexdigest()[:16]
-    store = os.path.join(tempfile.gettempdir(),
-                         f"hb_sig_store_{ident}")
-    assert os.path.exists(store)
+    # the store lives in the per-user 0700 cache (ADVICE r8), not the
+    # old world-shared /tmp path this test originally asserted — that
+    # stale assertion only passed on boxes where pre-move runs had
+    # left the old path behind
+    assert os.path.exists(store_path("sig", ident))
     again = {(r.doc_id, r.n_corpus_matches, r.dup_of)
              for r in D.dedup_incremental_store_entry_fn(
                  spark, sf_dir).collect()}
