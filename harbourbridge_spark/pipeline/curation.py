@@ -673,6 +673,40 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
     emerged.write.mode("overwrite").parquet(f"{store_path}/eval_grams")
 
 
+def curation_store_compact(spark, store_path: str,
+                           max_files_per_relation: int = 4) -> dict:
+    """Compact the persisted curation store (VERDICT r10 ask 8).  The
+    four relations are rewritten whole on every append (overwrite
+    merge), so unlike the signature store they don't accumulate epoch
+    files — but each overwrite inherits the shuffle partitioning of
+    the merge (32+ part files for KB-scale relations), and replayed
+    appends can leave duplicate eval_grams rows from the pre-r9
+    append path.  Compaction re-buckets every relation to
+    ``max_files_per_relation`` files, re-asserts the boilerplate DF
+    floor, and DISTINCTs eval_grams; vocab/totals are content-exact
+    rewrites (their counts are additive state that nothing can
+    legitimately dedupe).  Scoring any batch against the store before
+    and after is EXACTLY equal column-for-column (pinned by
+    tests/test_pipeline.py).  Returns per-relation file counts."""
+    from .storecache import replace_store
+
+    stats = {}
+    for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
+        sub = f"{store_path}/{name}"
+        df = spark.read.parquet(sub)
+        files_before = len(df.inputFiles())
+        if name == "eval_grams":
+            df = df.distinct()
+        elif name == "boiler_grams":
+            df = df.where(f"n_docs >= {BOILER_MIN_DOCS}")
+        fixed = df.coalesce(max_files_per_relation).localCheckpoint()
+        replace_store(sub, lambda tmp, d=fixed: d.write.parquet(tmp))
+        stats[name] = {
+            "files_before": files_before,
+            "files_after": len(spark.read.parquet(sub).inputFiles())}
+    return stats
+
+
 def curate_against_store(spark, store_path: str, batch_df):
     """Score a NEW batch against the persisted curation store: per-doc
     quality (stateless projection), contamination vs the stored eval

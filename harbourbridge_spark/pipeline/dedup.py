@@ -1605,6 +1605,67 @@ def signature_store_write(spark, docs_df, store_path: str,
     spark.sql(sig_sql).write.mode(mode).parquet(store_path)
 
 
+def signature_store_compact(spark, store_path: str,
+                            rows_per_file: int = 4_000_000) -> dict:
+    """Compact the append-only signature store (VERDICT r10 ask 8):
+    every admitted micro-batch appends a handful of parquet files, and
+    the documented at-least-once crash-replay contract can append the
+    SAME batch twice — so at 100 TB the store itself becomes a corpus
+    of small files carrying duplicate rows.  Compaction = DISTINCT over
+    whole rows (replay duplicates are bit-identical: signatures are
+    deterministic functions of the text) + re-bucket to
+    ``ceil(rows / rows_per_file)`` files hash-partitioned on doc_id +
+    atomic directory swap (storecache.replace_store).
+
+    DECISION-INVARIANT by construction: the probe's ``dup_of`` is a
+    MIN over candidate doc_ids, bucket degrade reps are MIN(doc_id),
+    and the candidate CTE's UNION is a set union — so duplicate store
+    rows never changed ANY verdict column to begin with, and removing
+    them is purely physical (tests/test_store_compaction.py pins the
+    probe output bit-identical pre-compact, post-compact, and vs a
+    from-scratch store).  Returns
+    ``{rows_before, rows_after, files_before, files_after}``."""
+    from .storecache import replace_store
+
+    df = spark.read.parquet(store_path)
+    files_before = len(df.inputFiles())
+    rows_before = df.count()
+    # materialize BEFORE the swap: the plan reads the directory the
+    # swap is about to replace
+    compacted = df.distinct().localCheckpoint()
+    rows_after = compacted.count()
+    n_files = max(1, -(-rows_after // rows_per_file))
+    replace_store(store_path, lambda tmp: compacted
+                  .repartition(n_files, "doc_id")
+                  .write.parquet(tmp))
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "files_before": files_before,
+            "files_after": len(
+                spark.read.parquet(store_path).inputFiles())}
+
+
+def signature_store_evict(spark, store_path: str,
+                          drop_where: str) -> dict:
+    """Evict signatures matching the SQL predicate ``drop_where``
+    (e.g. ``"doc_id IN (...)"`` for takedowns, or a range predicate
+    for retention) from the persisted store, with the same
+    materialize-then-atomic-swap discipline as compaction.  Unlike
+    compaction this DELIBERATELY changes future decisions: batches
+    duplicating an evicted doc stop being flagged — that is the point
+    (right-to-be-forgotten / retention); everything else is untouched
+    (pinned by tests)."""
+    from .storecache import replace_store
+
+    df = spark.read.parquet(store_path)
+    rows_before = df.count()
+    kept = df.where(f"NOT ({drop_where})").localCheckpoint()
+    rows_after = kept.count()
+    replace_store(store_path,
+                  lambda tmp: kept.write.parquet(tmp))
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "evicted": rows_before - rows_after}
+
+
 def dedup_incremental_against_store(spark, store_path: str, batch_df,
                                     admit: bool = False):
     """Probe a NEW batch against the persisted signature store: only

@@ -90,6 +90,39 @@ def store_path(kind: str, ident: str) -> str:
     return os.path.join(root, name)
 
 
+def replace_store(target: str, build) -> None:
+    """Compaction twin of :func:`publish_store`: ``build(tmp_path)`` a
+    REPLACEMENT for an EXISTING store into a private sibling dir, then
+    swap it in (rename old aside -> rename new in -> drop old).  A
+    reader that grabbed the old path keeps a consistent snapshot (the
+    rename doesn't disturb open handles on POSIX); a crash between the
+    two renames leaves the ``.old.<pid>`` directory behind for manual
+    recovery rather than a half-written store.  The ``build`` callable
+    MUST materialize its input before writing (``localCheckpoint``) —
+    it is replacing the very directory a lazy plan would re-read.
+
+    On an object store / HDFS deployment the two renames map to the
+    FileSystem.rename metadata operation; the pattern is unchanged."""
+    target = os.path.abspath(target)
+    parent = os.path.dirname(target)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(target) + ".",
+                           suffix=".tmp", dir=parent)
+    old = os.path.join(
+        parent, f"{os.path.basename(target)}.old.{os.getpid()}")
+    try:
+        built = os.path.join(tmp, "store")
+        build(built)
+        os.rename(target, old)
+        try:
+            os.rename(built, target)
+        except OSError:
+            os.rename(old, target)          # roll the swap back
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def publish_store(target: str, build) -> None:
     """Run ``build(tmp_path)`` into a private sibling dir, then rename
     it to ``target`` — the exists-check can never observe a partial

@@ -83,6 +83,37 @@ def streaming_incremental_dedup(stream: DataFrame, store_path: str,
             .start())
 
 
+def compact_admission_output(spark: SparkSession, out_dir: str,
+                             files_per_epoch: int = 1) -> dict:
+    """Merge the per-epoch verdict directories (``{out}/epoch=K/``,
+    one overwrite target per micro-batch) into ``files_per_epoch``
+    parquet files per epoch, preserving the ``epoch=K`` directory
+    layout — the idempotent-replay contract (a replayed epoch
+    overwrites its own directory) must survive compaction, so the
+    partition structure is kept, only the small files within each
+    epoch are merged.  One Spark job regardless of epoch count: the
+    whole dataset is read with its epoch partition column,
+    re-bucketed by epoch, and swapped in atomically."""
+    import os
+
+    from ..pipeline.storecache import replace_store
+
+    df = spark.read.parquet(out_dir)
+    files_before = len(df.inputFiles())
+    rows = df.count()
+    snap = df.localCheckpoint()
+    replace_store(out_dir, lambda tmp: snap
+                  .repartition(max(1, files_per_epoch *
+                                   snap.select("epoch")
+                                   .distinct().count()), "epoch")
+                  .write.partitionBy("epoch").parquet(tmp))
+    after = spark.read.parquet(out_dir)
+    assert after.count() == rows
+    return {"files_before": files_before,
+            "files_after": len(after.inputFiles()),
+            "rows": rows}
+
+
 def streaming_corpus_admission(stream: DataFrame, sig_store: str,
                                cur_store: str, out_dir: str,
                                checkpoint_dir: str,
