@@ -2183,6 +2183,36 @@ def q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_mp3",
+    """
+    SELECT doc_id AS media_id,
+           CAST(2 * (1 + doc_id % 4) * 36 AS DOUBLE) AS duration_ms,
+           CAST(32000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 * (1 + doc_id % 4) AS BIGINT) AS n_frames,
+           CAST((2 * (18 * (1 + doc_id % 12) + 8) + 1) * 16000
+                AS DOUBLE) / 1152 AS dominant_hz
+    FROM documents
+    """,
+    "REAL lossy-audio SAMPLE decode (VERDICT r10 ask 3): per doc a "
+    "steady tone is encoded as an MPEG-1 Layer III stream (count1 "
+    "Huffman quadruples, true-MDCT granule sign pattern) and decoded "
+    "by the native Layer III chain — side info, bit reservoir, "
+    "requantization, alias reduction, IMDCT+overlap-add, frequency "
+    "inversion, 32-band polyphase synthesis with a first-principles "
+    "derived window (pipeline/mp3.py).  dominant_hz is the rFFT "
+    "argmax over the DECODED samples; the fixture's coherent even "
+    "frame count makes it bit-identical to the closed form "
+    "(2*k0+1)*16000/1152 — any defect in any stage of the synthesis "
+    "chain moves the peak and breaks the hash")
+def q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import analyze_mp3, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return analyze_mp3(synth_media(ids, "audio", fmt="mp3_tone"))
+
+
+@register(
     "multimodal_decode_aiff",
     """
     SELECT doc_id AS media_id,
@@ -2868,6 +2898,33 @@ def q_event_second_boundaries(spark: SparkSession,
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 11: native MP3 Layer III sample decoder (VERDICT r10
+    # ask 3) — new entry
+    "multimodal_decode_mp3",
+    # round 11: the shared multimodal plumbing changed — synth_media
+    # gained the mp3_tone format branch.  Per the standing policy
+    # (VERDICT r8 ask 1), every entry routed through a changed
+    # function is pinned even when its own branch is untouched.
+    # (The r11 store-compaction commit is pure function ADDITIONS —
+    # curation_store_compact / signature_store_compact/evict /
+    # compact_admission_output — no existing entry routes through
+    # changed code, so no store-family pins; the distributed schema
+    # pass rewrote sources/pgdump.py, which no oracle entry routes
+    # through — covered by the staged-vs-distributed differentials
+    # and CLI units instead.)
+    "multimodal_features", "multimodal_decode_wav",
+    "multimodal_decode_bmp", "multimodal_decode_png",
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",
+    "multimodal_meta_mp3", "multimodal_meta_mp4",
+    "multimodal_decode_gif", "multimodal_decode_gif_animated",
+    "multimodal_decode_ppm", "multimodal_decode_webp",
+    "multimodal_decode_flac", "multimodal_decode_aiff",
+    "multimodal_audio_analysis",
+    "multimodal_resize", "multimodal_frame_features",
+    "multimodal_decode_y4m", "multimodal_pixel_dedup",
+]
+
+_CHANGED_ROUND_10: list[str] = [
     # round 10: the r9 red row — mean_quality/dup_frac moved to exact
     # integer micro-unit half-up arithmetic (VERDICT r9 ask 1;
     # curation.py corpus_drift_sql)

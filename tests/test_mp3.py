@@ -1,0 +1,241 @@
+"""MPEG-1 Layer III sample decoder tests (pipeline/mp3.py).
+
+The module's own docstring records what is derivable offline vs not;
+these tests pin the derivable half hard: filterbank reconstruction
+against the ISO analysis flow, closed-form feature exactness over the
+full fixture parameter space, bit-reservoir equivalence, CRC-16
+rejection, named refusals for out-of-subset features, and truncation
+robustness.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from harbourbridge_spark.pipeline import mp3 as M
+
+
+# ---------------------------------------------------------------------------
+# synthesis filterbank (the derived-window claim, measured)
+# ---------------------------------------------------------------------------
+
+def test_synthesis_inverts_iso_analysis_flow():
+    """analysis -> synthesis == delay-481 identity to < -55 dB RMS
+    (the derived-window accuracy claim in the module docstring)."""
+    C, _D = M.synthesis_windows()
+    rng = np.random.RandomState(7)
+    x = rng.randn(32 * 250)
+    y = M._synthesize(M._analyze_pcm(x, C))
+    m = np.arange(len(y)) - M._SYNTH_DELAY
+    ok = (m >= 0) & (np.arange(len(y)) >= 640)
+    err = np.sqrt(np.mean((y[ok] - x[m[ok]]) ** 2)) / np.std(x)
+    assert err < 2e-3, err
+
+
+def test_synthesis_window_is_deterministic():
+    C1, D1 = M.synthesis_windows()
+    M._SYNTH_WINDOW = None
+    C2, D2 = M.synthesis_windows()
+    assert np.array_equal(C1, C2) and np.array_equal(D1, D2)
+
+
+def test_filterbank_delay_is_the_known_mpeg1_delay():
+    """An impulse comes out at exactly n + 481 (the documented MPEG-1
+    analysis+synthesis filterbank delay)."""
+    C, _ = M.synthesis_windows()
+    x = np.zeros(32 * 40)
+    x[100] = 1.0
+    y = M._synthesize(M._analyze_pcm(x, C))
+    assert int(np.argmax(np.abs(y))) == 100 + M._SYNTH_DELAY
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fixture exactness (the oracle contract)
+# ---------------------------------------------------------------------------
+
+def test_tone_features_match_closed_forms_full_parameter_space():
+    """Every (k0, n_frames, gain, sign) combination the fixture can
+    emit decodes to EXACTLY the closed-form features the DuckDB
+    oracle computes — same contract the driver checks at sf0.01."""
+    for seed in range(48):
+        feats = M.mp3_tone_analysis(M.synth_mp3_tone(seed))
+        k0 = 18 * (1 + seed % 12) + 8
+        nf = 2 * (1 + seed % 4)
+        assert feats == [nf * 36.0, 32000.0, 1.0, float(nf),
+                         (2 * k0 + 1) * 16000 / 1152], seed
+
+
+def test_tone_argmax_margin_is_robust():
+    """The expected bin doesn't just win argmax — it wins by >= 2x
+    over every other bin (the 288-combination design sweep measured
+    2.45x worst-case; this re-checks a sample in-repo)."""
+    for seed in (0, 5, 17, 30, 47):
+        content = M.synth_mp3_tone(seed)
+        _, _, samples = M.decode_mp3_samples(content)
+        mono = samples[0]
+        k0 = 18 * (1 + seed % 12) + 8
+        nf = 2 * (1 + seed % 4)
+        be = (2 * k0 + 1) * nf // 2
+        spec = np.abs(np.fft.rfft(mono))
+        mask = np.ones(len(spec), bool)
+        mask[be] = False
+        assert spec[be] / spec[mask].max() >= 2.0, seed
+
+
+def test_global_gain_scales_amplitude_by_power_of_two():
+    """Requantization: +4 global_gain steps double the amplitude
+    (2^((gg-210)/4))."""
+    a = M.decode_mp3_samples(M.encode_mp3_tone(98, 2))[2][0]
+    b = M.decode_mp3_samples(
+        M.encode_mp3_tone(98, 2, global_gain=214))[2][0]
+    assert np.allclose(b, 2.0 * a, rtol=0, atol=1e-12)
+
+
+def test_sign_flip_negates_samples():
+    a = M.decode_mp3_samples(M.encode_mp3_tone(98, 2, sign=1))[2]
+    b = M.decode_mp3_samples(M.encode_mp3_tone(98, 2, sign=-1))[2]
+    assert np.allclose(b, -a, rtol=0, atol=1e-12)
+
+
+def test_meta_walker_agrees_with_sample_decoder():
+    """mediameta's frame-header walk and the sample decoder must
+    agree on duration/rate/frames for every fixture stream."""
+    from harbourbridge_spark.pipeline.mediameta import decode_mp3_meta
+    for seed in (0, 9, 23, 41):
+        content = M.synth_mp3_tone(seed)
+        dur, rate, ch, _kbps, n_frames, trunc = decode_mp3_meta(
+            content)
+        feats = M.mp3_tone_analysis(content)
+        assert (dur, rate, ch, n_frames, trunc) == (
+            feats[0], feats[1], feats[2], feats[3], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# bitstream mechanics: reservoir, CRC, ID3, truncation
+# ---------------------------------------------------------------------------
+
+def test_bit_reservoir_stream_decodes_bit_identically():
+    """main_data_begin deferral into the previous frame's stuffing
+    must reproduce the exact same PCM as the inline layout."""
+    plain = M.decode_mp3_samples(
+        M.encode_mp3_tone(116, 6, reservoir=False))[2]
+    deferred = M.decode_mp3_samples(
+        M.encode_mp3_tone(116, 6, reservoir=True))[2]
+    assert np.array_equal(plain, deferred)
+
+
+def test_crc16_protected_stream_decodes_and_rejects_corruption():
+    content = M.encode_mp3_tone(98, 2, protection=True)
+    rate, n_ch, samples = M.decode_mp3_samples(content)
+    assert (rate, n_ch, samples.shape) == (32000, 1, (1, 2304))
+    bad = bytearray(content)
+    bad[10] ^= 0x04                     # side-info byte, CRC-covered
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_mp3_samples(bytes(bad))
+
+
+def test_id3v2_tag_is_skipped():
+    content = M.synth_mp3_tone(3)
+    tagged = (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 9]) + bytes(9)
+              + content)
+    assert M.mp3_tone_analysis(tagged) == M.mp3_tone_analysis(content)
+
+
+def test_truncated_final_frame_decodes_complete_frames():
+    content = M.encode_mp3_tone(98, 4)
+    cut = content[:len(content) - 100]   # into the last frame
+    rate, _, samples = M.decode_mp3_samples(cut)
+    assert samples.shape[1] == 3 * 1152
+
+
+def test_reservoir_underrun_is_rejected():
+    """A first frame claiming main_data_begin > 0 has no reservoir to
+    point into — must be a clean error, not garbage output."""
+    content = bytearray(M.encode_mp3_tone(98, 2))
+    # main_data_begin is the first 9 bits of the side info (byte 4)
+    content[4] = 0xFF
+    with pytest.raises(ValueError, match="reservoir"):
+        M.decode_mp3_samples(bytes(content))
+
+
+# ---------------------------------------------------------------------------
+# named refusals (out-of-subset features degrade, never lie)
+# ---------------------------------------------------------------------------
+
+def _with_header_bits(content: bytes, clear: int, set_: int) -> bytes:
+    h = struct.unpack(">I", content[:4])[0]
+    h = (h & ~clear) | set_
+    return struct.pack(">I", h) + content[4:]
+
+
+def test_mpeg2_and_layer12_are_named_refusals():
+    content = M.synth_mp3_tone(0)
+    with pytest.raises(M.UnsupportedMP3Error, match="MPEG-1 Layer"):
+        M.decode_mp3_samples(
+            _with_header_bits(content, 3 << 19, 2 << 19))
+    with pytest.raises(M.UnsupportedMP3Error, match="MPEG-1 Layer"):
+        M.decode_mp3_samples(
+            _with_header_bits(content, 3 << 17, 2 << 17))
+
+
+def test_joint_stereo_is_a_named_refusal():
+    content = M.synth_mp3_tone(0)
+    with pytest.raises(M.UnsupportedMP3Error, match="joint-stereo"):
+        M.decode_mp3_samples(
+            _with_header_bits(content, 3 << 6, 1 << 6))
+
+
+def test_out_of_subset_granule_features_are_named_refusals():
+    """Flip side-info bits to enable big_values / window_switching /
+    scalefac_compress / count1 table A; each must raise the named
+    UnsupportedMP3Error (the dispatcher then degrades to metadata)."""
+    base = M.synth_mp3_tone(0)
+
+    def flip(bit_in_side_info):
+        b = bytearray(base)
+        byte = 4 + bit_in_side_info // 8
+        b[byte] ^= 1 << (7 - bit_in_side_info % 8)
+        return bytes(b)
+
+    # granule 1 fields start at bit 18 (9 mdb + 5 private + 4 scfsi)
+    g = 18
+    cases = [
+        (g + 12 + 8, "big_values"),          # low bit of big_values
+        (g + 12 + 9 + 8 + 3, "scalefactors"),  # scalefac_compress lsb
+        (g + 12 + 9 + 8 + 4, "blocks"),      # window_switching flag
+        (g + 12 + 9 + 8 + 4 + 1 + 15 + 4 + 3 + 1 + 1, "table A"),
+    ]
+    for bit, match in cases:
+        with pytest.raises(M.UnsupportedMP3Error, match=match):
+            M.decode_mp3_samples(flip(bit))
+
+
+def test_garbage_and_fuzz_never_crash_uncontrolled():
+    """Random corruption of fixture bytes must always either decode
+    or raise ValueError (the dispatcher's quarantine contract)."""
+    rng = np.random.RandomState(11)
+    base = bytearray(M.synth_mp3_tone(7))
+    for _ in range(200):
+        b = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+        try:
+            M.decode_mp3_samples(bytes(b))
+        except ValueError:
+            pass                         # includes UnsupportedMP3Error
+
+
+def test_alias_reduction_butterflies_are_energy_preserving():
+    """cs^2 + ca^2 == 1 per butterfly (they're derived from ci), and
+    band-center lines k0 % 18 in {8, 9} pass through untouched —
+    the property the fixture's line placement relies on."""
+    assert np.allclose(M._CS ** 2 + M._CA ** 2, 1.0, atol=1e-15)
+    xr = np.zeros(576)
+    xr[98] = 1.0                         # 98 % 18 == 8: untouched
+    assert np.array_equal(M._alias_reduce(xr), xr)
+    xr2 = np.zeros(576)
+    xr2[90] = 1.0                        # 90 % 18 == 0: boundary-adj
+    out = M._alias_reduce(xr2)
+    assert not np.array_equal(out, xr2)
+    assert abs(np.sum(out ** 2) - 1.0) < 1e-12   # rotation preserves

@@ -46,6 +46,10 @@ PYTHON_KERNEL_OK = {
     # r10: Arrow-batched FLAC/AIFF synth+decode / sample-DSP kernels
     "multimodal_decode_flac", "multimodal_audio_analysis",
     "multimodal_decode_aiff",
+    # mp3: native Layer III sample decode is a per-row numpy codec
+    # (bit reservoir + Huffman + IMDCT + polyphase synthesis) — an
+    # Arrow-batched kernel by design, like the rest of the codecs
+    "multimodal_decode_mp3",
     "multimodal_decode_y4m",
     "multimodal_meta_mp3", "multimodal_meta_mp4",
     "multimodal_resize", "multimodal_frame_features",
