@@ -41,10 +41,12 @@ NOT DERIVABLE OFFLINE (documented refusals, never wrong answers)
     the dispatcher degrades to the frame-header metadata walk
     (mediameta.decode_mp3_meta), exactly like the sha-stub
     convention for absent image backends.  The supported bitstream
-    subset is: MPEG-1 Layer III, long blocks, big_values == 0,
-    scalefac_compress == 0, preflag == 0, count1 table B (whose
-    codeword IS its 4-bit one's complement).  The fixture encoder
-    emits exactly this subset, so the subset is round-trip proven;
+    subset is: MPEG-1 Layer III, mono / stereo / dual-channel
+    (independent channels; joint-stereo intensity/MS refused), long
+    blocks, big_values == 0, scalefac_compress == 0, preflag == 0,
+    count1 table B (whose codeword IS its 4-bit one's complement).
+    The fixture encoder emits exactly this subset (stereo via
+    ``k0_right``), so the subset is round-trip proven;
     if the recollected table-B mapping deviated from ISO it would
     affect only real-world interop (untestable in-sandbox: no
     third-party MP3 encoder exists here), never the self-consistent
@@ -498,28 +500,34 @@ def mp3_tone_analysis(content: bytes) -> list[float]:
 def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
                     sign: int = 1, rate: int = 32000,
                     kbps: int = 64, protection: bool = False,
-                    reservoir: bool = False) -> bytes:
-    """CBR MPEG-1 Layer III mono stream carrying a steady tone at
-    spectral line ``k0`` as count1 +-1 values with the period-4
-    granule sign pattern of a true MDCT (module docstring).
+                    reservoir: bool = False,
+                    k0_right: int = None) -> bytes:
+    """CBR MPEG-1 Layer III stream carrying a steady tone at spectral
+    line ``k0`` as count1 +-1 values with the period-4 granule sign
+    pattern of a true MDCT (module docstring).  Mono by default;
+    ``k0_right`` switches to two-channel stereo (mode 0, no joint
+    coding) with an independent tone line per channel — the stereo
+    side-info/main-data interleave differential.
 
     ``reservoir=True`` defers each frame's granule data into the
     previous frame's stuffing bytes via main_data_begin — the
     bit-reservoir differential the decoder must reproduce exactly."""
-    if not 0 <= k0 < 576:
+    lines = [k0] if k0_right is None else [k0, k0_right]
+    if any(not 0 <= k < 576 for k in lines):
         raise ValueError("k0 out of range")
+    n_ch = len(lines)
     sr_idx = _SAMPLE_RATES[3].index(rate)
     br_idx = _BITRATES_V1[3].index(kbps)
     frame_size = 144 * kbps * 1000 // rate
     pattern = (1, 1, -1, -1)
-    nq = k0 // 4 + 1
-    part2_3 = 4 * nq + 1
+    nq = [k // 4 + 1 for k in lines]
+    part2_3 = [4 * q + 1 for q in nq]
 
-    def granule_bits(bw: _BitWriter, gsign: int) -> None:
-        pos_in_quad = k0 % 4
-        for q in range(nq):
+    def granule_bits(bw: _BitWriter, ch: int, gsign: int) -> None:
+        pos_in_quad = lines[ch] % 4
+        for q in range(nq[ch]):
             quad = 0
-            if q == nq - 1:
+            if q == nq[ch] - 1:
                 quad = 1 << (3 - pos_in_quad)
             bw.write((~quad) & 0xF, 4)
             if quad:
@@ -528,38 +536,41 @@ def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
     def side_info(main_data_begin: int) -> bytes:
         bw = _BitWriter()
         bw.write(main_data_begin, 9)
-        bw.write(0, 5)                       # private (mono)
-        bw.write(0, 4)                       # scfsi
+        bw.write(0, 5 if n_ch == 1 else 3)   # private bits
+        for _ch in range(n_ch):
+            bw.write(0, 4)                   # scfsi
         for _g in range(2):
-            bw.write(part2_3, 12)
-            bw.write(0, 9)                   # big_values
-            bw.write(global_gain, 8)
-            bw.write(0, 4)                   # scalefac_compress
-            bw.write(0, 1)                   # window_switching
-            for _t in range(3):
-                bw.write(0, 5)               # table_select
-            bw.write(0, 4)                   # region0_count
-            bw.write(0, 3)                   # region1_count
-            bw.write(0, 1)                   # preflag
-            bw.write(0, 1)                   # scalefac_scale
-            bw.write(1, 1)                   # count1table_select = B
+            for ch in range(n_ch):
+                bw.write(part2_3[ch], 12)
+                bw.write(0, 9)               # big_values
+                bw.write(global_gain, 8)
+                bw.write(0, 4)               # scalefac_compress
+                bw.write(0, 1)               # window_switching
+                for _t in range(3):
+                    bw.write(0, 5)           # table_select
+                bw.write(0, 4)               # region0_count
+                bw.write(0, 3)               # region1_count
+                bw.write(0, 1)               # preflag
+                bw.write(0, 1)               # scalefac_scale
+                bw.write(1, 1)               # count1table_select = B
         bw.align()
         return bw.bytes()
 
+    mode = 3 if n_ch == 1 else 0             # mono / stereo-no-joint
     header_val = ((0x7FF << 21) | (3 << 19) | (1 << 17)
                   | ((0 if protection else 1) << 16)
-                  | (br_idx << 12) | (sr_idx << 10) | (3 << 6))
+                  | (br_idx << 12) | (sr_idx << 10) | (mode << 6))
     header = struct.pack(">I", header_val)
 
     # per-granule main data bytes (bit-packed pairwise per frame)
     out = bytearray()
     granule_idx = 0
-    pending = b""            # main data deferred into this frame
     for f in range(n_frames):
         bw = _BitWriter()
         for _g in range(2):
             gsign = sign * pattern[granule_idx % 4]
-            granule_bits(bw, gsign)
+            for ch in range(n_ch):
+                granule_bits(bw, ch, gsign)
             granule_idx += 1
         bw.align()
         data = bw.bytes()

@@ -98,6 +98,32 @@ def test_sign_flip_negates_samples():
     assert np.allclose(b, -a, rtol=0, atol=1e-12)
 
 
+def test_stereo_channels_decode_independently():
+    """Two-channel stereo (mode 0, no joint coding): the interleaved
+    side info and per-granule channel main data must decode each
+    channel bit-identically to its mono twin."""
+    c = M.encode_mp3_tone(98, 4, k0_right=152)
+    rate, n_ch, s = M.decode_mp3_samples(c)
+    assert (rate, n_ch, s.shape) == (32000, 2, (2, 4608))
+    for ch, k0 in ((0, 98), (1, 152)):
+        mono = M.decode_mp3_samples(M.encode_mp3_tone(k0, 4))[2][0]
+        assert np.array_equal(s[ch], mono), ch
+        spec = np.abs(np.fft.rfft(s[ch]))
+        assert int(np.argmax(spec)) == (2 * k0 + 1) * 4 // 2
+
+
+def test_dual_channel_mode_decodes_like_stereo():
+    """mode=2 (dual channel) shares the stereo layout; the decoder
+    must treat it as two independent channels."""
+    c = M.encode_mp3_tone(44, 2, k0_right=80)
+    h = struct.unpack(">I", c[:4])[0]
+    h2 = (h & ~(3 << 6)) | (2 << 6)
+    frames = [c[i:i + 288] for i in range(0, len(c), 288)]
+    c2 = b"".join(struct.pack(">I", h2) + f[4:] for f in frames)
+    assert np.array_equal(M.decode_mp3_samples(c2)[2],
+                          M.decode_mp3_samples(c)[2])
+
+
 def test_meta_walker_agrees_with_sample_decoder():
     """mediameta's frame-header walk and the sample decoder must
     agree on duration/rate/frames for every fixture stream."""

@@ -86,6 +86,12 @@ OP_BUDGETS = {
     "ann_sq_rerank": 3.0,
     "quality_classifier": 8.8,
     "corpus_curation_materialized": 3.7,
+    # r11 addition (VERDICT r10 ask 3): the MP3 sample-decode entry —
+    # the codec family's stress representative.  Embarrassingly
+    # parallel per-row numpy; measured 8x ratio 1.28 (fixed session/
+    # worker overhead dominates the ~3.9 ms/doc decode at sf0.1
+    # scale), budget = the 3.0 floor, ~2.3x headroom over measured.
+    "multimodal_decode_mp3": 3.0,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
