@@ -1498,6 +1498,144 @@ def winnow_fp_stats_fn(spark, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# exact substring-span dedup (the ExactSubstr operator)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 5            # tokens per gram: every duplicated span of
+                        # >= K tokens is detected EXACTLY (all of its
+                        # K-grams repeat), shorter spans never
+
+
+def _substr_grams(engine: str) -> str:
+    """Positional SUBSTR_K-gram hash relation g(doc_id, pos, h) —
+    the winnow gram kernel at K=SUBSTR_K (1-based positions)."""
+    joined = ", ".join(f"tk[i{f'+{o}' if o else ''}]"
+                       for o in range(SUBSTR_K))
+    gram = f"concat_ws(' ', {joined})"
+    if engine == "spark":
+        body = ("{ltrans}({seq}(0, {alen}(tk) - %d), i -> %s)"
+                % (SUBSTR_K, hash48(gram, engine)))
+    else:
+        body = ("{ltrans}({seq}(1, {alen}(tk) - %d), i -> %s)"
+                % (SUBSTR_K - 1, hash48(gram, engine)))
+    return render(body, engine)
+
+
+_SUBSTR_TAIL = f"""dp AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY h) AS occ
+            FROM g) _o
+        WHERE occ >= 2
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM dp
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+def substring_spans_sql(engine: str) -> str:
+    """EXACT substring-span dedup manifest (the ExactSubstr operator
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22): every token position whose SUBSTR_K-gram occurs
+    >= 2 times ANYWHERE in the corpus (cross-document or repeated
+    within a document) is a duplicated position; maximal runs of
+    duplicated positions merge (gaps-and-islands) into spans
+    [start_pos, end_pos] of >= SUBSTR_K tokens.  This is the exact
+    counterpart of the approximate winnowing pairs: winnowing samples
+    fingerprints to find WHICH documents share spans; this emits the
+    exact span boundaries a removal pass would cut.
+
+    No pair join exists anywhere — duplication is a per-gram
+    occurrence count and the rest is per-document windowing, so
+    nothing in the plan can go quadratic in corpus size (contrast the
+    df-capped winnow pair join).  The template's occurrence count is
+    a window over the gram hash; the Spark strategy replaces it with
+    a partial-aggregation groupBy + semi-join (substring_spans_fn)
+    because a window partition is a single task per key — a
+    boilerplate gram with df ~ 1e9 at 100 TB would hot-spot, while
+    partial aggregation combines map-side and AQE splits any skewed
+    join key."""
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), ghs AS (
+        SELECT doc_id, {_substr_grams(engine)} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {SUBSTR_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), {_SUBSTR_TAIL}
+    """
+    return render(t, engine)
+
+
+def substring_spans_fn(spark, sf_dir: str):
+    """Spark execution strategy for dedup_exact_substrings: identical
+    output to substring_spans_sql, but (a) gram hashes form via
+    posexplode + window LEADs (one (doc_id, pos) sort — the winnow
+    kernel), and (b) the per-gram occurrence count is a groupBy
+    (map-side partial aggregation) whose >= 2 survivors are
+    localCheckpointed ONCE and semi-joined back — the duplicated-gram
+    relation is the small side in real corpora, Spark would otherwise
+    re-run the whole tokenize+gram pipeline for both consumers, and a
+    hash-window would serialize each hot gram into one task."""
+    from .text import render as _render
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w"
+                      for j in range(1, SUBSTR_K))
+    g_sql = f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok)
+        FROM documents WHERE text IS NOT NULL
+    ), g0 AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {SUBSTR_K - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+    FROM g0 WHERE tlast IS NOT NULL
+    """
+    g = spark.sql(g_sql)
+    g.createOrReplaceTempView("__substr_g")
+    dup = spark.sql("""
+        SELECT h FROM __substr_g GROUP BY h HAVING COUNT(*) >= 2
+    """).localCheckpoint()
+    dup.createOrReplaceTempView("__substr_dup")
+    return spark.sql(f"""
+    WITH dp AS (
+        SELECT g.doc_id, g.pos
+        FROM __substr_g g
+        WHERE g.h IN (SELECT h FROM __substr_dup)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM dp
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """)
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
 

@@ -1835,6 +1835,18 @@ REGISTRY["dedup_winnow_pairs"] = QuerySpec(
     "df-capped fingerprint join (ubiquitous fps dropped as "
     "boilerplate), Spark side checkpoints the fingerprint relation "
     "once for its three consumers")
+REGISTRY["dedup_exact_substrings"] = QuerySpec(
+    _dedup.substring_spans_fn,
+    _dedup.substring_spans_sql("duckdb"),
+    "EXACT substring-span dedup manifest (ExactSubstr, Lee et al. "
+    "ACL'22): maximal per-doc token spans >= 5 tokens whose every "
+    "5-gram occurs >= 2 times in the corpus — the exact span "
+    "boundaries a removal pass would cut, complementing the "
+    "approximate winnowing pairs.  No pair join anywhere (per-gram "
+    "occurrence count + per-doc gaps-and-islands), so nothing can go "
+    "quadratic; Spark side groupBy-counts grams (map-side partial "
+    "agg, no hot-key window task) and semi-joins the checkpointed "
+    "duplicated-gram set")
 REGISTRY["boilerplate_grams"] = QuerySpec(
     _text.boilerplate_grams_fn,
     _text.boilerplate_grams_sql("duckdb"),
@@ -2901,6 +2913,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 11: native MP3 Layer III sample decoder (VERDICT r10
     # ask 3) — new entry
     "multimodal_decode_mp3",
+    # round 11: exact substring-span dedup (ExactSubstr) — new entry
+    "dedup_exact_substrings",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone format branch.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -414,6 +414,69 @@ def test_quadratic_block_cap_guard(spark, tmp_path):
         .count() >= 0
 
 
+def test_exact_substring_spans_semantics(spark, tmp_path):
+    """ExactSubstr on a constructed corpus with KNOWN ground truth:
+    a 7-token span shared by two docs yields exactly that span in
+    both (boundaries inclusive, 1-based token positions); a 4-token
+    shared span (< K=5) is invisible; a within-doc repeated 5-token
+    phrase is flagged in its doc; a unique doc emits nothing."""
+    from harbourbridge_spark.pipeline.dedup import substring_spans_fn
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"   # 7 toks
+    docs = spark.createDataFrame(
+        [
+            # doc 0: unique prefix (2 toks) + shared 7 -> span [3, 9]
+            (0, "en", 10, "zero uniq " + shared),
+            # doc 1: shared 7 + unique tail -> span [1, 7]
+            (1, "en", 10, shared + " one tail here"),
+            # doc 2: 4-token overlap with doc 0/1 only -> no span
+            (2, "en", 10, "alpha bravo charlie delta nothing more x"),
+            # doc 3: internal repeat of a 5-token phrase (twice)
+            (3, "en", 10, "red green blue cyan pink stop "
+                          "red green blue cyan pink"),
+            # doc 4: fully unique
+            (4, "en", 10, "the quick brown fox jumps over lazy dog"),
+        ],
+        "doc_id long, lang string, n_chars long, text string")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    rows = {(r.doc_id, r.start_pos, r.end_pos, r.n_tokens)
+            for r in substring_spans_fn(spark, str(tmp_path)).collect()}
+    assert (0, 3, 9, 7) in rows
+    assert (1, 1, 7, 7) in rows
+    # doc 3: positions 1 and 7 share the gram "red green blue cyan
+    # pink" -> two islands of one position each, 5 tokens
+    assert (3, 1, 5, 5) in rows
+    assert (3, 7, 11, 5) in rows
+    docs_flagged = {d for d, *_ in rows}
+    assert 2 not in docs_flagged and 4 not in docs_flagged
+    assert len(rows) == 4
+
+
+def test_exact_substring_spans_template_matches_fn(spark, tmp_path):
+    """The dual-engine template (window occurrence count) and the
+    Spark strategy (groupBy + semi-join) must emit identical spans on
+    the same corpus — the same-engine twin of the DuckDB oracle."""
+    from harbourbridge_spark.pipeline.dedup import (substring_spans_fn,
+                                                    substring_spans_sql)
+    docs = spark.createDataFrame(
+        [(i, "en",  20,
+          f"common core phrase tokens here shared by all d{i % 3} "
+          f"plus unique suffix {i} with words w{i}")
+         for i in range(9)],
+        "doc_id long, lang string, n_chars long, text string")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    fn_rows = {tuple(r) for r in
+               substring_spans_fn(spark, str(tmp_path)).collect()}
+    spark.read.parquet(str(tmp_path / "documents.parquet")) \
+        .createOrReplaceTempView("documents")
+    tpl_rows = {tuple(r) for r in
+                spark.sql(substring_spans_sql("spark")).collect()}
+    assert fn_rows == tpl_rows and len(fn_rows) > 0
+
+
 def test_bands_rows_for_solver():
     """(1/b)^(1/r) ≈ t with b*r = K: the knee of the LSH S-curve lands
     on the requested threshold."""
