@@ -41,12 +41,16 @@ NOT DERIVABLE OFFLINE (documented refusals, never wrong answers)
     the dispatcher degrades to the frame-header metadata walk
     (mediameta.decode_mp3_meta), exactly like the sha-stub
     convention for absent image backends.  The supported bitstream
-    subset is: MPEG-1 Layer III, mono / stereo / dual-channel
-    (independent channels; joint-stereo intensity/MS refused), long
-    blocks, big_values == 0, scalefac_compress == 0, preflag == 0,
-    count1 table B (whose codeword IS its 4-bit one's complement).
-    The fixture encoder emits exactly this subset (stereo via
-    ``k0_right``), so the subset is round-trip proven;
+    subset is: Layer III in all three versions (MPEG-1 and the
+    MPEG-2/2.5 LSF frame layout — 1 granule, 9/17-byte side info,
+    8-bit main_data_begin, 9-bit scalefac_compress, no
+    scfsi/preflag), mono / stereo / dual-channel (independent
+    channels; joint-stereo intensity/MS refused), long blocks,
+    big_values == 0, scalefac_compress == 0, preflag == 0, count1
+    table B (whose codeword IS its 4-bit one's complement).  The
+    fixture encoder emits exactly this subset (stereo via
+    ``k0_right``, LSF via ``version``), so the subset is round-trip
+    proven;
     if the recollected table-B mapping deviated from ISO it would
     affect only real-world interop (untestable in-sandbox: no
     third-party MP3 encoder exists here), never the self-consistent
@@ -82,7 +86,8 @@ import numpy as np
 
 from .flac import _BitReader, _BitWriter, crc16
 from .limits import MAX_DECODED_BYTES
-from .mediameta import _BITRATES_V1, _SAMPLE_RATES, _id3v2_size
+from .mediameta import (_BITRATES_V1, _BITRATES_V2, _SAMPLE_RATES,
+                        _id3v2_size)
 
 
 class UnsupportedMP3Error(ValueError):
@@ -97,28 +102,35 @@ class UnsupportedMP3Error(ValueError):
 
 class FrameHeader:
     __slots__ = ("kbps", "rate", "padding", "protection", "mode",
-                 "mode_ext", "frame_size", "n_channels")
+                 "mode_ext", "frame_size", "n_channels", "lsf",
+                 "n_granules")
 
     def __init__(self, h: int):
         if (h >> 21) & 0x7FF != 0x7FF:
             raise ValueError("no MPEG frame sync")
-        ver = (h >> 19) & 3
+        ver = (h >> 19) & 3             # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer = (h >> 17) & 3
-        if ver != 3 or layer != 1:
+        if ver == 1 or layer != 1:
             raise UnsupportedMP3Error(
-                "sample decode supports MPEG-1 Layer III only")
+                "sample decode supports Layer III only "
+                "(MPEG-1 and the MPEG-2/2.5 LSF extension)")
+        self.lsf = ver != 3
+        self.n_granules = 1 if self.lsf else 2
         br_idx = (h >> 12) & 15
         sr_idx = (h >> 10) & 3
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid bitrate or rate")
-        self.kbps = _BITRATES_V1[3][br_idx]
-        self.rate = _SAMPLE_RATES[3][sr_idx]
+        table = _BITRATES_V1 if ver == 3 else _BITRATES_V2
+        self.kbps = table[3][br_idx]
+        self.rate = _SAMPLE_RATES[ver][sr_idx]
         self.padding = (h >> 9) & 1
         self.protection = ((h >> 16) & 1) == 0   # bit 0 -> CRC present
         self.mode = (h >> 6) & 3                 # 3 = mono
         self.mode_ext = (h >> 4) & 3
         self.n_channels = 1 if self.mode == 3 else 2
-        self.frame_size = (144 * self.kbps * 1000 // self.rate
+        # 1152 samples/frame (MPEG-1) vs 576 (LSF)
+        spf = 576 * self.n_granules
+        self.frame_size = (spf // 8 * self.kbps * 1000 // self.rate
                            + self.padding)
 
 
@@ -130,25 +142,35 @@ class GranuleInfo:
                  "scalefac_scale", "count1table_select")
 
 
-def _parse_side_info(data: bytes, n_channels: int):
-    """Full MPEG-1 side-info parse (17 bytes mono / 32 stereo).
+def _parse_side_info(data: bytes, n_channels: int,
+                     lsf: bool = False):
+    """Full side-info parse: MPEG-1 (17 bytes mono / 32 stereo,
+    2 granules, 9-bit main_data_begin, scfsi, 4-bit
+    scalefac_compress, preflag) and MPEG-2/2.5 LSF (9 / 17 bytes,
+    1 granule, 8-bit main_data_begin, no scfsi, 9-bit
+    scalefac_compress, no preflag).
 
     Every field is parsed — including the window-switching variant —
     so an unsupported stream is refused by a NAMED feature check in
     the granule decoder, not by a parse failure."""
     br = _BitReader(data)
-    main_data_begin = br.read(9)
-    br.read(5 if n_channels == 1 else 3)         # private_bits
-    scfsi = [[br.read(1) for _ in range(4)] for _ in range(n_channels)]
+    main_data_begin = br.read(8 if lsf else 9)
+    if lsf:
+        br.read(1 if n_channels == 1 else 2)     # private_bits
+        scfsi = [[0] * 4 for _ in range(n_channels)]
+    else:
+        br.read(5 if n_channels == 1 else 3)     # private_bits
+        scfsi = [[br.read(1) for _ in range(4)]
+                 for _ in range(n_channels)]
     granules = []
-    for _g in range(2):
+    for _g in range(1 if lsf else 2):
         chans = []
         for _ch in range(n_channels):
             gi = GranuleInfo()
             gi.part2_3_length = br.read(12)
             gi.big_values = br.read(9)
             gi.global_gain = br.read(8)
-            gi.scalefac_compress = br.read(4)
+            gi.scalefac_compress = br.read(9 if lsf else 4)
             gi.window_switching = br.read(1)
             if gi.window_switching:
                 gi.block_type = br.read(2)
@@ -164,7 +186,7 @@ def _parse_side_info(data: bytes, n_channels: int):
                 gi.subblock_gain = [0, 0, 0]
                 gi.region0_count = br.read(4)
                 gi.region1_count = br.read(3)
-            gi.preflag = br.read(1)
+            gi.preflag = 0 if lsf else br.read(1)
             gi.scalefac_scale = br.read(1)
             gi.count1table_select = br.read(1)
             chans.append(gi)
@@ -401,6 +423,7 @@ def decode_mp3_samples(content: bytes) -> tuple:
     reservoir = bytearray()
     rate = None
     n_channels = None
+    lsf = None
     xr_frames = []            # per frame: list of per-granule/channel
     overlaps = None
     while i + 4 <= n:
@@ -413,10 +436,11 @@ def decode_mp3_samples(content: bytes) -> tuple:
         if i + hdr.frame_size > n:
             break                       # truncated final frame
         if rate is None:
-            rate, n_channels = hdr.rate, hdr.n_channels
+            rate, n_channels, lsf = hdr.rate, hdr.n_channels, hdr.lsf
             overlaps = [np.zeros((32, 18))
                         for _ in range(n_channels)]
-        elif hdr.rate != rate or hdr.n_channels != n_channels:
+        elif (hdr.rate != rate or hdr.n_channels != n_channels
+              or hdr.lsf != lsf):
             raise ValueError("mid-stream rate/channel change")
         if hdr.mode == 1:
             raise UnsupportedMP3Error(
@@ -425,7 +449,10 @@ def decode_mp3_samples(content: bytes) -> tuple:
         if hdr.protection:
             want = struct.unpack(">H", content[pos:pos + 2])[0]
             pos += 2
-        side_len = 17 if n_channels == 1 else 32
+        if lsf:
+            side_len = 9 if n_channels == 1 else 17
+        else:
+            side_len = 17 if n_channels == 1 else 32
         side = content[pos:pos + side_len]
         if len(side) < side_len:
             break
@@ -437,7 +464,7 @@ def decode_mp3_samples(content: bytes) -> tuple:
                 raise ValueError("MP3 frame CRC mismatch")
         pos += side_len
         main_data_begin, _scfsi, granules = _parse_side_info(
-            side, n_channels)
+            side, n_channels, lsf=lsf)
         frame_main = content[pos:i + hdr.frame_size]
         if main_data_begin > len(reservoir):
             raise ValueError("bit reservoir underrun")
@@ -456,7 +483,7 @@ def decode_mp3_samples(content: bytes) -> tuple:
         # cap the reservoir (spec bounds main_data_begin to 511)
         if len(reservoir) > 2048:
             del reservoir[:len(reservoir) - 1024]
-        if (len(xr_frames) * 1152 * n_channels * 8
+        if (len(xr_frames) * 576 * hdr.n_granules * n_channels * 8
                 > MAX_DECODED_BYTES):
             raise ValueError("decoded PCM exceeds MAX_DECODED_BYTES")
         i += hdr.frame_size
@@ -486,7 +513,10 @@ def mp3_tone_analysis(content: bytes) -> list[float]:
     rate, n_ch, samples = decode_mp3_samples(content)
     mono = samples[0]
     N = len(mono)
-    n_frames = N // 1152
+    off = _id3v2_size(content)
+    spf = 576 * FrameHeader(
+        struct.unpack(">I", content[off:off + 4])[0]).n_granules
+    n_frames = N // spf
     spec = np.abs(np.fft.rfft(mono))
     dominant = float(int(np.argmax(spec)) * rate / N)
     return [N * 1000.0 / rate, float(rate), float(n_ch),
@@ -501,13 +531,18 @@ def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
                     sign: int = 1, rate: int = 32000,
                     kbps: int = 64, protection: bool = False,
                     reservoir: bool = False,
-                    k0_right: int = None) -> bytes:
-    """CBR MPEG-1 Layer III stream carrying a steady tone at spectral
-    line ``k0`` as count1 +-1 values with the period-4 granule sign
+                    k0_right: int = None,
+                    version: int = 1) -> bytes:
+    """CBR Layer III stream carrying a steady tone at spectral line
+    ``k0`` as count1 +-1 values with the period-4 granule sign
     pattern of a true MDCT (module docstring).  Mono by default;
     ``k0_right`` switches to two-channel stereo (mode 0, no joint
     coding) with an independent tone line per channel — the stereo
-    side-info/main-data interleave differential.
+    side-info/main-data interleave differential.  ``version`` is 1
+    (MPEG-1, 2 granules/frame), 2 (MPEG-2 LSF, 1 granule/frame,
+    9-byte mono side info, 8-bit main_data_begin) or 25 (MPEG-2.5,
+    same LSF layout at the halved sample-rate family); rate must
+    belong to the version's sample-rate family.
 
     ``reservoir=True`` defers each frame's granule data into the
     previous frame's stuffing bytes via main_data_begin — the
@@ -516,9 +551,15 @@ def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
     if any(not 0 <= k < 576 for k in lines):
         raise ValueError("k0 out of range")
     n_ch = len(lines)
-    sr_idx = _SAMPLE_RATES[3].index(rate)
-    br_idx = _BITRATES_V1[3].index(kbps)
-    frame_size = 144 * kbps * 1000 // rate
+    if version not in (1, 2, 25):
+        raise ValueError("version must be 1, 2 or 25")
+    lsf = version != 1
+    ver_bits = {1: 3, 2: 2, 25: 0}[version]
+    sr_idx = _SAMPLE_RATES[ver_bits].index(rate)
+    br_table = _BITRATES_V1 if not lsf else _BITRATES_V2
+    br_idx = br_table[3].index(kbps)
+    gpf = 1 if lsf else 2                    # granules per frame
+    frame_size = 576 * gpf // 8 * kbps * 1000 // rate
     pattern = (1, 1, -1, -1)
     nq = [k // 4 + 1 for k in lines]
     part2_3 = [4 * q + 1 for q in nq]
@@ -535,29 +576,34 @@ def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
 
     def side_info(main_data_begin: int) -> bytes:
         bw = _BitWriter()
-        bw.write(main_data_begin, 9)
-        bw.write(0, 5 if n_ch == 1 else 3)   # private bits
-        for _ch in range(n_ch):
-            bw.write(0, 4)                   # scfsi
-        for _g in range(2):
+        if lsf:
+            bw.write(main_data_begin, 8)
+            bw.write(0, 1 if n_ch == 1 else 2)   # private bits
+        else:
+            bw.write(main_data_begin, 9)
+            bw.write(0, 5 if n_ch == 1 else 3)   # private bits
+            for _ch in range(n_ch):
+                bw.write(0, 4)               # scfsi
+        for _g in range(gpf):
             for ch in range(n_ch):
                 bw.write(part2_3[ch], 12)
                 bw.write(0, 9)               # big_values
                 bw.write(global_gain, 8)
-                bw.write(0, 4)               # scalefac_compress
+                bw.write(0, 9 if lsf else 4)  # scalefac_compress
                 bw.write(0, 1)               # window_switching
                 for _t in range(3):
                     bw.write(0, 5)           # table_select
                 bw.write(0, 4)               # region0_count
                 bw.write(0, 3)               # region1_count
-                bw.write(0, 1)               # preflag
+                if not lsf:
+                    bw.write(0, 1)           # preflag
                 bw.write(0, 1)               # scalefac_scale
                 bw.write(1, 1)               # count1table_select = B
         bw.align()
         return bw.bytes()
 
     mode = 3 if n_ch == 1 else 0             # mono / stereo-no-joint
-    header_val = ((0x7FF << 21) | (3 << 19) | (1 << 17)
+    header_val = ((0x7FF << 21) | (ver_bits << 19) | (1 << 17)
                   | ((0 if protection else 1) << 16)
                   | (br_idx << 12) | (sr_idx << 10) | (mode << 6))
     header = struct.pack(">I", header_val)
@@ -567,7 +613,7 @@ def encode_mp3_tone(k0: int, n_frames: int, global_gain: int = 210,
     granule_idx = 0
     for f in range(n_frames):
         bw = _BitWriter()
-        for _g in range(2):
+        for _g in range(gpf):
             gsign = sign * pattern[granule_idx % 4]
             for ch in range(n_ch):
                 granule_bits(bw, ch, gsign)
@@ -613,3 +659,19 @@ def synth_mp3_tone(seed: int) -> bytes:
     gg = 210 + 4 * (seed % 3)
     sign = 1 if seed % 2 == 0 else -1
     return encode_mp3_tone(k0, n_frames, global_gain=gg, sign=sign)
+
+
+def synth_mp3_tone_lsf(seed: int) -> bytes:
+    """LSF fixture family: MPEG-2 @16 kHz (even seeds) / MPEG-2.5
+    @8 kHz (odd seeds), one granule per frame, n_frames =
+    4*(1+seed%3) (multiple of 4 -> the period-4 sign pattern tiles ->
+    coherent FFT), stereo with the same line on both channels every
+    third seed.  Closed forms: duration_ms = n_frames*(36|72),
+    dominant_hz = (2*k0+1)*(8000|4000)/1152."""
+    k0 = 18 * (1 + seed % 12) + 8
+    n_frames = 4 * (1 + seed % 3)
+    version, rate, kbps = ((2, 16000, 32) if seed % 2 == 0
+                           else (25, 8000, 16))
+    k0_right = k0 if seed % 3 == 0 else None
+    return encode_mp3_tone(k0, n_frames, rate=rate, kbps=kbps,
+                           version=version, k0_right=k0_right)

@@ -998,6 +998,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "mp3_tone":
         from .mp3 import synth_mp3_tone
         synth, mime = synth_mp3_tone, "audio/mpeg"
+    elif kind == "audio" and fmt == "mp3_tone_lsf":
+        from .mp3 import synth_mp3_tone_lsf
+        synth, mime = synth_mp3_tone_lsf, "audio/mpeg"
     elif kind == "audio" and fmt == "flac":
         from .flac import synth_flac
         synth, mime = synth_flac, "audio/flac"

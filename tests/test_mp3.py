@@ -124,6 +124,38 @@ def test_dual_channel_mode_decodes_like_stereo():
                           M.decode_mp3_samples(c)[2])
 
 
+def test_lsf_features_match_closed_forms_full_lattice():
+    """MPEG-2 (16 kHz) and MPEG-2.5 (8 kHz) LSF streams decode to
+    exactly the closed forms the multimodal_decode_mp3_lsf oracle
+    computes, over the full fixture lattice (mono + stereo)."""
+    for seed in range(36):
+        feats = M.mp3_tone_analysis(M.synth_mp3_tone_lsf(seed))
+        k0 = 18 * (1 + seed % 12) + 8
+        nf = 4 * (1 + seed % 3)
+        rate = 16000 if seed % 2 == 0 else 8000
+        nch = 2 if seed % 3 == 0 else 1
+        assert feats == [nf * 576 * 1000.0 / rate, float(rate),
+                         float(nch), float(nf),
+                         (2 * k0 + 1) * (rate / 2) / 1152], seed
+
+
+def test_lsf_side_info_is_9_bytes_and_one_granule():
+    """The LSF layout differentials: 9-byte mono side info (8-bit
+    main_data_begin, no scfsi, 9-bit scalefac_compress, no preflag)
+    and 576 samples per frame."""
+    c = M.encode_mp3_tone(98, 4, rate=16000, kbps=32, version=2)
+    fs = 576 // 8 * 32 * 1000 // 16000
+    assert len(c) == 4 * fs
+    rate, n_ch, s = M.decode_mp3_samples(c)
+    assert (rate, n_ch, s.shape[1]) == (16000, 1, 4 * 576)
+    # mid-stream version flip must be rejected (granule-count change)
+    h = struct.unpack(">I", c[:4])[0]
+    h1 = (h & ~(3 << 19)) | (3 << 19)
+    bad = c[:fs] + struct.pack(">I", h1) + c[fs + 4:]
+    with pytest.raises(ValueError):
+        M.decode_mp3_samples(bad)
+
+
 def test_meta_walker_agrees_with_sample_decoder():
     """mediameta's frame-header walk and the sample decoder must
     agree on duration/rate/frames for every fixture stream."""
@@ -195,14 +227,16 @@ def _with_header_bits(content: bytes, clear: int, set_: int) -> bytes:
     return struct.pack(">I", h) + content[4:]
 
 
-def test_mpeg2_and_layer12_are_named_refusals():
+def test_reserved_version_and_layer12_are_named_refusals():
     content = M.synth_mp3_tone(0)
-    with pytest.raises(M.UnsupportedMP3Error, match="MPEG-1 Layer"):
+    # reserved version bits (01) and Layers I/II are out of scope
+    with pytest.raises(M.UnsupportedMP3Error, match="Layer III"):
         M.decode_mp3_samples(
-            _with_header_bits(content, 3 << 19, 2 << 19))
-    with pytest.raises(M.UnsupportedMP3Error, match="MPEG-1 Layer"):
-        M.decode_mp3_samples(
-            _with_header_bits(content, 3 << 17, 2 << 17))
+            _with_header_bits(content, 3 << 19, 1 << 19))
+    for layer_bits in (2, 3):            # II, I
+        with pytest.raises(M.UnsupportedMP3Error, match="Layer III"):
+            M.decode_mp3_samples(
+                _with_header_bits(content, 3 << 17, layer_bits << 17))
 
 
 def test_joint_stereo_is_a_named_refusal():

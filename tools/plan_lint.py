@@ -49,7 +49,7 @@ PYTHON_KERNEL_OK = {
     # mp3: native Layer III sample decode is a per-row numpy codec
     # (bit reservoir + Huffman + IMDCT + polyphase synthesis) — an
     # Arrow-batched kernel by design, like the rest of the codecs
-    "multimodal_decode_mp3",
+    "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
     "multimodal_decode_y4m",
     "multimodal_meta_mp3", "multimodal_meta_mp4",
     "multimodal_resize", "multimodal_frame_features",
