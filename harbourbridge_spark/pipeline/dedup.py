@@ -1521,7 +1521,7 @@ def _substr_grams(engine: str) -> str:
     return render(body, engine)
 
 
-_SUBSTR_TAIL = f"""dp AS (
+_SUBSTR_CTES = """dp AS (
         SELECT doc_id, pos FROM (
             SELECT doc_id, pos,
                    COUNT(*) OVER (PARTITION BY h) AS occ
@@ -1532,12 +1532,16 @@ _SUBSTR_TAIL = f"""dp AS (
                pos - ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY pos) AS grp
         FROM dp
-    )
-    SELECT doc_id,
+    )"""
+
+_SUBSTR_SELECT = f"""SELECT doc_id,
            CAST(MIN(pos) AS BIGINT) AS start_pos,
            CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
            CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
-    FROM isl GROUP BY doc_id, grp
+    FROM isl GROUP BY doc_id, grp"""
+
+_SUBSTR_TAIL = f"""{_SUBSTR_CTES}
+    {_SUBSTR_SELECT}
 """
 
 
@@ -1633,6 +1637,52 @@ def substring_spans_fn(spark, sf_dir: str):
            CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
     FROM isl GROUP BY doc_id, grp
     """)
+
+
+def _substr_stats_tail(engine: str) -> str:
+    return f"""{_SUBSTR_CTES}, spans AS (
+        {_SUBSTR_SELECT}
+    ), per_doc AS (
+        SELECT doc_id, SUM(n_tokens) AS dup_tokens,
+               COUNT(*) AS n_spans, MAX(n_tokens) AS max_span
+        FROM spans GROUP BY doc_id
+    ), doc_mass AS (
+        SELECT doc_id, {{alen}}({render(TOKENS, engine)}) AS n_toks
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(COUNT(p.doc_id) AS BIGINT) AS docs_with_spans,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT)
+               AS dup_tokens,
+           CAST(COALESCE(MAX(p.max_span), 0) AS BIGINT) AS max_span,
+           CAST(SUM(m.n_toks) AS BIGINT) AS total_tokens
+    FROM doc_mass m LEFT JOIN per_doc p ON p.doc_id = m.doc_id
+"""
+
+
+def substring_stats_sql(engine: str) -> str:
+    """Corpus-level observability for the ExactSubstr manifest (the
+    winnow_fp_stats convention): how much of the corpus is inside
+    duplicated spans — docs affected, span count, duplicated-token
+    mass vs total token mass, largest span.  The number a 100 TB
+    operator watches to decide whether substring dedup is worth a
+    removal pass, without materializing the manifest."""
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), ghs AS (
+        SELECT doc_id, {_substr_grams(engine)} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {SUBSTR_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), {_substr_stats_tail(engine)}
+    """
+    return render(t, engine)
 
 
 # ---------------------------------------------------------------------------

@@ -1847,6 +1847,13 @@ REGISTRY["dedup_exact_substrings"] = QuerySpec(
     "quadratic; Spark side groupBy-counts grams (map-side partial "
     "agg, no hot-key window task) and semi-joins the checkpointed "
     "duplicated-gram set")
+_register_template(
+    "substring_dup_stats", _dedup.substring_stats_sql,
+    "ExactSubstr observability: docs affected / span count / "
+    "duplicated-token mass vs total token mass / largest span — the "
+    "corpus-level number an operator watches to decide whether a "
+    "substring-removal pass is worth running, without materializing "
+    "the manifest (the winnow_fp_stats convention)")
 REGISTRY["boilerplate_grams"] = QuerySpec(
     _text.boilerplate_grams_fn,
     _text.boilerplate_grams_sql("duckdb"),
@@ -2944,8 +2951,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 11: native MP3 Layer III sample decoder (VERDICT r10
     # ask 3) — new entries (MPEG-1, then the MPEG-2/2.5 LSF layout)
     "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
-    # round 11: exact substring-span dedup (ExactSubstr) — new entry
-    "dedup_exact_substrings",
+    # round 11: exact substring-span dedup (ExactSubstr) — new
+    # entries (manifest + corpus-level observability stats)
+    "dedup_exact_substrings", "substring_dup_stats",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone format branch.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

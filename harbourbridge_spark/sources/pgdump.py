@@ -1779,8 +1779,12 @@ def _stmt_is_bogus(text: str) -> bool:
 _MAX_SPAN_BYTES = 8 << 20
 
 # cap on COPY data chunk size (read-task granularity), independent of
-# the scan's byte-range size
-_DATA_CHUNK_BYTES = 8 << 20
+# the scan's byte-range size.  Env-overridable (SPARK_GRAFT_DATA_
+# CHUNK_MB): the peak-RSS knob for the 128 GiB envelope — each
+# concurrent read task stages ~one chunk of decoded rows, so peak
+# memory scales ~ cpus x chunk (knob table in SCALE.md, r11)
+_DATA_CHUNK_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_DATA_CHUNK_MB", "8")) << 20
 
 # smallest byte-range a scan task is worth dispatching for (below it
 # the Spark round trip dominates and the driver-side exact scan wins);
