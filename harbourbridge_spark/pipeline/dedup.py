@@ -1661,6 +1661,74 @@ def _substr_stats_tail(engine: str) -> str:
 """
 
 
+def substring_apply_sql(engine: str) -> str:
+    """EXACT substring removal with KEEP-FIRST semantics (the apply
+    step of Lee et al.'s ExactSubstr): the corpus-wide first
+    occurrence — minimal (doc_id, pos) — of every duplicated
+    SUBSTR_K-gram is canonical and kept; every other occurrence's
+    covered tokens [p, p+K-1] are removed, and the cleaned text is
+    the remaining tokens re-joined in order.  A doc that repeats a
+    phrase internally keeps only its first copy; a doc repeating
+    another doc's earlier phrase loses all its copies.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text) — string-
+    exact on both engines because tokenization is the shared
+    normalized split and the re-join is order-pinned.
+
+    Scale: canonical selection is one per-gram MIN (a window in this
+    template; the hot-key-safe groupBy twin would follow the
+    substring_spans_fn pattern); covered positions explode exactly K
+    rows per non-canonical duplicated gram (linear); the re-join is a
+    per-doc ordered aggregation.  No pair join anywhere."""
+    if engine == "spark":
+        rejoin = ("concat_ws(' ', transform(array_sort(collect_list("
+                  "CASE WHEN r.pos IS NULL THEN "
+                  "named_struct('pos', t.pos, 'tok', t.tok) END)), "
+                  "x -> x.tok))")
+    else:
+        rejoin = ("COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos) "
+                  "FILTER (WHERE r.pos IS NULL), '')")
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), toks AS (
+        SELECT doc_id, pos, {{elem}}(tk, pos) AS tok
+        FROM (SELECT doc_id, tk,
+                     {{explode}}({{seq}}(1, {{alen}}(tk))) AS pos
+              FROM tk) _t
+    ), ghs AS (
+        SELECT doc_id, {_substr_grams(engine)} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {SUBSTR_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), ranked AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS occ,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rk
+        FROM g
+    ), removed AS (
+        SELECT DISTINCT doc_id, cov AS pos
+        FROM (SELECT doc_id,
+                     {{explode}}({{seq}}(pos, pos + {SUBSTR_K - 1}))
+                         AS cov
+              FROM ranked WHERE occ >= 2 AND rk > 1) _c
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(r.pos) AS BIGINT) AS n_removed,
+           {rejoin} AS cleaned_text
+    FROM toks t
+    LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.pos = t.pos
+    GROUP BY t.doc_id
+    """
+    return render(t, engine)
+
+
 def substring_stats_sql(engine: str) -> str:
     """Corpus-level observability for the ExactSubstr manifest (the
     winnow_fp_stats convention): how much of the corpus is inside

@@ -1848,6 +1848,13 @@ REGISTRY["dedup_exact_substrings"] = QuerySpec(
     "agg, no hot-key window task) and semi-joins the checkpointed "
     "duplicated-gram set")
 _register_template(
+    "substring_dedup_apply", _dedup.substring_apply_sql,
+    "ExactSubstr APPLY with keep-first semantics: the corpus-wide "
+    "first occurrence of every duplicated 5-gram survives, all other "
+    "occurrences' covered tokens are cut, cleaned text re-joined in "
+    "order — the executable removal pass the manifest describes; "
+    "string-exact across engines")
+_register_template(
     "substring_dup_stats", _dedup.substring_stats_sql,
     "ExactSubstr observability: docs affected / span count / "
     "duplicated-token mass vs total token mass / largest span — the "
@@ -2952,8 +2959,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ask 3) — new entries (MPEG-1, then the MPEG-2/2.5 LSF layout)
     "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
     # round 11: exact substring-span dedup (ExactSubstr) — new
-    # entries (manifest + corpus-level observability stats)
+    # entries (manifest + observability stats + keep-first apply)
     "dedup_exact_substrings", "substring_dup_stats",
+    "substring_dedup_apply",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone format branch.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

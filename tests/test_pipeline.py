@@ -477,6 +477,41 @@ def test_exact_substring_spans_template_matches_fn(spark, tmp_path):
     assert fn_rows == tpl_rows and len(fn_rows) > 0
 
 
+def test_substring_apply_keep_first_semantics(spark, tmp_path):
+    """The apply pass keeps the corpus-wide FIRST occurrence of a
+    duplicated phrase and cuts every other occurrence, including a
+    doc's own internal repeats; unique docs pass through verbatim."""
+    from harbourbridge_spark.pipeline.dedup import substring_apply_sql
+
+    shared = "alpha bravo charlie delta echo"       # exactly K=5
+    docs = spark.createDataFrame(
+        [
+            (0, "en", 10, shared + " zero tail"),    # canonical
+            (1, "en", 10, "one head " + shared),     # later -> cut
+            (2, "en", 10, shared + " stop " + shared),  # both cut
+            (3, "en", 10, "totally unique text here ok"),
+        ],
+        "doc_id long, lang string, n_chars long, text string")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    spark.read.parquet(str(tmp_path / "documents.parquet")) \
+        .createOrReplaceTempView("documents")
+    # the template runner's conf: shared template text must not get
+    # Spark backslash-escape processing (queries._run_template)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    rows = {r.doc_id: r for r in
+            spark.sql(substring_apply_sql("spark")).collect()}
+    assert rows[0].cleaned_text == shared + " zero tail"
+    assert rows[0].n_removed == 0
+    assert rows[1].cleaned_text == "one head"
+    assert rows[1].n_removed == 5
+    # doc 2 holds occurrences 2 and 3 of the shared gram: both cut
+    assert rows[2].cleaned_text == "stop"
+    assert rows[2].n_removed == 10
+    assert rows[3].cleaned_text == "totally unique text here ok"
+    assert rows[3].n_removed == 0
+
+
 def test_bands_rows_for_solver():
     """(1/b)^(1/r) ≈ t with b*r = K: the knee of the LSH S-curve lands
     on the requested threshold."""
