@@ -1014,6 +1014,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "video" and fmt == "mp4":
         from .mediameta import synth_mp4
         synth, mime = synth_mp4, "video/mp4"
+    elif kind == "video" and fmt == "mp4_mjpeg":
+        from .mp4frames import synth_mp4_mjpeg
+        synth, mime = synth_mp4_mjpeg, "video/mp4"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":
@@ -1361,6 +1364,94 @@ def gif_frame_features(media: DataFrame,
                 try:
                     frames = decode_gif_frames(bytes(content))
                 except (ValueError, struct.error):
+                    continue
+                for fi, fr in enumerate(frames):
+                    h, w = fr.shape[:2]
+                    flat = fr.reshape(-1, 3).astype(np.float64)
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(fi)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["mean_r"].append(flat[:, 0].sum() / (w * h))
+                    cols["mean_g"].append(flat[:, 1].sum() / (w * h))
+                    cols["mean_b"].append(flat[:, 2].sum() / (w * h))
+                    cols["first_r"].append(int(fr[0, 0, 0]))
+            yield pd.DataFrame(cols)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+MP4_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("dts_ticks", T.LongType(), False),
+    T.StructField("dur_ticks", T.LongType(), False),
+    T.StructField("keyframe", T.LongType(), False),
+    T.StructField("codec", T.StringType(), False),
+])
+
+
+def mp4_frame_table(media: DataFrame,
+                    batch_size: int = 64) -> DataFrame:
+    """Per-frame SAMPLE TABLE of ISO BMFF videos: one row per sample
+    with decode timestamp, duration, sync flag, and codec — the
+    stts/stsc/stsz/stco/stss join a video corpus fans frame work out
+    on (mp4frames.mp4_video_samples).  Arrow-batched mapInPandas; a
+    corrupt container contributes zero rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4frames import mp4_video_samples
+        for pdf in batches:
+            cols: dict = {k: [] for k in ("media_id", "frame_idx",
+                                          "dts_ticks", "dur_ticks",
+                                          "keyframe", "codec")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    codec, _ts, samples = mp4_video_samples(
+                        bytes(content))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                for s in samples:
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(s.idx)
+                    cols["dts_ticks"].append(s.dts)
+                    cols["dur_ticks"].append(s.dur)
+                    cols["keyframe"].append(s.keyframe)
+                    cols["codec"].append(codec)
+            yield pd.DataFrame(cols)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=MP4_SAMPLE_SCHEMA)
+
+
+def mjpeg_frame_features(media: DataFrame,
+                         batch_size: int = 64) -> DataFrame:
+    """Per-frame PIXEL features of Motion-JPEG MP4s: the sample table
+    slices each frame's bytes out of mdat and every frame decodes
+    through the from-scratch baseline JPEG codec
+    (mp4frames.decode_mjpeg_frames) — real video-frame decode, same
+    row shape as gif_frame_features so the two multi-frame families
+    compare like-for-like.  Exact float64 sum/count means; a corrupt
+    or non-MJPEG container contributes zero rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4frames import decode_mjpeg_frames
+        for pdf in batches:
+            cols: dict = {k: [] for k in ("media_id", "frame_idx",
+                                          "width", "height", "mean_r",
+                                          "mean_g", "mean_b",
+                                          "first_r")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    frames = decode_mjpeg_frames(bytes(content))
+                except (ValueError, struct.error, IndexError):
                     continue
                 for fi, fr in enumerate(frames):
                     h, w = fr.shape[:2]

@@ -2744,6 +2744,98 @@ def q_multimodal_gif_animated(spark: SparkSession,
 
 
 @register(
+    "multimodal_mp4_frames",
+    """
+    WITH p AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n,
+               100 + (doc_id % 5) * 20 AS dur_a
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n, dur_a, (n + 1) // 2 AS ha,
+               unnest(generate_series(0, n - 1)) AS fi
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN fi < ha THEN fi * dur_a
+                ELSE ha * dur_a + (fi - ha) * (dur_a + 40)
+                END AS BIGINT) AS dts_ticks,
+           CAST(CASE WHEN fi < ha THEN dur_a ELSE dur_a + 40
+                END AS BIGINT) AS dur_ticks,
+           CAST(1 AS BIGINT) AS keyframe,
+           'jpeg' AS codec
+    FROM f
+    """,
+    "REAL container SAMPLE-TABLE parse, ISO BMFF: per doc a legal "
+    "MJPEG/MP4 with a full stbl is muxed, then the walker joins "
+    "stts (TWO runs: first half dur_a ticks, rest dur_a+40) + stsc "
+    "(2-per-chunk with a short last chunk on odd counts) + stsz + "
+    "stco + stss (present on even seeds, ISO all-sync default on "
+    "odd) into one row per video frame — the fan-out index a video "
+    "corpus schedules frame work on; DuckDB recomputes the "
+    "closed-form table")
+def q_multimodal_mp4_frames(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import mp4_frame_table, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    media = synth_media(ids, "video", fmt="mp4_mjpeg")
+    return mp4_frame_table(media)
+
+
+@register(
+    "multimodal_decode_mjpeg",
+    """
+    WITH dims AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n,
+               1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+        FROM documents
+    ), fs AS (
+        SELECT doc_id, nbx, nby,
+               unnest(generate_series(0, n - 1)) AS fi
+        FROM dims
+    ), bxs AS (
+        SELECT doc_id, fi, nbx, nby,
+               unnest(generate_series(0, nbx - 1)) AS bx
+        FROM fs
+    ), blocks AS (
+        SELECT doc_id, fi, nbx, nby, bx,
+               unnest(generate_series(0, nby - 1)) AS byy
+        FROM bxs
+    ), vals AS (
+        SELECT doc_id, fi, nbx, nby,
+               2 * ((doc_id * 7 + fi * 13 + bx * 31 + byy * 97) % 100)
+                   + 28 AS v
+        FROM blocks
+    )
+    SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(MAX(nbx) * 8 AS BIGINT) AS width,
+           CAST(MAX(nby) * 8 AS BIGINT) AS height,
+           AVG(CAST(v AS DOUBLE)) AS mean_r,
+           AVG(CAST(v AS DOUBLE)) AS mean_g,
+           AVG(CAST(v AS DOUBLE)) AS mean_b,
+           CAST(2 * ((doc_id * 7 + fi * 13) % 100) + 28 AS BIGINT)
+               AS first_r
+    FROM vals GROUP BY doc_id, fi
+    """,
+    "REAL video-frame PIXEL decode, MJPEG-in-MP4: the sample table "
+    "slices each frame's bytes out of mdat and every frame decodes "
+    "through the from-scratch baseline JPEG codec (entropy decode, "
+    "DC prediction, dequant, exact IDCT, BT.601) — frames are "
+    "block-constant even-gray so the lossy round-trip is EXACT and "
+    "the oracle stays closed-form; the first genuinely multi-frame "
+    "VIDEO decode entry (the gif_animated convention at the video "
+    "container level)")
+def q_multimodal_mjpeg(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import mjpeg_frame_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    media = synth_media(ids, "video", fmt="mp4_mjpeg")
+    return mjpeg_frame_features(media)
+
+
+@register(
     "multimodal_decode_webp",
     """
     SELECT doc_id AS media_id,
@@ -2962,8 +3054,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # entries (manifest + observability stats + keep-first apply)
     "dedup_exact_substrings", "substring_dup_stats",
     "substring_dedup_apply",
+    # round 11: MP4 sample-table parse + MJPEG-in-MP4 frame decode —
+    # new entries (frame fan-out index + per-frame pixel decode)
+    "multimodal_mp4_frames", "multimodal_decode_mjpeg",
     # round 11: the shared multimodal plumbing changed — synth_media
-    # gained the mp3_tone format branch.  Per the standing policy
+    # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed
     # function is pinned even when its own branch is untouched.
     # (The r11 store-compaction commit is pure function ADDITIONS —

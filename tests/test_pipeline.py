@@ -1358,6 +1358,125 @@ def test_mp4_meta_box_walk():
     assert got[0] == 2500.0 and got[1] == 0
 
 
+def test_mp4_sample_table_closed_form():
+    """The muxed MJPEG fixture's stbl round-trips: two stts runs,
+    2-per-chunk stsc with a short last chunk on odd counts, stss
+    present/absent split, and byte slices exactly equal to the
+    per-frame JPEG bytes."""
+    from harbourbridge_spark.pipeline import mp4frames as MF
+    for seed in range(8):
+        p = MF.mjpeg_fixture_params(seed)
+        b = MF.synth_mp4_mjpeg(seed)
+        codec, ts, samples = MF.mp4_video_samples(b)
+        assert codec == "jpeg" and ts == 1000
+        assert len(samples) == p["n_frames"]
+        for s in samples:
+            in_a = s.idx < p["run_a"]
+            assert s.dur == (p["dur_a"] if in_a else p["dur_b"])
+            exp_dts = (s.idx * p["dur_a"] if in_a else
+                       p["run_a"] * p["dur_a"]
+                       + (s.idx - p["run_a"]) * p["dur_b"])
+            assert s.dts == exp_dts and s.cts == exp_dts
+            assert s.keyframe == 1
+        _, _, fb = MF.mp4_frame_bytes(b)
+        for s, raw in fb:
+            assert raw == MF._mjpeg_frame(seed, s.idx, p["nbx"],
+                                          p["nby"])
+
+
+def test_mp4_sample_table_edge_paths():
+    """Hand-built stbl exercising the paths the fixture doesn't:
+    uniform stsz, co64 chunk offsets, signed v1 ctts, a PARTIAL stss
+    (non-sync frames), and the open-ended stsc last run; plus the
+    stts/stsz coverage-mismatch rejection."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mp4frames as MF
+    _box, _full = MF._box, MF._full
+
+    def mux(stts_runs, n_samples):
+        ftyp = _box(b"ftyp", b"isom" + bytes(8))
+        mdat = _box(b"mdat", bytes(10 * n_samples))
+        b0 = len(ftyp) + 8
+        stsd_e = (_struct.pack(">I", 86) + b"avc1" + bytes(6)
+                  + _struct.pack(">H", 1) + bytes(70))
+        stbl = _box(b"stbl",
+            _full(b"stsd", 0, 0, _struct.pack(">I", 1) + stsd_e)
+            + _full(b"stts", 0, 0,
+                    _struct.pack(">I", len(stts_runs))
+                    + b"".join(_struct.pack(">II", c, d)
+                               for c, d in stts_runs))
+            + _full(b"ctts", 1, 0, _struct.pack(">I", 2)
+                    + _struct.pack(">Ii", 2, 5)
+                    + _struct.pack(">Ii", 2, -5))
+            + _full(b"stsz", 0, 0, _struct.pack(">II", 10, 4))
+            + _full(b"stsc", 0, 0, _struct.pack(">I", 1)
+                    + _struct.pack(">III", 1, 3, 1))
+            + _full(b"co64", 0, 0, _struct.pack(">I", 2)
+                    + _struct.pack(">QQ", b0, b0 + 30))
+            + _full(b"stss", 0, 0, _struct.pack(">I", 2)
+                    + _struct.pack(">II", 1, 3)))
+        minf = _box(b"minf", stbl)
+        mdhd = _full(b"mdhd", 0, 0,
+                     _struct.pack(">IIII", 0, 0, 600, 100) + bytes(4))
+        hdlr = _full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(13))
+        trak = _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+        return ftyp + mdat + _box(b"moov", trak), b0
+
+    content, b0 = mux([(4, 25)], 4)
+    codec, ts, samples = MF.mp4_video_samples(content)
+    assert codec == "avc1" and ts == 600 and len(samples) == 4
+    assert [s.size for s in samples] == [10] * 4       # uniform stsz
+    assert [s.offset for s in samples] == [b0, b0 + 10, b0 + 20,
+                                           b0 + 30]    # co64 + stsc
+    assert [s.dts for s in samples] == [0, 25, 50, 75]
+    assert [s.cts for s in samples] == [5, 30, 45, 70]  # signed ctts
+    assert [s.keyframe for s in samples] == [1, 0, 1, 0]  # partial stss
+    bad, _ = mux([(3, 25)], 4)                # stts covers 3, stsz 4
+    with pytest.raises(ValueError):
+        MF.mp4_video_samples(bad)
+
+
+def test_mjpeg_decode_exact_pixels():
+    """Every MJPEG frame decodes to its exact block-constant gray
+    through the real JPEG codec; a non-jpeg track names its codec in
+    the refusal."""
+    from harbourbridge_spark.pipeline import mp4frames as MF
+    seed = 5
+    p = MF.mjpeg_fixture_params(seed)
+    frames = MF.decode_mjpeg_frames(MF.synth_mp4_mjpeg(seed))
+    assert len(frames) == p["n_frames"]
+    for fi, fr in enumerate(frames):
+        assert fr.shape == (8 * p["nby"], 8 * p["nbx"], 3)
+        for by in range(p["nby"]):
+            for bx in range(p["nbx"]):
+                v = MF.mjpeg_block_value(seed, fi, bx, by)
+                assert (fr[by * 8:(by + 1) * 8,
+                           bx * 8:(bx + 1) * 8, :] == v).all()
+    with pytest.raises(ValueError, match="avc1"):
+        blob = MF.synth_mp4_mjpeg(2).replace(b"jpeg", b"avc1", 1)
+        MF.decode_mjpeg_frames(blob)
+
+
+def test_mp4_frame_kernels_degrade(spark):
+    """The Spark kernels emit one row per frame for good containers
+    and ZERO rows (not a job failure) for corrupt bytes."""
+    from harbourbridge_spark.pipeline.mp4frames import synth_mp4_mjpeg
+    from harbourbridge_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, mjpeg_frame_features, mp4_frame_table)
+    good = synth_mp4_mjpeg(3)            # 5 frames
+    rows = [(1, "video", bytearray(good), {"mime": "video/mp4", "width": None, "height": None, "duration_ms": None}),
+            (2, "video", bytearray(b"\x00\x00\x00\x08ftypbad!"),
+             {"mime": "video/mp4", "width": None, "height": None, "duration_ms": None})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    tab = mp4_frame_table(media).collect()
+    assert {r.media_id for r in tab} == {1}
+    assert sorted(r.frame_idx for r in tab) == [0, 1, 2, 3, 4]
+    assert all(r.codec == "jpeg" and r.keyframe == 1 for r in tab)
+    feats = mjpeg_frame_features(media).collect()
+    assert {r.media_id for r in feats} == {1} and len(feats) == 5
+
+
 def test_media_meta_dispatch_and_degrade(spark):
     """Audio/video dispatchers route MP3/MP4 to the metadata walkers
     and degrade corrupt streams to the sha-stub."""

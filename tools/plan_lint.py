@@ -52,6 +52,9 @@ PYTHON_KERNEL_OK = {
     "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
     "multimodal_decode_y4m",
     "multimodal_meta_mp3", "multimodal_meta_mp4",
+    # r11: ISO BMFF sample-table walk + MJPEG-in-MP4 per-frame JPEG
+    # decode — per-row byte-level container/codec kernels by design
+    "multimodal_mp4_frames", "multimodal_decode_mjpeg",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
