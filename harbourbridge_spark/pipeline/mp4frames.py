@@ -130,31 +130,203 @@ def _parse_stbl(content: bytes, s0: int, s1: int):
             stss = {struct.unpack(">I", content[p + 4 * i:
                                                 p + 4 * i + 4])[0]
                     for i in range(n)}
-    if codec is None or not stts or not stsc or not chunk_offsets:
-        raise ValueError("incomplete sample table")
+    if codec is None:
+        raise ValueError("sample table without stsd")
     if sizes is None:
-        if uniform == 0:
+        if uniform == 0 and n_samples:
             raise ValueError("stsz uniform size 0 with no table")
         sizes = [uniform] * n_samples
+    # a zero-sample stbl is the LEGAL fragmented-MP4 shape (samples
+    # live in moof/trun); a NON-empty one missing its joins is corrupt
+    if sizes and (not stts or not stsc or not chunk_offsets):
+        raise ValueError("incomplete sample table")
     return codec, stts, ctts, stsc, sizes, chunk_offsets, stss
 
 
 def mp4_video_samples(content: bytes
                       ) -> tuple[str, int, list[SampleInfo]]:
     """(codec_fourcc, media_timescale, per-frame SampleInfo rows) of
-    the FIRST video ('vide' handler) track; ValueError if none."""
+    the FIRST video ('vide' handler) track; ValueError if none.
+
+    Handles BOTH layouts real corpora carry: the classic single-mdat
+    stbl form, and fragmented MP4 (DASH/CMAF) where the moov's stbl
+    is EMPTY and the samples live in moof/traf/trun runs with
+    trex/tfhd default inheritance — detected by an mvex box plus a
+    zero-sample stbl, then completed by `_walk_fragments`."""
     if len(content) < 12 or content[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF file (no ftyp)")
     for typ, b0, b1 in _boxes(content, 0, len(content)):
         if typ != b"moov":
             continue
+        trex = _parse_mvex(content, b0, b1)
         for t2, c0, c1 in _boxes(content, b0, b1):
             if t2 != b"trak":
                 continue
             got = _try_video_trak(content, c0, c1)
             if got is not None:
-                return got
+                codec, timescale, samples = got
+                if not samples and trex is not None:
+                    track_id = _trak_id(content, c0, c1)
+                    samples = _walk_fragments(
+                        content, track_id, trex.get(track_id, {}))
+                return codec, timescale, samples
     raise ValueError("no video track with a sample table")
+
+
+def _trak_id(content: bytes, c0: int, c1: int) -> int:
+    for t3, d0, d1 in _boxes(content, c0, c1):
+        if t3 == b"tkhd":
+            ver = content[d0]
+            off = d0 + 4 + (16 if ver == 1 else 8)
+            return struct.unpack(">I", content[off:off + 4])[0]
+    raise ValueError("trak without tkhd")
+
+
+def _parse_mvex(content: bytes, b0: int, b1: int):
+    """moov/mvex/trex -> {track_id: defaults} or None (unfragmented)."""
+    trex = None
+    for t2, c0, c1 in _boxes(content, b0, b1):
+        if t2 != b"mvex":
+            continue
+        trex = {}
+        for t3, d0, d1 in _boxes(content, c0, c1):
+            if t3 == b"trex":
+                _, _, p = _full_box(content, d0)
+                tid, _sdi, ddur, dsize, dflags = struct.unpack(
+                    ">IIIII", content[p:p + 20])
+                trex[tid] = {"dur": ddur, "size": dsize,
+                             "flags": dflags}
+    return trex
+
+
+# tfhd / trun flag bits (ISO 14496-12 8.8.7 / 8.8.8)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEFAULT_DUR = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DUR = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+_SAMPLE_NON_SYNC = 0x00010000
+
+
+def _walk_fragments(content: bytes, track_id: int,
+                    trex: dict) -> list[SampleInfo]:
+    """Top-level moof walk: tfhd default inheritance (trex -> tfhd ->
+    trun -> first-sample-flags), tfdt decode-time anchoring, trun
+    data offsets relative to base-data-offset or the moof start
+    (default-base-is-moof AND the modern no-bdo default)."""
+    samples: list[SampleInfo] = []
+    idx = 0
+    next_dts = 0
+    for typ, b0, b1 in _boxes(content, 0, len(content)):
+        if typ != b"moof":
+            continue
+        moof_start = b0 - 8
+        for t2, c0, c1 in _boxes(content, b0, b1):
+            if t2 != b"traf":
+                continue
+            tfhd = None
+            base_dt = None
+            truns = []
+            for t3, d0, d1 in _boxes(content, c0, c1):
+                if t3 == b"tfhd":
+                    _, flags, p = _full_box(content, d0)
+                    tid = struct.unpack(">I", content[p:p + 4])[0]
+                    p += 4
+                    h = {"flags": flags}
+                    if flags & _TFHD_BASE_DATA_OFFSET:
+                        h["bdo"] = struct.unpack(
+                            ">Q", content[p:p + 8])[0]
+                        p += 8
+                    if flags & _TFHD_SAMPLE_DESC:
+                        p += 4
+                    if flags & _TFHD_DEFAULT_DUR:
+                        h["dur"] = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    if flags & _TFHD_DEFAULT_SIZE:
+                        h["size"] = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    if flags & _TFHD_DEFAULT_FLAGS:
+                        h["sflags"] = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    h["tid"] = tid
+                    tfhd = h
+                elif t3 == b"tfdt":
+                    ver, _, p = _full_box(content, d0)
+                    base_dt = struct.unpack(
+                        ">Q" if ver == 1 else ">I",
+                        content[p:p + (8 if ver == 1 else 4)])[0]
+                elif t3 == b"trun":
+                    truns.append(d0)
+            if tfhd is None or tfhd["tid"] != track_id:
+                continue
+            base = tfhd.get("bdo", moof_start)
+            pos = None
+            dts = base_dt if base_dt is not None else next_dts
+            for d0 in truns:
+                ver, flags, p = _full_box(content, d0)
+                (cnt,) = struct.unpack(">I", content[p:p + 4])
+                p += 4
+                if flags & _TRUN_DATA_OFFSET:
+                    doff = struct.unpack(">i", content[p:p + 4])[0]
+                    pos = base + doff
+                    p += 4
+                elif pos is None:
+                    pos = base
+                first_flags = None
+                if flags & _TRUN_FIRST_FLAGS:
+                    first_flags = struct.unpack(
+                        ">I", content[p:p + 4])[0]
+                    p += 4
+                for si in range(cnt):
+                    dur = tfhd.get("dur", trex.get("dur"))
+                    size = tfhd.get("size", trex.get("size"))
+                    sflags = tfhd.get("sflags", trex.get("flags", 0))
+                    if flags & _TRUN_SAMPLE_DUR:
+                        dur = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    if flags & _TRUN_SAMPLE_SIZE:
+                        size = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    if flags & _TRUN_SAMPLE_FLAGS:
+                        sflags = struct.unpack(
+                            ">I", content[p:p + 4])[0]
+                        p += 4
+                    elif si == 0 and first_flags is not None:
+                        sflags = first_flags
+                    cof = 0
+                    if flags & _TRUN_SAMPLE_CTS:
+                        cof = struct.unpack(
+                            ">i" if ver == 1 else ">I",
+                            content[p:p + 4])[0]
+                        p += 4
+                    if dur is None or size is None:
+                        raise ValueError(
+                            "trun sample without duration/size and "
+                            "no tfhd/trex default")
+                    samples.append(SampleInfo(
+                        idx=idx, dts=dts, dur=dur, cts=dts + cof,
+                        size=size, offset=pos,
+                        keyframe=0 if sflags & _SAMPLE_NON_SYNC
+                        else 1))
+                    idx += 1
+                    dts += dur
+                    pos += size
+            next_dts = dts
+    if not samples:
+        raise ValueError("fragmented track with no trun samples")
+    return samples
 
 
 def _try_video_trak(content: bytes, c0: int, c1: int):
@@ -396,3 +568,100 @@ def synth_mp4_mjpeg(seed: int) -> bytes:
                  + struct.pack(">II", ts, total) + bytes(80))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def synth_mp4_mjpeg_frag(seed: int) -> bytes:
+    """FRAGMENTED twin of synth_mp4_mjpeg: identical frames, sample
+    timing, and closed forms, but in DASH/CMAF layout — the moov's
+    stbl is EMPTY (stsd only + zero-entry tables), mvex/trex declares
+    track 1 fragmentable, and the samples arrive as
+    [moof(mfhd,traf(tfhd,tfdt,trun)) + mdat] pairs of 2 frames each:
+
+    - tfhd: default-base-is-moof, NO base-data-offset (the modern
+      CMAF shape) — offsets resolve relative to each moof start;
+    - tfdt: version 1 (64-bit) explicit baseMediaDecodeTime, so a
+      fragment dropped in isolation still timestamps correctly;
+    - trun: data-offset + per-sample duration AND size present
+      (sizes genuinely vary per JPEG frame).
+
+    A parser that ignores fragments sees zero samples; a correct one
+    reproduces EXACTLY the unfragmented twin's SampleInfo rows
+    (offsets aside) — pinned by a unit test.
+    """
+    p = mjpeg_fixture_params(seed)
+    n, ts = p["n_frames"], p["timescale"]
+    frames = [_mjpeg_frame(seed, fi, p["nbx"], p["nby"])
+              for fi in range(n)]
+    durs = [p["dur_a"] if fi < p["run_a"] else p["dur_b"]
+            for fi in range(n)]
+    total = sum(durs)
+    w, h = 8 * p["nbx"], 8 * p["nby"]
+
+    ftyp = _box(b"ftyp", b"iso6" + struct.pack(">I", 512)
+                + b"iso6cmfc")
+    stsd_entry = (struct.pack(">I", 86) + b"jpeg" + bytes(6)
+                  + struct.pack(">H", 1) + bytes(16)
+                  + struct.pack(">HH", w, h)
+                  + struct.pack(">II", 0x00480000, 0x00480000)
+                  + bytes(4) + struct.pack(">H", 1)
+                  + bytes(32) + struct.pack(">Hh", 24, -1))
+    stbl = _box(b"stbl",
+                _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                      + stsd_entry)
+                + _full(b"stts", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                + _full(b"stco", 0, 0, struct.pack(">I", 0)))
+    vmhd = _full(b"vmhd", 0, 1, bytes(8))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, ts, total)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(13))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0)
+                 + struct.pack(">I", total) + bytes(8)
+                 + struct.pack(">HHHH", 0, 0, 0, 0) + bytes(36)
+                 + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", 0, 0,
+                 struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(b"mvhd", 0, 0, bytes(8)
+                 + struct.pack(">II", ts, total) + bytes(80))
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = bytearray(ftyp + moov)
+    dts = 0
+    for f0 in range(0, n, 2):
+        group = list(range(f0, min(f0 + 2, n)))
+        trun_body = struct.pack(">I", len(group))
+        # data_offset patched after moof length is known
+        trun_flags = (_TRUN_DATA_OFFSET | _TRUN_SAMPLE_DUR
+                      | _TRUN_SAMPLE_SIZE)
+        sample_rows = b"".join(
+            struct.pack(">II", durs[fi], len(frames[fi]))
+            for fi in group)
+        tfhd = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF,
+                     struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", dts))
+        mfhd = _full(b"mfhd", 0, 0,
+                     struct.pack(">I", f0 // 2 + 1))
+        # two-pass: assemble with offset 0, then patch
+        trun = _full(b"trun", 1, trun_flags,
+                     trun_body + struct.pack(">i", 0) + sample_rows)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        data_offset = len(moof) + 8          # into mdat payload
+        trun = _full(b"trun", 1, trun_flags,
+                     trun_body + struct.pack(">i", data_offset)
+                     + sample_rows)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        out += moof + _box(b"mdat",
+                           b"".join(frames[fi] for fi in group))
+        dts += sum(durs[fi] for fi in group)
+    return bytes(out)

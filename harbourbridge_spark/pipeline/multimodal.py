@@ -1017,6 +1017,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "video" and fmt == "mp4_mjpeg":
         from .mp4frames import synth_mp4_mjpeg
         synth, mime = synth_mp4_mjpeg, "video/mp4"
+    elif kind == "video" and fmt == "mp4_mjpeg_frag":
+        from .mp4frames import synth_mp4_mjpeg_frag
+        synth, mime = synth_mp4_mjpeg_frag, "video/mp4"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":

@@ -2784,6 +2784,46 @@ def q_multimodal_mp4_frames(spark: SparkSession,
 
 
 @register(
+    "multimodal_mp4_frames_frag",
+    """
+    WITH p AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n,
+               100 + (doc_id % 5) * 20 AS dur_a
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n, dur_a, (n + 1) // 2 AS ha,
+               unnest(generate_series(0, n - 1)) AS fi
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN fi < ha THEN fi * dur_a
+                ELSE ha * dur_a + (fi - ha) * (dur_a + 40)
+                END AS BIGINT) AS dts_ticks,
+           CAST(CASE WHEN fi < ha THEN dur_a ELSE dur_a + 40
+                END AS BIGINT) AS dur_ticks,
+           CAST(1 AS BIGINT) AS keyframe,
+           'jpeg' AS codec
+    FROM f
+    """,
+    "REAL container SAMPLE-TABLE parse, FRAGMENTED MP4 (DASH/CMAF): "
+    "the same per-frame closed form as multimodal_mp4_frames, but "
+    "the fixture's moov stbl is EMPTY and the samples arrive as "
+    "moof/traf/trun fragments of 2 — mvex/trex declaration, tfhd "
+    "default-base-is-moof offset resolution (no base-data-offset), "
+    "64-bit tfdt decode-time anchoring, per-sample trun "
+    "duration+size rows; the walker must reproduce the unfragmented "
+    "twin's rows EXACTLY for the oracle to hash-match")
+def q_multimodal_mp4_frames_frag(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import mp4_frame_table, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    media = synth_media(ids, "video", fmt="mp4_mjpeg_frag")
+    return mp4_frame_table(media)
+
+
+@register(
     "multimodal_decode_mjpeg",
     """
     WITH dims AS (
@@ -3057,6 +3097,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 11: MP4 sample-table parse + MJPEG-in-MP4 frame decode —
     # new entries (frame fan-out index + per-frame pixel decode)
     "multimodal_mp4_frames", "multimodal_decode_mjpeg",
+    "multimodal_mp4_frames_frag",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

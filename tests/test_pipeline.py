@@ -1437,6 +1437,100 @@ def test_mp4_sample_table_edge_paths():
         MF.mp4_video_samples(bad)
 
 
+def test_mp4_fragmented_twin_matches_stbl():
+    """The DASH/CMAF-layout fixture (empty stbl, mvex/trex,
+    moof/traf/trun pairs, default-base-is-moof, 64-bit tfdt) yields
+    EXACTLY the unfragmented twin's SampleInfo rows (offsets aside),
+    identical byte slices, and identical decoded pixels."""
+    from harbourbridge_spark.pipeline import mp4frames as MF
+    for seed in (0, 1, 3, 6):
+        plain = MF.synth_mp4_mjpeg(seed)
+        frag = MF.synth_mp4_mjpeg_frag(seed)
+        c1, t1, s1 = MF.mp4_video_samples(plain)
+        c2, t2, s2 = MF.mp4_video_samples(frag)
+        assert (c1, t1) == (c2, t2) and len(s1) == len(s2)
+        for a, b in zip(s1, s2):
+            assert (a.idx, a.dts, a.dur, a.cts, a.size, a.keyframe) \
+                == (b.idx, b.dts, b.dur, b.cts, b.size, b.keyframe)
+        _, _, fb1 = MF.mp4_frame_bytes(plain)
+        _, _, fb2 = MF.mp4_frame_bytes(frag)
+        assert [r for _s, r in fb1] == [r for _s, r in fb2]
+        fr1 = MF.decode_mjpeg_frames(plain)
+        fr2 = MF.decode_mjpeg_frames(frag)
+        assert all((x == y).all() for x, y in zip(fr1, fr2))
+
+
+def test_mp4_fragment_default_inheritance():
+    """trun rows WITHOUT per-sample fields inherit tfhd defaults,
+    then trex defaults; first-sample-flags overrides sample 0's sync
+    bit; a sample with no duration anywhere is rejected."""
+    import struct as _struct
+
+    from harbourbridge_spark.pipeline import mp4frames as MF
+    _box, _full = MF._box, MF._full
+
+    def mux(trex_dur, tfhd_extra_flags=0, tfhd_extra=b"",
+            trun_flags=MF._TRUN_DATA_OFFSET | MF._TRUN_FIRST_FLAGS,
+            first_flags=MF._SAMPLE_NON_SYNC, trex_tid=1):
+        ftyp = _box(b"ftyp", b"iso6" + bytes(8))
+        stsd_e = (_struct.pack(">I", 86) + b"jpeg" + bytes(6)
+                  + _struct.pack(">H", 1) + bytes(70))
+        stbl = _box(b"stbl",
+                    _full(b"stsd", 0, 0, _struct.pack(">I", 1)
+                          + stsd_e)
+                    + _full(b"stts", 0, 0, _struct.pack(">I", 0))
+                    + _full(b"stsc", 0, 0, _struct.pack(">I", 0))
+                    + _full(b"stsz", 0, 0, _struct.pack(">II", 0, 0))
+                    + _full(b"stco", 0, 0, _struct.pack(">I", 0)))
+        mdhd = _full(b"mdhd", 0, 0,
+                     _struct.pack(">IIII", 0, 0, 1000, 60)
+                     + bytes(4))
+        hdlr = _full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(13))
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        tkhd = _full(b"tkhd", 0, 7,
+                     _struct.pack(">IIII", 0, 0, 1, 0) + bytes(64))
+        trak = _box(b"trak", tkhd + mdia)
+        trex = _full(b"trex", 0, 0,
+                     _struct.pack(">IIIII", trex_tid, 1, trex_dur,
+                                  7, 0))
+        moov = _box(b"moov",
+                    _full(b"mvhd", 0, 0, bytes(8)
+                          + _struct.pack(">II", 1000, 60)
+                          + bytes(80))
+                    + trak + _box(b"mvex", trex))
+        tfhd = _full(b"tfhd", 0,
+                     MF._TFHD_DEFAULT_BASE_IS_MOOF
+                     | tfhd_extra_flags,
+                     _struct.pack(">I", 1) + tfhd_extra)
+        body = _struct.pack(">I", 3)        # 3 samples, no rows
+        trun = _full(b"trun", 0, trun_flags,
+                     body + _struct.pack(">i", 0)
+                     + (_struct.pack(">I", first_flags)
+                        if trun_flags & MF._TRUN_FIRST_FLAGS
+                        else b""))
+        moof = _box(b"moof",
+                    _full(b"mfhd", 0, 0, _struct.pack(">I", 1))
+                    + _box(b"traf", tfhd + trun))
+        return ftyp + moov + moof + _box(b"mdat", bytes(21))
+
+    # trex-only defaults: dur 20 size 7; first sample marked non-sync
+    codec, ts, s = MF.mp4_video_samples(mux(trex_dur=20))
+    assert codec == "jpeg" and ts == 1000
+    assert [x.dur for x in s] == [20, 20, 20]
+    assert [x.size for x in s] == [7, 7, 7]
+    assert [x.dts for x in s] == [0, 20, 40]     # no tfdt: cumulative
+    assert [x.keyframe for x in s] == [0, 1, 1]  # first-sample-flags
+    assert s[1].offset == s[0].offset + 7
+    # tfhd default overrides trex
+    _, _, s = MF.mp4_video_samples(mux(
+        trex_dur=20, tfhd_extra_flags=MF._TFHD_DEFAULT_DUR,
+        tfhd_extra=_struct.pack(">I", 5)))
+    assert [x.dur for x in s] == [5, 5, 5]
+    # no duration anywhere (trex declares another track) -> rejected
+    with pytest.raises(ValueError, match="duration"):
+        MF.mp4_video_samples(mux(trex_dur=20, trex_tid=2))
+
+
 def test_mjpeg_decode_exact_pixels():
     """Every MJPEG frame decodes to its exact block-constant gray
     through the real JPEG codec; a non-jpeg track names its codec in

@@ -55,6 +55,7 @@ PYTHON_KERNEL_OK = {
     # r11: ISO BMFF sample-table walk + MJPEG-in-MP4 per-frame JPEG
     # decode — per-row byte-level container/codec kernels by design
     "multimodal_mp4_frames", "multimodal_decode_mjpeg",
+    "multimodal_mp4_frames_frag",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
