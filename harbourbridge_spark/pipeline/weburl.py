@@ -1,0 +1,185 @@
+"""URL/domain-level corpus curation (CCNet / RefinedWeb-style).
+
+Web-scale training corpora are deduplicated and capped at the URL and
+registered-domain level BEFORE any content-based pass: CCNet drops
+exact normalized-URL duplicates, RefinedWeb additionally caps the
+number of documents any single registered domain may contribute so
+one crawl-friendly site cannot dominate the mixture.  Three operators,
+each a dual-engine SQL template (the text.py convention — the DuckDB
+rendering IS the oracle):
+
+- `url_canonicalize_sql`: raw URL -> canonical form.  Steps, in
+  order: lowercase; strip scheme (`https?://`); strip `#fragment`;
+  strip `?query`; strip leading `www.`; strip an explicit `:port`;
+  strip trailing `/index.html`; strip trailing `/`.  Plus `host`
+  (first path-free label run) and `registered_domain` (last two
+  labels, or three when the suffix is a two-level public suffix —
+  a mini-list stands in for the public-suffix list: co/ac/com/org
+  x uk/jp/au).
+- `domain_cap_manifest_sql`: the curation manifest — exact
+  canonical-URL dedup (keep lowest doc_id) then a per-registered-
+  domain cap of DOMAIN_CAP kept docs; every doc gets an action of
+  'keep' | 'url_duplicate' | 'domain_cap'.
+- `domain_stats_sql`: per-domain accounting (docs, distinct URLs,
+  kept, URL-duplicate count) — the dashboard for choosing caps.
+
+The documents table carries no URL column, so the fixture URL is
+synthesized deterministically per doc INSIDE the template (the
+synth_media convention): six messy variants — uppercase scheme/host,
+`www.`, `:443`, `?utm` params, `#fragment`, trailing slash,
+`/index.html`, schemeless — that all canonicalize into one URL per
+3-doc article group, plus a `shop.brandK.co.uk` slice (doc_id % 11)
+exercising subdomains and the public-suffix branch.
+
+Scale: canonicalization is a pure projection (no shuffle); the
+manifest shuffles twice on high-cardinality keys (url, then
+registered_domain) with window ROW_NUMBERs — both AQE-coalescible;
+stats is one more low-cardinality groupBy.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from .text import render
+
+DOMAIN_CAP = 5
+
+# ---------------------------------------------------------------------------
+# fixture URL (closed-form, shared by Spark and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+# aid: 3-doc article groups; hk: 7 hosts
+_RAW_URL = """
+    CASE WHEN doc_id % 11 = 0 THEN
+        'https://shop.brand' || (doc_id {idiv} 3) % 7
+            || '.co.uk/items/' || doc_id {idiv} 3
+    ELSE CASE doc_id % 6
+        WHEN 0 THEN 'https://WWW.articles-h' || (doc_id {idiv} 3) % 7
+            || '.com/articles/' || doc_id {idiv} 3
+            || '?utm_source=' || source
+        WHEN 1 THEN 'http://articles-h' || (doc_id {idiv} 3) % 7
+            || '.com/articles/' || doc_id {idiv} 3 || '/'
+        WHEN 2 THEN 'https://www.articles-h' || (doc_id {idiv} 3) % 7
+            || '.com:443/articles/' || doc_id {idiv} 3 || '#frag'
+        WHEN 3 THEN 'https://articles-h' || (doc_id {idiv} 3) % 7
+            || '.com/articles/' || doc_id {idiv} 3 || '/index.html'
+        WHEN 4 THEN 'articles-h' || (doc_id {idiv} 3) % 7
+            || '.com/articles/' || doc_id {idiv} 3
+        ELSE 'HTTP://ARTICLES-H' || (doc_id {idiv} 3) % 7
+            || '.COM/articles/' || doc_id {idiv} 3 || '?'
+    END END
+"""
+
+
+def _canon_expr(raw: str) -> str:
+    """Canonicalization chain over a raw-URL SQL expression.  Every
+    regexp is ANCHORED, so DuckDB's replace-first default and Spark's
+    replace-all agree; {b1} is the engine's group-1 backreference."""
+    x = f"lower({raw})"
+    x = f"regexp_replace({x}, '^https?://', '')"
+    x = f"regexp_replace({x}, '#.*$', '')"
+    x = f"regexp_replace({x}, '\\?.*$', '')"
+    x = f"regexp_replace({x}, '^www\\.', '')"
+    x = f"regexp_replace({x}, '^([^/:]+):[0-9]+', {{b1}})"
+    x = f"regexp_replace({x}, '/index\\.html$', '')"
+    x = f"regexp_replace({x}, '/$', '')"
+    return x
+
+
+_HOST = "regexp_extract(url, '^([^/]+)', 1)"
+# two-level public suffixes (mini public-suffix list)
+_REG_DOMAIN = """
+    CASE WHEN regexp_extract(host,
+              '\\.((co|ac|com|org)\\.(uk|jp|au))$', 1) <> ''
+         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+"""
+
+
+def _extras(engine: str) -> dict:
+    return {"idiv": "DIV" if engine == "spark" else "//",
+            "b1": "'$1'" if engine == "spark" else "'\\1'"}
+
+
+def _url_cte() -> str:
+    """Shared CTE prefix: doc_id, raw_url, url, host, reg_domain."""
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, ({_RAW_URL}) AS raw_url FROM documents
+    ), canon AS (
+        SELECT doc_id, raw_url,
+               {_canon_expr('raw_url')} AS url
+        FROM raw
+    ), hosted AS (
+        SELECT doc_id, raw_url, url, {_HOST} AS host FROM canon
+    ), u AS (
+        SELECT doc_id, raw_url, url, host,
+               ({_REG_DOMAIN}) AS reg_domain
+        FROM hosted
+    )
+    """
+
+
+def url_canonicalize_sql(engine: str) -> str:
+    t = _url_cte() + """
+    SELECT doc_id, raw_url, url, host,
+           reg_domain AS registered_domain
+    FROM u
+    """
+    return render(t, engine, **_extras(engine))
+
+
+def domain_cap_manifest_sql(engine: str) -> str:
+    """Exact URL dedup (keep lowest doc_id) then per-registered-domain
+    cap: rn_dom ranks only the URL-canonical survivors (the boolean
+    partition key trick keeps it one window pass)."""
+    t = _url_cte() + f"""
+    , ranked AS (
+        SELECT doc_id, url, reg_domain,
+               ROW_NUMBER() OVER (PARTITION BY url
+                                  ORDER BY doc_id) AS rn_url
+        FROM u
+    ), capped AS (
+        SELECT doc_id, url, reg_domain, rn_url,
+               ROW_NUMBER() OVER (
+                   PARTITION BY reg_domain,
+                                CASE WHEN rn_url = 1 THEN 0 ELSE 1 END
+                   ORDER BY doc_id) AS rn_dom
+        FROM ranked
+    )
+    SELECT doc_id, url, reg_domain AS registered_domain,
+           CASE WHEN rn_url > 1 THEN 'url_duplicate'
+                WHEN rn_dom > {DOMAIN_CAP} THEN 'domain_cap'
+                ELSE 'keep' END AS action
+    FROM capped
+    """
+    return render(t, engine, **_extras(engine))
+
+
+def domain_stats_sql(engine: str) -> str:
+    """Per-domain curation dashboard over the same manifest logic."""
+    t = _url_cte() + f"""
+    , ranked AS (
+        SELECT doc_id, url, reg_domain,
+               ROW_NUMBER() OVER (PARTITION BY url
+                                  ORDER BY doc_id) AS rn_url
+        FROM u
+    ), capped AS (
+        SELECT doc_id, url, reg_domain, rn_url,
+               ROW_NUMBER() OVER (
+                   PARTITION BY reg_domain,
+                                CASE WHEN rn_url = 1 THEN 0 ELSE 1 END
+                   ORDER BY doc_id) AS rn_dom
+        FROM ranked
+    )
+    SELECT reg_domain AS registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN rn_url > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_url_duplicates,
+           CAST(SUM(CASE WHEN rn_url = 1
+                         AND rn_dom <= {DOMAIN_CAP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM capped
+    GROUP BY reg_domain
+    """
+    return render(t, engine, **_extras(engine))

@@ -1789,6 +1789,29 @@ REGISTRY["corpus_curation_materialized"] = QuerySpec(
     "separate per-stage entries re-derive inputs per query by "
     "harness construction)")
 from .pipeline import bridge as _bridge  # noqa: E402
+from .pipeline import weburl as _weburl  # noqa: E402
+
+_register_template(
+    "url_canonicalize", _weburl.url_canonicalize_sql,
+    "URL canonicalization (CCNet-style): lowercase, strip "
+    "scheme/fragment/query/www/port/index.html/trailing-slash, "
+    "host + registered-domain extraction with a mini public-suffix "
+    "list (co.uk-family three-label branch) — pure projection, no "
+    "shuffle; six messy fixture variants per 3-doc article group "
+    "must collapse to one canonical URL")
+_register_template(
+    "url_domain_caps", _weburl.domain_cap_manifest_sql,
+    "URL-dedup + per-registered-domain cap manifest (RefinedWeb "
+    "style): exact canonical-URL keep-first, then at most "
+    f"{_weburl.DOMAIN_CAP} kept docs per domain; every doc labeled "
+    "keep/url_duplicate/domain_cap — two window passes on url then "
+    "domain, the one-window boolean-partition trick for the capped "
+    "rank")
+_register_template(
+    "domain_stats", _weburl.domain_stats_sql,
+    "Per-registered-domain curation dashboard: docs, distinct "
+    "canonical URLs, URL-duplicate count, kept-under-cap count — "
+    "the numbers a corpus owner reads before setting domain caps")
 
 REGISTRY["corpus_from_relational"] = QuerySpec(
     _bridge.corpus_from_relational_fn,
@@ -3098,6 +3121,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # new entries (frame fan-out index + per-frame pixel decode)
     "multimodal_mp4_frames", "multimodal_decode_mjpeg",
     "multimodal_mp4_frames_frag",
+    # round 11: URL/domain curation family — new entries
+    "url_canonicalize", "url_domain_caps", "domain_stats",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -1358,6 +1358,50 @@ def test_mp4_meta_box_walk():
     assert got[0] == 2500.0 and got[1] == 0
 
 
+def test_url_canonicalize_semantics(spark, tmp_path):
+    """HAND-COMPUTED ground truth: all six messy variants of one
+    article collapse to one canonical URL; the co.uk slice takes the
+    three-label registered domain; the cap manifest keeps the lowest
+    doc_id per URL and at most DOMAIN_CAP per domain."""
+    from harbourbridge_spark.pipeline.weburl import (
+        domain_cap_manifest_sql, url_canonicalize_sql)
+    # doc_ids 1..5 + 7: article groups 0,1,2 on hosts h0,h1,h2; doc 0
+    # and doc 11 are the co.uk slice
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i}", 1) for i in
+         (0, 1, 2, 3, 4, 5, 11, 12)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    docs.write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    spark.read.parquet(str(tmp_path / "documents.parquet")) \
+        .createOrReplaceTempView("documents")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    rows = {r.doc_id: r for r in
+            spark.sql(url_canonicalize_sql("spark")).collect()}
+    # doc 0: % 11 == 0 -> co.uk slice, aid 0, hk 0
+    assert rows[0].url == "shop.brand0.co.uk/items/0"
+    assert rows[0].host == "shop.brand0.co.uk"
+    assert rows[0].registered_domain == "brand0.co.uk"   # 3 labels
+    # docs 1,2 share article 0 on host h0 through different mess
+    assert rows[1].raw_url.endswith("/articles/0/")      # trailing /
+    assert rows[2].raw_url.count(":443") == 1            # port
+    assert rows[1].url == rows[2].url == \
+        "articles-h0.com/articles/0"
+    # docs 3,4,5 share article 1: index.html / schemeless / UPPER
+    assert rows[3].url == rows[4].url == rows[5].url == \
+        "articles-h1.com/articles/1"
+    assert rows[3].registered_domain == "articles-h1.com"
+    # doc 11 is co.uk again (11 % 11 == 0), aid 3, hk 3
+    assert rows[11].url == "shop.brand3.co.uk/items/3"
+    man = {r.doc_id: r.action for r in
+           spark.sql(domain_cap_manifest_sql("spark")).collect()}
+    assert man[1] == "keep" and man[2] == "url_duplicate"
+    assert man[3] == "keep"
+    assert man[4] == man[5] == "url_duplicate"
+    assert man[0] == man[11] == man[12] == "keep"
+
+
 def test_mp4_sample_table_closed_form():
     """The muxed MJPEG fixture's stbl round-trips: two stts runs,
     2-per-chunk stsc with a short last chunk on odd counts, stss
