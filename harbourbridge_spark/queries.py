@@ -1813,6 +1813,28 @@ _register_template(
     "canonical URLs, URL-duplicate count, kept-under-cap count — "
     "the numbers a corpus owner reads before setting domain caps")
 
+from .pipeline import bpe as _bpe  # noqa: E402
+
+REGISTRY["bpe_train"] = QuerySpec(
+    _bpe.bpe_train_fn, _bpe.bpe_train_sql("duckdb"),
+    "REAL BPE merge-table training (Sennrich ACL'16): "
+    f"{_bpe.N_MERGES} (pair-count, argmax, merge) rounds over the "
+    "word VOCABULARY (the classic word-count compression — the only "
+    "corpus-sized shuffle is the word groupBy); merges applied via "
+    "delimiter-exact literal replace(), argmax tie-broken "
+    "(count DESC, left, right) for cross-engine determinism; "
+    "DuckDB oracle = the UNROLLED MATERIALIZED-CTE template, Spark "
+    "strategy = imperative rounds over a localCheckpoint'ed vocab "
+    "(the unrolled form OOMs Spark's optimizer: each CTE is "
+    "referenced twice and inlining doubles the plan per round)")
+REGISTRY["bpe_apply"] = QuerySpec(
+    _bpe.bpe_apply_fn, _bpe.bpe_apply_sql("duckdb"),
+    "BPE tokenization with the learned merges: every document's "
+    "words run the same ranked replace() chain; per-doc "
+    "(n_words, n_bpe_tokens, n_char_symbols) measures the "
+    "compression the merge table buys — the token accounting a "
+    "training-data pipeline budgets on")
+
 REGISTRY["corpus_from_relational"] = QuerySpec(
     _bridge.corpus_from_relational_fn,
     _bridge.corpus_from_relational_sql("duckdb"),
@@ -3123,6 +3145,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "multimodal_mp4_frames_frag",
     # round 11: URL/domain curation family — new entries
     "url_canonicalize", "url_domain_caps", "domain_stats",
+    # round 11: BPE tokenizer (train + apply) — new entries
+    "bpe_train", "bpe_apply",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -1358,6 +1358,65 @@ def test_mp4_meta_box_walk():
     assert got[0] == 2500.0 and got[1] == 0
 
 
+def test_bpe_hand_computed_merges(spark, tmp_path):
+    """HAND-COMPUTED Sennrich run on 'aaab aaab ab': merges must be
+    (a,a,4) -> tie-break (a,b,3) over (b,</w>,3) -> (ab,</w>,3) ->
+    (aa,ab</w>,2), then EXHAUSTION (rounds 5-8 yield no rows and the
+    chr(1) guard keeps the vocab intact); apply collapses every word
+    to one symbol.  Checked on BOTH engines."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline.bpe import (bpe_apply_fn,
+                                                  bpe_apply_sql,
+                                                  bpe_train_fn,
+                                                  bpe_train_sql)
+    docs = [(0, "aaab aaab ab", "en", "s", 12)]
+    expected = [(1, "a", "a", 4), (2, "a", "b", 3),
+                (3, "ab", "</w>", 3), (4, "aa", "ab</w>", 2)]
+
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe_train_fn(spark, str(tmp_path)).collect()]
+    assert got == expected
+    ap = bpe_apply_fn(spark, str(tmp_path)).collect()
+    assert [(r.n_words, r.n_bpe_tokens, r.n_char_symbols)
+            for r in ap] == [(3, 3, 13)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR,"
+                " lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.execute("INSERT INTO documents VALUES (0,'aaab aaab ab',"
+                "'en','s',12)")
+    dtr = con.execute(bpe_train_sql("duckdb")).fetchall()
+    assert [tuple(r) for r in dtr] == expected
+    dap = con.execute(bpe_apply_sql("duckdb")).fetchall()
+    assert [(r[1], r[2], r[3]) for r in dap] == [(3, 3, 13)]
+
+
+def test_bpe_greedy_run_merge(spark, tmp_path):
+    """Greedy left-to-right non-overlap on repeated symbols: 'bbbb'
+    under merge (b,b) becomes bb|bb (2 symbols), 'bbb' becomes bb|b —
+    the delimiter-per-symbol replace() must not chain into the
+    replacement text."""
+    from harbourbridge_spark.pipeline.bpe import (bpe_apply_fn,
+                                                  bpe_train_fn)
+    docs = [(0, "bbbb bbb bbbb", "en", "s", 13)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    merges = bpe_train_fn(spark, str(tmp_path)).collect()
+    assert (merges[0].left_sym, merges[0].right_sym) == ("b", "b")
+    # bbbb -> b|b|b|b -> greedy (b,b): bb|bb (2 syms), bbb -> bb|b
+    # then further merges may collapse more; the FIRST round's counts
+    # prove greedy counting: 'bbbb' has 3 adjacent (b,b) positions
+    # x2 words + 2 in 'bbb' = 8
+    assert merges[0].pair_count == 8
+
+
 def test_url_canonicalize_semantics(spark, tmp_path):
     """HAND-COMPUTED ground truth: all six messy variants of one
     article collapse to one canonical URL; the co.uk slice takes the

@@ -104,6 +104,18 @@ OP_BUDGETS = {
     # dp relation grows 8x as well: linear-ceiling convention like
     # the decode entry (r11 measured 2.07 isolated).
     "dedup_exact_substrings": 10.5,
+    # r11 additions (same session): the ExactSubstr APPLY pass and
+    # the MJPEG frame decode are per-row/per-gram LINEAR design
+    # shapes (8x dup-heavy corpus -> every gram duplicated -> the
+    # removed relation and the re-join grow ~8x; 8x media rows ->
+    # 8x decode work): linear-ceiling convention (r11 measured
+    # 4.25x / 3.26x isolated, canary 1.887).  url_domain_caps is
+    # two window shuffles whose output the cap BOUNDS — measured
+    # 1.26x, budget = measured x ~1.5 rounded (fixed overheads
+    # dominate at this scale, so the ratio is noise-sensitive).
+    "substring_dedup_apply": 10.5,
+    "multimodal_decode_mjpeg": 10.5,
+    "url_domain_caps": 2.0,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
