@@ -1041,6 +1041,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "webp":
         from .vp8l import synth_webp
         synth, mime = synth_webp, "image/webp"
+    elif fmt == "webp_vp8":
+        from .vp8 import synth_webp_vp8
+        synth, mime = synth_webp_vp8, "image/webp"
     else:
         synth, mime = synth_bmp, "image/bmp"
 
@@ -1385,6 +1388,52 @@ def gif_frame_features(media: DataFrame,
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+VP8_HEADER_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False)]
+    + [T.StructField(f, T.LongType(), False) for f in
+       ("width", "height", "hscale", "vscale", "segmentation",
+        "filter_type", "filter_level", "sharpness", "n_partitions",
+        "y_ac_qi", "y_dc_delta", "uv_ac_delta", "refresh_entropy")])
+
+
+def vp8_header_features(media: DataFrame,
+                        batch_size: int = 256) -> DataFrame:
+    """Lossy-WebP frame-header walk (vp8.decode_vp8_header): the
+    bool-coded keyframe header through the quantizer/partition
+    section — dims+upscale codes, segmentation/filter config, DCT
+    partition count, base quantizer and deltas.  Arrow-batched;
+    corrupt or non-VP8 containers contribute zero rows."""
+    cols = [f.name for f in VP8_HEADER_SCHEMA.fields]
+    idx = {n: i for i, n in enumerate(
+        ("width", "height", "hscale", "vscale", "version",
+         "show_frame", "color_space", "clamping", "segmentation",
+         "filter_type", "filter_level", "sharpness", "n_partitions",
+         "y_ac_qi", "y_dc_delta", "y2_dc_delta", "y2_ac_delta",
+         "uv_dc_delta", "uv_ac_delta", "refresh_entropy",
+         "first_part_size"))}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .vp8 import decode_vp8_header
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    feats = decode_vp8_header(bytes(content))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(int(feats[idx[k]]))
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=VP8_HEADER_SCHEMA)
 
 
 MP4_SAMPLE_SCHEMA = T.StructType([

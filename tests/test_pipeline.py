@@ -1358,6 +1358,54 @@ def test_mp4_meta_box_walk():
     assert got[0] == 2500.0 and got[1] == 0
 
 
+def test_vp8_bool_coder_fuzz_roundtrip():
+    """The RFC 6386 boolean coder: encoder and decoder are exact
+    inverses over random (bit, prob) sequences — every probability,
+    carry propagation through flush, and the renorm loop."""
+    import random
+
+    from harbourbridge_spark.pipeline.vp8 import (BoolDecoder,
+                                                  BoolEncoder)
+    rng = random.Random(11)
+    for _ in range(500):
+        seq = [(rng.randint(0, 1), rng.randint(1, 254))
+               for _ in range(rng.randint(1, 200))]
+        e = BoolEncoder()
+        for b, p in seq:
+            e.bool(b, p)
+        d = BoolDecoder(e.flush())
+        assert [d.bool(p) for _b, p in seq] == [b for b, _p in seq]
+
+
+def test_vp8_header_walker_closed_form():
+    """Every muxed fixture field round-trips through the bool-coded
+    keyframe header: dims+upscale codes, segmentation block, filter
+    config, partition count AND size-table tiling, quantizer
+    section; interframes and corrupt start codes are rejected."""
+    from harbourbridge_spark.pipeline.vp8 import (VP8_FIELDS,
+                                                  decode_vp8_header,
+                                                  synth_webp_vp8,
+                                                  vp8_fixture_params)
+    for seed in range(16):
+        p = vp8_fixture_params(seed)
+        f = dict(zip(VP8_FIELDS,
+                     decode_vp8_header(synth_webp_vp8(seed))))
+        for k in ("width", "height", "hscale", "vscale",
+                  "segmentation", "filter_type", "filter_level",
+                  "sharpness", "y_ac_qi", "y_dc_delta",
+                  "uv_ac_delta", "refresh_entropy"):
+            assert f[k] == p[k], (seed, k)
+        assert f["n_partitions"] == 1 << p["log2_parts"]
+    blob = bytearray(synth_webp_vp8(1))
+    blob[20] |= 1                       # flip the keyframe bit
+    with pytest.raises(ValueError, match="keyframe"):
+        decode_vp8_header(bytes(blob))
+    blob = bytearray(synth_webp_vp8(1))
+    blob[23] ^= 0xFF                    # corrupt the start code
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8_header(bytes(blob))
+
+
 def test_bpe_hand_computed_merges(spark, tmp_path):
     """HAND-COMPUTED Sennrich run on 'aaab aaab ab': merges must be
     (a,a,4) -> tie-break (a,b,3) over (b,</w>,3) -> (ab,</w>,3) ->

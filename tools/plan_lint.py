@@ -56,6 +56,8 @@ PYTHON_KERNEL_OK = {
     # decode — per-row byte-level container/codec kernels by design
     "multimodal_mp4_frames", "multimodal_decode_mjpeg",
     "multimodal_mp4_frames_frag",
+    # r11: VP8 bool-coded frame-header walk — per-row byte kernel
+    "multimodal_meta_vp8",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
