@@ -3155,6 +3155,92 @@ def q_event_second_boundaries(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# WARC crawl-archive ingestion + HTML extraction (round 11) — the
+# front end of the LLM-data pipeline: Common Crawl-layout WARC files
+# (per-record gzip members) -> parsed records -> extracted text ->
+# the documents relation everything downstream consumes.
+# ---------------------------------------------------------------------------
+
+from .pipeline import html as _html  # noqa: E402
+from .pipeline import warc as _warc  # noqa: E402
+
+_register_template(
+    "html_extract", _html.html_extract_sql,
+    "HTML -> text extraction (the crawl pipeline's boilerplate "
+    "strip): drop comments/script/style with content, tags -> space, "
+    "core-entity decode, whitespace collapse, title + link count — "
+    "pure regexp projection, no shuffle, no Python; the in-template "
+    "fixture HTML carries every strip hazard (fake tag inside a "
+    "comment, '<' inside script code, braces in style, attributes, "
+    "escaped entities in the body)")
+
+
+def _warc_files(spark: SparkSession, sf_dir: str,
+                gzip_members: bool) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _warc.synth_warc_files(docs, gzip_members=gzip_members)
+
+
+@register(
+    "warc_ingest", _warc.warc_records_oracle_sql(),
+    "WARC (ISO 28500) container ingestion: documents muxed into "
+    f"{_warc.N_WARC_FILES} fixture WARC files (warcinfo + one "
+    "HTTP-response record per doc) and parsed back — Content-Length "
+    "framing per spec, WARC + HTTP header extraction; the oracle "
+    "reconstructs every header AND the nested content-length (62 "
+    "fixed bytes + digits-of-length + body bytes) in pure SQL. "
+    "100 TB shape: a crawl is ~100k independent files; the scan is "
+    "file-granular mapInPandas with no shuffle (the fixture's one "
+    "groupBy builds the files, not the read path)")
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _warc.warc_records(_warc_files(spark, sf_dir, False))
+
+
+@register(
+    "warc_ingest_gzip", _warc.warc_records_oracle_sql(),
+    "WARC ingestion, Common Crawl layout: each record its OWN gzip "
+    "member (the property that makes a 1 GiB crawl file splittable "
+    "mid-stream); multi-member zlib walk via unused_data handoff. "
+    "Identical oracle to warc_ingest — compression must be "
+    "transparent to the parse")
+def q_warc_ingest_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _warc.warc_records(_warc_files(spark, sf_dir, True))
+
+
+@register(
+    "warc_stats", _warc.warc_stats_oracle_sql(),
+    "Per-WARC-file ingestion accounting: record/response counts and "
+    "total payload bytes — the numbers a crawl-ingest operator "
+    "monitors; one low-cardinality groupBy over the parsed records")
+def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _warc.warc_records(_warc_files(spark, sf_dir, False))
+    return rec.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("warc_type") == "response").cast("long"))
+         .alias("n_responses"),
+        F.sum("content_length").alias("payload_bytes"))
+
+
+@register(
+    "warc_to_documents", "SELECT doc_id, text FROM documents",
+    "The full crawl front end, end-to-end: gzip-member WARC files "
+    "-> record parse -> HTTP body -> HTML text extraction -> "
+    "(doc_id, text) — and the oracle is the documents table ITSELF: "
+    "the chain must reproduce every document byte-exactly (entity "
+    "escape/unescape round-trip included). Closed-form in the "
+    "strongest sense: zero reconstruction on the oracle side")
+def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    rec = _warc.warc_records(_warc_files(spark, sf_dir, True))
+    body_text = _html.unescape_entities(
+        "regexp_extract(body, '(?s)<p>(.*)</p>', 1)")
+    return rec.filter(F.col("warc_type") == "response").selectExpr(
+        "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) "
+        "AS BIGINT) AS doc_id",
+        f"{body_text} AS text")
+
+
+# ---------------------------------------------------------------------------
 # helpers for __spark_entry__
 # ---------------------------------------------------------------------------
 
@@ -3187,6 +3273,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     "bpe_train", "bpe_apply",
     # round 11: lossy-WebP VP8 frame-header walker — new entry
     "multimodal_meta_vp8",
+    # round 11: WARC crawl-archive ingestion + HTML extraction — new
+    # entries (plain + gzip-member parse, per-file stats, and the
+    # end-to-end WARC -> documents closed-form chain)
+    "warc_ingest", "warc_ingest_gzip", "warc_stats",
+    "warc_to_documents", "html_extract",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -1,0 +1,132 @@
+"""WARC container ingestion + HTML extraction tests: byte-level
+round-trips (plain / per-record-gzip / whole-file-gzip), spec framing
+rejections, the Spark kernel end-to-end, and HAND-COMPUTED HTML strip
+semantics on both engines."""
+
+import gzip
+
+import pytest
+
+from harbourbridge_spark.pipeline import html as H
+from harbourbridge_spark.pipeline.warc import (WARCINFO_PAYLOAD,
+                                               build_warc_file,
+                                               parse_warc,
+                                               synth_warc_files,
+                                               warc_records)
+
+DOCS = [(5, "hello & <world>\nline2"), (69, "plain text"),
+        (133, "a" * 500), (197, "tab\there & &amp; edge")]
+
+
+def test_warc_roundtrip_plain_and_gzip_members():
+    for gz in (False, True):
+        rows = parse_warc(build_warc_file(5, DOCS, gzip_members=gz))
+        assert [r[1] for r in rows] == ["warcinfo"] + ["response"] * 4
+        assert rows[0][6] == len(WARCINFO_PAYLOAD)
+        assert rows[0][7] == WARCINFO_PAYLOAD.decode()
+        r = rows[1]
+        assert r[2] == "http://h5.example.com/doc/5"
+        assert r[3] == "2024-01-01T00:00:05Z"
+        assert r[4] == 200 and r[5] == "text/html"
+        html = r[7]
+        assert html == ("<html><head><title>Doc 5</title></head>"
+                        "<body><p>hello &amp; &lt;world&gt;\nline2"
+                        "</p></body></html>")
+        # the oracle's closed-form record length: 62 fixed HTTP-header
+        # bytes + digits-of-body-length + body bytes
+        hlen = len(html.encode())
+        assert r[6] == 62 + len(str(hlen)) + hlen
+        # rec_idx ordering is doc_id order within the file
+        assert [x[0] for x in rows] == [0, 1, 2, 3, 4]
+
+
+def test_warc_whole_file_gzip():
+    """A single-member gzip of the entire file (legal, if
+    non-splittable) parses identically to plain."""
+    plain = build_warc_file(1, DOCS)
+    assert parse_warc(gzip.compress(plain, mtime=0)) == parse_warc(plain)
+
+
+def test_warc_framing_rejections():
+    blob = bytearray(build_warc_file(1, DOCS))
+    blob[0] ^= 0xFF
+    with pytest.raises(ValueError, match="record header"):
+        parse_warc(bytes(blob))
+    # shrink a Content-Length so the trailing \r\n\r\n lands wrong
+    blob = build_warc_file(1, DOCS)
+    i = blob.index(b"Content-Length: ")
+    j = blob.index(b"\r\n", i)
+    n = int(blob[i + 16:j])
+    bad = blob[:i] + b"Content-Length: %d" % (n - 1) + blob[j:]
+    with pytest.raises(ValueError, match="framing"):
+        parse_warc(bad)
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(gzip.compress(build_warc_file(1, DOCS))[:-4])
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_warc_spark_kernel_e2e(spark):
+    """documents -> synth files -> parse, both container modes: same
+    records, one warcinfo per file, bad file degrades to zero rows."""
+    rows = [(i, f"text body {i} & <tag>", "en", "s", 20)
+            for i in range(23)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long").select("doc_id", "text")
+    got = {}
+    for gz in (False, True):
+        files = synth_warc_files(docs, n_files=4, gzip_members=gz)
+        pdf = (warc_records(files).toPandas()
+               .sort_values(["file_id", "rec_idx"])
+               .reset_index(drop=True))
+        got[gz] = pdf
+        assert len(pdf) == 23 + 4
+        assert (pdf[pdf.rec_idx == 0].warc_type == "warcinfo").all()
+        assert (pdf[pdf.rec_idx > 0].http_status == 200).all()
+    assert got[False].equals(got[True])
+    # corrupt file -> zero rows, not a task failure
+    import pyspark.sql.functions as F
+    bad = spark.createDataFrame([(9,)], "file_id long").select(
+        "file_id", F.lit(b"not a warc").alias("content"))
+    assert warc_records(bad).count() == 0
+
+
+HTML_CASES = [
+    # (raw html, expected stripped text) — hand-computed
+    ("<p>hello</p>", "hello"),
+    ("<!-- <div>fake</div> --><b>x</b>", "x"),
+    ("<script>if (a<b) { x=\"<p>\"; }</script>ok", "ok"),
+    ("<style>p { margin:0 }</style>a  \n b", "a b"),
+    ("<p>x &amp; y &lt;z&gt; &quot;q&quot;</p>", 'x & y <z> "q"'),
+    ("<a href=\"/x\">l1</a><img src=\"i\"/>tail", "l1 tail"),
+    # escaped-entity round-trip hazards: &amp;lt; must NOT double-decode
+    ("<p>&amp;lt;</p>", "&lt;"),
+]
+
+
+def test_html_strip_hand_computed_both_engines(spark):
+    import duckdb
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    for raw, want in HTML_CASES:
+        lit = "'" + raw.replace("'", "''") + "'"
+        got_s = spark.sql(
+            f"SELECT {H.strip_html_expr(lit, 'spark')} AS t").first().t
+        got_d = duckdb.sql(
+            f"SELECT {H.strip_html_expr(lit, 'duckdb')} AS t"
+        ).fetchone()[0]
+        assert got_s == got_d == want, (raw, got_s, got_d)
+
+
+def test_entity_escape_unescape_inverse(spark):
+    """unescape_entities(escape(text)) == text for hostile inputs —
+    the warc_to_documents closed-form oracle's load-bearing fact."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    for t in ["a<b>c", "&lt;", "&amp;", "&amp;lt;", "x && <<>> y",
+              "plain", "&quot;q&quot;"]:
+        lit = "'" + t.replace("'", "''") + "'"
+        esc = (f"replace(replace(replace({lit}, '&', '&amp;'), "
+               "'<', '&lt;'), '>', '&gt;')")
+        got = spark.sql(
+            f"SELECT {H.unescape_entities(esc)} AS t").first().t
+        assert got == t, (t, got)

@@ -58,6 +58,11 @@ PYTHON_KERNEL_OK = {
     "multimodal_mp4_frames_frag",
     # r11: VP8 bool-coded frame-header walk — per-row byte kernel
     "multimodal_meta_vp8",
+    # r11: WARC container parse — file-granular byte kernel (the
+    # Common Crawl scale shape: parallelism IS the file count); the
+    # fixture muxer adds a grouped-Pandas build stage
+    "warc_ingest", "warc_ingest_gzip", "warc_stats",
+    "warc_to_documents",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash

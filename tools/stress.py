@@ -116,6 +116,12 @@ OP_BUDGETS = {
     "substring_dedup_apply": 10.5,
     "multimodal_decode_mjpeg": 10.5,
     "url_domain_caps": 2.0,
+    # r11 addition: WARC crawl-archive ingestion (gzip-member
+    # layout, the Common Crawl shape) — mux + parse are per-file
+    # LINEAR byte kernels with no join anywhere (8x docs -> 8x
+    # record bytes): linear-ceiling convention like the codec
+    # entries.
+    "warc_ingest_gzip": 10.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
