@@ -1,0 +1,152 @@
+"""DSIR-style data selection: hashed n-gram importance weights
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023).
+
+A pretraining pipeline rarely wants raw crawl text in proportion to
+its natural mixture — it wants raw documents that LOOK LIKE a trusted
+target corpus (Wikipedia, books).  DSIR scores every raw document by
+an importance weight log p_target(x) - log p_raw(x) under hashed
+bag-of-n-gram unigram+bigram models and resamples by that weight.
+
+House adaptation for engine-exact oracles: the real-valued log ratio
+is replaced by the INTEGER rarity-ladder difference (the surprisal_sql
+convention — floor-log2 buckets computed with pure integer
+comparisons, no floating log anywhere):
+
+    score(doc) = sum over gram occurrences of (k_raw(b) - k_tgt(b))
+
+where k(b) is the floor-log2 rarity bucket of the gram's hashed
+feature b under add-1 smoothing: the smallest k with
+(n(b) + 1) * 2^k >= (total + B).  A gram COMMON in the target but
+RARE in raw scores positive, exactly the sign structure of the paper's
+log ratio, quantized to whole bits.  The target corpus is the lang
+= 'en' slice (a real deployment unions Wikipedia/books under the same
+schema).
+
+Scale shape: grams explode into B = 1024 hashed buckets, so both
+models are <=1024-row aggregates that BROADCAST back onto the gram
+stream; the only corpus-sized shuffle is the final per-doc groupBy.
+Selection avoids any global sort: the cutoff is the corpus MEAN score
+(one broadcast scalar; exact integer cross-multiply comparison
+score * n_docs >= score_total), so the manifest stays embarrassingly
+parallel — the 100 TB path computes the same rule with no
+single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from .hashing import hash48
+from .text import TOKENS, render
+
+N_BUCKETS = 1024
+
+
+def _ladder(n: str, t: str, kmax: int = 40) -> str:
+    """Smallest k with n * 2^k >= t, as a pure-integer CASE ladder
+    (the surprisal_sql idiom; evaluation stops at the first true
+    branch, so the products never overflow for totals < 2^62)."""
+    return "CASE " + " ".join(
+        f"WHEN ({n}) * {1 << k} >= {t} THEN {k}"
+        for k in range(kmax + 1)) + f" ELSE {kmax + 1} END"
+
+
+def _scored_cte(engine: str) -> str:
+    """Shared CTE chain: tokens -> unigram+bigram stream -> hashed
+    buckets -> raw/target bucket models -> per-doc integer score."""
+    toks = render(TOKENS, engine)
+    # bigram over the token array: 1-based indexing outside lambdas
+    # in both engines; Spark lambda bracket indexing is 0-based, so
+    # shift the sequence (the decontaminate_sql idiom)
+    lo, hi = (1, "{alen}(tk) - 1") if engine != "spark" \
+        else (0, "{alen}(tk) - 2")
+    bi = ("{ltrans}({seq}(%s, %s), i -> tk[i] || ' ' || tk[i+1])"
+          % (lo, hi))
+    bucket = f"({hash48('gram', engine)}) % {N_BUCKETS}"
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {toks} AS tk FROM documents
+    ), gramstream AS (
+        SELECT doc_id, lang, {{explode}}(tk) AS gram FROM tk
+        UNION ALL
+        SELECT doc_id, lang, {{explode}}(bg) AS gram
+        FROM (SELECT doc_id, lang, {bi} AS bg FROM tk
+              WHERE {{alen}}(tk) >= 2) _b
+    ), feats AS (
+        SELECT doc_id, lang, {bucket} AS b FROM gramstream
+    ), rawc AS (
+        SELECT b, COUNT(*) AS n FROM feats GROUP BY b
+    ), tgtc AS (
+        SELECT b, COUNT(*) AS n FROM feats WHERE lang = 'en'
+        GROUP BY b
+    ), rt AS (
+        SELECT CAST(SUM(n) + {N_BUCKETS} AS BIGINT) AS t FROM rawc
+    ), tt AS (
+        SELECT CAST(COALESCE(SUM(n), 0) + {N_BUCKETS} AS BIGINT) AS t
+        FROM tgtc
+    ), model AS (
+        SELECT r.b,
+               {_ladder('r.n + 1', 'rt.t')} AS k_raw,
+               {_ladder('COALESCE(tg.n, 0) + 1', 'tt.t')} AS k_tgt
+        FROM rawc r
+        LEFT JOIN tgtc tg ON tg.b = r.b
+        CROSS JOIN rt CROSS JOIN tt
+    ), scored AS (
+        SELECT f.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(m.k_raw - m.k_tgt) AS BIGINT) AS score
+        FROM feats f JOIN model m ON m.b = f.b
+        GROUP BY f.doc_id
+    )
+    """
+    return render(t, engine)
+
+
+def dsir_importance_sql(engine: str) -> str:
+    """Per-document integer importance score + gram mass."""
+    return _scored_cte(engine) + """
+    SELECT doc_id, n_grams, score FROM scored
+    """
+
+
+def dsir_select_sql(engine: str) -> str:
+    """Selection manifest: keep documents scoring above the corpus
+    MEAN (exact integer cross-multiply — no global sort, no float);
+    every doc gets a row with its score and the selected flag.
+    DuckDB runs this template as the oracle; the SPARK strategy is
+    `dsir_select_fn` — Spark's optimizer INLINES the twice-referenced
+    `scored` CTE and re-runs the whole gram pipeline for the 1-row
+    mean (observed: 5 nested-loop nodes, doubled scan), so the fn
+    materializes `scored` once via localCheckpoint (the k-means/BPE
+    convention) and joins the scalar against it."""
+    return _scored_cte(engine) + """
+    , cut AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS score_total
+        FROM scored
+    )
+    SELECT s.doc_id, s.score,
+           CASE WHEN s.score * c.n_docs >= c.score_total
+                THEN 1 ELSE 0 END AS selected
+    FROM scored s CROSS JOIN cut c
+    """
+
+
+def dsir_select_fn(spark, sf_dir: str):
+    """Spark strategy for `dsir_select` (same output as the DuckDB
+    template) — one gram-pipeline pass, scores materialized, then
+    the broadcast mean-cutoff comparison."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    scored = spark.sql(
+        dsir_importance_sql("spark")).localCheckpoint()
+    scored.createOrReplaceTempView("dsir_scored")
+    return spark.sql("""
+        SELECT s.doc_id, s.score,
+               CASE WHEN s.score * c.n_docs >= c.score_total
+                    THEN 1 ELSE 0 END AS selected
+        FROM dsir_scored s CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(score) AS BIGINT) AS score_total
+            FROM dsir_scored) c
+    """)

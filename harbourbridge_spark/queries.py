@@ -3240,6 +3240,29 @@ def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{body_text} AS text")
 
 
+from .pipeline import dsir as _dsir  # noqa: E402
+
+_register_template(
+    "dsir_importance", _dsir.dsir_importance_sql,
+    "DSIR data selection (Xie et al. NeurIPS'23): per-document "
+    "importance score under hashed unigram+bigram bag models — "
+    "target (lang='en') vs raw rarity-ladder difference, the "
+    "house integer-exact quantization of the paper's log ratio "
+    f"(no floating log); {_dsir.N_BUCKETS} hashed feature buckets, "
+    "so both models broadcast and the only corpus-sized shuffle is "
+    "the per-doc groupBy")
+REGISTRY["dsir_select"] = QuerySpec(
+    _dsir.dsir_select_fn, _dsir.dsir_select_sql("duckdb"),
+    "DSIR selection manifest: keep docs scoring above the corpus "
+    "MEAN importance — exact integer cross-multiply against one "
+    "broadcast scalar, NO global sort/window anywhere (the 100 TB "
+    "selection shape); every doc gets (score, selected). Spark "
+    "strategy materializes the scores once via localCheckpoint "
+    "(Spark inlines the twice-referenced CTE and would re-run the "
+    "gram pipeline for the 1-row mean); DuckDB runs the shared "
+    "template as the oracle")
+
+
 # ---------------------------------------------------------------------------
 # helpers for __spark_entry__
 # ---------------------------------------------------------------------------
@@ -3278,6 +3301,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # end-to-end WARC -> documents closed-form chain)
     "warc_ingest", "warc_ingest_gzip", "warc_stats",
     "warc_to_documents", "html_extract",
+    # round 11: DSIR hashed-ngram importance selection — new entries
+    "dsir_importance", "dsir_select",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -112,6 +112,10 @@ TINY_CROSS_OK = {
     "dedup_pipeline_materialized": 2,
     # TPC-H scalar subqueries (1-row broadcast threshold)
     "q11_important_stock": 1, "q22_inactive_customer_balance": 1,
+    # DSIR: the two 1-row smoothed-total scalars (raw + target)
+    # cross-joined onto the <=1024-row bucket model; select (scores
+    # localCheckpoint'ed) adds only the 1-row mean-cutoff scalar
+    "dsir_importance": 2, "dsir_select": 1,
 }
 
 BAD_ALWAYS = ("CartesianProduct", "BatchEvalPython")

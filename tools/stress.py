@@ -122,6 +122,10 @@ OP_BUDGETS = {
     # record bytes): linear-ceiling convention like the codec
     # entries.
     "warc_ingest_gzip": 10.5,
+    # r11 addition: DSIR importance scoring — the gram stream joins
+    # a <=1024-row broadcast bucket model, so 8x docs -> 8x gram
+    # mass is the design shape: linear-ceiling convention.
+    "dsir_importance": 10.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
