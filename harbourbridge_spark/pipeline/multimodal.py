@@ -470,6 +470,9 @@ def decode_pixels(content: bytes) -> np.ndarray:
                              start).reshape(h, w, 3)
     if content[:8] == PNG_MAGIC:
         return _png_pixels(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_pixels
+        return tiff_pixels(content)
     raise ValueError("unknown image container")
 
 
@@ -756,6 +759,14 @@ def decode_image(kind: str, content: bytes) -> list[float]:
             # MemoryError belt: the MAX_DECODED_BYTES pre-check should
             # make it unreachable, but a corrupt file must degrade to
             # the stub, never fail the whole Spark job
+            pass
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            # dependency-free TIFF 6.0 decoder (pipeline/tiff.py):
+            # strips, none/LZW/PackBits, predictor 2
+            from .tiff import decode_tiff
+            return decode_tiff(content)
+        except (ValueError, struct.error, MemoryError, IndexError):
             pass
     elif content[:3] == JPEG_MAGIC:
         try:
@@ -1044,6 +1055,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "webp_vp8":
         from .vp8 import synth_webp_vp8
         synth, mime = synth_webp_vp8, "image/webp"
+    elif fmt == "tiff":
+        from .tiff import synth_tiff
+        synth, mime = synth_tiff, "image/tiff"
     else:
         synth, mime = synth_bmp, "image/bmp"
 

@@ -2469,6 +2469,31 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_tiff",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 8 AS BIGINT) AS width,
+           CAST(2 + doc_id % 5 AS BIGINT) AS height,
+           CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0 AS mean_r,
+           CAST((doc_id * 3) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_g,
+           CAST((doc_id * 7) % 200 AS DOUBLE) + (1 + doc_id % 5) / 2.0
+               AS mean_b,
+           CAST(doc_id % 200 AS BIGINT) AS first_r
+    FROM documents
+    """,
+    "REAL TIFF 6.0 decode (pipeline/tiff.py, from-spec): IFD walk in "
+    "BOTH byte orders, multi-strip layout, Compression none/LZW/"
+    "PackBits rotating per doc, horizontal Predictor 2 on part of "
+    "the LZW slice — same closed-form features as BMP/PPM/PNG, so "
+    "four containers must agree; the TIFF-LZW early code-width "
+    "schedule is additionally conformance-pinned against OpenJDK "
+    "17's TIFF encoder (tests/fixtures/conformance/*_lzw.tif)")
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_image_query(spark, sf_dir, fmt="tiff")
+
+
+@register(
     "multimodal_decode_jpeg",
     """
     WITH dims AS (
@@ -3303,6 +3328,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     "warc_to_documents", "html_extract",
     # round 11: DSIR hashed-ngram importance selection — new entries
     "dsir_importance", "dsir_select",
+    # round 11: TIFF 6.0 decode (none/LZW/PackBits + predictor 2,
+    # OpenJDK-conformance-pinned LZW) — new entry
+    "multimodal_decode_tiff",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

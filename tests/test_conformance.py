@@ -127,6 +127,18 @@ def test_jdk_gif_decodes_pixel_exact(entry):
     assert np.array_equal(px, _expected_pixels(entry))
 
 
+@pytest.mark.parametrize("entry", _by_format("tiff"),
+                         ids=lambda e: e["file"])
+def test_jdk_tiff_decodes_pixel_exact(entry):
+    """The JDK TIFF writer's strip layout, PackBits runs, and above
+    all its TIFF-LZW EARLY code-width schedule — the one place a
+    from-spec LZW most plausibly diverges (it did, by one entry,
+    until these bytes pinned it; NOTES_DEV r11 TIFF section)."""
+    from harbourbridge_spark.pipeline.tiff import tiff_pixels
+    px = tiff_pixels(_bytes(entry))
+    assert np.array_equal(px, _expected_pixels(entry))
+
+
 @pytest.mark.parametrize("entry", _by_format("jpeg"),
                          ids=lambda e: e["file"])
 def test_jdk_jpeg_decodes_within_lossy_bound(entry):

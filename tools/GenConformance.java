@@ -136,6 +136,24 @@ public class GenConformance {
         w.dispose();
     }
 
+    static void writeTiff(File dir, String name, BufferedImage img,
+                          String compression) throws Exception {
+        Iterator<ImageWriter> it =
+            ImageIO.getImageWritersByFormatName("tiff");
+        ImageWriter w = it.next();
+        ImageWriteParam p = w.getDefaultWriteParam();
+        if (compression != null) {
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionType(compression);
+        }
+        try (ImageOutputStream os =
+                 ImageIO.createImageOutputStream(new File(dir, name))) {
+            w.setOutput(os);
+            w.write(null, new IIOImage(img, null, null), p);
+        }
+        w.dispose();
+    }
+
     static void writeAudio(File dir, String name,
                            AudioFileFormat.Type type, int rate,
                            int channels, int frames, boolean bigEndian)
@@ -204,6 +222,32 @@ public class GenConformance {
                   rgbImage(32, 32, "smooth"), 0.90f, true);
         add("conf_smooth_32x32_prog.jpg", "jpeg", "smooth", 32, 32,
             "\"lossy\": true, \"progressive\": true");
+
+        // TIFF (JDK 9+ javax.imageio TIFF plugin): None / LZW /
+        // PackBits — a third-party check on the strip layout, the
+        // PackBits runs, and above all the TIFF-LZW EARLY code-width
+        // schedule (the one place a from-spec implementation most
+        // plausibly diverges)
+        writeTiff(dir, "conf_gradient_16x16_none.tif",
+                  rgbImage(16, 16, "gradient"), null);
+        add("conf_gradient_16x16_none.tif", "tiff", "gradient",
+            16, 16, "\"compression\": \"None\"");
+        writeTiff(dir, "conf_gradient_16x16_lzw.tif",
+                  rgbImage(16, 16, "gradient"), "LZW");
+        add("conf_gradient_16x16_lzw.tif", "tiff", "gradient",
+            16, 16, "\"compression\": \"LZW\"");
+        writeTiff(dir, "conf_gradient_33x9_lzw.tif",
+                  rgbImage(33, 9, "gradient"), "LZW");
+        add("conf_gradient_33x9_lzw.tif", "tiff", "gradient",
+            33, 9, "\"compression\": \"LZW\"");
+        writeTiff(dir, "conf_smooth_64x48_lzw.tif",
+                  rgbImage(64, 48, "smooth"), "LZW");
+        add("conf_smooth_64x48_lzw.tif", "tiff", "smooth",
+            64, 48, "\"compression\": \"LZW\"");
+        writeTiff(dir, "conf_gradient_16x16_packbits.tif",
+                  rgbImage(16, 16, "gradient"), "PackBits");
+        add("conf_gradient_16x16_packbits.tif", "tiff", "gradient",
+            16, 16, "\"compression\": \"PackBits\"");
 
         // WAV (little-endian PCM16) / AIFF (big-endian PCM16)
         writeAudio(dir, "conf_pcm16_mono_8000.wav",
