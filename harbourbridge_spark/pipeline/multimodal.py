@@ -1031,6 +1031,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "video" and fmt == "mp4_mjpeg_frag":
         from .mp4frames import synth_mp4_mjpeg_frag
         synth, mime = synth_mp4_mjpeg_frag, "video/mp4"
+    elif kind == "video" and fmt == "mp4_avc":
+        from .h264 import synth_mp4_avc
+        synth, mime = synth_mp4_avc, "video/mp4"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":
@@ -1448,6 +1451,44 @@ def vp8_header_features(media: DataFrame,
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return media.mapInPandas(run, schema=VP8_HEADER_SCHEMA)
+
+
+H264_SPS_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False)]
+    + [T.StructField(f, T.LongType(), False) for f in
+       ("profile_idc", "level_idc", "chroma_format_idc",
+        "bit_depth_luma", "log2_max_frame_num", "pic_order_cnt_type",
+        "max_num_ref_frames", "frame_mbs_only", "width", "height")])
+
+
+def h264_sps_features(media: DataFrame,
+                      batch_size: int = 256) -> DataFrame:
+    """H.264 SPS metadata walk over MP4 containers: moov -> avc1 ->
+    avcC -> first SPS through the exp-Golomb parse (profile/level/
+    chroma, true cropped dims — pipeline/h264.py).  Arrow-batched;
+    non-AVC or corrupt containers contribute zero rows."""
+    cols = [f.name for f in H264_SPS_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264 import sps_from_mp4
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    fields = sps_from_mp4(bytes(content))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                out["media_id"].append(mid)
+                for k, v in zip(cols[1:], fields):
+                    out[k].append(int(v))
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=H264_SPS_SCHEMA)
 
 
 MP4_SAMPLE_SCHEMA = T.StructType([
