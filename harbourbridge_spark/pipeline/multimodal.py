@@ -114,9 +114,20 @@ def wav_samples(content: bytes) -> tuple:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+    if audio_format not in (1, 6, 7) or bits not in (8, 16) \
+            or n_ch < 1 or rate < 1:
         raise ValueError(f"unsupported wav encoding fmt={audio_format} "
                          f"bits={bits}")
+    if audio_format in (6, 7):
+        # G.711 A-law (6) / mu-law (7) companded telephony audio:
+        # integer table expansion (pipeline/g711.py, JDK-conformance
+        # byte-exact), normalized like PCM16
+        if bits != 8:
+            raise ValueError("g711 wav must be 8-bit")
+        from .g711 import g711_expand
+        law = "alaw" if audio_format == 6 else "ulaw"
+        return rate, n_ch, g711_expand(data, law).astype(
+            np.float64) / 32768.0
     if bits == 16:
         samples = np.frombuffer(
             data[:len(data) // 2 * 2], dtype="<i2").astype(np.float64)
@@ -868,6 +879,21 @@ def synth_wav(seed: int, rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+def synth_wav_g711(seed: int, rate: int = 8000) -> bytes:
+    """A legal mono G.711 WAV (mu-law on even seeds, A-law on odd):
+    ``40 + seed % 50`` companded bytes, byte i =
+    ``(seed*7 + i*13) % 256`` — closed-form, so the oracle re-derives
+    the EXPANSION itself in SQL (integer segment/mantissa arithmetic)
+    and the features are integer-exact."""
+    n = 40 + seed % 50
+    fmt_code = 7 if seed % 2 == 0 else 6      # 7 = mu-law, 6 = A-law
+    data = bytes((seed * 7 + i * 13) % 256 for i in range(n))
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, 1, rate,
+                                    rate, 1, 8)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 def synth_bmp(seed: int) -> bytes:
     """A legal bottom-up 24bpp BMP, ``4 + seed%8`` x ``2 + seed%5``,
     where image row y is the constant color
@@ -1020,6 +1046,8 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_flac_tone, "audio/flac"
     elif kind == "audio" and fmt == "aiff":
         synth, mime = synth_aiff, "audio/aiff"
+    elif kind == "audio" and fmt == "wav_g711":
+        synth, mime = synth_wav_g711, "audio/wav"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -1451,6 +1479,50 @@ def vp8_header_features(media: DataFrame,
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return media.mapInPandas(run, schema=VP8_HEADER_SCHEMA)
+
+
+G711_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("duration_ms", T.DoubleType(), False),
+    T.StructField("sample_rate", T.LongType(), False),
+    T.StructField("n_channels", T.LongType(), False),
+    T.StructField("sum_abs", T.LongType(), False),
+    T.StructField("peak", T.LongType(), False),
+])
+
+
+def g711_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """G.711 companded-WAV decode through the real wav_samples path
+    (format codes 6/7 -> integer table expansion).  sum_abs/peak are
+    the PCM16-scale integers recovered exactly from the normalized
+    dyadic samples — integer-exact features, no float aggregation."""
+    cols = [f.name for f in G711_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    rate, n_ch, samples = wav_samples(bytes(content))
+                except (ValueError, struct.error):
+                    continue
+                mags = np.abs(samples) * 32768.0
+                out["media_id"].append(mid)
+                out["duration_ms"].append(
+                    len(samples) / n_ch * 1000.0 / rate)
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(n_ch))
+                out["sum_abs"].append(int(round(mags.sum())))
+                out["peak"].append(
+                    int(round(mags.max())) if len(mags) else 0)
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=G711_SCHEMA)
 
 
 H264_SPS_SCHEMA = T.StructType(

@@ -2984,6 +2984,68 @@ def q_multimodal_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_g711",
+    """
+    WITH s AS (
+        SELECT doc_id, 40 + doc_id % 50 AS n,
+               doc_id % 2 = 0 AS is_ulaw
+        FROM documents
+    ), bytes AS (
+        SELECT doc_id, n, is_ulaw,
+               (doc_id * 7 + unnest(generate_series(0, n - 1)) * 13)
+                   % 256 AS b
+        FROM s
+    ), comp AS (
+        SELECT doc_id, n, is_ulaw,
+               CASE WHEN is_ulaw THEN 255 - b
+                    ELSE xor(b, 85) END AS bb
+        FROM bytes
+    ), pcm AS (
+        SELECT doc_id, n,
+               CASE WHEN is_ulaw THEN
+                   (CASE WHEN bb >= 128 THEN -1 ELSE 1 END) *
+                   (((bb % 16) * 8 + 132) *
+                    (CASE (bb // 16) % 8 WHEN 0 THEN 1 WHEN 1 THEN 2
+                          WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16
+                          WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)
+                    - 132)
+               ELSE
+                   (CASE WHEN bb >= 128 THEN 1 ELSE -1 END) *
+                   (CASE WHEN (bb // 16) % 8 = 0
+                         THEN (bb % 16) * 16 + 8
+                         ELSE ((bb % 16) * 16 + 264) *
+                              (CASE (bb // 16) % 8 WHEN 1 THEN 1
+                                    WHEN 2 THEN 2 WHEN 3 THEN 4
+                                    WHEN 4 THEN 8 WHEN 5 THEN 16
+                                    WHEN 6 THEN 32 ELSE 64 END)
+                    END)
+               END AS v
+        FROM comp
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS DOUBLE) / 8.0 AS duration_ms,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM pcm GROUP BY doc_id, n
+    """,
+    "REAL G.711 telephony-audio decode (ITU-T G.711): mu-law and "
+    "A-law companded WAV (format codes 7/6) through the wav_samples "
+    "path with integer table expansion — and the ORACLE re-derives "
+    "the expansion itself in SQL (segment exponent + mantissa + "
+    "bias, A-law's inverted sign bit), so the compand arithmetic is "
+    "checked end-to-end; features are integer-exact (sum of |pcm16|, "
+    "peak).  Both compressors are byte-exact against OpenJDK's "
+    "ULAW/ALAW encoders (tests/fixtures/conformance)")
+def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import g711_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return g711_features(synth_media(ids, "audio", fmt="wav_g711"))
+
+
+@register(
     "multimodal_meta_h264",
     """
     WITH p AS (
@@ -3381,6 +3443,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 11: H.264 SPS metadata parse (exp-Golomb + avcC walk) —
     # new entry
     "multimodal_meta_h264",
+    # round 11: G.711 mu-law/A-law telephony WAV decode — new entry
+    # (wav_samples gained the format-6/7 expansion branch)
+    "multimodal_decode_g711",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

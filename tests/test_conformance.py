@@ -139,6 +139,38 @@ def test_jdk_tiff_decodes_pixel_exact(entry):
     assert np.array_equal(px, _expected_pixels(entry))
 
 
+@pytest.mark.parametrize("entry", _by_format("g711"),
+                         ids=lambda e: e["file"])
+def test_jdk_g711_compress_byte_exact_and_decode(entry):
+    """The JDK's ULAW/ALAW codecs compressed the shared pcm16
+    pattern; our G.711 compressor must produce the IDENTICAL bytes
+    (this pinned two real divergences: the A-law inverted sign bit
+    and its negative-magnitude -x-8 rule), and wav_samples must
+    decode the companded file through format codes 7/6."""
+    import struct
+
+    from harbourbridge_spark.pipeline.g711 import (g711_compress,
+                                                   g711_expand)
+    raw = _bytes(entry)
+    pos, data, fmt = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        csz = struct.unpack_from("<I", raw, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", raw, pos + 8)
+        elif cid == b"data":
+            data = raw[pos + 8:pos + 8 + csz]
+        pos += 8 + csz + (csz & 1)
+    law = entry["law"]
+    assert fmt[0] == (7 if law == "ulaw" else 6)
+    want_pcm = _pcm16(entry["frames"], 1)
+    assert g711_compress(want_pcm, law) == data
+    rate, n_ch, samples = mm.wav_samples(raw)
+    assert (rate, n_ch) == (entry["rate"], entry["channels"])
+    assert np.array_equal(samples * 32768.0,
+                          g711_expand(data, law).astype(np.float64))
+
+
 @pytest.mark.parametrize("entry", _by_format("jpeg"),
                          ids=lambda e: e["file"])
 def test_jdk_jpeg_decodes_within_lossy_bound(entry):

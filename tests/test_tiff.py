@@ -79,3 +79,35 @@ def test_rejections():
         lzw_decode(b"\x80")                          # mid-code EOF
     with pytest.raises(ValueError, match="underrun"):
         packbits_decode(b"\x05ab")                   # short literal
+
+
+def test_g711_codec_identity():
+    """compress(expand(b)) == b for every codeword in both laws —
+    with mu-law's one documented exception: codes 127 and 255 both
+    decode to zero (positive/negative zero), and zero re-compresses
+    to 255."""
+    from harbourbridge_spark.pipeline.g711 import (ALAW_TABLE,
+                                                   ULAW_TABLE,
+                                                   alaw_compress,
+                                                   ulaw_compress)
+    for b in range(256):
+        if b != 127:
+            assert ulaw_compress(int(ULAW_TABLE[b])) == b
+        assert alaw_compress(int(ALAW_TABLE[b])) == b
+    assert ULAW_TABLE[127] == 0 and ulaw_compress(0) == 255
+
+
+def test_g711_wav_fixture_roundtrip():
+    from harbourbridge_spark.pipeline.g711 import g711_expand
+    from harbourbridge_spark.pipeline.multimodal import (synth_wav_g711,
+                                                         wav_samples)
+    import numpy as np
+    for seed in range(10):
+        blob = synth_wav_g711(seed)
+        rate, n_ch, samples = wav_samples(blob)
+        n = 40 + seed % 50
+        law = "ulaw" if seed % 2 == 0 else "alaw"
+        raw = bytes((seed * 7 + i * 13) % 256 for i in range(n))
+        assert (rate, n_ch, len(samples)) == (8000, 1, n)
+        assert np.array_equal(samples * 32768.0,
+                              g711_expand(raw, law).astype(float))

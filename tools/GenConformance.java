@@ -180,6 +180,29 @@ public class GenConformance {
         }
     }
 
+    static void writeG711(File dir, String name,
+                          AudioFormat.Encoding law, int rate,
+                          int frames) throws Exception {
+        byte[] data = new byte[frames * 2];
+        for (int f = 0; f < frames; f++) {
+            short s = pcm(f, 0);
+            data[2 * f] = (byte) s;
+            data[2 * f + 1] = (byte) (s >> 8);
+        }
+        AudioFormat pcmFmt = new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate,
+            false);
+        AudioFormat lawFmt = new AudioFormat(
+            law, rate, 8, 1, 1, rate, false);
+        try (AudioInputStream pcmIn = new AudioInputStream(
+                 new ByteArrayInputStream(data), pcmFmt, frames);
+             AudioInputStream lawIn =
+                 AudioSystem.getAudioInputStream(lawFmt, pcmIn)) {
+            AudioSystem.write(lawIn, AudioFileFormat.Type.WAVE,
+                              new File(dir, name));
+        }
+    }
+
     public static void main(String[] args) throws Exception {
         File dir = new File(args.length > 0 ? args[0]
                             : "tests/fixtures/conformance");
@@ -262,6 +285,20 @@ public class GenConformance {
                    AudioFileFormat.Type.AIFF, 8000, 1, 400, true);
         add("conf_pcm16_mono_8000.aiff", "aiff", "pcm16", 0, 0,
             "\"rate\": 8000, \"channels\": 1, \"frames\": 400");
+
+        // G.711 mu-law / A-law WAVE (the JDK's ULAW/ALAW codecs
+        // compress the shared pcm16 pattern; cross-checked
+        // byte-for-byte against pipeline/g711.py's compressor)
+        writeG711(dir, "conf_pcm16_mono_8000_ulaw.wav",
+                  AudioFormat.Encoding.ULAW, 8000, 400);
+        add("conf_pcm16_mono_8000_ulaw.wav", "g711", "pcm16", 0, 0,
+            "\"rate\": 8000, \"channels\": 1, \"frames\": 400, " +
+            "\"law\": \"ulaw\"");
+        writeG711(dir, "conf_pcm16_mono_8000_alaw.wav",
+                  AudioFormat.Encoding.ALAW, 8000, 400);
+        add("conf_pcm16_mono_8000_alaw.wav", "g711", "pcm16", 0, 0,
+            "\"rate\": 8000, \"channels\": 1, \"frames\": 400, " +
+            "\"law\": \"alaw\"");
 
         try (FileOutputStream fo =
                  new FileOutputStream(new File(dir, "manifest.json"))) {
