@@ -1048,6 +1048,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_aiff, "audio/aiff"
     elif kind == "audio" and fmt == "wav_g711":
         synth, mime = synth_wav_g711, "audio/wav"
+    elif kind == "audio" and fmt == "ogg":
+        from .ogg import synth_ogg
+        synth, mime = synth_ogg, "audio/ogg"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -1479,6 +1482,46 @@ def vp8_header_features(media: DataFrame,
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return media.mapInPandas(run, schema=VP8_HEADER_SCHEMA)
+
+
+OGG_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("channels", T.LongType(), False),
+    T.StructField("sample_rate", T.LongType(), False),
+    T.StructField("duration_ms", T.DoubleType(), False),
+    T.StructField("n_pages", T.LongType(), False),
+])
+
+
+def ogg_meta_features(media: DataFrame,
+                      batch_size: int = 256) -> DataFrame:
+    """Ogg page walk (CRC-verified) + Vorbis/Opus ID-header parse
+    (pipeline/ogg.py).  Arrow-batched; corrupt pages (including a
+    single flipped bit anywhere — the CRC catches it) contribute
+    zero rows."""
+    cols = [f.name for f in OGG_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .ogg import decode_ogg_meta
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    fields = decode_ogg_meta(bytes(content))
+                except (ValueError, struct.error):
+                    continue
+                out["media_id"].append(mid)
+                for k, v in zip(cols[1:], fields):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=OGG_SCHEMA)
 
 
 G711_SCHEMA = T.StructType([

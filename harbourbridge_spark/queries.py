@@ -2984,6 +2984,38 @@ def q_multimodal_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_meta_ogg",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+               AS codec,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                    CASE (doc_id // 2) % 4 WHEN 0 THEN 8000
+                         WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                         ELSE 44100 END
+                ELSE CASE (doc_id // 2) % 2 WHEN 0 THEN 8000
+                     ELSE 48000 END
+                END AS BIGINT) AS sample_rate,
+           CAST((1 + doc_id % 5) * 1000 AS DOUBLE) AS duration_ms,
+           CAST(4 AS BIGINT) AS n_pages
+    FROM documents
+    """,
+    "REAL Ogg container walk (RFC 3533): page framing with the "
+    "spec's CRC-32 (poly 0x04C11DB7, unreflected) VERIFIED per page "
+    "— one flipped bit anywhere rejects the file — plus Vorbis I "
+    "and Opus (RFC 7845) identification headers; duration from the "
+    "terminal granule (Opus granules are 48 kHz ticks minus "
+    "pre-skip regardless of input rate).  Fixtures mux 4 real pages "
+    "incl. comment headers and 255-lacing")
+def q_multimodal_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import ogg_meta_features, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return ogg_meta_features(synth_media(ids, "audio", fmt="ogg"))
+
+
+@register(
     "multimodal_decode_g711",
     """
     WITH s AS (
@@ -3446,6 +3478,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 11: G.711 mu-law/A-law telephony WAV decode — new entry
     # (wav_samples gained the format-6/7 expansion branch)
     "multimodal_decode_g711",
+    # round 11: Ogg page walk + Vorbis/Opus ID headers — new entry
+    "multimodal_meta_ogg",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

@@ -64,6 +64,8 @@ PYTHON_KERNEL_OK = {
     "multimodal_meta_h264",
     # r11: G.711 companded-WAV decode — per-row byte kernel
     "multimodal_decode_g711",
+    # r11: Ogg page walk + Vorbis/Opus ID parse — per-row byte kernel
+    "multimodal_meta_ogg",
     # r11: WARC container parse — file-granular byte kernel (the
     # Common Crawl scale shape: parallelism IS the file count); the
     # fixture muxer adds a grouped-Pandas build stage
