@@ -174,3 +174,45 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def warc_document_stream(spark: SparkSession, warc_dir: str,
+                         max_files_per_trigger: int = 1) -> DataFrame:
+    """Continuous CRAWL ingest: ``readStream`` over raw ``.warc`` /
+    ``.warc.gz`` files (binaryFile source) — the actual arrival shape
+    of a crawler (Common Crawl drops ~1 GiB archives) — parsed by the
+    ``pipeline/warc`` kernel, HTTP response bodies HTML-stripped
+    (``pipeline/html``: body region -> tag strip -> entity decode),
+    and emitted in DOCUMENTS_SCHEMA so the admission gate
+    (``streaming_corpus_admission``) consumes crawl archives with NO
+    intermediate materialization.  doc_id comes from the target URI,
+    source from the host.  Scale shape: file-granular micro-batches,
+    batch-bound work, zero shuffle before the admission probes."""
+    from ..pipeline.html import strip_html_expr
+    from ..pipeline.warc import warc_records
+
+    # binaryFile's schema is FIXED by the source but streaming reads
+    # still demand it explicitly (Spark refuses to infer on streams)
+    binary_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    raw = (spark.readStream.format("binaryFile")
+           .schema(binary_schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .option("pathGlobFilter", "*.warc*")
+           .load(warc_dir))
+    files = raw.select(F.xxhash64("path").alias("file_id"), "content")
+    rec = warc_records(files)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    body_html = "regexp_extract(body, '(?is)<body>(.*)</body>', 1)"
+    return (rec.where(F.col("warc_type") == "response")
+            .selectExpr(
+                "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1)"
+                " AS BIGINT) AS doc_id",
+                "regexp_extract(target_uri, '^https?://([^/]+)', 1)"
+                " AS source",
+                "'und' AS lang",
+                f"{strip_html_expr(body_html, 'spark')} AS text"))
