@@ -3480,6 +3480,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "multimodal_decode_g711",
     # round 11: Ogg page walk + Vorbis/Opus ID headers — new entry
     "multimodal_meta_ogg",
+    # round 11: dynamo NUMERIC-fit regex made escape-mode-independent
+    # ('\\.' -> '[.]'; the latent conf-coupling bug exposed by the
+    # new test ordering) — the entry routing through it re-pins
+    "props_field_inference",
     # round 11: the shared multimodal plumbing changed — synth_media
     # gained the mp3_tone and mp4_mjpeg format branches.  Per the standing policy
     # (VERDICT r8 ask 1), every entry routed through a changed

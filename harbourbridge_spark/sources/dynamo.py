@@ -39,9 +39,16 @@ from ..typemap import dynamodb as ddy
 ERR_THRESHOLD = 0.001       # dynamodb/schema.go:43
 CONFLICT_THRESHOLD = 0.05   # dynamodb/schema.go:44
 
-# Spanner-NUMERIC fit: 29 integer digits, 9 fractional (D16)
+# Spanner-NUMERIC fit: 29 integer digits, 9 fractional (D16).
+# The dot is a CHARACTER CLASS, not a backslash escape: this SQL text
+# is parsed under whatever spark.sql.parser.escapedStringLiterals the
+# session currently has (the template convention toggles it), and
+# '\\.' flips meaning between the two modes — that exact flip
+# misclassified every Number as NumberString and silently disabled
+# quarantine when a template entry ran first in the session
+# (caught by tests/test_dynamo.py failing after test_dsir.py).
 _NUMERIC_FIT = (
-    "x RLIKE '^[+-]?[0-9]*\\\\.?[0-9]*([eE][+-]?[0-9]+)?$' AND "
+    "x RLIKE '^[+-]?[0-9]*[.]?[0-9]*([eE][+-]?[0-9]+)?$' AND "
     "TRY_CAST(x AS DECIMAL(38,9)) IS NOT NULL AND "
     "abs(TRY_CAST(x AS DECIMAL(38,9))) < 1e29")
 

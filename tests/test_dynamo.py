@@ -142,3 +142,20 @@ def test_infer_data_types_reference_matrix():
         # empty_records / empty_stats: skipped entirely
     }
     assert got == want
+
+
+def test_inference_is_escape_mode_independent(spark):
+    """The type-classifier SQL must mean the same thing under BOTH
+    parser escape modes: the session-wide escapedStringLiterals conf
+    is toggled freely by the template convention, and a '\\.'-style
+    regex silently flips meaning with it (the r11 regression: every
+    Number classified NumberString -> inference String -> quarantine
+    disabled whenever a template entry ran first in the session)."""
+    rows = [{"k": {"S": "a"}, "v": {"N": "1.5"}} for _ in range(100)]
+    rows.append({"k": {"S": "z"}, "v": {"N": "not-a-number"}})
+    for esc in ("true", "false"):
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", esc)
+        ctx, result = dynamo.migrate_dynamo_items(
+            spark, _items_df(spark, rows), "t", partition_keys=["k"])
+        assert result.good.count() == 100, esc
+        assert result.bad.count() == 1, esc
