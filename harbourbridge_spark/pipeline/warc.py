@@ -170,6 +170,39 @@ def _gunzip_members(content: bytes) -> bytes:
     return b"".join(out)
 
 
+def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
+    """Parse the record starting at ``pos`` -> ((warc_type, uri,
+    date, status, mime, content_length, body), next_pos).  Raises
+    ValueError on any framing violation."""
+    end = content.find(b"\r\n\r\n", pos)
+    if end < 0 or not content.startswith(b"WARC/", pos):
+        raise ValueError("warc: bad record header")
+    head_lines = content[pos:end].decode("utf-8").split("\r\n")
+    if head_lines[0] not in ("WARC/1.0", "WARC/1.1"):
+        raise ValueError("warc: unsupported version " + head_lines[0])
+    hdrs = {}
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    try:
+        clen = int(hdrs["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("warc: missing Content-Length") from None
+    body_start = end + 4
+    payload = content[body_start:body_start + clen]
+    if len(payload) != clen or content[
+            body_start + clen:body_start + clen + 4] != b"\r\n\r\n":
+        raise ValueError("warc: bad record framing")
+    wtype = hdrs.get("warc-type", "")
+    status, mime, body = 0, hdrs.get("content-type", ""), payload
+    if wtype == "response" and mime.startswith("application/http"):
+        status, mime, body = _parse_http_response(payload)
+    return ((wtype, hdrs.get("warc-target-uri", ""),
+             hdrs.get("warc-date", ""), status, mime, clen,
+             body.decode("utf-8", errors="replace")),
+            body_start + clen + 4)
+
+
 def parse_warc(content: bytes) -> list[tuple]:
     """WARC file bytes -> list of WARC_SCHEMA tuples (sans file_id).
     Content-Length framing per ISO 28500 §4; `\\r\\n\\r\\n` record
@@ -178,35 +211,8 @@ def parse_warc(content: bytes) -> list[tuple]:
         content = _gunzip_members(content)
     rows, pos, rec_idx = [], 0, 0
     while pos < len(content):
-        end = content.find(b"\r\n\r\n", pos)
-        if end < 0 or not content.startswith(b"WARC/", pos):
-            raise ValueError("warc: bad record header")
-        head_lines = content[pos:end].decode("utf-8").split("\r\n")
-        if head_lines[0] not in ("WARC/1.0", "WARC/1.1"):
-            raise ValueError("warc: unsupported version "
-                             + head_lines[0])
-        hdrs = {}
-        for line in head_lines[1:]:
-            k, _, v = line.partition(":")
-            hdrs[k.strip().lower()] = v.strip()
-        try:
-            clen = int(hdrs["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("warc: missing Content-Length") from None
-        body_start = end + 4
-        payload = content[body_start:body_start + clen]
-        if len(payload) != clen or content[
-                body_start + clen:body_start + clen + 4] != b"\r\n\r\n":
-            raise ValueError("warc: bad record framing")
-        pos = body_start + clen + 4
-
-        wtype = hdrs.get("warc-type", "")
-        status, mime, body = 0, hdrs.get("content-type", ""), payload
-        if wtype == "response" and mime.startswith("application/http"):
-            status, mime, body = _parse_http_response(payload)
-        rows.append((rec_idx, wtype, hdrs.get("warc-target-uri", ""),
-                     hdrs.get("warc-date", ""), status, mime, clen,
-                     body.decode("utf-8", errors="replace")))
+        row, pos = _parse_one(content, pos)
+        rows.append((rec_idx,) + row)
         rec_idx += 1
     return rows
 
@@ -298,6 +304,117 @@ def warc_stats_oracle_sql(n_files: int = N_WARC_FILES) -> str:
           FROM documents)
     GROUP BY doc_id % {n_files}
     """
+
+
+# ---------------------------------------------------------------------------
+# byte-range distributed scan of ONE large archive (the sub-file
+# split the per-record gzip-member layout exists to permit)
+# ---------------------------------------------------------------------------
+
+WARC_OFFSET_SCHEMA = T.StructType(
+    [T.StructField("offset", T.LongType(), False)]
+    + WARC_SCHEMA.fields[2:])
+
+
+def scan_plain_range(content: bytes, start: int, end: int)\
+        -> list[tuple]:
+    """Records STARTING in [start, end) of an uncompressed archive.
+    Resync: candidate 'WARC/' sync at-or-after ``start`` is VALIDATED
+    by chain-parsing records until the chain crosses ``end`` (or
+    EOF); a payload-embedded fake record chains into the surrounding
+    payload's tail and fails, so the candidate is rejected and the
+    scan moves to the next sync (differential-tested against the
+    sequential parse, adversarial embedded-record payload included).
+    -> [(offset, warc_type, uri, date, status, mime, clen, body)]."""
+    pos = 0 if start == 0 else content.find(b"WARC/", start)
+    while 0 <= pos < min(end, len(content)):
+        rows, p = [], pos
+        try:
+            while p < len(content):
+                row, nxt = _parse_one(content, p)
+                if p >= end:
+                    break               # chained past range: valid
+                rows.append((p,) + row)
+                p = nxt
+            return rows
+        except ValueError:
+            pos = content.find(b"WARC/", pos + 1)
+    return []
+
+
+def scan_gzip_range(content: bytes, start: int, end: int)\
+        -> list[tuple]:
+    """Gzip-member twin: candidate 0x1F8B08 magics in [start, end)
+    validate by decompressing ONE member and parsing its record —
+    magic triples inside compressed data fail inflation and are
+    skipped.  Offsets are compressed member starts."""
+    rows = []
+    pos = content.find(b"\x1f\x8b\x08", start)
+    while 0 <= pos < min(end, len(content)):
+        try:
+            d = zlib.decompressobj(wbits=47)
+            raw = d.decompress(content[pos:]) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated member")
+            # normally ONE record per member (the splittable layout);
+            # a whole-file single-member archive decompresses to many
+            # records here — emit them all at pos + uncompressed
+            # offset (unique; globally ordered for the single-member
+            # and record-per-member layouts, which is every real one)
+            p, member_rows = 0, []
+            while p < len(raw):
+                row, nxt = _parse_one(raw, p)
+                member_rows.append((pos + p,) + row)
+                p = nxt
+            rows.extend(member_rows)
+            # jump to the next member boundary (skip embedded magics)
+            pos = len(content) - len(d.unused_data)
+            if pos >= end:
+                break
+            if content[pos:pos + 3] != b"\x1f\x8b\x08":
+                pos = content.find(b"\x1f\x8b\x08", pos)
+        except (ValueError, zlib.error, UnicodeDecodeError):
+            pos = content.find(b"\x1f\x8b\x08", pos + 1)
+    return rows
+
+
+def warc_records_distributed(spark, path: str,
+                             n_splits: int = 32) -> DataFrame:
+    """Distributed byte-range scan of ONE large .warc/.warc.gz on
+    shared storage — the 100 TB shape when a single archive is
+    bigger than a task should own (Common Crawl's record-per-member
+    gzip layout exists exactly so readers can resync mid-file).
+    Each task seeks into its range and emits records STARTING there;
+    ranges need no coordination and the scan is shuffle-free.
+    Differential-tested row-identical to the staged ``parse_warc``
+    on both container modes."""
+    import os
+
+    size = os.path.getsize(path)
+    is_gzip = open(path, "rb").read(3)[:2] == b"\x1f\x8b"
+    step = max(1, (size + n_splits - 1) // n_splits)
+    bounds = [(i * step, min(size, (i + 1) * step))
+              for i in range(n_splits) if i * step < size]
+    cols = [f.name for f in WARC_OFFSET_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-file read per task is acceptable because ranges of
+        # the SAME file land on the same executors' page cache; the
+        # mmap-window refinement lives in sources/pgdump's readers
+        with open(path, "rb") as f:
+            content = f.read()
+        scan = scan_gzip_range if is_gzip else scan_plain_range
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for s, e in zip(pdf["start"], pdf["end"]):
+                for row in scan(content, int(s), int(e)):
+                    for k, v in zip(cols, row):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    ranges = spark.createDataFrame(bounds, "start long, end long") \
+        .repartition(len(bounds))
+    return ranges.mapInPandas(run, schema=WARC_OFFSET_SCHEMA)
 
 
 def warc_records(files: DataFrame, batch_size: int = 4) -> DataFrame:
