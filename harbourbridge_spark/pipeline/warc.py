@@ -158,15 +158,24 @@ def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
 
 def _gunzip_members(content: bytes) -> bytes:
     """Concatenated-member gzip -> raw bytes (handles the Common
-    Crawl record-per-member layout and plain single-member files)."""
-    out, buf = [], content
-    while buf:
+    Crawl record-per-member layout and plain single-member files).
+    The inflater is fed bounded chunks and the walk advances by a
+    consumed-bytes OFFSET: handing it the whole remaining buffer
+    would copy the tail into unused_data once per member —
+    O(file_bytes) memcpy per record, quadratic over the file
+    (measured: a 38 MB / 120k-member crawl file took minutes; this
+    walk takes seconds)."""
+    out, pos = [], 0
+    while pos < len(content):
         d = zlib.decompressobj(wbits=47)
-        out.append(d.decompress(buf))
+        while not d.eof and pos < len(content):
+            seg = content[pos:pos + _GZ_FEED]
+            out.append(d.decompress(seg))
+            pos += len(seg)
         out.append(d.flush())
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
-        buf = d.unused_data
+        pos -= len(d.unused_data)
     return b"".join(out)
 
 
@@ -174,9 +183,19 @@ def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
     """Parse the record starting at ``pos`` -> ((warc_type, uri,
     date, status, mime, content_length, body), next_pos).  Raises
     ValueError on any framing violation."""
-    end = content.find(b"\r\n\r\n", pos)
-    if end < 0 or not content.startswith(b"WARC/", pos):
+    if not content.startswith(b"WARC/", pos):
+        # a cut buffer may leave 0-4 bytes of the next record's
+        # version prefix visible — that is truncation, not junk
+        tail = len(content) - pos
+        if tail < 5 and content[pos:] == b"WARC/"[:tail]:
+            raise ValueError("warc: record exceeds buffer")
         raise ValueError("warc: bad record header")
+    end = content.find(b"\r\n\r\n", pos)
+    if end < 0:
+        # valid version prefix but the header never terminates in
+        # this buffer: window truncation to a ranged caller, plain
+        # corruption at EOF
+        raise ValueError("warc: record exceeds buffer")
     head_lines = content[pos:end].decode("utf-8").split("\r\n")
     if head_lines[0] not in ("WARC/1.0", "WARC/1.1"):
         raise ValueError("warc: unsupported version " + head_lines[0])
@@ -189,9 +208,12 @@ def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
     except (KeyError, ValueError):
         raise ValueError("warc: missing Content-Length") from None
     body_start = end + 4
+    if body_start + clen + 4 > len(content):
+        # distinct message: a windowed caller must WIDEN, not reject
+        raise ValueError("warc: record exceeds buffer")
     payload = content[body_start:body_start + clen]
-    if len(payload) != clen or content[
-            body_start + clen:body_start + clen + 4] != b"\r\n\r\n":
+    if content[body_start + clen:
+               body_start + clen + 4] != b"\r\n\r\n":
         raise ValueError("warc: bad record framing")
     wtype = hdrs.get("warc-type", "")
     status, mime, body = 0, hdrs.get("content-type", ""), payload
@@ -315,9 +337,24 @@ WARC_OFFSET_SCHEMA = T.StructType(
     [T.StructField("offset", T.LongType(), False)]
     + WARC_SCHEMA.fields[2:])
 
+# windowed-read margin past a range's end: must exceed the largest
+# single record (Common Crawl truncates payloads at 5 MB; 64 MiB is
+# 12x margin).  Tasks that detect window truncation double it.
+WARC_RANGE_OVERSHOOT = 64 << 20
 
-def scan_plain_range(content: bytes, start: int, end: int)\
-        -> list[tuple]:
+
+# inflater feed granularity for the member-by-member gzip walk
+_GZ_FEED = 256 << 10
+
+
+class _WindowTruncated(Exception):
+    """A record/member STARTING in-range ran past the read window —
+    the caller must widen the window and rescan (never silently
+    drop)."""
+
+
+def scan_plain_range(content: bytes, start: int, end: int,
+                     eof: bool = True) -> list[tuple]:
     """Records STARTING in [start, end) of an uncompressed archive.
     Resync: candidate 'WARC/' sync at-or-after ``start`` is VALIDATED
     by chain-parsing records until the chain crosses ``end`` (or
@@ -326,24 +363,44 @@ def scan_plain_range(content: bytes, start: int, end: int)\
     scan moves to the next sync (differential-tested against the
     sequential parse, adversarial embedded-record payload included).
     -> [(offset, warc_type, uri, date, status, mime, clen, body)]."""
-    pos = 0 if start == 0 else content.find(b"WARC/", start)
+    pos = content.find(b"WARC/", start)
     while 0 <= pos < min(end, len(content)):
         rows, p = [], pos
         try:
-            while p < len(content):
+            while p < min(end, len(content)):
+                # records STARTING past the range end belong to the
+                # next task — the chain is valid once it reaches one
+                # (checked BEFORE parsing: the past-end record may
+                # extend beyond this task's window)
                 row, nxt = _parse_one(content, p)
-                if p >= end:
-                    break               # chained past range: valid
                 rows.append((p,) + row)
                 p = nxt
+            if p < len(content):
+                # confirmation parse of the first past-end record:
+                # a near-end fake whose chain jumps past the range
+                # boundary must still land on a real record.  Being
+                # cut by the window ("exceeds buffer") is fine — the
+                # next task validates its own range.
+                try:
+                    _parse_one(content, p)
+                except ValueError as err:
+                    if "exceeds buffer" not in str(err):
+                        raise
             return rows
-        except ValueError:
+        except ValueError as err:
+            # an in-range record that ran off the buffer demands a
+            # WIDER window, never a silent candidate rejection
+            # (``eof`` callers pass the full file: EOF is the truth
+            # there and the candidate is simply invalid)
+            if not eof and p < end \
+                    and "exceeds buffer" in str(err):
+                raise _WindowTruncated(p) from None
             pos = content.find(b"WARC/", pos + 1)
     return []
 
 
-def scan_gzip_range(content: bytes, start: int, end: int)\
-        -> list[tuple]:
+def scan_gzip_range(content: bytes, start: int, end: int,
+                    eof: bool = True) -> list[tuple]:
     """Gzip-member twin: candidate 0x1F8B08 magics in [start, end)
     validate by decompressing ONE member and parsing its record —
     magic triples inside compressed data fail inflation and are
@@ -352,9 +409,24 @@ def scan_gzip_range(content: bytes, start: int, end: int)\
     pos = content.find(b"\x1f\x8b\x08", start)
     while 0 <= pos < min(end, len(content)):
         try:
+            # feed the inflater in bounded chunks: handing it the
+            # whole remaining window would COPY the tail into
+            # unused_data once per member — O(range_bytes) memcpy
+            # per record, quadratic over the range (observed: a
+            # 9.6 MB range of ~700-byte members never finished)
             d = zlib.decompressobj(wbits=47)
-            raw = d.decompress(content[pos:]) + d.flush()
+            chunks, p2 = [], pos
+            while not d.eof and p2 < len(content):
+                seg = content[p2:p2 + _GZ_FEED]
+                chunks.append(d.decompress(seg))
+                p2 += len(seg)
+            raw = b"".join(chunks) + d.flush()
+            member_end = p2 - len(d.unused_data)
             if not d.eof:
+                # a valid deflate prefix consuming the whole tail is
+                # a member cut by the window — widen, don't drop
+                if not eof:
+                    raise _WindowTruncated(pos)
                 raise ValueError("truncated member")
             # normally ONE record per member (the splittable layout);
             # a whole-file single-member archive decompresses to many
@@ -368,7 +440,7 @@ def scan_gzip_range(content: bytes, start: int, end: int)\
                 p = nxt
             rows.extend(member_rows)
             # jump to the next member boundary (skip embedded magics)
-            pos = len(content) - len(d.unused_data)
+            pos = member_end
             if pos >= end:
                 break
             if content[pos:pos + 3] != b"\x1f\x8b\x08":
@@ -378,8 +450,9 @@ def scan_gzip_range(content: bytes, start: int, end: int)\
     return rows
 
 
-def warc_records_distributed(spark, path: str,
-                             n_splits: int = 32) -> DataFrame:
+def warc_records_distributed(spark, path: str, n_splits: int = 32,
+                             overshoot0: int = WARC_RANGE_OVERSHOOT
+                             ) -> DataFrame:
     """Distributed byte-range scan of ONE large .warc/.warc.gz on
     shared storage — the 100 TB shape when a single archive is
     bigger than a task should own (Common Crawl's record-per-member
@@ -398,19 +471,34 @@ def warc_records_distributed(spark, path: str,
     cols = [f.name for f in WARC_OFFSET_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # whole-file read per task is acceptable because ranges of
-        # the SAME file land on the same executors' page cache; the
-        # mmap-window refinement lives in sources/pgdump's readers
-        with open(path, "rb") as f:
-            content = f.read()
+        # WINDOWED reads: each task seeks to its range and reads
+        # range + overshoot only — a task never holds the archive.
+        # A record/member cut by the window edge raises
+        # _WindowTruncated from the scanner (never a silent drop)
+        # and the window doubles until the record fits or the read
+        # reaches EOF, where truncation becomes plain corruption.
         scan = scan_gzip_range if is_gzip else scan_plain_range
-        for pdf in batches:
-            out = {k: [] for k in cols}
-            for s, e in zip(pdf["start"], pdf["end"]):
-                for row in scan(content, int(s), int(e)):
-                    for k, v in zip(cols, row):
-                        out[k].append(v)
-            yield pd.DataFrame(out)
+        with open(path, "rb") as f:
+            for pdf in batches:
+                out = {k: [] for k in cols}
+                for s, e in zip(pdf["start"], pdf["end"]):
+                    s, e = int(s), int(e)
+                    overshoot = overshoot0
+                    while True:
+                        f.seek(s)
+                        window = f.read((e - s) + overshoot)
+                        at_eof = s + len(window) >= size
+                        try:
+                            rows = scan(window, 0, e - s,
+                                        eof=at_eof)
+                            break
+                        except _WindowTruncated:
+                            overshoot *= 2
+                    for row in rows:
+                        out[cols[0]].append(s + row[0])
+                        for k, v in zip(cols[1:], row[1:]):
+                            out[k].append(v)
+                yield pd.DataFrame(out)
 
     ranges = spark.createDataFrame(bounds, "start long, end long") \
         .repartition(len(bounds))

@@ -226,3 +226,22 @@ def test_byte_range_scan_whole_file_gzip(spark, tmp_path):
     want = _staged_rows(blob)
     got = warc_records_distributed(spark, str(path), 8).collect()
     assert sorted(tuple(r)[1:] for r in got) == want
+
+
+def test_byte_range_window_truncation_retry(spark, tmp_path):
+    """A tiny initial overshoot forces records/members to be cut by
+    the read window: the scanner must raise for a wider window (not
+    silently drop) and the runner's doubling must converge to the
+    exact sequential row set — both container modes."""
+    from harbourbridge_spark.pipeline.warc import \
+        warc_records_distributed
+
+    docs = [(i, "v" * 3000 + f" doc {i}") for i in range(40)]
+    for gz, name in ((False, "t.warc"), (True, "t.warc.gz")):
+        blob = build_warc_file(2, docs, gzip_members=gz)
+        path = tmp_path / name
+        path.write_bytes(blob)
+        want = _staged_rows(blob)
+        got = warc_records_distributed(spark, str(path), n_splits=9,
+                                       overshoot0=256).collect()
+        assert sorted(tuple(r)[1:] for r in got) == want, (gz,)
