@@ -525,7 +525,16 @@ def warc_records(files: DataFrame, batch_size: int = 4) -> DataFrame:
                     out["file_id"].append(int(fid))
                     for k, v in zip(cols[1:], r):
                         out[k].append(v)
-            yield pd.DataFrame(out)
+                    # bounded output frames: a 1 GiB crawl file is
+                    # ~1 M records x ~2 KB bodies — one frame per
+                    # FILE would hold the whole expansion (measured
+                    # 500 MB+ at the 32 GiB rehearsal); flush every
+                    # few thousand rows instead
+                    if len(out["file_id"]) >= 5000:
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in cols}
+            if out["file_id"]:
+                yield pd.DataFrame(out)
 
     spark = files.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
