@@ -822,36 +822,11 @@ def ann_store_probe_fn(spark, sf_dir: str, n_queries: int = 10,
         topk=topk, nprobe=nprobe)
 
 
-def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
-               dim: int = DIM, sample_per_cluster: int = 0) -> str:
-    """Integer-exact k-means over the embedding corpus — the
-    clustering half of cluster-balanced ("diversity") sampling, a
-    standard curation step for spreading a training mix across
-    semantic regions instead of letting one dominate.
-
-    Engine-exactness (the corpus_drift discipline applied to an
-    ITERATIVE float algorithm): components are quantized once per row
-    to offset micro-units (round(x*1e6) + 1e6, non-negative so
-    integer division truncates identically in both engines — Spark
-    `div` truncates toward zero, DuckDB `//` floors, and the two
-    agree only for non-negative operands).  Distances, assignments,
-    centroid means, and inertia are then PURE INTEGER arithmetic:
-    partition-order-independent and bit-identical across engines, so
-    even the argmin tie-break (ORDER BY d, cluster) is stable.  The
-    uniform offset cancels in every distance.
-
-    Scale shape: vectors live in LONG FORM (vec_id, pos, val) — one
-    explode; each iteration is (a) a distance aggregation against the
-    k x dim centroid table (broadcast-sized: k*dim rows regardless of
-    corpus), grouped (vec_id, cluster) with map-side partials, (b) an
-    argmin window per vec_id, (c) per-(cluster, pos) integer means.
-    Iterations unroll as CTEs — ``iters`` is fixed at plan time, the
-    Spark/100 TB variant loops the same three steps with a
-    localCheckpoint per round.  ``sample_per_cluster`` > 0 appends
-    the balanced-sample tail: top-m per final cluster by the
-    deterministic multiplicative hash (stratified_sample's
-    convention), emitting the kept members instead of cluster
-    stats."""
+def _kmeans_ctes(engine: str, k: int, iters: int,
+                 dim: int) -> tuple[str, str, str]:
+    """The shared Lloyd-iteration CTE chain -> (cte_body,
+    last_assignment_cte, last_centroid_cte); see kmeans_sql for the
+    integer-exactness contract."""
     from .text import render
     idiv = "div" if engine == "spark" else "//"
     lo, hi = ("0", str(dim - 1)) if engine == "spark" \
@@ -894,7 +869,40 @@ def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
     )""")
         prev = c
         last_assign = m
-    body = ",".join(ctes)
+    return ",".join(ctes), last_assign, prev
+
+
+def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
+               dim: int = DIM, sample_per_cluster: int = 0) -> str:
+    """Integer-exact k-means over the embedding corpus — the
+    clustering half of cluster-balanced ("diversity") sampling, a
+    standard curation step for spreading a training mix across
+    semantic regions instead of letting one dominate.
+
+    Engine-exactness (the corpus_drift discipline applied to an
+    ITERATIVE float algorithm): components are quantized once per row
+    to offset micro-units (round(x*1e6) + 1e6, non-negative so
+    integer division truncates identically in both engines — Spark
+    `div` truncates toward zero, DuckDB `//` floors, and the two
+    agree only for non-negative operands).  Distances, assignments,
+    centroid means, and inertia are then PURE INTEGER arithmetic:
+    partition-order-independent and bit-identical across engines, so
+    even the argmin tie-break (ORDER BY d, cluster) is stable.  The
+    uniform offset cancels in every distance.
+
+    Scale shape: vectors live in LONG FORM (vec_id, pos, val) — one
+    explode; each iteration is (a) a distance aggregation against the
+    k x dim centroid table (broadcast-sized: k*dim rows regardless of
+    corpus), grouped (vec_id, cluster) with map-side partials, (b) an
+    argmin window per vec_id, (c) per-(cluster, pos) integer means.
+    Iterations unroll as CTEs — ``iters`` is fixed at plan time, the
+    Spark/100 TB variant loops the same three steps with a
+    localCheckpoint per round.  ``sample_per_cluster`` > 0 appends
+    the balanced-sample tail: top-m per final cluster by the
+    deterministic multiplicative hash (stratified_sample's
+    convention), emitting the kept members instead of cluster
+    stats."""
+    body, last_assign, prev = _kmeans_ctes(engine, k, iters, dim)
     if sample_per_cluster > 0:
         keep_hash = "(vec_id * 2654435761) % 1000000007"
         return f"""
@@ -921,3 +929,110 @@ def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
            cm.centroid_mass
     FROM stats s JOIN cmass cm ON cm.cluster = s.cluster
     """
+
+
+def semdedup_sql(engine: str, k: int = 8, iters: int = 2,
+                 dim: int = DIM, threshold: float = 0.35) -> str:
+    """SemDeDup removal manifest (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    2023): k-means the embedding corpus, then within each cluster
+    flag every vector whose cosine to a LOWER-id cluster-mate meets
+    the threshold (keep-first, the manifest convention shared with
+    the exact/MinHash dedup families).  Clustering is the house
+    integer-exact Lloyd chain (kmeans_sql); the within-cluster cosine
+    is the bit-identical sequential fold shared with
+    dedup.embedding_neardup_sql.
+
+    Output: one row per vector — (vec_id, cluster_id, removed,
+    dup_of) with dup_of = -1 for keepers.
+
+    Scale: the pairwise stage is quadratic WITHIN a cluster by
+    design (the paper's trade: k controls cluster size, so pick
+    k ~ N / target_block); the executable Spark path
+    (`semdedup_fn`) enforces the quadratic block cap and names
+    dedup_embedding_lsh as the unclustered scale twin.  Spark CANNOT
+    run this template directly — the assignment CTE is referenced
+    three times and the optimizer re-inlines the whole Lloyd chain
+    per reference (the dsir_select lesson), so the fn materializes
+    assignments once via localCheckpoint; DuckDB runs this template
+    as the oracle."""
+    body, last_assign, _prev = _kmeans_ctes(engine, k, iters, dim)
+    if engine == "spark":
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "0D, (acc, v) -> acc + v)")
+        norm = ("sqrt(aggregate(embedding, 0D, "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    else:
+        dot = ("list_dot_product(a.embedding::DOUBLE[], "
+               "b.embedding::DOUBLE[])")
+        norm = ("sqrt(list_dot_product(embedding::DOUBLE[], "
+                "embedding::DOUBLE[]))")
+    return f"""
+    WITH {body},
+    asg AS (SELECT vec_id, cluster FROM {last_assign}),
+    nv AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        FROM (SELECT n1.vec_id, n1.embedding, n1.nrm, s1.cluster
+              FROM nv n1 JOIN asg s1 ON s1.vec_id = n1.vec_id) a
+        JOIN (SELECT n2.vec_id, n2.embedding, n2.nrm, s2.cluster
+              FROM nv n2 JOIN asg s2 ON s2.vec_id = n2.vec_id) b
+          ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cluster AS cluster_id,
+           CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS removed,
+           COALESCE(p.dup_of, -1) AS dup_of
+    FROM asg s LEFT JOIN pairs p ON p.vec_id = s.vec_id
+    """
+
+
+def semdedup_fn(spark, sf_dir: str, k: int = 8, iters: int = 2,
+                threshold: float = 0.35, cap: int | None = None,
+                enforce: bool = True):
+    """Executable Spark strategy for `dedup_semdedup`: the Lloyd
+    assignments materialize ONCE (localCheckpoint — Spark would
+    otherwise re-run the whole chain per CTE reference), the cluster
+    block cap guards the quadratic stage, and one SQL pass computes
+    the within-cluster cosine manifest."""
+    from .dedup import check_quadratic_block_cap
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    body, last_assign, _prev = _kmeans_ctes("spark", k, iters, DIM)
+    assign = spark.sql(
+        f"WITH {body} SELECT vec_id, cluster FROM {last_assign}"
+    ).localCheckpoint()
+    assign.createOrReplaceTempView("semdedup_asg")
+    check_quadratic_block_cap(
+        spark, "semdedup_asg", "cluster", op="dedup_semdedup",
+        scale_twin="dedup_embedding_lsh (or a larger k)",
+        cap=cap, enforce=enforce)
+    dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "0D, (acc, v) -> acc + v)")
+    norm = ("sqrt(aggregate(embedding, 0D, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    return spark.sql(f"""
+    WITH nv AS (
+        SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
+    ),
+    pairs AS (
+        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        FROM (SELECT n1.vec_id, n1.embedding, n1.nrm, s1.cluster
+              FROM nv n1 JOIN semdedup_asg s1
+                ON s1.vec_id = n1.vec_id) a
+        JOIN (SELECT n2.vec_id, n2.embedding, n2.nrm, s2.cluster
+              FROM nv n2 JOIN semdedup_asg s2
+                ON s2.vec_id = n2.vec_id) b
+          ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+        WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cluster AS cluster_id,
+           CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS removed,
+           COALESCE(p.dup_of, -1) AS dup_of
+    FROM semdedup_asg s LEFT JOIN pairs p ON p.vec_id = s.vec_id
+    """)

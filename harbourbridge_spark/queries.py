@@ -3406,6 +3406,20 @@ def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{body_text} AS text")
 
 
+REGISTRY["dedup_semdedup"] = QuerySpec(
+    _sim.semdedup_fn, _sim.semdedup_sql("duckdb"),
+    "SemDeDup removal manifest (Abbas et al. 2023): integer-exact "
+    "k-means clusters the embedding corpus, then each cluster's "
+    "pairwise cosine (bit-identical sequential fold) flags every "
+    "vector near a lower-id cluster-mate — keep-first manifest with "
+    "(removed, dup_of) per vector. The pairwise stage is quadratic "
+    "WITHIN a cluster by design (k controls block size); the Spark "
+    "strategy materializes Lloyd assignments once (localCheckpoint "
+    "— three CTE references would re-run the chain) and enforces "
+    "the quadratic block cap naming dedup_embedding_lsh as the "
+    "scale twin; DuckDB runs the full twice-referenced template as "
+    "the oracle")
+
 from .pipeline import dsir as _dsir  # noqa: E402
 
 _register_template(
@@ -3480,6 +3494,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "multimodal_decode_g711",
     # round 11: Ogg page walk + Vorbis/Opus ID headers — new entry
     "multimodal_meta_ogg",
+    # round 11: SemDeDup (k-means + within-cluster cosine keep-first)
+    # — new entry; embedding_kmeans re-pins (kmeans_sql refactored
+    # over the shared _kmeans_ctes helper)
+    "dedup_semdedup", "embedding_kmeans", "cluster_balanced_sample",
     # round 11: dynamo NUMERIC-fit regex made escape-mode-independent
     # ('\\.' -> '[.]'; the latent conf-coupling bug exposed by the
     # new test ordering) — the entry routing through it re-pins

@@ -3579,3 +3579,43 @@ def test_streaming_admission_replay_is_decision_stable(spark, tmp_path):
     for i in range(8):
         r = out[base + 1000 + i]
         assert r.dup_of == base + i, (i, r)
+
+
+def test_semdedup_planted_neardups(spark, tmp_path):
+    """SemDeDup semantics on planted structure: two tight semantic
+    groups + isolated noise vectors — every group loses all but its
+    lowest-id member (keep-first), noise survives, and dup_of points
+    inside the group."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline.similarity import (DIM,
+                                                         semdedup_fn)
+    rng = np.random.default_rng(5)
+    rows = []
+    base_a = rng.normal(size=DIM)
+    base_b = rng.normal(size=DIM)
+    for i in range(20):                       # group A: 100..119
+        v = base_a + rng.normal(scale=0.05, size=DIM)
+        rows.append((100 + i, "a", (v / np.linalg.norm(v)).tolist()))
+    for i in range(10):                       # group B: 200..209
+        v = base_b + rng.normal(scale=0.05, size=DIM)
+        rows.append((200 + i, "b", (v / np.linalg.norm(v)).tolist()))
+    for i in range(30):                       # noise: 0..29
+        v = rng.normal(size=DIM)
+        rows.append((i, "n", (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.vec_id: r for r in
+           semdedup_fn(spark, str(tmp_path), threshold=0.9).collect()}
+    for gid, lo, n in ((100, 100, 20), (200, 200, 10)):
+        kept = [v for v in range(lo, lo + n) if not got[v].removed]
+        # clustering may split a group across clusters; every
+        # within-cluster duplicate must collapse to its cluster's
+        # lowest id, so kept == number of distinct clusters the
+        # group landed in
+        clusters = {got[v].cluster_id for v in range(lo, lo + n)}
+        assert len(kept) == len(clusters), (gid, kept, clusters)
+        for v in range(lo, lo + n):
+            if got[v].removed:
+                assert lo <= got[v].dup_of < v
