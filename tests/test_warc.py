@@ -245,3 +245,24 @@ def test_byte_range_window_truncation_retry(spark, tmp_path):
         got = warc_records_distributed(spark, str(path), n_splits=9,
                                        overshoot0=256).collect()
         assert sorted(tuple(r)[1:] for r in got) == want, (gz,)
+
+
+def test_warc_records_from_paths_matches_sequential(spark, tmp_path):
+    """The direct-read file-parallel route (the 2.2x rehearsal win
+    over binaryFile) reproduces the sequential parse per file, both
+    container modes; unreadable paths degrade to zero rows."""
+    from harbourbridge_spark.pipeline.warc import \
+        warc_records_from_paths
+
+    paths, want = [], []
+    for fid in range(4):
+        docs = [(fid * 50 + i, f"pp body {fid}-{i}") for i in range(9)]
+        blob = build_warc_file(fid, docs, gzip_members=(fid % 2 == 1))
+        p = tmp_path / f"f{fid}.warc{'.gz' if fid % 2 else ''}"
+        p.write_bytes(blob)
+        paths.append(str(p))
+        want.extend(r[1:] for r in parse_warc(blob))
+    paths.append(str(tmp_path / "missing.warc"))
+    got = warc_records_from_paths(spark, paths).collect()
+    assert sorted(tuple(r)[2:] for r in got) == sorted(want)
+    assert len({r.file_id for r in got}) == 4
