@@ -56,6 +56,29 @@ def strip_html_expr(x: str, engine: str) -> str:
     return f"trim({x})"
 
 
+def strip_html_col(col):
+    """Column-function twin of ``strip_html_expr('...', 'spark')`` —
+    for call sites OUTSIDE the dual-engine template convention
+    (streaming projections, ad-hoc DataFrames).  pyspark column
+    functions take pattern strings directly, with NO SQL-literal
+    escape processing, so this form never needs (and never toggles)
+    spark.sql.parser.escapedStringLiterals — mutating that conf
+    session-globally silently flips the meaning of '\\\\.'-style
+    regexes in later SQL (the dynamo escape-mode bug class).
+    Parity with the template form is test-pinned."""
+    from pyspark.sql import functions as F
+
+    x = F.regexp_replace(col, '(?s)<!--.*?-->', ' ')
+    x = F.regexp_replace(x, '(?is)<script[^>]*>.*?</script>', ' ')
+    x = F.regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ')
+    x = F.regexp_replace(x, '<[^>]*>', ' ')
+    for ent, ch in (('&lt;', '<'), ('&gt;', '>'),
+                    ('&quot;', '"'), ('&amp;', '&')):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, r'\s+', ' ')
+    return F.trim(x)
+
+
 # fixture: messy-but-deterministic HTML per document.  The comment
 # contains a fake <div>, the script compares with '<', the style has
 # braces, the anchor count varies with doc_id, and the body text is

@@ -32,19 +32,38 @@ codec modules.
   closed-form in doc_id/text, so the DuckDB oracle reconstructs the
   expected parse with pure SQL.
 
-Malformed bytes raise ValueError; the Spark kernel degrades a bad
-file to zero rows, the codec-family convention.
+Robustness contract (the migration path's D17 quarantine ethos
+applied to crawl bytes): `parse_warc` is the STRICT parser —
+malformed bytes raise ValueError — and stays the differential anchor
+for the byte-range scanners.  The Spark kernels route through
+`parse_warc_salvage` instead: a damaged record (or gzip member)
+resyncs to the next record/member boundary and is COUNTED, never
+silently discarding the archive's remaining rows — at crawl scale a
+strict reader loses a 1 GiB file per stray byte.  Salvage events
+surface as one meta row per file (`warc_type='__dropped__'`,
+`rec_idx=-1`, `content_length` = count; -1 = the whole file was
+unusable, e.g. the `limits.MAX_ARCHIVE_BYTES` inflate ceiling
+tripped).  Clean files emit no meta row, so the closed-form oracles
+are unaffected.  WARC header bytes decode with errors='replace'
+(real crawls carry latin-1 junk in headers); HTTP response bodies
+decode CHARSET-AWARE: the Content-Type `charset=` parameter first,
+then strict UTF-8, then an HTML `<meta charset>` sniff, latin-1
+last — the CCNet/RefinedWeb decode ladder.
 """
 
 from __future__ import annotations
 
+import codecs
 import gzip
+import re
 import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from .limits import MAX_ARCHIVE_BYTES
 
 N_WARC_FILES = 64
 
@@ -156,7 +175,8 @@ def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
 # parser
 # ---------------------------------------------------------------------------
 
-def _gunzip_members(content: bytes) -> bytes:
+def _gunzip_members(content: bytes,
+                    max_bytes: int | None = None) -> bytes:
     """Concatenated-member gzip -> raw bytes (handles the Common
     Crawl record-per-member layout and plain single-member files).
     The inflater is fed bounded chunks and the walk advances by a
@@ -164,19 +184,122 @@ def _gunzip_members(content: bytes) -> bytes:
     would copy the tail into unused_data once per member —
     O(file_bytes) memcpy per record, quadratic over the file
     (measured: a 38 MB / 120k-member crawl file took minutes; this
-    walk takes seconds)."""
-    out, pos = [], 0
+    walk takes seconds).  Cumulative inflated bytes are capped at
+    ``max_bytes`` (default ``limits.MAX_ARCHIVE_BYTES``) — a gzip
+    bomb raises before it can OOM the executor.  Corrupt deflate
+    streams raise ValueError (zlib.error never escapes — the codec
+    kernels' except tuples are built on that contract)."""
+    if max_bytes is None:
+        max_bytes = MAX_ARCHIVE_BYTES
+    out, pos, total = [], 0, 0
     while pos < len(content):
         d = zlib.decompressobj(wbits=47)
-        while not d.eof and pos < len(content):
-            seg = content[pos:pos + _GZ_FEED]
-            out.append(d.decompress(seg))
-            pos += len(seg)
-        out.append(d.flush())
+        try:
+            while not d.eof and pos < len(content):
+                seg = content[pos:pos + _GZ_FEED]
+                chunk = d.decompress(seg)
+                total += len(chunk)
+                if total > max_bytes:
+                    raise ValueError(
+                        "warc: archive exceeds inflate ceiling")
+                out.append(chunk)
+                pos += len(seg)
+            tail = d.flush()
+        except zlib.error as err:
+            raise ValueError(f"warc: bad gzip stream: {err}") from None
+        total += len(tail)
+        if total > max_bytes:
+            raise ValueError("warc: archive exceeds inflate ceiling")
+        out.append(tail)
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
         pos -= len(d.unused_data)
     return b"".join(out)
+
+
+def _gunzip_members_salvage(content: bytes,
+                            max_bytes: int | None = None
+                            ) -> tuple[bytes, int]:
+    """Salvaging twin of ``_gunzip_members``: a member that fails to
+    inflate (corrupt deflate, truncation) is SKIPPED — the walk
+    resyncs at the next 0x1F8B08 member magic — and counted, so one
+    damaged member costs its own records, never the archive.  The
+    inflate ceiling stays FATAL (a bomb is not salvageable) and
+    propagates as ValueError.  -> (raw bytes, dropped member
+    count)."""
+    if max_bytes is None:
+        max_bytes = MAX_ARCHIVE_BYTES
+    out, pos, total, dropped = [], 0, 0, 0
+    n = len(content)
+    while pos < n:
+        d = zlib.decompressobj(wbits=47)
+        member, p2 = [], pos
+        try:
+            while not d.eof and p2 < n:
+                seg = content[p2:p2 + _GZ_FEED]
+                chunk = d.decompress(seg)
+                total += len(chunk)
+                if total > max_bytes:
+                    raise ValueError(
+                        "warc: archive exceeds inflate ceiling")
+                member.append(chunk)
+                p2 += len(seg)
+            tail = d.flush()
+            total += len(tail)
+            if total > max_bytes:
+                raise ValueError("warc: archive exceeds inflate ceiling")
+            member.append(tail)
+            if not d.eof:
+                raise zlib.error("truncated member")
+        except zlib.error:
+            dropped += 1
+            nxt = content.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        out.extend(member)
+        pos = p2 - len(d.unused_data)
+    return b"".join(out), dropped
+
+
+# Content-Type parameter and HTML <meta> charset declarations.  The
+# byte-side meta sniff is ASCII-safe: every legacy charset a real
+# crawl declares (latin-1 family, shift_jis, euc-*, windows-125x,
+# koi8) is ASCII-transparent in the region a <meta> tag occupies.
+_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+                         re.IGNORECASE)
+_META_CHARSET_RE = re.compile(
+    br"<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)",
+    re.IGNORECASE)
+
+
+def _decode_body(payload: bytes, mime: str) -> str:
+    """Charset-aware body decode (the CCNet decode ladder): declared
+    Content-Type charset -> strict UTF-8 -> HTML meta-tag sniff ->
+    latin-1 (which never fails; it is the byte-transparent last
+    resort every crawl pipeline uses).  Unknown/bogus charset names
+    fall through the ladder instead of raising."""
+    m = _CHARSET_RE.search(mime)
+    if m:
+        try:
+            return payload.decode(codecs.lookup(m.group(1)).name,
+                                  errors="replace")
+        except LookupError:
+            pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET_RE.search(payload[:4096])
+    if m:
+        try:
+            return payload.decode(
+                codecs.lookup(m.group(1).decode("ascii")).name,
+                errors="replace")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    return payload.decode("latin-1")
 
 
 def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
@@ -196,7 +319,11 @@ def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
         # this buffer: window truncation to a ranged caller, plain
         # corruption at EOF
         raise ValueError("warc: record exceeds buffer")
-    head_lines = content[pos:end].decode("utf-8").split("\r\n")
+    # errors='replace': real crawl archives carry latin-1 junk in
+    # WARC headers; framing is byte-checked, so a mangled header
+    # value must cost at most its own field, never the record
+    head_lines = content[pos:end].decode(
+        "utf-8", errors="replace").split("\r\n")
     if head_lines[0] not in ("WARC/1.0", "WARC/1.1"):
         raise ValueError("warc: unsupported version " + head_lines[0])
     hdrs = {}
@@ -221,14 +348,17 @@ def _parse_one(content: bytes, pos: int) -> tuple[tuple, int]:
         status, mime, body = _parse_http_response(payload)
     return ((wtype, hdrs.get("warc-target-uri", ""),
              hdrs.get("warc-date", ""), status, mime, clen,
-             body.decode("utf-8", errors="replace")),
+             _decode_body(body, mime)),
             body_start + clen + 4)
 
 
 def parse_warc(content: bytes) -> list[tuple]:
     """WARC file bytes -> list of WARC_SCHEMA tuples (sans file_id).
     Content-Length framing per ISO 28500 §4; `\\r\\n\\r\\n` record
-    separator verified after each payload."""
+    separator verified after each payload.  STRICT: any framing
+    violation raises ValueError — this is the differential anchor
+    the byte-range scanners and tests compare against.  Production
+    kernels use ``parse_warc_salvage``."""
     if content[:2] == b"\x1f\x8b":
         content = _gunzip_members(content)
     rows, pos, rec_idx = [], 0, 0
@@ -237,6 +367,41 @@ def parse_warc(content: bytes) -> list[tuple]:
         rows.append((rec_idx,) + row)
         rec_idx += 1
     return rows
+
+
+def parse_warc_salvage(content: bytes) -> tuple[list[tuple], int]:
+    """Record-salvaging parse: a damaged record resyncs to the next
+    ``\\r\\nWARC/1.`` line boundary (the chain restarts there); a
+    damaged gzip member resyncs to the next member magic.  Every
+    resync is COUNTED — one corrupt record costs itself, not the
+    archive (the D17 quarantine ethos; a strict reader invisibly
+    drops a 1 GiB crawl file per stray byte).  The count is resync
+    EVENTS (a skipped whole-file-gzip member holding many records
+    still counts 1).  The inflate ceiling stays fatal and propagates
+    ValueError — a bomb is not salvageable.  -> (rows, dropped)."""
+    dropped = 0
+    if content[:2] == b"\x1f\x8b":
+        content, dropped = _gunzip_members_salvage(content)
+    rows, pos, rec_idx = [], 0, 0
+    n = len(content)
+    while pos < n:
+        try:
+            row, pos = _parse_one(content, pos)
+            rows.append((rec_idx,) + row)
+            rec_idx += 1
+        except ValueError:
+            dropped += 1
+            # resync heuristic: the record separator followed by the
+            # version line.  A payload-embedded fake can still match
+            # (salvage is record-level triage; the byte-range
+            # scanner's CHAIN validation is the rigorous resync) —
+            # but a fake that parses here merely adds a row, it can
+            # no longer sink the file.
+            nxt = content.find(b"\r\nWARC/1.", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+    return rows, dropped
 
 
 def _parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
@@ -415,10 +580,17 @@ def scan_gzip_range(content: bytes, start: int, end: int,
             # per record, quadratic over the range (observed: a
             # 9.6 MB range of ~700-byte members never finished)
             d = zlib.decompressobj(wbits=47)
-            chunks, p2 = [], pos
+            chunks, p2, inflated = [], pos, 0
             while not d.eof and p2 < len(content):
                 seg = content[p2:p2 + _GZ_FEED]
-                chunks.append(d.decompress(seg))
+                chunk = d.decompress(seg)
+                inflated += len(chunk)
+                if inflated > MAX_ARCHIVE_BYTES:
+                    # bomb member: ValueError -> candidate skipped by
+                    # the except below — degrade, never OOM the task
+                    raise ValueError(
+                        "warc: archive exceeds inflate ceiling")
+                chunks.append(chunk)
                 p2 += len(seg)
             raw = b"".join(chunks) + d.flush()
             member_end = p2 - len(d.unused_data)
@@ -505,8 +677,23 @@ def warc_records_distributed(spark, path: str, n_splits: int = 32,
     return ranges.mapInPandas(run, schema=WARC_OFFSET_SCHEMA)
 
 
-def warc_records_from_paths(spark, paths: list[str],
-                            batch_size: int = 1) -> DataFrame:
+# meta-row sentinel: rec_idx = -1 rows carry the per-file salvage
+# counter in content_length (-1 = whole file unusable).  Downstream
+# consumers filter warc_type == 'response' and never see them; clean
+# files emit none (the oracle-compat property).  The DataFrame meta
+# row (not an accumulator) is the exactly-once convention the mysql
+# recovery counters established (NOTES_DEV r7).
+DROPPED_META_TYPE = "__dropped__"
+
+
+def _meta_row(out: dict, cols: list[str], fid: int, dropped: int) -> None:
+    vals = (int(fid), -1, DROPPED_META_TYPE, "", "", 0, "",
+            int(dropped), "")
+    for k, v in zip(cols, vals):
+        out[k].append(v)
+
+
+def warc_records_from_paths(spark, paths: list[str]) -> DataFrame:
     """File-parallel ingestion that OPENS paths inside the tasks —
     the 32 GiB rehearsal measured the binaryFile route (archive
     bytes shipped JVM -> Python before the kernel sees them) at
@@ -515,8 +702,9 @@ def warc_records_from_paths(spark, paths: list[str],
     warc_records_distributed does.  Output matches warc_records with
     file_id = xxhash64 of the path string AS GIVEN (binaryFile's
     `path` column is a file: URI, so keys differ across routes —
-    join on content-derived columns when mixing them).  A corrupt or
-    unreadable file contributes zero rows."""
+    join on content-derived columns when mixing them).  Damaged
+    records/members salvage per record (module doc); an unreadable
+    or unusable file degrades to a single dropped-meta row."""
     import pyspark.sql.functions as F
 
     cols = [f.name for f in WARC_SCHEMA.fields]
@@ -527,9 +715,10 @@ def warc_records_from_paths(spark, paths: list[str],
             for fid, path in zip(pdf["file_id"], pdf["path"]):
                 try:
                     with open(path, "rb") as fh:
-                        rows = parse_warc(fh.read())
-                except (OSError, ValueError, UnicodeDecodeError):
-                    continue
+                        rows, dropped = parse_warc_salvage(fh.read())
+                except (OSError, ValueError, zlib.error,
+                        UnicodeDecodeError):
+                    rows, dropped = [], -1
                 for r in rows:
                     out["file_id"].append(int(fid))
                     for k, v in zip(cols[1:], r):
@@ -537,22 +726,40 @@ def warc_records_from_paths(spark, paths: list[str],
                     if len(out["file_id"]) >= 5000:
                         yield pd.DataFrame(out)
                         out = {k: [] for k in cols}
+                if dropped:
+                    _meta_row(out, cols, fid, dropped)
             if out["file_id"]:
                 yield pd.DataFrame(out)
 
     files = (spark.createDataFrame([(p,) for p in paths], "path string")
              .repartition(max(1, len(paths)))
              .select(F.xxhash64("path").alias("file_id"), "path"))
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
+    # NOTE: no session-conf mutation here — input rows are path
+    # strings, so Arrow input batching is memory-irrelevant, and a
+    # build-time conf.set would leak into every later Arrow kernel
+    # in the session (observed: 4-row batches on unrelated
+    # pandas_udfs).  Output frames are bounded by the 5000-row flush.
     return files.mapInPandas(run, schema=WARC_SCHEMA)
 
 
-def warc_records(files: DataFrame, batch_size: int = 4) -> DataFrame:
+def warc_records(files: DataFrame) -> DataFrame:
     """(file_id, content) -> WARC_SCHEMA rows.  Arrow-batched; one
     kernel invocation parses whole files, so task granularity IS file
     granularity (the Common Crawl scale shape — see module doc).
-    A corrupt file contributes zero rows."""
+    Damaged records/members salvage per record; an unusable file
+    degrades to a single dropped-meta row (never a task failure).
+
+    Memory shape: this route ships archive BYTES through Arrow, so
+    one input batch holds up to maxRecordsPerBatch blobs.  It is the
+    right route for many small/synthetic files and the streaming
+    binaryFile source (~1 row per partition for GB archives); for
+    bulk GB-class archives prefer ``warc_records_from_paths`` /
+    ``warc_records_distributed``, which ship paths, not bytes (also
+    the measured-faster routes).  This function deliberately does
+    NOT set spark.sql.execution.arrow.maxRecordsPerBatch: the conf
+    is session-global and read at EXECUTION time, so a build-time
+    set here would silently re-batch every later Arrow kernel in
+    the session."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
@@ -561,9 +768,9 @@ def warc_records(files: DataFrame, batch_size: int = 4) -> DataFrame:
                 if content is None:
                     continue
                 try:
-                    rows = parse_warc(bytes(content))
-                except (ValueError, UnicodeDecodeError):
-                    continue
+                    rows, dropped = parse_warc_salvage(bytes(content))
+                except (ValueError, zlib.error, UnicodeDecodeError):
+                    rows, dropped = [], -1
                 for r in rows:
                     out["file_id"].append(int(fid))
                     for k, v in zip(cols[1:], r):
@@ -576,10 +783,9 @@ def warc_records(files: DataFrame, batch_size: int = 4) -> DataFrame:
                     if len(out["file_id"]) >= 5000:
                         yield pd.DataFrame(out)
                         out = {k: [] for k in cols}
+                if dropped:
+                    _meta_row(out, cols, fid, dropped)
             if out["file_id"]:
                 yield pd.DataFrame(out)
 
-    spark = files.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
     return files.mapInPandas(run, schema=WARC_SCHEMA)

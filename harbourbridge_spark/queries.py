@@ -3459,6 +3459,21 @@ REGISTRY["dsir_select"] = QuerySpec(
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 12: WARC ingestion robustness overhaul (VERDICT r11 asks
+    # 2/5 + five ADVICE items): record/member SALVAGE with counted
+    # dropped-meta rows replaces whole-file drop in the kernels,
+    # charset-aware body decode (Content-Type param -> strict UTF-8
+    # -> <meta> sniff -> latin-1) in _parse_one, errors='replace'
+    # header decode, gzip inflate ceiling, zlib.error containment,
+    # and the build-time arrow.maxRecordsPerBatch session mutation
+    # removed — every entry routing through warc_records/_parse_one
+    # re-pins.  (html_extract does NOT pin: html.py only GAINED
+    # strip_html_col; the template form is byte-unchanged.)
+    "warc_ingest", "warc_ingest_gzip", "warc_stats",
+    "warc_to_documents",
+]
+
+_CHANGED_ROUND_11: list[str] = [
     # round 11: native MP3 Layer III sample decoder (VERDICT r10
     # ask 3) — new entries (MPEG-1, then the MPEG-2/2.5 LSF layout)
     "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",

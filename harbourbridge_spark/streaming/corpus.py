@@ -185,10 +185,11 @@ def warc_document_stream(spark: SparkSession, warc_dir: str,
     (``pipeline/html``: body region -> tag strip -> entity decode),
     and emitted in DOCUMENTS_SCHEMA so the admission gate
     (``streaming_corpus_admission``) consumes crawl archives with NO
-    intermediate materialization.  doc_id comes from the target URI,
-    source from the host.  Scale shape: file-granular micro-batches,
-    batch-bound work, zero shuffle before the admission probes."""
-    from ..pipeline.html import strip_html_expr
+    intermediate materialization.  doc_id comes from the target URI
+    (numeric ``/doc/N`` path when present, xxhash64 of the URI
+    otherwise — real crawls have no numeric ids), source from the
+    host.  Scale shape: file-granular micro-batches, batch-bound
+    work, zero shuffle before the admission probes."""
     from ..pipeline.warc import warc_records
 
     # binaryFile's schema is FIXED by the source but streaming reads
@@ -205,14 +206,29 @@ def warc_document_stream(spark: SparkSession, warc_dir: str,
            .option("pathGlobFilter", "*.warc*")
            .load(warc_dir))
     files = raw.select(F.xxhash64("path").alias("file_id"), "content")
-    rec = warc_records(files)
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    body_html = "regexp_extract(body, '(?is)<body>(.*)</body>', 1)"
+    return warc_documents_projection(warc_records(files))
+
+
+def warc_documents_projection(rec: DataFrame) -> DataFrame:
+    """WARC_SCHEMA records -> DOCUMENTS_SCHEMA rows.  Built entirely
+    from pyspark COLUMN functions (patterns are plain Python strings,
+    no SQL-literal escape processing), so it never needs to toggle
+    spark.sql.parser.escapedStringLiterals — the previous selectExpr
+    form set that conf session-globally with no restore, the exact
+    failure mode that disabled quarantine in the dynamo inference
+    path (NOTES_DEV r11).  doc_id: the fixture's numeric ``/doc/N``
+    path when present, else xxhash64(target_uri) — real crawl URIs
+    have no numeric id and a NULL doc_id would break every
+    downstream admission/dedup key (ADVICE r11)."""
+    from ..pipeline.html import strip_html_col
+
+    doc_num = F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+    body_html = F.regexp_extract("body", r"(?is)<body>(.*)</body>", 1)
     return (rec.where(F.col("warc_type") == "response")
-            .selectExpr(
-                "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1)"
-                " AS BIGINT) AS doc_id",
-                "regexp_extract(target_uri, '^https?://([^/]+)', 1)"
-                " AS source",
-                "'und' AS lang",
-                f"{strip_html_expr(body_html, 'spark')} AS text"))
+            .select(
+                F.coalesce(doc_num.try_cast("bigint"),
+                           F.xxhash64("target_uri")).alias("doc_id"),
+                F.regexp_extract("target_uri", r"^https?://([^/]+)",
+                                 1).alias("source"),
+                F.lit("und").alias("lang"),
+                strip_html_col(body_html).alias("text")))

@@ -85,11 +85,14 @@ def test_warc_spark_kernel_e2e(spark):
         assert (pdf[pdf.rec_idx == 0].warc_type == "warcinfo").all()
         assert (pdf[pdf.rec_idx > 0].http_status == 200).all()
     assert got[False].equals(got[True])
-    # corrupt file -> zero rows, not a task failure
+    # corrupt file -> a counted dropped-meta row, not a task failure
+    # and never a silent zero (the r11 verdict's observability ask)
     import pyspark.sql.functions as F
     bad = spark.createDataFrame([(9,)], "file_id long").select(
         "file_id", F.lit(b"not a warc").alias("content"))
-    assert warc_records(bad).count() == 0
+    got = warc_records(bad).collect()
+    assert [(r.rec_idx, r.warc_type, r.content_length) for r in got] \
+        == [(-1, "__dropped__", 1)]
 
 
 HTML_CASES = [
@@ -264,5 +267,11 @@ def test_warc_records_from_paths_matches_sequential(spark, tmp_path):
         want.extend(r[1:] for r in parse_warc(blob))
     paths.append(str(tmp_path / "missing.warc"))
     got = warc_records_from_paths(spark, paths).collect()
-    assert sorted(tuple(r)[2:] for r in got) == sorted(want)
-    assert len({r.file_id for r in got}) == 4
+    meta = [r for r in got if r.rec_idx == -1]
+    data = [r for r in got if r.rec_idx != -1]
+    assert sorted(tuple(r)[2:] for r in data) == sorted(want)
+    assert len({r.file_id for r in data}) == 4
+    # the unreadable path surfaces as ONE dropped-meta row (-1 =
+    # whole file unusable), never a silent zero
+    assert [(r.warc_type, r.content_length) for r in meta] \
+        == [("__dropped__", -1)]

@@ -1,0 +1,267 @@
+"""WARC record-level salvage, charset-aware decode, gzip-bomb
+ceiling, and session-conf hygiene (VERDICT r11 asks 2/5 + the five
+ADVICE items).
+
+The strict parser stays strict (test_warc.py pins that); these tests
+pin the SALVAGE contract the Spark kernels run on: one corrupt
+record/member costs itself and is COUNTED, never the archive."""
+
+import gzip
+
+import pytest
+
+from harbourbridge_spark.pipeline import warc as W
+from harbourbridge_spark.pipeline.warc import (build_warc_file,
+                                               parse_warc,
+                                               parse_warc_salvage)
+
+DOCS = [(i, f"salvage body {i} & <t>") for i in (3, 10, 24, 31, 45)]
+
+
+def _corrupt_middle_record(blob: bytes) -> bytes:
+    """Flip a byte inside the THIRD record's header (past warcinfo
+    and the first response) so earlier and later records are clean."""
+    first = blob.index(b"WARC/1.0", 1)
+    second = blob.index(b"WARC/1.0", first + 1)
+    third = blob.index(b"WARC/1.0", second + 1)
+    out = bytearray(blob)
+    out[third + 2] ^= 0xFF          # 'R' in the version line
+    return bytes(out)
+
+
+def test_salvage_clean_file_identical_to_strict():
+    for gz in (False, True):
+        blob = build_warc_file(7, DOCS, gzip_members=gz)
+        rows, dropped = parse_warc_salvage(blob)
+        assert dropped == 0
+        assert rows == parse_warc(blob)
+
+
+def test_salvage_corrupt_record_mid_file_plain():
+    """ONE damaged record: every other record survives, the drop is
+    counted — the strict parser loses the whole tail."""
+    blob = build_warc_file(7, DOCS)
+    bad = _corrupt_middle_record(blob)
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+    rows, dropped = parse_warc_salvage(bad)
+    assert dropped == 1
+    want = parse_warc(blob)
+    # the corrupted record (index 2) is gone; the remaining rows'
+    # CONTENT matches (rec_idx re-numbers within the salvaged walk)
+    assert [r[1:] for r in rows] == \
+        [r[1:] for i, r in enumerate(want) if i != 2]
+
+
+def test_salvage_corrupt_gzip_member_mid_file():
+    """Damaged gzip MEMBER: the member is skipped and counted, all
+    other members' records survive."""
+    records_blob = build_warc_file(7, DOCS, gzip_members=True)
+    # members are independent gzip streams; corrupt the third one's
+    # deflate payload (past its 10-byte header)
+    starts = []
+    pos = 0
+    while True:
+        pos = records_blob.find(b"\x1f\x8b\x08", pos)
+        if pos < 0:
+            break
+        starts.append(pos)
+        pos += 3
+    assert len(starts) == len(DOCS) + 1
+    out = bytearray(records_blob)
+    out[starts[2] + 14] ^= 0xFF
+    rows, dropped = parse_warc_salvage(bytes(out))
+    want = parse_warc(records_blob)
+    assert dropped >= 1
+    surviving = {r[2] for r in rows}        # target_uri
+    missing = {r[2] for r in want} - surviving
+    # exactly the corrupted member's record is missing
+    assert len(missing) == 1
+
+
+def test_salvage_non_utf8_header_bytes():
+    """A latin-1 byte in a WARC header field must cost at most that
+    field's fidelity (errors='replace'), never the record."""
+    blob = build_warc_file(7, DOCS)
+    # inject a latin-1 0xE9 into the second record's Target-URI
+    i = blob.index(b"WARC-Target-URI: ")
+    bad = blob[:i + 17] + b"\xe9" + blob[i + 17:]
+    # header grew by 1 byte but Content-Length covers the PAYLOAD
+    # only, so framing is intact
+    rows, dropped = parse_warc_salvage(bad)
+    assert dropped == 0
+    assert len(rows) == len(DOCS) + 1
+    assert "�" in rows[1][2]
+
+
+def test_gzip_magic_prefixed_garbage_is_valueerror():
+    """ADVICE r11: b'\\x1f\\x8b' + garbage raises zlib.error from
+    the inflater — the strict parser must surface it as ValueError
+    (the codec-family contract) and salvage must absorb it."""
+    junk = b"\x1f\x8b" + b"\x99" * 64
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(junk)
+    rows, dropped = parse_warc_salvage(junk)
+    assert rows == [] and dropped == 1
+
+
+def test_gzip_bomb_ceiling_fatal():
+    """A tiny .gz inflating past MAX_ARCHIVE_BYTES raises (strict AND
+    salvage — a bomb is not salvageable) instead of OOMing."""
+    bomb = gzip.compress(b"\x00" * (1 << 20), mtime=0)   # 1 MiB raw
+    old = W.MAX_ARCHIVE_BYTES
+    W.MAX_ARCHIVE_BYTES = 1 << 18                        # 256 KiB cap
+    try:
+        with pytest.raises(ValueError, match="ceiling"):
+            W._gunzip_members(bomb, max_bytes=1 << 18)
+        with pytest.raises(ValueError, match="ceiling"):
+            W._gunzip_members_salvage(bomb, max_bytes=1 << 18)
+    finally:
+        W.MAX_ARCHIVE_BYTES = old
+
+
+def test_corrupt_gz_through_spark_kernel(spark):
+    """The end-to-end ADVICE scenario: a gzip-magic-prefixed corrupt
+    file through warc_records fails no task and emits the meta row."""
+    import pyspark.sql.functions as F
+    bad = spark.createDataFrame([(3,)], "file_id long").select(
+        "file_id", F.lit(b"\x1f\x8b" + b"\x77" * 32).alias("content"))
+    got = W.warc_records(bad).collect()
+    assert [(r.rec_idx, r.warc_type, r.content_length) for r in got] \
+        == [(-1, "__dropped__", 1)]
+
+
+def test_salvaged_file_meta_row_and_survivors(spark):
+    """Mid-file corruption through the kernel: survivors + ONE meta
+    row carrying the count."""
+    import pyspark.sql.functions as F
+    blob = _corrupt_middle_record(build_warc_file(7, DOCS))
+    df = spark.createDataFrame([(7,)], "file_id long").select(
+        "file_id", F.lit(blob).alias("content"))
+    got = W.warc_records(df).collect()
+    meta = [r for r in got if r.rec_idx == -1]
+    assert len([r for r in got if r.rec_idx >= 0]) == len(DOCS)
+    assert [(m.warc_type, m.content_length) for m in meta] \
+        == [("__dropped__", 1)]
+
+
+# ---------------------------------------------------------------------------
+# charset-aware body decode (VERDICT r11 ask 5)
+# ---------------------------------------------------------------------------
+
+def _http_record(body: bytes, ctype: str) -> bytes:
+    http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("latin-1") + body
+    return W._record([
+        ("WARC-Type", "response"),
+        ("WARC-Record-ID", "<urn:cs:1>"),
+        ("WARC-Target-URI", "http://x.example.com/p"),
+        ("Content-Type", "application/http; msgtype=response"),
+    ], http)
+
+
+def test_charset_from_content_type_header():
+    body = "café über".encode("iso-8859-1")
+    rows = parse_warc(_http_record(
+        body, "text/html; charset=iso-8859-1"))
+    assert rows[0][7] == "café über"
+
+
+def test_charset_shift_jis_content_type():
+    body = "日本語".encode("shift_jis")
+    rows = parse_warc(_http_record(body, "text/html; charset=Shift_JIS"))
+    assert rows[0][7] == "日本語"
+
+
+def test_charset_meta_tag_sniff():
+    """No charset parameter, body is NOT valid UTF-8: the <meta>
+    declaration decides."""
+    body = ("<html><head><meta charset=\"windows-1252\"></head>"
+            "<body>smørrebrød “x”</body></html>"
+            ).encode("windows-1252")
+    rows = parse_warc(_http_record(body, "text/html"))
+    assert "smørrebrød “x”" in rows[0][7]
+
+
+def test_charset_latin1_last_resort():
+    body = b"na\xefve bytes"          # invalid UTF-8, no declaration
+    rows = parse_warc(_http_record(body, "text/html"))
+    assert rows[0][7] == "naïve bytes"
+
+
+def test_charset_utf8_strict_first():
+    """Valid UTF-8 with no declaration decodes as UTF-8 (never
+    mis-sniffed as latin-1)."""
+    body = "élève 中文".encode("utf-8")
+    rows = parse_warc(_http_record(body, "text/html"))
+    assert rows[0][7] == "élève 中文"
+
+
+def test_charset_bogus_name_falls_through():
+    body = "ok text".encode("utf-8")
+    rows = parse_warc(_http_record(body, "text/html; charset=not-a-cs"))
+    assert rows[0][7] == "ok text"
+
+
+# ---------------------------------------------------------------------------
+# session-conf hygiene (ADVICE r11: no build-time mutation leaks)
+# ---------------------------------------------------------------------------
+
+def test_warc_kernels_do_not_mutate_session_confs(spark, tmp_path):
+    """Building AND executing the warc routes must leave
+    arrow.maxRecordsPerBatch and parser.escapedStringLiterals exactly
+    as found (the previous build-time conf.set leaked 1-4-row Arrow
+    batches into every later pandas_udf in the session)."""
+    from harbourbridge_spark.streaming.corpus import \
+        warc_documents_projection
+
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    esc_key = "spark.sql.parser.escapedStringLiterals"
+    spark.conf.set(arrow_key, "7777")
+    spark.conf.set(esc_key, "false")
+    try:
+        blob = build_warc_file(1, DOCS)
+        p = tmp_path / "c.warc"
+        p.write_bytes(blob)
+        import pyspark.sql.functions as F
+        files = spark.createDataFrame([(1,)], "file_id long").select(
+            "file_id", F.lit(blob).alias("content"))
+        rec = W.warc_records(files)
+        assert warc_documents_projection(rec).count() == len(DOCS)
+        assert W.warc_records_from_paths(spark, [str(p)]).count() \
+            == len(DOCS) + 1
+        assert spark.conf.get(arrow_key) == "7777"
+        assert spark.conf.get(esc_key) == "false"
+    finally:
+        spark.conf.unset(arrow_key)
+        spark.conf.set(esc_key, "true")
+
+
+def test_documents_projection_real_crawl_uri_doc_id(spark):
+    """ADVICE r11: non-fixture URIs (no /doc/N path) must get a
+    stable NON-NULL doc_id (xxhash64 of the URI), or every downstream
+    admission/dedup key breaks on real crawls."""
+    import pyspark.sql.functions as F
+
+    from harbourbridge_spark.streaming.corpus import \
+        warc_documents_projection
+
+    rows = [
+        (1, 0, "response", "http://h0.example.com/doc/42", "d", 200,
+         "text/html", 10, "<html><body><p>fixture</p></body></html>"),
+        (1, 1, "response", "https://news.site.org/2024/story.html",
+         "d", 200, "text/html",
+         10, "<html><body><p>real crawl</p></body></html>"),
+        (1, 2, "response", "https://news.site.org/2024/story.html",
+         "d", 200, "text/html",
+         10, "<html><body><p>same uri</p></body></html>"),
+    ]
+    rec = spark.createDataFrame(rows, W.WARC_SCHEMA)
+    got = {r.text: r for r in
+           warc_documents_projection(rec).collect()}
+    assert got["fixture"].doc_id == 42
+    assert got["real crawl"].doc_id is not None
+    # stable: same URI -> same id
+    assert got["real crawl"].doc_id == got["same uri"].doc_id
+    assert got["real crawl"].source == "news.site.org"
