@@ -600,6 +600,17 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
     (incremental retains a subset of ref's boiler grams, so
     n_boiler_grams_inc <= ref) and bounded at <= 0.10 absolute
     boiler_frac per document on the test corpus."""
+    from .storecache import store_lock
+
+    # shared mutation lock for the WHOLE read-merge-overwrite fold:
+    # a compaction snapshotting between this fold's reads and writes
+    # would destroy the fold at swap time (storecache.store_lock)
+    with store_lock(store_path, exclusive=False):
+        _curation_store_append_locked(spark, store_path, docs_df)
+
+
+def _curation_store_append_locked(spark, store_path: str,
+                                  docs_df) -> None:
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     docs_df.createOrReplaceTempView("__cur_app_in")
     toks = render(TOKENS, "spark")
@@ -688,22 +699,31 @@ def curation_store_compact(spark, store_path: str,
     legitimately dedupe).  Scoring any batch against the store before
     and after is EXACTLY equal column-for-column (pinned by
     tests/test_pipeline.py).  Returns per-relation file counts."""
-    from .storecache import replace_store
+    from .storecache import replace_store, store_lock
 
     stats = {}
-    for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
-        sub = f"{store_path}/{name}"
-        df = spark.read.parquet(sub)
-        files_before = len(df.inputFiles())
-        if name == "eval_grams":
-            df = df.distinct()
-        elif name == "boiler_grams":
-            df = df.where(f"n_docs >= {BOILER_MIN_DOCS}")
-        fixed = df.coalesce(max_files_per_relation).localCheckpoint()
-        replace_store(sub, lambda tmp, d=fixed: d.write.parquet(tmp))
-        stats[name] = {
-            "files_before": files_before,
-            "files_after": len(spark.read.parquet(sub).inputFiles())}
+    # ONE exclusive lock on the store ROOT for all four relations:
+    # curation_store_append locks the root (its fold spans all
+    # relations), so per-sub locks would not exclude it — and the
+    # lock must span snapshot + swap, or a fold landing in between
+    # is destroyed by the swap (the live-admission e2e's lesson)
+    with store_lock(store_path, exclusive=True):
+        for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
+            sub = f"{store_path}/{name}"
+            df = spark.read.parquet(sub)
+            files_before = len(df.inputFiles())
+            if name == "eval_grams":
+                df = df.distinct()
+            elif name == "boiler_grams":
+                df = df.where(f"n_docs >= {BOILER_MIN_DOCS}")
+            fixed = df.coalesce(max_files_per_relation) \
+                .localCheckpoint()
+            replace_store(sub, lambda tmp, d=fixed: d.write.parquet(tmp),
+                          pre_locked=True)
+            stats[name] = {
+                "files_before": files_before,
+                "files_after": len(
+                    spark.read.parquet(sub).inputFiles())}
     return stats
 
 

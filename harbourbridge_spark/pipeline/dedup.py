@@ -1854,11 +1854,18 @@ def signature_store_write(spark, docs_df, store_path: str,
     (1 + K) longs: the store for a 100 TB corpus is ~1/1000th of the
     text and is the ONLY thing future batches ever read — the corpus
     text is never re-tokenized."""
+    from .storecache import store_lock
+
     docs_df.createOrReplaceTempView("__sig_store_in")
     sig_sql = minhash_signature_sql("spark").replace(
         "FROM documents", "FROM __sig_store_in")
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.sql(sig_sql).write.mode(mode).parquet(store_path)
+    # shared mutation lock: an append landing while a compaction is
+    # between its snapshot and its swap would be silently destroyed
+    # by the swap (storecache.store_lock) — serialize writers only;
+    # probes never lock
+    with store_lock(store_path, exclusive=False):
+        spark.sql(sig_sql).write.mode(mode).parquet(store_path)
 
 
 def signature_store_compact(spark, store_path: str,
@@ -1881,19 +1888,24 @@ def signature_store_compact(spark, store_path: str,
     probe output bit-identical pre-compact, post-compact, and vs a
     from-scratch store).  Returns
     ``{rows_before, rows_after, files_before, files_after}``."""
-    from .storecache import replace_store
+    from .storecache import replace_store, store_lock
 
-    df = spark.read.parquet(store_path)
-    files_before = len(df.inputFiles())
-    rows_before = df.count()
-    # materialize BEFORE the swap: the plan reads the directory the
-    # swap is about to replace
-    compacted = df.distinct().localCheckpoint()
-    rows_after = compacted.count()
-    n_files = max(1, -(-rows_after // rows_per_file))
-    replace_store(store_path, lambda tmp: compacted
-                  .repartition(n_files, "doc_id")
-                  .write.parquet(tmp))
+    # the EXCLUSIVE lock covers snapshot AND swap: locking only the
+    # swap lets a concurrent shared-lock append land between this
+    # snapshot and the swap and be destroyed by it (caught by the
+    # live-admission e2e — fork A lost epoch-1's signatures)
+    with store_lock(store_path, exclusive=True):
+        df = spark.read.parquet(store_path)
+        files_before = len(df.inputFiles())
+        rows_before = df.count()
+        # materialize BEFORE the swap: the plan reads the directory
+        # the swap is about to replace
+        compacted = df.distinct().localCheckpoint()
+        rows_after = compacted.count()
+        n_files = max(1, -(-rows_after // rows_per_file))
+        replace_store(store_path, lambda tmp: compacted
+                      .repartition(n_files, "doc_id")
+                      .write.parquet(tmp), pre_locked=True)
     return {"rows_before": rows_before, "rows_after": rows_after,
             "files_before": files_before,
             "files_after": len(
@@ -1910,14 +1922,16 @@ def signature_store_evict(spark, store_path: str,
     duplicating an evicted doc stop being flagged — that is the point
     (right-to-be-forgotten / retention); everything else is untouched
     (pinned by tests)."""
-    from .storecache import replace_store
+    from .storecache import replace_store, store_lock
 
-    df = spark.read.parquet(store_path)
-    rows_before = df.count()
-    kept = df.where(f"NOT ({drop_where})").localCheckpoint()
-    rows_after = kept.count()
-    replace_store(store_path,
-                  lambda tmp: kept.write.parquet(tmp))
+    with store_lock(store_path, exclusive=True):
+        df = spark.read.parquet(store_path)
+        rows_before = df.count()
+        kept = df.where(f"NOT ({drop_where})").localCheckpoint()
+        rows_after = kept.count()
+        replace_store(store_path,
+                      lambda tmp: kept.write.parquet(tmp),
+                      pre_locked=True)
     return {"rows_before": rows_before, "rows_after": rows_after,
             "evicted": rows_before - rows_after}
 

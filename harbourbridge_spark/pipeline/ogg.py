@@ -87,6 +87,54 @@ def ogg_pages(content: bytes):
         pos = page_end
 
 
+def ogg_packets(content: bytes):
+    """Reassemble logical PACKETS across pages per RFC 3533 lacing:
+    a packet is the concatenation of segments up to (and including)
+    the first lacing value < 255; a page whose header has the
+    continuation flag (0x01) extends the previous page's unfinished
+    packet.  Yields packet bytes in stream order (CRC verified by
+    the page walk).  A packet left unterminated at EOS raises."""
+    pos = 0
+    pending = bytearray()
+    have_pending = False
+    while pos < len(content):
+        if content[pos:pos + 4] != b"OggS":
+            raise ValueError("ogg: bad capture pattern")
+        if len(content) < pos + 27:
+            raise ValueError("ogg: truncated page header")
+        (_, ver, htype, _granule, _serial, _seq, crc, nsegs) = \
+            struct.unpack_from("<4sBBqIIIB", content, pos)
+        if ver != 0:
+            raise ValueError("ogg: unsupported version")
+        lace = content[pos + 27:pos + 27 + nsegs]
+        if len(lace) != nsegs:
+            raise ValueError("ogg: truncated lacing")
+        body_start = pos + 27 + nsegs
+        page_end = body_start + sum(lace)
+        if page_end > len(content):
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(content[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError("ogg: page CRC mismatch")
+        if (htype & 0x01) and not have_pending:
+            raise ValueError("ogg: continuation without a pending packet")
+        if not (htype & 0x01) and have_pending:
+            raise ValueError("ogg: pending packet not continued")
+        off = body_start
+        for seg in lace:
+            pending += content[off:off + seg]
+            off += seg
+            have_pending = True
+            if seg < 255:
+                yield bytes(pending)
+                pending = bytearray()
+                have_pending = False
+        pos = page_end
+    if have_pending:
+        raise ValueError("ogg: unterminated packet at EOS")
+
+
 # field order shared with the Spark kernel schema
 OGG_FIELDS = ("codec", "channels", "sample_rate", "duration_ms",
               "n_pages")

@@ -31,10 +31,46 @@ or crashed builder can never publish a partial store.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import os
 import shutil
 import stat
 import tempfile
+
+
+@contextlib.contextmanager
+def store_lock(target: str, exclusive: bool = True):
+    """Advisory lock serializing store MUTATIONS (never reads).
+
+    The compaction-vs-append race is a LOST UPDATE, not a torn read:
+    ``replace_store`` rebuilds from a point-in-time snapshot, so an
+    append (new signature part files, a curation fold's
+    read-merge-overwrite) landing between snapshot and swap would be
+    silently destroyed by the swap.  Readers need no lock — a probe
+    racing a swap dies with a missing-input error and the streaming
+    layer retries with a fresh listing (test-pinned) — so probes
+    never block compaction and vice versa; only WRITERS serialize:
+    compaction takes the lock exclusively, appends take it shared
+    (concurrent appends of distinct batches commute — signature
+    appends are disjoint part files; curation folds are
+    read-merge-overwrite and DO conflict with each other, but the
+    streaming admission loop is the only curation appender and runs
+    one micro-batch at a time).
+
+    flock scopes to one host (this repo's execution shape); a
+    multi-writer cluster deployment would swap this for its
+    coordinator's lease — the lock POINT (around mutations, not
+    reads) is the design, not the flock syscall."""
+    lockpath = target.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lockpath) or ".", exist_ok=True)
+    fd = os.open(lockpath, os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _user_cache_root() -> str:
@@ -90,7 +126,7 @@ def store_path(kind: str, ident: str) -> str:
     return os.path.join(root, name)
 
 
-def replace_store(target: str, build) -> None:
+def replace_store(target: str, build, pre_locked: bool = False) -> None:
     """Compaction twin of :func:`publish_store`: ``build(tmp_path)`` a
     REPLACEMENT for an EXISTING store into a private sibling dir, then
     swap it in (rename old aside -> rename new in -> drop old).  A
@@ -102,25 +138,39 @@ def replace_store(target: str, build) -> None:
     it is replacing the very directory a lazy plan would re-read.
 
     On an object store / HDFS deployment the two renames map to the
-    FileSystem.rename metadata operation; the pattern is unchanged."""
+    FileSystem.rename metadata operation; the pattern is unchanged.
+
+    Holds the store's EXCLUSIVE mutation lock for build + swap so a
+    concurrent APPEND cannot land between the build's snapshot and
+    the swap and be silently destroyed (see :func:`store_lock`;
+    readers never take the lock and ride the swap-retry instead).
+    CALLER CONTRACT: if the replacement is built from a SNAPSHOT
+    taken before this call, the caller must take the exclusive lock
+    around snapshot + this call itself and pass ``pre_locked=True``
+    (flock is not reentrant — a second exclusive acquisition in the
+    same thread deadlocks); the e2e that caught this had a compact
+    swap in a stale pre-append snapshot because only the swap was
+    locked."""
     target = os.path.abspath(target)
     parent = os.path.dirname(target)
-    tmp = tempfile.mkdtemp(prefix=os.path.basename(target) + ".",
-                           suffix=".tmp", dir=parent)
-    old = os.path.join(
-        parent, f"{os.path.basename(target)}.old.{os.getpid()}")
-    try:
-        built = os.path.join(tmp, "store")
-        build(built)
-        os.rename(target, old)
+    with (contextlib.nullcontext() if pre_locked
+          else store_lock(target, exclusive=True)):
+        tmp = tempfile.mkdtemp(prefix=os.path.basename(target) + ".",
+                               suffix=".tmp", dir=parent)
+        old = os.path.join(
+            parent, f"{os.path.basename(target)}.old.{os.getpid()}")
         try:
-            os.rename(built, target)
-        except OSError:
-            os.rename(old, target)          # roll the swap back
-            raise
-        shutil.rmtree(old, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+            built = os.path.join(tmp, "store")
+            build(built)
+            os.rename(target, old)
+            try:
+                os.rename(built, target)
+            except OSError:
+                os.rename(old, target)          # roll the swap back
+                raise
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def publish_store(target: str, build) -> None:

@@ -59,6 +59,42 @@ def document_stream(spark: SparkSession, docs_dir: str,
             .parquet(docs_dir))
 
 
+def _is_missing_input_error(err: Exception) -> bool:
+    """True when a Spark job died because an input file vanished
+    mid-job — the signature of a store compaction swapping the
+    directory between this job's file-listing and its task reads
+    (Spark resolves parquet file lists at DataFrame creation and
+    tasks re-open files BY PATH, so POSIX handle semantics protect
+    only already-open streams; a compaction landing inside that
+    window kills the job with FileNotFound)."""
+    s = str(err)
+    return ("FileNotFoundException" in s or "FILE_NOT_FOUND" in s
+            or "does not exist" in s)
+
+
+def _run_with_swap_retry(attempt):
+    """Run one micro-batch's store-probe work, retrying ONCE when a
+    concurrent compaction swapped a store mid-job.  Safe because (a)
+    the retry rebuilds the plan, re-listing the store directory — it
+    sees the post-compaction store, and compaction preserves probe
+    semantics (decision invariance is e2e-pinned); (b) everything
+    inside ``attempt`` is replay-tolerant: per-epoch sinks are
+    mode=overwrite, and any signature append a retry could repeat is
+    exactly the crash-replay double-append the store is pinned to
+    tolerate (decisions invariant; compaction removes the extra rows).
+    Two retries, because a compaction pass legitimately swaps BOTH
+    stores (signature then curation) and each can land inside one
+    micro-batch; beyond that the failure propagates and streaming's
+    own at-least-once replay takes over."""
+    for _ in range(2):
+        try:
+            return attempt()
+        except Exception as err:            # py4j wraps Java errors
+            if not _is_missing_input_error(err):
+                raise
+    return attempt()
+
+
 def streaming_incremental_dedup(stream: DataFrame, store_path: str,
                                 out_dir: str, checkpoint_dir: str,
                                 admit: bool = True):
@@ -70,11 +106,15 @@ def streaming_incremental_dedup(stream: DataFrame, store_path: str,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipeline.dedup import dedup_incremental_against_store
         spark = batch_df.sparkSession
-        verdicts = dedup_incremental_against_store(
-            spark, store_path, batch_df, admit=admit)
-        # idempotent per-epoch sink: replay overwrites, never dups
-        verdicts.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={int(epoch_id)}")
+
+        def attempt():
+            verdicts = dedup_incremental_against_store(
+                spark, store_path, batch_df, admit=admit)
+            # idempotent per-epoch sink: replay overwrites, never dups
+            verdicts.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={int(epoch_id)}")
+
+        _run_with_swap_retry(attempt)
 
     return (stream.writeStream
             .foreachBatch(process)
@@ -93,7 +133,14 @@ def compact_admission_output(spark: SparkSession, out_dir: str,
     partition structure is kept, only the small files within each
     epoch are merged.  One Spark job regardless of epoch count: the
     whole dataset is read with its epoch partition column,
-    re-bucketed by epoch, and swapped in atomically."""
+    re-bucketed by epoch, and swapped in atomically.
+
+    QUIESCE RULE: unlike the signature/curation STORES (safe to
+    compact under a live stream — the probes re-list and retry,
+    test-pinned), the verdict OUTPUT must not be compacted while the
+    admission sink is running: the rebuild starts from a snapshot,
+    so an epoch directory the sink lands between snapshot and swap
+    would be silently destroyed.  Compact output between runs."""
     import os
 
     from ..pipeline.storecache import replace_store
@@ -118,7 +165,8 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
                                cur_store: str, out_dir: str,
                                checkpoint_dir: str,
                                max_boiler_frac: float = 0.5,
-                               require_clean_eval: bool = True):
+                               require_clean_eval: bool = True,
+                               processing_time: str | None = None):
     """The full continuous-admission gate: per micro-batch, score
     against the CURATION store (quality / eval-contamination /
     boilerplate / rarity — zero corpus reads) AND probe the SIGNATURE
@@ -136,31 +184,43 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
         from ..pipeline.dedup import dedup_incremental_against_store
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
-        scores = curate_against_store(spark, cur_store, batch_df)
-        flagged = dedup_incremental_against_store(
-            spark, sig_store, batch_df, admit=False)
-        verdict = (scores.alias("s")
-                   .join(flagged.alias("d"), "doc_id", "left")
-                   .select(
-                       "doc_id", "quality_score", "contaminated",
-                       "boiler_frac", F.col("d.dup_of").alias("dup_of")))
-        reason = (F.when(F.col("contaminated") == 1,
-                         F.lit("eval_contaminated"))
-                  .when(F.col("boiler_frac") > max_boiler_frac,
-                        F.lit("boilerplate"))
-                  .when(F.col("dup_of").isNotNull(), F.lit("near_dup"))
-                  .otherwise(F.lit(None)))
-        if not require_clean_eval:
-            reason = (F.when(F.col("boiler_frac") > max_boiler_frac,
-                             F.lit("boilerplate"))
+
+        def attempt():
+            # probe both stores + sink the verdict: the whole plan
+            # re-lists the store directories on retry, so a
+            # concurrent compaction swap costs one rebuild, never
+            # the micro-batch (see _run_with_swap_retry)
+            scores = curate_against_store(spark, cur_store, batch_df)
+            flagged = dedup_incremental_against_store(
+                spark, sig_store, batch_df, admit=False)
+            verdict = (scores.alias("s")
+                       .join(flagged.alias("d"), "doc_id", "left")
+                       .select(
+                           "doc_id", "quality_score", "contaminated",
+                           "boiler_frac",
+                           F.col("d.dup_of").alias("dup_of")))
+            reason = (F.when(F.col("contaminated") == 1,
+                             F.lit("eval_contaminated"))
+                      .when(F.col("boiler_frac") > max_boiler_frac,
+                            F.lit("boilerplate"))
                       .when(F.col("dup_of").isNotNull(),
                             F.lit("near_dup"))
                       .otherwise(F.lit(None)))
-        verdict = (verdict.withColumn("reason", reason)
-                   .withColumn("admitted", F.col("reason").isNull())
-                   .localCheckpoint())
-        verdict.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={int(epoch_id)}")
+            if not require_clean_eval:
+                reason = (F.when(F.col("boiler_frac") > max_boiler_frac,
+                                 F.lit("boilerplate"))
+                          .when(F.col("dup_of").isNotNull(),
+                                F.lit("near_dup"))
+                          .otherwise(F.lit(None)))
+            verdict = (verdict.withColumn("reason", reason)
+                       .withColumn("admitted",
+                                   F.col("reason").isNull())
+                       .localCheckpoint())
+            verdict.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={int(epoch_id)}")
+            return verdict
+
+        verdict = _run_with_swap_retry(attempt)
         admitted_ids = verdict.where("admitted").select("doc_id")
         admitted = batch_df.join(admitted_ids, "doc_id")
         # grow both stores with ONLY the admitted docs
@@ -169,11 +229,17 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
                               mode="append")
         curation_store_append(spark, cur_store, admitted)
 
-    return (stream.writeStream
-            .foreachBatch(process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    # default: drain-and-stop (the test/batch shape).  A LIVE
+    # deployment passes processing_time to keep the query running as
+    # epochs arrive — the shape the compact-under-admission e2e pins.
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def warc_document_stream(spark: SparkSession, warc_dir: str,
