@@ -1051,6 +1051,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "ogg":
         from .ogg import synth_ogg
         synth, mime = synth_ogg, "audio/ogg"
+    elif kind == "audio" and fmt == "vorbis_tone":
+        from .vorbis import synth_vorbis_tone
+        synth, mime = synth_vorbis_tone, "audio/ogg"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -1228,6 +1231,44 @@ def analyze_mp3(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     d, sr, nc, nf, f0 = mp3_tone_analysis(bytes(c))
                 except (ValueError, struct.error, IndexError,
                         TypeError):
+                    d = sr = nc = nf = f0 = None
+                rows["duration_ms"].append(d)
+                rows["sample_rate"].append(
+                    None if sr is None else int(sr))
+                rows["n_channels"].append(
+                    None if nc is None else int(nc))
+                rows["n_frames"].append(
+                    None if nf is None else int(nf))
+                rows["dominant_hz"].append(f0)
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
+
+
+def analyze_vorbis(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL Ogg Vorbis sample decode + DSP over the decoded PCM: the
+    full audio chain (in-stream codebooks, floor1 curve synthesis,
+    residue type 1/2, IMDCT + Vorbis window overlap-add —
+    pipeline/vorbis.py) runs per row inside an Arrow batch;
+    dominant_hz comes from an rFFT over the DECODED samples.
+    Streams outside the decodable subset (floor0/LSP, window
+    switching) and corrupt streams yield nulls (quarantine
+    convention).  n_frames = audio packet count."""
+    from .vorbis import vorbis_tone_analysis
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"], "duration_ms": [],
+                    "sample_rate": [], "n_channels": [],
+                    "n_frames": [], "dominant_hz": []}
+            for c in pdf["content"]:
+                try:
+                    d, sr, nc, nf, f0 = vorbis_tone_analysis(bytes(c))
+                except (ValueError, struct.error, IndexError,
+                        TypeError, KeyError):
                     d = sr = nc = nf = f0 = None
                 rows["duration_ms"].append(d)
                 rows["sample_rate"].append(

@@ -781,8 +781,9 @@ def _encode_headers(channels: int, rate: int,
     - book 2: residue value book, 17 entries (15x len4 + 2x len5,
       complete), dims 1, lookup type 2 over min=-8*delta step delta;
     - floor1: 1 partition, class dims 1, flat-capable;
-    - residue type 2 over [0, 32), partition 8, 2 classifications
-      (0 silent, 1 valued via book 2 at pass 0);
+    - residue type 2 over [0, 32*channels) of the channel-interleaved
+      vector, partition 8, 2 classifications (0 silent, 1 valued via
+      book 2 at pass 0);
     - 1 mapping (no coupling), 1 mode (blockflag 0)."""
     ident = (b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
              + struct.pack("<iii", 0, 0, 0)
@@ -834,7 +835,7 @@ def _encode_headers(channels: int, rate: int,
     w.write(0, 6)                                  # 1 residue
     w.write(2, 16)                                 # residue type 2
     w.write(0, 24)                                 # begin
-    w.write(32, 24)                                # end
+    w.write(32 * channels, 24)                     # end (interleaved)
     w.write(8 - 1, 24)                             # partition size 8
     w.write(2 - 1, 6)                              # 2 classifications
     w.write(1, 8)                                  # classbook = 1
@@ -862,35 +863,48 @@ def _encode_headers(channels: int, rate: int,
 
 
 def _encode_audio_packet(coeffs: np.ndarray, delta: float,
-                         books: list[Codebook]) -> bytes:
-    """One mono audio packet carrying quantized spectrum
-    round(c/delta) clamped to [-8, 8] (flat floor = 1.0)."""
+                         books: list[Codebook],
+                         channels: int) -> bytes:
+    """One audio packet carrying the channel-INTERLEAVED quantized
+    spectrum round(c/delta) clamped to [-8, 8] (flat floor = 1.0 on
+    every channel).  Layout mirrors the decode loop exactly: per
+    channel a floor section, then per classword-group (classbook dim
+    4 partitions) one classword followed by its 4x8 values."""
     w = BitWriter()
     w.write(0, 1)                                  # audio packet
     # mode number: 1 mode -> ilog(0) = 0 bits
-    # floor: nonzero, y0 = y1 = 255 (flat at inverse_db_table[255]=1)
-    w.write(1, 1)
-    w.write(255, 8)
-    w.write(255, 8)
-    code, ln = books[0].codeword(0)                # y[2] = entry 0
-    write_codeword(w, code, ln)
-    # residue: classword = entry 15 (all four partitions class 1)
-    code, ln = books[1].codeword(15)
-    write_codeword(w, code, ln)
-    idx = np.clip(np.round(coeffs / delta), -8, 8).astype(int) + 8
-    for e in idx:
-        code, ln = books[2].codeword(int(e))
+    for _ in range(channels):
+        # floor: nonzero, y0 = y1 = 255 (flat at table[255] = 1.0)
+        w.write(1, 1)
+        w.write(255, 8)
+        w.write(255, 8)
+        code, ln = books[0].codeword(0)            # y[2] = entry 0
         write_codeword(w, code, ln)
+    idx = np.clip(np.round(coeffs / delta), -8, 8).astype(int) + 8
+    partitions = len(idx) // 8
+    cls_code, cls_len = books[1].codeword(15)      # 4x class 1
+    pos = 0
+    for group in range(0, partitions, 4):
+        write_codeword(w, cls_code, cls_len)
+        take = min(4, partitions - group) * 8
+        for e in idx[pos:pos + take]:
+            code, ln = books[2].codeword(int(e))
+            write_codeword(w, code, ln)
+        pos += take
     return w.getvalue()
 
 
 def encode_vorbis_tone(k0: int, n_blocks: int, rate: int,
-                       amplitude: float = 0.5) -> bytes:
-    """Mono Ogg Vorbis stream of a steady tone at MDCT bin k0
+                       amplitude: float = 0.5,
+                       channels: int = 1) -> bytes:
+    """Ogg Vorbis stream of a steady tone at MDCT bin k0
     (f = (2*k0+1)*rate/(2*_N)): per block the TRUE windowed MDCT of
     the tone is quantized onto the residue value grid, so the decode
     chain reconstructs the tone to quantization accuracy and the
-    rFFT argmax over the decoded samples is the closed-form bin."""
+    rFFT argmax over the decoded samples is the closed-form bin.
+    Stereo puts the SAME tone on both channels through the residue
+    type 2 channel-interleave (no coupling — square-polar inverse is
+    implemented but awaits external conformance bytes)."""
     if not 0 <= k0 < _N2:
         raise ValueError("k0 out of range")
     f = (2 * k0 + 1) * rate / (2.0 * _N)
@@ -910,13 +924,19 @@ def encode_vorbis_tone(k0: int, n_blocks: int, rate: int,
     # encoder indices and decoder values share the exact grid
     delta = float32_unpack(float32_pack(delta_raw))
 
-    headers = _encode_headers(1, rate, delta)
+    headers = _encode_headers(channels, rate, delta)
     # re-parse our own setup to get the codeword tables the packets
     # must use (guarantees encoder/decoder agree on the assignment)
-    setup = parse_setup_header(headers[2], 1)
+    setup = parse_setup_header(headers[2], channels)
     books = [setup.codebooks[0], setup.codebooks[1],
              setup.codebooks[2]]
-    packets = [_encode_audio_packet(s, delta, books) for s in specs]
+    packets = []
+    for s in specs:
+        interleaved = np.empty(len(s) * channels)
+        for c in range(channels):
+            interleaved[c::channels] = s
+        packets.append(_encode_audio_packet(interleaved, delta,
+                                            books, channels))
 
     serial = 0xBEEF
     pages = [build_page(serial, 0, 0, 0x02, [headers[0]]),
@@ -939,7 +959,8 @@ def synth_vorbis_tone(media_id: int) -> bytes:
     rate = (8000, 16000)[media_id % 2]
     k0 = 1 + media_id % 12
     n_blocks = 4 * (1 + media_id % 3) + 1
-    return encode_vorbis_tone(k0, n_blocks, rate)
+    channels = 2 if media_id % 5 == 0 else 1
+    return encode_vorbis_tone(k0, n_blocks, rate, channels=channels)
 
 
 def vorbis_tone_analysis(content: bytes) -> list[float]:
@@ -964,6 +985,7 @@ def expected_vorbis_fields(media_id: int) -> list[float]:
     rate = (8000, 16000)[media_id % 2]
     k0 = 1 + media_id % 12
     n_blocks = 4 * (1 + media_id % 3) + 1
+    channels = 2.0 if media_id % 5 == 0 else 1.0
     n = (n_blocks - 1) * _N2
-    return [n * 1000.0 / rate, float(rate), 1.0, float(n_blocks),
+    return [n * 1000.0 / rate, float(rate), channels, float(n_blocks),
             (2 * k0 + 1) * rate / 128.0]

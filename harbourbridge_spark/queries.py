@@ -2315,6 +2315,41 @@ def q_multimodal_mp3_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_vorbis",
+    """
+    SELECT doc_id AS media_id,
+           CAST(128 * (1 + doc_id % 3) * 1000 AS DOUBLE)
+               / (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+               AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END
+                AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(4 * (1 + doc_id % 3) + 1 AS BIGINT) AS n_frames,
+           CAST((2 * (1 + doc_id % 12) + 1)
+                * (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+                AS DOUBLE) / 128 AS dominant_hz
+    FROM documents
+    """,
+    "REAL Ogg Vorbis SAMPLE decode (VERDICT r11 ask 7): per doc a "
+    "steady tone is encoded as a spec-conformant Vorbis stream — "
+    "in-stream codebooks, floor1, residue type 2 (stereo docs "
+    "exercise the channel interleave) — and decoded by the native "
+    "chain: Ogg packet reassembly, codebook Huffman (assignment "
+    "pinned against the spec's own printed example), floor curve, "
+    "residue partitions, IMDCT + Vorbis window overlap-add "
+    "(pipeline/vorbis.py).  dominant_hz is the rFFT argmax over the "
+    "DECODED samples, bit-identical to the closed form "
+    "(2*k0+1)*rate/128 by the coherent block counts — any defect in "
+    "any stage moves the peak and breaks the hash")
+def q_multimodal_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import analyze_vorbis, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return analyze_vorbis(synth_media(ids, "audio", fmt="vorbis_tone"))
+
+
+@register(
     "multimodal_decode_aiff",
     """
     SELECT doc_id AS media_id,
@@ -3471,6 +3506,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # strip_html_col; the template form is byte-unchanged.)
     "warc_ingest", "warc_ingest_gzip", "warc_stats",
     "warc_to_documents",
+    # round 12: native Ogg Vorbis sample decoder (VERDICT r11 ask 7)
+    # — new entry (in-stream codebooks, floor1, residue 2, IMDCT)
+    "multimodal_decode_vorbis",
 ]
 
 _CHANGED_ROUND_11: list[str] = [

@@ -66,6 +66,9 @@ PYTHON_KERNEL_OK = {
     "multimodal_decode_g711",
     # r11: Ogg page walk + Vorbis/Opus ID parse — per-row byte kernel
     "multimodal_meta_ogg",
+    # r12: native Vorbis sample decode (in-stream codebooks, floor1,
+    # residue, IMDCT) — per-row numpy codec, Arrow-batched by design
+    "multimodal_decode_vorbis",
     # r11: WARC container parse — file-granular byte kernel (the
     # Common Crawl scale shape: parallelism IS the file count); the
     # fixture muxer adds a grouped-Pandas build stage
