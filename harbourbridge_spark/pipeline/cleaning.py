@@ -1,0 +1,243 @@
+"""Published web-corpus cleaning operators: CCNet line-level dedup,
+Gopher quality rules, C4 line/page filters.
+
+Every major LLM web corpus applies these three named recipes between
+crawl ingestion and model training:
+
+- **CCNet paragraph dedup** (Wenzek et al., LREC 2020): hash every
+  line/paragraph, count occurrences CORPUS-WIDE, drop repeated lines
+  (boilerplate nav/footer text is the dominant duplicate class).
+  Implemented keep-first: the minimum (doc_id, line_pos) occurrence
+  of each line hash survives.  100 TB shape: ONE shuffle on 48-bit
+  line fingerprints (a window rank, never a self-join); re-assembly
+  is a per-doc aggregation — no quadratic term, and nothing longer
+  than a line ever shuffles.
+- **Gopher rules** (Rae et al. 2021, §A1.1): word-count bounds
+  [50, 100k], mean-word-length bounds [3, 10], symbol-to-word ratio
+  (# / ellipsis) <= 0.1, <= 90% bullet-starting lines, <= 30%
+  ellipsis-ending lines, >= 80% words containing an alphabetic
+  char, >= 2 hits from the paper's stopword list.  Every rule is an
+  INTEGER comparison column (n_bullet*10 <= n_lines*9 instead of a
+  fraction) so verdicts are engine-exact with zero float boundaries;
+  keep = AND of the rules.  Single pass, no shuffle beyond the
+  per-doc line aggregation.
+- **C4 filters** (Raffel et al. 2020, §2.2): keep lines ending in
+  terminal punctuation with >= 3 words, drop lines mentioning
+  javascript, drop whole pages containing a curly brace, 'lorem
+  ipsum', or fewer than 5 surviving sentences.
+
+The synthetic documents are single-line token streams, so the
+operators run over a deterministic multi-line PAGE synthesized
+in-template from each document (the html_extract convention): body
+lines of 6 tokens (terminal '.' withheld on a (doc_id + pos) % 4
+schedule), a per-doc bullet line on doc_id % 5, a corpus-wide
+duplicate nav line in EVERY doc (the CCNet target), a
+javascript/cookie line on doc_id % 7, and a curly-brace line on
+doc_id % 11 (the C4 page killer).  Every hazard each filter exists
+for appears on a known schedule, so the DuckDB oracle reconstructs
+all outputs exactly.
+
+All operators are dual-engine SQL templates (text.py conventions):
+pure projections + one line-hash shuffle; no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from .hashing import hash48
+from .text import TOKENS, render, sumlen
+
+# Gopher §A1.1 stopword list (the paper names exactly these)
+_GOPHER_STOPS = "('the','be','to','of','and','that','have','with')"
+
+
+def _page_lines_fragment(engine: str) -> str:
+    """Shared fixture CTE fragment (UNRENDERED — shims resolve in the
+    caller's single render pass): documents -> page_lines(doc_id,
+    lpos, line)."""
+    toks = TOKENS                       # unrendered template piece
+    if engine == "spark":
+        n_lines = "greatest(1, (size(t) + 5) div 6)"
+        chunk = "slice(t, line_id * 6 + 1, 6)"
+    else:
+        n_lines = "greatest(1, (len(t) + 5) // 6)"
+        chunk = "list_slice(t, line_id * 6 + 1, line_id * 6 + 6)"
+    return f"""
+    toks AS (
+        SELECT doc_id, {toks} AS t FROM documents
+    ), body AS (
+        SELECT doc_id, t,
+               {{explode}}({{seq}}(0, {n_lines} - 1)) AS line_id
+        FROM toks
+    ), page_lines AS (
+        SELECT doc_id, CAST(line_id + 1 AS BIGINT) AS lpos,
+               {{ajoin}}({chunk}, ' ') ||
+                   CASE WHEN (doc_id + line_id + 1) % 4 = 0
+                        THEN '' ELSE '.' END AS line
+        FROM body
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) AS lpos,
+               '- promo item ' || doc_id AS line
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id, CAST(100000 AS BIGINT) AS lpos,
+               'all rights reserved site nav' AS line
+        FROM documents
+        UNION ALL
+        SELECT doc_id, CAST(100001 AS BIGINT) AS lpos,
+               'please enable javascript and accept our cookie policy.'
+                   AS line
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, CAST(100002 AS BIGINT) AS lpos,
+               'function() {{{{ return 0 }}}}' AS line
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    """
+
+
+def _agg_lines(engine: str) -> str:
+    """Kept lines -> one newline-joined string per doc, ordered by
+    lpos (engine-specific: Spark sorts a struct array, DuckDB uses
+    ordered string_agg)."""
+    if engine == "spark":
+        return ("array_join(transform(array_sort(collect_list("
+                "struct(lpos, line))), x -> x.line), char(10))")
+    return "string_agg(line, chr(10) ORDER BY lpos)"
+
+
+def line_dedup_sql(engine: str) -> str:
+    """CCNet paragraph-level dedup: corpus-wide line-hash rank,
+    keep-first, reassemble.  Per doc: total lines, removed count,
+    deduplicated text."""
+    lh = hash48("line", engine)
+    t = f"""
+    WITH {_page_lines_fragment(engine)},
+    ranked AS (
+        SELECT doc_id, lpos, line,
+               ROW_NUMBER() OVER (PARTITION BY {lh}
+                                  ORDER BY doc_id, lpos) AS rk
+        FROM page_lines
+    ), counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM page_lines GROUP BY doc_id
+    ), rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               {_agg_lines(engine)} AS text_clean
+        FROM (SELECT doc_id, lpos, line FROM ranked WHERE rk = 1) _k
+        GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_lines,
+           CAST(c.n_lines - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM counts c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+    """
+    return render(t, engine)
+
+
+def gopher_rules_sql(engine: str) -> str:
+    """Gopher §A1.1 quality rules, integer-exact; every rule its own
+    0/1 column, keep = AND of all."""
+    alpha_pred = ("x rlike '[a-z]'" if engine == "spark"
+                  else "regexp_matches(x, '[a-z]')")
+    t = f"""
+    WITH {_page_lines_fragment(engine)},
+    words AS (
+        SELECT doc_id,
+               CAST({{alen}}(t) AS BIGINT) AS n_words,
+               CAST({sumlen('t', engine)} AS BIGINT) AS sum_len,
+               CAST({{alen}}({{lfilter}}(t,
+                    x -> {alpha_pred})) AS BIGINT) AS n_alpha,
+               CAST({{alen}}({{lfilter}}(t,
+                    x -> x IN {_GOPHER_STOPS})) AS BIGINT) AS n_stop,
+               CAST({{alen}}({{lfilter}}(t,
+                    x -> x = '#' OR x = '...')) AS BIGINT) AS n_sym
+        FROM toks
+    ), lines AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN line LIKE '-%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bullet,
+               CAST(SUM(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ellipsis
+        FROM page_lines GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words, w.sum_len, w.n_alpha, w.n_stop,
+           l.n_lines, l.n_bullet, l.n_ellipsis,
+           CAST(CASE WHEN w.n_words >= 50 AND w.n_words <= 100000
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_word_count,
+           CAST(CASE WHEN w.sum_len >= 3 * w.n_words
+                      AND w.sum_len <= 10 * w.n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_mean_word_len,
+           CAST(CASE WHEN w.n_sym * 10 <= w.n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_symbol_ratio,
+           CAST(CASE WHEN l.n_bullet * 10 <= l.n_lines * 9
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_bullets,
+           CAST(CASE WHEN l.n_ellipsis * 10 <= l.n_lines * 3
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_ellipsis,
+           CAST(CASE WHEN w.n_alpha * 10 >= w.n_words * 8
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_alpha_words,
+           CAST(CASE WHEN w.n_stop >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS rule_stopwords,
+           CAST(CASE WHEN w.n_words >= 50 AND w.n_words <= 100000
+                      AND w.sum_len >= 3 * w.n_words
+                      AND w.sum_len <= 10 * w.n_words
+                      AND w.n_sym * 10 <= w.n_words
+                      AND l.n_bullet * 10 <= l.n_lines * 9
+                      AND l.n_ellipsis * 10 <= l.n_lines * 3
+                      AND w.n_alpha * 10 >= w.n_words * 8
+                      AND w.n_stop >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM words w JOIN lines l ON w.doc_id = l.doc_id
+    """
+    return render(t, engine)
+
+
+def c4_clean_sql(engine: str) -> str:
+    """C4 §2.2 line/page filters.  Returns per-rule counts, the page
+    verdict, and the cleaned text (empty when the page is dropped)."""
+    nwords = ("size(split(line, ' '))" if engine == "spark"
+              else "len(regexp_split_to_array(line, ' '))")
+    t = f"""
+    WITH {_page_lines_fragment(engine)},
+    judged AS (
+        SELECT doc_id, lpos, line,
+               CASE WHEN right(line, 1) IN ('.', '!', '?')
+                     AND {nwords} >= 3
+                     AND NOT line LIKE '%javascript%'
+                    THEN 1 ELSE 0 END AS line_keep,
+               CASE WHEN line LIKE '%{{{{%' THEN 1 ELSE 0 END
+                   AS has_brace,
+               CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END
+                   AS has_lorem
+        FROM page_lines
+    ), pages AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(line_keep) AS BIGINT) AS n_kept,
+               CAST(MAX(has_brace) AS BIGINT) AS has_brace,
+               CAST(MAX(has_lorem) AS BIGINT) AS has_lorem
+        FROM judged GROUP BY doc_id
+    ), rebuilt AS (
+        SELECT doc_id, {_agg_lines(engine)} AS text_clean
+        FROM (SELECT doc_id, lpos, line FROM judged
+              WHERE line_keep = 1) _k
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_lines, p.n_kept, p.has_brace, p.has_lorem,
+           CAST(CASE WHEN p.n_kept >= 5 AND p.has_brace = 0
+                      AND p.has_lorem = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+           CASE WHEN p.n_kept >= 5 AND p.has_brace = 0
+                 AND p.has_lorem = 0
+                THEN COALESCE(r.text_clean, '') ELSE '' END
+               AS text_clean
+    FROM pages p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+    """
+    return render(t, engine)
+
+
+# registration happens through queries._register_template (the
+# text.py convention): the Spark side executes sql_fn("spark") over
+# temp views, the DuckDB rendering IS the oracle.

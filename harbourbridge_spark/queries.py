@@ -2349,6 +2349,33 @@ def q_multimodal_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_vorbis(synth_media(ids, "audio", fmt="vorbis_tone"))
 
 
+from .pipeline import cleaning as _cleaning  # noqa: E402
+
+_register_template(
+    "line_dedup_ccnet", _cleaning.line_dedup_sql,
+    "CCNet paragraph-level dedup (Wenzek et al. LREC'20): corpus-wide "
+    "line-hash keep-first over a synthesized multi-line page per doc "
+    "(with a planted corpus-wide nav line — the boilerplate class the "
+    "recipe exists for).  One window rank on 48-bit line fingerprints "
+    "(never a self-join), per-doc reassembly; nothing longer than a "
+    "line ever shuffles")
+_register_template(
+    "gopher_quality_rules", _cleaning.gopher_rules_sql,
+    "Gopher quality rules (Rae et al. 2021 A1.1), integer-exact: "
+    "word-count/mean-word-length bounds, symbol ratio, bullet and "
+    "ellipsis line fractions, alphabetic-word fraction, the paper's "
+    "stopword list — every rule its own 0/1 column, keep = AND.  "
+    "Single pass; fractions compared as cross-multiplied integers so "
+    "no float boundary exists between the engines")
+_register_template(
+    "c4_clean", _cleaning.c4_clean_sql,
+    "C4 cleaning (Raffel et al. 2020 2.2): terminal-punctuation line "
+    "filter with min word count, javascript-line drop, whole-page "
+    "drops on curly braces / 'lorem ipsum' / fewer than 5 surviving "
+    "sentences; returns rule counts, the page verdict, and the "
+    "cleaned text")
+
+
 @register(
     "multimodal_decode_aiff",
     """
@@ -3509,6 +3536,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 12: native Ogg Vorbis sample decoder (VERDICT r11 ask 7)
     # — new entry (in-stream codebooks, floor1, residue 2, IMDCT)
     "multimodal_decode_vorbis",
+    # round 12: published web-cleaning recipes — new entries (CCNet
+    # line dedup, Gopher rules, C4 filters)
+    "line_dedup_ccnet", "gopher_quality_rules", "c4_clean",
 ]
 
 _CHANGED_ROUND_11: list[str] = [

@@ -76,18 +76,44 @@ def _rss_kb(pid: int) -> int:
     return 0
 
 
+def _pss_kb(pid: int) -> int:
+    """Proportional set size: shared pages divided among sharers, so
+    summing over a process tree counts each physical page once —
+    the number a container memory limit actually enforces against.
+    smaps_rollup is one kernel-aggregated read per process."""
+    try:
+        with open(f"/proc/{pid}/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Pss:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
 class PeakSampler(threading.Thread):
     def __init__(self):
         super().__init__(daemon=True)
         self.peak_kb = 0
+        self.peak_pss_kb = 0
         self.stop = threading.Event()
 
     def run(self):
         me = os.getpid()
         while not self.stop.is_set():
-            total = _rss_kb(me) + sum(_rss_kb(p)
-                                      for p in _descendants(me))
+            procs = [me] + _descendants(me)
+            total = sum(_rss_kb(p) for p in procs)
             self.peak_kb = max(self.peak_kb, total)
+            # PSS sums shared pages ONCE — forked Python workers
+            # share COW pages with each other and the parent, so the
+            # VmRSS SUM above double-counts them (and a container
+            # memcg, charging each page to one cgroup member, sees
+            # the PSS-like number, not the RSS sum).  The r11->r12
+            # 26-78 GiB swing on identical 10 GiB runs was this
+            # double-count moving with worker spawn patterns.
+            pss = sum(_pss_kb(p) for p in procs)
+            if pss:
+                self.peak_pss_kb = max(self.peak_pss_kb, pss)
             self.stop.wait(1.0)
 
 
@@ -263,6 +289,7 @@ def main() -> int:
             else 0
         sampler.stop.set()
         peak_gib = round(sampler.peak_kb / (1 << 20), 2)
+        peak_pss_gib = round(sampler.peak_pss_kb / (1 << 20), 2)
         print(json.dumps({
             "metric": "ingest_rehearsal_distributed_cli",
             "dump_gib": round(dump_bytes / (1 << 30), 2),
@@ -274,6 +301,7 @@ def main() -> int:
             "mb_per_sec": round(dump_bytes / (1 << 20) / migrate_sec,
                                 1),
             "peak_rss_gib": peak_gib,
+            "peak_pss_gib": peak_pss_gib,
             "max_rss_gib": max_rss_gib,
             "cpus": int(cpus),
             **schema_times,
