@@ -106,17 +106,28 @@ def _agg_lines(engine: str) -> str:
 
 
 def line_dedup_sql(engine: str) -> str:
-    """CCNet paragraph-level dedup: corpus-wide line-hash rank,
-    keep-first, reassemble.  Per doc: total lines, removed count,
-    deduplicated text."""
+    """CCNet paragraph-level dedup: corpus-wide line-hash keep-first,
+    reassemble.  Per doc: total lines, removed count, deduplicated
+    text.
+
+    Scale shape — deliberately NOT a window: ``ROW_NUMBER() OVER
+    (PARTITION BY line_hash)`` puts every copy of a hot boilerplate
+    line (the nav/footer text CCNet exists to kill — a billion
+    occurrences at 100 TB) into ONE window partition.  Keep-first is
+    instead an integer argmin: pack (doc_id, lpos) into one BIGINT
+    (lpos < 2^20 by construction), take MIN per hash (map-side
+    partial aggregation — the hot key combines on every mapper), and
+    equi-join the 1-row-per-hash minima back (AQE skew-join handles
+    the probe side)."""
     lh = hash48("line", engine)
     t = f"""
     WITH {_page_lines_fragment(engine)},
-    ranked AS (
-        SELECT doc_id, lpos, line,
-               ROW_NUMBER() OVER (PARTITION BY {lh}
-                                  ORDER BY doc_id, lpos) AS rk
+    keyed AS (
+        SELECT doc_id, lpos, line, {lh} AS lh,
+               doc_id * 1048576 + lpos AS pk
         FROM page_lines
+    ), firsts AS (
+        SELECT lh, MIN(pk) AS minpk FROM keyed GROUP BY lh
     ), counts AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM page_lines GROUP BY doc_id
@@ -124,7 +135,9 @@ def line_dedup_sql(engine: str) -> str:
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_kept,
                {_agg_lines(engine)} AS text_clean
-        FROM (SELECT doc_id, lpos, line FROM ranked WHERE rk = 1) _k
+        FROM (SELECT k.doc_id, k.lpos, k.line
+              FROM keyed k JOIN firsts f
+                ON k.lh = f.lh AND k.pk = f.minpk) _k
         GROUP BY doc_id
     )
     SELECT c.doc_id, c.n_lines,

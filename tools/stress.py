@@ -126,6 +126,14 @@ OP_BUDGETS = {
     # a <=1024-row broadcast bucket model, so 8x docs -> 8x gram
     # mass is the design shape: linear-ceiling convention.
     "dsir_importance": 10.5,
+    # r12 addition: CCNet line-level dedup.  Deliberately a
+    # groupBy-MIN(packed key) + equi-join, NOT a window rank — a hot
+    # boilerplate line (the planted nav line: one copy per doc, so 8x
+    # copies here) would pile into one window partition, while the
+    # MIN partial-aggregates map-side.  Measured 2.39x / 1.66x at 8x
+    # (sub-linear: fixed page-synthesis overhead dominates); budget =
+    # worse run x ~1.3.
+    "line_dedup_ccnet": 3.2,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
