@@ -50,30 +50,54 @@ def _ladder(n: str, t: str, kmax: int = 40) -> str:
         for k in range(kmax + 1)) + f" ELSE {kmax + 1} END"
 
 
+def _bigram_expr(engine: str) -> str:
+    """Bigram array over a bound token-array column ``tk``: 1-based
+    indexing outside lambdas in both engines; Spark lambda bracket
+    indexing is 0-based, so shift the sequence (the decontaminate_sql
+    idiom)."""
+    lo, hi = (1, "{alen}(tk) - 1") if engine != "spark" \
+        else (0, "{alen}(tk) - 2")
+    return render("{ltrans}({seq}(%s, %s), i -> tk[i] || ' ' "
+                  "|| tk[i+1])" % (lo, hi), engine)
+
+
+def _bucket_expr(engine: str) -> str:
+    return f"({hash48('gram', engine)}) % {N_BUCKETS}"
+
+
+def _grams_to_feats(engine: str, tk_rel: str) -> str:
+    """gramstream + feats CTE bodies over a token relation
+    ``tk_rel(doc_id, lang, tk)``."""
+    alen = render("{alen}", engine)
+    explode = render("{explode}", engine)
+    return f"""
+    gramstream AS (
+        SELECT doc_id, lang, {explode}(tk) AS gram FROM {tk_rel}
+        UNION ALL
+        SELECT doc_id, lang, {explode}(bg) AS gram
+        FROM (SELECT doc_id, lang, {_bigram_expr(engine)} AS bg
+              FROM {tk_rel} WHERE {alen}(tk) >= 2) _b
+    ), feats AS (
+        SELECT doc_id, lang, {_bucket_expr(engine)} AS b
+        FROM gramstream
+    )"""
+
+
+def _feats_cte(engine: str) -> str:
+    """WITH chain up to ``feats(doc_id, lang, b)`` — the hashed
+    unigram+bigram occurrence stream (the shared dual-engine
+    template form)."""
+    toks = render(TOKENS, engine)
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {toks} AS tk FROM documents
+    ), {_grams_to_feats(engine, 'tk')}"""
+
+
 def _scored_cte(engine: str) -> str:
     """Shared CTE chain: tokens -> unigram+bigram stream -> hashed
     buckets -> raw/target bucket models -> per-doc integer score."""
-    toks = render(TOKENS, engine)
-    # bigram over the token array: 1-based indexing outside lambdas
-    # in both engines; Spark lambda bracket indexing is 0-based, so
-    # shift the sequence (the decontaminate_sql idiom)
-    lo, hi = (1, "{alen}(tk) - 1") if engine != "spark" \
-        else (0, "{alen}(tk) - 2")
-    bi = ("{ltrans}({seq}(%s, %s), i -> tk[i] || ' ' || tk[i+1])"
-          % (lo, hi))
-    bucket = f"({hash48('gram', engine)}) % {N_BUCKETS}"
-    t = f"""
-    WITH tk AS (
-        SELECT doc_id, lang, {toks} AS tk FROM documents
-    ), gramstream AS (
-        SELECT doc_id, lang, {{explode}}(tk) AS gram FROM tk
-        UNION ALL
-        SELECT doc_id, lang, {{explode}}(bg) AS gram
-        FROM (SELECT doc_id, lang, {bi} AS bg FROM tk
-              WHERE {{alen}}(tk) >= 2) _b
-    ), feats AS (
-        SELECT doc_id, lang, {bucket} AS b FROM gramstream
-    ), rawc AS (
+    t = f"""{_feats_cte(engine)}, rawc AS (
         SELECT b, COUNT(*) AS n FROM feats GROUP BY b
     ), tgtc AS (
         SELECT b, COUNT(*) AS n FROM feats WHERE lang = 'en'
@@ -131,15 +155,83 @@ def dsir_select_sql(engine: str) -> str:
     """
 
 
+def _scored_df(spark, sf_dir: str):
+    """Spark strategy for the scored relation — OUTPUT-identical to
+    the template's `scored` CTE, with the gram pipeline run ONCE.
+
+    The template references `feats` three times (raw model, target
+    model, per-doc score) and Spark INLINES CTEs, so the SQL form
+    tokenizes + explodes + md5-hashes the whole corpus THREE times
+    per query (it was the two slowest bench entries).  Strategy:
+    collapse the gram stream to per-(doc_id, lang, bucket) COUNTS —
+    rows bounded by min(n_grams, 1024) per doc, ints only — and
+    localCheckpoint that compact relation; models and scores are
+    exact linear functions of the counts (COUNT(*) = SUM(c),
+    SUM(k_raw-k_tgt) over occurrences = SUM(c*(k_raw-k_tgt))), so
+    values are bit-identical to the template the oracle runs."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    # the fixture parquet has 1-2 row groups, so without this the
+    # ENTIRE tokenize/explode/md5 pipeline serializes into 2 tasks
+    # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
+    # spread the expensive projection across the cluster first
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    docs.createOrReplaceTempView("documents")
+    # MATERIALIZE the token arrays before the bigram lambda: Catalyst
+    # collapses the tk projection INTO the transform() lambda, so the
+    # split(trim(lower(text))) re-evaluates PER ELEMENT — O(tokens^2)
+    # per document, measured as 6.2 of the 7.4 s at sf0.1 (the r2
+    # "bind before lambdas" lesson; a CTE/inner-select is NOT a
+    # binding barrier, only materialization is)
+    toks = render(TOKENS, "spark")
+    tk = spark.sql(f"SELECT doc_id, lang, {toks} AS tk "
+                   "FROM documents").localCheckpoint()
+    tk.createOrReplaceTempView("__dsir_tk")
+    fcnt = spark.sql(
+        f"WITH {_grams_to_feats('spark', '__dsir_tk')}" + """
+        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM feats GROUP BY doc_id, lang, b
+        """).localCheckpoint()
+    fcnt.createOrReplaceTempView("__dsir_fcnt")
+    return spark.sql(f"""
+        WITH rawc AS (
+            SELECT b, SUM(c) AS n FROM __dsir_fcnt GROUP BY b
+        ), tgtc AS (
+            SELECT b, SUM(c) AS n FROM __dsir_fcnt WHERE lang = 'en'
+            GROUP BY b
+        ), rt AS (
+            SELECT CAST(SUM(n) + {N_BUCKETS} AS BIGINT) AS t FROM rawc
+        ), tt AS (
+            SELECT CAST(COALESCE(SUM(n), 0) + {N_BUCKETS} AS BIGINT)
+                AS t FROM tgtc
+        ), model AS (
+            SELECT r.b,
+                   {_ladder('r.n + 1', 'rt.t')} AS k_raw,
+                   {_ladder('COALESCE(tg.n, 0) + 1', 'tt.t')} AS k_tgt
+            FROM rawc r
+            LEFT JOIN tgtc tg ON tg.b = r.b
+            CROSS JOIN rt CROSS JOIN tt
+        )
+        SELECT f.doc_id,
+               CAST(SUM(f.c) AS BIGINT) AS n_grams,
+               CAST(SUM(f.c * (m.k_raw - m.k_tgt)) AS BIGINT) AS score
+        FROM __dsir_fcnt f JOIN model m ON m.b = f.b
+        GROUP BY f.doc_id
+    """)
+
+
+def dsir_importance_fn(spark, sf_dir: str):
+    """Spark strategy for `dsir_importance` — see ``_scored_df``."""
+    return _scored_df(spark, sf_dir)
+
+
 def dsir_select_fn(spark, sf_dir: str):
     """Spark strategy for `dsir_select` (same output as the DuckDB
     template) — one gram-pipeline pass, scores materialized, then
     the broadcast mean-cutoff comparison."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    scored = spark.sql(
-        dsir_importance_sql("spark")).localCheckpoint()
+    scored = _scored_df(spark, sf_dir).localCheckpoint()
     scored.createOrReplaceTempView("dsir_scored")
     return spark.sql("""
         SELECT s.doc_id, s.score,

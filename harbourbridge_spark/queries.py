@@ -3484,15 +3484,20 @@ REGISTRY["dedup_semdedup"] = QuerySpec(
 
 from .pipeline import dsir as _dsir  # noqa: E402
 
-_register_template(
-    "dsir_importance", _dsir.dsir_importance_sql,
+REGISTRY["dsir_importance"] = QuerySpec(
+    _dsir.dsir_importance_fn, _dsir.dsir_importance_sql("duckdb"),
     "DSIR data selection (Xie et al. NeurIPS'23): per-document "
     "importance score under hashed unigram+bigram bag models — "
     "target (lang='en') vs raw rarity-ladder difference, the "
     "house integer-exact quantization of the paper's log ratio "
     f"(no floating log); {_dsir.N_BUCKETS} hashed feature buckets, "
     "so both models broadcast and the only corpus-sized shuffle is "
-    "the per-doc groupBy")
+    "the per-doc groupBy.  Spark strategy: the gram pipeline runs "
+    "ONCE into a checkpointed per-(doc,lang,bucket) count relation "
+    "(Spark inlines the thrice-referenced feats CTE — the SQL form "
+    "tokenized and md5-hashed the corpus 3x per query); models and "
+    "scores are exact linear functions of the counts, so values "
+    "stay bit-identical to the DuckDB template")
 REGISTRY["dsir_select"] = QuerySpec(
     _dsir.dsir_select_fn, _dsir.dsir_select_sql("duckdb"),
     "DSIR selection manifest: keep docs scoring above the corpus "
@@ -3539,6 +3544,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 12: published web-cleaning recipes — new entries (CCNet
     # line dedup, Gopher rules, C4 filters)
     "line_dedup_ccnet", "gopher_quality_rules", "c4_clean",
+    # round 12: DSIR Spark strategy rewritten (token arrays
+    # materialized before the bigram lambda — Catalyst collapsed the
+    # split() into the lambda, O(tokens^2)/doc; 7.4 -> 2.6 s at
+    # sf0.1) — values bit-identical but the expression changed, so
+    # both entries re-pin per the rotation policy
+    "dsir_importance", "dsir_select",
 ]
 
 _CHANGED_ROUND_11: list[str] = [
