@@ -125,7 +125,12 @@ OP_BUDGETS = {
     # r11 addition: DSIR importance scoring — the gram stream joins
     # a <=1024-row broadcast bucket model, so 8x docs -> 8x gram
     # mass is the design shape: linear-ceiling convention.
-    "dsir_importance": 10.5,
+    # r12: tightened 10.5 -> 3.0 after the O(tokens^2) bigram-lambda
+    # fix (the 7.47x r11 calibration was measuring the quadratic;
+    # post-fix: 1.90x / 1.71x at 8x — sub-linear, fixed overheads
+    # amortize).  3.0 is also the gate floor, i.e. the tightest
+    # enforceable budget.
+    "dsir_importance": 3.0,
     # r12 addition: CCNet line-level dedup.  Deliberately a
     # groupBy-MIN(packed key) + equi-join, NOT a window rank — a hot
     # boilerplate line (the planted nav line: one copy per doc, so 8x
