@@ -8,10 +8,17 @@ crawl ingestion and model training:
   line/paragraph, count occurrences CORPUS-WIDE, drop repeated lines
   (boilerplate nav/footer text is the dominant duplicate class).
   Implemented keep-first: the minimum (doc_id, line_pos) occurrence
-  of each line hash survives.  100 TB shape: ONE shuffle on 48-bit
-  line fingerprints (a window rank, never a self-join); re-assembly
-  is a per-doc aggregation — no quadratic term, and nothing longer
-  than a line ever shuffles.
+  of each line hash survives.  100 TB shape: deliberately NOT a
+  window — a groupBy-MIN(packed doc_id,lpos) argmin per line hash
+  (map-side partial aggregation absorbs the hot boilerplate key)
+  plus an equi-join back (AQE skew-join on the probe side); a
+  ``ROW_NUMBER() OVER (PARTITION BY line_hash)`` would funnel every
+  copy of a hot nav line into ONE window partition.  Keys are two
+  disjoint 60-bit md5 slices (120 effective bits): line cardinality
+  at 100 TB is 10^10-10^11, where a 48-bit key expects 10^5-10^7
+  birthday collisions, each silently deleting an innocent line (see
+  SCALE.md collision budget).  Re-assembly is a per-doc aggregation
+  — no quadratic term, and nothing longer than a line ever shuffles.
 - **Gopher rules** (Rae et al. 2021, §A1.1): word-count bounds
   [50, 100k], mean-word-length bounds [3, 10], symbol-to-word ratio
   (# / ellipsis) <= 0.1, <= 90% bullet-starting lines, <= 30%
@@ -43,7 +50,7 @@ pure projections + one line-hash shuffle; no Python anywhere.
 
 from __future__ import annotations
 
-from .hashing import hash48
+from .hashing import hash60
 from .text import TOKENS, render, sumlen
 
 # Gopher §A1.1 stopword list (the paper names exactly these)
@@ -118,16 +125,23 @@ def line_dedup_sql(engine: str) -> str:
     (lpos < 2^20 by construction), take MIN per hash (map-side
     partial aggregation — the hot key combines on every mapper), and
     equi-join the 1-row-per-hash minima back (AQE skew-join handles
-    the probe side)."""
-    lh = hash48("line", engine)
+    the probe side).
+
+    Fingerprint width: TWO disjoint 60-bit md5 slices (chars 1-15
+    and 16-30), 120 effective bits.  48 bits is fine at document
+    cardinality but 10^10-10^11 distinct LINES put the 48-bit
+    birthday term at 10^5-10^7 false merges; 120 bits makes the
+    expected count zero at any real corpus size (SCALE.md)."""
+    lh = hash60("line", engine)
+    lh2 = hash60("line", engine, start=16)
     t = f"""
     WITH {_page_lines_fragment(engine)},
     keyed AS (
-        SELECT doc_id, lpos, line, {lh} AS lh,
+        SELECT doc_id, lpos, line, {lh} AS lh, {lh2} AS lh2,
                doc_id * 1048576 + lpos AS pk
         FROM page_lines
     ), firsts AS (
-        SELECT lh, MIN(pk) AS minpk FROM keyed GROUP BY lh
+        SELECT lh, lh2, MIN(pk) AS minpk FROM keyed GROUP BY lh, lh2
     ), counts AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM page_lines GROUP BY doc_id
@@ -137,7 +151,8 @@ def line_dedup_sql(engine: str) -> str:
                {_agg_lines(engine)} AS text_clean
         FROM (SELECT k.doc_id, k.lpos, k.line
               FROM keyed k JOIN firsts f
-                ON k.lh = f.lh AND k.pk = f.minpk) _k
+                ON k.lh = f.lh AND k.lh2 = f.lh2
+               AND k.pk = f.minpk) _k
         GROUP BY doc_id
     )
     SELECT c.doc_id, c.n_lines,

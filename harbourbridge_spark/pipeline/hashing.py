@@ -40,6 +40,47 @@ def hash48(expr: str, engine: str) -> str:
     return spark_hash48(expr) if engine == "spark" else duck_hash48(expr)
 
 
+def spark_hash_slice(expr: str, start: int = 1, nhex: int = 15) -> str:
+    """Spark SQL: integer from ``nhex`` hex chars of md5 starting at
+    1-based ``start``. nhex <= 15 keeps the value < 2^60 < 2^63
+    (conv returns a string; the CAST must not overflow BIGINT)."""
+    assert 1 <= nhex <= 15 and start + nhex - 1 <= 32
+    return (f"CAST(conv(substring(md5({expr}), {start}, {nhex}), 16, 10) "
+            f"AS BIGINT)")
+
+
+def duck_hash_slice(expr: str, start: int = 1, nhex: int = 15) -> str:
+    """DuckDB twin: ascii()-polynomial over the same hex chars.
+    Largest term is 15 * 16^(nhex-1) = 15 * 2^56 < 2^60; the full sum
+    stays < 2^61, ANSI-overflow-safe."""
+    assert 1 <= nhex <= 15 and start + nhex - 1 <= 32
+    h = f"md5({expr})"
+    terms = []
+    for j in range(nhex):
+        i = start + j
+        digit = (f"(ascii(substring({h}, {i}, 1)) - "
+                 f"CASE WHEN ascii(substring({h}, {i}, 1)) >= 97 "
+                 f"THEN 87 ELSE 48 END)")
+        terms.append(f"{digit} * CAST({16 ** (nhex - 1 - j)} AS BIGINT)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash60(expr: str, engine: str, start: int = 1) -> str:
+    """60-bit md5 slice (15 hex chars from 1-based ``start``).
+
+    Sized for LINE/GRAM cardinality: at 100 TB a corpus holds
+    10^10-10^11 distinct lines, where hash48's birthday term is
+    N^2/2^49 ~ 10^5-10^7 false merges (each silently deleting an
+    innocent line).  60 bits cuts that 4096x; pairing two disjoint
+    slices (start=1 and start=16) gives 120 effective bits — zero
+    expected collisions at any conceivable corpus size.  Document-
+    cardinality keys (10^9 docs) stay on hash48: ~10^3 expected
+    collisions, tolerable for dedup (see SCALE.md collision budget)."""
+    if engine == "spark":
+        return spark_hash_slice(expr, start, 15)
+    return duck_hash_slice(expr, start, 15)
+
+
 def hash31_poly(expr: str, n: int = 5) -> str:
     """Arithmetic 31-bit polynomial hash over the first ``n`` characters
     of a string expression — the cheap alternative to the md5-derived

@@ -1248,15 +1248,23 @@ def analyze_mp3(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
 
 
-def analyze_vorbis(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def analyze_vorbis(media: DataFrame) -> DataFrame:
     """REAL Ogg Vorbis sample decode + DSP over the decoded PCM: the
     full audio chain (in-stream codebooks, floor1 curve synthesis,
     residue type 1/2, IMDCT + Vorbis window overlap-add —
     pipeline/vorbis.py) runs per row inside an Arrow batch;
     dominant_hz comes from an rFFT over the DECODED samples.
-    Streams outside the decodable subset (floor0/LSP, window
-    switching) and corrupt streams yield nulls (quarantine
-    convention).  n_frames = audio packet count."""
+    Streams outside the decodable subset (window switching) and
+    corrupt streams yield nulls (quarantine convention).  n_frames =
+    audio packet count.
+
+    Unlike the bulk-media kernels above, this one does NOT set
+    spark.sql.execution.arrow.maxRecordsPerBatch: a build-time
+    session-conf set silently re-batches every LATER Arrow kernel in
+    the session (the exact leak r12 removed from warc_records, pinned
+    by test_warc_kernels_do_not_mutate_session_confs), and the input
+    rows here are small media_id/content tone blobs bounded by the
+    synth kernel's flush — the default batch size is safe."""
     from .vorbis import vorbis_tone_analysis
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1280,9 +1288,6 @@ def analyze_vorbis(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows["dominant_hz"].append(f0)
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
     return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
 
 

@@ -2356,9 +2356,12 @@ _register_template(
     "CCNet paragraph-level dedup (Wenzek et al. LREC'20): corpus-wide "
     "line-hash keep-first over a synthesized multi-line page per doc "
     "(with a planted corpus-wide nav line — the boilerplate class the "
-    "recipe exists for).  One window rank on 48-bit line fingerprints "
-    "(never a self-join), per-doc reassembly; nothing longer than a "
-    "line ever shuffles")
+    "recipe exists for).  Keep-first is a groupBy-MIN(packed "
+    "doc_id,lpos) argmin + equi-join back, deliberately NOT a window "
+    "(a window rank would single-partition the hot boilerplate key); "
+    "keys are two disjoint 60-bit md5 slices (120 effective bits — "
+    "48 is under-sized at 100 TB line cardinality); per-doc "
+    "reassembly; nothing longer than a line ever shuffles")
 _register_template(
     "gopher_quality_rules", _cleaning.gopher_rules_sql,
     "Gopher quality rules (Rae et al. 2021 A1.1), integer-exact: "

@@ -73,25 +73,34 @@ def _is_missing_input_error(err: Exception) -> bool:
 
 
 def _run_with_swap_retry(attempt):
-    """Run one micro-batch's store-probe work, retrying ONCE when a
-    concurrent compaction swapped a store mid-job.  Safe because (a)
-    the retry rebuilds the plan, re-listing the store directory — it
-    sees the post-compaction store, and compaction preserves probe
-    semantics (decision invariance is e2e-pinned); (b) everything
-    inside ``attempt`` is replay-tolerant: per-epoch sinks are
-    mode=overwrite, and any signature append a retry could repeat is
-    exactly the crash-replay double-append the store is pinned to
-    tolerate (decisions invariant; compaction removes the extra rows).
-    Two retries, because a compaction pass legitimately swaps BOTH
-    stores (signature then curation) and each can land inside one
+    """Run one micro-batch's store-probe work, retrying up to TWICE
+    (three attempts total) when a concurrent compaction swapped a
+    store mid-job.  Safe because (a) each retry rebuilds the plan,
+    re-listing the store directory — it sees the post-compaction
+    store, and compaction preserves probe semantics (decision
+    invariance is e2e-pinned); (b) everything inside ``attempt`` is
+    replay-tolerant: per-epoch sinks are mode=overwrite, and any
+    signature append a retry could repeat is exactly the crash-replay
+    double-append the store is pinned to tolerate (decisions
+    invariant; compaction removes the extra rows).  Two retries,
+    because a compaction pass legitimately swaps BOTH stores
+    (signature then curation) and each can land inside one
     micro-batch; beyond that the failure propagates and streaming's
-    own at-least-once replay takes over."""
-    for _ in range(2):
+    own at-least-once replay takes over.  Each swallowed swap race is
+    logged so retries are observable, never silent."""
+    import logging
+    log = logging.getLogger(__name__)
+    for i in range(2):
         try:
             return attempt()
         except Exception as err:            # py4j wraps Java errors
             if not _is_missing_input_error(err):
                 raise
+            log.warning(
+                "store swap race during micro-batch (attempt %d/3): "
+                "input vanished mid-job — a compaction swapped the "
+                "store; rebuilding the plan and retrying. %s",
+                i + 1, str(err).splitlines()[0][:200])
     return attempt()
 
 
