@@ -114,14 +114,21 @@ def streaming_incremental_dedup(stream: DataFrame, store_path: str,
     ``StreamingQuery``; verdicts land under ``{out_dir}/epoch=K/``."""
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipeline.dedup import dedup_incremental_against_store
+        from ..pipeline.storecache import store_lock
         spark = batch_df.sparkSession
 
         def attempt():
             verdicts = dedup_incremental_against_store(
                 spark, store_path, batch_df, admit=admit)
-            # idempotent per-epoch sink: replay overwrites, never dups
-            verdicts.write.mode("overwrite").parquet(
-                f"{out_dir}/epoch={int(epoch_id)}")
+            # idempotent per-epoch sink: replay overwrites, never
+            # dups.  SHARED lock on the output root: an output
+            # compaction holds it exclusively for snapshot+swap, so
+            # an epoch can never land inside that window and be
+            # destroyed (the signature-store lost-update, applied to
+            # the verdict OUTPUT — see compact_admission_output)
+            with store_lock(out_dir, exclusive=False):
+                verdicts.write.mode("overwrite").parquet(
+                    f"{out_dir}/epoch={int(epoch_id)}")
 
         _run_with_swap_retry(attempt)
 
@@ -144,27 +151,31 @@ def compact_admission_output(spark: SparkSession, out_dir: str,
     whole dataset is read with its epoch partition column,
     re-bucketed by epoch, and swapped in atomically.
 
-    QUIESCE RULE: unlike the signature/curation STORES (safe to
-    compact under a live stream — the probes re-list and retry,
-    test-pinned), the verdict OUTPUT must not be compacted while the
-    admission sink is running: the rebuild starts from a snapshot,
-    so an epoch directory the sink lands between snapshot and swap
-    would be silently destroyed.  Compact output between runs."""
+    Safe under a LIVE admission sink (r12's docstring-only quiesce
+    rule is now enforced by code, VERDICT r12 ask 4): the EXCLUSIVE
+    output lock covers snapshot AND swap, and both streaming sinks
+    take the same lock SHARED around their per-epoch writes — an
+    epoch can never land between this function's snapshot and its
+    swap and be silently destroyed (the signature-store lost-update
+    fix, applied to the verdict output; e2e-pinned by
+    test_live_compaction.test_output_compaction_under_live_sink)."""
     import os
 
-    from ..pipeline.storecache import replace_store
+    from ..pipeline.storecache import replace_store, store_lock
 
-    df = spark.read.parquet(out_dir)
-    files_before = len(df.inputFiles())
-    rows = df.count()
-    snap = df.localCheckpoint()
-    replace_store(out_dir, lambda tmp: snap
-                  .repartition(max(1, files_per_epoch *
-                                   snap.select("epoch")
-                                   .distinct().count()), "epoch")
-                  .write.partitionBy("epoch").parquet(tmp))
-    after = spark.read.parquet(out_dir)
-    assert after.count() == rows
+    with store_lock(out_dir, exclusive=True):
+        df = spark.read.parquet(out_dir)
+        files_before = len(df.inputFiles())
+        rows = df.count()
+        snap = df.localCheckpoint()
+        replace_store(out_dir, lambda tmp: snap
+                      .repartition(max(1, files_per_epoch *
+                                       snap.select("epoch")
+                                       .distinct().count()), "epoch")
+                      .write.partitionBy("epoch").parquet(tmp),
+                      pre_locked=True)
+        after = spark.read.parquet(out_dir)
+        assert after.count() == rows
     return {"files_before": files_before,
             "files_after": len(after.inputFiles()),
             "rows": rows}
@@ -225,8 +236,13 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
                        .withColumn("admitted",
                                    F.col("reason").isNull())
                        .localCheckpoint())
-            verdict.write.mode("overwrite").parquet(
-                f"{out_dir}/epoch={int(epoch_id)}")
+            # shared output lock: see streaming_incremental_dedup —
+            # serializes this epoch write against an output
+            # compaction's snapshot+swap window
+            from ..pipeline.storecache import store_lock
+            with store_lock(out_dir, exclusive=False):
+                verdict.write.mode("overwrite").parquet(
+                    f"{out_dir}/epoch={int(epoch_id)}")
             return verdict
 
         verdict = _run_with_swap_retry(attempt)

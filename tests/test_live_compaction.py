@@ -166,9 +166,8 @@ def test_compaction_during_live_admission_stream(spark, tmp_path):
 
         def compact_all():
             # the stores the probes READ compact live; the verdict
-            # OUTPUT does not — compact_admission_output rebuilds
-            # from a snapshot, so an epoch the sink lands mid-swap
-            # would be lost (its docstring pins the quiesce rule)
+            # OUTPUT has its own live-compaction e2e below
+            # (test_output_compaction_under_live_sink)
             stats["sig"] = signature_store_compact(spark, sig_a)
             stats["cur"] = curation_store_compact(spark, cur_a)
 
@@ -218,3 +217,105 @@ def test_compaction_during_live_admission_stream(spark, tmp_path):
             (False, "near_dup", base + 3 + i)
     for d in (200, 201, 202, 400, 401, 402):
         assert va[base + d][0] is True
+
+
+def test_output_compaction_under_live_sink(spark, tmp_path):
+    """VERDICT r12 ask 4: r12 pinned 'do not compact the verdict
+    OUTPUT under a live sink' by docstring only.  r13 replaces the
+    quiesce rule with the same lost-update protection the signature
+    store got: compact_admission_output holds the output root's
+    EXCLUSIVE lock across snapshot+swap and both streaming sinks take
+    it SHARED around their per-epoch writes — an epoch write can
+    never land inside the snapshot->swap window and be destroyed.
+
+    The race shape that killed fork A in the r12 store e2e, aimed at
+    the OUTPUT: a live processingTime stream, epoch 1 landed, then an
+    output compaction races epochs 2/3.  Every epoch must survive."""
+    from harbourbridge_spark.pipeline.curation import (
+        curation_store_write)
+    from harbourbridge_spark.pipeline.dedup import (
+        signature_store_write)
+    from harbourbridge_spark.streaming.corpus import (
+        compact_admission_output, document_stream,
+        streaming_corpus_admission)
+
+    base = 80_000_000
+    corpus = spark.createDataFrame(
+        [(i, "s", "en", t)
+         for i, t in enumerate(_uniq_texts("osink-corp", 8))],
+        DOCS_COLS)
+    e1 = [(base + i, "synthetic", "en", t)
+          for i, t in enumerate(_uniq_texts("osink-e1", 5))]
+    e2 = [(base + 100 + i, "synthetic", "en", t)
+          for i, t in enumerate(_uniq_texts("osink-e2", 4))]
+    e3 = [(base + 200 + i, "synthetic", "en", t)
+          for i, t in enumerate(_uniq_texts("osink-e3", 4))]
+
+    sig = str(tmp_path / "sig")
+    cur = str(tmp_path / "cur")
+    sdir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    signature_store_write(spark, corpus, sig)
+    curation_store_write(spark, corpus, cur)
+    os.makedirs(sdir)
+
+    def epochs_done(n: int) -> bool:
+        eps = [e for e in (os.listdir(out) if os.path.isdir(out)
+                           else []) if e.startswith("epoch=")]
+        return len(eps) >= n and all(
+            glob.glob(f"{out}/{e}/_SUCCESS") for e in eps)
+
+    _write_stream_file(spark, sdir, "e1", e1)
+    q = streaming_corpus_admission(
+        document_stream(spark, sdir), sig, cur, out, ckpt,
+        processing_time="500 milliseconds")
+    stats = {}
+    try:
+        t0 = time.time()
+        while not epochs_done(1):
+            assert q.exception() is None, q.exception()
+            assert time.time() - t0 < 120, "epoch 1 never landed"
+            time.sleep(0.3)
+
+        def compact_output():
+            stats["out"] = compact_admission_output(spark, out)
+
+        th = threading.Thread(target=compact_output)
+        th.start()                      # NO coordination with batches
+        _write_stream_file(spark, sdir, "e2", e2)
+        time.sleep(0.2)
+        _write_stream_file(spark, sdir, "e3", e3)
+        th.join(timeout=180)
+        assert not th.is_alive()
+        assert "out" in stats, "output compaction died"
+
+        # completion probe: the compaction's partitionBy rewrite
+        # legitimately drops epoch=1's per-dir _SUCCESS marker, so
+        # poll CONTENT (the read may race an epoch overwrite — retry)
+        want = ({r[0] for r in e1} | {r[0] for r in e2}
+                | {r[0] for r in e3})
+        t0 = time.time()
+        while True:
+            assert q.exception() is None, q.exception()
+            assert time.time() - t0 < 120, "epochs 2/3 never landed"
+            try:
+                got = {r.doc_id
+                       for r in spark.read.parquet(out).collect()}
+            except Exception:           # mid-swap/mid-write listing
+                got = set()
+            if got == want:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    # every epoch's rows survived the racing snapshot->swap: nothing
+    # the sink landed during the compaction window was destroyed
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {r[0] for r in e1} | {r[0] for r in e2} | {r[0] for r in e3}
+    assert got == want
+    # the compaction did real work on the live output (it ran against
+    # at least epoch 1; epochs landing later are untouched by it)
+    assert stats["out"]["rows"] >= len(e1)
+    assert stats["out"]["files_after"] <= stats["out"]["files_before"]

@@ -139,6 +139,16 @@ OP_BUDGETS = {
     # (sub-linear: fixed page-synthesis overhead dominates); budget =
     # worse run x ~1.3.
     "line_dedup_ccnet": 3.2,
+    # r13 addition (VERDICT r12 ask 8): the surprisal pair — the two
+    # entries that drifted twice on the official bench without a
+    # gate (both A/B-exonerated each time: 1.018x/1.093x normalized
+    # r11-vs-r12, NOTES_DEV r13 table).  Design shape: single-pass
+    # token projections + per-doc window LEADs joined to a broadcast
+    # gram model — 8x docs -> 8x gram mass, linear.  r13 calibration
+    # (isolated run, canary 1.764): bigram 3.10x, doc 2.88x at 8x;
+    # budgets = measured x ~1.3, the house convention.
+    "bigram_surprisal": 4.0,
+    "doc_surprisal": 3.8,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
