@@ -128,11 +128,22 @@ def _doc_date(doc_id: int) -> str:
 
 
 def build_warc_file(file_id: int, docs: list[tuple[int, str]],
-                    gzip_members: bool = False) -> bytes:
+                    gzip_members: bool = False,
+                    corrupt_mod: tuple[int, int] | None = None) -> bytes:
     """One WARC file: warcinfo + one response record per doc (sorted
     by doc_id).  ``gzip_members`` emits each record as its own gzip
     member (Common Crawl's layout — the property that makes a 1 GiB
-    crawl file splittable mid-stream)."""
+    crawl file splittable mid-stream).
+
+    ``corrupt_mod=(m, k)`` deterministically damages the record of
+    every doc with ``doc_id % m == k`` (first header byte flipped,
+    'WARC/1.0' -> 'XARC/1.0') — the salvage-accounting fixture.  The
+    damage sits INSIDE a well-formed gzip member in member mode, so
+    the member inflates fine and the RECORD-level resync path is
+    what fires in both layouts.  Closed-form drop counts require
+    ``m`` to not divide the in-file doc_id stride (docs land in file
+    ``doc_id % n_files``, so the stride is n_files): two ADJACENT
+    damaged records would merge into one resync event."""
     records = [_record([
         ("WARC-Type", "warcinfo"),
         ("WARC-Record-ID", f"<urn:warcinfo:{file_id}>"),
@@ -140,18 +151,32 @@ def build_warc_file(file_id: int, docs: list[tuple[int, str]],
         ("Content-Type", "application/warc-fields"),
     ], WARCINFO_PAYLOAD)]
     for doc_id, text in sorted(docs):
-        records.append(_response_record(doc_id, text))
+        rec = _response_record(doc_id, text)
+        if corrupt_mod is not None \
+                and doc_id % corrupt_mod[0] == corrupt_mod[1]:
+            rec = b"X" + rec[1:]
+        records.append(rec)
     if gzip_members:
         return b"".join(gzip.compress(r, mtime=0) for r in records)
     return b"".join(records)
 
 
 def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
-                     gzip_members: bool = False) -> DataFrame:
+                     gzip_members: bool = False,
+                     corrupt_mod: tuple[int, int] | None = None
+                     ) -> DataFrame:
     """documents -> (file_id, content) WARC files, file per
     ``doc_id % n_files`` group.  One groupBy shuffle builds the
-    fixture; real ingestion reads files straight off storage."""
+    fixture; real ingestion reads files straight off storage.
+    ``corrupt_mod`` passes through to :func:`build_warc_file` (the
+    salvage-accounting fixture); it must not divide ``n_files`` or
+    adjacent damaged records would merge resync events."""
     import pyspark.sql.functions as F
+
+    if corrupt_mod is not None and n_files % corrupt_mod[0] == 0:
+        raise ValueError("warc: corrupt_mod divides n_files — "
+                         "adjacent damaged records would merge "
+                         "resync events (non-closed-form counts)")
 
     out_schema = T.StructType([
         T.StructField("file_id", T.LongType(), False),
@@ -162,7 +187,8 @@ def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
         fid = int(pdf["file_id"].iloc[0])
         pairs = list(zip((int(d) for d in pdf["doc_id"]),
                          (str(t) for t in pdf["text"])))
-        blob = build_warc_file(fid, pairs, gzip_members=gzip_members)
+        blob = build_warc_file(fid, pairs, gzip_members=gzip_members,
+                               corrupt_mod=corrupt_mod)
         return pd.DataFrame({"file_id": [fid], "content": [blob]})
 
     keyed = docs.select(
@@ -490,6 +516,76 @@ def warc_stats_oracle_sql(n_files: int = N_WARC_FILES) -> str:
                      '</p></body></html>')) AS hlen
           FROM documents)
     GROUP BY doc_id % {n_files}
+    """
+
+
+def salvage_stats(rec: DataFrame) -> DataFrame:
+    """Salvage-drop drift report (VERDICT r12 ask 7): aggregate the
+    per-file ``__dropped__`` meta rows into the surface a crawl
+    operator actually watches — per-file good/dropped record counts
+    with a drop-rate column, plus ONE corpus-total row (file_id =
+    -1).  A rising drop_frac is the earliest signal of upstream
+    corruption (a bad crawler build, a truncating proxy) — without
+    this aggregation the salvage counters exist but nobody reads
+    them.
+
+    Scale shape: one low-cardinality groupBy (rollup) over already-
+    parsed records — per-file partials combine map-side; the total
+    row is the rollup's grand-total group, not a second pass.
+    drop_frac follows the house exact-integer convention (corpus
+    drift / source stats): 6-dp half-up in integer arithmetic,
+    one final IEEE division, so Spark and DuckDB can never disagree
+    on a rounding boundary."""
+    import pyspark.sql.functions as F
+
+    g = rec.rollup("file_id").agg(
+        F.sum((F.col("warc_type") == "response").cast("long"))
+         .alias("n_responses"),
+        F.sum(F.when(F.col("warc_type") == DROPPED_META_TYPE,
+                     F.col("content_length")).otherwise(F.lit(0)))
+         .alias("n_dropped"))
+    return g.selectExpr(
+        "CAST(coalesce(file_id, -1) AS BIGINT) AS file_id",
+        "CAST(n_responses AS BIGINT) AS n_responses",
+        "CAST(n_dropped AS BIGINT) AS n_dropped",
+        "CAST((2 * 1000000 * n_dropped + (n_dropped + n_responses)) "
+        "div (2 * (n_dropped + n_responses)) AS DOUBLE) / 1000000.0 "
+        "AS drop_frac")
+
+
+def salvage_stats_oracle_sql(n_files: int = N_WARC_FILES,
+                             corrupt_mod: tuple[int, int] = (17, 3)
+                             ) -> str:
+    """Closed-form DuckDB twin of :func:`salvage_stats` over the
+    corrupt_mod fixture: every doc with doc_id % m == k costs
+    exactly one resync event (damaged records are never adjacent —
+    m does not divide the n_files stride), everything else parses
+    as a response."""
+    m, k = corrupt_mod
+    return f"""
+    WITH per AS (
+        SELECT CAST(doc_id % {n_files} AS BIGINT) AS file_id,
+               CAST(SUM(CASE WHEN doc_id % {m} = {k}
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_responses,
+               CAST(SUM(CASE WHEN doc_id % {m} = {k}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM documents GROUP BY doc_id % {n_files}
+    ), rolled AS (
+        SELECT * FROM per
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT),
+               CAST(SUM(n_responses) AS BIGINT),
+               CAST(SUM(n_dropped) AS BIGINT)
+        FROM per
+    )
+    SELECT file_id, n_responses, n_dropped,
+           CAST((2 * 1000000 * n_dropped
+                 + (n_dropped + n_responses))
+                // (2 * (n_dropped + n_responses)) AS DOUBLE)
+               / 1000000.0 AS drop_frac
+    FROM rolled
     """
 
 

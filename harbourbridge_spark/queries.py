@@ -3471,6 +3471,29 @@ def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{body_text} AS text")
 
 
+@register(
+    "warc_salvage_stats", _warc.salvage_stats_oracle_sql(),
+    "Salvage-drop drift report (VERDICT r12 ask 7): the fixture "
+    "deterministically damages every doc_id % 17 == 3 record "
+    "('WARC/1.0' -> 'XARC/1.0' inside a well-formed gzip member), "
+    "the kernel's record-level resync drops each one COUNTED via "
+    "the per-file __dropped__ meta row, and this entry aggregates "
+    "those counters into the surface a crawl operator watches: "
+    "per-file good/dropped counts + drop_frac, plus one corpus-"
+    "total row (file_id = -1). Closed-form: damaged records are "
+    "never adjacent (17 does not divide the 64-file stride), so "
+    "drops = damaged docs exactly. drop_frac uses the house "
+    "exact-integer 6-dp convention. 100 TB shape: one rollup over "
+    "parsed records, map-side partials, total row from the same "
+    "pass")
+def q_warc_salvage_stats(spark: SparkSession, sf_dir: str
+                         ) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    files = _warc.synth_warc_files(docs, gzip_members=True,
+                                   corrupt_mod=(17, 3))
+    return _warc.salvage_stats(_warc.warc_records(files))
+
+
 REGISTRY["dedup_semdedup"] = QuerySpec(
     _sim.semdedup_fn, _sim.semdedup_sql("duckdb"),
     "SemDeDup removal manifest (Abbas et al. 2023): integer-exact "
@@ -3529,6 +3552,23 @@ REGISTRY["dsir_select"] = QuerySpec(
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 13: salvage-drop drift report (VERDICT r12 ask 7) — new
+    # entry over a corrupt_mod fixture (every doc_id % 17 == 3
+    # record deterministically damaged; per-file + corpus-total
+    # drop accounting with the exact-integer drop_frac column)
+    "warc_salvage_stats",
+    # round 13: line dedup keep-first keys widened from one 48-bit
+    # md5 slice to two disjoint 60-bit slices (VERDICT r12 ask 2 —
+    # 100 TB line cardinality vs the 48-bit birthday term)
+    "line_dedup_ccnet",
+    # round 13: Vorbis floor0 / end-of-packet-truncated audio
+    # packets degrade to counted silence instead of ValueError
+    # (VERDICT r12 ask 5); analyze_vorbis also dropped its
+    # build-time arrow.maxRecordsPerBatch session mutation (ADVICE)
+    "multimodal_decode_vorbis",
+]
+
+_CHANGED_ROUND_12: list[str] = [
     # round 12: WARC ingestion robustness overhaul (VERDICT r11 asks
     # 2/5 + five ADVICE items): record/member SALVAGE with counted
     # dropped-meta rows replaces whole-file drop in the kernels,

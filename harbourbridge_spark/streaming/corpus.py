@@ -267,20 +267,12 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
     return writer.start()
 
 
-def warc_document_stream(spark: SparkSession, warc_dir: str,
-                         max_files_per_trigger: int = 1) -> DataFrame:
-    """Continuous CRAWL ingest: ``readStream`` over raw ``.warc`` /
-    ``.warc.gz`` files (binaryFile source) — the actual arrival shape
-    of a crawler (Common Crawl drops ~1 GiB archives) — parsed by the
-    ``pipeline/warc`` kernel, HTTP response bodies HTML-stripped
-    (``pipeline/html``: body region -> tag strip -> entity decode),
-    and emitted in DOCUMENTS_SCHEMA so the admission gate
-    (``streaming_corpus_admission``) consumes crawl archives with NO
-    intermediate materialization.  doc_id comes from the target URI
-    (numeric ``/doc/N`` path when present, xxhash64 of the URI
-    otherwise — real crawls have no numeric ids), source from the
-    host.  Scale shape: file-granular micro-batches, batch-bound
-    work, zero shuffle before the admission probes."""
+def warc_record_stream(spark: SparkSession, warc_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """``readStream`` over raw ``.warc`` / ``.warc.gz`` files
+    (binaryFile source) -> WARC_SCHEMA records, INCLUDING the
+    per-file ``__dropped__`` salvage meta rows — the shared front
+    end of the document projection and the salvage-drift feed."""
     from ..pipeline.warc import warc_records
 
     # binaryFile's schema is FIXED by the source but streaming reads
@@ -297,7 +289,75 @@ def warc_document_stream(spark: SparkSession, warc_dir: str,
            .option("pathGlobFilter", "*.warc*")
            .load(warc_dir))
     files = raw.select(F.xxhash64("path").alias("file_id"), "content")
-    return warc_documents_projection(warc_records(files))
+    return warc_records(files)
+
+
+def warc_document_stream(spark: SparkSession, warc_dir: str,
+                         max_files_per_trigger: int = 1) -> DataFrame:
+    """Continuous CRAWL ingest: ``readStream`` over raw ``.warc`` /
+    ``.warc.gz`` files (binaryFile source) — the actual arrival shape
+    of a crawler (Common Crawl drops ~1 GiB archives) — parsed by the
+    ``pipeline/warc`` kernel, HTTP response bodies HTML-stripped
+    (``pipeline/html``: body region -> tag strip -> entity decode),
+    and emitted in DOCUMENTS_SCHEMA so the admission gate
+    (``streaming_corpus_admission``) consumes crawl archives with NO
+    intermediate materialization.  doc_id comes from the target URI
+    (numeric ``/doc/N`` path when present, xxhash64 of the URI
+    otherwise — real crawls have no numeric ids), source from the
+    host.  Scale shape: file-granular micro-batches, batch-bound
+    work, zero shuffle before the admission probes.  Salvage drops
+    are NOT visible here (the projection keeps responses only) —
+    run ``warc_ingest_drift_stream`` beside the admission gate to
+    watch them."""
+    return warc_documents_projection(
+        warc_record_stream(spark, warc_dir, max_files_per_trigger))
+
+
+def warc_ingest_drift_stream(spark: SparkSession, warc_dir: str,
+                             out_dir: str, checkpoint_dir: str,
+                             max_files_per_trigger: int = 1,
+                             processing_time: str | None = None):
+    """Salvage-drop DRIFT feed (VERDICT r12 ask 7, streaming half):
+    the ``__dropped__`` meta rows existed per file, but nothing
+    aggregated them into a surface an operator watches — a crawler
+    regression or a truncating proxy would rot the corpus silently.
+    Per micro-batch this appends ONE drift row to ``out_dir``:
+    (epoch, n_files, n_responses, n_dropped, drop_frac) — the
+    corpus-total line of :func:`pipeline.warc.salvage_stats` with
+    the time axis added.  Alerting is a threshold on drop_frac over
+    the appended rows.
+
+    Scale shape: the aggregation is per-batch and low-cardinality
+    (one row per file then one total row); the drift table grows by
+    one row per epoch, trivially compactable."""
+    from ..pipeline.warc import salvage_stats
+
+    rec = warc_record_stream(spark, warc_dir, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # materialize the parse ONCE (emptiness probe + stats +
+        # n_files would otherwise each re-run the WARC kernel)
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            # a processingTime trigger can fire with no new files —
+            # an all-NULL total row would poison the drift table
+            return
+        stats = salvage_stats(batch_df).localCheckpoint()
+        n_files = stats.where("file_id <> -1").count()
+        total = (stats.where("file_id = -1")
+                 .select(F.lit(int(epoch_id)).alias("epoch"),
+                         F.lit(int(n_files)).alias("n_files"),
+                         "n_responses", "n_dropped", "drop_frac"))
+        total.write.mode("append").parquet(out_dir)
+
+    writer = (rec.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def warc_documents_projection(rec: DataFrame) -> DataFrame:

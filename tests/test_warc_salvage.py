@@ -289,3 +289,101 @@ def test_documents_projection_real_crawl_uri_doc_id(spark):
     # stable: same URI -> same id
     assert got["real crawl"].doc_id == got["same uri"].doc_id
     assert got["real crawl"].source == "news.site.org"
+
+
+# ---------------------------------------------------------------------------
+# salvage-drop drift accounting (VERDICT r12 ask 7)
+# ---------------------------------------------------------------------------
+
+def test_corrupt_mod_fixture_counts_closed_form():
+    """corrupt_mod=(m, k): drops = #docs with doc_id % m == k, each
+    record costs exactly itself, survivors keep their content — in
+    BOTH container layouts (the damage sits inside a valid gzip
+    member, so the record-level resync fires either way)."""
+    docs = [(i, f"body {i}") for i in range(0, 640, 64)]  # one file
+    m, k = 5, 2
+    want_drop = sum(1 for d, _ in docs if d % m == k)
+    assert want_drop >= 2
+    for gz in (False, True):
+        blob = build_warc_file(0, docs, gzip_members=gz,
+                               corrupt_mod=(m, k))
+        rows, dropped = parse_warc_salvage(blob)
+        assert dropped == want_drop
+        resp = [r for r in rows if r[1] == "response"]
+        assert len(resp) == len(docs) - want_drop
+        got_ids = {int(r[2].rsplit("/", 1)[1]) for r in resp}
+        assert got_ids == {d for d, _ in docs if d % m != k}
+
+
+def test_corrupt_mod_divides_stride_refused(spark):
+    """Adjacent damaged records merge into ONE resync event, so a
+    corrupt_mod that divides the n_files stride has no closed-form
+    count — synth must refuse it loudly."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a", "b"]}))
+    with pytest.raises(ValueError, match="corrupt_mod"):
+        W.synth_warc_files(docs, n_files=64, corrupt_mod=(16, 3))
+
+
+def test_adjacent_damaged_records_do_merge():
+    """The refusal above guards a REAL behavior: two back-to-back
+    damaged records count one resync event, not two."""
+    docs = [(0, "a"), (5, "b"), (10, "c"), (15, "d")]
+    blob = build_warc_file(0, docs, corrupt_mod=(5, 0))  # all four
+    rows, dropped = parse_warc_salvage(blob)
+    assert [r[1] for r in rows] == ["warcinfo"]
+    assert dropped == 1     # one merged resync event for all four
+
+
+def test_salvage_stats_rollup(spark):
+    """salvage_stats: per-file rows + ONE total row (file_id=-1);
+    drop_frac is the exact-integer 6-dp convention."""
+    import pandas as pd
+
+    ids = list(range(100))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ids, "text": [f"t {i}" for i in ids]}))
+    files = W.synth_warc_files(docs, n_files=8, gzip_members=True,
+                               corrupt_mod=(17, 3))
+    out = {r.file_id: r for r in
+           W.salvage_stats(W.warc_records(files)).collect()}
+    want_drop = sum(1 for i in ids if i % 17 == 3)
+    assert len(out) == 9
+    assert out[-1].n_dropped == want_drop
+    assert out[-1].n_responses == 100 - want_drop
+    frac = out[-1].drop_frac
+    assert abs(frac - want_drop / 100.0) < 1e-6
+    for f in range(8):
+        exp_d = sum(1 for i in ids if i % 8 == f and i % 17 == 3)
+        assert out[f].n_dropped == exp_d
+        assert out[f].n_responses == sum(
+            1 for i in ids if i % 8 == f) - exp_d
+
+
+def test_warc_ingest_drift_stream_e2e(spark, tmp_path):
+    """Streaming drift feed: two micro-batches of crawl files (one
+    clean, one with damaged records) -> one drift row per epoch with
+    the right totals."""
+    from harbourbridge_spark.streaming.corpus import \
+        warc_ingest_drift_stream
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    clean = build_warc_file(0, [(i, f"c {i}") for i in (1, 2, 3)])
+    dam = build_warc_file(1, [(i, f"d {i}") for i in (4, 5, 6, 7)],
+                          corrupt_mod=(2, 0))   # docs 4 and 6 drop
+    (warc_dir / "a.warc").write_bytes(clean)
+    (warc_dir / "b.warc").write_bytes(dam)
+    out = str(tmp_path / "drift")
+    q = warc_ingest_drift_stream(
+        spark, str(warc_dir), out, str(tmp_path / "ck"),
+        max_files_per_trigger=2)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_files == 2
+    assert r.n_responses == 5 and r.n_dropped == 2
+    assert abs(r.drop_frac - 2 / 7.0) < 1e-6
