@@ -1054,6 +1054,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "vorbis_tone":
         from .vorbis import synth_vorbis_tone
         synth, mime = synth_vorbis_tone, "audio/ogg"
+    elif kind == "audio" and fmt == "vorbis_tone_damaged":
+        from .vorbis import synth_vorbis_tone_damaged
+        synth, mime = synth_vorbis_tone_damaged, "audio/ogg"
     elif kind == "audio":
         synth, mime = synth_wav, "audio/wav"
     elif kind == "video" and fmt == "mp4":
@@ -1289,6 +1292,49 @@ def analyze_vorbis(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
+
+
+VORBIS_SALVAGE_SCHEMA = T.StructType(
+    MP3_ANALYSIS_SCHEMA.fields
+    + [T.StructField("degraded_packets", T.LongType())])
+
+
+def analyze_vorbis_salvage(media: DataFrame) -> DataFrame:
+    """Crawl-robust Vorbis decode (VERDICT r12 ask 5): the salvage
+    chain — floor0-mapped or end-of-packet-truncated audio packets
+    degrade to counted silence instead of nulling the row — with the
+    per-stream degrade COUNT surfaced as its own column, the number
+    an ingest operator thresholds on.  Header-fatal streams still
+    yield nulls (quarantine convention).  Same session-conf hygiene
+    as analyze_vorbis: no build-time Arrow batch-size mutation."""
+    from .vorbis import vorbis_salvage_analysis
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": pdf["media_id"], "duration_ms": [],
+                    "sample_rate": [], "n_channels": [],
+                    "n_frames": [], "dominant_hz": [],
+                    "degraded_packets": []}
+            for c in pdf["content"]:
+                try:
+                    d, sr, nc, nf, f0, dg = \
+                        vorbis_salvage_analysis(bytes(c))
+                except (ValueError, struct.error, IndexError,
+                        TypeError, KeyError):
+                    d = sr = nc = nf = f0 = dg = None
+                rows["duration_ms"].append(d)
+                rows["sample_rate"].append(
+                    None if sr is None else int(sr))
+                rows["n_channels"].append(
+                    None if nc is None else int(nc))
+                rows["n_frames"].append(
+                    None if nf is None else int(nf))
+                rows["dominant_hz"].append(f0)
+                rows["degraded_packets"].append(
+                    None if dg is None else int(dg))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=VORBIS_SALVAGE_SCHEMA)
 
 
 def repartition_for_media(media: DataFrame,

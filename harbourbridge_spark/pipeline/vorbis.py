@@ -35,8 +35,14 @@ fixed by the spec's printed endpoints 1.0649863e-07 -> 1.0) rather
 than transcribed — per-entry last-ulp drift from the spec's float
 literals is possible and affects absolute amplitude only; the
 fixture oracle (rFFT argmax + container timing) is scale-invariant
-by design.  Floor type 0 (LSP) and end-of-packet-truncated audio
-packets raise ValueError (quarantine convention).
+by design — and the spec's printed 256 float literals are an anchor
+this container cannot reach (no network; NOTES_DEV r13).  Floor
+type 0 (LSP) configs PARSE (the setup bitstream stays aligned) but
+packets mapped onto one degrade to counted silence — LSP curve
+synthesis has no validation anchor here (see Floor0) — and
+end-of-packet-truncated audio packets likewise degrade per packet
+in the salvage decode (``decode_vorbis_samples_salvage``); the
+strict decode keeps raising ValueError as the differential anchor.
 
 Reference parity note: the reference migrates relational rows and
 has no media surface; this is beyond-parity pipeline surface like
@@ -324,6 +330,41 @@ FLOOR1_RANGES = (256, 128, 86, 64)
 # ---------------------------------------------------------------------------
 
 
+class VorbisPacketDegrade(ValueError):
+    """Raised inside AUDIO-packet decode when this one packet cannot
+    be sample-decoded but the stream remains well-framed (floor0
+    mapping) — the per-packet degrade signal consumed by
+    ``decode_vorbis_samples_salvage``.  Never raised by header
+    parsing: a stream with no identity is fatal, a packet is not."""
+
+
+class Floor0:
+    """Floor type 0 (LSP) CONFIG parse (Vorbis I §6.2.1) — parsed in
+    full so the setup bitstream stays bit-aligned (floor configs are
+    concatenated back-to-back), but packets mapped onto a floor0
+    DEGRADE to counted silence instead of decoding: the LSP curve
+    synthesis (§6.2.3) has no external validation anchor in this
+    container (no encoder exists to produce conformance bytes), and
+    a wrong-but-self-consistent curve is worse than an honest
+    counted degrade — the MP3/VP8 boundary pattern (VERDICT r12
+    ask 5)."""
+
+    degrade_only = True
+
+    def __init__(self, reader: BitReader, n_codebooks: int):
+        self.order = reader.read(8)
+        self.rate = reader.read(16)
+        self.bark_map_size = reader.read(16)
+        self.amplitude_bits = reader.read(6)
+        self.amplitude_offset = reader.read(8)
+        self.books = [reader.read(8)
+                      for _ in range(reader.read(4) + 1)]
+        if (self.order == 0 or self.rate == 0
+                or self.bark_map_size == 0
+                or any(b >= n_codebooks for b in self.books)):
+            raise ValueError("vorbis: bad floor0 config")
+
+
 class Floor1:
     def __init__(self, reader: BitReader):
         partitions = reader.read(5)
@@ -587,10 +628,15 @@ def parse_setup_header(packet: bytes, channels: int) -> VorbisSetup:
     s.floors = []
     for _ in range(r.read(6) + 1):
         ftype = r.read(16)
-        if ftype != 1:
-            raise ValueError("vorbis: floor type %d unsupported "
-                             "(floor0/LSP out of scope)" % ftype)
-        s.floors.append(Floor1(r))
+        if ftype == 0:
+            # config parsed (setup stays aligned); packets mapped
+            # onto it degrade per-packet — see Floor0
+            s.floors.append(Floor0(r, len(s.codebooks)))
+        elif ftype == 1:
+            s.floors.append(Floor1(r))
+        else:
+            raise ValueError("vorbis: floor type %d reserved"
+                             % ftype)
     s.residues = []
     for _ in range(r.read(6) + 1):
         rtype = r.read(16)
@@ -688,6 +734,14 @@ def decode_audio_packet(packet: bytes, setup: VorbisSetup,
     n2 = n // 2
     mapping = setup.mappings[mapping_idx]
 
+    # floor0-mapped packets degrade BEFORE any floor bits are read:
+    # an unvalidated floor0 bit-parse could silently desync residue
+    # decode; a counted whole-packet degrade cannot (see Floor0)
+    for c in range(channels):
+        fl = setup.floors[mapping["submap_floor"][mapping["mux"][c]]]
+        if getattr(fl, "degrade_only", False):
+            raise VorbisPacketDegrade("vorbis: floor0-mapped packet")
+
     floors = []
     no_residue = []
     for c in range(channels):
@@ -739,10 +793,11 @@ def decode_audio_packet(packet: bytes, setup: VorbisSetup,
     return pcm
 
 
-def decode_vorbis_samples(content: bytes):
-    """Ogg Vorbis bytes -> (rate, channels, samples[ch][N] float64).
-    Raises ValueError outside the supported subset (floor0, window
-    switching, truncated packets)."""
+def _decode_stream(content: bytes, strict: bool):
+    """Shared stream walk -> (rate, channels, samples, degraded).
+    strict=True re-raises the first undecodable audio packet (the
+    differential/fixture contract); strict=False degrades each one
+    to a window of silence and COUNTS it."""
     packets = list(ogg_packets(content))
     if len(packets) < 3:
         raise ValueError("vorbis: missing headers")
@@ -750,18 +805,58 @@ def decode_vorbis_samples(content: bytes):
     if packets[1][:7] != b"\x03vorbis":
         raise ValueError("vorbis: bad comment header")
     setup = parse_setup_header(packets[2], channels)
+    if not strict and bs0 != bs1:
+        # a degraded long-block packet would contribute the WRONG
+        # number of samples to the lap timeline — fatal, not a
+        # per-packet degrade (the timeline itself is undecodable
+        # under this module's equal-blocksize subset)
+        raise ValueError("vorbis: window switching unsupported")
     window = vorbis_window(bs0)
     halves = []
     prev = None
+    degraded = 0
     for pkt in packets[3:]:
-        pcm = decode_audio_packet(pkt, setup, channels, bs0, bs1,
-                                  window)
+        try:
+            pcm = decode_audio_packet(pkt, setup, channels, bs0, bs1,
+                                      window)
+        except ValueError:
+            if strict:
+                raise
+            # counted per-packet degrade (VERDICT r12 ask 5):
+            # floor0-mapped or end-of-packet-truncated packets cost
+            # one window of SILENCE, never the stream.  The spec's
+            # own EOP rule is more permissive (decode continues with
+            # the remainder zeroed); whole-packet silence is the
+            # conservative honest subset — no invented samples.
+            degraded += 1
+            pcm = np.zeros((channels, bs0))
         if prev is not None:
             halves.append(prev[:, bs0 // 2:] + pcm[:, :bs0 // 2])
         prev = pcm
     if not halves:
-        return rate, channels, np.zeros((channels, 0))
-    return rate, channels, np.concatenate(halves, axis=1)
+        return rate, channels, np.zeros((channels, 0)), degraded
+    return rate, channels, np.concatenate(halves, axis=1), degraded
+
+
+def decode_vorbis_samples(content: bytes):
+    """Ogg Vorbis bytes -> (rate, channels, samples[ch][N] float64).
+    STRICT: raises ValueError outside the supported subset (window
+    switching, truncated packets, floor0-mapped packets) — the
+    differential anchor.  Crawl-facing callers use
+    ``decode_vorbis_samples_salvage``."""
+    rate, channels, samples, _ = _decode_stream(content, strict=True)
+    return rate, channels, samples
+
+
+def decode_vorbis_samples_salvage(content: bytes):
+    """Crawl-robust decode -> (rate, channels, samples, degraded).
+    Header packets stay FATAL (a stream without id/setup has no
+    decode identity); each undecodable AUDIO packet degrades to one
+    window of silence and is COUNTED — floor0-mapped packets (LSP
+    synthesis has no validation anchor here, see Floor0) and
+    end-of-packet-truncated packets, both shapes real crawl Ogg
+    files contain (VERDICT r12 ask 5)."""
+    return _decode_stream(content, strict=False)
 
 
 # ---------------------------------------------------------------------------
@@ -773,7 +868,8 @@ _N2 = _N // 2
 
 
 def _encode_headers(channels: int, rate: int,
-                    delta: float) -> list[bytes]:
+                    delta: float, floor0: bool = False
+                    ) -> list[bytes]:
     """ID + comment + setup packets for the tone fixture layout:
     - book 0: floor value book, 2 entries (len 1/1), no lookup;
     - book 1: residue classbook, 16 entries all len 4 (complete),
@@ -823,15 +919,27 @@ def _encode_headers(channels: int, rate: int,
     w.write(0, 6)                                  # 1 time transform
     w.write(0, 16)
     w.write(0, 6)                                  # 1 floor
-    w.write(1, 16)                                 # floor type 1
-    w.write(1, 5)                                  # 1 partition
-    w.write(0, 4)                                  # class 0
-    w.write(0, 3)                                  # class dims 1
-    w.write(0, 2)                                  # 0 subclasses
-    w.write(0 + 1, 8)                              # subclass book 0
-    w.write(0, 2)                                  # multiplier 1
-    w.write(5, 4)                                  # rangebits 5
-    w.write(16, 5)                                 # extra X = 16
+    if floor0:
+        # floor type 0 (LSP) config — the DEGRADE fixture: packets
+        # mapped onto it must cost counted silence, never the stream
+        w.write(0, 16)                             # floor type 0
+        w.write(8, 8)                              # order
+        w.write(rate, 16)                          # floor0 rate
+        w.write(_N, 16)                            # bark map size
+        w.write(6, 6)                              # amplitude bits
+        w.write(136, 8)                            # amplitude offset
+        w.write(0, 4)                              # 1 book
+        w.write(0, 8)                              # book 0
+    else:
+        w.write(1, 16)                             # floor type 1
+        w.write(1, 5)                              # 1 partition
+        w.write(0, 4)                              # class 0
+        w.write(0, 3)                              # class dims 1
+        w.write(0, 2)                              # 0 subclasses
+        w.write(0 + 1, 8)                          # subclass book 0
+        w.write(0, 2)                              # multiplier 1
+        w.write(5, 4)                              # rangebits 5
+        w.write(16, 5)                             # extra X = 16
     w.write(0, 6)                                  # 1 residue
     w.write(2, 16)                                 # residue type 2
     w.write(0, 24)                                 # begin
@@ -896,7 +1004,9 @@ def _encode_audio_packet(coeffs: np.ndarray, delta: float,
 
 def encode_vorbis_tone(k0: int, n_blocks: int, rate: int,
                        amplitude: float = 0.5,
-                       channels: int = 1) -> bytes:
+                       channels: int = 1,
+                       floor0: bool = False,
+                       truncate_last: bool = False) -> bytes:
     """Ogg Vorbis stream of a steady tone at MDCT bin k0
     (f = (2*k0+1)*rate/(2*_N)): per block the TRUE windowed MDCT of
     the tone is quantized onto the residue value grid, so the decode
@@ -924,7 +1034,7 @@ def encode_vorbis_tone(k0: int, n_blocks: int, rate: int,
     # encoder indices and decoder values share the exact grid
     delta = float32_unpack(float32_pack(delta_raw))
 
-    headers = _encode_headers(channels, rate, delta)
+    headers = _encode_headers(channels, rate, delta, floor0=floor0)
     # re-parse our own setup to get the codeword tables the packets
     # must use (guarantees encoder/decoder agree on the assignment)
     setup = parse_setup_header(headers[2], channels)
@@ -937,6 +1047,11 @@ def encode_vorbis_tone(k0: int, n_blocks: int, rate: int,
             interleaved[c::channels] = s
         packets.append(_encode_audio_packet(interleaved, delta,
                                             books, channels))
+    if truncate_last:
+        # crawl-damage fixture: the final audio packet cut to its
+        # first byte (packet-type bit survives; floor decode hits
+        # end-of-packet) — the salvage decode must count ONE degrade
+        packets[-1] = packets[-1][:1]
 
     serial = 0xBEEF
     pages = [build_page(serial, 0, 0, 0x02, [headers[0]]),
@@ -963,6 +1078,22 @@ def synth_vorbis_tone(media_id: int) -> bytes:
     return encode_vorbis_tone(k0, n_blocks, rate, channels=channels)
 
 
+def synth_vorbis_tone_damaged(media_id: int) -> bytes:
+    """The salvage-lattice fixture: same tone parameterization, but
+    media_id % 11 == 4 streams use a floor0 (LSP) mapping — every
+    audio packet degrades — and media_id % 7 == 2 streams truncate
+    their final audio packet to one byte (one degrade).  Everything
+    else is byte-identical to :func:`synth_vorbis_tone`."""
+    rate = (8000, 16000)[media_id % 2]
+    k0 = 1 + media_id % 12
+    n_blocks = 4 * (1 + media_id % 3) + 1
+    channels = 2 if media_id % 5 == 0 else 1
+    return encode_vorbis_tone(
+        k0, n_blocks, rate, channels=channels,
+        floor0=media_id % 11 == 4,
+        truncate_last=media_id % 11 != 4 and media_id % 7 == 2)
+
+
 def vorbis_tone_analysis(content: bytes) -> list[float]:
     """[duration_ms, sample_rate, n_channels, n_audio_packets,
     dominant_hz] from a REAL sample decode; dominant_hz is the rFFT
@@ -981,6 +1112,23 @@ def vorbis_tone_analysis(content: bytes) -> list[float]:
             float(n_audio), dominant]
 
 
+def vorbis_salvage_analysis(content: bytes) -> list[float]:
+    """Crawl-facing variant: same five fields PLUS degraded_packets
+    — runs the salvage decode, so floor0-mapped or truncated audio
+    packets cost silence + a count, never the stream."""
+    rate, channels, samples, degraded = \
+        decode_vorbis_samples_salvage(content)
+    n_audio = len(list(ogg_packets(content))) - 3
+    mono = samples[0]
+    n = len(mono)
+    if n == 0:
+        raise ValueError("vorbis: no audio samples")
+    spec = np.abs(np.fft.rfft(mono))
+    dominant = float(int(np.argmax(spec)) * rate / n)
+    return [n * 1000.0 / rate, float(rate), float(channels),
+            float(n_audio), dominant, float(degraded)]
+
+
 def expected_vorbis_fields(media_id: int) -> list[float]:
     rate = (8000, 16000)[media_id % 2]
     k0 = 1 + media_id % 12
@@ -989,3 +1137,19 @@ def expected_vorbis_fields(media_id: int) -> list[float]:
     n = (n_blocks - 1) * _N2
     return [n * 1000.0 / rate, float(rate), channels, float(n_blocks),
             (2 * k0 + 1) * rate / 128.0]
+
+
+def expected_vorbis_salvage_fields(media_id: int) -> list[float]:
+    """Closed form for the damaged lattice: a floor0 stream decodes
+    to all-silence (rFFT argmax 0 -> dominant 0.0, every packet
+    counted); a truncated stream loses only its final packet — the
+    tone bin keeps the argmax (leakage from the zeroed tail spreads
+    across bins, the coherent tone does not; validated over the
+    full sf0.01 id range in tests before registration)."""
+    base = expected_vorbis_fields(media_id)
+    n_blocks = 4 * (1 + media_id % 3) + 1
+    if media_id % 11 == 4:
+        return base[:4] + [0.0, float(n_blocks)]
+    if media_id % 7 == 2:
+        return base + [1.0]
+    return base + [0.0]

@@ -2349,6 +2349,49 @@ def q_multimodal_vorbis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_vorbis(synth_media(ids, "audio", fmt="vorbis_tone"))
 
 
+@register(
+    "multimodal_decode_vorbis_salvage",
+    """
+    SELECT doc_id AS media_id,
+           CAST(128 * (1 + doc_id % 3) * 1000 AS DOUBLE)
+               / (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+               AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END
+                AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(4 * (1 + doc_id % 3) + 1 AS BIGINT) AS n_frames,
+           CASE WHEN doc_id % 11 = 4 THEN 0.0
+                ELSE CAST((2 * (1 + doc_id % 12) + 1)
+                     * (CASE WHEN doc_id % 2 = 0
+                             THEN 8000 ELSE 16000 END)
+                     AS DOUBLE) / 128 END AS dominant_hz,
+           CAST(CASE WHEN doc_id % 11 = 4
+                     THEN 4 * (1 + doc_id % 3) + 1
+                     WHEN doc_id % 7 = 2 THEN 1
+                     ELSE 0 END AS BIGINT) AS degraded_packets
+    FROM documents
+    """,
+    "Crawl-damaged Vorbis SALVAGE decode (VERDICT r12 ask 5): the "
+    "fixture lattice plants floor0 (LSP) streams (doc_id % 11 = 4 — "
+    "every packet degrades to counted silence; LSP curve synthesis "
+    "has no validation anchor in this container, so decode would be "
+    "wrong-but-self-consistent) and end-of-packet-truncated streams "
+    "(doc_id % 7 = 2 — the final packet costs itself, COUNTED, and "
+    "the tone bin keeps the rFFT argmax).  The degrade count is a "
+    "first-class column — the number an ingest operator thresholds "
+    "on.  Validated over the full 4620-id parameter lattice before "
+    "registration; strict decode still raises on every damaged "
+    "stream (the differential anchor)")
+def q_multimodal_vorbis_salvage(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import analyze_vorbis_salvage, synth_media
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    return analyze_vorbis_salvage(
+        synth_media(ids, "audio", fmt="vorbis_tone_damaged"))
+
+
 from .pipeline import cleaning as _cleaning  # noqa: E402
 
 _register_template(
@@ -3563,9 +3606,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     "line_dedup_ccnet",
     # round 13: Vorbis floor0 / end-of-packet-truncated audio
     # packets degrade to counted silence instead of ValueError
-    # (VERDICT r12 ask 5); analyze_vorbis also dropped its
-    # build-time arrow.maxRecordsPerBatch session mutation (ADVICE)
-    "multimodal_decode_vorbis",
+    # (VERDICT r12 ask 5) — new salvage entry over a damaged fixture
+    # lattice; analyze_vorbis also dropped its build-time
+    # arrow.maxRecordsPerBatch session mutation (ADVICE)
+    "multimodal_decode_vorbis", "multimodal_decode_vorbis_salvage",
 ]
 
 _CHANGED_ROUND_12: list[str] = [

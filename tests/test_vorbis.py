@@ -153,14 +153,10 @@ def test_rejections():
         bad = bytearray(blob)
         bad[-3] ^= 0xFF
         V.decode_vorbis_samples(bytes(bad))
-    # floor type 0 is a documented refusal
+    # floor types >= 2 are reserved — hard refusal (floor 0 now
+    # PARSES and degrades per packet; see the salvage tests below)
     pkts = list(ogg_packets(bytes(blob)))
-    setup = bytearray(pkts[2])
-    r = V.BitReader(bytes(setup[7:]))
-    with pytest.raises(ValueError, match="floor0|floor type"):
-        # rebuild a setup with floor_type 0: flip the 16-bit floor
-        # type field.  Easier: parse original, then feed a crafted
-        # header with floor type 0 directly.
+    with pytest.raises(ValueError, match="reserved|floor type"):
         w = V.BitWriter()
         w.write(0, 8)                        # 1 codebook
         w.write(0x564342, 24)
@@ -174,7 +170,7 @@ def test_rejections():
         w.write(0, 6)
         w.write(0, 16)                       # time
         w.write(0, 6)                        # 1 floor
-        w.write(0, 16)                       # floor type 0 (LSP)
+        w.write(2, 16)                       # floor type 2 (reserved)
         V.parse_setup_header(b"\x05vorbis" + w.getvalue(), 1)
     # truncated audio packet -> exhausted, never a wrong decode
     with pytest.raises(ValueError, match="exhausted|invalid"):
@@ -208,3 +204,91 @@ def test_spark_kernel_e2e(spark):
         "media_id long, kind string, content binary, meta map<string,string>")
     row = analyze_vorbis(bad).first()
     assert row.duration_ms is None and row.dominant_hz is None
+
+
+# ---------------------------------------------------------------------------
+# counted per-packet degrade (VERDICT r12 ask 5)
+# ---------------------------------------------------------------------------
+
+def test_truncated_packet_degrades_counted():
+    """A stream whose final audio packet is cut to one byte loses
+    exactly that packet: silence in its place, degraded == 1, and
+    every other sample bit-identical to the clean decode."""
+    clean = V.synth_vorbis_tone(3)                 # id 3: %7!=2
+    dam = V.encode_vorbis_tone(1 + 3 % 12, 4 * (1 + 3 % 3) + 1,
+                               16000, truncate_last=True)
+    r0, c0, s0 = V.decode_vorbis_samples(clean)
+    r1, c1, s1, dg = V.decode_vorbis_samples_salvage(dam)
+    assert (r0, c0) == (r1, c1) and dg == 1
+    assert s0.shape == s1.shape
+    half = s0.shape[1] - V._N2                     # last lap half
+    assert np.allclose(s0[:, :half], s1[:, :half])
+    # the degraded packet contributes zeros to the final half-lap:
+    # what remains there is the previous block's windowed tail only
+    assert not np.allclose(s0[:, half:], s1[:, half:])
+
+
+def test_floor0_stream_degrades_every_packet():
+    """floor0-mapped packets degrade BEFORE any floor bits are read:
+    all-silence PCM of the right length, degraded == packet count;
+    the floor0 CONFIG parse keeps the setup aligned (a desynced
+    setup would be a hard ValueError, not a degrade)."""
+    blob = V.encode_vorbis_tone(5, 9, 8000, floor0=True)
+    rate, ch, samples, dg = V.decode_vorbis_samples_salvage(blob)
+    assert (rate, ch, dg) == (8000, 1, 9)
+    assert samples.shape == (1, 8 * V._N2)
+    assert np.all(samples == 0.0)
+
+
+def test_strict_decode_still_raises_on_damaged():
+    with pytest.raises(ValueError):
+        V.decode_vorbis_samples(
+            V.encode_vorbis_tone(2, 5, 8000, floor0=True))
+    with pytest.raises(ValueError, match="exhausted"):
+        V.decode_vorbis_samples(
+            V.encode_vorbis_tone(2, 5, 8000, truncate_last=True))
+
+
+def test_salvage_lattice_closed_form():
+    """expected_vorbis_salvage_fields over a lattice slice covering
+    every damage class x rate x channels (the full 4620-id lattice
+    was validated before registration, NOTES_DEV r13)."""
+    for mid in range(0, 180):
+        got = V.vorbis_salvage_analysis(V.synth_vorbis_tone_damaged(mid))
+        want = V.expected_vorbis_salvage_fields(mid)
+        assert len(got) == 6
+        assert all(abs(g - w) < 1e-9 for g, w in zip(got, want)), mid
+
+
+def test_salvage_equals_strict_on_clean_streams():
+    for mid in (0, 1, 5, 6):
+        blob = V.synth_vorbis_tone(mid)
+        strict = V.vorbis_tone_analysis(blob)
+        got = V.vorbis_salvage_analysis(blob)
+        assert got[:5] == strict and got[5] == 0.0
+
+
+def test_spark_salvage_kernel_e2e(spark):
+    from pyspark.sql import functions as F
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        analyze_vorbis_salvage, synth_media)
+
+    ids = spark.range(23).select(F.col("id").alias("media_id"))
+    got = {r.media_id: r for r in
+           analyze_vorbis_salvage(
+               synth_media(ids, "audio",
+                           fmt="vorbis_tone_damaged")).collect()}
+    assert len(got) == 23
+    for mid in range(23):                  # ids 2,9,16 truncated; 4,15 floor0
+        want = V.expected_vorbis_salvage_fields(mid)
+        r = got[mid]
+        assert [r.duration_ms, float(r.sample_rate),
+                float(r.n_channels), float(r.n_frames),
+                r.dominant_hz, float(r.degraded_packets)] == want, mid
+    # header-fatal stream still quarantines to nulls
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"OggS garbage"), None)],
+        "media_id long, kind string, content binary, meta map<string,string>")
+    row = analyze_vorbis_salvage(bad).first()
+    assert row.dominant_hz is None and row.degraded_packets is None

@@ -68,12 +68,14 @@ PYTHON_KERNEL_OK = {
     "multimodal_meta_ogg",
     # r12: native Vorbis sample decode (in-stream codebooks, floor1,
     # residue, IMDCT) — per-row numpy codec, Arrow-batched by design
-    "multimodal_decode_vorbis",
+    # (r13 adds the salvage twin over the damaged fixture lattice)
+    "multimodal_decode_vorbis", "multimodal_decode_vorbis_salvage",
     # r11: WARC container parse — file-granular byte kernel (the
     # Common Crawl scale shape: parallelism IS the file count); the
-    # fixture muxer adds a grouped-Pandas build stage
+    # fixture muxer adds a grouped-Pandas build stage (r13 adds the
+    # salvage-drop drift rollup over the same parse kernel)
     "warc_ingest", "warc_ingest_gzip", "warc_stats",
-    "warc_to_documents",
+    "warc_to_documents", "warc_salvage_stats",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
