@@ -181,6 +181,55 @@ def stratified_sample_sql(engine: str, k: int = 20) -> str:
     return render(t, engine)
 
 
+def mixture_sample_sql(engine: str) -> str:
+    """Temperature-scaled source mixing (the LLaMA/PaLM-style data
+    recipe): per-source admit probability q_s = sqrt(n_min)/sqrt(n_s)
+    — alpha = 1/2 rebalancing where the smallest source keeps 100%
+    and every larger source downsamples toward balance.  Selection
+    is the deterministic multiplicative-hash threshold
+    (doc_id * K) % 2^20 < floor(2^20 * q_s): stateless per-row, so
+    re-runs, audits, and both engines select the identical sample
+    with no RNG state.
+
+    Engine exactness: alpha is FIXED at 1/2 because IEEE sqrt (and
+    *, /) are correctly-rounded in both engines while pow() is not —
+    an arbitrary-alpha pow(n, a) could differ in the last ulp and
+    flip a floor() boundary (the r9 red-row lesson).  The fixture
+    derives a skewed 8:4:2:1:1 source axis from doc_id (the
+    documents table's own source column is uniform — temperature
+    mixing over uniform sources is a no-op).
+
+    100 TB shape: ONE low-cardinality count (map-side partials over
+    a handful of sources), thresholds broadcast back, then a
+    stateless per-row predicate — no sort, no window, no shuffle of
+    the corpus; the op costs one scan."""
+    t = f"""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 16 < 8 THEN 'web'
+                    WHEN doc_id % 16 < 12 THEN 'books'
+                    WHEN doc_id % 16 < 14 THEN 'news'
+                    WHEN doc_id % 16 = 14 THEN 'wiki'
+                    ELSE 'code' END AS mix_source
+        FROM documents
+    ), counts AS (
+        SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM src GROUP BY mix_source
+    ), thr AS (
+        SELECT mix_source, n_docs,
+               CAST(floor(({_MOD} * sqrt(CAST(
+                        (SELECT MIN(n_docs) FROM counts) AS DOUBLE)))
+                    / sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                   AS cutoff
+        FROM counts
+    )
+    SELECT s.mix_source, s.doc_id, t.n_docs, t.cutoff
+    FROM src s JOIN thr t ON s.mix_source = t.mix_source
+    WHERE (s.doc_id * {_MULT}) % {_MOD} < t.cutoff
+    """
+    return render(t, engine)
+
+
 def _sample_pack_ctes(final_src: str, idiv: str, k: int,
                       budget: int) -> str:
     """Shared sample+pack CTE text over a curated-survivor relation

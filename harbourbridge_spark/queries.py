@@ -1775,6 +1775,17 @@ _register_template(
     "multiplicative-hash order — reproducible with no RNG state, "
     "executed as a per-partition partial top-k")
 _register_template(
+    "mixture_sample_temperature", _cur.mixture_sample_sql,
+    "Temperature-scaled source mixing (alpha = 1/2, the LLaMA/PaLM "
+    "data-recipe op): smallest source keeps 100%, larger sources "
+    "downsample toward balance via a deterministic multiplicative-"
+    "hash threshold — stateless per-row predicate after one tiny "
+    "broadcast count agg; no sort, no window, no corpus shuffle. "
+    "alpha fixed at 1/2: IEEE sqrt is correctly-rounded in both "
+    "engines, pow() is not (a last-ulp flip would move a floor "
+    "boundary). Skewed 8:4:2:1:1 source axis derived in-template "
+    "(the fixture's own source column is uniform)")
+_register_template(
     "pack_sequences", _cur.pack_sequences_sql,
     "Token-budget sequence packing: contiguous bins from integer "
     "division of the exclusive per-language prefix sum; per-bin "
@@ -3610,6 +3621,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # lattice; analyze_vorbis also dropped its build-time
     # arrow.maxRecordsPerBatch session mutation (ADVICE)
     "multimodal_decode_vorbis", "multimodal_decode_vorbis_salvage",
+    # round 13: temperature-scaled source mixing — new entry (the
+    # rebalancing sampler every multi-source training recipe runs)
+    "mixture_sample_temperature",
 ]
 
 _CHANGED_ROUND_12: list[str] = [
