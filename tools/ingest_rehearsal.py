@@ -20,6 +20,9 @@ Env:    REHEARSAL_GB      target dump size in GB (default 10)
         REHEARSAL_MAX_RSS_GIB  hard peak-RSS gate (default 96; the
                           run FAILS if the sampled peak exceeds it —
                           VERDICT r10 ask 6)
+        REHEARSAL_MAX_PSS_GIB  hard peak-PSS gate (default 48 — the
+                          honest physical-occupancy metric a memcg
+                          charges; VERDICT r12 ask 6)
         SPARK_GRAFT_CPUS  (default 32)
 
 Memory is sampled by a 1 Hz thread summing VmRSS of this process and
@@ -225,6 +228,7 @@ def main() -> int:
     interleaved = os.environ.get("REHEARSAL_INTERLEAVED") == "1"
     schema_ab = os.environ.get("REHEARSAL_SCHEMA_AB") == "1"
     max_rss_gib = float(os.environ.get("REHEARSAL_MAX_RSS_GIB", "96"))
+    max_pss_gib = float(os.environ.get("REHEARSAL_MAX_PSS_GIB", "48"))
     work = tempfile.mkdtemp(prefix="ingest_rehearsal_",
                             dir=os.environ.get("REHEARSAL_TMP"))
     sampler = PeakSampler()
@@ -303,6 +307,7 @@ def main() -> int:
             "peak_rss_gib": peak_gib,
             "peak_pss_gib": peak_pss_gib,
             "max_rss_gib": max_rss_gib,
+            "max_pss_gib": max_pss_gib,
             "cpus": int(cpus),
             **schema_times,
         }))
@@ -312,6 +317,11 @@ def main() -> int:
         assert peak_gib <= max_rss_gib, (
             f"peak RSS {peak_gib} GiB breached the "
             f"{max_rss_gib} GiB gate")
+        # PSS gate (VERDICT r12 ask 6): the metric a container memcg
+        # actually charges — pages counted once across the tree
+        assert peak_pss_gib <= max_pss_gib, (
+            f"peak PSS {peak_pss_gib} GiB breached the "
+            f"{max_pss_gib} GiB gate")
         spark.stop()
         return 0
     finally:

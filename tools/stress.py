@@ -57,7 +57,14 @@ OP_BUDGETS = {
     "dedup_lsh_verified": 5.5,
     "dedup_embedding_lsh": 4.0,
     "boilerplate_grams": 3.0,
-    "decontaminate": 3.0,
+    # r13 re-derivation: five same-code same-day measurements read
+    # 2.72/3.04/3.14/3.86/3.97x with t_8x spanning 1.9-6.3 s — the
+    # old 3.0 gate sat INSIDE the noise band of a sub-second-to-2 s
+    # entry (broadcast gram join: 8x docs -> 8x probe mass over a
+    # fixed eval-set build, so ~3-4x with the 1x overhead amortizing
+    # is the linear shape).  Band max x ~1.15; a quadratic would
+    # read >> 8.
+    "decontaminate": 4.5,
     "dedup_clusters": 5.5,
     "dedup_simhash_pairs": 5.0,
     "ann_lsh": 3.5,
@@ -135,20 +142,30 @@ OP_BUDGETS = {
     # groupBy-MIN(packed key) + equi-join, NOT a window rank — a hot
     # boilerplate line (the planted nav line: one copy per doc, so 8x
     # copies here) would pile into one window partition, while the
-    # MIN partial-aggregates map-side.  Measured 2.39x / 1.66x at 8x
-    # (sub-linear: fixed page-synthesis overhead dominates); budget =
-    # worse run x ~1.3.
-    "line_dedup_ccnet": 3.2,
+    # MIN partial-aggregates map-side.  r12 measured 2.39x / 1.66x
+    # (48-bit keys); budget was worse run x ~1.3 = 3.2.
+    # r13 re-derivation AFTER the key widening (VERDICT r12 ask 2:
+    # one 48-bit slice -> two disjoint 60-bit slices): the second
+    # slice doubles the MIN columns and the equi-join key — a real
+    # constant factor in the 8x-dominant aggregation, and the band
+    # moved to 2.68/3.15/3.26/3.48 across four same-code sessions.
+    # Band max x ~1.15; the window-rank hot-key failure this gate
+    # exists to catch would read >> 8.
+    "line_dedup_ccnet": 4.0,
     # r13 addition (VERDICT r12 ask 8): the surprisal pair — the two
     # entries that drifted twice on the official bench without a
     # gate (both A/B-exonerated each time: 1.018x/1.093x normalized
     # r11-vs-r12, NOTES_DEV r13 table).  Design shape: single-pass
     # token projections + per-doc window LEADs joined to a broadcast
-    # gram model — 8x docs -> 8x gram mass, linear.  r13 calibration
-    # (isolated run, canary 1.764): bigram 3.10x, doc 2.88x at 8x;
-    # budgets = measured x ~1.3, the house convention.
-    "bigram_surprisal": 4.0,
-    "doc_surprisal": 3.8,
+    # gram model — 8x docs -> 8x gram mass, linear.  Budget note:
+    # both run ~0.6-1.1 s at 1x, so the RATIO carries +/-50% noise
+    # (first calibration read 3.10x/2.88x; three later same-day runs
+    # read 2.59-4.82x with 8x times stable at 2.3-3.2 s — the 1x
+    # DENOMINATOR moves, not the scaled cost).  The gate is a
+    # quadratic tripwire (the r5/r12 finds showed 7.3-35x), not a
+    # perf pin, so the budget sits above the observed noise band.
+    "bigram_surprisal": 5.0,
+    "doc_surprisal": 5.0,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
@@ -191,7 +208,7 @@ def build_replicated_corpus(base_dir: str, out_dir: str,
             dst)
 
 
-def time_op(Q, spark, name: str, sf_dir: str, runs: int = 2) -> float:
+def time_op(Q, spark, name: str, sf_dir: str, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
@@ -272,6 +289,30 @@ def main() -> int:
               f"ratio={ratio:5.2f}x"
               + ("" if not gated else
                  f"  [gate <= {gate:.1f}: {'OK' if ok else 'FAIL'}]"))
+
+    # second look (r13): gate failures re-measure once at session end
+    # before being called regressions — the ratios flap run-to-run on
+    # this box (decontaminate t_8x measured 3.06/3.17/6.31 s across
+    # three same-code same-day sessions; the 1x denominators move
+    # with JVM/GC state too).  A REAL quadratic fails both looks
+    # (the r5/r12 finds sat at 7.3-35x, far above any gate); a
+    # scheduler hiccup does not.  Retried entries are marked so the
+    # artifact shows which readings needed the second look.
+    for name in list(failed):
+        t1 = time_op(Q, spark, name, base)
+        tn = time_op(Q, spark, name, rep_dir)
+        ratio = round(tn / t1, 2) if t1 > 0 else float("inf")
+        gate = results[name]["max_ratio"]
+        print(f"{name:28s} RETRY 1x={t1:7.3f}s {factor}x={tn:7.3f}s "
+              f"ratio={ratio:5.2f}x  [gate <= {gate:.1f}: "
+              f"{'OK' if ratio <= gate else 'FAIL'}]")
+        if ratio <= gate:
+            failed.remove(name)
+            results[name].update(
+                {"t_1x": round(t1, 3), f"t_{factor}x": round(tn, 3),
+                 "ratio": ratio, "ok": True, "retried": True})
+        else:
+            results[name]["retry_ratio"] = ratio
 
     spark.stop()
     shutil.rmtree(rep_dir, ignore_errors=True)
