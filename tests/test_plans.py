@@ -286,3 +286,18 @@ def test_source_stats_shuffles_hash_not_text(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in m.group(1)
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    """Temperature mixing must cost ONE corpus scan: the per-source
+    threshold relation (a handful of rows) broadcasts back onto the
+    fact side, and the only Exchanges belong to the tiny counts
+    aggregation — the documents relation itself is never hash-
+    repartitioned (no Exchange hashpartitioning on doc-bearing
+    width), and no sort or window appears anywhere."""
+    plan = _plan(spark, "mixture_sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan and "Sort" not in plan.replace(
+        "SortAggregate", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
