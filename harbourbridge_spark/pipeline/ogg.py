@@ -135,6 +135,86 @@ def ogg_packets(content: bytes):
         raise ValueError("ogg: unterminated packet at EOS")
 
 
+def ogg_packets_salvage(content: bytes):
+    """Page-salvaging packet walk (r13 — the Ogg analog of the WARC
+    record resync): a damaged page (bad capture pattern, truncated
+    header/lacing/body, CRC mismatch, bad version) costs ITSELF —
+    resync to the next ``OggS`` and COUNT one drop event — never the
+    stream.  Packets broken by a lost page are discarded, not
+    invented: a pending partial packet dies with the bad page, and a
+    good page that CONTINUES a lost packet has its orphan tail
+    segments skipped up to the first lacing < 255.  A false ``OggS``
+    inside a payload fails its own CRC and costs one more resync
+    event (the WARC counting convention: events, not bytes).
+
+    -> (packets: list[bytes], dropped_pages: int).  The strict
+    ``ogg_packets`` walk is unchanged — it is the differential
+    anchor and the meta-entry contract."""
+    packets: list[bytes] = []
+    dropped = 0
+    pending = bytearray()
+    have_pending = False
+    pos, n = 0, len(content)
+    while pos < n:
+        bad = None
+        htype = nsegs = 0
+        lace = b""
+        body_start = page_end = pos
+        if content[pos:pos + 4] != b"OggS" or n < pos + 27:
+            bad = "frame"
+        else:
+            (_, ver, htype, _granule, _serial, _seq, crc, nsegs) = \
+                struct.unpack_from("<4sBBqIIIB", content, pos)
+            lace = content[pos + 27:pos + 27 + nsegs]
+            body_start = pos + 27 + nsegs
+            page_end = body_start + sum(lace)
+            if ver != 0 or len(lace) != nsegs or page_end > n:
+                bad = "frame"
+            else:
+                page = bytearray(content[pos:page_end])
+                page[22:26] = b"\x00\x00\x00\x00"
+                if ogg_crc(bytes(page)) != crc:
+                    bad = "crc"
+        if bad is not None:
+            dropped += 1
+            pending = bytearray()        # a broken packet dies here
+            have_pending = False
+            nxt = content.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        off = body_start
+        segs = list(lace)
+        if (htype & 0x01) and not have_pending:
+            # orphan continuation of a packet lost with its page:
+            # discard segments up to the first < 255 lacing
+            while segs:
+                seg = segs.pop(0)
+                off += seg
+                if seg < 255:
+                    break
+        elif not (htype & 0x01) and have_pending:
+            # previous page ended mid-packet and nothing continued
+            # it — the packet is unfinishable; counted, not invented
+            dropped += 1
+            pending = bytearray()
+            have_pending = False
+        for seg in segs:
+            pending += content[off:off + seg]
+            off += seg
+            have_pending = True
+            if seg < 255:
+                packets.append(bytes(pending))
+                pending = bytearray()
+                have_pending = False
+        pos = page_end
+    if have_pending:
+        # EOS mid-packet: truncation damage — drop the tail, counted
+        dropped += 1
+    return packets, dropped
+
+
 # field order shared with the Spark kernel schema
 OGG_FIELDS = ("codec", "channels", "sample_rate", "duration_ms",
               "n_pages")

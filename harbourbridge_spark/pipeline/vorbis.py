@@ -56,7 +56,7 @@ import struct
 
 import numpy as np
 
-from .ogg import build_page, ogg_packets
+from .ogg import build_page, ogg_packets, ogg_packets_salvage
 
 # ---------------------------------------------------------------------------
 # bitpacking (LSB-first, Vorbis I §2)
@@ -794,11 +794,19 @@ def decode_audio_packet(packet: bytes, setup: VorbisSetup,
 
 
 def _decode_stream(content: bytes, strict: bool):
-    """Shared stream walk -> (rate, channels, samples, degraded).
-    strict=True re-raises the first undecodable audio packet (the
-    differential/fixture contract); strict=False degrades each one
-    to a window of silence and COUNTS it."""
-    packets = list(ogg_packets(content))
+    """Shared stream walk -> (rate, channels, samples, degraded,
+    n_audio_packets).  strict=True uses the strict page walk and
+    re-raises the first undecodable audio packet (the differential/
+    fixture contract); strict=False walks pages with
+    ``ogg_packets_salvage`` (damaged pages cost counted resync
+    events, r13) and degrades each undecodable audio packet to a
+    window of silence, COUNTED.  ``degraded`` counts degrade EVENTS:
+    container page drops + per-packet audio degrades."""
+    degraded = 0
+    if strict:
+        packets = list(ogg_packets(content))
+    else:
+        packets, degraded = ogg_packets_salvage(content)
     if len(packets) < 3:
         raise ValueError("vorbis: missing headers")
     channels, rate, bs0, bs1 = parse_id_header(packets[0])
@@ -814,7 +822,7 @@ def _decode_stream(content: bytes, strict: bool):
     window = vorbis_window(bs0)
     halves = []
     prev = None
-    degraded = 0
+    n_audio = len(packets) - 3
     for pkt in packets[3:]:
         try:
             pcm = decode_audio_packet(pkt, setup, channels, bs0, bs1,
@@ -834,17 +842,20 @@ def _decode_stream(content: bytes, strict: bool):
             halves.append(prev[:, bs0 // 2:] + pcm[:, :bs0 // 2])
         prev = pcm
     if not halves:
-        return rate, channels, np.zeros((channels, 0)), degraded
-    return rate, channels, np.concatenate(halves, axis=1), degraded
+        return rate, channels, np.zeros((channels, 0)), degraded, \
+            n_audio
+    return rate, channels, np.concatenate(halves, axis=1), degraded, \
+        n_audio
 
 
 def decode_vorbis_samples(content: bytes):
     """Ogg Vorbis bytes -> (rate, channels, samples[ch][N] float64).
     STRICT: raises ValueError outside the supported subset (window
-    switching, truncated packets, floor0-mapped packets) — the
-    differential anchor.  Crawl-facing callers use
+    switching, truncated packets, floor0-mapped packets, damaged
+    pages) — the differential anchor.  Crawl-facing callers use
     ``decode_vorbis_samples_salvage``."""
-    rate, channels, samples, _ = _decode_stream(content, strict=True)
+    rate, channels, samples, _, _ = _decode_stream(content,
+                                                   strict=True)
     return rate, channels, samples
 
 
@@ -852,11 +863,15 @@ def decode_vorbis_samples_salvage(content: bytes):
     """Crawl-robust decode -> (rate, channels, samples, degraded).
     Header packets stay FATAL (a stream without id/setup has no
     decode identity); each undecodable AUDIO packet degrades to one
-    window of silence and is COUNTED — floor0-mapped packets (LSP
-    synthesis has no validation anchor here, see Floor0) and
-    end-of-packet-truncated packets, both shapes real crawl Ogg
-    files contain (VERDICT r12 ask 5)."""
-    return _decode_stream(content, strict=False)
+    window of silence and each damaged Ogg PAGE resyncs (both
+    COUNTED as degrade events) — floor0-mapped packets (LSP
+    synthesis has no validation anchor here, see Floor0),
+    end-of-packet-truncated packets, and CRC-broken pages, the
+    shapes real crawl Ogg files contain (VERDICT r12 ask 5 + r13
+    page salvage)."""
+    rate, channels, samples, degraded, _ = _decode_stream(
+        content, strict=False)
+    return rate, channels, samples, degraded
 
 
 # ---------------------------------------------------------------------------
@@ -1114,11 +1129,12 @@ def vorbis_tone_analysis(content: bytes) -> list[float]:
 
 def vorbis_salvage_analysis(content: bytes) -> list[float]:
     """Crawl-facing variant: same five fields PLUS degraded_packets
-    — runs the salvage decode, so floor0-mapped or truncated audio
-    packets cost silence + a count, never the stream."""
-    rate, channels, samples, degraded = \
-        decode_vorbis_samples_salvage(content)
-    n_audio = len(list(ogg_packets(content))) - 3
+    — runs the salvage decode, so floor0-mapped/truncated audio
+    packets and CRC-damaged pages cost counted degrades, never the
+    stream.  n_frames counts the audio packets the salvage page
+    walk surfaced (a lost page's packets are gone, not guessed)."""
+    rate, channels, samples, degraded, n_audio = _decode_stream(
+        content, strict=False)
     mono = samples[0]
     n = len(mono)
     if n == 0:

@@ -292,3 +292,63 @@ def test_spark_salvage_kernel_e2e(spark):
         "media_id long, kind string, content binary, meta map<string,string>")
     row = analyze_vorbis_salvage(bad).first()
     assert row.dominant_hz is None and row.degraded_packets is None
+
+
+def test_salvage_corruption_fuzz_contract():
+    """Property (the WARC 600-case pattern): single-byte corruption
+    at ANY offset either decodes — a damaged AUDIO page costs a
+    counted resync event (r13 page salvage), never the stream — or
+    raises ValueError (corruption that takes out a HEADER page
+    leaves the stream without a decode identity).  Never any other
+    exception, and never a geometry lie: on decode, the channel
+    count matches the id header and the sample count is a multiple
+    of the half-window.  200 deterministic corruption positions."""
+    blob = V.synth_vorbis_tone(7)
+    n = len(blob)
+    decoded = raised = degraded_seen = 0
+    for i in range(200):
+        pos = (i * 7919) % n
+        bad = bytearray(blob)
+        bad[pos] ^= 0xA5
+        try:
+            rate, ch, samples, dg = \
+                V.decode_vorbis_samples_salvage(bytes(bad))
+        except ValueError:
+            raised += 1
+            continue
+        decoded += 1
+        assert samples.shape[0] == ch
+        assert samples.shape[1] % V._N2 == 0
+        assert dg >= 0
+        degraded_seen += int(dg > 0)
+    # all three behaviors must actually occur over 200 positions:
+    # header-page hits raise, audio-page hits decode WITH a counted
+    # degrade, and a mid-stream flip cannot silently vanish
+    assert decoded > 0 and raised > 0 and degraded_seen > 0, \
+        (decoded, raised, degraded_seen)
+
+
+def test_page_salvage_clean_stream_identical():
+    """ogg_packets_salvage on an undamaged stream == the strict walk
+    with zero drops (the warc salvage-vs-strict anchor pattern)."""
+    from harbourbridge_spark.pipeline.ogg import ogg_packets_salvage
+
+    blob = V.synth_vorbis_tone(4)
+    pkts, dropped = ogg_packets_salvage(blob)
+    assert dropped == 0
+    assert pkts == list(ogg_packets(blob))
+
+
+def test_damaged_audio_page_costs_itself():
+    """Flip one byte inside the LAST audio page's body: the page
+    drops (counted), every earlier packet decodes bit-identically,
+    and the PCM just ends one lap earlier."""
+    blob = bytearray(V.synth_vorbis_tone(3))     # 9 audio pages
+    r0, c0, s0 = V.decode_vorbis_samples(bytes(blob))
+    last = blob.rindex(b"OggS")
+    blob[-1] ^= 0xA5                             # inside last body
+    r1, c1, s1, dg = V.decode_vorbis_samples_salvage(bytes(blob))
+    assert (r1, c1) == (r0, c0)
+    assert dg == 1
+    assert s1.shape[1] == s0.shape[1] - V._N2
+    assert np.allclose(s1, s0[:, :s1.shape[1]])
