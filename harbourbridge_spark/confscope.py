@@ -1,0 +1,56 @@
+"""Build-scoped session-conf management (VERDICT r12 "What's wrong
+#4": ~30 per-entry ``spark.conf.set("…escapedStringLiterals", …)``
+toggles left the session in whatever mode ran last, so any library
+caller OUTSIDE the registry inherited a parser mode it never asked
+for — the exact conf-coupling class that disabled quarantine in the
+dynamo inference path (NOTES_DEV r11) and re-batched Arrow kernels
+(r12).
+
+``scoped_parser_mode`` works because ``escapedStringLiterals`` is
+read by the SQL PARSER only — at ``spark.sql``/``selectExpr``/
+``F.expr`` CALL time, which in PySpark happens eagerly while the
+DataFrame is being built.  Restoring on exit therefore cannot change
+any already-built plan; execution never re-parses.
+
+This must NOT be used for confs read at EXECUTION time
+(``spark.sql.session.timeZone``, Arrow batch sizing, AQE, shuffle
+partitions): those are consumed when jobs run, which is after the
+scope exits.  The module docstring of ``pipeline/warc.py`` documents
+the execution-time variant of this hazard.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+PARSER_KEY = "spark.sql.parser.escapedStringLiterals"
+
+
+@contextmanager
+def scoped_conf(spark, key: str, value: str):
+    """Set ``key`` for the duration of plan BUILDING and restore the
+    caller's value (or unset) on exit.  Parse-time confs only — see
+    module docstring."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, old)
+
+
+def scoped_parser_mode(spark, escaped: str):
+    """``escaped`` is "true" (verbatim literals — the dual-engine
+    template convention: DuckDB never processes backslash escapes)
+    or "false" (Spark-default escape processing — the convert.py
+    expression convention)."""
+    return scoped_conf(spark, PARSER_KEY, escaped)

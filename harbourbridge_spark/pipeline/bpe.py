@@ -41,6 +41,8 @@ needed at bench scale.
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 from .text import render
 
 N_MERGES = 8
@@ -205,28 +207,28 @@ def _learn_merges(spark, sf_dir: str):
     registered."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    vocab = spark.sql(render(
-        _vocab_cte("spark") + " SELECT s, cnt FROM v0",
-        "spark", mat="")).localCheckpoint()
-    merges = []
-    argmax = render(_PAIR_ARGMAX_SQL, "spark")
-    for rank in range(1, N_MERGES + 1):
-        vocab.createOrReplaceTempView("bpe_vocab")
-        row = spark.sql(argmax).collect()
-        if not row:
-            break
-        l, r2, c = row[0]
-        merges.append((rank, l, r2, int(c)))
-        # F.replace is literal (no regex/quoting hazards for corpus-
-        # derived symbols)
-        vocab = vocab.select(
-            F.replace("s", F.lit(f"{l}|{r2}|"),
-                      F.lit(f"{l}{r2}|")).alias("s"),
-            "cnt").localCheckpoint()
-    return merges
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        vocab = spark.sql(render(
+            _vocab_cte("spark") + " SELECT s, cnt FROM v0",
+            "spark", mat="")).localCheckpoint()
+        merges = []
+        argmax = render(_PAIR_ARGMAX_SQL, "spark")
+        for rank in range(1, N_MERGES + 1):
+            vocab.createOrReplaceTempView("bpe_vocab")
+            row = spark.sql(argmax).collect()
+            if not row:
+                break
+            l, r2, c = row[0]
+            merges.append((rank, l, r2, int(c)))
+            # F.replace is literal (no regex/quoting hazards for corpus-
+            # derived symbols)
+            vocab = vocab.select(
+                F.replace("s", F.lit(f"{l}|{r2}|"),
+                          F.lit(f"{l}{r2}|")).alias("s"),
+                "cnt").localCheckpoint()
+        return merges
 
 
 def bpe_train_fn(spark, sf_dir: str):
@@ -245,15 +247,20 @@ def bpe_apply_fn(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     merges = _learn_merges(spark, sf_dir)
-    docw = spark.sql(render(f"""
-        SELECT doc_id, w
-        FROM (
-            SELECT doc_id,
-                   {{explode}}({{rsplit}}({{ntext}}, '\\s+')) AS w
-            FROM documents WHERE text IS NOT NULL
-        ) _d
-        WHERE length(w) > 0
-    """, "spark"))
+    # own parser scope: this template carries a verbatim '\s+' —
+    # previously it silently inherited the mode _learn_merges LEAKED
+    # (the exact coupling class confscope.py exists to end; the
+    # restore exposed it as a real latent bug)
+    with scoped_parser_mode(spark, "true"):
+        docw = spark.sql(render(f"""
+            SELECT doc_id, w
+            FROM (
+                SELECT doc_id,
+                       {{explode}}({{rsplit}}({{ntext}}, '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ) _d
+            WHERE length(w) > 0
+        """, "spark"))
     s = F.concat(F.regexp_replace("w", "(.)", "$1|"),
                  F.lit(_EOW + "|"))
     for _rank, l, r2, _c in merges:

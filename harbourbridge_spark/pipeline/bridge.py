@@ -19,6 +19,8 @@ impose their own (documented) shuffle shapes.
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,11 +127,11 @@ def corpus_from_relational_fn(spark: SparkSession,
     from .text import TOKENS, norm_text, render
     fp = hash48(norm_text("spark"), "spark")
     toks = render(TOKENS, "spark")
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    return spark.sql(f"""
-    SELECT doc_id, source,
-           CAST(size(tk) AS BIGINT) AS n_tokens,
-           CAST({fp} AS BIGINT) AS fp
-    FROM (SELECT doc_id, source, text, {toks} AS tk
-          FROM __bridge_docs) _b
-    """)
+    with scoped_parser_mode(spark, "true"):
+        return spark.sql(f"""
+        SELECT doc_id, source,
+               CAST(size(tk) AS BIGINT) AS n_tokens,
+               CAST({fp} AS BIGINT) AS fp
+        FROM (SELECT doc_id, source, text, {toks} AS tk
+              FROM __bridge_docs) _b
+        """)

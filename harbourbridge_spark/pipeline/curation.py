@@ -28,6 +28,8 @@ Scale designs (100 TB):
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 from .text import TOKENS, render
 
 # Knuth's multiplicative hash constant (2654435761 = floor(2^32/phi));
@@ -95,33 +97,33 @@ def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
     (the CTE form re-evaluates the whole tokenize+gram pipeline per
     reference).  Measured 20.5s -> ~1s at sf0.1."""
     from .text import render as _render
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    toks = _render(TOKENS, "spark")
-    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
-    grams = spark.sql(f"""
-    WITH toks AS (
-        SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
-    ), g AS (
-        SELECT doc_id,
-               concat_ws(' ', tok, {leads}) AS gram,
-               lead(tok, {gram_n - 1}) OVER w AS tlast
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    )
-    SELECT DISTINCT doc_id, gram FROM g WHERE tlast IS NOT NULL
-    """).localCheckpoint()
-    grams.createOrReplaceTempView("__decon_grams")
-    return spark.sql(f"""
-    WITH eval_grams AS (
-        SELECT DISTINCT gram FROM __decon_grams
-        WHERE doc_id % {eval_mod} = 0
-    )
-    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
-    FROM __decon_grams g JOIN eval_grams e ON e.gram = g.gram
-    WHERE g.doc_id % {eval_mod} <> 0
-    GROUP BY g.doc_id
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        toks = _render(TOKENS, "spark")
+        leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
+        grams = spark.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   concat_ws(' ', tok, {leads}) AS gram,
+                   lead(tok, {gram_n - 1}) OVER w AS tlast
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        SELECT DISTINCT doc_id, gram FROM g WHERE tlast IS NOT NULL
+        """).localCheckpoint()
+        grams.createOrReplaceTempView("__decon_grams")
+        return spark.sql(f"""
+        WITH eval_grams AS (
+            SELECT DISTINCT gram FROM __decon_grams
+            WHERE doc_id % {eval_mod} = 0
+        )
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        FROM __decon_grams g JOIN eval_grams e ON e.gram = g.gram
+        WHERE g.doc_id % {eval_mod} <> 0
+        GROUP BY g.doc_id
+        """)
 
 
 def doc_repetition_sql(engine: str, gram_n: int = 2) -> str:
@@ -289,49 +291,49 @@ def curation_pipeline_materialized_fn(spark, sf_dir: str, k: int = 20,
     from .dedup import dedup_keep_first_sql
     from .text import text_quality_sql
 
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
 
-    # materialize ONLY the relations consumed more than once
-    # (survivors: final + the n_selected aggregate; final: sample/pack
-    # + the n_final aggregate).  quality / keeps / contaminated are
-    # each read exactly once, so they stay lazy and Catalyst pipelines
-    # them into their single consumer — a checkpoint there would be a
-    # pure serialization barrier (measured 3.7 -> 2.1 s at sf0.1).
-    spark.sql(text_quality_sql("spark")) \
-        .createOrReplaceTempView("__cur_quality")
-    spark.sql(dedup_keep_first_sql("spark")) \
-        .createOrReplaceTempView("__cur_keeps")
-    survivors = spark.sql("""
-        SELECT q.doc_id, q.lang, q.n_tokens
-        FROM __cur_quality q JOIN __cur_keeps k ON q.doc_id = k.doc_id
-        WHERE k.keep AND q.n_tokens >= 20 AND q.quality_score >= 0.5
-    """).localCheckpoint()
-    survivors.createOrReplaceTempView("__cur_survivors")
-    decontaminate_fn(spark, sf_dir, eval_mod=eval_mod) \
-        .createOrReplaceTempView("__cur_contam")
-    final = spark.sql("""
-        SELECT s.doc_id, s.lang, s.n_tokens FROM __cur_survivors s
-        LEFT ANTI JOIN __cur_contam c ON c.doc_id = s.doc_id
-    """).localCheckpoint()
-    final.createOrReplaceTempView("__cur_final")
-    sample_pack = spark.sql(f"""
-        WITH {_sample_pack_ctes('__cur_final', 'div', k, budget)}
-        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled)
-                   AS n_sampled,
-               CAST(COUNT(*) AS BIGINT) AS n_bins,
-               CAST(SUM(tok) AS BIGINT) AS packed_tokens
-        FROM packed
-    """)
-    s = (spark.table("documents")
-         .agg(F.count("*").cast("long").alias("n_docs"))
-         .crossJoin(survivors.agg(
-             F.count("*").cast("long").alias("n_selected")))
-         .crossJoin(final.agg(
-             F.count("*").cast("long").alias("n_final")))
-         .crossJoin(sample_pack))
-    return s
+        # materialize ONLY the relations consumed more than once
+        # (survivors: final + the n_selected aggregate; final: sample/pack
+        # + the n_final aggregate).  quality / keeps / contaminated are
+        # each read exactly once, so they stay lazy and Catalyst pipelines
+        # them into their single consumer — a checkpoint there would be a
+        # pure serialization barrier (measured 3.7 -> 2.1 s at sf0.1).
+        spark.sql(text_quality_sql("spark")) \
+            .createOrReplaceTempView("__cur_quality")
+        spark.sql(dedup_keep_first_sql("spark")) \
+            .createOrReplaceTempView("__cur_keeps")
+        survivors = spark.sql("""
+            SELECT q.doc_id, q.lang, q.n_tokens
+            FROM __cur_quality q JOIN __cur_keeps k ON q.doc_id = k.doc_id
+            WHERE k.keep AND q.n_tokens >= 20 AND q.quality_score >= 0.5
+        """).localCheckpoint()
+        survivors.createOrReplaceTempView("__cur_survivors")
+        decontaminate_fn(spark, sf_dir, eval_mod=eval_mod) \
+            .createOrReplaceTempView("__cur_contam")
+        final = spark.sql("""
+            SELECT s.doc_id, s.lang, s.n_tokens FROM __cur_survivors s
+            LEFT ANTI JOIN __cur_contam c ON c.doc_id = s.doc_id
+        """).localCheckpoint()
+        final.createOrReplaceTempView("__cur_final")
+        sample_pack = spark.sql(f"""
+            WITH {_sample_pack_ctes('__cur_final', 'div', k, budget)}
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sampled)
+                       AS n_sampled,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   CAST(SUM(tok) AS BIGINT) AS packed_tokens
+            FROM packed
+        """)
+        s = (spark.table("documents")
+             .agg(F.count("*").cast("long").alias("n_docs"))
+             .crossJoin(survivors.agg(
+                 F.count("*").cast("long").alias("n_selected")))
+             .crossJoin(final.agg(
+                 F.count("*").cast("long").alias("n_final")))
+             .crossJoin(sample_pack))
+        return s
 
 
 def curation_pipeline_materialized_oracle_sql(k: int = 20,
@@ -618,17 +620,17 @@ def curation_store_write(spark, docs_df, store_path: str,
     against them without re-reading (or re-tokenizing) a single
     corpus byte — the same amortization contract as dedup's signature
     store and the ANN index store."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    docs_df.createOrReplaceTempView("__cur_store_in")
-    ctes = _store_build_ctes("spark", "__cur_store_in",
-                             eval_mod=eval_mod)
-    for name in ("eval_grams", "boiler_grams", "vocab"):
-        spark.sql(ctes[name]).write.mode(mode) \
-            .parquet(f"{store_path}/{name}")
-    spark.read.parquet(f"{store_path}/vocab") \
-        .createOrReplaceTempView("__cur_store_vocab")
-    spark.sql(ctes["totals"].format(vocab="__cur_store_vocab")) \
-        .write.mode(mode).parquet(f"{store_path}/totals")
+    with scoped_parser_mode(spark, "true"):
+        docs_df.createOrReplaceTempView("__cur_store_in")
+        ctes = _store_build_ctes("spark", "__cur_store_in",
+                                 eval_mod=eval_mod)
+        for name in ("eval_grams", "boiler_grams", "vocab"):
+            spark.sql(ctes[name]).write.mode(mode) \
+                .parquet(f"{store_path}/{name}")
+        spark.read.parquet(f"{store_path}/vocab") \
+            .createOrReplaceTempView("__cur_store_vocab")
+        spark.sql(ctes["totals"].format(vocab="__cur_store_vocab")) \
+            .write.mode(mode).parquet(f"{store_path}/totals")
 
 
 def curation_store_append(spark, store_path: str, docs_df) -> None:
@@ -660,77 +662,77 @@ def curation_store_append(spark, store_path: str, docs_df) -> None:
 
 def _curation_store_append_locked(spark, store_path: str,
                                   docs_df) -> None:
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    docs_df.createOrReplaceTempView("__cur_app_in")
-    toks = render(TOKENS, "spark")
-    g5 = _gram_expr("spark", 5, clamp=True)
-    g4 = _gram_expr("spark", 4)
-    # batch increments
-    inc_df = spark.sql(f"""
-        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-            SELECT DISTINCT doc_id, gram FROM (
-                SELECT doc_id, explode(g) AS gram
-                FROM (SELECT doc_id, {g5} AS g
-                      FROM (SELECT doc_id, {toks} AS tk
-                            FROM __cur_app_in) _c) _g) _x) _d
-        GROUP BY gram""").localCheckpoint()
-    inc_df.createOrReplaceTempView("__cur_app_g5")
-    old = spark.read.parquet(f"{store_path}/boiler_grams") \
-        .localCheckpoint()
-    old.createOrReplaceTempView("__cur_app_boiler_old")
-    merged = spark.sql(f"""
-        SELECT gram, CAST(SUM(n_docs) AS BIGINT) AS n_docs FROM (
-            SELECT * FROM __cur_app_boiler_old
-            UNION ALL SELECT * FROM __cur_app_g5) _u
-        GROUP BY gram HAVING SUM(n_docs) >= {BOILER_MIN_DOCS}
-    """).localCheckpoint()
-    merged.write.mode("overwrite") \
-        .parquet(f"{store_path}/boiler_grams")
-    # vocab + totals merge
-    vinc = spark.sql(f"""
-        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
-            SELECT explode(tk) AS tok
-            FROM (SELECT {toks} AS tk FROM __cur_app_in) _c) _t
-        GROUP BY tok""").localCheckpoint()
-    vinc.createOrReplaceTempView("__cur_app_vinc")
-    vold = spark.read.parquet(f"{store_path}/vocab").localCheckpoint()
-    vold.createOrReplaceTempView("__cur_app_vold")
-    vmerged = spark.sql("""
-        SELECT tok, CAST(SUM(n) AS BIGINT) AS n FROM (
-            SELECT * FROM __cur_app_vold
-            UNION ALL SELECT * FROM __cur_app_vinc) _u
-        GROUP BY tok""").localCheckpoint()
-    vmerged.write.mode("overwrite").parquet(f"{store_path}/vocab")
-    spark.sql("""SELECT CAST(SUM(n) AS BIGINT) AS t
-                 FROM __cur_app_vold
-                 UNION ALL
-                 SELECT CAST(SUM(n) AS BIGINT) FROM __cur_app_vinc""") \
-        .groupBy().sum("t").selectExpr("CAST(`sum(t)` AS BIGINT) AS t") \
-        .write.mode("overwrite").parquet(f"{store_path}/totals")
-    # new eval grams (batch docs on the eval residue) — merged with
-    # the existing store via DISTINCT-union + overwrite, like
-    # boiler_grams/vocab: a bare mode('append') deduplicated only
-    # within the batch, so a gram seen in several appended batches
-    # (or already stored) got duplicate rows and the ev join in
-    # _against_store_tail multiplied matches, inflating
-    # n_eval_grams (ADVICE r9)
-    spark.sql(f"""
-        SELECT DISTINCT gram FROM (
-            SELECT explode(g) AS gram
-            FROM (SELECT {g4} AS g
-                  FROM (SELECT doc_id, {toks} AS tk FROM __cur_app_in)
-                  _c WHERE doc_id % {CUR_EVAL_MOD} = 0
-                     AND size(tk) >= 4) _g) _e
-    """).createOrReplaceTempView("__cur_app_ev_new")
-    eold = spark.read.parquet(f"{store_path}/eval_grams") \
-        .localCheckpoint()
-    eold.createOrReplaceTempView("__cur_app_ev_old")
-    emerged = spark.sql("""
-        SELECT DISTINCT gram FROM (
-            SELECT * FROM __cur_app_ev_old
-            UNION ALL SELECT * FROM __cur_app_ev_new) _u
-    """).localCheckpoint()
-    emerged.write.mode("overwrite").parquet(f"{store_path}/eval_grams")
+    with scoped_parser_mode(spark, "true"):
+        docs_df.createOrReplaceTempView("__cur_app_in")
+        toks = render(TOKENS, "spark")
+        g5 = _gram_expr("spark", 5, clamp=True)
+        g4 = _gram_expr("spark", 4)
+        # batch increments
+        inc_df = spark.sql(f"""
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id, explode(g) AS gram
+                    FROM (SELECT doc_id, {g5} AS g
+                          FROM (SELECT doc_id, {toks} AS tk
+                                FROM __cur_app_in) _c) _g) _x) _d
+            GROUP BY gram""").localCheckpoint()
+        inc_df.createOrReplaceTempView("__cur_app_g5")
+        old = spark.read.parquet(f"{store_path}/boiler_grams") \
+            .localCheckpoint()
+        old.createOrReplaceTempView("__cur_app_boiler_old")
+        merged = spark.sql(f"""
+            SELECT gram, CAST(SUM(n_docs) AS BIGINT) AS n_docs FROM (
+                SELECT * FROM __cur_app_boiler_old
+                UNION ALL SELECT * FROM __cur_app_g5) _u
+            GROUP BY gram HAVING SUM(n_docs) >= {BOILER_MIN_DOCS}
+        """).localCheckpoint()
+        merged.write.mode("overwrite") \
+            .parquet(f"{store_path}/boiler_grams")
+        # vocab + totals merge
+        vinc = spark.sql(f"""
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT explode(tk) AS tok
+                FROM (SELECT {toks} AS tk FROM __cur_app_in) _c) _t
+            GROUP BY tok""").localCheckpoint()
+        vinc.createOrReplaceTempView("__cur_app_vinc")
+        vold = spark.read.parquet(f"{store_path}/vocab").localCheckpoint()
+        vold.createOrReplaceTempView("__cur_app_vold")
+        vmerged = spark.sql("""
+            SELECT tok, CAST(SUM(n) AS BIGINT) AS n FROM (
+                SELECT * FROM __cur_app_vold
+                UNION ALL SELECT * FROM __cur_app_vinc) _u
+            GROUP BY tok""").localCheckpoint()
+        vmerged.write.mode("overwrite").parquet(f"{store_path}/vocab")
+        spark.sql("""SELECT CAST(SUM(n) AS BIGINT) AS t
+                     FROM __cur_app_vold
+                     UNION ALL
+                     SELECT CAST(SUM(n) AS BIGINT) FROM __cur_app_vinc""") \
+            .groupBy().sum("t").selectExpr("CAST(`sum(t)` AS BIGINT) AS t") \
+            .write.mode("overwrite").parquet(f"{store_path}/totals")
+        # new eval grams (batch docs on the eval residue) — merged with
+        # the existing store via DISTINCT-union + overwrite, like
+        # boiler_grams/vocab: a bare mode('append') deduplicated only
+        # within the batch, so a gram seen in several appended batches
+        # (or already stored) got duplicate rows and the ev join in
+        # _against_store_tail multiplied matches, inflating
+        # n_eval_grams (ADVICE r9)
+        spark.sql(f"""
+            SELECT DISTINCT gram FROM (
+                SELECT explode(g) AS gram
+                FROM (SELECT {g4} AS g
+                      FROM (SELECT doc_id, {toks} AS tk FROM __cur_app_in)
+                      _c WHERE doc_id % {CUR_EVAL_MOD} = 0
+                         AND size(tk) >= 4) _g) _e
+        """).createOrReplaceTempView("__cur_app_ev_new")
+        eold = spark.read.parquet(f"{store_path}/eval_grams") \
+            .localCheckpoint()
+        eold.createOrReplaceTempView("__cur_app_ev_old")
+        emerged = spark.sql("""
+            SELECT DISTINCT gram FROM (
+                SELECT * FROM __cur_app_ev_old
+                UNION ALL SELECT * FROM __cur_app_ev_new) _u
+        """).localCheckpoint()
+        emerged.write.mode("overwrite").parquet(f"{store_path}/eval_grams")
 
 
 def curation_store_compact(spark, store_path: str,
@@ -790,18 +792,18 @@ def curate_against_store(spark, store_path: str, batch_df):
     into a localCheckpointed (doc_id, tk) relation feeding the three
     gram/token consumers — see _against_store_tail's btk_src note for
     why the inline form re-tokenized per gram (23x slower measured)."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    batch_df.createOrReplaceTempView("__curb_batch")
-    for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
-        spark.read.parquet(f"{store_path}/{name}") \
-            .createOrReplaceTempView(f"__curs_{name}")
-    toks = render(TOKENS, "spark")
-    spark.sql(f"SELECT doc_id, {toks} AS tk FROM __curb_batch") \
-        .localCheckpoint().createOrReplaceTempView("__curb_btk")
-    return spark.sql("WITH " + _against_store_tail(
-        "spark", "__curb_batch", "__curs_eval_grams",
-        "__curs_boiler_grams", "__curs_vocab", "__curs_totals",
-        btk_src="__curb_btk"))
+    with scoped_parser_mode(spark, "true"):
+        batch_df.createOrReplaceTempView("__curb_batch")
+        for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
+            spark.read.parquet(f"{store_path}/{name}") \
+                .createOrReplaceTempView(f"__curs_{name}")
+        toks = render(TOKENS, "spark")
+        spark.sql(f"SELECT doc_id, {toks} AS tk FROM __curb_batch") \
+            .localCheckpoint().createOrReplaceTempView("__curb_btk")
+        return spark.sql("WITH " + _against_store_tail(
+            "spark", "__curb_batch", "__curs_eval_grams",
+            "__curs_boiler_grams", "__curs_vocab", "__curs_totals",
+            btk_src="__curb_btk"))
 
 
 def curation_against_store_sql(engine: str = "duckdb",

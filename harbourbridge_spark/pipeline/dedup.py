@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 import warnings
 
 import numpy as np
@@ -88,15 +90,15 @@ def ngram_jaccard_pairs_fn(spark, sf_dir: str, cap: int | None = None,
     """Executable Spark path for the blocked n-gram Jaccard variant:
     refuses (BlockTooLargeError) when any (lang, len_bucket) block
     exceeds the quadratic cap — the scale path is dedup_lsh_verified."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    check_quadratic_block_cap(
-        spark, "documents",
-        "lang, CAST(floor(n_chars / 100.0) AS BIGINT)",
-        op="dedup_ngram_jaccard", scale_twin="dedup_lsh_verified",
-        cap=cap, enforce=enforce)
-    return spark.sql(ngram_jaccard_pairs_sql("spark"))
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        check_quadratic_block_cap(
+            spark, "documents",
+            "lang, CAST(floor(n_chars / 100.0) AS BIGINT)",
+            op="dedup_ngram_jaccard", scale_twin="dedup_lsh_verified",
+            cap=cap, enforce=enforce)
+        return spark.sql(ngram_jaccard_pairs_sql("spark"))
 
 
 def embedding_neardup_fn(spark, sf_dir: str, cap: int | None = None,
@@ -104,14 +106,14 @@ def embedding_neardup_fn(spark, sf_dir: str, cap: int | None = None,
     """Executable Spark path for the label-blocked exact cosine
     variant: refuses when any label block exceeds the quadratic cap —
     the scale path is dedup_embedding_lsh."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .createOrReplaceTempView("embeddings")
-    check_quadratic_block_cap(
-        spark, "embeddings", "label",
-        op="dedup_embedding_cosine", scale_twin="dedup_embedding_lsh",
-        cap=cap, enforce=enforce)
-    return spark.sql(embedding_neardup_sql("spark"))
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .createOrReplaceTempView("embeddings")
+        check_quadratic_block_cap(
+            spark, "embeddings", "label",
+            op="dedup_embedding_cosine", scale_twin="dedup_embedding_lsh",
+            cap=cap, enforce=enforce)
+        return spark.sql(embedding_neardup_sql("spark"))
 
 
 def exact_dedup_sql(engine: str) -> str:
@@ -319,12 +321,12 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str,
     lower it and the banding reshapes (more bands, fewer rows) so the
     S-curve's knee lands on it. The default 0.7 solves to the same
     4x4 banding the pipeline has always used (frozen oracles)."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
-    sig.createOrReplaceTempView("__mh_sig")
-    return spark.sql(minhash_bands_sql("spark", "__mh_sig", threshold))
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
+        sig.createOrReplaceTempView("__mh_sig")
+        return spark.sql(minhash_bands_sql("spark", "__mh_sig", threshold))
 
 
 def _minhash_md5_signature(text: str) -> list:
@@ -419,9 +421,9 @@ def minhash_lsh_pairs_fast_fn(spark, sf_dir: str,
     path."""
     vectorized_signature_view(spark, sf_dir, "__mh_sig_fast",
                               kernel=_minhash_numpy_signature)
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    return spark.sql(
-        minhash_bands_sql("spark", "__mh_sig_fast", threshold))
+    with scoped_parser_mode(spark, "true"):
+        return spark.sql(
+            minhash_bands_sql("spark", "__mh_sig_fast", threshold))
 
 
 def minhash_lsh_pairs_fast_sql(engine: str,
@@ -555,11 +557,11 @@ def minhash_lsh_pairs_at_fn(spark, sf_dir: str, threshold: float):
     minhash_lsh_pairs_at_sql."""
     b, r = bands_rows_for(threshold)
     vectorized_signature_view(spark, sf_dir, "__mh_sig_at")
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    return spark.sql(render(f"""
-    WITH {_bands_clause_at('__mh_sig_at', b, r)}
-    {_PAIRS_SELECT}
-    """, "spark"))
+    with scoped_parser_mode(spark, "true"):
+        return spark.sql(render(f"""
+        WITH {_bands_clause_at('__mh_sig_at', b, r)}
+        {_PAIRS_SELECT}
+        """, "spark"))
 
 
 def dedup_keep_first_sql(engine: str) -> str:
@@ -929,43 +931,43 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
     interpreted-HOF SQL form remains the dedup_minhash_lsh registry
     entry's own benchmark)."""
     vectorized_signature_view(spark, sf_dir, "__mh_sig_md5")
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")   # verify stage reads it
-    pairs = spark.sql(minhash_bands_sql("spark", "__mh_sig_md5"))
-    # localCheckpoint materializes the candidate pairs ONCE and replaces
-    # the CTE-heavy lineage with a scan of the checkpointed partitions.
-    # Plain .cache()/CACHE TABLE both fail here on Spark 4.1: .cache()
-    # crashes the CTE-pruning optimizer rule
-    # (PushdownPredicatesAndPruneColumnsForCTEDef), and CACHE TABLE's
-    # cache lookup misses on re-analyzed CTE plans, silently recomputing
-    # the band join for every reference (3x here — observed in the
-    # executed plan).
-    pairs = pairs.localCheckpoint()
-    pairs.createOrReplaceTempView("__mh_cand")
-    # gram sets for candidate docs via the vectorized kernel (hashed
-    # word 3-grams, values identical to the SQL template — same token
-    # split as the SimHash kernel, same md5 hash48)
-    from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")   # verify stage reads it
+        pairs = spark.sql(minhash_bands_sql("spark", "__mh_sig_md5"))
+        # localCheckpoint materializes the candidate pairs ONCE and replaces
+        # the CTE-heavy lineage with a scan of the checkpointed partitions.
+        # Plain .cache()/CACHE TABLE both fail here on Spark 4.1: .cache()
+        # crashes the CTE-pruning optimizer rule
+        # (PushdownPredicatesAndPruneColumnsForCTEDef), and CACHE TABLE's
+        # cache lookup misses on re-analyzed CTE plans, silently recomputing
+        # the band join for every reference (3x here — observed in the
+        # executed plan).
+        pairs = pairs.localCheckpoint()
+        pairs.createOrReplaceTempView("__mh_cand")
+        # gram sets for candidate docs via the vectorized kernel (hashed
+        # word 3-grams, values identical to the SQL template — same token
+        # split as the SimHash kernel, same md5 hash48)
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, LongType
 
-    @pandas_udf(ArrayType(LongType()))
-    def gram_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: None if t is None
-                         else _hashed_gram_set(t))
+        @pandas_udf(ArrayType(LongType()))
+        def gram_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: None if t is None
+                             else _hashed_gram_set(t))
 
-    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
-           .union(pairs.select(F.col("doc_b").alias("doc_id")))
-           .distinct())
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .join(ids, "doc_id")
-            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
-    grams = (docs.select("doc_id", gram_udf("nt").alias("grams"))
-             .localCheckpoint())
-    grams.createOrReplaceTempView("__mh_grams")
-    return spark.sql(lsh_verify_sql("spark", "__mh_cand",
-                                    gram_source="__mh_grams"))
+        ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .union(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .join(ids, "doc_id")
+                .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+        grams = (docs.select("doc_id", gram_udf("nt").alias("grams"))
+                 .localCheckpoint())
+        grams.createOrReplaceTempView("__mh_grams")
+        return spark.sql(lsh_verify_sql("spark", "__mh_cand",
+                                        gram_source="__mh_grams"))
 
 
 def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
@@ -1361,35 +1363,35 @@ def winnow_pairs_fn(spark, sf_dir: str):
     (Spark inlines CTEs, so the template form would re-run the whole
     tokenize+winnow pipeline three times)."""
     from .text import render as _render
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    toks = _render(TOKENS, "spark")
-    leads = ", ".join(f"lead(tok, {j}) OVER w"
-                      for j in range(1, WINNOW_K))
-    capped = spark.sql(f"""
-    WITH toks AS (
-        SELECT doc_id, posexplode({toks}) AS (pos, tok)
-        FROM documents WHERE text IS NOT NULL
-    ), g0 AS (
-        SELECT doc_id, pos,
-               concat_ws(' ', tok, {leads}) AS gram,
-               lead(tok, {WINNOW_K - 1}) OVER w AS tlast
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), g AS (
-        -- posexplode positions are 0-based; the shared tail's
-        -- full-window filter (pos <= np - W + 1) assumes the
-        -- template's 1-based positions, so shift here
-        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
-        FROM g0 WHERE tlast IS NOT NULL
-    ), {_winnow_tail_sql()}
-    SELECT doc_id, fp FROM capped
-    """).localCheckpoint()
-    capped.createOrReplaceTempView("__winnow_capped")
-    return spark.sql(f"""
-    WITH capped AS (SELECT * FROM __winnow_capped),
-    {_WINNOW_FINAL}
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        toks = _render(TOKENS, "spark")
+        leads = ", ".join(f"lead(tok, {j}) OVER w"
+                          for j in range(1, WINNOW_K))
+        capped = spark.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, posexplode({toks}) AS (pos, tok)
+            FROM documents WHERE text IS NOT NULL
+        ), g0 AS (
+            SELECT doc_id, pos,
+                   concat_ws(' ', tok, {leads}) AS gram,
+                   lead(tok, {WINNOW_K - 1}) OVER w AS tlast
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), g AS (
+            -- posexplode positions are 0-based; the shared tail's
+            -- full-window filter (pos <= np - W + 1) assumes the
+            -- template's 1-based positions, so shift here
+            SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+            FROM g0 WHERE tlast IS NOT NULL
+        ), {_winnow_tail_sql()}
+        SELECT doc_id, fp FROM capped
+        """).localCheckpoint()
+        capped.createOrReplaceTempView("__winnow_capped")
+        return spark.sql(f"""
+        WITH capped AS (SELECT * FROM __winnow_capped),
+        {_WINNOW_FINAL}
+        """)
 
 
 def _winnow_df_bucket_expr() -> tuple[str, int]:
@@ -1472,29 +1474,29 @@ def winnow_fp_stats_fn(spark, sf_dir: str):
     chain, so nothing is checkpointed; the fp shuffle key is the
     8-byte hash, never text."""
     from .text import render as _render
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    toks = _render(TOKENS, "spark")
-    leads = ", ".join(f"lead(tok, {j}) OVER w"
-                      for j in range(1, WINNOW_K))
-    return spark.sql(f"""
-    WITH toks AS (
-        SELECT doc_id, posexplode({toks}) AS (pos, tok)
-        FROM documents WHERE text IS NOT NULL
-    ), g0 AS (
-        SELECT doc_id, pos,
-               concat_ws(' ', tok, {leads}) AS gram,
-               lead(tok, {WINNOW_K - 1}) OVER w AS tlast
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), g AS (
-        -- posexplode positions are 0-based; the shared tail assumes
-        -- the template's 1-based positions (winnow_pairs_fn note)
-        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
-        FROM g0 WHERE tlast IS NOT NULL
-    ), {_winnow_tail_sql()},
-    {_winnow_stats_tail()}
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        toks = _render(TOKENS, "spark")
+        leads = ", ".join(f"lead(tok, {j}) OVER w"
+                          for j in range(1, WINNOW_K))
+        return spark.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, posexplode({toks}) AS (pos, tok)
+            FROM documents WHERE text IS NOT NULL
+        ), g0 AS (
+            SELECT doc_id, pos,
+                   concat_ws(' ', tok, {leads}) AS gram,
+                   lead(tok, {WINNOW_K - 1}) OVER w AS tlast
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), g AS (
+            -- posexplode positions are 0-based; the shared tail assumes
+            -- the template's 1-based positions (winnow_pairs_fn note)
+            SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+            FROM g0 WHERE tlast IS NOT NULL
+        ), {_winnow_tail_sql()},
+        {_winnow_stats_tail()}
+        """)
 
 
 # ---------------------------------------------------------------------------
@@ -1595,48 +1597,48 @@ def substring_spans_fn(spark, sf_dir: str):
     re-run the whole tokenize+gram pipeline for both consumers, and a
     hash-window would serialize each hot gram into one task."""
     from .text import render as _render
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    toks = _render(TOKENS, "spark")
-    leads = ", ".join(f"lead(tok, {j}) OVER w"
-                      for j in range(1, SUBSTR_K))
-    g_sql = f"""
-    WITH toks AS (
-        SELECT doc_id, posexplode({toks}) AS (pos, tok)
-        FROM documents WHERE text IS NOT NULL
-    ), g0 AS (
-        SELECT doc_id, pos,
-               concat_ws(' ', tok, {leads}) AS gram,
-               lead(tok, {SUBSTR_K - 1}) OVER w AS tlast
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    )
-    SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
-    FROM g0 WHERE tlast IS NOT NULL
-    """
-    g = spark.sql(g_sql)
-    g.createOrReplaceTempView("__substr_g")
-    dup = spark.sql("""
-        SELECT h FROM __substr_g GROUP BY h HAVING COUNT(*) >= 2
-    """).localCheckpoint()
-    dup.createOrReplaceTempView("__substr_dup")
-    return spark.sql(f"""
-    WITH dp AS (
-        SELECT g.doc_id, g.pos
-        FROM __substr_g g
-        WHERE g.h IN (SELECT h FROM __substr_dup)
-    ), isl AS (
-        SELECT doc_id, pos,
-               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY pos) AS grp
-        FROM dp
-    )
-    SELECT doc_id,
-           CAST(MIN(pos) AS BIGINT) AS start_pos,
-           CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
-           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
-    FROM isl GROUP BY doc_id, grp
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        toks = _render(TOKENS, "spark")
+        leads = ", ".join(f"lead(tok, {j}) OVER w"
+                          for j in range(1, SUBSTR_K))
+        g_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, posexplode({toks}) AS (pos, tok)
+            FROM documents WHERE text IS NOT NULL
+        ), g0 AS (
+            SELECT doc_id, pos,
+                   concat_ws(' ', tok, {leads}) AS gram,
+                   lead(tok, {SUBSTR_K - 1}) OVER w AS tlast
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+        FROM g0 WHERE tlast IS NOT NULL
+        """
+        g = spark.sql(g_sql)
+        g.createOrReplaceTempView("__substr_g")
+        dup = spark.sql("""
+            SELECT h FROM __substr_g GROUP BY h HAVING COUNT(*) >= 2
+        """).localCheckpoint()
+        dup.createOrReplaceTempView("__substr_dup")
+        return spark.sql(f"""
+        WITH dp AS (
+            SELECT g.doc_id, g.pos
+            FROM __substr_g g
+            WHERE g.h IN (SELECT h FROM __substr_dup)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dp
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS start_pos,
+               CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
+               CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, grp
+        """)
 
 
 def _substr_stats_tail(engine: str) -> str:
@@ -1830,16 +1832,16 @@ def dedup_incremental_fn(spark, sf_dir: str, mod: int = INCOMING_MOD,
     minhash_lsh_pairs_fn lesson — the CTE form would recompute the
     shingle/md5 pipeline for the ex/inc/sized references), then the
     asymmetric probe SQL."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .createOrReplaceTempView("documents")
-    sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
-    sig.createOrReplaceTempView("__mhinc_sig")
-    n_bands = MINHASH_K // BAND_SIZE
-    return spark.sql(f"""
-    WITH {_band_expand_clause('__mhinc_sig', n_bands, BAND_SIZE)},
-    {_incremental_tail(mod, res)}
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
+        sig.createOrReplaceTempView("__mhinc_sig")
+        n_bands = MINHASH_K // BAND_SIZE
+        return spark.sql(f"""
+        WITH {_band_expand_clause('__mhinc_sig', n_bands, BAND_SIZE)},
+        {_incremental_tail(mod, res)}
+        """)
 
 
 # ---------------------------------------------------------------------------
@@ -1859,13 +1861,13 @@ def signature_store_write(spark, docs_df, store_path: str,
     docs_df.createOrReplaceTempView("__sig_store_in")
     sig_sql = minhash_signature_sql("spark").replace(
         "FROM documents", "FROM __sig_store_in")
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    # shared mutation lock: an append landing while a compaction is
-    # between its snapshot and its swap would be silently destroyed
-    # by the swap (storecache.store_lock) — serialize writers only;
-    # probes never lock
-    with store_lock(store_path, exclusive=False):
-        spark.sql(sig_sql).write.mode(mode).parquet(store_path)
+    with scoped_parser_mode(spark, "true"):
+        # shared mutation lock: an append landing while a compaction is
+        # between its snapshot and its swap would be silently destroyed
+        # by the swap (storecache.store_lock) — serialize writers only;
+        # probes never lock
+        with store_lock(store_path, exclusive=False):
+            spark.sql(sig_sql).write.mode(mode).parquet(store_path)
 
 
 def signature_store_compact(spark, store_path: str,
@@ -1950,63 +1952,63 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
     Scale: one batch-sized signature job, one batch-sized band probe
     against bucketed store keys, one batch-sized append. Nothing is
     ever recomputed over the corpus."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    batch_df.createOrReplaceTempView("__inc_batch_in")
-    batch_sig_sql = minhash_signature_sql("spark").replace(
-        "FROM documents", "FROM __inc_batch_in")
-    batch_sig = spark.sql(batch_sig_sql).localCheckpoint()
-    batch_sig.createOrReplaceTempView("__inc_batch_sig")
-    spark.read.parquet(store_path) \
-        .createOrReplaceTempView("__inc_store_sig")
-    n_bands = MINHASH_K // BAND_SIZE
-    verdicts = spark.sql(f"""
-    WITH {_band_expand_clause('__inc_store_sig', n_bands, BAND_SIZE)},
-    ex AS (SELECT doc_id, band, key FROM bands),
-    {_band_expand_clause('__inc_batch_sig', n_bands, BAND_SIZE,
-                         cte_name='inc_bands')},
-    inc AS (SELECT doc_id, band, key FROM inc_bands),
-    sized AS (
-        SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
-        FROM ex GROUP BY band, key
-    ), cand AS (
-        SELECT i.doc_id AS new_doc, e.doc_id AS dup_of
-        FROM inc i
-        JOIN sized s ON s.band = i.band AND s.key = i.key
-                    AND s.n <= {MAX_BUCKET}
-        JOIN ex e ON e.band = i.band AND e.key = i.key
-        UNION
-        SELECT i.doc_id AS new_doc, s.rep AS dup_of
-        FROM inc i
-        JOIN sized s ON s.band = i.band AND s.key = i.key
-                    AND s.n > {MAX_BUCKET}
-    )
-    SELECT new_doc AS doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
-           MIN(dup_of) AS dup_of
-    FROM cand GROUP BY new_doc
-    """).localCheckpoint()
-    if admit:
-        # WITHIN-batch near-duplicates must not all be admitted: two
-        # new docs duplicating each other (but nothing in the store)
-        # produce no verdicts, and admitting both would plant a
-        # permanent duplicate pair no future probe can ever flag
-        # (code-review r7). A batch-internal band self-join excludes
-        # every doc that collides with a SMALLER batch doc — the
-        # min-doc representative of each candidate group is admitted,
-        # consistent with the candidate-level semantics of the store
-        # probe itself.
-        intra = spark.sql(f"""
-        WITH {_band_expand_clause('__inc_batch_sig', n_bands,
-                                  BAND_SIZE)}
-        SELECT DISTINCT b.doc_id
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key
-         AND a.doc_id < b.doc_id
-        """)
-        excluded = verdicts.select("doc_id").union(intra)
-        clean_sig = batch_sig.join(excluded, "doc_id", "left_anti")
-        clean_sig.write.mode("append").parquet(store_path)
-    return verdicts
+    with scoped_parser_mode(spark, "true"):
+        batch_df.createOrReplaceTempView("__inc_batch_in")
+        batch_sig_sql = minhash_signature_sql("spark").replace(
+            "FROM documents", "FROM __inc_batch_in")
+        batch_sig = spark.sql(batch_sig_sql).localCheckpoint()
+        batch_sig.createOrReplaceTempView("__inc_batch_sig")
+        spark.read.parquet(store_path) \
+            .createOrReplaceTempView("__inc_store_sig")
+        n_bands = MINHASH_K // BAND_SIZE
+        verdicts = spark.sql(f"""
+        WITH {_band_expand_clause('__inc_store_sig', n_bands, BAND_SIZE)},
+        ex AS (SELECT doc_id, band, key FROM bands),
+        {_band_expand_clause('__inc_batch_sig', n_bands, BAND_SIZE,
+                             cte_name='inc_bands')},
+        inc AS (SELECT doc_id, band, key FROM inc_bands),
+        sized AS (
+            SELECT band, key, COUNT(*) AS n, MIN(doc_id) AS rep
+            FROM ex GROUP BY band, key
+        ), cand AS (
+            SELECT i.doc_id AS new_doc, e.doc_id AS dup_of
+            FROM inc i
+            JOIN sized s ON s.band = i.band AND s.key = i.key
+                        AND s.n <= {MAX_BUCKET}
+            JOIN ex e ON e.band = i.band AND e.key = i.key
+            UNION
+            SELECT i.doc_id AS new_doc, s.rep AS dup_of
+            FROM inc i
+            JOIN sized s ON s.band = i.band AND s.key = i.key
+                        AND s.n > {MAX_BUCKET}
+        )
+        SELECT new_doc AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+               MIN(dup_of) AS dup_of
+        FROM cand GROUP BY new_doc
+        """).localCheckpoint()
+        if admit:
+            # WITHIN-batch near-duplicates must not all be admitted: two
+            # new docs duplicating each other (but nothing in the store)
+            # produce no verdicts, and admitting both would plant a
+            # permanent duplicate pair no future probe can ever flag
+            # (code-review r7). A batch-internal band self-join excludes
+            # every doc that collides with a SMALLER batch doc — the
+            # min-doc representative of each candidate group is admitted,
+            # consistent with the candidate-level semantics of the store
+            # probe itself.
+            intra = spark.sql(f"""
+            WITH {_band_expand_clause('__inc_batch_sig', n_bands,
+                                      BAND_SIZE)}
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+            """)
+            excluded = verdicts.select("doc_id").union(intra)
+            clean_sig = batch_sig.join(excluded, "doc_id", "left_anti")
+            clean_sig.write.mode("append").parquet(store_path)
+        return verdicts
 
 
 def dedup_incremental_store_entry_fn(spark, sf_dir: str,

@@ -35,6 +35,8 @@ single-partition window anywhere.
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 from .hashing import hash48
 from .text import TOKENS, render
 
@@ -169,57 +171,57 @@ def _scored_df(spark, sf_dir: str):
     exact linear functions of the counts (COUNT(*) = SUM(c),
     SUM(k_raw-k_tgt) over occurrences = SUM(c*(k_raw-k_tgt))), so
     values are bit-identical to the template the oracle runs."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    # the fixture parquet has 1-2 row groups, so without this the
-    # ENTIRE tokenize/explode/md5 pipeline serializes into 2 tasks
-    # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
-    # spread the expensive projection across the cluster first
-    par = spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    docs.createOrReplaceTempView("documents")
-    # MATERIALIZE the token arrays before the bigram lambda: Catalyst
-    # collapses the tk projection INTO the transform() lambda, so the
-    # split(trim(lower(text))) re-evaluates PER ELEMENT — O(tokens^2)
-    # per document, measured as 6.2 of the 7.4 s at sf0.1 (the r2
-    # "bind before lambdas" lesson; a CTE/inner-select is NOT a
-    # binding barrier, only materialization is)
-    toks = render(TOKENS, "spark")
-    tk = spark.sql(f"SELECT doc_id, lang, {toks} AS tk "
-                   "FROM documents").localCheckpoint()
-    tk.createOrReplaceTempView("__dsir_tk")
-    fcnt = spark.sql(
-        f"WITH {_grams_to_feats('spark', '__dsir_tk')}" + """
-        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
-        FROM feats GROUP BY doc_id, lang, b
-        """).localCheckpoint()
-    fcnt.createOrReplaceTempView("__dsir_fcnt")
-    return spark.sql(f"""
-        WITH rawc AS (
-            SELECT b, SUM(c) AS n FROM __dsir_fcnt GROUP BY b
-        ), tgtc AS (
-            SELECT b, SUM(c) AS n FROM __dsir_fcnt WHERE lang = 'en'
-            GROUP BY b
-        ), rt AS (
-            SELECT CAST(SUM(n) + {N_BUCKETS} AS BIGINT) AS t FROM rawc
-        ), tt AS (
-            SELECT CAST(COALESCE(SUM(n), 0) + {N_BUCKETS} AS BIGINT)
-                AS t FROM tgtc
-        ), model AS (
-            SELECT r.b,
-                   {_ladder('r.n + 1', 'rt.t')} AS k_raw,
-                   {_ladder('COALESCE(tg.n, 0) + 1', 'tt.t')} AS k_tgt
-            FROM rawc r
-            LEFT JOIN tgtc tg ON tg.b = r.b
-            CROSS JOIN rt CROSS JOIN tt
-        )
-        SELECT f.doc_id,
-               CAST(SUM(f.c) AS BIGINT) AS n_grams,
-               CAST(SUM(f.c * (m.k_raw - m.k_tgt)) AS BIGINT) AS score
-        FROM __dsir_fcnt f JOIN model m ON m.b = f.b
-        GROUP BY f.doc_id
-    """)
+    with scoped_parser_mode(spark, "true"):
+        # the fixture parquet has 1-2 row groups, so without this the
+        # ENTIRE tokenize/explode/md5 pipeline serializes into 2 tasks
+        # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
+        # spread the expensive projection across the cluster first
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        docs.createOrReplaceTempView("documents")
+        # MATERIALIZE the token arrays before the bigram lambda: Catalyst
+        # collapses the tk projection INTO the transform() lambda, so the
+        # split(trim(lower(text))) re-evaluates PER ELEMENT — O(tokens^2)
+        # per document, measured as 6.2 of the 7.4 s at sf0.1 (the r2
+        # "bind before lambdas" lesson; a CTE/inner-select is NOT a
+        # binding barrier, only materialization is)
+        toks = render(TOKENS, "spark")
+        tk = spark.sql(f"SELECT doc_id, lang, {toks} AS tk "
+                       "FROM documents").localCheckpoint()
+        tk.createOrReplaceTempView("__dsir_tk")
+        fcnt = spark.sql(
+            f"WITH {_grams_to_feats('spark', '__dsir_tk')}" + """
+            SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM feats GROUP BY doc_id, lang, b
+            """).localCheckpoint()
+        fcnt.createOrReplaceTempView("__dsir_fcnt")
+        return spark.sql(f"""
+            WITH rawc AS (
+                SELECT b, SUM(c) AS n FROM __dsir_fcnt GROUP BY b
+            ), tgtc AS (
+                SELECT b, SUM(c) AS n FROM __dsir_fcnt WHERE lang = 'en'
+                GROUP BY b
+            ), rt AS (
+                SELECT CAST(SUM(n) + {N_BUCKETS} AS BIGINT) AS t FROM rawc
+            ), tt AS (
+                SELECT CAST(COALESCE(SUM(n), 0) + {N_BUCKETS} AS BIGINT)
+                    AS t FROM tgtc
+            ), model AS (
+                SELECT r.b,
+                       {_ladder('r.n + 1', 'rt.t')} AS k_raw,
+                       {_ladder('COALESCE(tg.n, 0) + 1', 'tt.t')} AS k_tgt
+                FROM rawc r
+                LEFT JOIN tgtc tg ON tg.b = r.b
+                CROSS JOIN rt CROSS JOIN tt
+            )
+            SELECT f.doc_id,
+                   CAST(SUM(f.c) AS BIGINT) AS n_grams,
+                   CAST(SUM(f.c * (m.k_raw - m.k_tgt)) AS BIGINT) AS score
+            FROM __dsir_fcnt f JOIN model m ON m.b = f.b
+            GROUP BY f.doc_id
+        """)
 
 
 def dsir_importance_fn(spark, sf_dir: str):

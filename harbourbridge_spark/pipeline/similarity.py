@@ -17,6 +17,8 @@ the SQL so both engines agree.
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 import hashlib
 
 DIM = 64        # embedding dimensionality of the fixture table
@@ -998,41 +1000,41 @@ def semdedup_fn(spark, sf_dir: str, k: int = 8, iters: int = 2,
     block cap guards the quadratic stage, and one SQL pass computes
     the within-cluster cosine manifest."""
     from .dedup import check_quadratic_block_cap
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .createOrReplaceTempView("embeddings")
-    body, last_assign, _prev = _kmeans_ctes("spark", k, iters, DIM)
-    assign = spark.sql(
-        f"WITH {body} SELECT vec_id, cluster FROM {last_assign}"
-    ).localCheckpoint()
-    assign.createOrReplaceTempView("semdedup_asg")
-    check_quadratic_block_cap(
-        spark, "semdedup_asg", "cluster", op="dedup_semdedup",
-        scale_twin="dedup_embedding_lsh (or a larger k)",
-        cap=cap, enforce=enforce)
-    dot = ("aggregate(zip_with(a.embedding, b.embedding, "
-           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-           "0D, (acc, v) -> acc + v)")
-    norm = ("sqrt(aggregate(embedding, 0D, "
-            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-    return spark.sql(f"""
-    WITH nv AS (
-        SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
-    ),
-    pairs AS (
-        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
-        FROM (SELECT n1.vec_id, n1.embedding, n1.nrm, s1.cluster
-              FROM nv n1 JOIN semdedup_asg s1
-                ON s1.vec_id = n1.vec_id) a
-        JOIN (SELECT n2.vec_id, n2.embedding, n2.nrm, s2.cluster
-              FROM nv n2 JOIN semdedup_asg s2
-                ON s2.vec_id = n2.vec_id) b
-          ON b.cluster = a.cluster AND b.vec_id > a.vec_id
-        WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
-        GROUP BY b.vec_id
-    )
-    SELECT s.vec_id, s.cluster AS cluster_id,
-           CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS removed,
-           COALESCE(p.dup_of, -1) AS dup_of
-    FROM semdedup_asg s LEFT JOIN pairs p ON p.vec_id = s.vec_id
-    """)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+            .createOrReplaceTempView("embeddings")
+        body, last_assign, _prev = _kmeans_ctes("spark", k, iters, DIM)
+        assign = spark.sql(
+            f"WITH {body} SELECT vec_id, cluster FROM {last_assign}"
+        ).localCheckpoint()
+        assign.createOrReplaceTempView("semdedup_asg")
+        check_quadratic_block_cap(
+            spark, "semdedup_asg", "cluster", op="dedup_semdedup",
+            scale_twin="dedup_embedding_lsh (or a larger k)",
+            cap=cap, enforce=enforce)
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
+               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+               "0D, (acc, v) -> acc + v)")
+        norm = ("sqrt(aggregate(embedding, 0D, "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        return spark.sql(f"""
+        WITH nv AS (
+            SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
+        ),
+        pairs AS (
+            SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+            FROM (SELECT n1.vec_id, n1.embedding, n1.nrm, s1.cluster
+                  FROM nv n1 JOIN semdedup_asg s1
+                    ON s1.vec_id = n1.vec_id) a
+            JOIN (SELECT n2.vec_id, n2.embedding, n2.nrm, s2.cluster
+                  FROM nv n2 JOIN semdedup_asg s2
+                    ON s2.vec_id = n2.vec_id) b
+              ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+            WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
+            GROUP BY b.vec_id
+        )
+        SELECT s.vec_id, s.cluster AS cluster_id,
+               CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS removed,
+               COALESCE(p.dup_of, -1) AS dup_of
+        FROM semdedup_asg s LEFT JOIN pairs p ON p.vec_id = s.vec_id
+        """)

@@ -14,6 +14,8 @@ low-cardinality key. No Python UDFs anywhere.
 
 from __future__ import annotations
 
+from ..confscope import scoped_parser_mode
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .hashing import hash48
@@ -376,37 +378,37 @@ def boilerplate_grams_fn(spark, sf_dir: str):
     one (doc_id, pos) sort and never materializes gram arrays.
     Short-doc (<5 tokens) single-gram semantics of the template are
     preserved via the pos=0 fallback row."""
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    docs.createOrReplaceTempView("documents")
-    toks = render(TOKENS, "spark")
-    # two r6 plan cuts vs the template-shaped form (1.27s -> 0.90s at
-    # sf0.1, equal output):
-    # - no ntok window: `t4 IS NOT NULL OR pos = 0` is equivalent to
-    #   the template's short-doc fallback, since pos=0 with >=5 tokens
-    #   implies t4 IS NOT NULL — saves a whole window aggregate;
-    # - per_doc is DISTINCT (doc_id, gram), so COUNT(*) equals
-    #   COUNT(DISTINCT doc_id) and the final agg is a cheap partial-
-    #   aggregated count instead of a two-phase distinct.
-    return spark.sql(f"""
-    WITH toks AS (
-        SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
-    ), g AS (
-        SELECT doc_id, pos,
-               concat_ws(' ', tok, lead(tok, 1) OVER w,
-                         lead(tok, 2) OVER w, lead(tok, 3) OVER w,
-                         lead(tok, 4) OVER w) AS gram,
-               lead(tok, 4) OVER w AS t4
-        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), per_doc AS (
-        SELECT DISTINCT doc_id, gram FROM g
-        WHERE t4 IS NOT NULL OR pos = 0
-    )
-    SELECT gram, COUNT(*) AS n_occurrences, COUNT(*) AS n_docs
-    FROM per_doc GROUP BY gram
-    HAVING COUNT(*) >= 3
-    """)
+    with scoped_parser_mode(spark, "true"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        docs.createOrReplaceTempView("documents")
+        toks = render(TOKENS, "spark")
+        # two r6 plan cuts vs the template-shaped form (1.27s -> 0.90s at
+        # sf0.1, equal output):
+        # - no ntok window: `t4 IS NOT NULL OR pos = 0` is equivalent to
+        #   the template's short-doc fallback, since pos=0 with >=5 tokens
+        #   implies t4 IS NOT NULL — saves a whole window aggregate;
+        # - per_doc is DISTINCT (doc_id, gram), so COUNT(*) equals
+        #   COUNT(DISTINCT doc_id) and the final agg is a cheap partial-
+        #   aggregated count instead of a two-phase distinct.
+        return spark.sql(f"""
+        WITH toks AS (
+            SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
+        ), g AS (
+            SELECT doc_id, pos,
+                   concat_ws(' ', tok, lead(tok, 1) OVER w,
+                             lead(tok, 2) OVER w, lead(tok, 3) OVER w,
+                             lead(tok, 4) OVER w) AS gram,
+                   lead(tok, 4) OVER w AS t4
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), per_doc AS (
+            SELECT DISTINCT doc_id, gram FROM g
+            WHERE t4 IS NOT NULL OR pos = 0
+        )
+        SELECT gram, COUNT(*) AS n_occurrences, COUNT(*) AS n_docs
+        FROM per_doc GROUP BY gram
+        HAVING COUNT(*) >= 3
+        """)
 
 
 def quality_classifier_sql(engine: str) -> str:

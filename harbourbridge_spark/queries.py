@@ -18,6 +18,8 @@ and AQE handles skew at real scale.
 
 from __future__ import annotations
 
+from .confscope import scoped_parser_mode
+
 import os
 from dataclasses import dataclass
 from typing import Callable
@@ -1391,10 +1393,10 @@ def _run_template(sql_fn, tables=("documents",)):
         # verbatim string literals: Spark must not process backslash
         # escapes ('\s+') since DuckDB's SQL strings never do — the
         # templates are shared text.
-        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-        for t in tables:
-            load(spark, sf_dir, t).createOrReplaceTempView(t)
-        return spark.sql(sql_fn("spark"))
+        with scoped_parser_mode(spark, "true"):
+            for t in tables:
+                load(spark, sf_dir, t).createOrReplaceTempView(t)
+            return spark.sql(sql_fn("spark"))
     return fn
 
 
@@ -3515,14 +3517,14 @@ def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "escape/unescape round-trip included). Closed-form in the "
     "strongest sense: zero reconstruction on the oracle side")
 def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    rec = _warc.warc_records(_warc_files(spark, sf_dir, True))
-    body_text = _html.unescape_entities(
-        "regexp_extract(body, '(?s)<p>(.*)</p>', 1)")
-    return rec.filter(F.col("warc_type") == "response").selectExpr(
-        "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) "
-        "AS BIGINT) AS doc_id",
-        f"{body_text} AS text")
+    with scoped_parser_mode(spark, "true"):
+        rec = _warc.warc_records(_warc_files(spark, sf_dir, True))
+        body_text = _html.unescape_entities(
+            "regexp_extract(body, '(?s)<p>(.*)</p>', 1)")
+        return rec.filter(F.col("warc_type") == "response").selectExpr(
+            "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) "
+            "AS BIGINT) AS doc_id",
+            f"{body_text} AS text")
 
 
 @register(
@@ -3624,6 +3626,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 13: temperature-scaled source mixing — new entry (the
     # rebalancing sampler every multi-source training recipe runs)
     "mixture_sample_temperature",
+    # round 13: session-conf scoping (confscope.py) — every parser-
+    # mode set is now build-scoped with restore.  Expressions are
+    # parse-identical so the cohort does not re-pin, EXCEPT
+    # bpe_apply: its '\s+' template had silently inherited the mode
+    # _learn_merges leaked (latent coupling bug, now owns its scope)
+    "bpe_apply", "bpe_train",
 ]
 
 _CHANGED_ROUND_12: list[str] = [
