@@ -269,3 +269,74 @@ def c4_clean_sql(engine: str) -> str:
 # registration happens through queries._register_template (the
 # text.py convention): the Spark side executes sql_fn("spark") over
 # temp views, the DuckDB rendering IS the oracle.
+
+
+def ccnet_ppl_buckets_sql(engine: str) -> str:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al.,
+    LREC 2020 §3.3) — the recipe's OUTPUT shape: every document is
+    assigned a per-language quality tercile by LM perplexity, and
+    downstream training recipes consume "head" (and sometimes
+    "middle") only.  The perplexity proxy is the house integer
+    surprisal (corpus-unigram rarity ladder — pure integer
+    comparisons, no log(); the surprisal_sql convention), scaled to
+    the total-ordered integer key q = (rarity_sum * 1e6) div
+    n_tokens, so every comparison in the split is BIGINT-exact and
+    engine-identical.
+
+    Cutoff derivation follows CCNet's actual deployment shape:
+    tercile boundaries are computed ONCE on a deterministic
+    multiplicative-hash SAMPLE (25% here; the fraction is the scale
+    knob) and then applied as stateless thresholds to the full
+    corpus — the full corpus is never sorted.  The per-language
+    window runs over the sample only, ordered by (q, doc_id) so
+    ties break identically everywhere.  Languages with an empty
+    sample degrade to 'tail' (left join + COALESCE(-1)).
+
+    100 TB shape: ONE token-hash shuffle (the vocab groupBy, shared
+    with the surprisal family), one per-doc aggregation, a window
+    over the bounded sample, then a broadcast of the ~|languages|
+    cutoff rows onto a stateless CASE — no corpus sort, no corpus
+    window.  A weekly snapshot persists the cutoffs and skips the
+    sample pass entirely."""
+    toks = render(TOKENS, engine)
+    ladder = " ".join(f"WHEN n * {1 << k} >= t THEN {k}"
+                      for k in range(31))
+    idiv = "div" if engine == "spark" else "//"
+    # Knuth multiplicative hash (curation.py sampling convention)
+    mult, mod = 2654435761, 1 << 20
+    t = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {{explode}}(tok_arr) AS tok
+        FROM (SELECT doc_id, lang, {toks} AS tok_arr
+              FROM documents) _t
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab
+    ), keyed AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (CAST(SUM(CASE {ladder} ELSE 31 END) AS BIGINT)
+                * 1000000) {idiv} COUNT(*) AS q
+        FROM toks JOIN vocab ON vocab.tok = toks.tok CROSS JOIN tot
+        GROUP BY doc_id, lang
+    ), ranked AS (
+        SELECT lang, q,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY q, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM keyed
+        WHERE (doc_id * {mult}) % {mod} < {mod // 4}
+    ), cuts AS (
+        SELECT lang,
+               MAX(CASE WHEN rn * 3 <= cnt THEN q END) AS c1,
+               MAX(CASE WHEN rn * 3 <= 2 * cnt THEN q END) AS c2
+        FROM ranked GROUP BY lang
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, k.q AS rarity_q6,
+           CASE WHEN k.q <= COALESCE(c.c1, -1) THEN 'head'
+                WHEN k.q <= COALESCE(c.c2, -1) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM keyed k LEFT JOIN cuts c ON c.lang = k.lang
+    """
+    return render(t, engine)

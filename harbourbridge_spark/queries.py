@@ -2433,6 +2433,15 @@ _register_template(
     "drops on curly braces / 'lorem ipsum' / fewer than 5 surviving "
     "sentences; returns rule counts, the page verdict, and the "
     "cleaned text")
+_register_template(
+    "ccnet_ppl_buckets", _cleaning.ccnet_ppl_buckets_sql,
+    "CCNet head/middle/tail perplexity split (Wenzek LREC'20 3.3 — "
+    "the recipe's OUTPUT shape): per-language quality terciles by "
+    "the integer surprisal key q = rarity_sum*1e6 div n_tokens (no "
+    "log(), BIGINT-exact). Cutoffs derive from a deterministic 25% "
+    "hash sample (the CCNet offline-cutoff deployment shape; the "
+    "fraction is the scale knob) then apply as stateless broadcast "
+    "thresholds — the full corpus is never sorted or windowed")
 
 
 @register(
@@ -3632,6 +3641,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     # bpe_apply: its '\s+' template had silently inherited the mode
     # _learn_merges leaked (latent coupling bug, now owns its scope)
     "bpe_apply", "bpe_train",
+    # round 13: CCNet head/middle/tail perplexity split — new entry
+    "ccnet_ppl_buckets",
 ]
 
 _CHANGED_ROUND_12: list[str] = [

@@ -123,6 +123,10 @@ TINY_CROSS_OK = {
     # 1-row corpus-total / stage-summary relations
     "doc_surprisal": 1, "corpus_curation_materialized": 3,
     "dedup_pipeline_materialized": 2,
+    # r13: the same 1-row corpus-token-total scalar, cross-joined on
+    # BOTH sides of the sample/full split (Catalyst duplicates the
+    # keyed subtree under the window)
+    "ccnet_ppl_buckets": 2,
     # TPC-H scalar subqueries (1-row broadcast threshold)
     "q11_important_stock": 1, "q22_inactive_customer_balance": 1,
     # DSIR: the two 1-row smoothed-total scalars (raw + target)
