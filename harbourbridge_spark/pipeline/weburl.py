@@ -183,3 +183,89 @@ def domain_stats_sql(engine: str) -> str:
     GROUP BY reg_domain
     """
     return render(t, engine, **_extras(engine))
+
+
+# hazard-extended fixture for the URL quality filter: the shared
+# _RAW_URL scheme plus three planted hazard classes on disjoint
+# doc_id schedules (a blocklisted gambling/pharma domain, an
+# IP-literal host, a crawler-trap deep path with a tracking-ridden
+# query).  Separate expression so the three pinned url_* entries
+# keep their fixture byte-stable.
+_RAW_URL_HAZARD = """
+    CASE WHEN doc_id % 13 = 1 THEN
+        'https://best-casino' || doc_id % 5
+            || '.example/pills/' || doc_id
+    WHEN doc_id % 13 = 3 THEN
+        'https://sweeps-h' || doc_id % 7
+            || '.com/lottery/' || doc_id || '?track=' || doc_id
+    WHEN doc_id % 13 = 5 THEN
+        'http://10.' || doc_id % 200 || '.3.7/page/' || doc_id
+    WHEN doc_id % 13 = 7 THEN
+        'https://forum-h' || doc_id % 7
+            || '.com/t/' || doc_id
+            || '?session=' || doc_id * 7919
+            || '&ref=' || doc_id * 104729
+    WHEN doc_id % 13 = 9 THEN
+        'https://trap-h' || doc_id % 7
+            || '.com/a/b/c/d/e/f/g/h/i/' || doc_id
+    ELSE """ + _RAW_URL + " END"
+
+# (word, weight) soft list — the RefinedWeb G.1 shape: hard
+# blocklist for known-bad registered domains, weighted substring
+# scoring for the grey zone
+_URL_BADWORDS = (("casino", 2), ("pills", 2), ("lottery", 1),
+                 ("track", 1))
+_SOFT_DROP = 2          # soft_score >= this drops
+_MAX_PATH_DEPTH = 8
+_MAX_QUERY_LEN = 24
+
+
+def url_quality_filter_sql(engine: str) -> str:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 G.1) —
+    the crawl-curation gate that runs BEFORE any content is fetched
+    or scored: per URL a hard registered-domain blocklist hit, a
+    weighted soft bad-word score over the full URL, IP-literal-host
+    detection, path depth, and query length; verdict = keep unless
+    any hard rule or the soft threshold trips.  One pure projection
+    over the canonicalized URL (no join, no window, no shuffle);
+    the blocklist/word list are literals here and a broadcast map
+    at deployment scale.  Every signal is its own column — the
+    filter is auditable, not a black box."""
+    host_expr = "regexp_extract(url, '^([^/]+)', 1)"
+    score = " + ".join(
+        f"CASE WHEN instr(raw_url, '{w}') > 0 THEN {wt} ELSE 0 END"
+        for w, wt in _URL_BADWORDS)
+    t = f"""
+    WITH raw AS (
+        SELECT doc_id, lower({_RAW_URL_HAZARD}) AS raw_url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, raw_url,
+               {_canon_expr('raw_url')} AS url
+        FROM raw
+    ), sig AS (
+        SELECT doc_id, raw_url, url,
+               {host_expr} AS host,
+               ({score}) AS soft_score,
+               CASE WHEN regexp_extract({host_expr},
+                    '^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+)$', 1) <> ''
+                    THEN 1 ELSE 0 END AS is_ip_host,
+               CAST(length(url) - length(replace(url, '/', ''))
+                    AS BIGINT) AS path_depth,
+               CAST(CASE WHEN instr(raw_url, '?') > 0
+                    THEN length(raw_url) - instr(raw_url, '?')
+                    ELSE 0 END AS BIGINT) AS query_len
+        FROM canon
+    )
+    SELECT doc_id, host, CAST(soft_score AS BIGINT) AS soft_score,
+           CAST(is_ip_host AS BIGINT) AS is_ip_host,
+           path_depth, query_len,
+           CASE WHEN host LIKE 'best-casino%' THEN 'blocklist'
+                WHEN is_ip_host = 1 THEN 'ip_host'
+                WHEN soft_score >= {_SOFT_DROP} THEN 'soft_words'
+                WHEN path_depth > {_MAX_PATH_DEPTH} THEN 'deep_path'
+                WHEN query_len > {_MAX_QUERY_LEN} THEN 'long_query'
+                ELSE 'keep' END AS verdict
+    FROM sig
+    """
+    return render(t, engine, **_extras(engine))

@@ -1825,6 +1825,16 @@ _register_template(
     "Per-registered-domain curation dashboard: docs, distinct "
     "canonical URLs, URL-duplicate count, kept-under-cap count — "
     "the numbers a corpus owner reads before setting domain caps")
+_register_template(
+    "url_quality_filter", _weburl.url_quality_filter_sql,
+    "RefinedWeb-style URL filtering (Penedo 2023 G.1) — the gate "
+    "that runs BEFORE content is fetched: hard registered-domain "
+    "blocklist, weighted soft bad-word score, IP-literal host, "
+    "path depth, query length; verdict precedence blocklist > "
+    "ip_host > soft_words > deep_path > long_query > keep, every "
+    "signal its own auditable column. Pure single-pass projection "
+    "(no join/window/shuffle); hazard classes planted on disjoint "
+    "doc_id schedules so every verdict branch is hash-covered")
 
 from .pipeline import bpe as _bpe  # noqa: E402
 
@@ -3643,6 +3653,8 @@ _CHANGED_THIS_ROUND: list[str] = [
     "bpe_apply", "bpe_train",
     # round 13: CCNet head/middle/tail perplexity split — new entry
     "ccnet_ppl_buckets",
+    # round 13: RefinedWeb URL quality gate — new entry
+    "url_quality_filter",
 ]
 
 _CHANGED_ROUND_12: list[str] = [
