@@ -3619,3 +3619,18 @@ def test_semdedup_planted_neardups(spark, tmp_path):
         for v in range(lo, lo + n):
             if got[v].removed:
                 assert lo <= got[v].dup_of < v
+
+
+def test_url_quality_filter_verdict_coverage(spark):
+    """Every verdict branch of the RefinedWeb URL gate must be
+    non-empty on the fixture (a schedule drift that silently empties
+    a hazard class would leave that branch hash-uncovered)."""
+    from harbourbridge_spark import queries as Q
+
+    rows = Q.REGISTRY["url_quality_filter"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {"keep", "blocklist", "soft_words", "ip_host",
+                        "deep_path", "long_query"}
+    kept = sum(1 for r in rows if r.verdict == "keep")
+    assert 0 < kept < len(rows)
