@@ -302,8 +302,12 @@ def ccnet_ppl_buckets_sql(engine: str) -> str:
     ladder = " ".join(f"WHEN n * {1 << k} >= t THEN {k}"
                       for k in range(31))
     idiv = "div" if engine == "spark" else "//"
-    # Knuth multiplicative hash (curation.py sampling convention)
-    mult, mod = 2654435761, 1 << 20
+    # Knuth multiplicative hash (curation.py sampling convention),
+    # rendered overflow-free via hash_mod_expr (ADVICE r13: reduce
+    # mod 2^20 BEFORE the multiply; naive doc_id * K overflows BIGINT
+    # for doc_id > ~3.4e9 under Spark's ANSI default)
+    from .curation import hash_mod_expr
+    mod = 1 << 20
     t = f"""
     WITH toks AS (
         SELECT doc_id, lang, {{explode}}(tok_arr) AS tok
@@ -326,7 +330,7 @@ def ccnet_ppl_buckets_sql(engine: str) -> str:
                                   ORDER BY q, doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY lang) AS cnt
         FROM keyed
-        WHERE (doc_id * {mult}) % {mod} < {mod // 4}
+        WHERE {hash_mod_expr('doc_id')} < {mod // 4}
     ), cuts AS (
         SELECT lang,
                MAX(CASE WHEN rn * 3 <= cnt THEN q END) AS c1,

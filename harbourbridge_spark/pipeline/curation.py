@@ -39,6 +39,19 @@ _MULT = 2654435761
 _MOD = 1 << 20
 
 
+def hash_mod_expr(col: str) -> str:
+    """Engine-portable deterministic sampling stream
+    ``(col * K) mod 2^20`` rendered overflow-free: the operand is
+    reduced mod 2^20 BEFORE the multiply — algebraically identical
+    (2^20 divides ``(x - x mod 2^20) * K``) but the product is
+    bounded by 2^20 * K < 2^52, while the naive ``x * K`` raises
+    ARITHMETIC_OVERFLOW under Spark's ANSI default (or silently
+    wraps, diverging from DuckDB's HUGEINT promotion) for
+    x > ~3.4e9 — squarely inside the 100 TB doc_id range
+    (ADVICE r13)."""
+    return f"((({col}) % {_MOD}) * {_MULT}) % {_MOD}"
+
+
 def decontaminate_sql(engine: str, gram_n: int = 4,
                       eval_mod: int = 97) -> str:
     """Benchmark decontamination: flag training documents that share
@@ -169,7 +182,7 @@ def stratified_sample_sql(engine: str, k: int = 20) -> str:
     t = f"""
     WITH h AS (
         SELECT doc_id, lang,
-               (doc_id * {_MULT}) % {_MOD} AS hv
+               {hash_mod_expr('doc_id')} AS hv
         FROM documents
     ), r AS (
         SELECT doc_id, lang, hv,
@@ -227,7 +240,7 @@ def mixture_sample_sql(engine: str) -> str:
     )
     SELECT s.mix_source, s.doc_id, t.n_docs, t.cutoff
     FROM src s JOIN thr t ON s.mix_source = t.mix_source
-    WHERE (s.doc_id * {_MULT}) % {_MOD} < t.cutoff
+    WHERE {hash_mod_expr('s.doc_id')} < t.cutoff
     """
     return render(t, engine)
 
@@ -243,7 +256,7 @@ def _sample_pack_ctes(final_src: str, idiv: str, k: int,
         SELECT doc_id, lang, n_tokens FROM (
             SELECT doc_id, lang, n_tokens,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                       ORDER BY (doc_id * {_MULT}) % {_MOD}, doc_id)
+                       ORDER BY {hash_mod_expr('doc_id')}, doc_id)
                        AS rk
             FROM {final_src}) _r
         WHERE rk <= {k}

@@ -906,7 +906,10 @@ def kmeans_sql(engine: str, k: int = 8, iters: int = 2,
     stats."""
     body, last_assign, prev = _kmeans_ctes(engine, k, iters, dim)
     if sample_per_cluster > 0:
-        keep_hash = "(vec_id * 2654435761) % 1000000007"
+        # reduce BEFORE the multiply (ADVICE r13 overflow class):
+        # identical residues, but the product stays < 2^61 instead of
+        # overflowing BIGINT for vec_id > ~3.4e9
+        keep_hash = "((vec_id % 1000000007) * 2654435761) % 1000000007"
         return f"""
     WITH {body}
     SELECT cluster AS cluster_id, vec_id

@@ -535,22 +535,39 @@ def salvage_stats(rec: DataFrame) -> DataFrame:
     drop_frac follows the house exact-integer convention (corpus
     drift / source stats): 6-dp half-up in integer arithmetic,
     one final IEEE division, so Spark and DuckDB can never disagree
-    on a rounding boundary."""
+    on a rounding boundary.
+
+    The whole-file-unusable sentinel (``content_length = -1``, emitted
+    by :func:`warc_records` on zlib/inflate-ceiling failure) is
+    surfaced as its own ``n_unusable`` counter and contributes a FLOOR
+    of one lost record to ``n_dropped`` (the true count is unknowable
+    once the container is gone) — summing the raw -1 would have
+    SUBTRACTED from the drop counts exactly when upstream corruption
+    is worst (ADVICE r13).  A group with zero parsed records
+    (warcinfo-only or wholly-unusable file) gets ``drop_frac`` from a
+    guarded denominator instead of an ANSI divide-by-zero."""
     import pyspark.sql.functions as F
 
+    dropped = F.col("warc_type") == DROPPED_META_TYPE
     g = rec.rollup("file_id").agg(
         F.sum((F.col("warc_type") == "response").cast("long"))
          .alias("n_responses"),
-        F.sum(F.when(F.col("warc_type") == DROPPED_META_TYPE,
-                     F.col("content_length")).otherwise(F.lit(0)))
-         .alias("n_dropped"))
+        F.sum(F.when(dropped,
+                     F.greatest(F.col("content_length"), F.lit(1)))
+              .otherwise(F.lit(0)))
+         .alias("n_dropped"),
+        F.sum(F.when(dropped & (F.col("content_length") < 0), F.lit(1))
+              .otherwise(F.lit(0)))
+         .alias("n_unusable"))
     return g.selectExpr(
         "CAST(coalesce(file_id, -1) AS BIGINT) AS file_id",
         "CAST(n_responses AS BIGINT) AS n_responses",
         "CAST(n_dropped AS BIGINT) AS n_dropped",
-        "CAST((2 * 1000000 * n_dropped + (n_dropped + n_responses)) "
+        "CAST(n_unusable AS BIGINT) AS n_unusable",
+        "CASE WHEN n_dropped + n_responses = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST((2 * 1000000 * n_dropped + (n_dropped + n_responses)) "
         "div (2 * (n_dropped + n_responses)) AS DOUBLE) / 1000000.0 "
-        "AS drop_frac")
+        "END AS drop_frac")
 
 
 def salvage_stats_oracle_sql(n_files: int = N_WARC_FILES,
@@ -581,10 +598,14 @@ def salvage_stats_oracle_sql(n_files: int = N_WARC_FILES,
         FROM per
     )
     SELECT file_id, n_responses, n_dropped,
-           CAST((2 * 1000000 * n_dropped
-                 + (n_dropped + n_responses))
-                // (2 * (n_dropped + n_responses)) AS DOUBLE)
-               / 1000000.0 AS drop_frac
+           CAST(0 AS BIGINT) AS n_unusable,
+           CASE WHEN n_dropped + n_responses = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST((2 * 1000000 * n_dropped
+                           + (n_dropped + n_responses))
+                          // (2 * (n_dropped + n_responses)) AS DOUBLE)
+                     / 1000000.0
+           END AS drop_frac
     FROM rolled
     """
 

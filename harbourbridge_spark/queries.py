@@ -1564,10 +1564,21 @@ _ROW_TRANSFORM_GOLDENS = [
     "the production convert.py expressions against frozen expectations")
 def q_row_transform_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import types as tt
+    from .confscope import scoped_parser_mode
     from .convert import _mysql_set_expr, _pg_array_expr, _scalar_expr
-    # the convert.py expressions are written for default literal escaping
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    # the convert.py expressions are written for default literal
+    # escaping; scope the parser mode to THIS build and restore
+    # (ADVICE r13 — the unscoped set leaked 'false' into the session,
+    # silently reverting a caller's pinned 'true').  timeZone is
+    # execution-time and must stay session-set.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    with scoped_parser_mode(spark, "false"):
+        return _row_transform_goldens_build(spark, tt, _mysql_set_expr,
+                                            _pg_array_expr, _scalar_expr)
+
+
+def _row_transform_goldens_build(spark, tt, _mysql_set_expr,
+                                 _pg_array_expr, _scalar_expr) -> DataFrame:
 
     def scalar(family, dialect, t, tz="+00:00", src_type="", location=None):
         rows = [(f, x) for f, x, _, _ in _ROW_TRANSFORM_GOLDENS

@@ -322,7 +322,7 @@ def warc_ingest_drift_stream(spark: SparkSession, warc_dir: str,
     aggregated them into a surface an operator watches — a crawler
     regression or a truncating proxy would rot the corpus silently.
     Per micro-batch this appends ONE drift row to ``out_dir``:
-    (epoch, n_files, n_responses, n_dropped, drop_frac) — the
+    (epoch, n_files, n_responses, n_dropped, n_unusable, drop_frac) — the
     corpus-total line of :func:`pipeline.warc.salvage_stats` with
     the time axis added.  Alerting is a threshold on drop_frac over
     the appended rows.
@@ -347,7 +347,8 @@ def warc_ingest_drift_stream(spark: SparkSession, warc_dir: str,
         total = (stats.where("file_id = -1")
                  .select(F.lit(int(epoch_id)).alias("epoch"),
                          F.lit(int(n_files)).alias("n_files"),
-                         "n_responses", "n_dropped", "drop_frac"))
+                         "n_responses", "n_dropped", "n_unusable",
+                         "drop_frac"))
         total.write.mode("append").parquet(out_dir)
 
     writer = (rec.writeStream

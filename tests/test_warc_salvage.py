@@ -353,6 +353,7 @@ def test_salvage_stats_rollup(spark):
     assert len(out) == 9
     assert out[-1].n_dropped == want_drop
     assert out[-1].n_responses == 100 - want_drop
+    assert out[-1].n_unusable == 0   # record-level damage only
     frac = out[-1].drop_frac
     assert abs(frac - want_drop / 100.0) < 1e-6
     for f in range(8):
@@ -360,6 +361,43 @@ def test_salvage_stats_rollup(spark):
         assert out[f].n_dropped == exp_d
         assert out[f].n_responses == sum(
             1 for i in ids if i % 8 == f) - exp_d
+
+
+def test_salvage_stats_unusable_sentinel(spark):
+    """The whole-file-unusable sentinel (content_length = -1) must
+    ADD to the drop accounting, not subtract (ADVICE r13): it counts
+    as n_unusable=1 and contributes a floor of one lost record to
+    n_dropped.  A warcinfo-only file (zero responses, zero drops)
+    must yield drop_frac 0.0 through the guarded denominator, not a
+    divide-by-zero."""
+    meta = lambda fid, n: (fid, -1, W.DROPPED_META_TYPE, "", "", 0,
+                           "", n, "")
+    resp = lambda fid, i: (fid, i, "response", f"http://x/doc/{i}",
+                           "2024-01-01T00:00:00Z", 200, "text/html",
+                           10, "<p>b</p>")
+    info = lambda fid: (fid, 0, "warcinfo", "", "", 0,
+                        "application/warc-fields", 49, "")
+    rows = [
+        # file 0: healthy, 3 responses + 2 counted drops
+        info(0), resp(0, 1), resp(0, 2), resp(0, 3), meta(0, 2),
+        # file 1: wholly unusable — ONLY the -1 sentinel survives
+        meta(1, -1),
+        # file 2: warcinfo-only (no responses, no drops)
+        info(2),
+    ]
+    rec = spark.createDataFrame(rows, W.WARC_SCHEMA)
+    out = {r.file_id: r for r in W.salvage_stats(rec).collect()}
+    assert out[0].n_dropped == 2 and out[0].n_unusable == 0
+    assert abs(out[0].drop_frac - 0.4) < 1e-6
+    assert out[1].n_responses == 0
+    assert out[1].n_dropped == 1        # floor, never -1
+    assert out[1].n_unusable == 1
+    assert abs(out[1].drop_frac - 1.0) < 1e-6
+    assert out[2].n_dropped == 0 and out[2].n_responses == 0
+    assert out[2].drop_frac == 0.0      # guarded denominator
+    # corpus total: 3 responses, 3 dropped (2 + the unusable floor)
+    assert out[-1].n_dropped == 3 and out[-1].n_unusable == 1
+    assert abs(out[-1].drop_frac - 0.5) < 1e-6
 
 
 def test_warc_ingest_drift_stream_e2e(spark, tmp_path):
@@ -386,4 +424,5 @@ def test_warc_ingest_drift_stream_e2e(spark, tmp_path):
     r = rows[0]
     assert r.n_files == 2
     assert r.n_responses == 5 and r.n_dropped == 2
+    assert r.n_unusable == 0
     assert abs(r.drop_frac - 2 / 7.0) < 1e-6

@@ -11,7 +11,10 @@ Usage:
   python tools/ab_bench.py TREE_A TREE_B entry1 entry2 ...
   (or entry prefixes with a trailing '*': multimodal_*)
 
-Prints one JSON line: {entry: {"a": sec, "b": sec, "canary_a": ...}}.
+Prints one JSON blob with, per entry, the per-pass raw readings AND
+the per-pass in-child canaries (VERDICT r13 ask 5): normalization
+pairs each reading with the canary measured in the SAME JVM, so the
+table is auditable without cross-session canary inference.
 Entries missing from a tree's registry are skipped with a note.
 """
 
@@ -103,19 +106,34 @@ def main() -> None:
     ents_b = expand(tree_b, patterns)
     shared = [n for n in ents_a if n in set(ents_b)]
     skipped = sorted(set(ents_a) ^ set(ents_b))
-    # interleave A,B,B,A; min across the two passes per tree
+    # interleave A,B,B,A; min across the two passes per tree.
+    # Every pass carries its OWN in-child canary (VERDICT r13 ask 5):
+    # the table records the per-pass canary next to each reading so
+    # exoneration never rests on cross-session canary inference —
+    # a reading and the box state it was taken under travel together.
     runs = [run_tree(tree_a, shared), run_tree(tree_b, shared),
             run_tree(tree_b, shared), run_tree(tree_a, shared)]
-    a = {k: min(runs[0][k], runs[3][k]) for k in shared}
-    b = {k: min(runs[1][k], runs[2][k]) for k in shared}
-    can_a = min(runs[0]["__canary__"], runs[3]["__canary__"])
-    can_b = min(runs[1]["__canary__"], runs[2]["__canary__"])
+    pass_a, pass_b = (runs[0], runs[3]), (runs[1], runs[2])
+    can_a_passes = [p["__canary__"] for p in pass_a]
+    can_b_passes = [p["__canary__"] for p in pass_b]
     rows = {}
     for k in shared:
-        norm = (b[k] / can_b) / (a[k] / can_a) if a[k] else None
-        rows[k] = {"a": a[k], "b": b[k],
-                   "b_over_a_canary_norm": round(norm, 3)}
-    print(json.dumps({"canary_a": can_a, "canary_b": can_b,
+        a_passes = [p[k] for p in pass_a]
+        b_passes = [p[k] for p in pass_b]
+        # normalize each reading by ITS pass's canary, then take the
+        # min normalized reading per tree — a slow pass is discounted
+        # by the slowness its own canary measured
+        a_norm = min(t / c for t, c in zip(a_passes, can_a_passes))
+        b_norm = min(t / c for t, c in zip(b_passes, can_b_passes))
+        a_raw, b_raw = min(a_passes), min(b_passes)
+        rows[k] = {"a": a_raw, "b": b_raw,
+                   "a_passes": a_passes, "b_passes": b_passes,
+                   "b_over_a_raw": round(b_raw / a_raw, 3) if a_raw else None,
+                   "b_over_a_canary_norm": (round(b_norm / a_norm, 3)
+                                            if a_norm else None)}
+    print(json.dumps({"canary_a_passes": can_a_passes,
+                      "canary_b_passes": can_b_passes,
+                      "pass_order": "A,B,B,A",
                       "skipped_not_in_both": skipped, "entries": rows},
                      indent=1))
 

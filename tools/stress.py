@@ -308,8 +308,14 @@ def main() -> int:
               f"{'OK' if ratio <= gate else 'FAIL'}]")
         if ratio <= gate:
             failed.remove(name)
+            # preserve the first (failing) reading alongside the
+            # retry so the artifact shows both looks (ADVICE r13) —
+            # a gate marked ok-after-retry stays auditable post hoc
             results[name].update(
-                {"t_1x": round(t1, 3), f"t_{factor}x": round(tn, 3),
+                {"first_t_1x": results[name]["t_1x"],
+                 f"first_t_{factor}x": results[name][f"t_{factor}x"],
+                 "first_ratio": results[name]["ratio"],
+                 "t_1x": round(t1, 3), f"t_{factor}x": round(tn, 3),
                  "ratio": ratio, "ok": True, "retried": True})
         else:
             results[name]["retry_ratio"] = ratio
