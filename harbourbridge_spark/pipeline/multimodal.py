@@ -534,11 +534,9 @@ def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "pixel_sha": digests})
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
     digests = media.select("media_id", "content").mapInPandas(
-        run, schema="media_id long, pixel_sha string")
+        _resliced(run, batch_size),
+        schema="media_id long, pixel_sha string")
     return (digests.groupBy("pixel_sha")
             .agg(F.min("media_id").alias("rep_media_id"),
                  F.count("*").cast("long").alias("n_copies"))
@@ -574,9 +572,6 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
                 "first_r": [int(f[5]) for f in feats],
             })
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.LongType(), False),
@@ -586,7 +581,7 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
         T.StructField("mean_b", T.DoubleType(), True),
         T.StructField("first_r", T.LongType(), True),
     ])
-    return media.mapInPandas(run, schema=schema)
+    return media.mapInPandas(_resliced(run, batch_size), schema=schema)
 
 
 def synth_png(seed: int) -> bytes:
@@ -1122,12 +1117,40 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+
+def _resliced(kernel, batch_size: int):
+    """Wrap a mapInPandas kernel so its input frames arrive in slices
+    of at most ``batch_size`` rows, regardless of the session's Arrow
+    batch size.
+
+    This replaces the former build-time
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` session set: that
+    conf is read at EXECUTION time and is session-global, so setting
+    it while BUILDING a plan silently re-batched every later Arrow
+    kernel in the session (the class that disabled dynamo quarantine
+    in r11 and re-batched semdedup in r12; VERDICT r13 ask 3 ends it).
+    Slicing inside the generator bounds what the conf was actually
+    bounding — the kernel's per-iteration working set (decoded
+    rasters / PCM / frame expansions) and its output frame sizes.
+    The already-materialized INPUT Arrow batch is bounded by the
+    upstream source (synth kernel's 5000-row flush, parquet row
+    groups, ~1-row binaryFile partitions), not by this wrapper."""
+    def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def slices() -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for lo in range(0, len(pdf), batch_size):
+                    yield pdf.iloc[lo:lo + batch_size]
+        return kernel(slices())
+    return wrapped
+
+
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched decode/feature-extract over mapInPandas.
 
-    The UDF receives pandas batches (bounded by
-    spark.sql.execution.arrow.maxRecordsPerBatch), keeping peak memory
-    at batch_size x max_media_size per worker.
+    The UDF receives pandas batches re-sliced in-kernel to at most
+    ``batch_size`` rows (``_resliced``), keeping peak decode working
+    set at batch_size x max_media_size per worker without touching
+    any session conf.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1146,10 +1169,8 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             }
             yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=FEATURE_SCHEMA)
 
 
 AUDIO_ANALYSIS_SCHEMA = T.StructType([
@@ -1197,10 +1218,8 @@ def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows["rms"].append(r)
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=AUDIO_ANALYSIS_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=AUDIO_ANALYSIS_SCHEMA)
 
 
 MP3_ANALYSIS_SCHEMA = T.StructType([
@@ -1245,10 +1264,8 @@ def analyze_mp3(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows["dominant_hz"].append(f0)
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=MP3_ANALYSIS_SCHEMA)
 
 
 def analyze_vorbis(media: DataFrame) -> DataFrame:
@@ -1456,10 +1473,8 @@ def sample_frames(media: DataFrame, sample_every: int = 2,
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "frame_y": ys})
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=FRAME_SCHEMA)
 
 
 def frame_sample_plan(video: DataFrame, every_n_ms: int = 1000) -> DataFrame:
@@ -1524,10 +1539,8 @@ def gif_frame_features(media: DataFrame,
                     cols["first_r"].append(int(fr[0, 0, 0]))
             yield pd.DataFrame(cols)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=GIF_FRAME_SCHEMA)
 
 
 VP8_HEADER_SCHEMA = T.StructType(
@@ -1570,10 +1583,8 @@ def vp8_header_features(media: DataFrame,
                     out[k].append(int(feats[idx[k]]))
             yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=VP8_HEADER_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=VP8_HEADER_SCHEMA)
 
 
 OGG_SCHEMA = T.StructType([
@@ -1610,10 +1621,8 @@ def ogg_meta_features(media: DataFrame,
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=OGG_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=OGG_SCHEMA)
 
 
 G711_SCHEMA = T.StructType([
@@ -1654,10 +1663,8 @@ def g711_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     int(round(mags.max())) if len(mags) else 0)
             yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=G711_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=G711_SCHEMA)
 
 
 H264_SPS_SCHEMA = T.StructType(
@@ -1692,10 +1699,8 @@ def h264_sps_features(media: DataFrame,
                     out[k].append(int(v))
             yield pd.DataFrame(out)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=H264_SPS_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=H264_SPS_SCHEMA)
 
 
 MP4_SAMPLE_SCHEMA = T.StructType([
@@ -1738,10 +1743,8 @@ def mp4_frame_table(media: DataFrame,
                     cols["codec"].append(codec)
             yield pd.DataFrame(cols)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=MP4_SAMPLE_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=MP4_SAMPLE_SCHEMA)
 
 
 def mjpeg_frame_features(media: DataFrame,
@@ -1780,7 +1783,5 @@ def mjpeg_frame_features(media: DataFrame,
                     cols["first_r"].append(int(fr[0, 0, 0]))
             yield pd.DataFrame(cols)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_size))
-    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+    return media.mapInPandas(_resliced(run, batch_size),
+                              schema=GIF_FRAME_SCHEMA)

@@ -12,10 +12,13 @@ rendering IS the oracle):
   order: lowercase; strip scheme (`https?://`); strip `#fragment`;
   strip `?query`; strip leading `www.`; strip an explicit `:port`;
   strip trailing `/index.html`; strip trailing `/`.  Plus `host`
-  (first path-free label run) and `registered_domain` (last two
-  labels, or three when the suffix is a two-level public suffix —
-  a mini-list stands in for the public-suffix list: co/ac/com/org
-  x uk/jp/au).
+  (first path-free label run) and `registered_domain` via the
+  embedded public-suffix-list snapshot (`pipeline/psl.py`, VERDICT
+  r13 ask 4): longest-match over the ~1.1k-rule relation with
+  wildcard (`*.ck`) and exception (`!www.ck`) semantics — three
+  BROADCAST joins on a pure projection, replacing the former
+  12-combination mini-list that mis-derived whole countries
+  (com.br, co.in, github.io, ...).
 - `domain_cap_manifest_sql`: the curation manifest — exact
   canonical-URL dedup (keep lowest doc_id) then a per-registered-
   domain cap of DOMAIN_CAP kept docs; every doc gets an action of
@@ -28,8 +31,11 @@ synthesized deterministically per doc INSIDE the template (the
 synth_media convention): six messy variants — uppercase scheme/host,
 `www.`, `:443`, `?utm` params, `#fragment`, trailing slash,
 `/index.html`, schemeless — that all canonicalize into one URL per
-3-doc article group, plus a `shop.brandK.co.uk` slice (doc_id % 11)
-exercising subdomains and the public-suffix branch.
+3-doc article group, plus suffix-class slices: `shop.brandK.co.uk`
+(doc_id % 11, two-level UK suffix), `loja.brandK.com.br`
+(doc_id % 13 = 6, the non-UK two-level suffix the r13 verdict asked
+for), `user-hK.github.io` (doc_id % 17 = 2, private-section suffix),
+and `travel.brandK.np` (doc_id % 23 = 8, `*.np` wildcard rule).
 
 Scale: canonicalization is a pure projection (no shuffle); the
 manifest shuffles twice on high-cardinality keys (url, then
@@ -52,6 +58,15 @@ _RAW_URL = """
     CASE WHEN doc_id % 11 = 0 THEN
         'https://shop.brand' || (doc_id {idiv} 3) % 7
             || '.co.uk/items/' || doc_id {idiv} 3
+    WHEN doc_id % 13 = 6 THEN
+        'https://loja.brand' || (doc_id {idiv} 3) % 7
+            || '.com.br/p/' || doc_id {idiv} 3
+    WHEN doc_id % 17 = 2 THEN
+        'https://user-h' || (doc_id {idiv} 3) % 7
+            || '.github.io/post/' || doc_id {idiv} 3
+    WHEN doc_id % 23 = 8 THEN
+        'https://travel.brand' || (doc_id {idiv} 3) % 7
+            || '.np/tour/' || doc_id {idiv} 3
     ELSE CASE doc_id % 6
         WHEN 0 THEN 'https://WWW.articles-h' || (doc_id {idiv} 3) % 7
             || '.com/articles/' || doc_id {idiv} 3
@@ -86,13 +101,6 @@ def _canon_expr(raw: str) -> str:
 
 
 _HOST = "regexp_extract(url, '^([^/]+)', 1)"
-# two-level public suffixes (mini public-suffix list)
-_REG_DOMAIN = """
-    CASE WHEN regexp_extract(host,
-              '\\.((co|ac|com|org)\\.(uk|jp|au))$', 1) <> ''
-         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-         ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
-"""
 
 
 def _extras(engine: str) -> dict:
@@ -101,7 +109,13 @@ def _extras(engine: str) -> dict:
 
 
 def _url_cte() -> str:
-    """Shared CTE prefix: doc_id, raw_url, url, host, reg_domain."""
+    """Shared CTE prefix: doc_id, raw_url, url, host, reg_domain.
+    reg_domain comes from the embedded public-suffix-list snapshot
+    (pipeline/psl.py): longest-match over the exact-rule relation
+    (three broadcast joins against 2/3/4-label host tails) plus the
+    inline wildcard/exception rules — still a pure projection of the
+    corpus; the PSL relation is broadcast-sized in both engines."""
+    from .psl import reg_domain_ctes, reg_domain_expr
     return f"""
     WITH raw AS (
         SELECT doc_id, ({_RAW_URL}) AS raw_url FROM documents
@@ -111,10 +125,10 @@ def _url_cte() -> str:
         FROM raw
     ), hosted AS (
         SELECT doc_id, raw_url, url, {_HOST} AS host FROM canon
-    ), u AS (
+    ), {reg_domain_ctes('hosted')}, u AS (
         SELECT doc_id, raw_url, url, host,
-               ({_REG_DOMAIN}) AS reg_domain
-        FROM hosted
+               ({reg_domain_expr()}) AS reg_domain
+        FROM _psl_hit
     )
     """
 
@@ -220,21 +234,33 @@ _MAX_PATH_DEPTH = 8
 _MAX_QUERY_LEN = 24
 
 
+# hard registered-domain blocklist (RefinedWeb G.1 runs a ~4.6M-
+# domain list; these are the fixture's planted-bad REGISTERED
+# domains — at deployment scale the list is a broadcast relation
+# exactly like the PSL)
+_DOMAIN_BLOCKLIST = tuple(f"best-casino{k}.example" for k in range(5))
+
+
 def url_quality_filter_sql(engine: str) -> str:
     """RefinedWeb-style URL filtering (Penedo et al. 2023 G.1) —
     the crawl-curation gate that runs BEFORE any content is fetched
-    or scored: per URL a hard registered-domain blocklist hit, a
-    weighted soft bad-word score over the full URL, IP-literal-host
-    detection, path depth, and query length; verdict = keep unless
-    any hard rule or the soft threshold trips.  One pure projection
-    over the canonicalized URL (no join, no window, no shuffle);
-    the blocklist/word list are literals here and a broadcast map
-    at deployment scale.  Every signal is its own column — the
-    filter is auditable, not a black box."""
+    or scored: per URL a hard REGISTERED-DOMAIN blocklist hit (the
+    domain comes from the embedded PSL snapshot, pipeline/psl.py —
+    a host-prefix test would miss `casino.evil.example` vs
+    `evil.example` list entries), a weighted soft bad-word score
+    over the full URL, IP-literal-host detection, path depth, and
+    query length; verdict = keep unless any hard rule or the soft
+    threshold trips.  One projection over the canonicalized URL
+    plus the PSL's broadcast-sized suffix joins — the corpus is
+    never shuffled; blocklist/word lists are literals here and
+    broadcast maps at deployment scale.  Every signal is its own
+    column — the filter is auditable, not a black box."""
+    from .psl import reg_domain_ctes, reg_domain_expr
     host_expr = "regexp_extract(url, '^([^/]+)', 1)"
     score = " + ".join(
         f"CASE WHEN instr(raw_url, '{w}') > 0 THEN {wt} ELSE 0 END"
         for w, wt in _URL_BADWORDS)
+    blocked = ", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)
     t = f"""
     WITH raw AS (
         SELECT doc_id, lower({_RAW_URL_HAZARD}) AS raw_url
@@ -243,11 +269,13 @@ def url_quality_filter_sql(engine: str) -> str:
         SELECT doc_id, raw_url,
                {_canon_expr('raw_url')} AS url
         FROM raw
-    ), sig AS (
-        SELECT doc_id, raw_url, url,
-               {host_expr} AS host,
+    ), hosted AS (
+        SELECT doc_id, raw_url, url, {host_expr} AS host FROM canon
+    ), {reg_domain_ctes('hosted')}, sig AS (
+        SELECT doc_id, raw_url, url, host,
+               ({reg_domain_expr()}) AS reg_domain,
                ({score}) AS soft_score,
-               CASE WHEN regexp_extract({host_expr},
+               CASE WHEN regexp_extract(host,
                     '^([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+)$', 1) <> ''
                     THEN 1 ELSE 0 END AS is_ip_host,
                CAST(length(url) - length(replace(url, '/', ''))
@@ -255,12 +283,13 @@ def url_quality_filter_sql(engine: str) -> str:
                CAST(CASE WHEN instr(raw_url, '?') > 0
                     THEN length(raw_url) - instr(raw_url, '?')
                     ELSE 0 END AS BIGINT) AS query_len
-        FROM canon
+        FROM _psl_hit
     )
-    SELECT doc_id, host, CAST(soft_score AS BIGINT) AS soft_score,
+    SELECT doc_id, host, reg_domain AS registered_domain,
+           CAST(soft_score AS BIGINT) AS soft_score,
            CAST(is_ip_host AS BIGINT) AS is_ip_host,
            path_depth, query_len,
-           CASE WHEN host LIKE 'best-casino%' THEN 'blocklist'
+           CASE WHEN reg_domain IN ({blocked}) THEN 'blocklist'
                 WHEN is_ip_host = 1 THEN 'ip_host'
                 WHEN soft_score >= {_SOFT_DROP} THEN 'soft_words'
                 WHEN path_depth > {_MAX_PATH_DEPTH} THEN 'deep_path'

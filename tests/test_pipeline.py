@@ -110,6 +110,84 @@ def test_multimodal_features_deterministic(spark):
     assert repartition_for_media(media).count() == 3
 
 
+def test_multimodal_kernels_do_not_mutate_session_confs(spark):
+    """The multimodal family's ~13 build-time
+    arrow.maxRecordsPerBatch session sets are gone (VERDICT r13 ask
+    3): batch bounding moved INSIDE the kernels (_resliced chunks the
+    pandas frame), so building AND executing every bulk-media kernel
+    must leave the session conf exactly as found.  The conf is read
+    at execution time, so the old build-time set re-batched every
+    later Arrow kernel in the session (r11 dynamo quarantine, r12
+    semdedup re-batch).  Extends
+    test_warc_kernels_do_not_mutate_session_confs to this family."""
+    import pyspark.sql.functions as F
+    from harbourbridge_spark.pipeline import multimodal as M
+
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    spark.conf.set(arrow_key, "7777")
+    try:
+        ids = spark.range(0, 6).select(F.col("id").alias("media_id"))
+        img = M.synth_media(ids, "image")          # bmp/ppm/png mix
+        wav = M.synth_media(ids, "audio")
+        vid = M.synth_media(ids, "video")
+        # tiny batch_size forces the in-kernel slicer through its
+        # multi-slice path; every kernel must run AND leave the conf
+        assert M.extract_features(img, batch_size=2).count() == 6
+        assert M.pixel_dedup(img, batch_size=2).count() >= 1
+        assert M.resize_images(img, batch_size=2).count() == 6
+        assert M.analyze_audio(wav, batch_size=2).count() == 6
+        assert M.sample_frames(vid, batch_size=2).count() > 0
+        assert spark.conf.get(arrow_key) == "7777"
+    finally:
+        spark.conf.unset(arrow_key)
+    # grep-level guarantee for the rest of the family: no conf.set
+    # anywhere in the module (confscope.py owns the only sanctioned
+    # parser-mode scoping pattern, and it isn't used here)
+    import inspect
+    src = inspect.getsource(M)
+    assert "conf.set" not in src
+
+
+def test_resliced_bounds_kernel_frames(spark):
+    """_resliced: a kernel fed through it sees input frames of at
+    most batch_size rows even when the session Arrow batch is huge,
+    and sees every row exactly once (frame sizes are asserted
+    executor-side: an oversized frame poisons its output marker)."""
+    from harbourbridge_spark.pipeline.multimodal import _resliced
+
+    def probe(batches):
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            if len(pdf) > 4:                 # cap violated -> visible
+                out["media_id"] = -1
+            yield out
+
+    ids = spark.range(0, 11).selectExpr("id AS media_id")
+    out = ids.mapInPandas(_resliced(probe, 4), schema="media_id long")
+    assert sorted(r.media_id for r in out.collect()) == list(range(11))
+
+
+def test_resliced_cap_local():
+    """Driver-side check of the slicing arithmetic itself."""
+    import pandas as pd
+
+    from harbourbridge_spark.pipeline.multimodal import _resliced
+
+    sizes = []
+
+    def probe(batches):
+        for pdf in batches:
+            sizes.append(len(pdf))
+            yield pdf
+
+    frames = iter([pd.DataFrame({"x": range(10)}),
+                   pd.DataFrame({"x": []}),
+                   pd.DataFrame({"x": range(3)})])
+    out = list(_resliced(probe, 4)(frames))
+    assert sizes == [4, 4, 2, 3]
+    assert sum(len(f) for f in out) == 13
+
+
 def test_wav_decode_real_bytes():
     """decode_wav parses a container the stdlib wave module confirms is
     legal, and recovers exact square-wave features."""
@@ -1466,17 +1544,20 @@ def test_bpe_greedy_run_merge(spark, tmp_path):
 
 
 def test_url_canonicalize_semantics(spark, tmp_path):
-    """HAND-COMPUTED ground truth: all six messy variants of one
-    article collapse to one canonical URL; the co.uk slice takes the
-    three-label registered domain; the cap manifest keeps the lowest
-    doc_id per URL and at most DOMAIN_CAP per domain."""
+    """HAND-COMPUTED ground truth: the messy variants of one article
+    collapse to one canonical URL; every planted suffix class derives
+    the PSL-correct registered domain (two-level UK, two-level
+    non-UK com.br, private-section github.io, *.np wildcard); the
+    cap manifest keeps the lowest doc_id per URL and at most
+    DOMAIN_CAP per domain."""
     from harbourbridge_spark.pipeline.weburl import (
         domain_cap_manifest_sql, url_canonicalize_sql)
-    # doc_ids 1..5 + 7: article groups 0,1,2 on hosts h0,h1,h2; doc 0
-    # and doc 11 are the co.uk slice
+    # doc 0/11: co.uk slice; doc 2: github.io slice (2 % 17 == 2);
+    # doc 19: com.br slice (19 % 13 == 6); doc 31: *.np wildcard
+    # slice (31 % 23 == 8); docs 1,3,4,5,12: messy article variants
     docs = spark.createDataFrame(
         [(i, "t", "en", f"src{i}", 1) for i in
-         (0, 1, 2, 3, 4, 5, 11, 12)],
+         (0, 1, 2, 3, 4, 5, 11, 12, 19, 31)],
         "doc_id long, text string, lang string, source string, "
         "n_chars long")
     docs.write.mode("overwrite").parquet(
@@ -1490,11 +1571,20 @@ def test_url_canonicalize_semantics(spark, tmp_path):
     assert rows[0].url == "shop.brand0.co.uk/items/0"
     assert rows[0].host == "shop.brand0.co.uk"
     assert rows[0].registered_domain == "brand0.co.uk"   # 3 labels
-    # docs 1,2 share article 0 on host h0 through different mess
+    # doc 2: github.io private-section suffix -> 3-label domain
+    assert rows[2].url == "user-h0.github.io/post/0"
+    assert rows[2].registered_domain == "user-h0.github.io"
+    # doc 19: com.br two-level suffix (the non-UK slice VERDICT r13
+    # ask 4 requires) -> 3-label registered domain
+    assert rows[19].url == "loja.brand6.com.br/p/6"
+    assert rows[19].registered_domain == "brand6.com.br"
+    # doc 31: *.np wildcard rule -> brand3.np is itself a public
+    # suffix, so the registered domain keeps the third label
+    assert rows[31].url == "travel.brand3.np/tour/10"
+    assert rows[31].registered_domain == "travel.brand3.np"
+    # doc 1 is article 0's trailing-slash variant
     assert rows[1].raw_url.endswith("/articles/0/")      # trailing /
-    assert rows[2].raw_url.count(":443") == 1            # port
-    assert rows[1].url == rows[2].url == \
-        "articles-h0.com/articles/0"
+    assert rows[1].url == "articles-h0.com/articles/0"
     # docs 3,4,5 share article 1: index.html / schemeless / UPPER
     assert rows[3].url == rows[4].url == rows[5].url == \
         "articles-h1.com/articles/1"
@@ -1503,10 +1593,63 @@ def test_url_canonicalize_semantics(spark, tmp_path):
     assert rows[11].url == "shop.brand3.co.uk/items/3"
     man = {r.doc_id: r.action for r in
            spark.sql(domain_cap_manifest_sql("spark")).collect()}
-    assert man[1] == "keep" and man[2] == "url_duplicate"
+    assert man[1] == "keep" and man[2] == "keep"
     assert man[3] == "keep"
     assert man[4] == man[5] == "url_duplicate"
     assert man[0] == man[11] == man[12] == "keep"
+    assert man[19] == man[31] == "keep"
+
+
+def test_psl_registered_domain_semantics(spark):
+    """The embedded public-suffix snapshot implements the PSL
+    algorithm: longest match wins, wildcards (*.ck) make 2-label
+    tails public, exceptions (!www.ck) carve hosts back out,
+    unlisted TLDs take the default last-two-labels rule, and a host
+    that IS a suffix (or a single label) degrades to itself.  Run
+    the SAME template in Spark and DuckDB — both must agree with the
+    hand-computed expectation."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline.psl import (
+        PSL_EXACT, reg_domain_ctes, reg_domain_expr)
+
+    assert len(PSL_EXACT) >= 1000          # the r13 ask's floor
+    cases = [
+        # host, expected registered domain
+        ("example.com", "example.com"),            # plain gTLD
+        ("a.b.example.com", "example.com"),        # deep subdomain
+        ("shop.brand.co.uk", "brand.co.uk"),       # 2-level ccTLD
+        ("x.loja.brand.com.br", "brand.com.br"),   # non-UK 2-level
+        ("user.github.io", "user.github.io"),      # private section
+        ("deep.user.github.io", "user.github.io"),
+        ("site.k12.ma.us", "site.k12.ma.us"),      # 3-level us grid
+        ("a.site.k12.ma.us", "site.k12.ma.us"),
+        ("city.tokyo.jp", "city.tokyo.jp"),        # jp prefecture
+        ("foo.anything.np", "foo.anything.np"),    # *.np wildcard
+        ("x.foo.anything.np", "foo.anything.np"),
+        ("foo.www.ck", "www.ck"),                  # !www.ck exception
+        ("www.ck", "www.ck"),
+        ("sub.host.unlistedtld", "host.unlistedtld"),  # default rule
+        ("co.uk", "co.uk"),                        # host IS a suffix
+        ("localhost", "localhost"),                # single label
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ]
+    values = ", ".join(f"('{h}')" for h, _ in cases)
+    sql = f"""
+    WITH hosts(host) AS (VALUES {values}),
+    {reg_domain_ctes('hosts')}
+    SELECT host, ({reg_domain_expr()}) AS reg FROM _psl_hit
+    """
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got_spark = {r.host: r.reg for r in spark.sql(sql).collect()}
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals",
+                       "false")
+    got_duck = dict(duckdb.connect().execute(sql).fetchall())
+    for host, want in cases:
+        assert got_spark[host] == want, (host, got_spark[host], want)
+        assert got_duck[host] == want, (host, got_duck[host], want)
 
 
 def test_mp4_sample_table_closed_form():
