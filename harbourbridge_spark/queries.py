@@ -3638,6 +3638,60 @@ REGISTRY["dsir_select"] = QuerySpec(
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 14, VERDICT r13 ask 2: the 10 entries whose last OFFICIAL
+    # window was r10 rotate back in FIRST (local sweeps covered them
+    # every round, but three rounds outside the official artifact is
+    # drift the driver cannot see)
+    "ann_lsh", "ann_recall_clustered", "ann_sq_rerank",
+    "curation_against_store", "curation_store_probe",
+    "dedup_embedding_lsh", "dedup_incremental", "dedup_winnow_pairs",
+    "event_second_boundaries", "lsh_bucket_stats",
+    # round 14: salvage_stats gained the n_unusable column + the
+    # whole-file sentinel fix + guarded drop_frac denominator
+    # (ADVICE r13 medium) — schema and oracle changed
+    "warc_salvage_stats",
+    # round 14: parser mode now build-scoped with restore
+    # (ADVICE r13) — expression wrapper changed
+    "row_transform_goldens",
+    # round 14: overflow-free sampling hash (reduce mod M BEFORE the
+    # multiply — ADVICE r13): every entry rendering hash_mod_expr or
+    # the kmeans keep_hash re-pins (values identical, text changed)
+    "ccnet_ppl_buckets", "mixture_sample_temperature",
+    "stratified_sample", "cluster_balanced_sample",
+    "corpus_curation", "corpus_curation_materialized",
+    # round 14: PSL-backed registered_domain (VERDICT r13 ask 4) —
+    # the url family's shared CTE + fixture changed (com.br /
+    # github.io / *.np slices), url_quality_filter blocklists on the
+    # registered domain and emits it
+    "url_canonicalize", "url_domain_caps", "domain_stats",
+    "url_quality_filter",
+    # round 14: the Arrow-conf mutation fix (VERDICT r13 ask 3)
+    # rewrote every bulk-media kernel's dispatch (_resliced wrapper
+    # replaces the session conf.set) — per the pin policy the whole
+    # routed family re-checks officially.  The two vorbis entries do
+    # NOT pin (analyze_vorbis/_salvage never had the conf.set and
+    # are byte-unchanged).  NOTE: 51 pins vs the 50-slot window —
+    # multimodal_decode_ppm is deliberately LAST and slips to r15
+    # (it is the most unit-saturated pure decoder of the family and
+    # is green in this round's full local sweep); r15 must pin it.
+    "multimodal_features", "multimodal_decode_flac",
+    "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
+    "multimodal_decode_aiff", "multimodal_audio_analysis",
+    "multimodal_decode_wav", "multimodal_decode_bmp",
+    "multimodal_decode_png", "multimodal_decode_tiff",
+    "multimodal_decode_jpeg", "multimodal_decode_jpeg_progressive",
+    "multimodal_meta_mp3", "multimodal_meta_mp4",
+    "multimodal_decode_gif", "multimodal_decode_gif_animated",
+    "multimodal_mp4_frames", "multimodal_mp4_frames_frag",
+    "multimodal_decode_mjpeg", "multimodal_meta_vp8",
+    "multimodal_meta_ogg", "multimodal_decode_g711",
+    "multimodal_meta_h264", "multimodal_decode_webp",
+    "multimodal_resize", "multimodal_frame_features",
+    "multimodal_decode_y4m", "multimodal_pixel_dedup",
+    "multimodal_decode_ppm",
+]
+
+_CHANGED_ROUND_13: list[str] = [
     # round 13: salvage-drop drift report (VERDICT r12 ask 7) — new
     # entry over a corrupt_mod fixture (every doc_id % 17 == 3
     # record deterministically damaged; per-file + corpus-total
