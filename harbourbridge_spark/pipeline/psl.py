@@ -9,7 +9,7 @@ curated snapshot SUBSET of the public suffix list (publicsuffix.org
 — public data; the build environment has no network, so this is a
 transcribed subset, not the fetched file):
 
-- `PSL_EXACT`: ~1.1k exact rules — every delegated TLD we enumerate
+- `PSL_EXACT`: ~2.2k exact rules — every delegated TLD we enumerate
   plus the well-known second/third-level registry structures
   (ccTLD com/net/org/... families, the 47 .jp prefectures, the
   .us state/k12/cc/lib grid, .kr metros, .cn provinces, the
@@ -25,12 +25,13 @@ exceptions beat wildcards, and an UNLISTED TLD falls back to the
 default `*` rule (last label is the suffix) — so hosts under TLDs
 this subset omits degrade to the last-two-labels behavior, never to
 an error.  The subset is documented as such; swapping in the full
-fetched list is a data change only.
+fetched list is a data change only (`load_psl_file` parses the
+standard file format into the same three rule sets).
 
 SQL surface: `psl_values_sql()` renders the exact rules as an inline
 VALUES relation (identical text in Spark and DuckDB — the relation
-is ~1.1k rows, a broadcast in Spark and a constant table in DuckDB),
-and `reg_domain_sql(host)` emits the longest-match expression over
+is ~2.2k rows, a broadcast in Spark and a constant table in DuckDB),
+and `reg_domain_ctes`/`reg_domain_expr` emit the longest-match logic over
 candidate 2/3/4-label tails of `host` joined against that relation.
 At 100 TB this is 3 BROADCAST hash joins on a pure projection — the
 corpus is never shuffled for domain derivation.
@@ -355,10 +356,49 @@ PSL_WILDCARD: tuple[str, ...] = (
 PSL_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
 
 
-def psl_values_sql() -> str:
+def parse_psl_text(text: str) -> tuple[tuple[str, ...],
+                                       tuple[str, ...],
+                                       tuple[str, ...]]:
+    """Parse the standard publicsuffix.org file format into
+    (exact, wildcard_bases, exceptions) — the deployment hook for
+    swapping this module's curated snapshot for the full fetched
+    list (``// comments``, blank lines, ``*.base`` wildcard rules,
+    ``!host`` exception rules; both ICANN and PRIVATE sections are
+    kept — section markers are just comments).  Rules are
+    lower-cased; non-ASCII (IDN) rules are kept verbatim — hosts
+    must be compared in the same form (the PSL file also publishes
+    punycode variants).  Only single-leading-label wildcards are
+    supported (every rule in the published list has that shape)."""
+    exact: list[str] = []
+    wild: list[str] = []
+    exc: list[str] = []
+    for line in text.splitlines():
+        rule = line.strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        # per spec, anything after whitespace is ignored
+        rule = rule.split()[0]
+        if rule.startswith("!"):
+            exc.append(rule[1:])
+        elif rule.startswith("*."):
+            wild.append(rule[2:])
+        else:
+            exact.append(rule)
+    return tuple(exact), tuple(wild), tuple(exc)
+
+
+def load_psl_file(path: str) -> tuple[tuple[str, ...],
+                                      tuple[str, ...],
+                                      tuple[str, ...]]:
+    """Read a fetched public_suffix_list.dat; see parse_psl_text."""
+    with open(path, encoding="utf-8") as f:
+        return parse_psl_text(f.read())
+
+
+def psl_values_sql(exact: tuple[str, ...] = None) -> str:
     """The exact rules as an inline VALUES relation (engine-shared
     text; DuckDB constant table / Spark LocalRelation -> broadcast)."""
-    rows = ", ".join(f"('{s}')" for s in PSL_EXACT)
+    rows = ", ".join(f"('{s}')" for s in (exact or PSL_EXACT))
     return f"(VALUES {rows}) AS psl(suffix)"
 
 
@@ -372,7 +412,10 @@ _TAIL = {
 }
 
 
-def reg_domain_ctes(src: str) -> str:
+def reg_domain_ctes(src: str,
+                    exact: tuple[str, ...] = None,
+                    wildcards: tuple[str, ...] = None,
+                    exceptions: tuple[str, ...] = None) -> str:
     """CTE text computing ``reg_domain`` for every row of ``src``
     (which must expose ``host`` plus pass-through columns handled by
     the caller's SELECT).  Emits two CTEs, ``_psl_tails`` and
@@ -385,9 +428,17 @@ def reg_domain_ctes(src: str) -> str:
     more than the winning suffix.  Unlisted TLDs fall back to the
     default rule (suffix = last label -> registered domain = last
     two labels).  A host that IS a public suffix (or a single
-    label) degrades to itself — never NULL, never an error."""
-    wild = ", ".join(f"'{w}'" for w in PSL_WILDCARD)
-    exc = ", ".join(f"'{e}'" for e in PSL_EXCEPTIONS)
+    label) degrades to itself — never NULL, never an error.
+
+    ``exact``/``wildcards``/``exceptions`` override the embedded
+    snapshot — pass load_psl_file(...) output to run against the
+    full fetched list (the wildcard path only supports the
+    single-label bases the embedded snapshot uses; multi-label
+    wildcard bases from the full list, e.g. *.compute.amazonaws.com,
+    need the 3-label tail treated as a base, which the exact-rule
+    join already approximates one level up)."""
+    wild = ", ".join(f"'{w}'" for w in (wildcards or PSL_WILDCARD))
+    exc = ", ".join(f"'{e}'" for e in (exceptions or PSL_EXCEPTIONS))
     return f"""_psl_tails AS (
         SELECT *,
                regexp_extract(host, '{_TAIL[1]}', 1) AS t1,
@@ -404,11 +455,11 @@ def reg_domain_ctes(src: str) -> str:
                     WHEN p2.suffix IS NOT NULL THEN 2
                     ELSE 1 END AS _psl_klen
         FROM _psl_tails
-        LEFT JOIN {psl_values_sql().replace('psl(', 'p2(')}
+        LEFT JOIN {psl_values_sql(exact).replace('psl(', 'p2(')}
                ON p2.suffix = _psl_tails.t2
-        LEFT JOIN {psl_values_sql().replace('psl(', 'p3(')}
+        LEFT JOIN {psl_values_sql(exact).replace('psl(', 'p3(')}
                ON p3.suffix = _psl_tails.t3
-        LEFT JOIN {psl_values_sql().replace('psl(', 'p4(')}
+        LEFT JOIN {psl_values_sql(exact).replace('psl(', 'p4(')}
                ON p4.suffix = _psl_tails.t4
     )"""
 

@@ -1652,6 +1652,46 @@ def test_psl_registered_domain_semantics(spark):
         assert got_duck[host] == want, (host, got_duck[host], want)
 
 
+def test_psl_file_format_loader(spark, tmp_path):
+    """parse_psl_text handles the standard publicsuffix.org format
+    (comments, blank lines, wildcard + exception rules, trailing
+    junk after whitespace), and a loaded rule set drives
+    reg_domain_ctes end-to-end in place of the embedded snapshot."""
+    from harbourbridge_spark.pipeline.psl import (
+        load_psl_file, reg_domain_ctes, reg_domain_expr)
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "\n"
+        "uk\n"
+        "co.uk\n"
+        "*.fantasy\n"
+        "!open.fantasy\n"
+        "COM.EXAMPLE  // trailing comment after spaces\n"
+        "// ===END ICANN DOMAINS===\n")
+    exact, wild, exc = load_psl_file(str(dat))
+    assert exact == ("com", "uk", "co.uk", "com.example")
+    assert wild == ("fantasy",) and exc == ("open.fantasy",)
+    sql = f"""
+    WITH hosts(host) AS (VALUES ('a.b.co.uk'), ('x.shop.fantasy'),
+                                ('x.open.fantasy'), ('y.com.example')),
+    {reg_domain_ctes('hosts', exact, wild, exc)}
+    SELECT host, ({reg_domain_expr()}) AS reg FROM _psl_hit
+    """
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got = {r.host: r.reg for r in spark.sql(sql).collect()}
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals",
+                       "false")
+    assert got == {"a.b.co.uk": "b.co.uk",
+                   "x.shop.fantasy": "x.shop.fantasy",  # wildcard
+                   "x.open.fantasy": "open.fantasy",    # exception
+                   "y.com.example": "y.com.example"}    # 2-level
+
+
 def test_mp4_sample_table_closed_form():
     """The muxed MJPEG fixture's stbl round-trips: two stts runs,
     2-per-chunk stsc with a short last chunk on odd counts, stss
