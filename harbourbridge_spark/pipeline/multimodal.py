@@ -1138,8 +1138,16 @@ def _resliced(kernel, batch_size: int):
     def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def slices() -> Iterator[pd.DataFrame]:
             for pdf in batches:
+                if len(pdf) <= batch_size:
+                    yield pdf          # already Arrow-fresh
+                    continue
                 for lo in range(0, len(pdf), batch_size):
-                    yield pdf.iloc[lo:lo + batch_size]
+                    # reset_index: kernels are written for fresh
+                    # Arrow frames (RangeIndex from 0); a shifted
+                    # index would silently misalign Series-vs-list
+                    # DataFrame construction in the output dicts
+                    yield (pdf.iloc[lo:lo + batch_size]
+                           .reset_index(drop=True))
         return kernel(slices())
     return wrapped
 

@@ -181,11 +181,13 @@ def test_resliced_cap_local():
             yield pdf
 
     frames = iter([pd.DataFrame({"x": range(10)}),
-                   pd.DataFrame({"x": []}),
+                   pd.DataFrame({"x": []}),      # passes through
                    pd.DataFrame({"x": range(3)})])
     out = list(_resliced(probe, 4)(frames))
-    assert sizes == [4, 4, 2, 3]
+    assert sizes == [4, 4, 2, 0, 3]
     assert sum(len(f) for f in out) == 13
+    # slices arrive Arrow-fresh: RangeIndex from 0
+    assert all(list(f.index) == list(range(len(f))) for f in out)
 
 
 def test_wav_decode_real_bytes():
