@@ -367,8 +367,9 @@ def parse_psl_text(text: str) -> tuple[tuple[str, ...],
     kept — section markers are just comments).  Rules are
     lower-cased; non-ASCII (IDN) rules are kept verbatim — hosts
     must be compared in the same form (the PSL file also publishes
-    punycode variants).  Only single-leading-label wildcards are
-    supported (every rule in the published list has that shape)."""
+    punycode variants).  Wildcard rules always have the shape
+    ``*.base`` in the published list; bases up to 3 labels (its
+    maximum) are supported by the SQL renderer."""
     exact: list[str] = []
     wild: list[str] = []
     exc: list[str] = []
@@ -432,13 +433,36 @@ def reg_domain_ctes(src: str,
 
     ``exact``/``wildcards``/``exceptions`` override the embedded
     snapshot — pass load_psl_file(...) output to run against the
-    full fetched list (the wildcard path only supports the
-    single-label bases the embedded snapshot uses; multi-label
-    wildcard bases from the full list, e.g. *.compute.amazonaws.com,
-    need the 3-label tail treated as a base, which the exact-rule
-    join already approximates one level up)."""
-    wild = ", ".join(f"'{w}'" for w in (wildcards or PSL_WILDCARD))
-    exc = ", ".join(f"'{e}'" for e in (exceptions or PSL_EXCEPTIONS))
+    full fetched list.  Wildcard bases of 1-3 labels are supported
+    (the published list's maximum is 3, e.g.
+    ``*.compute.amazonaws.com``); exact rules are matched up to 4
+    labels (the published maximum, e.g. ``pvt.k12.ma.us``).  A rule
+    outside those bounds raises at render time rather than silently
+    mis-deriving."""
+    wild_all = wildcards if wildcards is not None else PSL_WILDCARD
+    exc_all = exceptions if exceptions is not None else PSL_EXCEPTIONS
+    ex_rules = exact or PSL_EXACT
+    for r in ex_rules:
+        if r.count(".") > 3:
+            raise ValueError(f"exact PSL rule too deep (>4 labels): {r}")
+    for w in wild_all:
+        if w.count(".") > 2:
+            raise ValueError(f"wildcard PSL base too deep (>3 labels): {w}")
+    # wildcard bases grouped by label count; a base of k labels makes
+    # every (k+1)-label tail a public suffix unless excepted
+    def _in_list(expr: str, items: list[str]) -> str:
+        if not items:
+            return "FALSE"
+        lits = ", ".join(f"'{w}'" for w in items)
+        return f"{expr} IN ({lits})"
+    w1 = [w for w in wild_all if w.count(".") == 0]
+    w2 = [w for w in wild_all if w.count(".") == 1]
+    w3 = [w for w in wild_all if w.count(".") == 2]
+    exc_l = list(exc_all)
+    # parent(tK) = tK minus its first label — the K-1-label base a
+    # wildcard rule would name
+    par3 = r"regexp_extract(t3, '^[^.]+\.(.+)$', 1)"
+    par4 = r"regexp_extract(t4, '^[^.]+\.(.+)$', 1)"
     return f"""_psl_tails AS (
         SELECT *,
                regexp_extract(host, '{_TAIL[1]}', 1) AS t1,
@@ -448,10 +472,17 @@ def reg_domain_ctes(src: str,
         FROM {src}
     ), _psl_hit AS (
         SELECT _psl_tails.*,
-               CASE WHEN p4.suffix IS NOT NULL THEN 4
+               CASE WHEN {_in_list(par4, w3)} THEN
+                        CASE WHEN {_in_list('t4', exc_l)} THEN 3
+                             ELSE 4 END
+                    WHEN p4.suffix IS NOT NULL THEN 4
+                    WHEN {_in_list(par3, w2)} THEN
+                        CASE WHEN {_in_list('t3', exc_l)} THEN 2
+                             ELSE 3 END
                     WHEN p3.suffix IS NOT NULL THEN 3
-                    WHEN t1 IN ({wild}) AND t2 <> '' THEN
-                        CASE WHEN t2 IN ({exc}) THEN 1 ELSE 2 END
+                    WHEN {_in_list('t1', w1)} AND t2 <> '' THEN
+                        CASE WHEN {_in_list('t2', exc_l)} THEN 1
+                             ELSE 2 END
                     WHEN p2.suffix IS NOT NULL THEN 2
                     ELSE 1 END AS _psl_klen
         FROM _psl_tails
@@ -462,6 +493,42 @@ def reg_domain_ctes(src: str,
         LEFT JOIN {psl_values_sql(exact).replace('psl(', 'p4(')}
                ON p4.suffix = _psl_tails.t4
     )"""
+
+
+def registered_domain_py(host: str,
+                         exact: tuple[str, ...] = None,
+                         wildcards: tuple[str, ...] = None,
+                         exceptions: tuple[str, ...] = None) -> str:
+    """Pure-Python reference implementation of the PSL algorithm with
+    the SAME degrade semantics as the SQL rendering — the
+    differential oracle for mass host testing (SQL and Python are
+    written independently from the published algorithm; a bug in the
+    relational rendering shows as a mismatch).
+
+    Rules: exception rules win outright (the excepted domain is
+    itself registrable); otherwise the longest matching rule wins,
+    where a wildcard ``*.base`` matches any tail of len(base)+1
+    labels; unlisted TLDs take the default ``*`` rule (last label).
+    Registered domain = suffix plus one label, degrading to the host
+    when no extra label exists."""
+    ex = set(exact if exact is not None else PSL_EXACT)
+    wd = set(wildcards if wildcards is not None else PSL_WILDCARD)
+    xc = set(exceptions if exceptions is not None else PSL_EXCEPTIONS)
+    labels = host.split(".")
+    best = 1                                   # the default '*' rule
+    for k in range(1, len(labels) + 1):
+        tail = ".".join(labels[-k:])
+        parent = ".".join(labels[-(k - 1):]) if k > 1 else ""
+        if tail in xc and parent in wd:
+            # exception: the tail is registrable, suffix = its parent
+            best = max(best, k - 1)
+        elif tail in ex:
+            best = max(best, k)
+        elif k > 1 and parent in wd and tail not in xc:
+            best = max(best, k)
+    if best >= len(labels):
+        return host                            # host IS a suffix
+    return ".".join(labels[-(best + 1):])
 
 
 def reg_domain_expr() -> str:

@@ -1654,6 +1654,98 @@ def test_psl_registered_domain_semantics(spark):
         assert got_duck[host] == want, (host, got_duck[host], want)
 
 
+def test_psl_triple_differential(spark):
+    """Mass differential: 600 deterministically generated hosts
+    (labels drawn from a pool seeded with suffix-rule fragments so
+    exact/wildcard/exception/private/us-grid paths all trigger)
+    through the SQL rendering in BOTH engines vs the independent
+    pure-Python PSL reference — all three must agree on every host."""
+    import duckdb
+
+    from harbourbridge_spark.pipeline.psl import (
+        reg_domain_ctes, reg_domain_expr, registered_domain_py)
+
+    pool = ["a", "b", "www", "shop", "ck", "uk", "co", "com", "k12",
+            "ma", "us", "foo", "np", "tokyo", "jp", "github", "io",
+            "example", "br", "amazonaws", "s3", "bd", "xx"]
+    hosts = []
+    for i in range(600):
+        n = 1 + (i * 7919) % 5
+        hosts.append(".".join(
+            pool[(i * 104729 + j * 2654435761) % len(pool)]
+            for j in range(n)))
+    hosts = sorted(set(hosts))
+    values = ", ".join(f"('{h}')" for h in hosts)
+    sql = f"""
+    WITH hosts(host) AS (VALUES {values}),
+    {reg_domain_ctes('hosts')}
+    SELECT host, ({reg_domain_expr()}) AS reg FROM _psl_hit
+    """
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got_spark = {r.host: r.reg for r in spark.sql(sql).collect()}
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals",
+                       "false")
+    got_duck = dict(duckdb.connect().execute(sql).fetchall())
+    for h in hosts:
+        want = registered_domain_py(h)
+        assert got_spark[h] == want, (h, got_spark[h], want)
+        assert got_duck[h] == want, (h, got_duck[h], want)
+
+
+def test_psl_multilabel_wildcards(spark):
+    """Wildcard bases of 2 and 3 labels (the full published list has
+    them, e.g. *.compute.amazonaws.com): the SQL rendering and the
+    Python reference agree, exceptions carve out at every depth, and
+    over-deep rules raise instead of silently mis-deriving."""
+    import duckdb
+    import pytest as _pytest
+
+    from harbourbridge_spark.pipeline.psl import (
+        reg_domain_ctes, reg_domain_expr, registered_domain_py)
+
+    exact = ("com", "amazonaws.com", "s3.amazonaws.com")
+    wild = ("compute.amazonaws.com", "kawasaki.jp")
+    exc = ("city.kawasaki.jp",)
+    cases = [
+        ("x.eu-1.compute.amazonaws.com", "x.eu-1.compute.amazonaws.com"),
+        ("deep.x.eu-1.compute.amazonaws.com",
+         "x.eu-1.compute.amazonaws.com"),
+        ("compute.amazonaws.com", "compute.amazonaws.com"),
+        ("b.s3.amazonaws.com", "b.s3.amazonaws.com"),
+        # *.kawasaki.jp: shop.kawasaki.jp IS the public suffix, so
+        # the registrable domain keeps one more label
+        ("a.shop.kawasaki.jp", "a.shop.kawasaki.jp"),
+        ("shop.kawasaki.jp", "shop.kawasaki.jp"),     # host = suffix
+        ("a.city.kawasaki.jp", "city.kawasaki.jp"),   # exception
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ]
+    values = ", ".join(f"('{h}')" for h, _ in cases)
+    sql = f"""
+    WITH hosts(host) AS (VALUES {values}),
+    {reg_domain_ctes('hosts', exact, wild, exc)}
+    SELECT host, ({reg_domain_expr()}) AS reg FROM _psl_hit
+    """
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got_spark = {r.host: r.reg for r in spark.sql(sql).collect()}
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals",
+                       "false")
+    got_duck = dict(duckdb.connect().execute(sql).fetchall())
+    for h, want in cases:
+        assert registered_domain_py(h, exact, wild, exc) == want, h
+        assert got_spark[h] == want, (h, got_spark[h], want)
+        assert got_duck[h] == want, (h, got_duck[h], want)
+    with _pytest.raises(ValueError):
+        reg_domain_ctes("hosts", ("too.deep.rule.example.com",),
+                        wild, exc)
+    with _pytest.raises(ValueError):
+        reg_domain_ctes("hosts", exact,
+                        ("way.too.deep.base",), exc)
+
+
 def test_psl_file_format_loader(spark, tmp_path):
     """parse_psl_text handles the standard publicsuffix.org format
     (comments, blank lines, wildcard + exception rules, trailing
