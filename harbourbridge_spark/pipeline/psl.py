@@ -531,6 +531,79 @@ def registered_domain_py(host: str,
     return ".".join(labels[-(best + 1):])
 
 
+def with_registered_domain(df, host_col: str = "host",
+                           out_col: str = "reg_domain",
+                           exact: tuple[str, ...] = None,
+                           wildcards: tuple[str, ...] = None,
+                           exceptions: tuple[str, ...] = None):
+    """Column-API twin of the SQL rendering for DataFrames that are
+    not built from SQL templates — in particular STREAMING frames,
+    where the PSL relation joins as a stream-static BROADCAST join
+    (fully supported by Structured Streaming; the static side is a
+    LocalRelation).  Appends ``out_col``; the helper columns are
+    dropped.  Patterns are plain Python strings through the Column
+    API, so no parser-mode conf is ever touched (the streaming-path
+    requirement — see warc_documents_projection).
+
+    Same bounds as reg_domain_ctes: exact rules to 4 labels,
+    wildcard bases to 3."""
+    from pyspark.sql import functions as F
+
+    ex_rules = exact or PSL_EXACT
+    wild_all = wildcards if wildcards is not None else PSL_WILDCARD
+    exc_all = list(exceptions if exceptions is not None
+                   else PSL_EXCEPTIONS)
+    for r in ex_rules:
+        if r.count(".") > 3:
+            raise ValueError(f"exact PSL rule too deep (>4 labels): {r}")
+    for w in wild_all:
+        if w.count(".") > 2:
+            raise ValueError(f"wildcard PSL base too deep (>3 labels): {w}")
+    spark = df.sparkSession
+    host = F.col(host_col)
+
+    def tail(k: int) -> "F.Column":
+        return F.regexp_extract(host, _TAIL[k], 1)
+
+    def isin(col, items) -> "F.Column":
+        return col.isin(*items) if items else F.lit(False)
+
+    w1 = [w for w in wild_all if w.count(".") == 0]
+    w2 = [w for w in wild_all if w.count(".") == 1]
+    w3 = [w for w in wild_all if w.count(".") == 2]
+    d = df
+    hits = {}
+    for k in (2, 3, 4):
+        pk = f"_psl_p{k}"
+        rules_k = sorted({s for s in ex_rules if s.count(".") == k - 1})
+        rel = spark.createDataFrame([(s,) for s in rules_k] or
+                                    [("\x00never",)], f"{pk} string")
+        d = d.join(F.broadcast(rel), tail(k) == F.col(pk), "left")
+        hits[k] = F.col(pk).isNotNull()
+    par3 = F.regexp_extract(tail(3), r"^[^.]+\.(.+)$", 1)
+    par4 = F.regexp_extract(tail(4), r"^[^.]+\.(.+)$", 1)
+    klen = (
+        F.when(isin(par4, w3),
+               F.when(isin(tail(4), exc_all), F.lit(3)).otherwise(4))
+        .when(hits[4], F.lit(4))
+        .when(isin(par3, w2),
+              F.when(isin(tail(3), exc_all), F.lit(2)).otherwise(3))
+        .when(hits[3], F.lit(3))
+        .when(isin(tail(1), w1) & (tail(2) != ""),
+              F.when(isin(tail(2), exc_all), F.lit(1)).otherwise(2))
+        .when(hits[2], F.lit(2))
+        .otherwise(F.lit(1)))
+    d = d.withColumn("_psl_klen", klen)
+    reg = (
+        F.when((F.col("_psl_klen") == 4) & (tail(5) != ""), tail(5))
+        .when((F.col("_psl_klen") >= 3) & (tail(4) != ""), tail(4))
+        .when((F.col("_psl_klen") >= 2) & (tail(3) != ""), tail(3))
+        .when(tail(2) != "", tail(2))
+        .otherwise(host))
+    return (d.withColumn(out_col, reg)
+            .drop("_psl_p2", "_psl_p3", "_psl_p4", "_psl_klen"))
+
+
 def reg_domain_expr() -> str:
     """The registered-domain expression over a ``_psl_hit`` row:
     one label more than the winning suffix, degrading to the host

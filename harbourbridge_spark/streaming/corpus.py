@@ -361,6 +361,78 @@ def warc_ingest_drift_stream(spark: SparkSession, warc_dir: str,
     return writer.start()
 
 
+def url_quality_gate(rec: DataFrame,
+                     domain_blocklist: tuple[str, ...] = (),
+                     badwords: tuple[tuple[str, int], ...] | None = None,
+                     soft_drop: int = 2,
+                     max_path_depth: int = 8,
+                     max_query_len: int = 24) -> DataFrame:
+    """RefinedWeb-style URL gate over WARC_SCHEMA records — the
+    streaming twin of ``pipeline/weburl.url_quality_filter_sql``, in
+    pure Column form so it composes into the ingest stream (the
+    registered domain comes from the PSL snapshot via stream-static
+    BROADCAST joins; patterns are plain Python strings, no parser
+    conf).  Appends ``registered_domain`` and ``url_verdict``; the
+    caller filters on ``url_verdict = 'keep'`` (and can aggregate the
+    verdicts per epoch as a drift feed, like salvage drops).  This is
+    the gate a crawl pipeline runs BEFORE fetch/score cost — in the
+    stream it runs before HTML stripping and admission probes, so a
+    blocklisted domain never costs a signature lookup."""
+    from ..pipeline.psl import with_registered_domain
+    from ..pipeline.weburl import _URL_BADWORDS
+
+    words = badwords if badwords is not None else _URL_BADWORDS
+    raw = F.lower(F.col("target_uri"))
+    url = raw
+    for pat, rep in ((r"^https?://", ""), (r"#.*$", ""),
+                     (r"\?.*$", ""), (r"^www\.", ""),
+                     (r"^([^/:]+):[0-9]+", r"$1"),
+                     (r"/index\.html$", ""), (r"/$", "")):
+        url = F.regexp_replace(url, pat, rep)
+    host = F.regexp_extract(url, r"^([^/]+)", 1)
+    out = rec.withColumn("_raw_url", raw).withColumn("host", host)
+    out = with_registered_domain(out, "host", "registered_domain")
+    soft = None
+    for w, wt in words:
+        term = F.when(F.instr(F.col("_raw_url"), w) > 0,
+                      F.lit(wt)).otherwise(F.lit(0))
+        soft = term if soft is None else soft + term
+    is_ip = F.regexp_extract(
+        host, r"^([0-9]+\.[0-9]+\.[0-9]+\.[0-9]+)$", 1) != ""
+    path_depth = (F.length(url)
+                  - F.length(F.regexp_replace(url, r"/", "")))
+    qpos = F.instr(F.col("_raw_url"), "?")
+    query_len = F.when(qpos > 0,
+                       F.length(F.col("_raw_url")) - qpos
+                       ).otherwise(F.lit(0))
+    blocked = (F.col("registered_domain").isin(*domain_blocklist)
+               if domain_blocklist else F.lit(False))
+    verdict = (F.when(F.col("warc_type") != "response", F.lit("keep"))
+               .when(blocked, F.lit("blocklist"))
+               .when(is_ip, F.lit("ip_host"))
+               .when(soft >= soft_drop, F.lit("soft_words"))
+               .when(path_depth > max_path_depth, F.lit("deep_path"))
+               .when(query_len > max_query_len, F.lit("long_query"))
+               .otherwise(F.lit("keep")))
+    return (out.withColumn("url_verdict", verdict)
+            .drop("_raw_url", "host"))
+
+
+def warc_document_stream_gated(spark: SparkSession, warc_dir: str,
+                               domain_blocklist: tuple[str, ...] = (),
+                               max_files_per_trigger: int = 1):
+    """``warc_document_stream`` with the URL quality gate applied
+    BEFORE the documents projection: records whose URL fails any
+    gate rule never reach HTML stripping or the admission store
+    probes.  Non-response records pass through the gate untouched
+    (the projection drops them as before)."""
+    rec = warc_record_stream(spark, warc_dir, max_files_per_trigger)
+    gated = url_quality_gate(rec, domain_blocklist)
+    return warc_documents_projection(
+        gated.where(F.col("url_verdict") == "keep")
+        .drop("registered_domain", "url_verdict"))
+
+
 def warc_documents_projection(rec: DataFrame) -> DataFrame:
     """WARC_SCHEMA records -> DOCUMENTS_SCHEMA rows.  Built entirely
     from pyspark COLUMN functions (patterns are plain Python strings,

@@ -1688,10 +1688,16 @@ def test_psl_triple_differential(spark):
         spark.conf.set("spark.sql.parser.escapedStringLiterals",
                        "false")
     got_duck = dict(duckdb.connect().execute(sql).fetchall())
+    # fourth leg: the Column-API twin (the streaming path's form)
+    from harbourbridge_spark.pipeline.psl import with_registered_domain
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got_col = {r.host: r.reg_domain
+               for r in with_registered_domain(hdf).collect()}
     for h in hosts:
         want = registered_domain_py(h)
         assert got_spark[h] == want, (h, got_spark[h], want)
         assert got_duck[h] == want, (h, got_duck[h], want)
+        assert got_col[h] == want, (h, got_col[h], want)
 
 
 def test_psl_multilabel_wildcards(spark):

@@ -400,6 +400,69 @@ def test_salvage_stats_unusable_sentinel(spark):
     assert abs(out[-1].drop_frac - 0.5) < 1e-6
 
 
+def test_url_quality_gate_verdicts(spark):
+    """Column-form URL gate over WARC records: every verdict class
+    fires on a crafted row, the registered domain is PSL-derived
+    (blocklist matches at the REGISTERED-DOMAIN level through
+    subdomains), and non-response records pass untouched."""
+    from harbourbridge_spark.streaming.corpus import url_quality_gate
+
+    def rec(i, uri, wtype="response"):
+        return (1, i, wtype, uri, "2024-01-01T00:00:00Z", 200,
+                "text/html", 10, "<p>b</p>")
+
+    rows = [
+        rec(0, "https://good-site.com/a/1"),
+        rec(1, "https://deep.sub.bad.co.uk/x"),      # blocklist via PSL
+        rec(2, "http://10.1.2.3/page"),              # ip_host
+        rec(3, "https://x.com/casino/pills/1"),      # soft words (2+2)
+        rec(4, "https://t.com/a/b/c/d/e/f/g/h/i/j"),  # deep path
+        rec(5, "https://q.com/a?" + "s" * 40),       # long query
+        rec(6, "", "warcinfo"),                      # non-response
+    ]
+    out = {r.rec_idx: r for r in url_quality_gate(
+        spark.createDataFrame(rows, W.WARC_SCHEMA),
+        domain_blocklist=("bad.co.uk",)).collect()}
+    assert out[0].url_verdict == "keep"
+    assert out[1].url_verdict == "blocklist"
+    assert out[1].registered_domain == "bad.co.uk"   # not sub.bad...
+    assert out[2].url_verdict == "ip_host"
+    assert out[3].url_verdict == "soft_words"
+    assert out[4].url_verdict == "deep_path"
+    assert out[5].url_verdict == "long_query"
+    assert out[6].url_verdict == "keep"              # warcinfo passes
+
+
+def test_warc_document_stream_gated_e2e(spark, tmp_path):
+    """Streaming WARC ingest with the URL gate: with the fixture
+    corpus's registered domain (example.com — every synth URI lives
+    under it) blocklisted, ZERO documents emerge; with an empty
+    blocklist the same crawl yields every doc.  Proves the gate is a
+    stream-static broadcast join that composes into the ingest."""
+    from harbourbridge_spark.streaming.corpus import \
+        warc_document_stream_gated
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        build_warc_file(0, [(i, f"doc {i}") for i in (1, 2, 3)]))
+
+    def run(blocklist, out_name):
+        out = str(tmp_path / out_name)
+        q = (warc_document_stream_gated(spark, str(warc_dir),
+                                        domain_blocklist=blocklist)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation",
+                     str(tmp_path / (out_name + "_ck")))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert run((), "open").count() == 3
+    assert run(("example.com",), "blocked").count() == 0
+
+
 def test_warc_ingest_drift_stream_e2e(spark, tmp_path):
     """Streaming drift feed: two micro-batches of crawl files (one
     clean, one with damaged records) -> one drift row per epoch with
