@@ -515,10 +515,23 @@ def registered_domain_py(host: str,
     wd = set(wildcards if wildcards is not None else PSL_WILDCARD)
     xc = set(exceptions if exceptions is not None else PSL_EXCEPTIONS)
     labels = host.split(".")
+    # the SQL tails are END-anchored runs of non-empty labels, so a
+    # malformed host participates only through its longest run of
+    # TRAILING non-empty labels ('.example.com' -> example.com;
+    # 'a..b' / 'example.com.' -> no usable tail -> the host itself);
+    # mirror that exactly
+    m = 0
+    for lab in reversed(labels):
+        if not lab:
+            break
+        m += 1
+    if m == 0:
+        return host
+    eff = labels[-m:]
     best = 1                                   # the default '*' rule
-    for k in range(1, len(labels) + 1):
-        tail = ".".join(labels[-k:])
-        parent = ".".join(labels[-(k - 1):]) if k > 1 else ""
+    for k in range(1, m + 1):
+        tail = ".".join(eff[-k:])
+        parent = ".".join(eff[-(k - 1):]) if k > 1 else ""
         if tail in xc and parent in wd:
             # exception: the tail is registrable, suffix = its parent
             best = max(best, k - 1)
@@ -526,9 +539,11 @@ def registered_domain_py(host: str,
             best = max(best, k)
         elif k > 1 and parent in wd and tail not in xc:
             best = max(best, k)
-    if best >= len(labels):
-        return host                            # host IS a suffix
-    return ".".join(labels[-(best + 1):])
+    if m < 2:
+        return host             # no 2-label tail to emit
+    # the SQL reg expression CASCADES to the largest non-empty tail
+    # (a suffix-only or leading-dot host emits its m-label tail)
+    return ".".join(eff[-min(best + 1, m):])
 
 
 def with_registered_domain(df, host_col: str = "host",

@@ -1674,6 +1674,10 @@ def test_psl_triple_differential(spark):
         hosts.append(".".join(
             pool[(i * 104729 + j * 2654435761) % len(pool)]
             for j in range(n)))
+    # malformed hosts a real crawl emits: trailing dot, empty labels,
+    # bare dot — every implementation must degrade identically
+    hosts += ["example.com.", "a..b", ".", "com.", ".example.com",
+              "example", "com", ".co.uk", "x..co.uk", "..", "a."]
     hosts = sorted(set(hosts))
     values = ", ".join(f"('{h}')" for h in hosts)
     sql = f"""
