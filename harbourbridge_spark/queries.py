@@ -1819,10 +1819,12 @@ _register_template(
     "url_canonicalize", _weburl.url_canonicalize_sql,
     "URL canonicalization (CCNet-style): lowercase, strip "
     "scheme/fragment/query/www/port/index.html/trailing-slash, "
-    "host + registered-domain extraction with a mini public-suffix "
-    "list (co.uk-family three-label branch) — pure projection, no "
-    "shuffle; six messy fixture variants per 3-doc article group "
-    "must collapse to one canonical URL")
+    "host + registered-domain via the embedded public-suffix-list "
+    "snapshot (pipeline/psl.py: longest match over 3 broadcast "
+    "joins, wildcard/exception rules) — projection + broadcast-"
+    "sized joins, the corpus never shuffles; six messy fixture "
+    "variants per 3-doc article group must collapse to one "
+    "canonical URL, with co.uk/com.br/github.io/*.np suffix slices")
 _register_template(
     "url_domain_caps", _weburl.domain_cap_manifest_sql,
     "URL-dedup + per-registered-domain cap manifest (RefinedWeb "
