@@ -433,6 +433,56 @@ def warc_document_stream_gated(spark: SparkSession, warc_dir: str,
         .drop("registered_domain", "url_verdict"))
 
 
+def url_gate_drift_stream(spark: SparkSession, warc_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          domain_blocklist: tuple[str, ...] = (),
+                          max_files_per_trigger: int = 1,
+                          processing_time: str | None = None):
+    """Per-epoch URL-verdict drift feed — the gate twin of
+    ``warc_ingest_drift_stream``: each micro-batch appends ONE row
+    (epoch, n_responses, n_keep, n_blocklist, n_ip_host,
+    n_soft_words, n_deep_path, n_long_query, drop_frac) to
+    ``out_dir``.  A crawl operator watches drop_frac exactly like
+    salvage drops: a rising blocklist rate means a poisoned seed
+    list or link farm; a rising deep-path rate means a crawler trap.
+    drop_frac follows the house exact-integer 6-dp convention.
+
+    Scale shape: per-batch low-cardinality aggregation over the
+    already-gated records (the gate itself is broadcast joins); the
+    drift table grows one row per epoch."""
+    rec = warc_record_stream(spark, warc_dir, max_files_per_trigger)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        gated = url_quality_gate(batch_df, domain_blocklist).where(
+            F.col("warc_type") == "response")
+        counts = {v: F.sum((F.col("url_verdict") == v).cast("long"))
+                  .alias(f"n_{v}")
+                  for v in ("keep", "blocklist", "ip_host",
+                            "soft_words", "deep_path", "long_query")}
+        row = (gated.agg(F.count("*").cast("long")
+                         .alias("n_responses"), *counts.values())
+               .select(F.lit(int(epoch_id)).alias("epoch"), "*")
+               .selectExpr(
+                   "*",
+                   "CASE WHEN n_responses = 0 THEN CAST(0.0 AS DOUBLE) "
+                   "ELSE CAST((2 * 1000000 * (n_responses - n_keep) "
+                   "+ n_responses) div (2 * n_responses) AS DOUBLE) "
+                   "/ 1000000.0 END AS drop_frac"))
+        row.write.mode("append").parquet(out_dir)
+
+    writer = (rec.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def warc_documents_projection(rec: DataFrame) -> DataFrame:
     """WARC_SCHEMA records -> DOCUMENTS_SCHEMA rows.  Built entirely
     from pyspark COLUMN functions (patterns are plain Python strings,

@@ -463,6 +463,37 @@ def test_warc_document_stream_gated_e2e(spark, tmp_path):
     assert run(("example.com",), "blocked").count() == 0
 
 
+def test_url_gate_drift_stream_e2e(spark, tmp_path):
+    """Per-epoch URL-verdict drift feed: with the fixture corpus's
+    registered domain blocklisted, the drift row counts every
+    response as blocklist-dropped with drop_frac 1.0; with an open
+    list, everything keeps and drop_frac is 0."""
+    from harbourbridge_spark.streaming.corpus import \
+        url_gate_drift_stream
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc").write_bytes(
+        build_warc_file(0, [(i, f"doc {i}") for i in (1, 2, 3, 4)]))
+
+    def run(blocklist, name):
+        out = str(tmp_path / name)
+        q = url_gate_drift_stream(
+            spark, str(warc_dir), out, str(tmp_path / (name + "_ck")),
+            domain_blocklist=blocklist, max_files_per_trigger=2)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        return rows[0]
+
+    r = run(("example.com",), "blocked")
+    assert r.n_responses == 4 and r.n_blocklist == 4 and r.n_keep == 0
+    assert abs(r.drop_frac - 1.0) < 1e-6
+    r = run((), "open")
+    assert r.n_responses == 4 and r.n_keep == 4 and r.n_blocklist == 0
+    assert r.drop_frac == 0.0
+
+
 def test_warc_ingest_drift_stream_e2e(spark, tmp_path):
     """Streaming drift feed: two micro-batches of crawl files (one
     clean, one with damaged records) -> one drift row per epoch with
