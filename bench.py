@@ -87,6 +87,10 @@ def main() -> None:
              .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
+             # creation-time Arrow input bound (ADVICE r14; see
+             # confscope.RECOMMENDED_SESSION_CONFS)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     "256")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -188,6 +188,10 @@ def main(argv: Optional[list[str]] = None) -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.shuffle.partitions", str(args.cpus))
              .config("spark.sql.adaptive.enabled", "true")
+             # creation-time Arrow input bound (ADVICE r14; see
+             # confscope.RECOMMENDED_SESSION_CONFS)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     "256")
              .getOrCreate())
     ctx = None
     if args.session:

@@ -48,6 +48,29 @@ def scoped_conf(spark, key: str, value: str):
             spark.conf.set(key, old)
 
 
+# Arrow INPUT batch bound (ADVICE r14).  ``_resliced``
+# (pipeline/multimodal.py) bounds each media kernel's per-iteration
+# working set and output frames, but the INPUT Arrow batch is
+# materialized JVM-side before Python ever sees it — for media read
+# from a generic source (e.g. a plain parquet media table) the
+# session default (10000 rows) governs, so one input frame could
+# hold 10000 full media blobs.  Session owners should set
+# ``spark.sql.execution.arrow.maxRecordsPerBatch`` ONCE AT SESSION
+# CREATION to restore the batch_size x max_media_size peak-input
+# guarantee; 256 matches the media kernels' default batch_size.
+# This is a CREATION-time setting precisely because the conf is read
+# at execution time — mutating it later is the session-conf-coupling
+# class this module exists to end.  Every session this repo creates
+# (tests/conftest.py, bench.py, cli.py, tools/) applies
+# RECOMMENDED_SESSION_CONFS; externally-created sessions that skip it
+# keep the documented residual risk (see extract_features).
+ARROW_MAX_RECORDS_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+RECOMMENDED_SESSION_CONFS: dict[str, str] = {
+    ARROW_MAX_RECORDS_KEY: "256",
+}
+
+
 def scoped_parser_mode(spark, escaped: str):
     """``escaped`` is "true" (verbatim literals — the dual-engine
     template convention: DuckDB never processes backslash escapes)

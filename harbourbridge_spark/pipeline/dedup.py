@@ -1586,6 +1586,32 @@ def substring_spans_sql(engine: str) -> str:
     return render(t, engine)
 
 
+def _substr_gram_df(spark, source: str):
+    """Positional SUBSTR_K-gram hash relation (doc_id, pos, h) over
+    ``source`` (a documents-schema view): posexplode + window LEADs —
+    one (doc_id, pos) sort, the winnow kernel.  Caller owns the
+    parser-mode scope.  Shared by the full-corpus span pass and the
+    incremental gram-store write/probe (VERDICT r14 ask 5), so the
+    store and its probes hash grams IDENTICALLY by construction."""
+    from .text import render as _render
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w"
+                      for j in range(1, SUBSTR_K))
+    return spark.sql(f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok)
+        FROM {source} WHERE text IS NOT NULL
+    ), g0 AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {SUBSTR_K - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
+    FROM g0 WHERE tlast IS NOT NULL
+    """)
+
+
 def substring_spans_fn(spark, sf_dir: str):
     """Spark execution strategy for dedup_exact_substrings: identical
     output to substring_spans_sql, but (a) gram hashes form via
@@ -1596,27 +1622,10 @@ def substring_spans_fn(spark, sf_dir: str):
     relation is the small side in real corpora, Spark would otherwise
     re-run the whole tokenize+gram pipeline for both consumers, and a
     hash-window would serialize each hot gram into one task."""
-    from .text import render as _render
     with scoped_parser_mode(spark, "true"):
         spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
-        toks = _render(TOKENS, "spark")
-        leads = ", ".join(f"lead(tok, {j}) OVER w"
-                          for j in range(1, SUBSTR_K))
-        g_sql = f"""
-        WITH toks AS (
-            SELECT doc_id, posexplode({toks}) AS (pos, tok)
-            FROM documents WHERE text IS NOT NULL
-        ), g0 AS (
-            SELECT doc_id, pos,
-                   concat_ws(' ', tok, {leads}) AS gram,
-                   lead(tok, {SUBSTR_K - 1}) OVER w AS tlast
-            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        )
-        SELECT doc_id, pos + 1 AS pos, {hash48('gram', 'spark')} AS h
-        FROM g0 WHERE tlast IS NOT NULL
-        """
-        g = spark.sql(g_sql)
+        g = _substr_gram_df(spark, "documents")
         g.createOrReplaceTempView("__substr_g")
         dup = spark.sql("""
             SELECT h FROM __substr_g GROUP BY h HAVING COUNT(*) >= 2
@@ -2045,4 +2054,165 @@ def dedup_incremental_store_entry_fn(spark, sf_dir: str,
     publish_store(store, lambda tmp: signature_store_write(
         spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
     return dedup_incremental_against_store(
+        spark, store, docs.where(f"doc_id % {mod} >= {res}"))
+
+
+# ---------------------------------------------------------------------------
+# incremental ExactSubstr: persisted 5-gram occurrence store
+# (VERDICT r14 ask 5 — the substring-span family's production flow)
+# ---------------------------------------------------------------------------
+
+def gram_store_write(spark, docs_df, store_path: str,
+                     mode: str = "overwrite") -> None:
+    """Tokenize ``docs_df`` (documents schema) ONCE and persist its
+    per-gram occurrence counts ``(h, n_occ)`` as the parquet 5-GRAM
+    STORE — the corpus-side state of incremental ExactSubstr.  The
+    store for a 100 TB corpus is one row per DISTINCT gram (bounded
+    by token count / K, in practice far smaller), and future batches
+    read only it — the corpus text is never re-tokenized.
+
+    Append-only contract: admitted batches append their own (h,
+    n_occ) rows; the probe tests PRESENCE of h (any corpus
+    occurrence makes a batch position duplicated), so replayed or
+    duplicate h rows can never change a verdict — the same
+    decision-invariance argument as signature_store_compact.  Writers
+    take the shared storecache lock (appends of distinct batches
+    commute; a compaction would take it exclusively)."""
+    from .storecache import store_lock
+
+    docs_df.createOrReplaceTempView("__substr_store_in")
+    with scoped_parser_mode(spark, "true"):
+        g = _substr_gram_df(spark, "__substr_store_in")
+        counts = g.groupBy("h").count().withColumnRenamed(
+            "count", "n_occ")
+        with store_lock(store_path, exclusive=False):
+            counts.write.mode(mode).parquet(store_path)
+
+
+_SUBSTR_ISL_SELECT = f"""SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp"""
+
+
+def substring_probe_against_store(spark, store_path: str, batch_df,
+                                  admit: bool = False):
+    """Probe a NEW batch against the persisted 5-gram store: only the
+    batch is tokenized, a batch position is duplicated iff its gram
+    is PRESENT in the store (>= 1 corpus occurrence makes the global
+    count >= 2) OR occurs >= 2 times WITHIN the batch (two new docs
+    sharing a phrase the corpus has never seen are still mutual
+    duplicates — the intra-batch analogue of the admission guard in
+    dedup_incremental_against_store), and maximal runs of duplicated
+    positions merge into spans exactly as in substring_spans_sql.
+
+    With ``admit=True`` the batch's own gram counts are APPENDED to
+    the store (shared lock) — ExactSubstr admits every doc (spans are
+    removal instructions, not rejections), so the next batch dedups
+    against ALL of this batch's grams, which is the append-only
+    contract.
+
+    Returns (doc_id, start_pos, end_pos, n_tokens) for batch docs.
+    Scale: one batch-sized tokenize, one batch-sized hash join
+    against the store's distinct gram hashes (8-byte keys — never
+    text), one per-doc window; nothing corpus-sized recomputes."""
+    from .storecache import store_lock
+
+    with scoped_parser_mode(spark, "true"):
+        batch_df.createOrReplaceTempView("__substr_batch_in")
+        g = _substr_gram_df(spark, "__substr_batch_in").localCheckpoint()
+        g.createOrReplaceTempView("__substr_batch_g")
+        spark.read.parquet(store_path).createOrReplaceTempView(
+            "__substr_store_g")
+        spans = spark.sql(f"""
+        WITH hits AS (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM __substr_store_g
+                UNION ALL
+                SELECT h FROM __substr_batch_g
+                GROUP BY h HAVING COUNT(*) >= 2
+            ) _u
+        ), dp AS (
+            SELECT g.doc_id, g.pos
+            FROM __substr_batch_g g JOIN hits ON hits.h = g.h
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM dp
+        )
+        {_SUBSTR_ISL_SELECT}
+        """).localCheckpoint()
+        if admit:
+            batch_counts = spark.sql("""
+                SELECT h, COUNT(*) AS n_occ
+                FROM __substr_batch_g GROUP BY h
+            """)
+            with store_lock(store_path, exclusive=False):
+                batch_counts.write.mode("append").parquet(store_path)
+        return spans
+
+
+def substring_incremental_sql(engine: str, mod: int = INCOMING_MOD,
+                              res: int = INCOMING_RES) -> str:
+    """Oracle template for substring_incremental: because a batch
+    position is duplicated iff its gram's GLOBAL (corpus + batch)
+    occurrence count is >= 2 — presence in the corpus OR an
+    intra-batch repeat both reduce to that — the incremental probe's
+    output equals the full symmetric span pass restricted to batch
+    docs.  One closed form serves both engines; the Spark strategy
+    computes it batch-sized against the persisted store."""
+    t = f"""
+    WITH tk AS (
+        SELECT doc_id, {render(TOKENS, engine)} AS tk FROM documents
+        WHERE text IS NOT NULL
+    ), ghs AS (
+        SELECT doc_id, {_substr_grams(engine)} AS gh FROM tk
+        WHERE {{alen}}(tk) >= {SUBSTR_K}
+    ), g AS (
+        SELECT doc_id, pos, {{elem}}(gh, pos) AS h
+        FROM (SELECT doc_id, gh,
+                     {{explode}}({{seq}}(1, {{alen}}(gh))) AS pos
+              FROM ghs) _p
+    ), dp AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY h) AS occ
+            FROM g) _o
+        WHERE occ >= 2 AND doc_id % {mod} >= {res}
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM dp
+    )
+    {_SUBSTR_ISL_SELECT}
+    """
+    return render(t, engine)
+
+
+def substring_incremental_store_entry_fn(spark, sf_dir: str,
+                                         mod: int = INCOMING_MOD,
+                                         res: int = INCOMING_RES):
+    """Registry/bench twin: the corpus-side gram store is built once
+    per fixture identity (same keying and per-user 0700 cache as the
+    signature store) and REUSED across runs, so the measured cost is
+    the batch-sized probe — the amortized production shape of the
+    substring family, mirroring dedup_incremental_against_store."""
+    import hashlib
+    import os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    ident = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}".encode()).hexdigest()[:16]
+    store = store_path("substrgrams", ident)
+    docs = spark.read.parquet(src)
+    publish_store(store, lambda tmp: gram_store_write(
+        spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
+    return substring_probe_against_store(
         spark, store, docs.where(f"doc_id % {mod} >= {res}"))

@@ -31,7 +31,7 @@ from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -541,6 +541,224 @@ def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
             .agg(F.min("media_id").alias("rep_media_id"),
                  F.count("*").cast("long").alias("n_copies"))
             .select("rep_media_id", "n_copies"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup image hashing (VERDICT r14 ask 4)
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — the per-class target dHash generator for
+    the closed-form fixture (deterministic, no RNG state)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def dhash64(content: bytes) -> int:
+    """64-bit difference hash (dHash) of a decoded raster: grayscale,
+    nearest-sample to a 9-wide x 8-high grid, bit(i*8+j) = 1 iff
+    grid[i][j+1] > grid[i][j].  Nearest sampling composes exactly
+    under integer upscales (sampling a k x-nearest-upscaled image
+    recovers the source grid bit-for-bit), so a re-encoded AND
+    resized copy of the same picture produces the IDENTICAL hash —
+    the perceptual property pixel_dedup's byte digest lacks.
+    Raises like decode_pixels on undecodable input."""
+    px = decode_pixels(content).astype(np.float64)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = gray[ys][:, xs]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    out = 0
+    for idx in np.nonzero(bits)[0]:
+        out |= 1 << int(idx)
+    return out
+
+
+def _dhash_grid(bits64: int, flip_bits: tuple = ()) -> "np.ndarray":
+    """The 8x9 grayscale grid whose dHash is EXACTLY ``bits64`` with
+    ``flip_bits`` inverted: walk each row from 128 in +/-14 steps (8
+    steps keep values in [16, 240], no clipping, no ties)."""
+    flips = set(flip_bits)
+    g = np.zeros((8, 9), np.uint8)
+    for i in range(8):
+        v = 128
+        g[i, 0] = v
+        for j in range(8):
+            bit = (bits64 >> (i * 8 + j)) & 1
+            if (i * 8 + j) in flips:
+                bit ^= 1
+            v = v + 14 if bit else v - 14
+            g[i, j + 1] = v
+    return g
+
+
+def _rgb_bmp(px: "np.ndarray") -> bytes:
+    """24bpp bottom-up BMP from an (h, w, 3) uint8 raster."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    buf = np.zeros((h, stride), np.uint8)
+    for j in range(h):
+        y = h - 1 - j
+        buf[j, 0:w * 3:3] = px[y, :, 2]
+        buf[j, 1:w * 3:3] = px[y, :, 1]
+        buf[j, 2:w * 3:3] = px[y, :, 0]
+    data = buf.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+            + data)
+
+
+def _rgb_ppm(px: "np.ndarray") -> bytes:
+    """P6 PPM from an (h, w, 3) uint8 raster."""
+    h, w = px.shape[:2]
+    return (b"P6\n# phash fixture\n"
+            + f"{w} {h}\n255\n".encode() + px.tobytes())
+
+
+def _rgb_png(px: "np.ndarray") -> bytes:
+    """Truecolor PNG (filter type 0 rows) from an (h, w, 3) raster."""
+    h, w = px.shape[:2]
+    stream = bytearray()
+    for y in range(h):
+        stream.append(0)
+        stream.extend(px[y].tobytes())
+
+    def chunk(ctyp: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctyp + body
+                + struct.pack(">I", zlib.crc32(ctyp + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+def synth_phash_variant(media_id: int) -> bytes:
+    """Closed-form near-dup fixture: media_id encodes
+    (doc = media_id // 3, variant = media_id % 3); the pixel class is
+    doc % 200 and its TARGET dHash is _mix64(class) (min pairwise
+    Hamming across the 200 classes is 15 — unit-pinned — so classes
+    can never collapse at hamming_k <= 7-ish, while the one shared
+    16-bit band among the 200 hashes exercises the popcount-reject
+    path).  Variants of one class:
+
+    - 0: BMP at a class-dependent scale (the keeper — lowest id),
+    - 1: PPM, RESIZED (one scale step larger) — a true re-encoded +
+         resized twin, identical dHash by nearest-sample composition,
+    - 2: PNG with exactly TWO dHash bits flipped (a lossy-looking
+         near dup at Hamming distance 2 <= k).
+    """
+    doc = media_id // 3
+    variant = media_id % 3
+    cls = doc % 200
+    h64 = _mix64(cls)
+    flips = ()
+    if variant == 2:
+        # two distinct bit positions (6*cls + 13 is odd, never 0 mod
+        # 64, so the two indices can't coincide)
+        flips = (cls % 64, (cls * 7 + 13) % 64)
+    grid = _dhash_grid(h64, flips)
+    sy = 1 + cls % 2 + (1 if variant == 1 else 0)
+    sx = 1 + cls % 3 + (1 if variant == 1 else 0)
+    gray = np.repeat(np.repeat(grid, sy, axis=0), sx, axis=1)
+    px = np.stack([gray, gray, gray], axis=-1)
+    if variant == 0:
+        return _rgb_bmp(px)
+    if variant == 1:
+        return _rgb_ppm(px)
+    return _rgb_png(px)
+
+
+def phash_dedup(media: DataFrame, hamming_k: int = 3,
+                batch_size: int = 256) -> DataFrame:
+    """Perceptual near-dup image clustering (VERDICT r14 ask 4):
+    dHash over DECODED rasters + Hamming-<=k LSH — crawl duplicates
+    are re-encoded/resized, so pixel_dedup's exact raster digest
+    misses them while the gradient-sign hash survives both.
+
+    Pipeline (the dedup_simhash_pairs pigeonhole shape,
+    dedup.py:690): Arrow-batched dHash kernel -> split each 64-bit
+    hash into k+1 contiguous slices (two hashes within Hamming k
+    must agree exactly on >= 1 slice) -> equi-join on
+    (slice_index, slice_value) with the MAX_BUCKET star-degrade ->
+    exact popcount(xor) verify -> single-pass min-representative
+    collapse (exact on cliques, which is what near-dup classes are;
+    a chain-shaped borderline cluster may split — the documented
+    one-pass trade, same as the LSH star-degrade).
+
+    Returns one row per cluster: rep_media_id (min id, the keeper) +
+    n_images.  Scale: the hash kernel is embarrassingly parallel;
+    everything after shuffles 8-byte hashes keyed by 16-bit slices,
+    never pixels; a boilerplate bucket degrades to O(n) star pairs."""
+    from .dedup import MAX_BUCKET
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    h = dhash64(bytes(content))
+                except (ValueError, struct.error, zlib.error):
+                    continue
+                # wrap to signed 64-bit for the LongType column
+                ids.append(mid)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    ph = media.select("media_id", "content").mapInPandas(
+        _resliced(run, batch_size), schema="media_id long, phash long")
+
+    nb = hamming_k + 1
+    width = -(-64 // nb)
+    mask = (1 << width) - 1
+    keyed = (ph.select(
+        "media_id", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
+        .withColumn("slice", F.expr(
+            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+    w = Window.partitionBy("b", "slice")
+    ann = keyed.select(
+        "media_id", "phash", "b", "slice",
+        F.count("*").over(w).alias("n"),
+        F.min("media_id").over(w).alias("rep"),
+        F.expr("min_by(phash, media_id)").over(w).alias("rep_ph"))
+    small = ann.filter(F.col("n") <= MAX_BUCKET)
+    pairs = (small.alias("x").join(
+        small.alias("y"), on=["b", "slice"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(F.col("x.media_id").alias("id_a"),
+                F.col("y.media_id").alias("id_b"),
+                F.col("x.phash").alias("ph_a"),
+                F.col("y.phash").alias("ph_b")))
+    star = (ann.filter((F.col("n") > MAX_BUCKET)
+                       & (F.col("media_id") != F.col("rep")))
+            .select(F.col("rep").alias("id_a"),
+                    F.col("media_id").alias("id_b"),
+                    F.col("rep_ph").alias("ph_a"),
+                    F.col("phash").alias("ph_b")))
+    cand = pairs.unionByName(star).distinct()
+    edges = cand.filter(
+        F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}")) \
+        .select("id_a", "id_b")
+    verts = ph.select(F.col("media_id"),
+                      F.col("media_id").alias("r"))
+    reps = (verts.unionByName(
+        edges.select(F.col("id_b").alias("media_id"),
+                     F.col("id_a").alias("r")))
+        .groupBy("media_id").agg(F.min("r").alias("rep")))
+    return (reps.groupBy("rep")
+            .agg(F.count("*").cast("long").alias("n_images"))
+            .select(F.col("rep").alias("rep_media_id"), "n_images"))
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
@@ -1093,6 +1311,10 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif fmt == "tiff":
         from .tiff import synth_tiff
         synth, mime = synth_tiff, "image/tiff"
+    elif fmt == "phash":
+        # 3 containers (BMP / resized PPM / 2-bit-flipped PNG) per
+        # doc, selected by media_id % 3 — see synth_phash_variant
+        synth, mime = synth_phash_variant, "image/mixed"
     else:
         synth, mime = synth_bmp, "image/bmp"
 
@@ -1132,9 +1354,17 @@ def _resliced(kernel, batch_size: int):
     Slicing inside the generator bounds what the conf was actually
     bounding — the kernel's per-iteration working set (decoded
     rasters / PCM / frame expansions) and its output frame sizes.
-    The already-materialized INPUT Arrow batch is bounded by the
-    upstream source (synth kernel's 5000-row flush, parquet row
-    groups, ~1-row binaryFile partitions), not by this wrapper."""
+    The already-materialized INPUT Arrow batch is NOT bounded by this
+    wrapper (it is sliced only after the JVM->Python transfer lands).
+    For this repo's media paths the upstream source bounds it (synth
+    kernel's 5000-row flush, parquet row groups, ~1-row binaryFile
+    partitions); for media read from a GENERIC source the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` governs — every
+    session this repo creates sets it to 256 at CREATION time
+    (confscope.RECOMMENDED_SESSION_CONFS, ADVICE r14), restoring the
+    batch_size x max_media_size peak-input guarantee.  An externally
+    created session that leaves the 10000-row default carries the
+    residual risk of one input frame holding 10000 full blobs."""
     def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def slices() -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1159,6 +1389,16 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     ``batch_size`` rows (``_resliced``), keeping peak decode working
     set at batch_size x max_media_size per worker without touching
     any session conf.
+
+    Residual risk (ADVICE r14): the INPUT Arrow frame is
+    materialized before the slicer runs, so its size is governed by
+    the session's ``arrow.maxRecordsPerBatch`` — set to 256 at
+    creation time by every session this repo owns
+    (confscope.RECOMMENDED_SESSION_CONFS).  On an external session
+    left at the 10000-row default, media from a generic source can
+    arrive 10000 blobs per input frame; the in-kernel slicer still
+    bounds decode working set and output frames, but not that
+    transfer peak.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

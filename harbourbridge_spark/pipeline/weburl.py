@@ -112,7 +112,8 @@ def _url_cte() -> str:
     """Shared CTE prefix: doc_id, raw_url, url, host, reg_domain.
     reg_domain comes from the embedded public-suffix-list snapshot
     (pipeline/psl.py): longest-match over the exact-rule relation
-    (three broadcast joins against 2/3/4-label host tails) plus the
+    (label-count-bucketed broadcast joins against 2/3/4-label host
+    tails — r15: each probe joins only its own bucket) plus the
     inline wildcard/exception rules — still a pure projection of the
     corpus; the PSL relation is broadcast-sized in both engines."""
     from .psl import reg_domain_ctes, reg_domain_expr

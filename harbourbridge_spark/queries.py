@@ -1820,8 +1820,9 @@ _register_template(
     "URL canonicalization (CCNet-style): lowercase, strip "
     "scheme/fragment/query/www/port/index.html/trailing-slash, "
     "host + registered-domain via the embedded public-suffix-list "
-    "snapshot (pipeline/psl.py: longest match over 3 broadcast "
-    "joins, wildcard/exception rules) — projection + broadcast-"
+    "snapshot (pipeline/psl.py, ~3.1k rules: longest match over "
+    "label-count-bucketed broadcast joins, wildcard/exception "
+    "rules) — projection + broadcast-"
     "sized joins, the corpus never shuffles; six messy fixture "
     "variants per 3-doc article group must collapse to one "
     "canonical URL, with co.uk/com.br/github.io/*.np suffix slices")
@@ -2052,6 +2053,18 @@ REGISTRY["dedup_incremental_against_store"] = QuerySpec(
     "production shape: batch-sized signature job + band probe against "
     "stored corpus signatures; the corpus text is never re-tokenized. "
     "Same verdicts as dedup_incremental (one oracle serves both)")
+REGISTRY["substring_incremental"] = QuerySpec(
+    _dedup.substring_incremental_store_entry_fn,
+    _dedup.substring_incremental_sql("duckdb"),
+    "Incremental ExactSubstr (VERDICT r14 ask 5): a NEW batch probes "
+    "the PERSISTED 5-gram occurrence store (built once per fixture, "
+    "per-user 0700 cache, storecache locking) — only the batch is "
+    "tokenized; a batch position is duplicated iff its gram is in "
+    "the store or repeats within the batch, islands merge into "
+    "spans.  Oracle: the full symmetric span pass restricted to "
+    "batch docs (globally-count->=2 equivalence, see "
+    "substring_incremental_sql); append-only admission mirrors the "
+    "signature store's contract")
 REGISTRY["dedup_removal_manifest"] = QuerySpec(
     _dedup.dedup_removal_manifest_fn,
     _dedup.dedup_removal_manifest_oracle_sql(),
@@ -3443,6 +3456,32 @@ def q_multimodal_pixel_dedup(spark: SparkSession,
     return pixel_dedup(media)
 
 
+@register(
+    "multimodal_phash_dedup",
+    """
+    SELECT CAST(MIN(doc_id) * 3 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 3 AS BIGINT) AS n_images
+    FROM documents GROUP BY doc_id % 200
+    """,
+    "Perceptual near-dup image dedup (VERDICT r14 ask 4): dHash "
+    "over DECODED rasters + Hamming-<=3 pigeonhole-slice LSH "
+    "(dedup_simhash_pairs shape, MAX_BUCKET star-degrade, popcount "
+    "verify, min-rep collapse).  Fixture: per doc a BMP, a RESIZED "
+    "re-encoded PPM twin (identical dHash by nearest-sample "
+    "composition), and a PNG with exactly 2 hash bits flipped "
+    "(Hamming 2) — all three must collapse; the 200 pixel classes "
+    "(min pairwise Hamming 15, unit-pinned) must not.  Oracle: the "
+    "closed-form class structure (rep = 3*min(doc_id), n = "
+    "3*count).  pixel_dedup's byte digest cannot see any of this — "
+    "crawl duplicates are re-encoded/resized")
+def q_multimodal_phash_dedup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import phash_dedup, synth_media
+    ids = load(spark, sf_dir, "documents").selectExpr(
+        "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+    return phash_dedup(synth_media(ids, "image", fmt="phash"))
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3639,7 +3678,50 @@ REGISTRY["dsir_select"] = QuerySpec(
 # repo root — never-checked and stalest entries lead, so consecutive
 # round windows tile the whole registry, with unchanged entries
 # allowed to slip a round when pins displace them).
+#
+# CARRY-OVER ENFORCEMENT (ADVICE r14): the window is exactly
+# _WINDOW_SLOTS entries; any pin beyond that slips to the NEXT round.
+# A slip must be DECLARED in _CARRYOVER_TO_NEXT_ROUND, and the
+# previous round's declared carry-over must LEAD the current pin
+# list — both facts are machine-checked by
+# tests/test_oracle_gate.py::test_pin_window_math, so a slipped
+# entry can never again exist only as a comment (the r14
+# multimodal_decode_ppm lesson).
+_WINDOW_SLOTS = 50
+
+# What round 14 declared it was carrying over (transcribed from the
+# r14 pin list's trailing comment; r15 formalized the mechanism).
+_CARRYOVER_FROM_PREV_ROUND: list[str] = ["multimodal_decode_ppm"]
+
+# Pins this round already knows will not fit the window (must equal
+# _CHANGED_THIS_ROUND[_WINDOW_SLOTS:], enforced by test).
+_CARRYOVER_TO_NEXT_ROUND: list[str] = []
+
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 15, slot 1: the r14 carry-over (pinned 51st last round,
+    # slipped past the 50-slot window) leads per the declared policy
+    "multimodal_decode_ppm",
+    # round 15, VERDICT r14 ask 1: the 9 remaining entries whose last
+    # OFFICIAL window was r11 rotate back in next
+    "dedup_exact_substrings", "dedup_semdedup", "embedding_kmeans",
+    "event_funnel", "event_funnel_unconverted", "html_extract",
+    "props_field_inference", "substring_dedup_apply",
+    "substring_dup_stats",
+    # round 15, VERDICT r14 ask 6: the PSL snapshot grew past 3k
+    # rules — the url family's rendered suffix IN-lists changed, so
+    # the whole family re-pins (changed expression ⇒ re-checked)
+    "url_canonicalize", "url_domain_caps", "domain_stats",
+    "url_quality_filter",
+    # round 15, VERDICT r14 ask 4: perceptual near-dup image hashing
+    # — new entry (dHash over decoded rasters + Hamming-<=k
+    # pigeonhole-slice LSH)
+    "multimodal_phash_dedup",
+    # round 15, VERDICT r14 ask 5: incremental ExactSubstr against a
+    # persisted 5-gram occurrence store — new entry
+    "substring_incremental",
+]
+
+_CHANGED_ROUND_14: list[str] = [
     # round 14, VERDICT r13 ask 2: the 10 entries whose last OFFICIAL
     # window was r10 rotate back in FIRST (local sweeps covered them
     # every round, but three rounds outside the official artifact is

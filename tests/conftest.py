@@ -11,6 +11,9 @@ def spark():
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .config("spark.sql.adaptive.enabled", "true")
+         # creation-time Arrow input bound (ADVICE r14; see
+         # confscope.RECOMMENDED_SESSION_CONFS)
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
          .getOrCreate())
     yield s
     s.stop()

@@ -69,6 +69,26 @@ def test_changed_entry_partition_invariant(spark, duck, name):
     assert ok, f"{name} @3 shuffle partitions: {detail}"
 
 
+def test_pin_window_math():
+    """Machine-enforced carry-over (ADVICE r14): pins beyond the
+    50-slot official window must be DECLARED in
+    _CARRYOVER_TO_NEXT_ROUND, and whatever the previous round
+    declared must lead this round's pin list — a slipped entry can
+    never again exist only as a comment."""
+    pins = queries._CHANGED_THIS_ROUND
+    slots = queries._WINDOW_SLOTS
+    assert pins[slots:] == queries._CARRYOVER_TO_NEXT_ROUND, (
+        "pins beyond the window must be declared as carry-over")
+    prev = queries._CARRYOVER_FROM_PREV_ROUND
+    assert pins[:len(prev)] == prev, (
+        "previous round's carry-over must lead the pin list")
+    # pins must name real registry entries (typos otherwise silently
+    # drop an entry from the official window)
+    missing = [n for n in pins if n not in queries.REGISTRY]
+    assert not missing, f"pinned names not in REGISTRY: {missing}"
+    assert len(pins) == len(set(pins)), "duplicate pins waste slots"
+
+
 def test_gate_detects_a_broken_entry(spark, duck):
     """Self-test: the comparator actually fails on a wrong oracle
     (guards against a vacuously-green gate)."""

@@ -1556,10 +1556,15 @@ def test_url_canonicalize_semantics(spark, tmp_path):
         domain_cap_manifest_sql, url_canonicalize_sql)
     # doc 0/11: co.uk slice; doc 2: github.io slice (2 % 17 == 2);
     # doc 19: com.br slice (19 % 13 == 6); doc 31: *.np wildcard
-    # slice (31 % 23 == 8); docs 1,3,4,5,12: messy article variants
+    # slice (31 % 23 == 8); docs 1,3,4,5,12: messy article variants;
+    # doc 14: the % 6 == 2 PORT variant (ADVICE r14 — keep one
+    # hand-computed :443-strip assertion; the shared-template oracle
+    # cannot catch a wrong port regex since both engines render the
+    # same expression).  14 avoids every suffix-class mod (%11=3,
+    # %13=1, %17=14, %23=14) and shares article group 4 with doc 12
     docs = spark.createDataFrame(
         [(i, "t", "en", f"src{i}", 1) for i in
-         (0, 1, 2, 3, 4, 5, 11, 12, 19, 31)],
+         (0, 1, 2, 3, 4, 5, 11, 12, 14, 19, 31)],
         "doc_id long, text string, lang string, source string, "
         "n_chars long")
     docs.write.mode("overwrite").parquet(
@@ -1591,6 +1596,13 @@ def test_url_canonicalize_semantics(spark, tmp_path):
     assert rows[3].url == rows[4].url == rows[5].url == \
         "articles-h1.com/articles/1"
     assert rows[3].registered_domain == "articles-h1.com"
+    # doc 14 (14 % 6 == 2): the www. + :443 + #frag variant — the
+    # default https port must be stripped from the canonical URL,
+    # collapsing it onto article 4's other variant (doc 12)
+    assert ":443" in rows[14].raw_url and "#frag" in rows[14].raw_url
+    assert rows[14].url == "articles-h4.com/articles/4"
+    assert rows[14].url == rows[12].url
+    assert rows[14].registered_domain == "articles-h4.com"
     # doc 11 is co.uk again (11 % 11 == 0), aid 3, hk 3
     assert rows[11].url == "shop.brand3.co.uk/items/3"
     man = {r.doc_id: r.action for r in
@@ -1599,6 +1611,7 @@ def test_url_canonicalize_semantics(spark, tmp_path):
     assert man[3] == "keep"
     assert man[4] == man[5] == "url_duplicate"
     assert man[0] == man[11] == man[12] == "keep"
+    assert man[14] == "url_duplicate"      # port variant of doc 12
     assert man[19] == man[31] == "keep"
 
 
@@ -1615,7 +1628,7 @@ def test_psl_registered_domain_semantics(spark):
     from harbourbridge_spark.pipeline.psl import (
         PSL_EXACT, reg_domain_ctes, reg_domain_expr)
 
-    assert len(PSL_EXACT) >= 1000          # the r13 ask's floor
+    assert len(PSL_EXACT) >= 3000          # the r14 ask-6 floor
     cases = [
         # host, expected registered domain
         ("example.com", "example.com"),            # plain gTLD
@@ -3921,3 +3934,49 @@ def test_url_quality_filter_verdict_coverage(spark):
                         "deep_path", "long_query"}
     kept = sum(1 for r in rows if r.verdict == "keep")
     assert 0 < kept < len(rows)
+
+
+def test_phash_dedup_semantics(spark):
+    """Perceptual near-dup hashing (VERDICT r14 ask 4), the pinned
+    properties: (1) the 200 fixture classes' target dHashes keep min
+    pairwise Hamming 15 (so Hamming-<=3 clustering can never merge
+    classes, even through the 2-bit noisy variants); (2) a
+    nearest-upscaled re-encoded twin hashes IDENTICALLY at a
+    different size and container; (3) the noisy PNG variant sits at
+    exactly Hamming 2; (4) phash_dedup collapses each class's 6 rows
+    (2 docs x 3 variants) into one cluster with the min-id keeper."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        _mix64, decode_pixels, dhash64, phash_dedup,
+        synth_phash_variant, synth_media)
+
+    hashes = [_mix64(c) for c in range(200)]
+    mind = 64
+    for i in range(200):
+        for j in range(i + 1, 200):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            mind = min(mind, d)
+    assert mind == 15                       # the separation pin
+
+    for doc in (0, 5, 199, 203):
+        cls = doc % 200
+        bmp = synth_phash_variant(doc * 3)
+        ppm = synth_phash_variant(doc * 3 + 1)
+        png = synth_phash_variant(doc * 3 + 2)
+        assert decode_pixels(bmp).shape != decode_pixels(ppm).shape
+        h_bmp, h_ppm, h_png = (dhash64(v) for v in (bmp, ppm, png))
+        assert h_bmp == _mix64(cls)         # constructed hash is exact
+        assert h_ppm == h_bmp               # resized twin: identical
+        assert bin(h_bmp ^ h_png).count("1") == 2   # noisy: Hamming 2
+
+    # docs 0 and 200 share class 0; docs 1, 2 are distinct classes
+    ids = (spark.createDataFrame([(0,), (1,), (2,), (200,)],
+                                 "doc_id long")
+           .selectExpr("explode(sequence(doc_id * 3, doc_id * 3 + 2))"
+                       " AS media_id"))
+    media = synth_media(ids, "image", fmt="phash")
+    rows = {r.rep_media_id: r.n_images
+            for r in phash_dedup(media).collect()}
+    assert rows == {0: 6, 3: 3, 6: 3}

@@ -269,3 +269,56 @@ def test_streaming_admission_decisions_invariant_across_compact(
         assert base <= dup_of < base + 500
     for i in range(4):
         assert verdicts["a"][base + 2000 + i][0]    # admitted
+
+
+def test_gram_store_round_trip_and_admission(spark, tmp_path):
+    """Incremental ExactSubstr store (VERDICT r14 ask 5), the full
+    round trip: build the 5-gram store from a corpus slice; a probe
+    batch gets hand-computed spans (corpus-hit phrase + intra-batch
+    shared phrase, unique docs untouched); admission appends the
+    batch's grams (shared storecache lock); a SECOND batch repeating
+    the first batch's text is flagged ONLY because admission
+    happened — the same probe against a corpus-only store stays
+    silent."""
+    from harbourbridge_spark.pipeline.dedup import (
+        gram_store_write, substring_probe_against_store)
+
+    phrase = "alpha beta gamma delta epsilon"       # exactly K=5 tokens
+    corpus = [
+        (0, "s", "en", phrase + " zeta one two three four"),
+        (1, "s", "en", _uniq_texts("corp", 1)[0]),
+    ]
+    store = str(tmp_path / "grams")
+    gram_store_write(spark, spark.createDataFrame(corpus, DOCS_COLS),
+                     store)
+
+    uniq = _uniq_texts("batch", 1)[0]               # 30 unique tokens
+    b1 = [
+        (10, "s", "en", "pre1 pre2 " + phrase + " post"),
+        (11, "s", "en", uniq),
+        (12, "s", "en", "sh1 sh2 sh3 sh4 sh5"),
+        (13, "s", "en", "lead sh1 sh2 sh3 sh4 sh5"),
+    ]
+    spans = {r.doc_id: (r.start_pos, r.end_pos, r.n_tokens)
+             for r in substring_probe_against_store(
+                 spark, store, spark.createDataFrame(b1, DOCS_COLS),
+                 admit=True).collect()}
+    # doc 10: the corpus phrase occupies token positions 3..7;
+    # docs 12/13: the intra-batch shared phrase (store never saw it);
+    # doc 11: globally unique, no span
+    assert spans == {10: (3, 7, 5), 12: (1, 5, 5), 13: (2, 6, 5)}
+
+    # batch 2 repeats doc 11's ADMITTED text verbatim: every gram
+    # position is now duplicated -> one island covering the doc
+    b2 = spark.createDataFrame([(20, "s", "en", uniq)], DOCS_COLS)
+    spans2 = {r.doc_id: (r.start_pos, r.end_pos, r.n_tokens)
+              for r in substring_probe_against_store(
+                  spark, store, b2).collect()}
+    assert spans2 == {20: (1, 30, 30)}
+
+    # ... and WITHOUT the admission it is not flagged (fresh
+    # corpus-only store): the flag above came from the append
+    store2 = str(tmp_path / "grams2")
+    gram_store_write(spark, spark.createDataFrame(corpus, DOCS_COLS),
+                     store2)
+    assert substring_probe_against_store(spark, store2, b2).count() == 0

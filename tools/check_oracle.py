@@ -40,6 +40,10 @@ def main() -> int:
              .config("spark.sql.shuffle.partitions", nshuf)
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
+             # creation-time Arrow input bound (ADVICE r14; see
+             # confscope.RECOMMENDED_SESSION_CONFS)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     "256")
              .getOrCreate())
     con = duckdb.connect()
     register_views(con, SF_DIR)

@@ -166,6 +166,13 @@ OP_BUDGETS = {
     # perf pin, so the budget sits above the observed noise band.
     "bigram_surprisal": 5.0,
     "doc_surprisal": 5.0,
+    # r15 addition (VERDICT r14 ask 4): perceptual phash near-dup.
+    # Design: per-row dHash kernel (8x media -> 8x decode work) +
+    # pigeonhole slice join whose replica-bloated class buckets blow
+    # past MAX_BUCKET and star-degrade (each member costs one
+    # representative row, never |bucket|) + min-rep collapse —
+    # linear-ceiling convention like the decode entries.
+    "multimodal_phash_dedup": 10.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
@@ -242,6 +249,10 @@ def main() -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
+             # creation-time Arrow input bound (ADVICE r14; see
+             # confscope.RECOMMENDED_SESSION_CONFS)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     "256")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
