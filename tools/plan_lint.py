@@ -78,6 +78,11 @@ PYTHON_KERNEL_OK = {
     "warc_to_documents", "warc_salvage_stats",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
+    # r15: perceptual dHash kernel (decode + 9x8 gradient-sign hash)
+    # — Arrow-batched by design like pixel_dedup; everything after
+    # the kernel (slice join, popcount verify, min-rep collapse) is
+    # pure JVM SQL
+    "multimodal_phash_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
     # family) do NOT appear here even though they run Arrow kernels —
     # their signatures are localCheckpoint()ed, so the FINAL plan this

@@ -137,7 +137,19 @@ OP_BUDGETS = {
     # post-fix: 1.90x / 1.71x at 8x — sub-linear, fixed overheads
     # amortize).  3.0 is also the gate floor, i.e. the tightest
     # enforceable budget.
-    "dsir_importance": 3.0,
+    # r15 re-derivation: the 3.0 floor sits inside this entry's
+    # observed noise band — r14's artifact already recorded a
+    # 3.08-first/2.45-retry, and this round's runs read 2.83, then
+    # 5.45-first/3.11-retry IN THE SAME SESSION that read
+    # bigram_surprisal at 3.06 after it had read 5.04 an hour
+    # earlier (the ~1 s 1x denominators carry the documented +/-50%
+    # noise; 8x absolutes stayed 4.3-4.9 s).  An immediate
+    # r14-vs-r15 A/B read dsir_importance 1.021x raw / 1.066x norm
+    # (dsir_select 0.965x/1.129x) — no code movement.  Budget
+    # re-derived to the surprisal convention: band max x ~1.15 =
+    # 6.0, still under the 7.47x quadratic signature this tripwire
+    # caught in r11.
+    "dsir_importance": 6.0,
     # r12 addition: CCNet line-level dedup.  Deliberately a
     # groupBy-MIN(packed key) + equi-join, NOT a window rank — a hot
     # boilerplate line (the planted nav line: one copy per doc, so 8x
@@ -164,8 +176,15 @@ OP_BUDGETS = {
     # DENOMINATOR moves, not the scaled cost).  The gate is a
     # quadratic tripwire (the r5/r12 finds showed 7.3-35x), not a
     # perf pin, so the budget sits above the observed noise band.
-    "bigram_surprisal": 5.0,
-    "doc_surprisal": 5.0,
+    # r15 re-derivation: the observed same-code band widened to
+    # 2.59-5.19x (this session read 5.04x + 5.19x retry on a slow
+    # box — canaries 2.0-3.4 s vs the ~1.5 s norm — with the 8x
+    # absolute times stable at 3.4-4.6 s; an immediate r14-vs-r15
+    # A/B read 1.04x/1.17x raw, so the code did not move).  Budget =
+    # band max x ~1.15 = 6.0, still well under the 7.3x smallest
+    # real quadratic signature the tripwire exists to catch.
+    "bigram_surprisal": 6.0,
+    "doc_surprisal": 6.0,
     # r15 addition (VERDICT r14 ask 4): perceptual phash near-dup.
     # Design: per-row dHash kernel (8x media -> 8x decode work) +
     # pigeonhole slice join whose replica-bloated class buckets blow
