@@ -677,6 +677,44 @@ def synth_phash_variant(media_id: int) -> bytes:
     return _rgb_png(px)
 
 
+def _phash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched dHash kernel: (media_id, phash) with the hash
+    wrapped to signed 64-bit for the LongType column; undecodable
+    rows are skipped.  Shared by the symmetric cluster pass, the
+    store writer, and the incremental probe — store and probes hash
+    IDENTICALLY by construction."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    h = dhash64(bytes(content))
+                except (ValueError, struct.error, zlib.error):
+                    continue
+                ids.append(mid)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        _resliced(run, batch_size), schema="media_id long, phash long")
+
+
+def _phash_sliced(ph: DataFrame, hamming_k: int) -> DataFrame:
+    """Pigeonhole expansion: one row per (media_id, phash, b, slice)
+    with k+1 contiguous slices — two hashes within Hamming k agree
+    exactly on at least one slice."""
+    nb = hamming_k + 1
+    width = -(-64 // nb)
+    mask = (1 << width) - 1
+    return (ph.select(
+        "media_id", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
+        .withColumn("slice", F.expr(
+            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+
+
 def phash_dedup(media: DataFrame, hamming_k: int = 3,
                 batch_size: int = 256) -> DataFrame:
     """Perceptual near-dup image clustering (VERDICT r14 ask 4):
@@ -700,32 +738,8 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
     never pixels; a boilerplate bucket degrades to O(n) star pairs."""
     from .dedup import MAX_BUCKET
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                try:
-                    h = dhash64(bytes(content))
-                except (ValueError, struct.error, zlib.error):
-                    continue
-                # wrap to signed 64-bit for the LongType column
-                ids.append(mid)
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"media_id": ids, "phash": hashes})
-
-    ph = media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema="media_id long, phash long")
-
-    nb = hamming_k + 1
-    width = -(-64 // nb)
-    mask = (1 << width) - 1
-    keyed = (ph.select(
-        "media_id", "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
-        .withColumn("slice", F.expr(
-            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+    ph = _phash_df(media, batch_size)
+    keyed = _phash_sliced(ph, hamming_k)
     w = Window.partitionBy("b", "slice")
     ann = keyed.select(
         "media_id", "phash", "b", "slice",
@@ -759,6 +773,130 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
     return (reps.groupBy("rep")
             .agg(F.count("*").cast("long").alias("n_images"))
             .select(F.col("rep").alias("rep_media_id"), "n_images"))
+
+
+def phash_store_write(spark, media_df: DataFrame, store_path: str,
+                      mode: str = "overwrite",
+                      batch_size: int = 256) -> None:
+    """Decode ``media_df`` ONCE and persist (media_id, phash) as the
+    parquet PHASH STORE — the corpus-side state of incremental
+    perceptual dedup.  16 bytes per indexed image; future batches
+    read only it, the corpus media is never re-decoded.  Writers take
+    the shared storecache lock (appends of distinct batches commute);
+    duplicate rows from at-least-once replay are harmless — the probe
+    takes a MIN over verified candidates, the same decision-invariance
+    argument as the signature store."""
+    from .dedup import MAX_BUCKET  # noqa: F401  (doc anchor)
+    from .storecache import store_lock
+
+    ph = _phash_df(media_df, batch_size)
+    with store_lock(store_path, exclusive=False):
+        ph.write.mode(mode).parquet(store_path)
+
+
+def phash_probe_against_store(spark, store_path: str,
+                              batch_media: DataFrame,
+                              hamming_k: int = 3,
+                              batch_size: int = 256,
+                              admit: bool = False) -> DataFrame:
+    """Probe a NEW image batch against the persisted phash store:
+    only the batch decodes; the probe is the ASYMMETRIC pigeonhole
+    join (batch slices vs corpus-side buckets SIZED ON THE STORE
+    side, over-cap buckets degrading to the min-id representative —
+    the dedup_incremental star policy) + exact popcount verify.
+
+    Returns one row per flagged batch image: (media_id, dup_of) with
+    dup_of = the MINIMUM verified corpus match (the canonical it
+    duplicates).  dup_of is STAR-INVARIANT: a near-dup class's
+    minimum corpus member carries the exact class hash, so it sits in
+    every one of the class's slice buckets and is each bucket's
+    representative — all-pairs and star paths agree on the MIN.
+    (n_matches deliberately NOT emitted: its value differs between
+    the paths, so it cannot be oracle-pinned across scales.)
+
+    With ``admit=True`` the batch's hashes append to the store
+    (shared lock) — the next batch dedups against them too.
+
+    Scale: one batch-sized decode, one batch-sized join against
+    16-bit slice buckets of 8-byte hashes, never pixels."""
+    from .dedup import MAX_BUCKET
+    from .storecache import store_lock
+
+    batch_ph = _phash_df(batch_media, batch_size).localCheckpoint()
+    store_ph = spark.read.parquet(store_path)
+    inc = _phash_sliced(batch_ph, hamming_k)
+    ex = _phash_sliced(store_ph, hamming_k)
+    w = Window.partitionBy("b", "slice")
+    sized = ex.select(
+        "media_id", "phash", "b", "slice",
+        F.count("*").over(w).alias("n"),
+        F.min("media_id").over(w).alias("rep"),
+        F.expr("min_by(phash, media_id)").over(w).alias("rep_ph"))
+    small = sized.filter(F.col("n") <= MAX_BUCKET)
+    cand_small = (inc.alias("i").join(
+        small.alias("e"), on=["b", "slice"])
+        .select(F.col("i.media_id").alias("media_id"),
+                F.col("i.phash").alias("ph_i"),
+                F.col("e.media_id").alias("dup"),
+                F.col("e.phash").alias("ph_e")))
+    cand_star = (inc.alias("i").join(
+        sized.filter(F.col("n") > MAX_BUCKET)
+        .select("b", "slice", "rep", "rep_ph").distinct().alias("e"),
+        on=["b", "slice"])
+        .select(F.col("i.media_id").alias("media_id"),
+                F.col("i.phash").alias("ph_i"),
+                F.col("e.rep").alias("dup"),
+                F.col("e.rep_ph").alias("ph_e")))
+    cand = cand_small.unionByName(cand_star).distinct()
+    verdicts = (cand.filter(
+        F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
+        .groupBy("media_id")
+        .agg(F.min("dup").alias("dup_of")))
+    verdicts = verdicts.localCheckpoint()
+    if admit:
+        with store_lock(store_path, exclusive=False):
+            batch_ph.write.mode("append").parquet(store_path)
+    return verdicts
+
+
+# the incremental-phash batch split is mod 7 (not the usual mod 10):
+# the fixture's pixel classes repeat mod 200 and 200 = 0 (mod 10), so
+# a mod-10 split would make batch classes and corpus classes DISJOINT
+# (nothing would ever match); 7 is coprime with 200, so every class
+# mixes corpus and batch docs
+PHASH_INC_MOD = 7
+PHASH_INC_RES = 5
+
+
+def phash_incremental_entry_fn(spark, sf_dir: str,
+                               mod: int = PHASH_INC_MOD,
+                               res: int = PHASH_INC_RES):
+    """Registry/bench twin: the corpus-side phash store is built once
+    per fixture identity (per-user 0700 cache, storecache keying) and
+    REUSED across runs — the measured cost is the batch-sized decode
+    + probe, mirroring dedup_incremental_store_entry_fn."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    ident = _hashlib.sha1(
+        f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}".encode()).hexdigest()[:16]
+    store = store_path("phash", ident)
+    docs = spark.read.parquet(src)
+
+    def media_for(pred: str) -> DataFrame:
+        ids = docs.where(pred).selectExpr(
+            "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+        return synth_media(ids, "image", fmt="phash")
+
+    publish_store(store, lambda tmp: phash_store_write(
+        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
+    return phash_probe_against_store(
+        spark, store, media_for(f"doc_id % {mod} >= {res}"))
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,

@@ -9,7 +9,7 @@ curated snapshot SUBSET of the public suffix list (publicsuffix.org
 — public data; the build environment has no network, so this is a
 transcribed subset, not the fetched file):
 
-- `PSL_EXACT`: ~3.1k exact rules (3,084 at the r15 extension) —
+- `PSL_EXACT`: ~3.1k exact rules (3,101 at the r15 extension) —
   every delegated TLD we enumerate (legacy + ~460 new-program
   generic/geo/brand strings) plus the well-known second/third-level
   registry structures (ccTLD com/net/org/... families, the 47 .jp
@@ -486,13 +486,22 @@ translate.goog msk.ru spb.ru
 # additional .us second-level registry rules
 _US_EXTRA = "dni fed isa kids nsn".split()
 
+# IDN ccTLDs (punycode form — the form crawl hostnames carry; the
+# published list also prints the unicode twins as comments)
+_TLDS_IDN = """
+xn--p1ai xn--90ais xn--j1amh xn--fiqs8s xn--fiqz9s xn--kprw13d
+xn--kpry57d xn--3e0b707e xn--h2brj9c xn--mgbaam7a8h
+xn--mgberp4a5d4ar xn--wgbh1c xn--ygbi2ammx xn--mgbayh7gpa
+xn--mgba3a4f16a xn--node xn--qxam
+""".split()
+
 # .au state grids under edu.au / gov.au
 _AU_STATES = "act nsw nt qld sa tas vic wa".split()
 
 
 def _build_exact() -> tuple[str, ...]:
     rules: set[str] = set(_TLDS)
-    rules.update(_GTLDS_EXTRA, _GTLDS_GEO, _GTLDS_BRAND)
+    rules.update(_GTLDS_EXTRA, _GTLDS_GEO, _GTLDS_BRAND, _TLDS_IDN)
     for tld, labels in _SECOND_LEVEL.items():
         if tld.endswith("_unused"):
             continue

@@ -3482,6 +3482,39 @@ def q_multimodal_phash_dedup(spark: SparkSession,
     return phash_dedup(synth_media(ids, "image", fmt="phash"))
 
 
+@register(
+    "multimodal_phash_incremental",
+    """
+    WITH corp AS (
+        SELECT doc_id % 200 AS cls,
+               CAST(MIN(doc_id) * 3 AS BIGINT) AS dup_of
+        FROM documents WHERE doc_id % 7 < 5
+        GROUP BY doc_id % 200
+    ), b AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 >= 5
+    )
+    SELECT CAST(b.doc_id * 3 + v.v AS BIGINT) AS media_id, c.dup_of
+    FROM b JOIN corp c ON c.cls = b.doc_id % 200
+    CROSS JOIN (VALUES (0), (1), (2)) AS v(v)
+    """,
+    "Incremental perceptual image dedup: a NEW image batch probes "
+    "the PERSISTED phash store (16 bytes/image, built once per "
+    "fixture, per-user cache) — only the batch decodes; asymmetric "
+    "pigeonhole join sized on the store side with the "
+    "dedup_incremental star policy; dup_of = MIN verified corpus "
+    "match, which is STAR-INVARIANT (the class-min corpus member "
+    "carries the exact class hash, so it is every class bucket's "
+    "representative).  Batch split is mod 7 — coprime with the "
+    "200-class structure, unlike mod 10 (200 = 0 mod 10 would make "
+    "batch and corpus classes disjoint).  Oracle: every batch "
+    "variant of a corpus-present class flags with dup_of = "
+    "3*min(corpus doc of the class)")
+def q_multimodal_phash_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import phash_incremental_entry_fn
+    return phash_incremental_entry_fn(spark, sf_dir)
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3719,6 +3752,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 15, VERDICT r14 ask 5: incremental ExactSubstr against a
     # persisted 5-gram occurrence store — new entry
     "substring_incremental",
+    # round 15, beyond-ask: incremental phash probe against the
+    # persisted store (the ask-4 operator's production ingest shape)
+    "multimodal_phash_incremental",
 ]
 
 _CHANGED_ROUND_14: list[str] = [

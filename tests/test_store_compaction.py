@@ -322,3 +322,48 @@ def test_gram_store_round_trip_and_admission(spark, tmp_path):
     gram_store_write(spark, spark.createDataFrame(corpus, DOCS_COLS),
                      store2)
     assert substring_probe_against_store(spark, store2, b2).count() == 0
+
+
+def test_phash_store_round_trip_and_admission(spark, tmp_path):
+    """Incremental phash store (r15): build from corpus media, probe
+    a batch (resized/re-encoded twins of corpus classes flag with the
+    class-min corpus media as dup_of; a batch-only class stays
+    silent), admit, and a SECOND batch duplicating the first batch's
+    admitted class is flagged only because admission happened."""
+    from pyspark.sql import functions as F
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        phash_probe_against_store, phash_store_write, synth_media)
+
+    def media(doc_ids):
+        ids = (spark.createDataFrame([(d,) for d in doc_ids],
+                                     "doc_id long")
+               .selectExpr("explode(sequence(doc_id * 3, "
+                           "doc_id * 3 + 2)) AS media_id"))
+        return synth_media(ids, "image", fmt="phash")
+
+    store = str(tmp_path / "phash")
+    # corpus: docs 0 and 1 (classes 0 and 1)
+    phash_store_write(spark, media([0, 1]), store)
+
+    # batch: doc 200 (class 0 -> twin of doc 0's images, must flag
+    # with dup_of = 0*3 = 0) and doc 7 (class 7, batch-only -> silent)
+    verdicts = {r.media_id: r.dup_of
+                for r in phash_probe_against_store(
+                    spark, store, media([200, 7]),
+                    admit=True).collect()}
+    assert verdicts == {600: 0, 601: 0, 602: 0}
+
+    # second batch: doc 407 (class 7) — class 7 now IN the store via
+    # the admitted doc-7 media; dup_of = doc 7's min media = 21
+    verdicts2 = {r.media_id: r.dup_of
+                 for r in phash_probe_against_store(
+                     spark, store, media([407])).collect()}
+    assert verdicts2 == {1221: 21, 1222: 21, 1223: 21}
+
+    # fresh corpus-only store: class 7 silent (the flag above came
+    # from the admission append)
+    store2 = str(tmp_path / "phash2")
+    phash_store_write(spark, media([0, 1]), store2)
+    assert phash_probe_against_store(spark, store2,
+                                     media([407])).count() == 0
