@@ -819,10 +819,25 @@ def phash_probe_against_store(spark, store_path: str,
 
     Scale: one batch-sized decode, one batch-sized join against
     16-bit slice buckets of 8-byte hashes, never pixels."""
-    from .dedup import MAX_BUCKET
     from .storecache import store_lock
 
     batch_ph = _phash_df(batch_media, batch_size).localCheckpoint()
+    verdicts = phash_probe_hashes(spark, store_path, batch_ph,
+                                  hamming_k)
+    if admit:
+        with store_lock(store_path, exclusive=False):
+            batch_ph.write.mode("append").parquet(store_path)
+    return verdicts
+
+
+def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
+                       hamming_k: int = 3) -> DataFrame:
+    """The probe core over PRE-COMPUTED batch hashes (media_id,
+    phash) — shared by the batch entry and the streaming admission
+    gate, which needs the batch's hashes again for its intra-batch
+    guard and must not decode twice."""
+    from .dedup import MAX_BUCKET
+
     store_ph = spark.read.parquet(store_path)
     inc = _phash_sliced(batch_ph, hamming_k)
     ex = _phash_sliced(store_ph, hamming_k)
@@ -852,11 +867,41 @@ def phash_probe_against_store(spark, store_path: str,
         F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
         .groupBy("media_id")
         .agg(F.min("dup").alias("dup_of")))
-    verdicts = verdicts.localCheckpoint()
-    if admit:
-        with store_lock(store_path, exclusive=False):
-            batch_ph.write.mode("append").parquet(store_path)
-    return verdicts
+    return verdicts.localCheckpoint()
+
+
+def phash_intra_batch_excluded(batch_ph: DataFrame,
+                               hamming_k: int = 3) -> DataFrame:
+    """Batch-INTERNAL near-dup exclusion for admission: media ids
+    that collide (verified Hamming <= k) with a SMALLER batch media —
+    the min-id representative of each intra-batch near-dup group is
+    admissible, the rest are not (the dedup_incremental_against_store
+    admit-guard, applied to images: two new copies of the same
+    picture must not both enter the store, or no future probe can
+    ever flag the pair).  MAX_BUCKET star-degrade as everywhere."""
+    from .dedup import MAX_BUCKET
+
+    keyed = _phash_sliced(batch_ph, hamming_k)
+    w = Window.partitionBy("b", "slice")
+    ann = keyed.select(
+        "media_id", "phash", "b", "slice",
+        F.count("*").over(w).alias("n"),
+        F.min("media_id").over(w).alias("rep"),
+        F.expr("min_by(phash, media_id)").over(w).alias("rep_ph"))
+    small = ann.filter(F.col("n") <= MAX_BUCKET)
+    pairs = (small.alias("x").join(small.alias("y"), on=["b", "slice"])
+             .filter(F.col("x.media_id") < F.col("y.media_id"))
+             .select(F.col("y.media_id").alias("media_id"),
+                     F.col("x.phash").alias("ph_a"),
+                     F.col("y.phash").alias("ph_b")))
+    star = (ann.filter((F.col("n") > MAX_BUCKET)
+                       & (F.col("media_id") != F.col("rep")))
+            .select(F.col("media_id"),
+                    F.col("rep_ph").alias("ph_a"),
+                    F.col("phash").alias("ph_b")))
+    return (pairs.unionByName(star)
+            .filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}"))
+            .select("media_id").distinct())
 
 
 # the incremental-phash batch split is mod 7 (not the usual mod 10):

@@ -267,6 +267,77 @@ def streaming_corpus_admission(stream: DataFrame, sig_store: str,
     return writer.start()
 
 
+def media_stream(spark: SparkSession, media_dir: str,
+                 max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source readStream over parquet MEDIA batches (media_id,
+    kind, content) — the arrival shape of a crawler dropping image
+    batches.  Schema is the media kernels' contract minus the meta
+    struct (streams carry the raw bytes; meta derives downstream)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(media_dir))
+
+
+def streaming_media_admission(stream: DataFrame, phash_store: str,
+                              out_dir: str, checkpoint_dir: str,
+                              hamming_k: int = 3):
+    """Continuous perceptual near-dup gating for MEDIA ingest (r15):
+    each micro-batch decodes ONLY its own images (one dHash kernel
+    pass), probes the persisted phash store, and admits the hashes of
+    images that are clean BOTH against the store AND within the batch
+    (intra-batch near-dup groups admit only their min-id
+    representative — two new copies of one picture must not both
+    enter the store, or no future probe could ever flag the pair).
+    Epoch N+1 therefore dedups against epochs <= N as well as the
+    original index.
+
+    Output per epoch: (media_id, dup_of nullable, admitted boolean).
+    Scale: everything after the batch-sized decode shuffles 8-byte
+    hashes keyed by 16-bit slices; the store is never decoded, only
+    its hash parquet is read."""
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..pipeline.multimodal import (_phash_df,
+                                           phash_intra_batch_excluded,
+                                           phash_probe_hashes)
+        from ..pipeline.storecache import store_lock
+        spark = batch_df.sparkSession
+
+        def attempt():
+            batch_ph = _phash_df(batch_df).localCheckpoint()
+            flagged = phash_probe_hashes(spark, phash_store,
+                                         batch_ph, hamming_k)
+            verdict = (batch_ph.select("media_id").alias("b")
+                       .join(flagged.alias("f"), "media_id", "left")
+                       .withColumn("admitted",
+                                   F.col("dup_of").isNull())
+                       .localCheckpoint())
+            with store_lock(out_dir, exclusive=False):
+                verdict.write.mode("overwrite").parquet(
+                    f"{out_dir}/epoch={int(epoch_id)}")
+            # grow the store with clean, intra-batch-representative
+            # hashes only
+            intra = phash_intra_batch_excluded(batch_ph, hamming_k)
+            excluded = (verdict.where("NOT admitted")
+                        .select("media_id").union(intra).distinct())
+            clean = batch_ph.join(excluded, "media_id", "left_anti")
+            with store_lock(phash_store, exclusive=False):
+                clean.write.mode("append").parquet(phash_store)
+
+        _run_with_swap_retry(attempt)
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def warc_record_stream(spark: SparkSession, warc_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """``readStream`` over raw ``.warc`` / ``.warc.gz`` files

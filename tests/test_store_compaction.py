@@ -367,3 +367,81 @@ def test_phash_store_round_trip_and_admission(spark, tmp_path):
     phash_store_write(spark, media([0, 1]), store2)
     assert phash_probe_against_store(spark, store2,
                                      media([407])).count() == 0
+
+
+def test_streaming_media_admission_e2e(spark, tmp_path):
+    """Streaming perceptual gate (r15): media batches arrive as
+    parquet files; epoch 1's images are admitted (intra-batch
+    near-dup groups admit only their min-id representative), and
+    epoch 2's resized/re-encoded twins of BOTH the seed index and
+    epoch 1's admitted images are rejected with dup_of pointing at
+    the right keeper."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        phash_store_write, synth_media)
+    from harbourbridge_spark.streaming.corpus import (
+        media_stream, streaming_media_admission)
+
+    def media_rows(doc_ids):
+        ids = (spark.createDataFrame([(d,) for d in doc_ids],
+                                     "doc_id long")
+               .selectExpr("explode(sequence(doc_id * 3, "
+                           "doc_id * 3 + 2)) AS media_id"))
+        return synth_media(ids, "image", fmt="phash") \
+            .select("media_id", "kind", "content")
+
+    store = str(tmp_path / "phash_store")
+    sdir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    # seed index: docs 0, 1 (classes 0, 1)
+    phash_store_write(spark, media_rows([0, 1]), store)
+
+    def drop_file(name, doc_ids):
+        tmp = f"{sdir}/{name}_tmp"
+        media_rows(doc_ids).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        import shutil
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{sdir}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    # epoch 1: docs 7 and 207 — class 7 twice (new class; intra-batch
+    # near-dups of each other)
+    drop_file("e1", [7, 207])
+    q = streaming_media_admission(
+        media_stream(spark, sdir), store, out, ckpt)
+    q.awaitTermination(120)
+
+    e1 = {r.media_id: (r.dup_of, r.admitted)
+          for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    # nothing matches the seed store -> all 6 admitted in the OUTPUT
+    assert all(adm and d is None for d, adm in e1.values())
+    assert set(e1) == {21, 22, 23, 621, 622, 623}
+    # ...but the STORE grew by ONE keeper hash: every other epoch-1
+    # media is an intra-batch near-dup of media 21 (doc 7's own
+    # resized/noisy variants included — they ARE copies), and only
+    # the min-id representative of a near-dup group may enter
+    store_ids = {r.media_id
+                 for r in spark.read.parquet(store).collect()}
+    assert store_ids == {0, 1, 2, 3, 4, 5, 21}
+
+    # epoch 2: doc 201 (class 1 -> seed twin) and doc 407 (class 7 ->
+    # twin of epoch-1's ADMITTED doc 7)
+    drop_file("e2", [201, 407])
+    q2 = streaming_media_admission(
+        media_stream(spark, sdir), store, out, ckpt)
+    q2.awaitTermination(120)
+    e2 = {r.media_id: (r.dup_of, r.admitted)
+          for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert e2 == {603: (3, False), 604: (3, False), 605: (3, False),
+                  1221: (21, False), 1222: (21, False),
+                  1223: (21, False)}
+    # rejected epochs grow nothing
+    assert {r.media_id for r in spark.read.parquet(store).collect()} \
+        == store_ids
