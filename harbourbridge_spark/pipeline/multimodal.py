@@ -736,9 +736,17 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
     n_images.  Scale: the hash kernel is embarrassingly parallel;
     everything after shuffles 8-byte hashes keyed by 16-bit slices,
     never pixels; a boilerplate bucket degrades to O(n) star pairs."""
+    ph = _phash_df(media, batch_size)
+    return _hash64_cluster(ph, hamming_k)
+
+
+def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
+    """The Hamming-<=k LSH cluster collapse over any (media_id,
+    hash64-as-long) relation — shared by the image dHash and the
+    audio fingerprint: pigeonhole slices, MAX_BUCKET star-degrade,
+    popcount verify, one-pass min-representative collapse."""
     from .dedup import MAX_BUCKET
 
-    ph = _phash_df(media, batch_size)
     keyed = _phash_sliced(ph, hamming_k)
     w = Window.partitionBy("b", "slice")
     ann = keyed.select(
@@ -773,6 +781,118 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
     return (reps.groupBy("rep")
             .agg(F.count("*").cast("long").alias("n_images"))
             .select(F.col("rep").alias("rep_media_id"), "n_images"))
+
+
+# audio fingerprint geometry: 9 frames x AFP_FRAME samples; 8 bands
+# of 4 rFFT bins each, band b centered on bin 2 + 4*b (bin-aligned
+# fixture tones land exactly there, so band energies are closed-form)
+AFP_FRAMES = 9
+AFP_FRAME = 64
+AFP_BANDS = 8
+
+
+def afp64(content: bytes) -> int:
+    """64-bit perceptual AUDIO fingerprint (the image dHash's audio
+    twin): frame the PCM into 9 equal frames, rFFT each, sum |X|^2
+    into 8 equal bands, and set bit(b*8 + t) = 1 iff band b's energy
+    RISES from frame t to t+1.  Energy-delta SIGNS are invariant
+    under uniform re-leveling (a volume-scaled copy of the same
+    master scales every energy by one constant), which is how audio
+    duplicates actually differ in a crawl.  Raises like wav_samples
+    on non-PCM input; needs >= AFP_FRAMES*AFP_FRAME mono samples."""
+    rate, n_ch, samples = wav_samples(content)
+    if n_ch != 1:
+        samples = samples[::n_ch]           # channel 0
+    need = AFP_FRAMES * AFP_FRAME
+    if len(samples) < need:
+        raise ValueError(f"audio too short for fingerprint "
+                         f"({len(samples)} < {need} samples)")
+    frames = samples[:need].reshape(AFP_FRAMES, AFP_FRAME)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # 8 bands x 4 bins, skipping DC: band b = bins [1+4b, 4+4b]
+    bands = np.stack([spec[:, 1 + 4 * b: 5 + 4 * b].sum(axis=1)
+                      for b in range(AFP_BANDS)], axis=1)
+    rises = bands[1:, :] > bands[:-1, :]    # (8 deltas, 8 bands)
+    out = 0
+    for t in range(AFP_FRAMES - 1):
+        for b in range(AFP_BANDS):
+            if rises[t, b]:
+                out |= 1 << (b * 8 + t)
+    return out
+
+
+def synth_afp_variant(media_id: int) -> bytes:
+    """Closed-form audio near-dup fixture, the synth_phash_variant
+    construction carried to PCM: media_id encodes (doc = media_id //
+    3, variant = media_id % 3); the class (doc % 200) selects the
+    TARGET fingerprint _mix64(class) — the same per-class values as
+    the image fixture, so the separation pin (min pairwise Hamming
+    15) carries over verbatim.  The _dhash_grid walk becomes the
+    per-band amplitude schedule: frame t carries 8 sine tones, band
+    b's tone at bin 2+4b with amplitude grid[b][t]/2048 (bin-aligned
+    => per-band energy is exactly (A*N/2)^2, adjacent walk levels
+    differ >= 1.11x in amplitude, and the summed waveform peaks under
+    0.94 so int16 never clips; quantization noise is orders below
+    the 1.23x energy gaps).  Variants:
+
+    - 0: the master WAV,
+    - 1: the SAME master re-leveled to half volume — every band
+         energy scales by 0.25, every delta sign survives, the
+         fingerprint is IDENTICAL (the crawl-duplicate shape),
+    - 2: exactly TWO fingerprint bits flipped (Hamming 2 <= k).
+    """
+    doc = media_id // 3
+    variant = media_id % 3
+    cls = doc % 200
+    flips = ()
+    if variant == 2:
+        flips = (cls % 64, (cls * 7 + 13) % 64)
+    grid = _dhash_grid(_mix64(cls), flips).astype(np.float64)
+    # grid rows are bands, columns are frames (grid is 8x9)
+    t_axis = np.arange(AFP_FRAME, dtype=np.float64)
+    sig = np.zeros((AFP_FRAMES, AFP_FRAME), np.float64)
+    for b in range(AFP_BANDS):
+        tone = np.sin(2.0 * np.pi * (2 + 4 * b) * t_axis / AFP_FRAME)
+        sig += grid[b][:, None] / 2048.0 * tone[None, :]
+    pcm = sig.ravel()
+    if variant == 1:
+        pcm = pcm * 0.5
+    samples = np.clip(np.round(pcm * 32767.0),
+                      -32768, 32767).astype("<i2")
+    data = samples.tobytes()
+    rate = 8000
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
+                   batch_size: int = 256) -> DataFrame:
+    """Perceptual near-dup AUDIO clustering: afp64 over decoded PCM +
+    the SAME Hamming-<=k LSH collapse as phash_dedup
+    (_hash64_cluster — pigeonhole slices, MAX_BUCKET star-degrade,
+    popcount verify, min-rep collapse).  A re-leveled or losslessly
+    re-encoded copy of one master collapses; byte hashing cannot see
+    either.  Returns (rep_media_id, n_clips)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    h = afp64(bytes(content))
+                except (ValueError, struct.error):
+                    continue
+                ids.append(mid)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    ph = media.select("media_id", "content").mapInPandas(
+        _resliced(run, batch_size), schema="media_id long, phash long")
+    return (_hash64_cluster(ph, hamming_k)
+            .withColumnRenamed("n_images", "n_clips"))
 
 
 def phash_store_write(spark, media_df: DataFrame, store_path: str,
@@ -1444,6 +1564,10 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_aiff, "audio/aiff"
     elif kind == "audio" and fmt == "wav_g711":
         synth, mime = synth_wav_g711, "audio/wav"
+    elif kind == "audio" and fmt == "afp":
+        # master / half-volume re-level / 2-bit-flipped near-dup per
+        # doc, selected by media_id % 3 — see synth_afp_variant
+        synth, mime = synth_afp_variant, "audio/wav"
     elif kind == "audio" and fmt == "ogg":
         from .ogg import synth_ogg
         synth, mime = synth_ogg, "audio/ogg"

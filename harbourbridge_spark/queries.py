@@ -3515,6 +3515,33 @@ def q_multimodal_phash_incremental(spark: SparkSession,
     return phash_incremental_entry_fn(spark, sf_dir)
 
 
+@register(
+    "multimodal_audio_fp_dedup",
+    """
+    SELECT CAST(MIN(doc_id) * 3 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 3 AS BIGINT) AS n_clips
+    FROM documents GROUP BY doc_id % 200
+    """,
+    "Perceptual near-dup AUDIO dedup: 64-bit sign-of-energy-delta "
+    "fingerprint (9 frames x 8 rFFT bands over decoded PCM) + the "
+    "same Hamming-<=3 pigeonhole LSH as phash_dedup "
+    "(_hash64_cluster).  Fixture: per doc a master WAV of "
+    "bin-aligned tones whose per-band amplitude schedule encodes "
+    "the class's target fingerprint exactly, a HALF-VOLUME re-level "
+    "(every energy x0.25, every delta sign survives — identical "
+    "fingerprint), and a 2-bit-flipped near dup; the 200 classes "
+    "reuse the image fixture's _mix64 targets, so the Hamming-15 "
+    "separation pin carries over verbatim.  Oracle: the closed-form "
+    "class structure.  Byte hashing sees none of this — re-leveled "
+    "audio is how crawl duplicates actually differ")
+def q_multimodal_audio_fp_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import audio_fp_dedup, synth_media
+    ids = load(spark, sf_dir, "documents").selectExpr(
+        "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+    return audio_fp_dedup(synth_media(ids, "audio", fmt="afp"))
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3755,6 +3782,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 15, beyond-ask: incremental phash probe against the
     # persisted store (the ask-4 operator's production ingest shape)
     "multimodal_phash_incremental",
+    # round 15, beyond-ask: perceptual AUDIO near-dup fingerprint —
+    # the ask-4 construction carried to PCM
+    "multimodal_audio_fp_dedup",
 ]
 
 _CHANGED_ROUND_14: list[str] = [

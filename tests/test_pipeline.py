@@ -3980,3 +3980,37 @@ def test_phash_dedup_semantics(spark):
     rows = {r.rep_media_id: r.n_images
             for r in phash_dedup(media).collect()}
     assert rows == {0: 6, 3: 3, 6: 3}
+
+
+def test_audio_fp_dedup_semantics(spark):
+    """Perceptual audio fingerprint (r15): the constructed tone
+    schedule hits the target fingerprint EXACTLY; a half-volume
+    re-level hashes identically (energy-delta signs are invariant
+    under uniform scaling); the noisy variant sits at Hamming 2; and
+    audio_fp_dedup collapses each class's 6 clips (2 docs x 3
+    variants) into one cluster with the min-id keeper.  Class
+    separation needs no new pin — the targets are the image
+    fixture's _mix64 values (min pairwise Hamming 15, pinned in
+    test_phash_dedup_semantics)."""
+    from harbourbridge_spark.pipeline.multimodal import (
+        _mix64, afp64, audio_fp_dedup, synth_afp_variant, synth_media)
+
+    for doc in (0, 5, 199, 203):
+        cls = doc % 200
+        master = synth_afp_variant(doc * 3)
+        releveled = synth_afp_variant(doc * 3 + 1)
+        noisy = synth_afp_variant(doc * 3 + 2)
+        assert master != releveled          # bytes differ...
+        h0, h1, h2 = (afp64(v) for v in (master, releveled, noisy))
+        assert h0 == _mix64(cls)            # ...fingerprints exact
+        assert h1 == h0
+        assert bin(h0 ^ h2).count("1") == 2
+
+    ids = (spark.createDataFrame([(0,), (1,), (2,), (200,)],
+                                 "doc_id long")
+           .selectExpr("explode(sequence(doc_id * 3, doc_id * 3 + 2))"
+                       " AS media_id"))
+    media = synth_media(ids, "audio", fmt="afp")
+    rows = {r.rep_media_id: r.n_clips
+            for r in audio_fp_dedup(media).collect()}
+    assert rows == {0: 6, 3: 3, 6: 3}

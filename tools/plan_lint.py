@@ -83,6 +83,9 @@ PYTHON_KERNEL_OK = {
     # the kernel (slice join, popcount verify, min-rep collapse) is
     # pure JVM SQL
     "multimodal_phash_dedup",
+    # r15: the audio twin — PCM decode + rFFT band-energy
+    # fingerprint kernel, same JVM-side LSH after it
+    "multimodal_audio_fp_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
     # family) do NOT appear here even though they run Arrow kernels —
     # their signatures are localCheckpoint()ed, so the FINAL plan this

@@ -192,6 +192,9 @@ OP_BUDGETS = {
     # representative row, never |bucket|) + min-rep collapse —
     # linear-ceiling convention like the decode entries.
     "multimodal_phash_dedup": 10.5,
+    # r15: the audio fingerprint twin — same LSH shape after a PCM
+    # decode + rFFT kernel; same linear-ceiling convention.
+    "multimodal_audio_fp_dedup": 10.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
