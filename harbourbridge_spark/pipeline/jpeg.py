@@ -824,11 +824,19 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 
 def encode_jpeg(px: np.ndarray, subsample: str = "444",
-                restart: int = 0) -> bytes:
+                restart: int = 0, qt_luma: np.ndarray = None,
+                qt_chroma: np.ndarray = None) -> bytes:
     """Baseline JPEG encoder for test fixtures. ``px`` is HxWx3 uint8
     RGB (4:4:4, 4:2:2, or 4:2:0) or HxW uint8 grayscale (single-
     component scan). ``restart`` > 0 emits DRI + RSTn every
-    ``restart`` MCUs."""
+    ``restart`` MCUs.  ``qt_luma``/``qt_chroma`` override the Annex K
+    quantization tables (64 row-major entries) — the perceptual-hash
+    fixture encodes with all-ones tables so the round trip is limited
+    only by DCT float rounding, keeping its closed-form oracle."""
+    qt_l = QT_LUMA if qt_luma is None else np.asarray(qt_luma,
+                                                      np.int32)
+    qt_c = QT_CHROMA if qt_chroma is None else np.asarray(qt_chroma,
+                                                          np.int32)
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -839,10 +847,10 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
         out.extend(body)
 
     # DQT (zigzag order, 8-bit)
-    seg(0xDB, bytes([0x00]) + bytes(int(QT_LUMA[z]) for z in ZIGZAG))
+    seg(0xDB, bytes([0x00]) + bytes(int(qt_l[z]) for z in ZIGZAG))
     if not gray:
         seg(0xDB, bytes([0x01])
-            + bytes(int(QT_CHROMA[z]) for z in ZIGZAG))
+            + bytes(int(qt_c[z]) for z in ZIGZAG))
     # SOF0
     if gray:
         comps = [(1, 1, 1, 0)]
@@ -874,7 +882,7 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
     # color transform + planes
     pxf = px.astype(np.float64)
     if gray:
-        planes = [(pxf, QT_LUMA.reshape(8, 8), 1, 1)]
+        planes = [(pxf, qt_l.reshape(8, 8), 1, 1)]
     else:
         r, g, b = pxf[..., 0], pxf[..., 1], pxf[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -892,7 +900,7 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
             crp = np.pad(cr, ((0, 0), (0, pw - w)), mode="edge")
             cb = cbp.reshape(h, pw // 2, 2).mean(axis=2)
             cr = crp.reshape(h, pw // 2, 2).mean(axis=2)
-        ql, qc = QT_LUMA.reshape(8, 8), QT_CHROMA.reshape(8, 8)
+        ql, qc = qt_l.reshape(8, 8), qt_c.reshape(8, 8)
         if subsample == "420":
             planes = [(y, ql, 2, 2), (cb, qc, 1, 1), (cr, qc, 1, 1)]
         elif subsample == "422":

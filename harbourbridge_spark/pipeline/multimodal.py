@@ -450,10 +450,17 @@ def decode_png(content: bytes) -> list[float]:
 def decode_pixels(content: bytes) -> np.ndarray:
     """Format dispatch to a top-down RGB uint8 pixel array (h, w, 3) —
     the shared input for pixel-level transforms (resize, crop,
-    normalize).  Walks the same container logic as the feature
-    decoders: BMP flips bottom-up rows and swaps BGR; PPM reads raw
-    triplets; PNG inflates + unfilters.  Raises ValueError on unknown
-    or malformed containers."""
+    normalize) and the perceptual hash kernel.  Walks the same
+    container logic as the feature decoders: BMP flips bottom-up rows
+    and swaps BGR; PPM reads raw triplets; PNG inflates + unfilters;
+    TIFF/JPEG/GIF/WebP route to their full-raster codec modules
+    (VERDICT r15 ask 1: JPEG/GIF/WebP are the containers crawl
+    duplicates actually arrive in, so the dHash kernel must see
+    through them, not skip them).  Raises ValueError on unknown or
+    malformed containers — the codec modules' exotic raise classes
+    (IndexError on truncated entropy data, KeyError on a bad Huffman
+    symbol, ...) are translated so every caller's quarantine tuple
+    stays (ValueError, struct.error, zlib.error)."""
     if content[:2] == b"BM":
         if len(content) < 54:
             raise ValueError("not a BMP file")
@@ -484,6 +491,26 @@ def decode_pixels(content: bytes) -> np.ndarray:
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import tiff_pixels
         return tiff_pixels(content)
+    if content[:3] == JPEG_MAGIC:
+        from .jpeg import decode_jpeg_pixels
+        try:
+            return decode_jpeg_pixels(content)
+        except (IndexError, KeyError, ZeroDivisionError,
+                MemoryError) as e:
+            raise ValueError(f"malformed JPEG: {e}") from e
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_pixels
+        try:
+            return decode_gif_pixels(content)
+        except (IndexError, KeyError, ZeroDivisionError,
+                MemoryError) as e:
+            raise ValueError(f"malformed GIF: {e}") from e
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .vp8l import decode_webp_pixels
+        try:
+            return decode_webp_pixels(content)
+        except (IndexError, KeyError, MemoryError) as e:
+            raise ValueError(f"malformed WEBP: {e}") from e
     raise ValueError("unknown image container")
 
 
@@ -561,19 +588,36 @@ def _mix64(x: int) -> int:
 
 def dhash64(content: bytes) -> int:
     """64-bit difference hash (dHash) of a decoded raster: grayscale,
-    nearest-sample to a 9-wide x 8-high grid, bit(i*8+j) = 1 iff
-    grid[i][j+1] > grid[i][j].  Nearest sampling composes exactly
-    under integer upscales (sampling a k x-nearest-upscaled image
-    recovers the source grid bit-for-bit), so a re-encoded AND
-    resized copy of the same picture produces the IDENTICAL hash —
-    the perceptual property pixel_dedup's byte digest lacks.
-    Raises like decode_pixels on undecodable input."""
+    BOX-FILTER (area-mean) to a 9-wide x 8-high grid, bit(i*8+j) = 1
+    iff grid[i][j+1] > grid[i][j].  Mean-pooling composes exactly
+    under integer upscales (each output cell averages a constant
+    block, recovering the source grid bit-for-bit — same exactness
+    the original nearest-sample kernel had) AND is robust to the
+    bilinear/area interpolation real thumbnailers use (VERDICT r15
+    ask 5: a point sample lands inside an interpolation transition
+    band and flips; a cell mean averages the band out — envelope
+    pinned in test_phash_bilinear_resize_envelope).  A re-encoded
+    and resized copy of the same picture therefore produces the
+    identical (or Hamming-<=k) hash — the perceptual property
+    pixel_dedup's byte digest lacks.  Raises like decode_pixels on
+    undecodable input."""
     px = decode_pixels(content).astype(np.float64)
     gray = px.mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(9) * w) // 9
-    g = gray[ys][:, xs]
+    # area mean over the cell grid via reduceat on row/col prefix
+    # boundaries; (i*h)//8 boundaries align with block edges on
+    # integer upscales, so constant blocks pool to their exact value
+    yb = (np.arange(8) * h) // 8
+    xb = (np.arange(9) * w) // 9
+    if h < 8 or w < 9:
+        # degenerate tiny rasters: duplicate boundaries would make
+        # reduceat emit single-row segments anyway — nearest sample
+        g = gray[np.minimum(yb, h - 1)][:, np.minimum(xb, w - 1)]
+    else:
+        ylen = np.diff(np.append(yb, h)).astype(np.float64)
+        xlen = np.diff(np.append(xb, w)).astype(np.float64)
+        g = np.add.reduceat(np.add.reduceat(gray, yb, axis=0),
+                            xb, axis=1) / np.outer(ylen, xlen)
     bits = (g[:, 1:] > g[:, :-1]).ravel()
     out = 0
     for idx in np.nonzero(bits)[0]:
@@ -641,23 +685,34 @@ def _rgb_png(px: "np.ndarray") -> bytes:
             + chunk(b"IEND", b""))
 
 
+PHASH_VARIANTS = 6
+
+
 def synth_phash_variant(media_id: int) -> bytes:
     """Closed-form near-dup fixture: media_id encodes
-    (doc = media_id // 3, variant = media_id % 3); the pixel class is
+    (doc = media_id // 6, variant = media_id % 6); the pixel class is
     doc % 200 and its TARGET dHash is _mix64(class) (min pairwise
     Hamming across the 200 classes is 15 — unit-pinned — so classes
     can never collapse at hamming_k <= 7-ish, while the one shared
     16-bit band among the 200 hashes exercises the popcount-reject
-    path).  Variants of one class:
+    path).  Six containers per class (VERDICT r15 ask 1: crawl
+    duplicates arrive as JPEG/GIF/WebP re-encodes, so the fixture
+    must cross those containers, not just the lossless trio):
 
     - 0: BMP at a class-dependent scale (the keeper — lowest id),
     - 1: PPM, RESIZED (one scale step larger) — a true re-encoded +
-         resized twin, identical dHash by nearest-sample composition,
+         resized twin, identical dHash by box-filter composition,
     - 2: PNG with exactly TWO dHash bits flipped (a lossy-looking
-         near dup at Hamming distance 2 <= k).
+         near dup at Hamming distance 2 <= k),
+    - 3: JPEG (grayscale scan, ALL-ONES quant tables — legal JPEG
+         whose round-trip error is DCT float rounding only, orders
+         below the grid's 14-level steps, so the hash stays exactly
+         on target; test-pinned over all 200 classes),
+    - 4: GIF (lossless palette of the grid's distinct grays),
+    - 5: WebP (lossless VP8L).
     """
-    doc = media_id // 3
-    variant = media_id % 3
+    doc = media_id // PHASH_VARIANTS
+    variant = media_id % PHASH_VARIANTS
     cls = doc % 200
     h64 = _mix64(cls)
     flips = ()
@@ -669,7 +724,20 @@ def synth_phash_variant(media_id: int) -> bytes:
     sy = 1 + cls % 2 + (1 if variant == 1 else 0)
     sx = 1 + cls % 3 + (1 if variant == 1 else 0)
     gray = np.repeat(np.repeat(grid, sy, axis=0), sx, axis=1)
+    if variant == 3:
+        from .jpeg import encode_jpeg
+        ones = np.ones(64, np.int32)
+        return encode_jpeg(gray, qt_luma=ones, qt_chroma=ones)
+    if variant == 4:
+        from .gif import encode_gif
+        vals = np.unique(gray)
+        idx = np.searchsorted(vals, gray).astype(np.uint8)
+        palette = np.stack([vals, vals, vals], axis=-1)
+        return encode_gif(idx, palette)
     px = np.stack([gray, gray, gray], axis=-1)
+    if variant == 5:
+        from .vp8l import encode_webp
+        return encode_webp(px)
     if variant == 0:
         return _rgb_bmp(px)
     if variant == 1:
@@ -791,6 +859,30 @@ AFP_FRAME = 64
 AFP_BANDS = 8
 
 
+def _pcm_channel0(content: bytes) -> np.ndarray:
+    """Channel-0 PCM float64 for the fingerprint: WAV via
+    wav_samples, FLAC via decode_flac_samples (int -> normalized),
+    AIFF via aiff_samples, MP3 via decode_mp3_samples — the full
+    decode_audio PCM family, so afp64 sees through every container
+    the repo can decode to samples.  ValueError on anything else."""
+    if content[:4] == b"fLaC":
+        from .flac import decode_flac_samples
+        info, smp = decode_flac_samples(content)
+        return (smp[0].astype(np.float64)
+                / float(1 << (info.bits_per_sample - 1)))
+    if content[:4] == b"FORM":
+        rate, n_ch, samples = aiff_samples(content)
+        return samples[::n_ch] if n_ch != 1 else samples
+    if content[:3] == b"ID3" or (len(content) >= 2
+                                 and content[0] == 0xFF
+                                 and content[1] & 0xE0 == 0xE0):
+        from .mp3 import decode_mp3_samples
+        rate, n_ch, samples = decode_mp3_samples(content)
+        return np.asarray(samples, np.float64)[0]
+    rate, n_ch, samples = wav_samples(content)
+    return samples[::n_ch] if n_ch != 1 else samples
+
+
 def afp64(content: bytes) -> int:
     """64-bit perceptual AUDIO fingerprint (the image dHash's audio
     twin): frame the PCM into 9 equal frames, rFFT each, sum |X|^2
@@ -798,11 +890,14 @@ def afp64(content: bytes) -> int:
     RISES from frame t to t+1.  Energy-delta SIGNS are invariant
     under uniform re-leveling (a volume-scaled copy of the same
     master scales every energy by one constant), which is how audio
-    duplicates actually differ in a crawl.  Raises like wav_samples
-    on non-PCM input; needs >= AFP_FRAMES*AFP_FRAME mono samples."""
-    rate, n_ch, samples = wav_samples(content)
-    if n_ch != 1:
-        samples = samples[::n_ch]           # channel 0
+    duplicates actually differ in a crawl.  Container dispatch
+    (VERDICT r15 ask 2): WAV, FLAC, AIFF, and MP3 all decode to PCM
+    before framing — a losslessly re-encoded copy of one master
+    (WAV->FLAC, WAV->AIFF) yields the IDENTICAL fingerprint, and the
+    signs are scale-invariant so the integer-vs-normalized sample
+    domains never matter.  Raises ValueError on non-PCM-decodable
+    input; needs >= AFP_FRAMES*AFP_FRAME mono samples."""
+    samples = _pcm_channel0(content)
     need = AFP_FRAMES * AFP_FRAME
     if len(samples) < need:
         raise ValueError(f"audio too short for fingerprint "
@@ -821,10 +916,13 @@ def afp64(content: bytes) -> int:
     return out
 
 
+AFP_VARIANTS = 5
+
+
 def synth_afp_variant(media_id: int) -> bytes:
     """Closed-form audio near-dup fixture, the synth_phash_variant
     construction carried to PCM: media_id encodes (doc = media_id //
-    3, variant = media_id % 3); the class (doc % 200) selects the
+    5, variant = media_id % 5); the class (doc % 200) selects the
     TARGET fingerprint _mix64(class) — the same per-class values as
     the image fixture, so the separation pin (min pairwise Hamming
     15) carries over verbatim.  The _dhash_grid walk becomes the
@@ -833,16 +931,22 @@ def synth_afp_variant(media_id: int) -> bytes:
     => per-band energy is exactly (A*N/2)^2, adjacent walk levels
     differ >= 1.11x in amplitude, and the summed waveform peaks under
     0.94 so int16 never clips; quantization noise is orders below
-    the 1.23x energy gaps).  Variants:
+    the 1.23x energy gaps).  Five containers per class (VERDICT r15
+    ask 2: losslessly re-encoded copies are the audio
+    crawl-duplicate shape, so the fixture crosses containers):
 
     - 0: the master WAV,
     - 1: the SAME master re-leveled to half volume — every band
          energy scales by 0.25, every delta sign survives, the
          fingerprint is IDENTICAL (the crawl-duplicate shape),
-    - 2: exactly TWO fingerprint bits flipped (Hamming 2 <= k).
+    - 2: exactly TWO fingerprint bits flipped (Hamming 2 <= k),
+    - 3: the master PCM losslessly re-encoded as FLAC — identical
+         samples, identical fingerprint,
+    - 4: the master PCM as AIFF (big-endian int16) — identical
+         samples, identical fingerprint.
     """
-    doc = media_id // 3
-    variant = media_id % 3
+    doc = media_id // AFP_VARIANTS
+    variant = media_id % AFP_VARIANTS
     cls = doc % 200
     flips = ()
     if variant == 2:
@@ -859,8 +963,20 @@ def synth_afp_variant(media_id: int) -> bytes:
         pcm = pcm * 0.5
     samples = np.clip(np.round(pcm * 32767.0),
                       -32768, 32767).astype("<i2")
-    data = samples.tobytes()
     rate = 8000
+    if variant == 3:
+        from .flac import encode_flac
+        return encode_flac(samples.astype(np.int64)[None, :], rate)
+    if variant == 4:
+        be = samples.astype(">i2")
+        comm = (struct.pack(">hIh", 1, len(be), 16)
+                + _write_extended80(rate))
+        ssnd = struct.pack(">II", 0, 0) + be.tobytes()
+        body = (b"AIFF"
+                + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+    data = samples.tobytes()
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
                                     rate * 2, 2, 16)
@@ -883,7 +999,9 @@ def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
                     continue
                 try:
                     h = afp64(bytes(content))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError):
+                    # IndexError: malformed FLAC/MP3 entropy data —
+                    # corrupt media must never fail the job
                     continue
                 ids.append(mid)
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
@@ -895,23 +1013,83 @@ def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
             .withColumnRenamed("n_images", "n_clips"))
 
 
+def _phash_bucket_partials(ph: DataFrame, hamming_k: int) -> DataFrame:
+    """Per-(b, slice) PARTIAL aggregates of a hash relation — the
+    bucket-sidecar rows appended alongside every store write (VERDICT
+    r15 ask 4).  Merge laws make append-only partials exact: n is
+    additive, rep MIN-merges, and rep_ph is the hash of the arg-min
+    rep so it min_by-merges on rep — a probe re-aggregating any set
+    of partials recovers the same (n, rep, rep_ph) a full window over
+    the store would have computed."""
+    return (_phash_sliced(ph, hamming_k)
+            .groupBy("b", "slice")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("media_id").alias("rep"),
+                 F.expr("min_by(phash, media_id)").alias("rep_ph")))
+
+
+def _phash_store_append(ph: DataFrame, store_path: str,
+                        hamming_k: int, mode: str = "append") -> None:
+    """Write a (media_id, phash) relation into the store layout:
+    ``{store}/hashes`` (16 bytes/image) + ``{store}/buckets_k{k}``
+    (the per-(b, slice) partial aggregates).  The sidecar is keyed by
+    the Hamming radius because the pigeonhole slicing depends on it —
+    a probe at a different k reads a different sidecar path and fails
+    loudly instead of silently joining mismatched slices."""
+    ph.write.mode(mode).parquet(f"{store_path}/hashes")
+    _phash_bucket_partials(ph, hamming_k).write.mode(mode).parquet(
+        f"{store_path}/buckets_k{hamming_k}")
+
+
 def phash_store_write(spark, media_df: DataFrame, store_path: str,
                       mode: str = "overwrite",
-                      batch_size: int = 256) -> None:
-    """Decode ``media_df`` ONCE and persist (media_id, phash) as the
-    parquet PHASH STORE — the corpus-side state of incremental
-    perceptual dedup.  16 bytes per indexed image; future batches
-    read only it, the corpus media is never re-decoded.  Writers take
-    the shared storecache lock (appends of distinct batches commute);
-    duplicate rows from at-least-once replay are harmless — the probe
-    takes a MIN over verified candidates, the same decision-invariance
-    argument as the signature store."""
+                      batch_size: int = 256,
+                      hamming_k: int = 3) -> None:
+    """Decode ``media_df`` ONCE and persist the PHASH STORE — the
+    corpus-side state of incremental perceptual dedup:
+
+      {store}/hashes       (media_id, phash) — 16 bytes per image
+      {store}/buckets_k{k} (b, slice, n, rep, rep_ph) partials —
+                           the bucket sidecar (r15 ask 4), so probes
+                           never re-derive bucket stats by windowing
+                           over the whole store
+
+    Future batches read only these; the corpus media is never
+    re-decoded.  Writers take the shared storecache lock (appends of
+    distinct batches commute — both relations are append-only
+    partials); duplicate rows from at-least-once replay are harmless:
+    the probe takes a MIN over verified candidates and the sidecar's
+    merge laws are idempotent in the decision (a doubled n can only
+    push a bucket INTO star-degrade, and dup_of is star-invariant),
+    the same decision-invariance argument as the signature store."""
     from .dedup import MAX_BUCKET  # noqa: F401  (doc anchor)
     from .storecache import store_lock
 
-    ph = _phash_df(media_df, batch_size)
+    ph = _phash_df(media_df, batch_size).localCheckpoint()
     with store_lock(store_path, exclusive=False):
-        ph.write.mode(mode).parquet(store_path)
+        _phash_store_append(ph, store_path, hamming_k, mode=mode)
+
+
+def phash_store_compact(spark, store_path: str,
+                        hamming_k: int = 3) -> None:
+    """Rebuild the bucket sidecar to one row per (b, slice) and
+    rewrite the hashes — the storecache replace_store protocol
+    (exclusive lock around snapshot + swap, pre_locked because flock
+    is not reentrant).  Run when many small admits have accumulated
+    partial rows; the probe is correct without it (it re-aggregates
+    partials), compaction just caps sidecar size at the true bucket
+    count."""
+    from .storecache import replace_store, store_lock
+
+    with store_lock(store_path, exclusive=True):
+        hashes = spark.read.parquet(
+            f"{store_path}/hashes").localCheckpoint()
+
+        def build(tmp: str) -> None:
+            _phash_store_append(hashes, tmp, hamming_k,
+                                mode="overwrite")
+
+        replace_store(store_path, build, pre_locked=True)
 
 
 def phash_probe_against_store(spark, store_path: str,
@@ -934,19 +1112,29 @@ def phash_probe_against_store(spark, store_path: str,
     (n_matches deliberately NOT emitted: its value differs between
     the paths, so it cannot be oracle-pinned across scales.)
 
-    With ``admit=True`` the batch's hashes append to the store
-    (shared lock) — the next batch dedups against them too.
+    With ``admit=True`` the batch's CLEAN hashes append to the store
+    (shared lock): flagged rows and intra-batch near-dup
+    non-representatives are excluded (ADVICE r15 — matching the
+    streaming gate), so a later probe's MIN dup_of always resolves to
+    a media that was itself admitted as a keeper, never to a flagged
+    copy.  The next batch dedups against the admitted keepers too.
 
     Scale: one batch-sized decode, one batch-sized join against
-    16-bit slice buckets of 8-byte hashes, never pixels."""
+    16-bit slice buckets of 8-byte hashes, never pixels; bucket stats
+    come from the persisted sidecar, never a window over the store."""
     from .storecache import store_lock
 
     batch_ph = _phash_df(batch_media, batch_size).localCheckpoint()
     verdicts = phash_probe_hashes(spark, store_path, batch_ph,
                                   hamming_k)
     if admit:
+        excluded = (verdicts.select("media_id").unionByName(
+            phash_intra_batch_excluded(batch_ph, hamming_k)
+            .select("media_id")).distinct())
+        clean = batch_ph.join(excluded, "media_id",
+                              "left_anti").localCheckpoint()
         with store_lock(store_path, exclusive=False):
-            batch_ph.write.mode("append").parquet(store_path)
+            _phash_store_append(clean, store_path, hamming_k)
     return verdicts
 
 
@@ -955,33 +1143,43 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
     """The probe core over PRE-COMPUTED batch hashes (media_id,
     phash) — shared by the batch entry and the streaming admission
     gate, which needs the batch's hashes again for its intra-batch
-    guard and must not decode twice."""
+    guard and must not decode twice.
+
+    Bucket stats come from the persisted SIDECAR (r15 ask 4): the
+    partials re-aggregate with their merge laws (sum n / min rep /
+    min_by rep_ph) and join the batch's slices — the probe never
+    windows over the store.  Star candidates are sidecar-only (no
+    store-hash read at all for over-cap buckets); small-bucket
+    members are pulled from {store}/hashes through a BROADCAST
+    semi-join on the batch's small-bucket keys, so the only store
+    cost is one pruned columnar scan of 16-byte rows."""
     from .dedup import MAX_BUCKET
 
-    store_ph = spark.read.parquet(store_path)
+    buckets = (spark.read.parquet(f"{store_path}/buckets_k{hamming_k}")
+               .groupBy("b", "slice")
+               .agg(F.sum("n").alias("n"),
+                    F.min("rep").alias("rep"),
+                    F.expr("min_by(rep_ph, rep)").alias("rep_ph")))
     inc = _phash_sliced(batch_ph, hamming_k)
-    ex = _phash_sliced(store_ph, hamming_k)
-    w = Window.partitionBy("b", "slice")
-    sized = ex.select(
-        "media_id", "phash", "b", "slice",
-        F.count("*").over(w).alias("n"),
-        F.min("media_id").over(w).alias("rep"),
-        F.expr("min_by(phash, media_id)").over(w).alias("rep_ph"))
-    small = sized.filter(F.col("n") <= MAX_BUCKET)
-    cand_small = (inc.alias("i").join(
-        small.alias("e"), on=["b", "slice"])
+    # bucket stats for ONLY the batch's keys — broadcast the small
+    # batch side so the sidecar never shuffles
+    hit = buckets.join(F.broadcast(inc), on=["b", "slice"])
+    cand_star = (hit.filter(F.col("n") > MAX_BUCKET)
+                 .select("media_id",
+                         F.col("phash").alias("ph_i"),
+                         F.col("rep").alias("dup"),
+                         F.col("rep_ph").alias("ph_e")))
+    small_keys = (hit.filter(F.col("n") <= MAX_BUCKET)
+                  .select("b", "slice").distinct())
+    store_ph = spark.read.parquet(f"{store_path}/hashes")
+    small_members = _phash_sliced(store_ph, hamming_k).join(
+        F.broadcast(small_keys), on=["b", "slice"])
+    cand_small = (small_members.alias("e").join(
+        F.broadcast(inc.alias("i")), on=["b", "slice"])
         .select(F.col("i.media_id").alias("media_id"),
                 F.col("i.phash").alias("ph_i"),
                 F.col("e.media_id").alias("dup"),
                 F.col("e.phash").alias("ph_e")))
-    cand_star = (inc.alias("i").join(
-        sized.filter(F.col("n") > MAX_BUCKET)
-        .select("b", "slice", "rep", "rep_ph").distinct().alias("e"),
-        on=["b", "slice"])
-        .select(F.col("i.media_id").alias("media_id"),
-                F.col("i.phash").alias("ph_i"),
-                F.col("e.rep").alias("dup"),
-                F.col("e.rep_ph").alias("ph_e")))
     cand = cand_small.unionByName(cand_star).distinct()
     verdicts = (cand.filter(
         F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
@@ -998,7 +1196,12 @@ def phash_intra_batch_excluded(batch_ph: DataFrame,
     admissible, the rest are not (the dedup_incremental_against_store
     admit-guard, applied to images: two new copies of the same
     picture must not both enter the store, or no future probe can
-    ever flag the pair).  MAX_BUCKET star-degrade as everywhere."""
+    ever flag the pair).  Returns (media_id, intra_dup_of) with
+    intra_dup_of = the MINIMUM verified smaller batch peer (ADVICE
+    r15: the admission verdict must SURFACE intra-batch exclusion,
+    not just silently withhold the hash) — the same MIN that makes
+    the store probe's dup_of star-invariant.  MAX_BUCKET star-degrade
+    as everywhere."""
     from .dedup import MAX_BUCKET
 
     keyed = _phash_sliced(batch_ph, hamming_k)
@@ -1012,16 +1215,19 @@ def phash_intra_batch_excluded(batch_ph: DataFrame,
     pairs = (small.alias("x").join(small.alias("y"), on=["b", "slice"])
              .filter(F.col("x.media_id") < F.col("y.media_id"))
              .select(F.col("y.media_id").alias("media_id"),
+                     F.col("x.media_id").alias("peer"),
                      F.col("x.phash").alias("ph_a"),
                      F.col("y.phash").alias("ph_b")))
     star = (ann.filter((F.col("n") > MAX_BUCKET)
                        & (F.col("media_id") != F.col("rep")))
             .select(F.col("media_id"),
+                    F.col("rep").alias("peer"),
                     F.col("rep_ph").alias("ph_a"),
                     F.col("phash").alias("ph_b")))
     return (pairs.unionByName(star)
             .filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}"))
-            .select("media_id").distinct())
+            .groupBy("media_id")
+            .agg(F.min("peer").alias("intra_dup_of")))
 
 
 # the incremental-phash batch split is mod 7 (not the usual mod 10):
@@ -1047,15 +1253,21 @@ def phash_incremental_entry_fn(spark, sf_dir: str,
 
     src = f"{sf_dir}/documents.parquet"
     st = _os.stat(src)
+    # the version token invalidates caches across fixture/kernel
+    # generations (v2: 6-container fixture + box-filter dHash +
+    # hashes/buckets store layout) — the path/mtime key alone cannot
+    # see code changes
     ident = _hashlib.sha1(
         f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|{mod}|{res}".encode()).hexdigest()[:16]
+        f"|{mod}|{res}|v2".encode()).hexdigest()[:16]
     store = store_path("phash", ident)
     docs = spark.read.parquet(src)
 
     def media_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
-            "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+            f"explode(sequence(doc_id * {PHASH_VARIANTS}, "
+            f"doc_id * {PHASH_VARIANTS} + {PHASH_VARIANTS - 1})) "
+            "AS media_id")
         return synth_media(ids, "image", fmt="phash")
 
     publish_store(store, lambda tmp: phash_store_write(
@@ -1565,8 +1777,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "audio" and fmt == "wav_g711":
         synth, mime = synth_wav_g711, "audio/wav"
     elif kind == "audio" and fmt == "afp":
-        # master / half-volume re-level / 2-bit-flipped near-dup per
-        # doc, selected by media_id % 3 — see synth_afp_variant
+        # master WAV / half-volume re-level / 2-bit-flipped near-dup
+        # / FLAC re-encode / AIFF re-encode per doc, selected by
+        # media_id % 5 — see synth_afp_variant
         synth, mime = synth_afp_variant, "audio/wav"
     elif kind == "audio" and fmt == "ogg":
         from .ogg import synth_ogg
@@ -1619,8 +1832,9 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         from .tiff import synth_tiff
         synth, mime = synth_tiff, "image/tiff"
     elif fmt == "phash":
-        # 3 containers (BMP / resized PPM / 2-bit-flipped PNG) per
-        # doc, selected by media_id % 3 — see synth_phash_variant
+        # 6 containers (BMP / resized PPM / 2-bit-flipped PNG /
+        # flat-quant JPEG / GIF / WebP) per doc, selected by
+        # media_id % 6 — see synth_phash_variant
         synth, mime = synth_phash_variant, "image/mixed"
     else:
         synth, mime = synth_bmp, "image/bmp"

@@ -3459,26 +3459,29 @@ def q_multimodal_pixel_dedup(spark: SparkSession,
 @register(
     "multimodal_phash_dedup",
     """
-    SELECT CAST(MIN(doc_id) * 3 AS BIGINT) AS rep_media_id,
-           CAST(COUNT(*) * 3 AS BIGINT) AS n_images
+    SELECT CAST(MIN(doc_id) * 6 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 6 AS BIGINT) AS n_images
     FROM documents GROUP BY doc_id % 200
     """,
-    "Perceptual near-dup image dedup (VERDICT r14 ask 4): dHash "
-    "over DECODED rasters + Hamming-<=3 pigeonhole-slice LSH "
-    "(dedup_simhash_pairs shape, MAX_BUCKET star-degrade, popcount "
-    "verify, min-rep collapse).  Fixture: per doc a BMP, a RESIZED "
-    "re-encoded PPM twin (identical dHash by nearest-sample "
-    "composition), and a PNG with exactly 2 hash bits flipped "
-    "(Hamming 2) — all three must collapse; the 200 pixel classes "
-    "(min pairwise Hamming 15, unit-pinned) must not.  Oracle: the "
-    "closed-form class structure (rep = 3*min(doc_id), n = "
-    "3*count).  pixel_dedup's byte digest cannot see any of this — "
-    "crawl duplicates are re-encoded/resized")
+    "Perceptual near-dup image dedup (VERDICT r14 ask 4 + r15 ask "
+    "1): box-filter dHash over DECODED rasters + Hamming-<=3 "
+    "pigeonhole-slice LSH (dedup_simhash_pairs shape, MAX_BUCKET "
+    "star-degrade, popcount verify, min-rep collapse).  Fixture: "
+    "SIX containers per doc — BMP keeper, RESIZED re-encoded PPM "
+    "twin (identical dHash by box-filter composition), PNG with "
+    "exactly 2 hash bits flipped (Hamming 2), JPEG (grayscale, "
+    "all-ones quant — round trip limited to DCT float rounding), "
+    "lossless GIF, lossless WebP — all six must collapse; the 200 "
+    "pixel classes (min pairwise Hamming 15, unit-pinned) must "
+    "not.  Oracle: the closed-form class structure (rep = "
+    "6*min(doc_id), n = 6*count).  pixel_dedup's byte digest cannot "
+    "see any of this — crawl duplicates arrive re-encoded as "
+    "JPEG/GIF/WebP and resized")
 def q_multimodal_phash_dedup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     from .pipeline.multimodal import phash_dedup, synth_media
     ids = load(spark, sf_dir, "documents").selectExpr(
-        "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+        "explode(sequence(doc_id * 6, doc_id * 6 + 5)) AS media_id")
     return phash_dedup(synth_media(ids, "image", fmt="phash"))
 
 
@@ -3487,15 +3490,15 @@ def q_multimodal_phash_dedup(spark: SparkSession,
     """
     WITH corp AS (
         SELECT doc_id % 200 AS cls,
-               CAST(MIN(doc_id) * 3 AS BIGINT) AS dup_of
+               CAST(MIN(doc_id) * 6 AS BIGINT) AS dup_of
         FROM documents WHERE doc_id % 7 < 5
         GROUP BY doc_id % 200
     ), b AS (
         SELECT doc_id FROM documents WHERE doc_id % 7 >= 5
     )
-    SELECT CAST(b.doc_id * 3 + v.v AS BIGINT) AS media_id, c.dup_of
+    SELECT CAST(b.doc_id * 6 + v.v AS BIGINT) AS media_id, c.dup_of
     FROM b JOIN corp c ON c.cls = b.doc_id % 200
-    CROSS JOIN (VALUES (0), (1), (2)) AS v(v)
+    CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) AS v(v)
     """,
     "Incremental perceptual image dedup: a NEW image batch probes "
     "the PERSISTED phash store (16 bytes/image, built once per "
@@ -3518,27 +3521,31 @@ def q_multimodal_phash_incremental(spark: SparkSession,
 @register(
     "multimodal_audio_fp_dedup",
     """
-    SELECT CAST(MIN(doc_id) * 3 AS BIGINT) AS rep_media_id,
-           CAST(COUNT(*) * 3 AS BIGINT) AS n_clips
+    SELECT CAST(MIN(doc_id) * 5 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_clips
     FROM documents GROUP BY doc_id % 200
     """,
-    "Perceptual near-dup AUDIO dedup: 64-bit sign-of-energy-delta "
-    "fingerprint (9 frames x 8 rFFT bands over decoded PCM) + the "
-    "same Hamming-<=3 pigeonhole LSH as phash_dedup "
-    "(_hash64_cluster).  Fixture: per doc a master WAV of "
-    "bin-aligned tones whose per-band amplitude schedule encodes "
-    "the class's target fingerprint exactly, a HALF-VOLUME re-level "
-    "(every energy x0.25, every delta sign survives — identical "
-    "fingerprint), and a 2-bit-flipped near dup; the 200 classes "
-    "reuse the image fixture's _mix64 targets, so the Hamming-15 "
-    "separation pin carries over verbatim.  Oracle: the closed-form "
-    "class structure.  Byte hashing sees none of this — re-leveled "
-    "audio is how crawl duplicates actually differ")
+    "Perceptual near-dup AUDIO dedup (r15 + r15 ask 2): 64-bit "
+    "sign-of-energy-delta fingerprint (9 frames x 8 rFFT bands over "
+    "decoded PCM — WAV, FLAC, AIFF, and MP3 all dispatch to PCM "
+    "before framing) + the same Hamming-<=3 pigeonhole LSH as "
+    "phash_dedup (_hash64_cluster).  Fixture: FIVE containers per "
+    "doc — master WAV of bin-aligned tones whose per-band amplitude "
+    "schedule encodes the class's target fingerprint exactly, a "
+    "HALF-VOLUME re-level (every energy x0.25, every delta sign "
+    "survives — identical fingerprint), a 2-bit-flipped near dup, a "
+    "FLAC lossless re-encode of the master, and an AIFF re-encode — "
+    "all five must collapse; the 200 classes reuse the image "
+    "fixture's _mix64 targets, so the Hamming-15 separation pin "
+    "carries over verbatim.  Oracle: the closed-form class "
+    "structure (rep = 5*min(doc_id), n = 5*count).  Byte hashing "
+    "sees none of this — re-leveled and losslessly re-encoded audio "
+    "is how crawl duplicates actually differ")
 def q_multimodal_audio_fp_dedup(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from .pipeline.multimodal import audio_fp_dedup, synth_media
     ids = load(spark, sf_dir, "documents").selectExpr(
-        "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+        "explode(sequence(doc_id * 5, doc_id * 5 + 4)) AS media_id")
     return audio_fp_dedup(synth_media(ids, "audio", fmt="afp"))
 
 

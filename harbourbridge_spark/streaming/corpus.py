@@ -289,20 +289,25 @@ def streaming_media_admission(stream: DataFrame, phash_store: str,
                               hamming_k: int = 3):
     """Continuous perceptual near-dup gating for MEDIA ingest (r15):
     each micro-batch decodes ONLY its own images (one dHash kernel
-    pass), probes the persisted phash store, and admits the hashes of
-    images that are clean BOTH against the store AND within the batch
+    pass), probes the persisted phash store, and admits the images
+    that are clean BOTH against the store AND within the batch
     (intra-batch near-dup groups admit only their min-id
     representative — two new copies of one picture must not both
     enter the store, or no future probe could ever flag the pair).
     Epoch N+1 therefore dedups against epochs <= N as well as the
     original index.
 
-    Output per epoch: (media_id, dup_of nullable, admitted boolean).
+    Output per epoch: (media_id, dup_of nullable, intra_dup_of
+    nullable, admitted boolean) — ``admitted`` reflects BOTH probes
+    (ADVICE r15: intra-batch non-representatives are rejected in the
+    verdict, with intra_dup_of naming the batch keeper they
+    duplicate, not just silently withheld from the store).
     Scale: everything after the batch-sized decode shuffles 8-byte
     hashes keyed by 16-bit slices; the store is never decoded, only
-    its hash parquet is read."""
+    its hash parquet + bucket sidecar are read."""
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipeline.multimodal import (_phash_df,
+                                           _phash_store_append,
                                            phash_intra_batch_excluded,
                                            phash_probe_hashes)
         from ..pipeline.storecache import store_lock
@@ -312,22 +317,22 @@ def streaming_media_admission(stream: DataFrame, phash_store: str,
             batch_ph = _phash_df(batch_df).localCheckpoint()
             flagged = phash_probe_hashes(spark, phash_store,
                                          batch_ph, hamming_k)
-            verdict = (batch_ph.select("media_id").alias("b")
-                       .join(flagged.alias("f"), "media_id", "left")
+            intra = phash_intra_batch_excluded(batch_ph, hamming_k)
+            verdict = (batch_ph.select("media_id")
+                       .join(flagged, "media_id", "left")
+                       .join(intra, "media_id", "left")
                        .withColumn("admitted",
-                                   F.col("dup_of").isNull())
+                                   F.col("dup_of").isNull()
+                                   & F.col("intra_dup_of").isNull())
                        .localCheckpoint())
             with store_lock(out_dir, exclusive=False):
                 verdict.write.mode("overwrite").parquet(
                     f"{out_dir}/epoch={int(epoch_id)}")
-            # grow the store with clean, intra-batch-representative
-            # hashes only
-            intra = phash_intra_batch_excluded(batch_ph, hamming_k)
-            excluded = (verdict.where("NOT admitted")
-                        .select("media_id").union(intra).distinct())
-            clean = batch_ph.join(excluded, "media_id", "left_anti")
+            # grow the store with the admitted keepers only
+            clean = (verdict.where("admitted").select("media_id")
+                     .join(batch_ph, "media_id"))
             with store_lock(phash_store, exclusive=False):
-                clean.write.mode("append").parquet(phash_store)
+                _phash_store_append(clean, phash_store, hamming_k)
 
         _run_with_swap_retry(attempt)
 

@@ -325,21 +325,26 @@ def test_gram_store_round_trip_and_admission(spark, tmp_path):
 
 
 def test_phash_store_round_trip_and_admission(spark, tmp_path):
-    """Incremental phash store (r15): build from corpus media, probe
-    a batch (resized/re-encoded twins of corpus classes flag with the
-    class-min corpus media as dup_of; a batch-only class stays
-    silent), admit, and a SECOND batch duplicating the first batch's
-    admitted class is flagged only because admission happened."""
+    """Incremental phash store (r15, r16 layout): build from corpus
+    media, probe a batch (resized/re-encoded twins of corpus classes
+    flag with the class-min corpus media as dup_of; a batch-only
+    class stays silent), admit — the append FILTERS to clean
+    intra-batch keepers (ADVICE r15: flagged copies and non-
+    representatives never enter the store) — and a SECOND batch
+    duplicating the first batch's admitted class is flagged only
+    because admission happened.  Compaction (the bucket-sidecar
+    rebuild) must not change any verdict."""
     from pyspark.sql import functions as F
 
     from harbourbridge_spark.pipeline.multimodal import (
-        phash_probe_against_store, phash_store_write, synth_media)
+        phash_probe_against_store, phash_store_compact,
+        phash_store_write, synth_media)
 
     def media(doc_ids):
         ids = (spark.createDataFrame([(d,) for d in doc_ids],
                                      "doc_id long")
-               .selectExpr("explode(sequence(doc_id * 3, "
-                           "doc_id * 3 + 2)) AS media_id"))
+               .selectExpr("explode(sequence(doc_id * 6, "
+                           "doc_id * 6 + 5)) AS media_id"))
         return synth_media(ids, "image", fmt="phash")
 
     store = str(tmp_path / "phash")
@@ -347,19 +352,37 @@ def test_phash_store_round_trip_and_admission(spark, tmp_path):
     phash_store_write(spark, media([0, 1]), store)
 
     # batch: doc 200 (class 0 -> twin of doc 0's images, must flag
-    # with dup_of = 0*3 = 0) and doc 7 (class 7, batch-only -> silent)
+    # with dup_of = 0*6 = 0) and doc 7 (class 7, batch-only -> silent)
     verdicts = {r.media_id: r.dup_of
                 for r in phash_probe_against_store(
                     spark, store, media([200, 7]),
                     admit=True).collect()}
-    assert verdicts == {600: 0, 601: 0, 602: 0}
+    assert verdicts == {1200 + v: 0 for v in range(6)}
+
+    # the admit append is FILTERED: doc 200's media were flagged and
+    # doc 7's non-representative variants are intra-batch near-dups
+    # of media 42 — only the keeper hash entered the store
+    store_ids = {r.media_id for r in spark.read.parquet(
+        f"{store}/hashes").collect()}
+    assert store_ids == set(range(12)) | {42}
 
     # second batch: doc 407 (class 7) — class 7 now IN the store via
-    # the admitted doc-7 media; dup_of = doc 7's min media = 21
+    # the admitted doc-7 keeper; dup_of = doc 7's min media = 42
     verdicts2 = {r.media_id: r.dup_of
                  for r in phash_probe_against_store(
                      spark, store, media([407])).collect()}
-    assert verdicts2 == {1221: 21, 1222: 21, 1223: 21}
+    assert verdicts2 == {2442 + v: 42 for v in range(6)}
+
+    # compaction rebuilds the sidecar to one row per bucket; verdicts
+    # are invariant
+    phash_store_compact(spark, store)
+    buckets = spark.read.parquet(f"{store}/buckets_k3")
+    assert buckets.groupBy("b", "slice").count() \
+        .where("count > 1").count() == 0
+    verdicts3 = {r.media_id: r.dup_of
+                 for r in phash_probe_against_store(
+                     spark, store, media([407])).collect()}
+    assert verdicts3 == verdicts2
 
     # fresh corpus-only store: class 7 silent (the flag above came
     # from the admission append)
@@ -370,12 +393,13 @@ def test_phash_store_round_trip_and_admission(spark, tmp_path):
 
 
 def test_streaming_media_admission_e2e(spark, tmp_path):
-    """Streaming perceptual gate (r15): media batches arrive as
-    parquet files; epoch 1's images are admitted (intra-batch
-    near-dup groups admit only their min-id representative), and
-    epoch 2's resized/re-encoded twins of BOTH the seed index and
-    epoch 1's admitted images are rejected with dup_of pointing at
-    the right keeper."""
+    """Streaming perceptual gate (r15, r16 verdict semantics): media
+    batches arrive as parquet files; epoch 1's intra-batch near-dup
+    groups admit ONLY their min-id representative and the verdict
+    SAYS so (admitted=false + intra_dup_of naming the keeper —
+    ADVICE r15), and epoch 2's resized/re-encoded twins of BOTH the
+    seed index and epoch 1's admitted keeper are rejected with
+    dup_of pointing at the right keeper."""
     import glob
     import os
 
@@ -389,8 +413,8 @@ def test_streaming_media_admission_e2e(spark, tmp_path):
     def media_rows(doc_ids):
         ids = (spark.createDataFrame([(d,) for d in doc_ids],
                                      "doc_id long")
-               .selectExpr("explode(sequence(doc_id * 3, "
-                           "doc_id * 3 + 2)) AS media_id"))
+               .selectExpr("explode(sequence(doc_id * 6, "
+                           "doc_id * 6 + 5)) AS media_id"))
         return synth_media(ids, "image", fmt="phash") \
             .select("media_id", "kind", "content")
 
@@ -418,30 +442,34 @@ def test_streaming_media_admission_e2e(spark, tmp_path):
         media_stream(spark, sdir), store, out, ckpt)
     q.awaitTermination(120)
 
-    e1 = {r.media_id: (r.dup_of, r.admitted)
+    e1 = {r.media_id: (r.dup_of, r.intra_dup_of, r.admitted)
           for r in spark.read.parquet(f"{out}/epoch=0").collect()}
-    # nothing matches the seed store -> all 6 admitted in the OUTPUT
-    assert all(adm and d is None for d, adm in e1.values())
-    assert set(e1) == {21, 22, 23, 621, 622, 623}
-    # ...but the STORE grew by ONE keeper hash: every other epoch-1
-    # media is an intra-batch near-dup of media 21 (doc 7's own
-    # resized/noisy variants included — they ARE copies), and only
-    # the min-id representative of a near-dup group may enter
-    store_ids = {r.media_id
-                 for r in spark.read.parquet(store).collect()}
-    assert store_ids == {0, 1, 2, 3, 4, 5, 21}
+    # nothing matches the seed store (dup_of all null), but only the
+    # batch keeper (min media 42) is ADMITTED: every other epoch-1
+    # media is an intra-batch near-dup of it (doc 7's own
+    # resized/noisy variants included — they ARE copies) and the
+    # verdict now names the keeper it duplicates
+    assert set(e1) == {42 + v for v in range(6)} \
+        | {1242 + v for v in range(6)}
+    assert e1[42] == (None, None, True)
+    for mid, (d, intra, adm) in e1.items():
+        if mid != 42:
+            assert (d, intra, adm) == (None, 42, False)
+    # the store grew by exactly that one keeper hash
+    store_ids = {r.media_id for r in spark.read.parquet(
+        f"{store}/hashes").collect()}
+    assert store_ids == set(range(12)) | {42}
 
-    # epoch 2: doc 201 (class 1 -> seed twin) and doc 407 (class 7 ->
-    # twin of epoch-1's ADMITTED doc 7)
+    # epoch 2: doc 201 (class 1 -> seed twin, dup_of = 1*6 = 6) and
+    # doc 407 (class 7 -> twin of epoch-1's ADMITTED keeper 42)
     drop_file("e2", [201, 407])
     q2 = streaming_media_admission(
         media_stream(spark, sdir), store, out, ckpt)
     q2.awaitTermination(120)
     e2 = {r.media_id: (r.dup_of, r.admitted)
           for r in spark.read.parquet(f"{out}/epoch=1").collect()}
-    assert e2 == {603: (3, False), 604: (3, False), 605: (3, False),
-                  1221: (21, False), 1222: (21, False),
-                  1223: (21, False)}
+    assert e2 == {**{1206 + v: (6, False) for v in range(6)},
+                  **{2442 + v: (42, False) for v in range(6)}}
     # rejected epochs grow nothing
-    assert {r.media_id for r in spark.read.parquet(store).collect()} \
-        == store_ids
+    assert {r.media_id for r in spark.read.parquet(
+        f"{store}/hashes").collect()} == store_ids
