@@ -9,20 +9,25 @@ curated snapshot SUBSET of the public suffix list (publicsuffix.org
 — public data; the build environment has no network, so this is a
 transcribed subset, not the fetched file):
 
-- `PSL_EXACT`: ~3.1k exact rules (3,101 at the r15 extension) —
-  every delegated TLD we enumerate (legacy + ~460 new-program
-  generic/geo/brand strings) plus the well-known second/third-level
-  registry structures (ccTLD com/net/org/... families, the 47 .jp
-  prefectures + the 23 Tokyo special wards, the .us
-  state/k12/cc/lib grid, the Italian region/province grid, .kr
-  metros, .cn provinces, the single-letter .se and .bg grids, the
-  .au state grids under edu/gov) and the widely-used PRIVATE
-  section hosts (github.io, the ~66-country blogspot family,
-  s3.amazonaws.com, translate.goog, ...).
+- `PSL_EXACT`: ~4.2k exact rules (4,160 at the r16 extension) —
+  every delegated TLD we enumerate (legacy + ~750 new-program
+  generic/geo/brand strings + ~100 IDN punycode TLDs) plus the
+  well-known second/third-level registry structures (ccTLD
+  com/net/org/... families, the 47 .jp prefectures + the 23 Tokyo
+  special wards, the .us state/k12/cc/lib grid, the Italian
+  region/province grid, the Polish geographic grid, the
+  Russian/Ukrainian regional families, the 63 Vietnamese province
+  rules, the Norwegian county/municipality block, the Brazilian
+  city grid, .kr metros, .cn provinces, the single-letter .se and
+  .bg grids, the .au state grids under edu/gov) and the widely-used
+  PRIVATE section hosts (github.io, the ~66-country blogspot
+  family, the Akamai/Fastly CDN grids, s3.amazonaws.com,
+  translate.goog, ...).
 - `PSL_WILDCARD`: the classic `*.tld` wildcard bases (bd ck er fk
   jm kh mm np pg — any 2-label tail under them is a public suffix)
   plus the multi-label bases: the 7 Japanese designated-city rules
-  (*.kawasaki.jp, ...) and the AWS per-instance rules
+  (*.kawasaki.jp, ...), *.sch.uk (UK schools — r16 fix, previously
+  mis-transcribed as an exact rule), and the AWS per-instance rules
   (*.compute.amazonaws.com, *.compute-1.amazonaws.com,
   *.elb.amazonaws.com).
 - `PSL_EXCEPTIONS`: `!` exception rules (www.ck, the 7
@@ -82,7 +87,7 @@ tech today website wiki work works world xyz zone
 # ---------------------------------------------------------------------------
 
 _SECOND_LEVEL: dict[str, str] = {
-    "uk": "ac co gov judiciary ltd me net nhs org plc police sch",
+    "uk": "ac co gov judiciary ltd me net nhs org plc police",
     "jp": ("ac ad co ed go gr lg ne or "
            # the 47 prefectures are direct 2nd-level public suffixes
            "hokkaido aomori iwate miyagi akita yamagata fukushima "
@@ -498,6 +503,231 @@ xn--mgba3a4f16a xn--node xn--qxam
 # .au state grids under edu.au / gov.au
 _AU_STATES = "act nsw nt qld sa tas vic wa".split()
 
+# ---------------------------------------------------------------------------
+# r16 snapshot extension (VERDICT r15 ask 6): further toward the
+# published list, still transcribed from public knowledge.  New
+# blocks: ~280 more delegated brand/generic gTLD strings, the ~88
+# remaining IDN TLDs (punycode computed and verified locally from
+# the unicode strings), the Polish geographic grid, the Russian and
+# Ukrainian regional families, the 63 Vietnamese province rules
+# (NIXI-style 2022 additions), the Norwegian county codes + ASCII
+# municipality names, the Brazilian city-abbreviation grid, the .in
+# 2023 expansion, and the Akamai/Google/Shopify private-section
+# hosting roots.  Every entry is a rule the published list carries;
+# the snapshot remains a documented SUBSET with the PSL default-rule
+# degrade for anything it omits.
+# ---------------------------------------------------------------------------
+
+_GTLDS_BRAND_R16 = """
+abbott abbvie accenture aco aeg aetna afl agakhan aigo airbus
+airtel akdn alibaba alipay allfinanz allstate ally alstom amfam
+amica aol aquarelle aramco arte asda athleta auspost axa baidu
+bananarepublic barefoot bauhaus bbc bbt bbva bcg beats bentley
+bestbuy bharti bloomberg bms bnpparibas boehringer bofa bom bosch
+bostik bradesco bridgestone brother bugatti calvinklein capitalone
+caravan cartier cba cbre cern cfa chanel chintai cipriani cisco
+citadel citic clubmed comcast commbank crown crs cuisinella dabur
+datsun dclk dell deloitte delta dhl discover dish dnp dunlop
+dupont dvag edeka emerck epson ericsson erni esurance etisalat
+eurovision extraspace fage fairwinds farmers fedex ferrero
+fidelity firestone firmdale flickr flir flsmidth fox fresenius
+frontier fujitsu gallo gallup gap gbiz gdn gea genting george ggee
+gildan glade gle globo gmo gmx godaddy goldpoint goodyear goog
+grainger guardian gucci guge hbo hdfc hdfcbank hermes hisamitsu
+hitachi hkt homedepot homegoods homesense hotmail hughes hyatt ibm
+ieee ifm ikano imdb infiniti intuit ipiranga itau itv jcb jio jll
+jmp jnj jpmorgan juniper kddi kerryhotels kerrylogistics
+kerryproperties kfh kia kindle komatsu kpmg kpn kred kuokgroup
+lacaixa lancaster lasalle latrobe lds leclerc lego lidl lifestyle
+lilly lincoln linde lipsy lixil locus lotte lpl lplfinancial
+lundbeck macys maif mango marriott marshalls mattel mckinsey
+metlife mit mitsubishi mlb mma monash mormon moto movistar msd mtn
+mtr nab nationwide natura nba nec netbank neustar newholland nfl
+nhk nico nikon nissay norton nra ntt obi olayan olayangroup
+oldnavy ollo omega orange origins otsuka panasonic pccw pfizer
+philips piaget pictet ping pioneer playstation pnc pohl politie
+pramerica praxi prod progressive pru prudential pwc qvc redstone
+reliance ren rexroth richardli ricoh rmit rogers rwe safety sakura
+samsclub sandvik sandvikcoromant sanofi sas saxo sbi sbs sca scb
+schaeffler schmidt schwarz scjohnson seek sener ses sew sfr
+shangrila sharp shaw shell shriram sina smart sncf softbank sohu
+spiegel stada staples star starhub statebank statefarm stc
+stcgroup suzuki swatch taobao target tatamotors tci tdk telefonica
+temasek teva thd tiaa tiffany tjmaxx tjx tkmaxx tmall toray
+toshiba total trv tui tvs ubank ubs unicom uol ups vanguard
+verisign vig viking virgin vista vistaprint vivo walmart walter
+wanggou weatherchannel weber weir williamhill wme wolterskluwer
+woodside wtc xerox xfinity xihuan yahoo yamaxun yandex yodobashi
+zappos zara zippo
+""".split()
+
+_GTLDS_GENERIC_R16 = """
+abogado africa apartments author bot buy call channel circle
+compare coupon cpa dad dds deal dealer diy docs dot drive dtv dvr
+fast fire fling foo fun gent grocery hangout here hotels ice
+imamat immobilien ing ira ismaili java joy kid kids kosher latino
+lifeinsurance like living llc llp map meme? mint mobily moi music
+nexus now nowruz nowtv pars pay pid pin play prime pro qpon room
+rsvp safe scholarships secure shia shouji silk sling smile spa
+talk tank tunes tushu vana wed xin yun zero
+""".replace("meme?", "").split()
+
+_GTLDS_GEO_R16 = """
+abudhabi doha dubai krd kyiv ryukyu tatar
+""".split()
+
+# remaining IDN TLDs (punycode — computed and round-trip-verified
+# from the unicode strings with the local idna codec; the published
+# list prints the unicode twins as comments)
+_TLDS_IDN_R16 = """
+xn--1ck2e1b xn--1qqw23a xn--2scrj9c xn--3bst00m xn--3ds443g
+xn--3pxu8k xn--45brj9c xn--45q11c xn--4dbrk0ce xn--4gbrim
+xn--55qw42g xn--55qx5d xn--6frz82g xn--6qq986b3xl xn--80adxhks
+xn--80ao21a xn--80aqecdr1a xn--80asehdb xn--80aswg xn--90a3ac
+xn--90ae xn--9et52u xn--9krt00a xn--bck1b9a5dre4c xn--c1avg
+xn--cck2b3b xn--cg4bki xn--czr694b xn--czrs0t xn--czru2d
+xn--d1acj3b xn--d1alf xn--e1a4c xn--eckvdtc9d xn--fhbei
+xn--fiq228c5hs xn--fjq720a xn--fpcrj9c3d xn--fzc2c9e2c
+xn--g2xx48c xn--gckr3f0f xn--gecrj9c xn--hxt814e xn--io0a7i
+xn--j1aef xn--j6w193g xn--kput3i xn--l1acc xn--lgbbat1ad8j
+xn--mgb9awbf xn--mgbab2bd xn--mgbah1a3hjkrd xn--mgbai9azgqp6j
+xn--mgbc0a9azcg xn--mgbca7dzdo xn--mgbcpq6gpa1a xn--mgbpl2fh
+xn--mgbtf8fl xn--mgbtx2b xn--mgbx4cd0ab xn--mix082f xn--mix891f
+xn--mk1bu44c xn--ngbc5azd xn--ngbrx xn--nqv7f xn--o3cw4h
+xn--ogbpf8fl xn--p1acf xn--pgbs0dh xn--q9jyb4c xn--qcka1pmc
+xn--qxa6a xn--rhqv96g xn--rvc1e0am3e xn--s9brj9c xn--ses554g
+xn--t60b56a xn--tckwe xn--unup4y xn--vhquv xn--vuq861b
+xn--wgbl6a xn--xhq521b xn--xkc2al3hye2a xn--xkc2dl3a5ee0h
+xn--y9a3aq xn--yfro4i67o xn--zfr164b
+""".split()
+
+# .pl: the published geographic grid (city/region names)
+_PL_GEO = """
+augustow babia-gora bedzin beskidy bialowieza bielawa bieszczady
+boleslawiec bydgoszcz bytom cieszyn czeladz czest dlugoleka elblag
+elk glogow gniezno gorlice grajewo ilawa jaworzno jelenia-gora
+jgora kalisz karpacz kartuzy kaszuby kazimierz-dolny kepno ketrzyn
+klodzko kobierzyce kolobrzeg konin konskowola kutno lapy lebork
+legnica lezajsk limanowa lomza lowicz lubin lukow malbork
+malopolska mazowsze mazury mielec mielno mragowo naklo nowaruda
+nysa olawa olecko olkusz opoczno ostroda ostroleka ostrowiec
+ostrowwlkp pila pisz podhale polkowice pomorze prochowice pruszkow
+przeworsk pulawy rawa-maz rybnik rzgow sanok sejny skoczow
+sosnowiec stalowa-wola starachowice stargard suwalki swidnica
+swiebodzin swinoujscie szczytno tarnobrzeg tgory turek tychy ustka
+walbrzych warmia wegrow wielun wlocl wloclawek wodzislaw wolomin
+wroc zachpomor zagan zarow zgorzelec
+""".split()
+
+# .ru: the regional family (historically ICANN-section; the current
+# list carries them in the private section — same rule semantics)
+_RU_GEO = """
+adygeya altai amur arkhangelsk astrakhan bashkiria belgorod bir
+bryansk buryatia cbg chel chelyabinsk chita chukotka chuvashia
+dagestan dudinka e-burg grozny irkutsk ivanovo izhevsk jar
+joshkar-ola kalmykia kaluga kamchatka karelia kazan kchr kemerovo
+khabarovsk khakassia khv kirov koenig komi kostroma krasnoyarsk
+kuban kurgan kursk lipetsk magadan mari mari-el marine mordovia
+murmansk nalchik nnov novosibirsk omsk orenburg oryol palana penza
+perm ptz rnd ryazan sakhalin samara saratov simbirsk smolensk
+stavropol stv surgut tambov tatarstan tom tomsk tsaritsyn tsk tula
+tuva tver tyumen udm udmurtia ulan-ude vladikavkaz vladimir
+vladivostok volgograd vologda voronezh vrn vyatka yakutia yamal
+yaroslavl yekaterinburg yuzhno-sakhalinsk
+""".split()
+
+# .ua: the regional family (oblast names + codes, both spellings)
+_UA_GEO = """
+cherkassy cherkasy chernigov chernihiv chernivtsi chernovtsy ck cn
+cr crimea cv dn dnepropetrovsk dnipropetrovsk donetsk dp if kh
+kharkiv kharkov kherson khmelnitskiy khmelnytskyi kiev kirovograd
+km kr krym ks kv kyiv lg lt lugansk lutsk lv lviv mk mykolaiv
+nikolaev od odesa odessa pl poltava rivne rovno rv sb sebastopol
+sevastopol sm sumy te ternopil uz uzhgorod vinnica vinnytsia vn
+volyn yalta zaporizhzhe zaporizhzhia zhitomir zhytomyr zp zt
+""".split()
+
+# .vn: the 63 province rules (2022 list addition)
+_VN_PROVINCES = """
+angiang bacgiang backan baclieu bacninh baria-vungtau bentre
+binhdinh binhduong binhphuoc binhthuan camau cantho caobang daklak
+daknong danang dienbien dongnai dongthap gialai hagiang haiduong
+haiphong hanam hanoi hatinh haugiang hoabinh hungyen khanhhoa
+kiengiang kontum laichau lamdong langson laocai longan namdinh
+nghean ninhbinh ninhthuan phutho phuyen quangbinh quangnam
+quangngai quangninh quangtri soctrang sonla tayninh thaibinh
+thainguyen thanhhoa thanhphohochiminh thuathienhue tiengiang
+travinh tuyenquang vinhlong vinhphuc yenbai
+""".split()
+
+# .no: county codes + ASCII municipality names (the published list
+# carries every Norwegian municipality; this transcribes the county
+# grid and the larger ASCII-named municipalities)
+_NO_GEO = """
+aa ah bu fm hl hm jan-mayen mr nl nt of ol rl sf st svalbard tm tr
+va vf oslo bergen trondheim stavanger tromso drammen kristiansand
+fredrikstad sandnes bodo alesund arendal hamar haugesund halden
+harstad horten gjovik kongsberg larvik lillehammer molde moss
+narvik porsgrunn sarpsborg skien steinkjer sandefjord ski askim
+""".split()
+
+# .br: the city-abbreviation grid + professional rules (2018+)
+_BR_GEO = """
+belem bhz boavista bsb campinas caxias contagem cuiaba curitiba
+feira fortal foz goiania gru jab jampa jdf joinville londrina
+macapa maceio manaus maringa morena natal niteroi osasco palmas
+poa pvh recife rio riobranco riopreto salvador sampa santamaria
+santoandre saobernardo sjc slz sorocaba the udi vix
+def des det dev enf log rep seg tec
+""".split()
+
+# .in: the 2023 registry expansion
+_IN_EXTRA = """
+5g 6g ai am bihar biz business ca cn com coop cs delhi dr er
+gujarat info int internet io me pg post pro travel tv uk up us
+""".split()
+
+# private-section hosting roots: the Akamai/Fastly CDN grids, the
+# Google hosted-service roots, and more operator-submitted rules
+_PRIVATE_R16 = """
+akadns.net akamai.net akamai-staging.net akamaiedge.net
+akamaiedge-staging.net akamaihd.net akamaihd-staging.net
+akamaiorigin.net akamaized.net edgekey.net edgesuite.net
+fastlylb.net a.ssl.fastly.net b.ssl.fastly.net
+global.ssl.fastly.net a.prod.fastly.net global.prod.fastly.net
+googleapis.com googlecode.com withgoogle.com withyoutube.com
+cloudfunctions.net run.app myshopify.com weebly.com
+000webhostapp.com herokussl.com r2.dev b-cdn.net notion.site
+carrd.co framer.app framer.website hatenablog.com hateblo.jp
+web.fc2.com co.nl co.no co.ca
+""".split()
+
+
+def _r16_exact() -> set[str]:
+    """The r16 extension rules (VERDICT r15 ask 6) as exact-rule
+    strings, merged by _build_exact."""
+    rules: set[str] = set()
+    rules.update(_GTLDS_BRAND_R16, _GTLDS_GENERIC_R16,
+                 _GTLDS_GEO_R16, _TLDS_IDN_R16)
+    rules.add("post")                    # the UPU legacy TLD
+    rules.update(f"{lab}.pl" for lab in _PL_GEO)
+    rules.update(f"{lab}.ru" for lab in _RU_GEO)
+    rules.update(f"{lab}.ua" for lab in _UA_GEO)
+    rules.update(f"{lab}.vn" for lab in _VN_PROVINCES)
+    rules.update(f"{lab}.no" for lab in _NO_GEO)
+    rules.update(f"{lab}.br" for lab in _BR_GEO)
+    rules.update(f"{lab}.in" for lab in _IN_EXTRA)
+    # .za / .au / .it stragglers the r15 grid missed
+    rules.update(("alt.za", "grondar.za", "ngo.za", "nic.za",
+                  "nis.za", "nom.za", "tm.za",
+                  "conf.au", "oz.au", "info.au",
+                  "edu.it", "gov.it",
+                  # the two published k12.ma.us exception-style
+                  # 4-label exact rules alongside pvt.k12.ma.us
+                  "chtr.k12.ma.us", "paroch.k12.ma.us"))
+    rules.update(_PRIVATE_R16)
+    return rules
+
 
 def _build_exact() -> tuple[str, ...]:
     rules: set[str] = set(_TLDS)
@@ -526,6 +756,7 @@ def _build_exact() -> tuple[str, ...]:
                   "org.cw", "gov.sx"))
     rules.update(_PRIVATE)
     rules.update(_PRIVATE_EXTRA)
+    rules.update(_r16_exact())
     return tuple(sorted(rules))
 
 
@@ -538,6 +769,9 @@ PSL_WILDCARD: tuple[str, ...] = (
     "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
     "sapporo.jp", "sendai.jp", "yokohama.jp",
+    # *.sch.uk — the published list wildcards UK schools (r16 fix:
+    # previously transcribed as an exact sch.uk rule)
+    "sch.uk",
     "compute.amazonaws.com", "compute-1.amazonaws.com",
     "elb.amazonaws.com",
 )
@@ -699,9 +933,12 @@ def reg_domain_ctes(src: str,
     # TLD rules (matchable by no tail; the default rule covers them)
     # are rendered nowhere, and an empty bucket renders NO join at
     # all (its hit condition folds to FALSE).  Total broadcast rows
-    # drop from 3x|rules| to ~|rules needing a join|, and the
-    # snapshot currently has zero 4-label rules, so the p4 join
-    # vanishes outright.
+    # drop from 3x|rules| to ~|rules needing a join|.  The p4 bucket
+    # currently holds the handful of published 4-label rules (the
+    # k12.ma.us trio, the ssl/prod fastly.net grid — ADVICE r15
+    # fixed this comment's earlier claim that it was empty), so the
+    # p4 join renders small; it vanishes only when the bucket is
+    # empty.
     ex_by_k = {k: tuple(s for s in ex_rules if s.count(".") == k - 1)
                for k in (2, 3, 4)}
     joins = []

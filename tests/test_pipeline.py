@@ -1628,7 +1628,7 @@ def test_psl_registered_domain_semantics(spark):
     from harbourbridge_spark.pipeline.psl import (
         PSL_EXACT, reg_domain_ctes, reg_domain_expr)
 
-    assert len(PSL_EXACT) >= 3000          # the r14 ask-6 floor
+    assert len(PSL_EXACT) >= 4000          # the r15 ask-6 floor (r16)
     cases = [
         # host, expected registered domain
         ("example.com", "example.com"),            # plain gTLD
