@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from harbourbridge_spark import queries as Q  # noqa: E402
+from harbourbridge_spark.confscope import (  # noqa: E402
+    apply_recommended)
 
 # Bench list = the FULL oracle registry minus an explicit exclusion
 # set, so a newly registered operator is benched automatically and can
@@ -78,7 +80,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = (SparkSession.builder
+    spark = (apply_recommended(SparkSession.builder
              .master(f"local[{cpus}]")
              .appName("harbourbridge-spark-bench")
              .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -87,10 +89,7 @@ def main() -> None:
              .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false")
-             # creation-time Arrow input bound (ADVICE r14; see
-             # confscope.RECOMMENDED_SESSION_CONFS)
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                     "256")
+             )
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

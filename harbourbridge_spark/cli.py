@@ -22,6 +22,7 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+from .confscope import apply_recommended
 from .context import MigrationContext
 from .ddl import write_schema_file
 from .report import generate_report
@@ -182,16 +183,13 @@ def main(argv: Optional[list[str]] = None) -> int:
                    "(schema edits preserved; data-only mode)")
     args = p.parse_args(argv)
 
-    spark = (SparkSession.builder
+    spark = (apply_recommended(SparkSession.builder
              .master(f"local[{args.cpus}]")
              .appName("harbourbridge-spark-migrate")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.shuffle.partitions", str(args.cpus))
              .config("spark.sql.adaptive.enabled", "true")
-             # creation-time Arrow input bound (ADVICE r14; see
-             # confscope.RECOMMENDED_SESSION_CONFS)
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                     "256")
+             )
              .getOrCreate())
     ctx = None
     if args.session:

@@ -71,6 +71,17 @@ RECOMMENDED_SESSION_CONFS: dict[str, str] = {
 }
 
 
+def apply_recommended(builder):
+    """Apply RECOMMENDED_SESSION_CONFS to a SparkSession.Builder —
+    the ONE place the recommendation turns into .config() calls, so
+    the documented dict and the actual sessions cannot drift (ADVICE
+    r15: the '256' literal was previously hand-copied into six
+    session builders).  Returns the builder for chaining."""
+    for key, val in RECOMMENDED_SESSION_CONFS.items():
+        builder = builder.config(key, val)
+    return builder
+
+
 def scoped_parser_mode(spark, escaped: str):
     """``escaped`` is "true" (verbatim literals — the dual-engine
     template convention: DuckDB never processes backslash escapes)

@@ -1,19 +1,22 @@
 import pytest
 from pyspark.sql import SparkSession
 
+from harbourbridge_spark.confscope import apply_recommended
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (SparkSession.builder
-         .master("local[8]")
-         .appName("harbourbridge-spark-tests")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false")
-         .config("spark.sql.adaptive.enabled", "true")
-         # creation-time Arrow input bound (ADVICE r14; see
-         # confscope.RECOMMENDED_SESSION_CONFS)
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-         .getOrCreate())
+    # creation-time Arrow input bound (ADVICE r14/r15): the
+    # recommended confs come from the ONE source dict in confscope,
+    # never hand-copied literals
+    s = (apply_recommended(
+        SparkSession.builder
+        .master("local[8]")
+        .appName("harbourbridge-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true"))
+        .getOrCreate())
     yield s
     s.stop()

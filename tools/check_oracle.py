@@ -24,6 +24,8 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
+from harbourbridge_spark.confscope import (  # noqa: E402
+    apply_recommended)
 from harbourbridge_spark.oraclecheck import (  # noqa: E402
     compare_entry, register_views)
 
@@ -35,16 +37,15 @@ def main() -> int:
     # partitionings (VERDICT r9 ask 1): order-dependent float
     # aggregation shows up as a hash flip between settings.
     nshuf = os.environ.get("CHECK_SHUFFLE_PARTITIONS", "16")
-    spark = (SparkSession.builder.master("local[16]")
-             .appName("oracle-check")
-             .config("spark.sql.shuffle.partitions", nshuf)
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.ui.enabled", "false")
-             # creation-time Arrow input bound (ADVICE r14; see
-             # confscope.RECOMMENDED_SESSION_CONFS)
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                     "256")
-             .getOrCreate())
+    # recommended confs (the Arrow input bound) applied from the one
+    # source dict in confscope (ADVICE r15)
+    spark = (apply_recommended(
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", nshuf)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+        .getOrCreate())
     con = duckdb.connect()
     register_views(con, SF_DIR)
 

@@ -86,15 +86,17 @@ def main() -> int:
     sampler.start()
     waves = []
     try:
-        spark = (SparkSession.builder.master(f"local[{cpus}]")
-                 .config("spark.sql.shuffle.partitions", cpus)
-                 .config("spark.ui.enabled", "false")
-                 .config("spark.ui.showConsoleProgress", "false")
-                 .config("spark.driver.memory", "16g")
-                 # creation-time Arrow input bound (ADVICE r14)
-                 .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                         "256")
-                 .getOrCreate())
+        from harbourbridge_spark.confscope import apply_recommended
+
+        # creation-time Arrow input bound applied from the one
+        # source dict (ADVICE r14/r15)
+        spark = (apply_recommended(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.driver.memory", "16g"))
+            .getOrCreate())
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(64).repartition(64).mapInPandas(
             lambda it: it, "id long").count()
