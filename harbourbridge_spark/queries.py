@@ -3756,15 +3756,46 @@ REGISTRY["dsir_select"] = QuerySpec(
 # multimodal_decode_ppm lesson).
 _WINDOW_SLOTS = 50
 
-# What round 14 declared it was carrying over (transcribed from the
-# r14 pin list's trailing comment; r15 formalized the mechanism).
-_CARRYOVER_FROM_PREV_ROUND: list[str] = ["multimodal_decode_ppm"]
+# What round 15 declared it was carrying over: nothing (its 18 pins
+# fit the window with room to spare).
+_CARRYOVER_FROM_PREV_ROUND: list[str] = []
 
 # Pins this round already knows will not fit the window (must equal
 # _CHANGED_THIS_ROUND[_WINDOW_SLOTS:], enforced by test).
 _CARRYOVER_TO_NEXT_ROUND: list[str] = []
 
 _CHANGED_THIS_ROUND: list[str] = [
+    # round 16, VERDICT r15 asks 1/4/5: the perceptual image family
+    # changed end-to-end — decode_pixels now dispatches JPEG/GIF/WebP
+    # through the in-repo codecs, the dHash kernel box-filters
+    # instead of nearest-sampling, the fixture carries 6 containers
+    # per class, and the store grew the bucket sidecar (probe plan
+    # rewritten window-free)
+    "multimodal_phash_dedup", "multimodal_phash_incremental",
+    # round 16, VERDICT r15 ask 2: afp64 dispatches FLAC/AIFF/MP3 to
+    # PCM; the fixture carries 5 containers per class
+    "multimodal_audio_fp_dedup",
+    # round 16: entries routed through the changed decode_pixels
+    # dispatch (changed expression ⇒ re-checked), plus decode_jpeg
+    # whose fixture encoder gained the quant-table override (default
+    # path byte-identical, still re-pinned per policy)
+    "multimodal_pixel_dedup", "multimodal_resize",
+    "multimodal_decode_jpeg",
+    # round 16, VERDICT r15 ask 6: the PSL snapshot grew to 4,160
+    # rules (+ *.sch.uk wildcard) — the url family's rendered suffix
+    # IN-lists changed, so the whole family re-pins
+    "url_canonicalize", "url_domain_caps", "domain_stats",
+    "url_quality_filter",
+    # round 16, VERDICT r15 ask 3: the 15 entries whose last OFFICIAL
+    # window was r12 rotate back in
+    "ann_bruteforce", "ann_ivf", "ann_lsh_multiprobe", "ann_recall",
+    "c4_clean", "dedup_clusters", "dedup_pipeline_materialized",
+    "dedup_removal_manifest", "dsir_importance", "dsir_select",
+    "gopher_quality_rules", "warc_ingest", "warc_ingest_gzip",
+    "warc_stats", "warc_to_documents",
+]
+
+_CHANGED_ROUND_15: list[str] = [
     # round 15, slot 1: the r14 carry-over (pinned 51st last round,
     # slipped past the 50-slot window) leads per the declared policy
     "multimodal_decode_ppm",
