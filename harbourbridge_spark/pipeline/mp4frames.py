@@ -492,12 +492,23 @@ def synth_mp4_mjpeg(seed: int) -> bytes:
     - every frame decodes EXACTLY (block-constant even-gray JPEG).
     """
     p = mjpeg_fixture_params(seed)
-    n, ts = p["n_frames"], p["timescale"]
     frames = [_mjpeg_frame(seed, fi, p["nbx"], p["nby"])
-              for fi in range(n)]
+              for fi in range(p["n_frames"])]
+    return mux_mp4_mjpeg(frames, 8 * p["nbx"], 8 * p["nby"], p,
+                         with_stss=(seed % 2 == 0))
+
+
+def mux_mp4_mjpeg(frames: list[bytes], w: int, h: int, p: dict,
+                  with_stss: bool = True) -> bytes:
+    """The synth_mp4_mjpeg container muxer over CALLER-SUPPLIED JPEG
+    frame bytes (r16: shared with the video perceptual-hash fixture,
+    which muxes flat-quant frames of the dHash grid).  ``p`` supplies
+    the sample-timing shape (n_frames/timescale/run_a/dur_a/dur_b);
+    the stbl structure choices are unchanged."""
+    n, ts = p["n_frames"], p["timescale"]
+    assert len(frames) == n
     total = (p["run_a"] * p["dur_a"]
              + (n - p["run_a"]) * p["dur_b"])
-    w, h = 8 * p["nbx"], 8 * p["nby"]
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
                 + b"isomiso2")
@@ -541,7 +552,7 @@ def synth_mp4_mjpeg(seed: int) -> bytes:
                  + b"".join(struct.pack(">I", o)
                             for o in chunk_offsets))
     stbl_children = stsd + stts + stsc + stsz + stco
-    if seed % 2 == 0:
+    if with_stss:
         stbl_children += _full(
             b"stss", 0, 0, struct.pack(">I", n)
             + b"".join(struct.pack(">I", i + 1) for i in range(n)))

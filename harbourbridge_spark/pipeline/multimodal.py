@@ -601,8 +601,14 @@ def dhash64(content: bytes) -> int:
     identical (or Hamming-<=k) hash — the perceptual property
     pixel_dedup's byte digest lacks.  Raises like decode_pixels on
     undecodable input."""
-    px = decode_pixels(content).astype(np.float64)
-    gray = px.mean(axis=2)
+    return _dhash_px(decode_pixels(content))
+
+
+def _dhash_px(px: np.ndarray) -> int:
+    """The box-filter dHash kernel over an already-decoded (h, w, 3)
+    raster — shared by the image hash (dhash64) and the video
+    first-frame hash (vhash64)."""
+    gray = px.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     # area mean over the cell grid via reduceat on row/col prefix
     # boundaries; (i*h)//8 boundaries align with block edges on
@@ -851,6 +857,14 @@ def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
             .select(F.col("rep").alias("rep_media_id"), "n_images"))
 
 
+# the incremental-phash batch split is mod 7 (not the usual mod 10):
+# the fixture's pixel classes repeat mod 200 and 200 = 0 (mod 10), so
+# a mod-10 split would make batch classes and corpus classes DISJOINT
+# (nothing would ever match); 7 is coprime with 200, so every class
+# mixes corpus and batch docs
+PHASH_INC_MOD = 7
+PHASH_INC_RES = 5
+
 # audio fingerprint geometry: 9 frames x AFP_FRAME samples; 8 bands
 # of 4 rFFT bins each, band b centered on bin 2 + 4*b (bin-aligned
 # fixture tones land exactly there, so band energies are closed-form)
@@ -983,14 +997,12 @@ def synth_afp_variant(media_id: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
-def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
-                   batch_size: int = 256) -> DataFrame:
-    """Perceptual near-dup AUDIO clustering: afp64 over decoded PCM +
-    the SAME Hamming-<=k LSH collapse as phash_dedup
-    (_hash64_cluster — pigeonhole slices, MAX_BUCKET star-degrade,
-    popcount verify, min-rep collapse).  A re-leveled or losslessly
-    re-encoded copy of one master collapses; byte hashing cannot see
-    either.  Returns (rep_media_id, n_clips)."""
+def _afp_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched afp64 kernel: (media_id, phash) with the
+    fingerprint wrapped to signed 64-bit — the audio twin of
+    _phash_df, emitting the SAME relation shape so the whole
+    hash64 store/probe/cluster machinery is shared verbatim.
+    Undecodable rows are skipped."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
@@ -1007,10 +1019,98 @@ def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
-    ph = media.select("media_id", "content").mapInPandas(
+    return media.select("media_id", "content").mapInPandas(
         _resliced(run, batch_size), schema="media_id long, phash long")
+
+
+def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
+                   batch_size: int = 256) -> DataFrame:
+    """Perceptual near-dup AUDIO clustering: afp64 over decoded PCM +
+    the SAME Hamming-<=k LSH collapse as phash_dedup
+    (_hash64_cluster — pigeonhole slices, MAX_BUCKET star-degrade,
+    popcount verify, min-rep collapse).  A re-leveled or losslessly
+    re-encoded copy of one master collapses; byte hashing cannot see
+    either.  Returns (rep_media_id, n_clips)."""
+    ph = _afp_df(media, batch_size)
     return (_hash64_cluster(ph, hamming_k)
             .withColumnRenamed("n_images", "n_clips"))
+
+
+def audio_fp_store_write(spark, media_df: DataFrame, store_path: str,
+                         mode: str = "overwrite",
+                         batch_size: int = 256,
+                         hamming_k: int = 3) -> None:
+    """Audio twin of phash_store_write: decode ONCE, persist
+    (media_id, afp64) hashes + the bucket sidecar in the shared
+    hash64 store layout — every store/probe/compaction invariant
+    (merge laws, star-invariant MIN, lock discipline) carries over
+    verbatim because the relation shape is identical."""
+    from .storecache import store_lock
+
+    ph = _afp_df(media_df, batch_size).localCheckpoint()
+    with store_lock(store_path, exclusive=False):
+        _phash_store_append(ph, store_path, hamming_k, mode=mode)
+
+
+def audio_fp_probe_against_store(spark, store_path: str,
+                                 batch_media: DataFrame,
+                                 hamming_k: int = 3,
+                                 batch_size: int = 256,
+                                 admit: bool = False) -> DataFrame:
+    """Incremental perceptual AUDIO dedup: probe a NEW clip batch
+    against the persisted afp store — the phash probe applied to the
+    audio fingerprint (only the batch decodes PCM; bucket stats come
+    from the sidecar; dup_of = star-invariant MIN verified corpus
+    match).  With ``admit=True`` the clean intra-batch keepers
+    append, same filter as the image gate."""
+    from .storecache import store_lock
+
+    batch_ph = _afp_df(batch_media, batch_size).localCheckpoint()
+    verdicts = phash_probe_hashes(spark, store_path, batch_ph,
+                                  hamming_k)
+    if admit:
+        excluded = (verdicts.select("media_id").unionByName(
+            phash_intra_batch_excluded(batch_ph, hamming_k)
+            .select("media_id")).distinct())
+        clean = batch_ph.join(excluded, "media_id",
+                              "left_anti").localCheckpoint()
+        with store_lock(store_path, exclusive=False):
+            _phash_store_append(clean, store_path, hamming_k)
+    return verdicts
+
+
+def afp_incremental_entry_fn(spark, sf_dir: str,
+                             mod: int = PHASH_INC_MOD,
+                             res: int = PHASH_INC_RES):
+    """Registry/bench twin of phash_incremental_entry_fn for AUDIO:
+    the corpus-side afp store builds once per fixture identity and is
+    REUSED across runs — the measured cost is the batch-sized PCM
+    decode + probe.  Same mod-7 batch split (coprime with the
+    200-class structure)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    ident = _hashlib.sha1(
+        f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}|afp-v1".encode()).hexdigest()[:16]
+    store = store_path("afp", ident)
+    docs = spark.read.parquet(src)
+
+    def media_for(pred: str) -> DataFrame:
+        ids = docs.where(pred).selectExpr(
+            f"explode(sequence(doc_id * {AFP_VARIANTS}, "
+            f"doc_id * {AFP_VARIANTS} + {AFP_VARIANTS - 1})) "
+            "AS media_id")
+        return synth_media(ids, "audio", fmt="afp")
+
+    publish_store(store, lambda tmp: audio_fp_store_write(
+        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
+    return audio_fp_probe_against_store(
+        spark, store, media_for(f"doc_id % {mod} >= {res}"))
 
 
 def _phash_bucket_partials(ph: DataFrame, hamming_k: int) -> DataFrame:
@@ -1230,13 +1330,6 @@ def phash_intra_batch_excluded(batch_ph: DataFrame,
             .agg(F.min("peer").alias("intra_dup_of")))
 
 
-# the incremental-phash batch split is mod 7 (not the usual mod 10):
-# the fixture's pixel classes repeat mod 200 and 200 = 0 (mod 10), so
-# a mod-10 split would make batch classes and corpus classes DISJOINT
-# (nothing would ever match); 7 is coprime with 200, so every class
-# mixes corpus and batch docs
-PHASH_INC_MOD = 7
-PHASH_INC_RES = 5
 
 
 def phash_incremental_entry_fn(spark, sf_dir: str,
@@ -1274,6 +1367,207 @@ def phash_incremental_entry_fn(spark, sf_dir: str,
         spark, media_for(f"doc_id % {mod} < {res}"), tmp))
     return phash_probe_against_store(
         spark, store, media_for(f"doc_id % {mod} >= {res}"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup VIDEO hashing (r16, beyond-ask): first-frame
+# dHash — re-encoded/re-containered copies of one clip are the video
+# crawl-duplicate shape, and the first decoded frame survives all of
+# them
+# ---------------------------------------------------------------------------
+
+
+def y4m_first_frame_pixels(content: bytes) -> np.ndarray:
+    """First frame of a YUV4MPEG2 stream as an (h, w, 3) uint8 RGB
+    raster.  mono replicates Y; C444/C420 convert with the JFIF
+    full-range BT.601 matrix (the same convention as the JPEG
+    codec; Y4M is nominally studio-swing, but the perceptual hash
+    only compares cell means so the affine difference is
+    irrelevant).  Raises ValueError on anything malformed — same
+    contract as decode_pixels."""
+    if content[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m header terminator")
+    w = h = 0
+    colorspace = "420"
+    for tok in content[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad y4m geometry W={w} H={h}")
+    if w * h * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over MAX_DECODED_BYTES")
+    pos = nl + 1
+    fnl = content.find(b"\n", pos)
+    if fnl < 0 or content[pos:pos + 5] != b"FRAME":
+        raise ValueError("bad y4m FRAME marker")
+    pos = fnl + 1
+    yp = np.frombuffer(content, np.uint8, w * h, pos) \
+        .reshape(h, w).astype(np.float64)
+    if colorspace.startswith("mono"):
+        g = yp.astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if colorspace.startswith("444"):
+        u = np.frombuffer(content, np.uint8, w * h,
+                          pos + w * h).reshape(h, w)
+        v = np.frombuffer(content, np.uint8, w * h,
+                          pos + 2 * w * h).reshape(h, w)
+    elif colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        cw, ch = w // 2, h // 2
+        u = np.frombuffer(content, np.uint8, cw * ch,
+                          pos + w * h).reshape(ch, cw) \
+            .repeat(2, 0).repeat(2, 1)
+        v = np.frombuffer(content, np.uint8, cw * ch,
+                          pos + w * h + cw * ch).reshape(ch, cw) \
+            .repeat(2, 0).repeat(2, 1)
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    u = u.astype(np.float64) - 128.0
+    v = v.astype(np.float64) - 128.0
+    r = yp + 1.402 * v
+    g = yp - 0.344136 * u - 0.714136 * v
+    b = yp + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1).round(),
+                   0, 255).astype(np.uint8)
+
+
+def first_frame_pixels(content: bytes) -> np.ndarray:
+    """VIDEO container dispatch to the first decoded frame's RGB
+    raster: Y4M (native plane read), MP4 with an MJPEG track (sample
+    table walk + the from-scratch JPEG decoder), and GIF (first
+    image descriptor — animated GIFs are videos in crawl practice).
+    Raises ValueError on unknown/undecodable containers, exotic
+    codec raise classes translated like decode_pixels."""
+    if content[:9] == Y4M_MAGIC:
+        return y4m_first_frame_pixels(content)
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        from .mp4frames import decode_mjpeg_frames
+        try:
+            frames = decode_mjpeg_frames(content)
+        except (IndexError, KeyError, ZeroDivisionError,
+                MemoryError) as e:
+            raise ValueError(f"malformed MP4: {e}") from e
+        if not frames:
+            raise ValueError("MP4 has no video samples")
+        return frames[0]
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_pixels
+        try:
+            return decode_gif_pixels(content)
+        except (IndexError, KeyError, ZeroDivisionError,
+                MemoryError) as e:
+            raise ValueError(f"malformed GIF: {e}") from e
+    raise ValueError("unknown video container")
+
+
+def vhash64(content: bytes) -> int:
+    """64-bit perceptual VIDEO hash: the box-filter dHash of the
+    FIRST decoded frame.  A re-containered copy of one clip (Y4M
+    master -> MJPEG/MP4 upload -> animated-GIF preview) keeps its
+    first frame up to codec rounding, so the gradient-sign hash
+    collapses the family; byte hashing sees three unrelated blobs.
+    (A production variant would hash k sampled frames and vote —
+    frame_sample_plan supplies the sampling grid; the clustering
+    machinery is hash-count agnostic.)"""
+    return _dhash_px(first_frame_pixels(content))
+
+
+VHASH_VARIANTS = 3
+
+
+def synth_vhash_variant(media_id: int) -> bytes:
+    """Closed-form video near-dup fixture, the synth_phash_variant
+    construction carried to video containers: media_id encodes
+    (doc = media_id // 3, variant = media_id % 3), class = doc % 200
+    with the SAME _mix64 target hashes (Hamming-15 separation pin
+    shared).  Variants of one class:
+
+    - 0: Y4M mono master, 2 frames (frame 0 = the class grid at a
+         class-dependent integer scale; frame 1 = flat gray — a real
+         multi-frame stream),
+    - 1: MJPEG/MP4 twin, RESIZED (8x8-aligned flat-quant JPEG
+         frames — block-constant, so the round trip is exact),
+    - 2: animated GIF with exactly TWO dHash bits flipped (first
+         frame full-canvas; frame 2 a partial update — the disposal
+         path a real preview GIF exercises).
+    """
+    doc = media_id // VHASH_VARIANTS
+    variant = media_id % VHASH_VARIANTS
+    cls = doc % 200
+    flips = ()
+    if variant == 2:
+        flips = (cls % 64, (cls * 7 + 13) % 64)
+    grid = _dhash_grid(_mix64(cls), flips)
+    if variant == 0:
+        sy = 1 + cls % 2
+        sx = 1 + cls % 3
+        gray = np.repeat(np.repeat(grid, sy, axis=0), sx, axis=1)
+        h, w = gray.shape
+        out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n"
+                        % (w, h))
+        out += b"FRAME\n" + gray.tobytes()
+        out += b"FRAME\n" + bytes([128]) * (w * h)
+        return bytes(out)
+    if variant == 1:
+        from .jpeg import encode_jpeg
+        from .mp4frames import mux_mp4_mjpeg
+        gray = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+        ones = np.ones(64, np.int32)
+        f0 = encode_jpeg(gray, qt_luma=ones, qt_chroma=ones)
+        f1 = encode_jpeg(np.full_like(gray, 128), qt_luma=ones,
+                         qt_chroma=ones)
+        p = {"n_frames": 2, "timescale": 1000,
+             "run_a": 1, "dur_a": 120, "dur_b": 160}
+        return mux_mp4_mjpeg([f0, f1], gray.shape[1], gray.shape[0],
+                             p, with_stss=(cls % 2 == 0))
+    from .gif import encode_gif_animated
+    vals = np.unique(grid)
+    idx = np.searchsorted(vals, grid).astype(np.uint8)
+    palette = np.stack([vals, vals, vals], axis=-1)
+    frames = [
+        {"indices": idx, "lx": 0, "ty": 0, "disposal": 1},
+        {"indices": idx[:4, :4], "lx": 2, "ty": 2, "disposal": 0},
+    ]
+    return encode_gif_animated(9, 8, palette, frames)
+
+
+def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
+                      batch_size: int = 256) -> DataFrame:
+    """Perceptual near-dup VIDEO clustering: vhash64 (first-frame
+    box-filter dHash) + the shared Hamming-<=k LSH collapse
+    (_hash64_cluster).  Returns (rep_media_id, n_videos).  Scale
+    shape identical to phash_dedup: the decode kernel is
+    embarrassingly parallel, everything after shuffles 8-byte
+    hashes."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    h = vhash64(bytes(content))
+                except (ValueError, struct.error, zlib.error):
+                    continue
+                ids.append(mid)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    ph = media.select("media_id", "content").mapInPandas(
+        _resliced(run, batch_size), schema="media_id long, phash long")
+    return (_hash64_cluster(ph, hamming_k)
+            .withColumnRenamed("n_images", "n_videos"))
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
@@ -1804,6 +2098,11 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     elif kind == "video" and fmt == "mp4_avc":
         from .h264 import synth_mp4_avc
         synth, mime = synth_mp4_avc, "video/mp4"
+    elif kind == "video" and fmt == "vhash":
+        # Y4M master / resized MJPEG-MP4 twin / 2-bit-flipped
+        # animated GIF per doc, selected by media_id % 3 — see
+        # synth_vhash_variant
+        synth, mime = synth_vhash_variant, "video/mixed"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":

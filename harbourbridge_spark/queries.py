@@ -3549,6 +3549,66 @@ def q_multimodal_audio_fp_dedup(spark: SparkSession,
     return audio_fp_dedup(synth_media(ids, "audio", fmt="afp"))
 
 
+@register(
+    "multimodal_audio_fp_incremental",
+    """
+    WITH corp AS (
+        SELECT doc_id % 200 AS cls,
+               CAST(MIN(doc_id) * 5 AS BIGINT) AS dup_of
+        FROM documents WHERE doc_id % 7 < 5
+        GROUP BY doc_id % 200
+    ), b AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 >= 5
+    )
+    SELECT CAST(b.doc_id * 5 + v.v AS BIGINT) AS media_id, c.dup_of
+    FROM b JOIN corp c ON c.cls = b.doc_id % 200
+    CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS v(v)
+    """,
+    "Incremental perceptual AUDIO dedup (r16, beyond-ask): a NEW "
+    "clip batch probes the PERSISTED afp store — the hash64 "
+    "store/probe machinery shared verbatim with the image phash "
+    "(16 bytes/clip + bucket sidecar; only the batch decodes PCM; "
+    "asymmetric pigeonhole join; dup_of = star-invariant MIN "
+    "verified corpus match).  Batch split is mod 7, coprime with "
+    "the 200-class structure.  Oracle: every batch variant of a "
+    "corpus-present class flags with dup_of = 5*min(corpus doc of "
+    "the class)")
+def q_multimodal_audio_fp_incremental(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import afp_incremental_entry_fn
+    return afp_incremental_entry_fn(spark, sf_dir)
+
+
+@register(
+    "multimodal_video_phash_dedup",
+    """
+    SELECT CAST(MIN(doc_id) * 3 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 3 AS BIGINT) AS n_videos
+    FROM documents GROUP BY doc_id % 200
+    """,
+    "Perceptual near-dup VIDEO dedup (r16, beyond-ask): first-frame "
+    "box-filter dHash (vhash64) + the shared Hamming-<=3 pigeonhole "
+    "LSH collapse (_hash64_cluster).  Fixture: THREE video "
+    "containers per doc — a Y4M mono master (2 frames, frame 0 = "
+    "the class grid), a RESIZED MJPEG/MP4 twin (flat-quant "
+    "8x8-aligned JPEG frames — exact round trip through the sample "
+    "table walk + from-scratch JPEG decoder), and an animated GIF "
+    "with exactly 2 hash bits flipped (full-canvas first frame + a "
+    "partial-update second frame) — all three must collapse; the "
+    "200 classes reuse the image fixture's _mix64 targets "
+    "(Hamming-15 separation pin shared).  Oracle: the closed-form "
+    "class structure (rep = 3*min(doc_id), n = 3*count).  "
+    "Re-containered clips (master -> upload transcode -> preview "
+    "GIF) are how video duplicates actually appear in a crawl; "
+    "byte hashing sees three unrelated blobs")
+def q_multimodal_video_phash_dedup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import synth_media, video_phash_dedup
+    ids = load(spark, sf_dir, "documents").selectExpr(
+        "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
+    return video_phash_dedup(synth_media(ids, "video", fmt="vhash"))
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3775,6 +3835,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round 16, VERDICT r15 ask 2: afp64 dispatches FLAC/AIFF/MP3 to
     # PCM; the fixture carries 5 containers per class
     "multimodal_audio_fp_dedup",
+    # round 16, beyond-ask: incremental afp probe against the
+    # persisted store (new entry — the audio twin of
+    # multimodal_phash_incremental, hash64 machinery shared)
+    "multimodal_audio_fp_incremental",
+    # round 16, beyond-ask: perceptual VIDEO near-dup (new entry —
+    # first-frame dHash across Y4M / MJPEG-MP4 / animated GIF)
+    "multimodal_video_phash_dedup",
     # round 16: entries routed through the changed decode_pixels
     # dispatch (changed expression ⇒ re-checked), plus decode_jpeg
     # whose fixture encoder gained the quant-table override (default

@@ -3998,6 +3998,47 @@ def test_phash_dedup_semantics(spark):
     assert rows == {0: 12, 6: 6, 12: 6}
 
 
+def test_video_phash_dedup_semantics(spark):
+    """Perceptual video hashing (r16): (1) the Y4M master's first
+    frame hashes EXACTLY to the class target through the native
+    plane read; (2) the resized MJPEG/MP4 twin hashes identically
+    through the sample-table walk + JPEG decoder (flat quant,
+    block-aligned — exact round trip); (3) the animated-GIF variant
+    sits at exactly Hamming 2 through the LZW decoder; (4)
+    video_phash_dedup collapses each class's 6 rows (2 docs x 3
+    containers) into one cluster with the min-id keeper.  Class
+    separation is the image fixture's pinned Hamming-15 floor (the
+    targets are shared)."""
+    from harbourbridge_spark.pipeline.multimodal import (
+        _mix64, first_frame_pixels, synth_media, synth_vhash_variant,
+        vhash64, video_phash_dedup)
+
+    for doc in (0, 5, 199, 203):
+        cls = doc % 200
+        y4m, mp4, gif = (synth_vhash_variant(doc * 3 + v)
+                         for v in range(3))
+        assert y4m[:9] == b"YUV4MPEG2"
+        assert mp4[4:8] == b"ftyp"
+        assert gif[:6] == b"GIF89a"
+        # containers decode to different raster sizes (the MJPEG twin
+        # is the 8x-scaled re-encode) — the hash must not care
+        assert first_frame_pixels(y4m).shape \
+            != first_frame_pixels(mp4).shape
+        h0, h1, h2 = (vhash64(v) for v in (y4m, mp4, gif))
+        assert h0 == _mix64(cls)
+        assert h1 == h0
+        assert bin(h0 ^ h2).count("1") == 2
+
+    ids = (spark.createDataFrame([(0,), (1,), (2,), (200,)],
+                                 "doc_id long")
+           .selectExpr("explode(sequence(doc_id * 3, doc_id * 3 + 2))"
+                       " AS media_id"))
+    media = synth_media(ids, "video", fmt="vhash")
+    rows = {r.rep_media_id: r.n_videos
+            for r in video_phash_dedup(media).collect()}
+    assert rows == {0: 6, 3: 3, 6: 3}
+
+
 def test_phash_bilinear_resize_envelope():
     """dHash robustness under REALISTIC interpolation (VERDICT r15
     ask 5): real thumbnailers use bilinear/area resampling, not the

@@ -392,6 +392,45 @@ def test_phash_store_round_trip_and_admission(spark, tmp_path):
                                      media([407])).count() == 0
 
 
+def test_audio_fp_store_round_trip_and_admission(spark, tmp_path):
+    """Incremental afp store (r16): the hash64 store machinery
+    applied to the audio fingerprint — corpus build, batch probe
+    (re-leveled/re-encoded twins of corpus classes flag with the
+    class-min corpus clip as dup_of; a batch-only class stays
+    silent), filtered admission, and a second batch flagging against
+    the admitted keeper."""
+    from harbourbridge_spark.pipeline.multimodal import (
+        audio_fp_probe_against_store, audio_fp_store_write,
+        synth_media)
+
+    def media(doc_ids):
+        ids = (spark.createDataFrame([(d,) for d in doc_ids],
+                                     "doc_id long")
+               .selectExpr("explode(sequence(doc_id * 5, "
+                           "doc_id * 5 + 4)) AS media_id"))
+        return synth_media(ids, "audio", fmt="afp")
+
+    store = str(tmp_path / "afp")
+    audio_fp_store_write(spark, media([0, 1]), store)
+
+    # doc 200 (class 0) flags with dup_of = 0; doc 7 (class 7,
+    # batch-only) is silent but its keeper (media 35) admits
+    verdicts = {r.media_id: r.dup_of
+                for r in audio_fp_probe_against_store(
+                    spark, store, media([200, 7]),
+                    admit=True).collect()}
+    assert verdicts == {1000 + v: 0 for v in range(5)}
+    store_ids = {r.media_id for r in spark.read.parquet(
+        f"{store}/hashes").collect()}
+    assert store_ids == set(range(10)) | {35}
+
+    # doc 407 (class 7) now flags against the admitted keeper
+    verdicts2 = {r.media_id: r.dup_of
+                 for r in audio_fp_probe_against_store(
+                     spark, store, media([407])).collect()}
+    assert verdicts2 == {2035 + v: 35 for v in range(5)}
+
+
 def test_streaming_media_admission_e2e(spark, tmp_path):
     """Streaming perceptual gate (r15, r16 verdict semantics): media
     batches arrive as parquet files; epoch 1's intra-batch near-dup

@@ -86,6 +86,12 @@ PYTHON_KERNEL_OK = {
     # r15: the audio twin — PCM decode + rFFT band-energy
     # fingerprint kernel, same JVM-side LSH after it
     "multimodal_audio_fp_dedup",
+    # r16: the video twin — first-frame decode (Y4M plane read /
+    # MJPEG sample walk / GIF LZW) + the shared dHash kernel, same
+    # JVM-side LSH after it.  (The two INCREMENTAL probe entries do
+    # NOT appear here: their batch hashes are localCheckpoint'ed, so
+    # the final plan is checkpoint scan + pure JVM SQL.)
+    "multimodal_video_phash_dedup",
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
     # family) do NOT appear here even though they run Arrow kernels —
     # their signatures are localCheckpoint()ed, so the FINAL plan this
