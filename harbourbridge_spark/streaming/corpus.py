@@ -286,7 +286,8 @@ def media_stream(spark: SparkSession, media_dir: str,
 
 def streaming_media_admission(stream: DataFrame, phash_store: str,
                               out_dir: str, checkpoint_dir: str,
-                              hamming_k: int = 3):
+                              hamming_k: int = 3,
+                              kind: str = "image"):
     """Continuous perceptual near-dup gating for MEDIA ingest (r15):
     each micro-batch decodes ONLY its own images (one dHash kernel
     pass), probes the persisted phash store, and admits the images
@@ -302,19 +303,24 @@ def streaming_media_admission(stream: DataFrame, phash_store: str,
     (ADVICE r15: intra-batch non-representatives are rejected in the
     verdict, with intra_dup_of naming the batch keeper they
     duplicate, not just silently withheld from the store).
+    ``kind`` picks the perceptual hash kernel — "image" (dHash over
+    decoded rasters) or "audio" (afp64 over decoded PCM); the store,
+    probe, and admission machinery are hash-agnostic, so one gate
+    serves both modalities (r16).
     Scale: everything after the batch-sized decode shuffles 8-byte
     hashes keyed by 16-bit slices; the store is never decoded, only
     its hash parquet + bucket sidecar are read."""
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..pipeline.multimodal import (_phash_df,
+        from ..pipeline.multimodal import (_afp_df, _phash_df,
                                            _phash_store_append,
                                            phash_intra_batch_excluded,
                                            phash_probe_hashes)
         from ..pipeline.storecache import store_lock
         spark = batch_df.sparkSession
+        kernel = _afp_df if kind == "audio" else _phash_df
 
         def attempt():
-            batch_ph = _phash_df(batch_df).localCheckpoint()
+            batch_ph = kernel(batch_df).localCheckpoint()
             flagged = phash_probe_hashes(spark, phash_store,
                                          batch_ph, hamming_k)
             intra = phash_intra_batch_excluded(batch_ph, hamming_k)

@@ -512,3 +512,59 @@ def test_streaming_media_admission_e2e(spark, tmp_path):
     # rejected epochs grow nothing
     assert {r.media_id for r in spark.read.parquet(
         f"{store}/hashes").collect()} == store_ids
+
+
+def test_streaming_audio_admission_e2e(spark, tmp_path):
+    """The streaming admission gate with kind="audio" (r16): the
+    same store/probe/verdict machinery over afp64 fingerprints — a
+    re-leveled twin of a seed clip is rejected with dup_of at the
+    seed keeper; a new class admits only its intra-batch
+    representative."""
+    import glob
+    import os
+    import shutil
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        audio_fp_store_write, synth_media)
+    from harbourbridge_spark.streaming.corpus import (
+        media_stream, streaming_media_admission)
+
+    def media_rows(doc_ids):
+        ids = (spark.createDataFrame([(d,) for d in doc_ids],
+                                     "doc_id long")
+               .selectExpr("explode(sequence(doc_id * 5, "
+                           "doc_id * 5 + 4)) AS media_id"))
+        return synth_media(ids, "audio", fmt="afp") \
+            .select("media_id", "kind", "content")
+
+    store = str(tmp_path / "afp_store")
+    sdir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sdir)
+    audio_fp_store_write(spark, media_rows([0]), store)   # class 0
+
+    tmp = f"{sdir}/e1_tmp"
+    # doc 200 (class 0 -> seed twins) + doc 7 (new class 7)
+    media_rows([200, 7]).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{sdir}/e1.parquet")
+    shutil.rmtree(tmp)
+
+    q = streaming_media_admission(
+        media_stream(spark, sdir), store, out, ckpt, kind="audio")
+    q.awaitTermination(120)
+
+    e1 = {r.media_id: (r.dup_of, r.intra_dup_of, r.admitted)
+          for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    # doc 200's five clips flag against the seed (dup_of = 0);
+    # doc 7's keeper (35) admits, its variants name it
+    assert {m: d for m, (d, _i, _a) in e1.items() if d is not None} \
+        == {1000 + v: 0 for v in range(5)}
+    assert e1[35] == (None, None, True)
+    for v in range(1, 5):
+        assert e1[35 + v] == (None, 35, False)
+    store_ids = {r.media_id for r in spark.read.parquet(
+        f"{store}/hashes").collect()}
+    assert store_ids == set(range(5)) | {35}
