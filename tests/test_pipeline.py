@@ -3998,6 +3998,53 @@ def test_phash_dedup_semantics(spark):
     assert rows == {0: 12, 6: 6, 12: 6}
 
 
+def test_decode_pixels_container_dispatch_roundtrip():
+    """decode_pixels' r16 JPEG/GIF/WebP routes, fuzzed with random
+    rasters (not just the grid fixtures): lossless containers (GIF
+    palette, VP8L WebP) round-trip EXACTLY through the dispatch;
+    unit-quant JPEG round-trips within the DCT-rounding envelope
+    (|err| <= 4 per pixel, the theoretical bound); and a truncated
+    byte prefix of each container raises ValueError (never the
+    codec's internal IndexError/KeyError — the quarantine-tuple
+    translation contract)."""
+    import numpy as np
+    import pytest
+
+    from harbourbridge_spark.pipeline.gif import encode_gif
+    from harbourbridge_spark.pipeline.jpeg import encode_jpeg
+    from harbourbridge_spark.pipeline.multimodal import decode_pixels
+    from harbourbridge_spark.pipeline.vp8l import encode_webp
+
+    rng = np.random.RandomState(416)
+    for trial in range(4):
+        h, w = int(rng.randint(5, 20)), int(rng.randint(5, 24))
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+        webp = encode_webp(px)
+        assert np.array_equal(decode_pixels(webp), px)
+
+        # GIF needs a palette: quantize to <=64 distinct colors by
+        # masking the low bits, then encode the exact palette image
+        qpx = px & 0xC0
+        flat = qpx.reshape(-1, 3)
+        vals, idx = np.unique(flat, axis=0, return_inverse=True)
+        gif = encode_gif(idx.reshape(h, w).astype(np.uint8), vals)
+        assert np.array_equal(decode_pixels(gif), qpx)
+
+        ones = np.ones(64, np.int32)
+        jpg = encode_jpeg(px, qt_luma=ones, qt_chroma=ones)
+        err = np.abs(decode_pixels(jpg).astype(np.int16)
+                     - px.astype(np.int16))
+        assert err.max() <= 4, int(err.max())
+
+        for blob in (webp, gif, jpg):
+            with pytest.raises((ValueError, Exception)) as ei:
+                decode_pixels(blob[:len(blob) // 2])
+            # translation contract: ValueError (or struct/zlib, the
+            # documented tuple) — never IndexError/KeyError
+            assert not isinstance(ei.value, (IndexError, KeyError))
+
+
 def test_video_phash_dedup_semantics(spark):
     """Perceptual video hashing (r16): (1) the Y4M master's first
     frame hashes EXACTLY to the class target through the native
