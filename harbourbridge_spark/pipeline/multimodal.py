@@ -1542,14 +1542,10 @@ def synth_vhash_variant(media_id: int) -> bytes:
     return encode_gif_animated(9, 8, palette, frames)
 
 
-def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
-                      batch_size: int = 256) -> DataFrame:
-    """Perceptual near-dup VIDEO clustering: vhash64 (first-frame
-    box-filter dHash) + the shared Hamming-<=k LSH collapse
-    (_hash64_cluster).  Returns (rep_media_id, n_videos).  Scale
-    shape identical to phash_dedup: the decode kernel is
-    embarrassingly parallel, everything after shuffles 8-byte
-    hashes."""
+def _vhash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched vhash64 kernel: (media_id, phash) — the video
+    twin of _phash_df/_afp_df, same relation shape so the hash64
+    store/probe/cluster machinery is shared verbatim."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
@@ -1564,10 +1560,92 @@ def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
-    ph = media.select("media_id", "content").mapInPandas(
+    return media.select("media_id", "content").mapInPandas(
         _resliced(run, batch_size), schema="media_id long, phash long")
+
+
+def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
+                      batch_size: int = 256) -> DataFrame:
+    """Perceptual near-dup VIDEO clustering: vhash64 (first-frame
+    box-filter dHash) + the shared Hamming-<=k LSH collapse
+    (_hash64_cluster).  Returns (rep_media_id, n_videos).  Scale
+    shape identical to phash_dedup: the decode kernel is
+    embarrassingly parallel, everything after shuffles 8-byte
+    hashes."""
+    ph = _vhash_df(media, batch_size)
     return (_hash64_cluster(ph, hamming_k)
             .withColumnRenamed("n_images", "n_videos"))
+
+
+def video_phash_store_write(spark, media_df: DataFrame,
+                            store_path: str, mode: str = "overwrite",
+                            batch_size: int = 256,
+                            hamming_k: int = 3) -> None:
+    """Video twin of phash_store_write: persist (media_id, vhash64)
+    + the bucket sidecar in the shared hash64 store layout."""
+    from .storecache import store_lock
+
+    ph = _vhash_df(media_df, batch_size).localCheckpoint()
+    with store_lock(store_path, exclusive=False):
+        _phash_store_append(ph, store_path, hamming_k, mode=mode)
+
+
+def video_phash_probe_against_store(spark, store_path: str,
+                                    batch_media: DataFrame,
+                                    hamming_k: int = 3,
+                                    batch_size: int = 256,
+                                    admit: bool = False) -> DataFrame:
+    """Incremental perceptual VIDEO dedup: probe a NEW clip batch
+    against the persisted vhash store — only the batch decodes
+    frames; bucket stats come from the sidecar; dup_of =
+    star-invariant MIN; filtered admission like the image gate."""
+    from .storecache import store_lock
+
+    batch_ph = _vhash_df(batch_media, batch_size).localCheckpoint()
+    verdicts = phash_probe_hashes(spark, store_path, batch_ph,
+                                  hamming_k)
+    if admit:
+        excluded = (verdicts.select("media_id").unionByName(
+            phash_intra_batch_excluded(batch_ph, hamming_k)
+            .select("media_id")).distinct())
+        clean = batch_ph.join(excluded, "media_id",
+                              "left_anti").localCheckpoint()
+        with store_lock(store_path, exclusive=False):
+            _phash_store_append(clean, store_path, hamming_k)
+    return verdicts
+
+
+def vhash_incremental_entry_fn(spark, sf_dir: str,
+                               mod: int = PHASH_INC_MOD,
+                               res: int = PHASH_INC_RES):
+    """Registry/bench twin of phash_incremental_entry_fn for VIDEO:
+    corpus-side vhash store built once per fixture identity, reused
+    across runs — the measured cost is the batch-sized frame decode
+    + probe.  Same mod-7 split (coprime with the 200 classes)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    ident = _hashlib.sha1(
+        f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}|vhash-v1".encode()).hexdigest()[:16]
+    store = store_path("vhash", ident)
+    docs = spark.read.parquet(src)
+
+    def media_for(pred: str) -> DataFrame:
+        ids = docs.where(pred).selectExpr(
+            f"explode(sequence(doc_id * {VHASH_VARIANTS}, "
+            f"doc_id * {VHASH_VARIANTS} + {VHASH_VARIANTS - 1})) "
+            "AS media_id")
+        return synth_media(ids, "video", fmt="vhash")
+
+    publish_store(store, lambda tmp: video_phash_store_write(
+        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
+    return video_phash_probe_against_store(
+        spark, store, media_for(f"doc_id % {mod} >= {res}"))
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,

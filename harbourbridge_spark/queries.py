@@ -3609,6 +3609,35 @@ def q_multimodal_video_phash_dedup(spark: SparkSession,
     return video_phash_dedup(synth_media(ids, "video", fmt="vhash"))
 
 
+@register(
+    "multimodal_video_phash_incremental",
+    """
+    WITH corp AS (
+        SELECT doc_id % 200 AS cls,
+               CAST(MIN(doc_id) * 3 AS BIGINT) AS dup_of
+        FROM documents WHERE doc_id % 7 < 5
+        GROUP BY doc_id % 200
+    ), b AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 >= 5
+    )
+    SELECT CAST(b.doc_id * 3 + v.v AS BIGINT) AS media_id, c.dup_of
+    FROM b JOIN corp c ON c.cls = b.doc_id % 200
+    CROSS JOIN (VALUES (0), (1), (2)) AS v(v)
+    """,
+    "Incremental perceptual VIDEO dedup (r16, beyond-ask): a NEW "
+    "clip batch probes the PERSISTED vhash store — the hash64 "
+    "store/probe machinery shared verbatim with the image and audio "
+    "twins (16 bytes/clip + bucket sidecar; only the batch decodes "
+    "frames; dup_of = star-invariant MIN verified corpus match).  "
+    "Batch split mod 7, coprime with the 200-class structure.  "
+    "Oracle: every batch container of a corpus-present class flags "
+    "with dup_of = 3*min(corpus doc of the class)")
+def q_multimodal_video_phash_incremental(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import vhash_incremental_entry_fn
+    return vhash_incremental_entry_fn(spark, sf_dir)
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3839,9 +3868,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     # persisted store (new entry — the audio twin of
     # multimodal_phash_incremental, hash64 machinery shared)
     "multimodal_audio_fp_incremental",
-    # round 16, beyond-ask: perceptual VIDEO near-dup (new entry —
-    # first-frame dHash across Y4M / MJPEG-MP4 / animated GIF)
+    # round 16, beyond-ask: perceptual VIDEO near-dup (new entries —
+    # first-frame dHash across Y4M / MJPEG-MP4 / animated GIF, batch
+    # + incremental-store forms)
     "multimodal_video_phash_dedup",
+    "multimodal_video_phash_incremental",
     # round 16: entries routed through the changed decode_pixels
     # dispatch (changed expression ⇒ re-checked), plus decode_jpeg
     # whose fixture encoder gained the quant-table override (default

@@ -304,20 +304,23 @@ def streaming_media_admission(stream: DataFrame, phash_store: str,
     verdict, with intra_dup_of naming the batch keeper they
     duplicate, not just silently withheld from the store).
     ``kind`` picks the perceptual hash kernel — "image" (dHash over
-    decoded rasters) or "audio" (afp64 over decoded PCM); the store,
-    probe, and admission machinery are hash-agnostic, so one gate
-    serves both modalities (r16).
+    decoded rasters), "audio" (afp64 over decoded PCM), or "video"
+    (vhash64 over the first decoded frame); the store, probe, and
+    admission machinery are hash-agnostic, so one gate serves every
+    modality (r16).
     Scale: everything after the batch-sized decode shuffles 8-byte
     hashes keyed by 16-bit slices; the store is never decoded, only
     its hash parquet + bucket sidecar are read."""
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipeline.multimodal import (_afp_df, _phash_df,
                                            _phash_store_append,
+                                           _vhash_df,
                                            phash_intra_batch_excluded,
                                            phash_probe_hashes)
         from ..pipeline.storecache import store_lock
         spark = batch_df.sparkSession
-        kernel = _afp_df if kind == "audio" else _phash_df
+        kernel = {"audio": _afp_df,
+                  "video": _vhash_df}.get(kind, _phash_df)
 
         def attempt():
             batch_ph = kernel(batch_df).localCheckpoint()
