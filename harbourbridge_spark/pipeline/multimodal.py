@@ -816,12 +816,42 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
 
 def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
     """The Hamming-<=k LSH cluster collapse over any (media_id,
-    hash64-as-long) relation — shared by the image dHash and the
-    audio fingerprint: pigeonhole slices, MAX_BUCKET star-degrade,
-    popcount verify, one-pass min-representative collapse."""
+    hash64-as-long) relation — shared by the image dHash, the audio
+    fingerprint, and the video first-frame hash: pigeonhole slices,
+    MAX_BUCKET star-degrade, popcount verify, one-pass
+    min-representative collapse.
+
+    ``ph`` is localCheckpoint'ed FIRST: the collapse references it in
+    four subtrees (the windowed bucket stats feed both sides of the
+    candidate self-join, the star path, and the vertex relation), and
+    without materialization Catalyst re-executes the upstream Python
+    decode kernel once per subtree — measured 4x the whole
+    synth+decode cost per entry (r16; the dedup-chain signature
+    precedent applied here).
+
+    EXACT-HASH PRE-COLLAPSE (r16): near-dup corpora are
+    duplicate-HEAVY — most copies hash bit-identical (re-encodes,
+    re-levels, integer resizes), so the LSH runs over DISTINCT hash
+    values (group min id as representative, group size carried), and
+    per-media results expand back at the end.  This turns the
+    under-cap pair join from quadratic in COPY multiplicity into
+    quadratic in distinct-NEAR-variant multiplicity (bounded by the
+    Hamming ball, not the corpus) — the same exact-then-near layering
+    the text dedup chain uses.  Equivalence to the direct one-pass
+    collapse: m's smallest verified partner x always has its group
+    min gx <= x carrying the identical hash (so gx is also m's
+    verified partner in the same buckets), hence min-partner(m) =
+    min-partner over group mins, and rep(m) = rep(group-min(m)) —
+    the collapsed pass computes exactly that."""
     from .dedup import MAX_BUCKET
 
-    keyed = _phash_sliced(ph, hamming_k)
+    ph = ph.localCheckpoint()
+    groups = (ph.groupBy("phash")
+              .agg(F.min("media_id").alias("media_id"),
+                   F.count("*").cast("long").alias("n_members"))
+              .localCheckpoint())
+    g = groups.select("media_id", "phash")
+    keyed = _phash_sliced(g, hamming_k)
     w = Window.partitionBy("b", "slice")
     ann = keyed.select(
         "media_id", "phash", "b", "slice",
@@ -846,14 +876,15 @@ def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
     edges = cand.filter(
         F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}")) \
         .select("id_a", "id_b")
-    verts = ph.select(F.col("media_id"),
-                      F.col("media_id").alias("r"))
+    verts = g.select(F.col("media_id"),
+                     F.col("media_id").alias("r"))
     reps = (verts.unionByName(
         edges.select(F.col("id_b").alias("media_id"),
                      F.col("id_a").alias("r")))
         .groupBy("media_id").agg(F.min("r").alias("rep")))
-    return (reps.groupBy("rep")
-            .agg(F.count("*").cast("long").alias("n_images"))
+    return (groups.join(reps, "media_id")
+            .groupBy("rep")
+            .agg(F.sum("n_members").alias("n_images"))
             .select(F.col("rep").alias("rep_media_id"), "n_images"))
 
 
