@@ -1283,7 +1283,12 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
     store-hash read at all for over-cap buckets); small-bucket
     members are pulled from {store}/hashes through a BROADCAST
     semi-join on the batch's small-bucket keys, so the only store
-    cost is one pruned columnar scan of 16-byte rows."""
+    cost is one pruned columnar scan of 16-byte rows.
+
+    The probe runs over DISTINCT batch hashes (r16: the verdict is a
+    pure function of the hash, so duplicate-heavy batches — the
+    near-dup shape by definition — probe each hash value once and
+    the per-media verdicts expand back by an equi-join on phash)."""
     from .dedup import MAX_BUCKET
 
     buckets = (spark.read.parquet(f"{store_path}/buckets_k{hamming_k}")
@@ -1291,7 +1296,10 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
                .agg(F.sum("n").alias("n"),
                     F.min("rep").alias("rep"),
                     F.expr("min_by(rep_ph, rep)").alias("rep_ph")))
-    inc = _phash_sliced(batch_ph, hamming_k)
+    distinct_ph = batch_ph.select(
+        F.col("phash").alias("media_id"),      # hash stands in as id
+        "phash").distinct()
+    inc = _phash_sliced(distinct_ph, hamming_k)
     # bucket stats for ONLY the batch's keys — broadcast the small
     # batch side so the sidecar never shuffles
     hit = buckets.join(F.broadcast(inc), on=["b", "slice"])
@@ -1312,10 +1320,13 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
                 F.col("e.media_id").alias("dup"),
                 F.col("e.phash").alias("ph_e")))
     cand = cand_small.unionByName(cand_star).distinct()
-    verdicts = (cand.filter(
+    hash_verdicts = (cand.filter(
         F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
-        .groupBy("media_id")
+        .groupBy("ph_i")
         .agg(F.min("dup").alias("dup_of")))
+    verdicts = (batch_ph.join(
+        hash_verdicts, batch_ph["phash"] == hash_verdicts["ph_i"])
+        .select("media_id", "dup_of"))
     return verdicts.localCheckpoint()
 
 
