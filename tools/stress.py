@@ -106,6 +106,13 @@ OP_BUDGETS = {
     # superlinearity (e.g. a quadratic batch bug), not to assert
     # fixed-cost dominance.
     "multimodal_decode_mp3": 10.5,
+    # r16 addition: perceptual image near-dup under the adversarial
+    # 8x near-identical replication — COPY multiplicity multiplies
+    # 8x but the r16 exact-hash pre-collapse keeps the LSH pair join
+    # on DISTINCT hashes (constant: 200 classes x 6 containers), so
+    # only the decode kernel scales: linear-ceiling convention like
+    # the codec entries.
+    "multimodal_phash_dedup": 10.5,
     # r11 addition: exact substring-span dedup — per-gram occurrence
     # count + semi-join + per-doc islands; no pair join, so the
     # design shape is ~linear in token mass.  The 8x replicas make
