@@ -78,20 +78,11 @@ PYTHON_KERNEL_OK = {
     "warc_to_documents", "warc_salvage_stats",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
-    # r15: perceptual dHash kernel (decode + 9x8 gradient-sign hash)
-    # — Arrow-batched by design like pixel_dedup; everything after
-    # the kernel (slice join, popcount verify, min-rep collapse) is
-    # pure JVM SQL
-    "multimodal_phash_dedup",
-    # r15: the audio twin — PCM decode + rFFT band-energy
-    # fingerprint kernel, same JVM-side LSH after it
-    "multimodal_audio_fp_dedup",
-    # r16: the video twin — first-frame decode (Y4M plane read /
-    # MJPEG sample walk / GIF LZW) + the shared dHash kernel, same
-    # JVM-side LSH after it.  (The two INCREMENTAL probe entries do
-    # NOT appear here: their batch hashes are localCheckpoint'ed, so
-    # the final plan is checkpoint scan + pure JVM SQL.)
-    "multimodal_video_phash_dedup",
+    # NOTE: the perceptual hash64 entries (phash/audio_fp/video_phash
+    # batch dedup + every incremental probe) do NOT appear here since
+    # r16 — _hash64_cluster localCheckpoints its input, so their
+    # FINAL plans are checkpoint scans + pure JVM SQL (the minhash
+    # family precedent below).
     # NOTE: the vectorized-kernel dedup entries (minhash_fast, simhash
     # family) do NOT appear here even though they run Arrow kernels —
     # their signatures are localCheckpoint()ed, so the FINAL plan this
