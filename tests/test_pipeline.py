@@ -4086,6 +4086,41 @@ def test_video_phash_dedup_semantics(spark):
     assert rows == {0: 6, 3: 3, 6: 3}
 
 
+def test_first_frame_pixels_truncation_contract():
+    """The video dispatcher's quarantine contract (the
+    test_decode_pixels_container_dispatch_roundtrip tail, carried to
+    video containers): truncated prefixes of all three containers —
+    Y4M native plane read, MP4 sample-table walk, GIF LZW — and
+    arbitrary junk bytes raise within the documented quarantine
+    tuple (ValueError, struct.error, zlib.error), never the codecs'
+    internal IndexError/KeyError, so the mapInPandas kernels'
+    per-row degrade catches every malformed clip instead of killing
+    the job.  A tail truncation that only clips the SECOND frame may
+    instead decode successfully — first-frame semantics — but then
+    it must return exactly the full clip's first frame."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        first_frame_pixels, synth_vhash_variant)
+
+    ok = (ValueError, struct.error, zlib.error)
+    blobs = [synth_vhash_variant(v) for v in range(3)]  # Y4M/MP4/GIF
+    for blob in blobs:
+        frame0 = first_frame_pixels(blob)
+        for cut in (11, 30, len(blob) // 2, len(blob) - 3):
+            try:
+                got = first_frame_pixels(blob[:cut])
+            except ok:
+                continue
+            assert np.array_equal(got, frame0), cut
+    with pytest.raises(ok):
+        first_frame_pixels(b"\x00" * 40)
+
+
 def test_phash_bilinear_resize_envelope():
     """dHash robustness under REALISTIC interpolation (VERDICT r15
     ask 5): real thumbnailers use bilinear/area resampling, not the
