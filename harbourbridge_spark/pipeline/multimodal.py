@@ -1690,6 +1690,311 @@ def vhash_incremental_entry_fn(spark, sf_dir: str,
         spark, store, media_for(f"doc_id % {mod} >= {res}"))
 
 
+# ---------------------------------------------------------------------------
+# Temporal (multi-frame vote) perceptual video hash — the production
+# variant vhash64's docstring names: hash k sampled frames and VOTE.
+# A first-frame hash misses re-encoded clips whose opening frame was
+# retouched (new title card, watermark) and false-merges clips that
+# share a standard opening; sampling first/middle/last and requiring
+# a slot majority fixes both, at the cost of k frame decodes.
+# ---------------------------------------------------------------------------
+
+THASH_SLOTS = 3
+
+
+def y4m_frame_rasters(content: bytes) -> list:
+    """Every frame of a YUV4MPEG2 stream as (h, w, 3) uint8 RGB
+    rasters — the full-raster sibling of decode_y4m_frames (which
+    emits luma means only).  Same header walk and bomb guard; the
+    mono/C444/C420 -> RGB conversion matches y4m_first_frame_pixels
+    (JFIF full-range BT.601)."""
+    if content[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m header terminator")
+    w = h = 0
+    colorspace = "420"
+    for tok in content[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad y4m geometry W={w} H={h}")
+    if colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith("444"):
+        frame_bytes = 3 * w * h
+    elif colorspace.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{colorspace}")
+    if w * h * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded size over MAX_DECODED_BYTES")
+    pos = nl + 1
+    out = []
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(content):
+            raise ValueError("truncated y4m frame payload")
+        yp = np.frombuffer(content, np.uint8, w * h, pos) \
+            .reshape(h, w).astype(np.float64)
+        if colorspace.startswith("mono"):
+            g = yp.astype(np.uint8)
+            out.append(np.stack([g, g, g], axis=-1))
+        else:
+            if colorspace.startswith("444"):
+                up = np.frombuffer(content, np.uint8, w * h,
+                                   pos + w * h) \
+                    .reshape(h, w).astype(np.float64)
+                vp = np.frombuffer(content, np.uint8, w * h,
+                                   pos + 2 * w * h) \
+                    .reshape(h, w).astype(np.float64)
+            else:
+                cw, ch_ = w // 2, h // 2
+                up = np.frombuffer(content, np.uint8, cw * ch_,
+                                   pos + w * h) \
+                    .reshape(ch_, cw).astype(np.float64)
+                vp = np.frombuffer(content, np.uint8, cw * ch_,
+                                   pos + w * h + cw * ch_) \
+                    .reshape(ch_, cw).astype(np.float64)
+                up = np.repeat(np.repeat(up, 2, 0), 2, 1)[:h, :w]
+                vp = np.repeat(np.repeat(vp, 2, 0), 2, 1)[:h, :w]
+            cb, cr = up - 128.0, vp - 128.0
+            rgb = np.stack([yp + 1.402 * cr,
+                            yp - 0.344136 * cb - 0.714136 * cr,
+                            yp + 1.772 * cb], axis=-1)
+            out.append(np.clip(np.round(rgb), 0, 255)
+                       .astype(np.uint8))
+        pos += frame_bytes
+    if not out:
+        raise ValueError("y4m stream has no frames")
+    return out
+
+
+def video_frame_rasters(content: bytes) -> list:
+    """Container dispatch to ALL decoded RGB frame rasters: Y4M
+    (native plane read) and MP4 with an MJPEG track (sample-table
+    walk + the from-scratch JPEG decoder).  GIF stays on the
+    first-frame path (vhash64) — previews are single-scene by
+    nature.  Same quarantine-translation contract as
+    first_frame_pixels."""
+    if content[:9] == Y4M_MAGIC:
+        return y4m_frame_rasters(content)
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        from .mp4frames import decode_mjpeg_frames
+        try:
+            frames = decode_mjpeg_frames(content)
+        except (IndexError, KeyError, ZeroDivisionError,
+                MemoryError) as e:
+            raise ValueError(f"malformed MP4: {e}") from e
+        if not frames:
+            raise ValueError("MP4 has no video samples")
+        return frames
+    raise ValueError("unknown multi-frame video container")
+
+
+def thash_slots(content: bytes,
+                slots: int = THASH_SLOTS) -> list:
+    """Per-slot temporal hash: decode the clip's frames, sample
+    ``slots`` of them evenly across the timeline (first / middle /
+    last for the default 3 — round(t*(m-1)/(slots-1)); a clip
+    shorter than ``slots`` frames repeats frames, so stills still
+    hash), and box-filter-dHash each sampled frame.  Returns
+    [hash64] indexed by slot.  Two clips are only ever compared
+    slot-for-slot — temporal position is part of the identity, so a
+    clip and its reversal do not collapse."""
+    frames = video_frame_rasters(content)
+    m = len(frames)
+    idx = [round(t * (m - 1) / (slots - 1)) for t in range(slots)] \
+        if slots > 1 else [0]
+    return [_dhash_px(frames[i]) for i in idx]
+
+
+THASH_VARIANTS = 4
+
+
+def synth_thash_variant(media_id: int) -> bytes:
+    """Closed-form TEMPORAL video fixture: media_id encodes (doc =
+    media_id // 4, variant = media_id % 4), class = doc % 200.  Each
+    clip carries THREE frames; the slot-t target hash of class c is
+    _mix64(1000 + 3*c + t), the decoy hashes _mix64(3000 + c) /
+    _mix64(4000 + c), and the tamper hash _mix64(5000 + c) — per
+    slot, the union of every hash the fixture can present measures
+    min pairwise Hamming >= 16 (pinned in
+    test_video_thash_dedup_semantics), an 8-bit margin over the
+    2-flips + hamming_k=3 worst case.  Variants:
+
+    - 0: Y4M mono master (3 frames = the slot grids at a
+         class-dependent integer scale),
+    - 1: MJPEG/MP4 twin (flat-quant 8x8-aligned JPEG frames — exact
+         round trip): all 3 slots match -> 3/3 votes, dup,
+    - 2: retouched re-encode: slots 0/1 carry 2 flipped bits each,
+         slot 2 a FAR tamper grid (new end card) -> 2/3 votes, dup
+         under the default majority,
+    - 3: shared-opening decoy: slot 0 EXACTLY the master's, slots
+         1/2 far decoy grids -> 1/3 votes, NOT a dup — the false
+         merge a first-frame hash cannot avoid."""
+    doc = media_id // THASH_VARIANTS
+    variant = media_id % THASH_VARIANTS
+    cls = doc % 200
+    targets = [_mix64(1000 + 3 * cls + t) for t in range(3)]
+    if variant == 2:
+        flips = (cls % 64, (cls * 11 + 5) % 64)
+        grids = [_dhash_grid(targets[0], flips),
+                 _dhash_grid(targets[1], flips),
+                 _dhash_grid(_mix64(5000 + cls))]
+    elif variant == 3:
+        grids = [_dhash_grid(targets[0]),
+                 _dhash_grid(_mix64(3000 + cls)),
+                 _dhash_grid(_mix64(4000 + cls))]
+    else:
+        grids = [_dhash_grid(t) for t in targets]
+    if variant == 1:
+        from .jpeg import encode_jpeg
+        from .mp4frames import mux_mp4_mjpeg
+        ones = np.ones(64, np.int32)
+        frames = [encode_jpeg(np.repeat(np.repeat(g, 8, 0), 8, 1),
+                              qt_luma=ones, qt_chroma=ones)
+                  for g in grids]
+        p = {"n_frames": 3, "timescale": 1000,
+             "run_a": 1, "dur_a": 120, "dur_b": 160}
+        return mux_mp4_mjpeg(frames, 9 * 8, 8 * 8, p,
+                             with_stss=(cls % 2 == 0))
+    sy = 1 + cls % 2
+    sx = 1 + cls % 3
+    h, w = 8 * sy, 9 * sx
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n"
+                    % (w, h))
+    for g in grids:
+        out += b"FRAME\n" + np.repeat(np.repeat(g, sy, 0),
+                                      sx, 1).tobytes()
+    return bytes(out)
+
+
+def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched thash kernel: one (media_id, slot, phash) row
+    per sampled frame.  Undecodable clips contribute zero rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, slots_, hashes = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    hs = thash_slots(bytes(content))
+                except (ValueError, struct.error, zlib.error):
+                    continue
+                for t, h in enumerate(hs):
+                    ids.append(mid)
+                    slots_.append(t)
+                    hashes.append(h - (1 << 64)
+                                  if h >= (1 << 63) else h)
+            yield pd.DataFrame({"media_id": ids, "slot": slots_,
+                                "phash": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        _resliced(run, batch_size),
+        schema="media_id long, slot int, phash long")
+
+
+def video_thash_dedup(media: DataFrame, hamming_k: int = 3,
+                      min_votes: int = 2,
+                      batch_size: int = 256) -> DataFrame:
+    """Temporal perceptual near-dup VIDEO clustering: per-slot
+    Hamming-<=k LSH candidates, a slot-majority VOTE (>= min_votes
+    of THASH_SLOTS slots must match), then the one-pass
+    min-representative collapse.  Returns (rep_media_id, n_clips).
+
+    The _hash64_cluster structure is specialized rather than reused
+    because the unit of identity is a HASH SEQUENCE, not one hash:
+    the exact pre-collapse groups identical (ph0, ph1, ph2) triples
+    (duplicate-heavy corpora collapse before any join, the r16
+    layering), candidate buckets are keyed by (slot, b, slice) so
+    frames are only ever compared at the same temporal position, and
+    an edge needs a slot majority.  Scale shape: after the frame
+    decode everything shuffles 8-byte hashes; oversized buckets
+    star-degrade per (slot, b, slice) exactly like the single-hash
+    path, and the class-min representative argument carries over
+    per slot, so the emitted reps are bucket-path-invariant."""
+    from .dedup import MAX_BUCKET
+
+    th = _thash_df(media, batch_size).localCheckpoint()
+    sig = th.groupBy("media_id").agg(
+        *[F.max(F.when(F.col("slot") == t, F.col("phash")))
+          .alias(f"ph{t}") for t in range(THASH_SLOTS)])
+    groups = (sig.groupBy(*[f"ph{t}" for t in range(THASH_SLOTS)])
+              .agg(F.min("media_id").alias("media_id"),
+                   F.count("*").cast("long").alias("n_members"))
+              .localCheckpoint())
+    g = groups.selectExpr(
+        "media_id",
+        "stack(%d, %s) AS (slot, phash)" % (
+            THASH_SLOTS,
+            ", ".join(f"{t}, ph{t}" for t in range(THASH_SLOTS))))
+    # pigeonhole slicing (the _phash_sliced expansion, carrying the
+    # slot column through — slices only ever join within one slot)
+    nb = hamming_k + 1
+    width = -(-64 // nb)
+    mask = (1 << width) - 1
+    keyed = (g.select(
+        "media_id", "slot", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
+        .withColumn("slice", F.expr(
+            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+    w = Window.partitionBy("slot", "b", "slice")
+    ann = keyed.select(
+        "media_id", "slot", "phash", "b", "slice",
+        F.count("*").over(w).alias("n"),
+        F.min("media_id").over(w).alias("rep"),
+        F.expr("min_by(phash, media_id)").over(w).alias("rep_ph"))
+    small = ann.filter(F.col("n") <= MAX_BUCKET)
+    pairs = (small.alias("x").join(
+        small.alias("y"), on=["slot", "b", "slice"])
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(F.col("slot"),
+                F.col("x.media_id").alias("id_a"),
+                F.col("y.media_id").alias("id_b"),
+                F.col("x.phash").alias("ph_a"),
+                F.col("y.phash").alias("ph_b")))
+    star = (ann.filter((F.col("n") > MAX_BUCKET)
+                       & (F.col("media_id") != F.col("rep")))
+            .select(F.col("slot"),
+                    F.col("rep").alias("id_a"),
+                    F.col("media_id").alias("id_b"),
+                    F.col("rep_ph").alias("ph_a"),
+                    F.col("phash").alias("ph_b")))
+    cand = pairs.unionByName(star).distinct()
+    slot_matches = cand.filter(
+        F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}")) \
+        .select("slot", "id_a", "id_b").distinct()
+    edges = (slot_matches.groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("votes"))
+             .filter(F.col("votes") >= min_votes)
+             .select("id_a", "id_b"))
+    verts = groups.select(F.col("media_id"),
+                          F.col("media_id").alias("r"))
+    reps = (verts.unionByName(
+        edges.select(F.col("id_b").alias("media_id"),
+                     F.col("id_a").alias("r")))
+        .groupBy("media_id").agg(F.min("r").alias("rep")))
+    return (groups.join(reps, "media_id")
+            .groupBy("rep")
+            .agg(F.sum("n_members").alias("n_clips"))
+            .select(F.col("rep").alias("rep_media_id"), "n_clips"))
+
+
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
                   batch_size: int = 256) -> DataFrame:
     """Arrow-batched image resize over mapInPandas: same batch shape
@@ -2223,6 +2528,11 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         # animated GIF per doc, selected by media_id % 3 — see
         # synth_vhash_variant
         synth, mime = synth_vhash_variant, "video/mixed"
+    elif kind == "video" and fmt == "thash":
+        # 3-frame Y4M master / MP4 twin / retouched re-encode /
+        # shared-opening decoy per doc, selected by media_id % 4 —
+        # see synth_thash_variant
+        synth, mime = synth_thash_variant, "video/mixed"
     elif kind == "video":
         synth, mime = synth_y4m, "video/x-yuv4mpeg"
     elif fmt == "ppm":

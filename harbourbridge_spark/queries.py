@@ -3638,6 +3638,40 @@ def q_multimodal_video_phash_incremental(spark: SparkSession,
     return vhash_incremental_entry_fn(spark, sf_dir)
 
 
+@register(
+    "multimodal_video_thash_dedup",
+    """
+    SELECT CAST(MIN(doc_id) * 4 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) * 3 AS BIGINT) AS n_clips
+    FROM documents GROUP BY doc_id % 200
+    UNION ALL
+    SELECT CAST(MIN(doc_id) * 4 + 3 AS BIGINT) AS rep_media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clips
+    FROM documents GROUP BY doc_id % 200
+    """,
+    "TEMPORAL perceptual video dedup (r16, beyond-ask — the "
+    "production variant vhash64's docstring names): box-filter "
+    "dHash of 3 sampled frames (first/middle/last), per-slot "
+    "pigeonhole LSH so frames are only compared at the same "
+    "temporal position, and a 2-of-3 slot-majority VOTE before the "
+    "min-rep collapse.  Fixture: FOUR 3-frame clips per doc — a "
+    "Y4M master, a flat-quant MJPEG/MP4 twin (3/3 votes), a "
+    "retouched re-encode with 2 flipped bits per early slot and a "
+    "FAR end-card frame (2/3 votes, still a dup), and a "
+    "shared-opening DECOY matching only slot 0 (1/3 votes — NOT a "
+    "dup; the false merge a first-frame hash cannot avoid, proving "
+    "the vote does real work).  Oracle: closed-form class "
+    "structure — main cluster rep = 4*min(doc), n = 3*count; decoy "
+    "cluster rep = 4*min(doc)+3, n = count.  Per-slot fixture hash "
+    "sets measure min pairwise Hamming >= 16 (test-pinned)")
+def q_multimodal_video_thash_dedup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import synth_media, video_thash_dedup
+    ids = load(spark, sf_dir, "documents").selectExpr(
+        "explode(sequence(doc_id * 4, doc_id * 4 + 3)) AS media_id")
+    return video_thash_dedup(synth_media(ids, "video", fmt="thash"))
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3873,6 +3907,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # + incremental-store forms)
     "multimodal_video_phash_dedup",
     "multimodal_video_phash_incremental",
+    # round 16, beyond-ask: TEMPORAL video hash (new entry — 3-slot
+    # frame-sampled dHash with slot-majority vote; the production
+    # variant vhash64's docstring names)
+    "multimodal_video_thash_dedup",
     # round 16: entries routed through the changed decode_pixels
     # dispatch (changed expression ⇒ re-checked), plus decode_jpeg
     # whose fixture encoder gained the quant-table override (default

@@ -4086,6 +4086,70 @@ def test_video_phash_dedup_semantics(spark):
     assert rows == {0: 6, 3: 3, 6: 3}
 
 
+def test_video_thash_dedup_semantics(spark):
+    """TEMPORAL video hashing (r16 beyond-ask — the multi-frame vote
+    vhash64's docstring names): (1) the per-slot fixture hash sets
+    measure min pairwise Hamming >= 16 across everything a slot can
+    present (targets + decoys + tampers — an 8-bit margin over the
+    2-flip + hamming_k=3 worst case, so no cross-class slot ever
+    matches); (2) the Y4M master and MP4 twin hash EXACTLY to the
+    slot targets, the retouched variant sits at Hamming 2 on slots
+    0/1 with a far end card, the decoy matches only slot 0; (3)
+    video_thash_dedup merges master+twin+retouch (>= 2 votes) and
+    REFUSES the shared-opening decoy (1 vote) — the false merge a
+    first-frame hash cannot avoid."""
+    import numpy as np
+
+    from harbourbridge_spark.pipeline.multimodal import (
+        _mix64, synth_media, synth_thash_variant, thash_slots,
+        video_thash_dedup)
+
+    # (1) per-slot separation pin
+    slot_sets = [
+        [_mix64(1000 + 3 * c) for c in range(200)],
+        [_mix64(1000 + 3 * c + 1) for c in range(200)]
+        + [_mix64(3000 + c) for c in range(200)],
+        [_mix64(1000 + 3 * c + 2) for c in range(200)]
+        + [_mix64(4000 + c) for c in range(200)]
+        + [_mix64(5000 + c) for c in range(200)],
+    ]
+    for vals in slot_sets:
+        a = np.array(vals, dtype=np.uint64)
+        x = a[:, None] ^ a[None, :]
+        pop = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            pop += (x & 1).astype(np.int64)
+            x >>= 1
+        np.fill_diagonal(pop, 64)
+        assert pop.min() >= 16, int(pop.min())
+
+    # (2) kernel exactness per variant
+    for doc in (0, 5, 199, 203):
+        cls = doc % 200
+        tg = [_mix64(1000 + 3 * cls + t) for t in range(3)]
+        v0, v1, v2, v3 = (synth_thash_variant(doc * 4 + v)
+                          for v in range(4))
+        assert v0[:9] == b"YUV4MPEG2" and v1[4:8] == b"ftyp"
+        assert thash_slots(v0) == tg
+        assert thash_slots(v1) == tg
+        h2 = thash_slots(v2)
+        assert bin(h2[0] ^ tg[0]).count("1") == 2
+        assert bin(h2[1] ^ tg[1]).count("1") == 2
+        assert h2[2] == _mix64(5000 + cls)
+        h3 = thash_slots(v3)
+        assert h3 == [tg[0], _mix64(3000 + cls), _mix64(4000 + cls)]
+
+    # (3) vote semantics end-to-end: classes 0 (2 docs), 1, 2
+    ids = (spark.createDataFrame([(0,), (1,), (2,), (200,)],
+                                 "doc_id long")
+           .selectExpr("explode(sequence(doc_id * 4, doc_id * 4 + 3))"
+                       " AS media_id"))
+    media = synth_media(ids, "video", fmt="thash")
+    rows = {r.rep_media_id: r.n_clips
+            for r in video_thash_dedup(media).collect()}
+    assert rows == {0: 6, 3: 2, 4: 3, 7: 1, 8: 3, 11: 1}
+
+
 def test_first_frame_pixels_truncation_contract():
     """The video dispatcher's quarantine contract (the
     test_decode_pixels_container_dispatch_roundtrip tail, carried to
