@@ -214,6 +214,16 @@ OP_BUDGETS = {
     # r15: the audio fingerprint twin — same LSH shape after a PCM
     # decode + rFFT kernel; same linear-ceiling convention.
     "multimodal_audio_fp_dedup": 10.5,
+    # r16 addition: the TEMPORAL video hash — a NEW join shape (per-
+    # (slot, b, slice) pigeonhole buckets + the slot-majority vote
+    # aggregation) that the phash gate does not cover.  Design: 3
+    # frame decodes per clip (8x media -> 8x decode work, the
+    # dominant term) while the exact hash-SEQUENCE pre-collapse
+    # keeps the candidate join on DISTINCT triples (constant: 200
+    # classes x ~3 sequence groups regardless of copy multiplicity)
+    # and the vote aggregates verified candidate rows keyed by group
+    # ids: linear-ceiling convention like its perceptual siblings.
+    "multimodal_video_thash_dedup": 10.5,
 }
 DEFAULT_OPS = list(OP_BUDGETS)
 
