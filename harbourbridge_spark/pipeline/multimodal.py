@@ -1909,6 +1909,20 @@ def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
         schema="media_id long, slot int, phash long")
 
 
+def _thash_sliced(th: DataFrame, hamming_k: int) -> DataFrame:
+    """Pigeonhole expansion of a (media_id, slot, phash) relation —
+    the _phash_sliced shape carrying the slot column through, so
+    slices only ever join within one temporal slot."""
+    nb = hamming_k + 1
+    width = -(-64 // nb)
+    mask = (1 << width) - 1
+    return (th.select(
+        "media_id", "slot", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
+        .withColumn("slice", F.expr(
+            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+
+
 def video_thash_dedup(media: DataFrame, hamming_k: int = 3,
                       min_votes: int = 2,
                       batch_size: int = 256) -> DataFrame:
@@ -1943,16 +1957,7 @@ def video_thash_dedup(media: DataFrame, hamming_k: int = 3,
         "stack(%d, %s) AS (slot, phash)" % (
             THASH_SLOTS,
             ", ".join(f"{t}, ph{t}" for t in range(THASH_SLOTS))))
-    # pigeonhole slicing (the _phash_sliced expansion, carrying the
-    # slot column through — slices only ever join within one slot)
-    nb = hamming_k + 1
-    width = -(-64 // nb)
-    mask = (1 << width) - 1
-    keyed = (g.select(
-        "media_id", "slot", "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
-        .withColumn("slice", F.expr(
-            f"shiftrightunsigned(phash, b * {width}) & {mask}")))
+    keyed = _thash_sliced(g, hamming_k)
     w = Window.partitionBy("slot", "b", "slice")
     ann = keyed.select(
         "media_id", "slot", "phash", "b", "slice",
@@ -1993,6 +1998,180 @@ def video_thash_dedup(media: DataFrame, hamming_k: int = 3,
             .groupBy("rep")
             .agg(F.sum("n_members").alias("n_clips"))
             .select(F.col("rep").alias("rep_media_id"), "n_clips"))
+
+
+def _thash_bucket_partials(th: DataFrame,
+                           hamming_k: int) -> DataFrame:
+    """Per-(slot, b, slice) PARTIAL aggregates of a temporal-hash
+    relation — _phash_bucket_partials with the slot in the key.
+    Same merge laws (additive n, MIN rep, min_by rep_ph on rep), so
+    append-only partials re-aggregate to exactly what a full pass
+    over the store would compute."""
+    return (_thash_sliced(th, hamming_k)
+            .groupBy("slot", "b", "slice")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("media_id").alias("rep"),
+                 F.expr("min_by(phash, media_id)").alias("rep_ph")))
+
+
+def _thash_store_append(th: DataFrame, store_path: str,
+                        hamming_k: int, mode: str = "append") -> None:
+    """Write a (media_id, slot, phash) relation into the temporal
+    store layout: ``{store}/hashes`` (~24 bytes per clip-slot) +
+    ``{store}/buckets_k{k}`` (the per-(slot, b, slice) partials).
+    Sidecar keyed by the Hamming radius in the path, same loud-
+    failure contract as the image store."""
+    th.write.mode(mode).parquet(f"{store_path}/hashes")
+    _thash_bucket_partials(th, hamming_k).write.mode(mode).parquet(
+        f"{store_path}/buckets_k{hamming_k}")
+
+
+def video_thash_store_write(spark, media_df: DataFrame,
+                            store_path: str, mode: str = "overwrite",
+                            batch_size: int = 256,
+                            hamming_k: int = 3) -> None:
+    """Decode ``media_df`` ONCE and persist the TEMPORAL video hash
+    store — THASH_SLOTS (media_id, slot, phash) rows per clip plus
+    the bucket sidecar.  Same locking and append-commutativity
+    arguments as phash_store_write; replayed duplicate rows remain
+    decision-invariant because the probe's dup_of is a MIN over
+    verified voted partners and doubled sidecar n only pushes
+    buckets INTO star-degrade."""
+    from .storecache import store_lock
+
+    th = _thash_df(media_df, batch_size).localCheckpoint()
+    with store_lock(store_path, exclusive=False):
+        _thash_store_append(th, store_path, hamming_k, mode=mode)
+
+
+def thash_probe_hashes(spark, store_path: str, batch_th: DataFrame,
+                       hamming_k: int = 3,
+                       min_votes: int = 2) -> DataFrame:
+    """Temporal probe core over PRE-COMPUTED batch slot hashes: the
+    asymmetric per-slot pigeonhole join of phash_probe_hashes plus
+    the slot-majority VOTE — a batch clip flags only when >=
+    ``min_votes`` of its slots verify against the SAME store clip
+    (or, on the star path, that clip's bucket representative).
+
+    Store-side bucket stats come from the persisted sidecar
+    re-aggregated under its merge laws; small-bucket members are
+    pulled from {store}/hashes through a broadcast semi-join on the
+    batch's small-bucket keys; over-cap buckets contribute their
+    representative only.  The probe runs over DISTINCT batch hash
+    SEQUENCES (the verdict is a pure function of the triple) and
+    expands back per media at the end.
+
+    dup_of = MIN over voted partners, star-invariant per slot: a
+    class's minimum store clip carries the exact class hash in every
+    slot, so it sits in (and represents) each of the class's
+    per-slot buckets — on every path the vote accumulates on it and
+    the MIN agrees."""
+    from .dedup import MAX_BUCKET
+
+    sig_cols = [f"ph{t}" for t in range(THASH_SLOTS)]
+    sigs = batch_th.groupBy("media_id").agg(
+        *[F.max(F.when(F.col("slot") == t, F.col("phash")))
+          .alias(f"ph{t}") for t in range(THASH_SLOTS)])
+    probe = (sigs.groupBy(*sig_cols)
+             .agg(F.min("media_id").alias("media_id"))
+             .localCheckpoint())
+    inc = _thash_sliced(
+        probe.selectExpr(
+            "media_id",
+            "stack(%d, %s) AS (slot, phash)" % (
+                THASH_SLOTS,
+                ", ".join(f"{t}, ph{t}"
+                          for t in range(THASH_SLOTS)))),
+        hamming_k)
+    buckets = (spark.read.parquet(
+        f"{store_path}/buckets_k{hamming_k}")
+        .groupBy("slot", "b", "slice")
+        .agg(F.sum("n").alias("n"),
+             F.min("rep").alias("rep"),
+             F.expr("min_by(rep_ph, rep)").alias("rep_ph")))
+    hit = buckets.join(F.broadcast(inc), on=["slot", "b", "slice"])
+    cand_star = (hit.filter(F.col("n") > MAX_BUCKET)
+                 .select("slot", "media_id",
+                         F.col("phash").alias("ph_i"),
+                         F.col("rep").alias("dup"),
+                         F.col("rep_ph").alias("ph_e")))
+    small_keys = (hit.filter(F.col("n") <= MAX_BUCKET)
+                  .select("slot", "b", "slice").distinct())
+    store_th = spark.read.parquet(f"{store_path}/hashes")
+    small_members = _thash_sliced(store_th, hamming_k).join(
+        F.broadcast(small_keys), on=["slot", "b", "slice"])
+    cand_small = (small_members.alias("e").join(
+        F.broadcast(inc.alias("i")), on=["slot", "b", "slice"])
+        .select(F.col("slot"),
+                F.col("i.media_id").alias("media_id"),
+                F.col("i.phash").alias("ph_i"),
+                F.col("e.media_id").alias("dup"),
+                F.col("e.phash").alias("ph_e")))
+    cand = cand_small.unionByName(cand_star).distinct()
+    slot_matches = (cand.filter(
+        F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
+        .select("slot", "media_id", "dup").distinct())
+    voted = (slot_matches.groupBy("media_id", "dup")
+             .agg(F.count("*").alias("votes"))
+             .filter(F.col("votes") >= min_votes)
+             .groupBy("media_id")
+             .agg(F.min("dup").alias("dup_of")))
+    verdicts = (sigs.alias("s").join(
+        probe.join(voted, "media_id")
+        .selectExpr(*sig_cols, "dup_of").alias("v"),
+        on=sig_cols)
+        .select(F.col("s.media_id").alias("media_id"), "dup_of"))
+    return verdicts.localCheckpoint()
+
+
+def video_thash_probe_against_store(spark, store_path: str,
+                                    batch_media: DataFrame,
+                                    hamming_k: int = 3,
+                                    batch_size: int = 256,
+                                    min_votes: int = 2) -> DataFrame:
+    """Probe a NEW clip batch against the persisted temporal store:
+    only the batch decodes frames.  Returns one row per flagged
+    batch clip: (media_id, dup_of) with dup_of the star-invariant
+    MIN voted store match.  (No admit path yet: the batch entry and
+    the fixture exercise the probe; admission composes exactly as in
+    phash_probe_against_store when needed.)"""
+    batch_th = _thash_df(batch_media, batch_size).localCheckpoint()
+    return thash_probe_hashes(spark, store_path, batch_th,
+                              hamming_k, min_votes)
+
+
+def thash_incremental_entry_fn(spark, sf_dir: str,
+                               mod: int = PHASH_INC_MOD,
+                               res: int = PHASH_INC_RES):
+    """Registry/bench twin of vhash_incremental_entry_fn for the
+    TEMPORAL hash: corpus-side thash store built once per fixture
+    identity and cached, the measured cost is the batch-sized
+    3-frame decode + voted probe.  Same mod-7 split (coprime with
+    the 200-class structure)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from .storecache import publish_store, store_path
+
+    src = f"{sf_dir}/documents.parquet"
+    st = _os.stat(src)
+    ident = _hashlib.sha1(
+        f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{mod}|{res}|thash-v1".encode()).hexdigest()[:16]
+    store = store_path("thash", ident)
+    docs = spark.read.parquet(src)
+
+    def media_for(pred: str) -> DataFrame:
+        ids = docs.where(pred).selectExpr(
+            f"explode(sequence(doc_id * {THASH_VARIANTS}, "
+            f"doc_id * {THASH_VARIANTS} + {THASH_VARIANTS - 1})) "
+            "AS media_id")
+        return synth_media(ids, "video", fmt="thash")
+
+    publish_store(store, lambda tmp: video_thash_store_write(
+        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
+    return video_thash_probe_against_store(
+        spark, store, media_for(f"doc_id % {mod} >= {res}"))
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,

@@ -3672,6 +3672,41 @@ def q_multimodal_video_thash_dedup(spark: SparkSession,
     return video_thash_dedup(synth_media(ids, "video", fmt="thash"))
 
 
+@register(
+    "multimodal_video_thash_incremental",
+    """
+    WITH corp AS (
+        SELECT doc_id % 200 AS cls, MIN(doc_id) AS mdoc
+        FROM documents WHERE doc_id % 7 < 5
+        GROUP BY doc_id % 200
+    ), b AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 >= 5
+    )
+    SELECT CAST(b.doc_id * 4 + v.v AS BIGINT) AS media_id,
+           CAST(c.mdoc * 4 + CASE WHEN v.v = 3 THEN 3 ELSE 0 END
+                AS BIGINT) AS dup_of
+    FROM b JOIN corp c ON c.cls = b.doc_id % 200
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(v)
+    """,
+    "Incremental TEMPORAL video dedup (r16, beyond-ask — completes "
+    "the batch+incremental pair for every perceptual family): a NEW "
+    "clip batch probes the PERSISTED thash store (THASH_SLOTS rows "
+    "per clip + a per-(slot, b, slice) bucket sidecar; only the "
+    "batch decodes frames) with the per-slot asymmetric pigeonhole "
+    "join and the 2-of-3 slot-majority VOTE; dup_of = the "
+    "star-invariant MIN voted store match.  Batch split mod 7, "
+    "coprime with the 200-class structure.  Oracle: batch variants "
+    "0/1/2 of a corpus-present class flag with dup_of = 4*min("
+    "corpus doc) — the MP4 twin and the retouched re-encode resolve "
+    "to the SAME canonical as the master — while the shared-opening "
+    "decoy (1/3 votes against the main cluster) flags only against "
+    "the corpus DECOYS of its class: dup_of = 4*min(corpus doc)+3")
+def q_multimodal_video_thash_incremental(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import thash_incremental_entry_fn
+    return thash_incremental_entry_fn(spark, sf_dir)
+
+
 # ns-epoch longs adjacent to second boundaries: the float path
 # (floor(ts / 1e9) as double) rounds these to the WRONG second because
 # ~1.7e18 > 2^53; the production integer `div` must not.  Frozen inputs,
@@ -3907,10 +3942,12 @@ _CHANGED_THIS_ROUND: list[str] = [
     # + incremental-store forms)
     "multimodal_video_phash_dedup",
     "multimodal_video_phash_incremental",
-    # round 16, beyond-ask: TEMPORAL video hash (new entry — 3-slot
+    # round 16, beyond-ask: TEMPORAL video hash (new entries — 3-slot
     # frame-sampled dHash with slot-majority vote; the production
-    # variant vhash64's docstring names)
+    # variant vhash64's docstring names — batch + incremental-store
+    # forms)
     "multimodal_video_thash_dedup",
+    "multimodal_video_thash_incremental",
     # round 16: entries routed through the changed decode_pixels
     # dispatch (changed expression ⇒ re-checked), plus decode_jpeg
     # whose fixture encoder gained the quant-table override (default

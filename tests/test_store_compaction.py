@@ -431,6 +431,43 @@ def test_audio_fp_store_round_trip_and_admission(spark, tmp_path):
     assert verdicts2 == {2035 + v: 35 for v in range(5)}
 
 
+def test_video_thash_store_round_trip(spark, tmp_path):
+    """Incremental TEMPORAL video store (r16): corpus build writes
+    THASH_SLOTS rows per clip + the (slot, b, slice) sidecar; a
+    batch clip flags only on a >= 2-of-3 slot-vote — the MP4 twin
+    and the retouched re-encode (2/3 votes: far end card) of a
+    corpus class resolve to the SAME canonical (the class-min Y4M
+    master), while the shared-opening decoy (1/3 votes vs the main
+    cluster) flags only against the corpus DECOYS of its class; a
+    batch-only class stays silent."""
+    from harbourbridge_spark.pipeline.multimodal import (
+        THASH_SLOTS, synth_media, video_thash_probe_against_store,
+        video_thash_store_write)
+
+    def media(doc_ids):
+        ids = (spark.createDataFrame([(d,) for d in doc_ids],
+                                     "doc_id long")
+               .selectExpr("explode(sequence(doc_id * 4, "
+                           "doc_id * 4 + 3)) AS media_id"))
+        return synth_media(ids, "video", fmt="thash")
+
+    store = str(tmp_path / "thash")
+    video_thash_store_write(spark, media([0, 200]), store)
+    rows = spark.read.parquet(f"{store}/hashes")
+    assert rows.count() == 2 * 4 * THASH_SLOTS
+    side = spark.read.parquet(f"{store}/buckets_k3")
+    assert {r.slot for r in side.select("slot").distinct()
+            .collect()} == set(range(THASH_SLOTS))
+
+    # doc 600 (class 0): variants 0/1/2 -> canonical 0 (the master);
+    # the decoy -> the corpus decoy 3.  doc 601 (class 1,
+    # batch-only): silent.
+    verdicts = {r.media_id: r.dup_of
+                for r in video_thash_probe_against_store(
+                    spark, store, media([600, 601])).collect()}
+    assert verdicts == {2400: 0, 2401: 0, 2402: 0, 2403: 3}
+
+
 def test_streaming_media_admission_e2e(spark, tmp_path):
     """Streaming perceptual gate (r15, r16 verdict semantics): media
     batches arrive as parquet files; epoch 1's intra-batch near-dup
