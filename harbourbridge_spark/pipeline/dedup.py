@@ -26,6 +26,7 @@ from __future__ import annotations
 from ..confscope import scoped_parser_mode
 
 import warnings
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -320,13 +321,61 @@ def minhash_lsh_pairs_fn(spark, sf_dir: str,
     is DERIVED from the target Jaccard threshold via bands_rows_for —
     lower it and the banding reshapes (more bands, fewer rows) so the
     S-curve's knee lands on it. The default 0.7 solves to the same
-    4x4 banding the pipeline has always used (frozen oracles)."""
+    4x4 banding the pipeline has always used (frozen oracles).
+
+    r16 (optimization round): the signature comes from the vectorized
+    md5 Arrow kernel (bit-identical to the HOF SQL template by
+    construction AND by the test_pipeline kernel-vs-SQL pin) — Spark
+    evaluates transform()/aggregate() lambda bodies interpreted per
+    element, which made the HOF signature stage ~3x the kernel cost
+    (guide §4.1/§4.2; the oracle keeps the single-statement HOF
+    form)."""
+    vectorized_signature_view(spark, sf_dir, "__mh_sig")
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .createOrReplaceTempView("documents")
-        sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
-        sig.createOrReplaceTempView("__mh_sig")
         return spark.sql(minhash_bands_sql("spark", "__mh_sig", threshold))
+
+
+_SHINGLE_CACHE_CAP = 1 << 21   # per-task md5 memo bound (~100 MB worst)
+
+
+def _md5_sig_kernel(cache: dict | None = None):
+    """Build the md5 signature kernel, optionally wired to a PER-TASK
+    shingle-hash memo (guide §4.5 shape: heavyweight state constructed
+    once per task, amortized over every batch).  Shingles are 5-char
+    windows and repeat massively across documents of one partition, so
+    the memo turns most md5 calls into a dict hit; the cap bounds
+    worker memory on adversarially diverse corpora (hits past the cap
+    simply compute — values never change, only speed).  hash48(s) ==
+    int(md5(s)[:12], 16) == first 6 digest bytes big-endian — the
+    ``int.from_bytes`` form skips the hex round-trip.  The K
+    permutation mins run as ONE (K, n) vectorized op."""
+    import hashlib
+    coeffs = np.asarray(minhash_coeffs(MINHASH_K), np.int64)
+    a_col = coeffs[:, 0:1]
+    b_col = coeffs[:, 1:2]
+    get = cache.get if cache is not None else None
+
+    def kern(text: str) -> list:
+        n = max(len(text) - SHINGLE + 1, 1)
+        shingles = {text[i:i + SHINGLE] for i in range(n)}
+        hs = np.empty(len(shingles), np.int64)
+        if get is None:
+            for j, s in enumerate(shingles):
+                hs[j] = int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:6], "big")
+        else:
+            for j, s in enumerate(shingles):
+                h = get(s)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(s.encode("utf-8")).digest()[:6],
+                        "big")
+                    if len(cache) < _SHINGLE_CACHE_CAP:
+                        cache[s] = h
+                hs[j] = h
+        return ((a_col * hs[None, :] + b_col) % MERSENNE61) \
+            .min(axis=1).tolist()
+    return kern
 
 
 def _minhash_md5_signature(text: str) -> list:
@@ -336,44 +385,47 @@ def _minhash_md5_signature(text: str) -> list:
     plain code-point slices (Python slicing == substring semantics).
     Distinct shingles only — array_min is multiplicity-blind and the
     SQL template hashes a distinct array too."""
-    import hashlib
-    n = max(len(text) - SHINGLE + 1, 1)
-    shingles = {text[i:i + SHINGLE] for i in range(n)}
-    hs = np.fromiter(
-        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
-         for s in shingles), np.int64, len(shingles))
-    return [int(((a * hs + b) % MERSENNE61).min())
-            for a, b in minhash_coeffs(MINHASH_K)]
+    return _md5_sig_kernel()(text)
 
 
-def vectorized_signature_view(spark, sf_dir: str, view: str,
-                              kernel=None):
-    """Register a temp view of the checkpointed MinHash signature
-    computed by an Arrow-batched pandas_udf kernel (default: the md5
-    kernel, bit-identical to minhash_signature_sql()).  The
-    scale-path signature stage shared by the verified-pair /
-    clustering / observability operators — see
+def vectorized_signature_df(docs, kernel=None):
+    """The checkpointed MinHash signature of a ``(doc_id, text, …)``
+    DataFrame, computed by an Arrow-batched pandas_udf kernel
+    (default: the md5 kernel, bit-identical to
+    minhash_signature_sql()).  The scale-path signature stage shared
+    by the verified-pair / clustering / observability operators AND
+    (r16) the registry LSH / incremental / store-write paths — see
     minhash_lsh_pairs_fast_fn's docstring for why the kernel beats
-    the interpreted SQL higher-order functions."""
+    the interpreted SQL higher-order functions.  The udf is the
+    ITERATOR form so the per-task shingle-hash memo (guide §4.5)
+    builds once per task and serves every batch."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    k = kernel or _minhash_md5_signature
-
     @pandas_udf(ArrayType(LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        # None -> None (SQL: transform(NULL)=NULL -> NULL mins), so
-        # null-text docs flow through exactly like the template
-        return texts.map(lambda t: None if t is None else k(t))
+    def sig_udf(texts_it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        k = kernel if kernel is not None else _md5_sig_kernel({})
+        for texts in texts_it:
+            # None -> None (SQL: transform(NULL)=NULL -> NULL mins),
+            # so null-text docs flow through exactly like the template
+            yield texts.map(lambda t: None if t is None else k(t))
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", F.trim(F.lower("text")).alias("nt")))
-    sig = (docs.select("doc_id", sig_udf("nt").alias("sig"))
-           .select("doc_id",
-                   *[F.element_at("sig", i + 1).alias(f"m{i}")
-                     for i in range(MINHASH_K)])
-           .localCheckpoint())
+    docs = docs.select("doc_id", F.trim(F.lower("text")).alias("nt"))
+    return (docs.select("doc_id", sig_udf("nt").alias("sig"))
+            .select("doc_id",
+                    *[F.element_at("sig", i + 1).alias(f"m{i}")
+                      for i in range(MINHASH_K)])
+            .localCheckpoint())
+
+
+def vectorized_signature_view(spark, sf_dir: str, view: str,
+                              kernel=None):
+    """Register vectorized_signature_df over the documents fixture as
+    a temp view — the sf_dir-keyed convenience wrapper the registry
+    entries use."""
+    sig = vectorized_signature_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), kernel)
     sig.createOrReplaceTempView(view)
     return sig
 
@@ -855,19 +907,44 @@ def ngram_jaccard_pairs_sql(engine: str, n: int = 3,
     return render(t, engine)
 
 
+def _gram_set_kernel(cache: dict | None = None, n: int = 3):
+    """Build the hashed-gram-set kernel, optionally wired to a
+    PER-TASK gram-hash memo (the _md5_sig_kernel pattern: word
+    n-grams repeat across documents, so most md5 calls become dict
+    hits; the shared cap bounds worker memory)."""
+    import hashlib
+    import re
+    split = re.compile(r"\s+", flags=re.ASCII).split
+    get = cache.get if cache is not None else None
+
+    def kern(nt: str) -> list:
+        toks = split(nt)
+        grams = {" ".join(toks[i:i + n])
+                 for i in range(max(len(toks) - n, 0) + 1)}
+        if get is None:
+            return [int.from_bytes(
+                hashlib.md5(g.encode("utf-8")).digest()[:6], "big")
+                for g in grams]
+        out = []
+        for g in grams:
+            h = get(g)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(g.encode("utf-8")).digest()[:6], "big")
+                if len(cache) < _SHINGLE_CACHE_CAP:
+                    cache[g] = h
+            out.append(h)
+        return out
+    return kern
+
+
 def _hashed_gram_set(nt: str, n: int = 3) -> list:
     """Vectorized twin of _gram_relation(hashed=True): ASCII-\\s token
     split (same as the SimHash kernel), word ``n``-grams at positions
     0..max(len-n, 0) — short docs yield one partial gram, exactly like
     concat_ws skipping out-of-range elements — distinct, md5-hash48
     per gram.  Order-free: consumers only do set intersections."""
-    import hashlib
-    import re
-    toks = re.split(r"\s+", nt, flags=re.ASCII)
-    grams = {" ".join(toks[i:i + n])
-             for i in range(max(len(toks) - n, 0) + 1)}
-    return [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:12], 16)
-            for g in grams]
+    return _gram_set_kernel(n=n)(nt)
 
 
 def lsh_verify_sql(engine: str, cand_source: str, n: int = 3,
@@ -953,9 +1030,11 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
         from pyspark.sql.types import ArrayType, LongType
 
         @pandas_udf(ArrayType(LongType()))
-        def gram_udf(texts: pd.Series) -> pd.Series:
-            return texts.map(lambda t: None if t is None
-                             else _hashed_gram_set(t))
+        def gram_udf(texts_it: Iterator[pd.Series]
+                     ) -> Iterator[pd.Series]:
+            k = _gram_set_kernel({})   # per-task gram-hash memo
+            for texts in texts_it:
+                yield texts.map(lambda t: None if t is None else k(t))
 
         ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1002,14 +1081,19 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
         nbr = (edges.join(labels, edges.doc_a == labels.doc)
                .groupBy(F.col("doc_b").alias("doc"))
                .agg(F.min("label").alias("nl")))
+        # carry the changed flag INSIDE the checkpointed frame (r16):
+        # the former separate new-vs-old join re-shuffled both label
+        # relations once per round purely to count changes; the flag
+        # is computable in the same projection for free, and the count
+        # becomes a scan of the already-materialized checkpoint
         new = (labels.join(nbr, "doc", "left")
-               .select("doc", F.least(
-                   "label", F.coalesce("nl", "label")).alias("label"))
+               .select("doc",
+                       F.least("label",
+                               F.coalesce("nl", "label")).alias("label"),
+                       (F.col("nl") < F.col("label")).alias("chg"))
                .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "doc")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new
+        changed = new.where("chg").count()
+        labels = new.select("doc", "label")
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"),
@@ -1840,12 +1924,11 @@ def dedup_incremental_fn(spark, sf_dir: str, mod: int = INCOMING_MOD,
     """Spark strategy: signature materialized once (the
     minhash_lsh_pairs_fn lesson — the CTE form would recompute the
     shingle/md5 pipeline for the ex/inc/sized references), then the
-    asymmetric probe SQL."""
+    asymmetric probe SQL.  r16: the signature comes from the
+    vectorized md5 Arrow kernel (bit-identical to the HOF template;
+    see minhash_lsh_pairs_fn)."""
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
-            .createOrReplaceTempView("documents")
-        sig = spark.sql(minhash_signature_sql("spark")).localCheckpoint()
-        sig.createOrReplaceTempView("__mhinc_sig")
+        vectorized_signature_view(spark, sf_dir, "__mhinc_sig")
         n_bands = MINHASH_K // BAND_SIZE
         return spark.sql(f"""
         WITH {_band_expand_clause('__mhinc_sig', n_bands, BAND_SIZE)},
@@ -1867,16 +1950,16 @@ def signature_store_write(spark, docs_df, store_path: str,
     text is never re-tokenized."""
     from .storecache import store_lock
 
-    docs_df.createOrReplaceTempView("__sig_store_in")
-    sig_sql = minhash_signature_sql("spark").replace(
-        "FROM documents", "FROM __sig_store_in")
-    with scoped_parser_mode(spark, "true"):
-        # shared mutation lock: an append landing while a compaction is
-        # between its snapshot and its swap would be silently destroyed
-        # by the swap (storecache.store_lock) — serialize writers only;
-        # probes never lock
-        with store_lock(store_path, exclusive=False):
-            spark.sql(sig_sql).write.mode(mode).parquet(store_path)
+    # r16: vectorized md5 kernel signature (bit-identical to the HOF
+    # template; see minhash_lsh_pairs_fn) — the store for a given
+    # corpus is byte-for-byte what the SQL form wrote
+    sig = vectorized_signature_df(docs_df)
+    # shared mutation lock: an append landing while a compaction is
+    # between its snapshot and its swap would be silently destroyed
+    # by the swap (storecache.store_lock) — serialize writers only;
+    # probes never lock
+    with store_lock(store_path, exclusive=False):
+        sig.write.mode(mode).parquet(store_path)
 
 
 def signature_store_compact(spark, store_path: str,
@@ -1962,10 +2045,9 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
     against bucketed store keys, one batch-sized append. Nothing is
     ever recomputed over the corpus."""
     with scoped_parser_mode(spark, "true"):
-        batch_df.createOrReplaceTempView("__inc_batch_in")
-        batch_sig_sql = minhash_signature_sql("spark").replace(
-            "FROM documents", "FROM __inc_batch_in")
-        batch_sig = spark.sql(batch_sig_sql).localCheckpoint()
+        # r16: vectorized md5 kernel for the batch signature
+        # (bit-identical to the HOF template; see minhash_lsh_pairs_fn)
+        batch_sig = vectorized_signature_df(batch_df)
         batch_sig.createOrReplaceTempView("__inc_batch_sig")
         spark.read.parquet(store_path) \
             .createOrReplaceTempView("__inc_store_sig")

@@ -994,18 +994,80 @@ def semdedup_sql(engine: str, k: int = 8, iters: int = 2,
     """
 
 
+def _semdedup_cluster_kernel(threshold: float):
+    """Per-cluster within-block cosine manifest as a vectorized numpy
+    kernel (r16, guide §4.2): the SQL form evaluated an interpreted
+    `aggregate(zip_with(...))` fold PER CANDIDATE PAIR (~|block|^2
+    x DIM lambda evaluations per cluster); this computes the same
+    values with DIM vectorized ops per block.
+
+    BIT-IDENTICAL to the SQL fold by construction: dot and norm
+    accumulate in ASCENDING DIMENSION ORDER with a float64
+    accumulator starting at 0.0 — the exact sequence of IEEE double
+    (multiply, add) the `aggregate(..., 0D, (acc, v) -> acc + v)`
+    fold performs (float32 -> float64 casts are exact; numpy emits
+    separate multiply and add, no FMA contraction) — and the
+    comparison is the same `dot / (nrm_a * nrm_b) >= threshold`
+    expression tree.  Row tiling bounds the pairwise matrix at
+    tile x |block| doubles; per-pair arithmetic order is untouched
+    by the tiling."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        n = len(pdf)
+        emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = emb.shape[1]
+        # norms: sequential per-dimension fold, vectorized across rows
+        acc = np.zeros(n, np.float64)
+        for i in range(dim):
+            acc = acc + emb[:, i] * emb[:, i]
+        nrm = np.sqrt(acc)
+        # dup_idx[b] = smallest a-index (== smallest vec_id: sorted)
+        # with cosine >= threshold; -1 = keeper
+        dup_idx = np.full(n, -1, np.int64)
+        tile = 2048
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            a = emb[lo:hi]
+            dot = np.zeros((hi - lo, n), np.float64)
+            for i in range(dim):
+                dot = dot + a[:, i][:, None] * emb[:, i][None, :]
+            ratio = dot / (nrm[lo:hi][:, None] * nrm[None, :])
+            mask = ratio >= threshold
+            # strict upper triangle in GLOBAL index space (b > a)
+            gi = np.arange(lo, hi)[:, None]
+            mask &= np.arange(n)[None, :] > gi
+            hit = mask.any(axis=0)
+            first = np.argmax(mask, axis=0) + lo
+            upd = hit & (dup_idx < 0)
+            dup_idx[upd] = first[upd]
+        vec = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_id": vec,
+            "cluster_id": pdf["cluster"].to_numpy(),
+            "removed": (dup_idx >= 0).astype(np.int32),
+            "dup_of": np.where(dup_idx >= 0, vec[np.maximum(dup_idx, 0)],
+                               -1).astype(np.int64),
+        })
+    return kern
+
+
 def semdedup_fn(spark, sf_dir: str, k: int = 8, iters: int = 2,
                 threshold: float = 0.35, cap: int | None = None,
                 enforce: bool = True):
     """Executable Spark strategy for `dedup_semdedup`: the Lloyd
     assignments materialize ONCE (localCheckpoint — Spark would
     otherwise re-run the whole chain per CTE reference), the cluster
-    block cap guards the quadratic stage, and one SQL pass computes
-    the within-cluster cosine manifest."""
+    block cap guards the quadratic stage, and the within-cluster
+    cosine manifest runs as a per-cluster Arrow kernel
+    (_semdedup_cluster_kernel — r16; values bit-identical to the
+    previous interpreted-HOF SQL pass, oracle-pinned)."""
     from .dedup import check_quadratic_block_cap
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-            .createOrReplaceTempView("embeddings")
+        emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb_df.createOrReplaceTempView("embeddings")
         body, last_assign, _prev = _kmeans_ctes("spark", k, iters, DIM)
         assign = spark.sql(
             f"WITH {body} SELECT vec_id, cluster FROM {last_assign}"
@@ -1015,29 +1077,10 @@ def semdedup_fn(spark, sf_dir: str, k: int = 8, iters: int = 2,
             spark, "semdedup_asg", "cluster", op="dedup_semdedup",
             scale_twin="dedup_embedding_lsh (or a larger k)",
             cap=cap, enforce=enforce)
-        dot = ("aggregate(zip_with(a.embedding, b.embedding, "
-               "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-               "0D, (acc, v) -> acc + v)")
-        norm = ("sqrt(aggregate(embedding, 0D, "
-                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-        return spark.sql(f"""
-        WITH nv AS (
-            SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
-        ),
-        pairs AS (
-            SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
-            FROM (SELECT n1.vec_id, n1.embedding, n1.nrm, s1.cluster
-                  FROM nv n1 JOIN semdedup_asg s1
-                    ON s1.vec_id = n1.vec_id) a
-            JOIN (SELECT n2.vec_id, n2.embedding, n2.nrm, s2.cluster
-                  FROM nv n2 JOIN semdedup_asg s2
-                    ON s2.vec_id = n2.vec_id) b
-              ON b.cluster = a.cluster AND b.vec_id > a.vec_id
-            WHERE {dot} / (a.nrm * b.nrm) >= {threshold}
-            GROUP BY b.vec_id
-        )
-        SELECT s.vec_id, s.cluster AS cluster_id,
-               CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS removed,
-               COALESCE(p.dup_of, -1) AS dup_of
-        FROM semdedup_asg s LEFT JOIN pairs p ON p.vec_id = s.vec_id
-        """)
+        return (emb_df.select("vec_id", "embedding")
+                .join(assign, "vec_id")
+                .groupBy("cluster")
+                .applyInPandas(
+                    _semdedup_cluster_kernel(threshold),
+                    schema=("vec_id long, cluster_id long, "
+                            "removed int, dup_of long")))
