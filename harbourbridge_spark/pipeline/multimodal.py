@@ -545,6 +545,18 @@ def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
     the groupBy shuffles a 64-hex digest per image, never pixels.
     Undecodable rows are skipped — corrupt media must never fail the
     job."""
+    digests = media.select("media_id", "content").mapInPandas(
+        _resliced(_pixel_sha_kernel(), batch_size),
+        schema=PIXEL_SHA_SCHEMA)
+    return _pixel_sha_collapse(digests)
+
+
+PIXEL_SHA_SCHEMA = "media_id long, pixel_sha string"
+
+
+def _pixel_sha_kernel():
+    """Batch-generator for the decoded-raster digest — shared by
+    pixel_dedup and its fused synth→digest variant."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, digests = [], []
@@ -560,10 +572,20 @@ def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     f"{w}x{h}:".encode() + px.tobytes()).hexdigest())
                 ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "pixel_sha": digests})
+    return run
 
-    digests = media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size),
-        schema="media_id long, pixel_sha string")
+
+def synth_pixel_shas(ids: DataFrame, fmt: str,
+                     batch_size: int = 256) -> DataFrame:
+    """Fused synth→raster-digest: identical rows to the
+    pixel-digest kernel over synth_media(ids, "image", fmt), bytes
+    in-task."""
+    return synth_media_then(ids, "image", fmt,
+                            _resliced(_pixel_sha_kernel(), batch_size),
+                            PIXEL_SHA_SCHEMA)
+
+
+def _pixel_sha_collapse(digests: DataFrame) -> DataFrame:
     return (digests.groupBy("pixel_sha")
             .agg(F.min("media_id").alias("rep_media_id"),
                  F.count("*").cast("long").alias("n_copies"))
@@ -751,12 +773,16 @@ def synth_phash_variant(media_id: int) -> bytes:
     return _rgb_png(px)
 
 
-def _phash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
-    """Arrow-batched dHash kernel: (media_id, phash) with the hash
-    wrapped to signed 64-bit for the LongType column; undecodable
-    rows are skipped.  Shared by the symmetric cluster pass, the
-    store writer, and the incremental probe — store and probes hash
-    IDENTICALLY by construction."""
+HASH64_SCHEMA = "media_id long, phash long"
+
+
+def _hash64_kernel(hash_fn, errors):
+    """Batch-generator factory for the (media_id, hash64-as-long)
+    kernels — one body shared by the image dHash, audio fingerprint,
+    and video first-frame hash (and by their FUSED synth→hash
+    variants).  ``errors`` are the per-family decode exceptions that
+    quarantine a row (skip, never fail the job); the hash wraps to
+    signed 64-bit for the LongType column."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
@@ -764,15 +790,37 @@ def _phash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 if content is None:
                     continue
                 try:
-                    h = dhash64(bytes(content))
-                except (ValueError, struct.error, zlib.error):
+                    h = hash_fn(bytes(content))
+                except errors:
                     continue
                 ids.append(mid)
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
+    return run
 
+
+def _phash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched dHash kernel: (media_id, phash) with the hash
+    wrapped to signed 64-bit for the LongType column; undecodable
+    rows are skipped.  Shared by the symmetric cluster pass, the
+    store writer, and the incremental probe — store and probes hash
+    IDENTICALLY by construction."""
+    run = _hash64_kernel(dhash64, (ValueError, struct.error, zlib.error))
     return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema="media_id long, phash long")
+        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+
+
+def synth_phash_hashes(ids: DataFrame,
+                       batch_size: int = 256) -> DataFrame:
+    """Fused synth→dHash: identical rows to
+    _phash_df(synth_media(ids, "image", fmt="phash")) with the
+    content bytes never leaving the Python task (synth_media_then)."""
+    return synth_media_then(
+        ids, "image", "phash",
+        _resliced(_hash64_kernel(
+            dhash64, (ValueError, struct.error, zlib.error)),
+            batch_size),
+        HASH64_SCHEMA)
 
 
 def _phash_sliced(ph: DataFrame, hamming_k: int) -> DataFrame:
@@ -812,6 +860,13 @@ def phash_dedup(media: DataFrame, hamming_k: int = 3,
     never pixels; a boilerplate bucket degrades to O(n) star pairs."""
     ph = _phash_df(media, batch_size)
     return _hash64_cluster(ph, hamming_k)
+
+
+def synth_phash_dedup(ids: DataFrame, hamming_k: int = 3) -> DataFrame:
+    """phash_dedup over the FUSED synth→hash kernel — identical
+    output to phash_dedup(synth_media(ids, "image", fmt="phash"))
+    with the content bytes never crossing the JVM boundary."""
+    return _hash64_cluster(synth_phash_hashes(ids), hamming_k)
 
 
 def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
@@ -1033,25 +1088,21 @@ def _afp_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     fingerprint wrapped to signed 64-bit — the audio twin of
     _phash_df, emitting the SAME relation shape so the whole
     hash64 store/probe/cluster machinery is shared verbatim.
-    Undecodable rows are skipped."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                try:
-                    h = afp64(bytes(content))
-                except (ValueError, struct.error, IndexError):
-                    # IndexError: malformed FLAC/MP3 entropy data —
-                    # corrupt media must never fail the job
-                    continue
-                ids.append(mid)
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"media_id": ids, "phash": hashes})
-
+    Undecodable rows are skipped (IndexError: malformed FLAC/MP3
+    entropy data — corrupt media must never fail the job)."""
+    run = _hash64_kernel(afp64, (ValueError, struct.error, IndexError))
     return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema="media_id long, phash long")
+        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+
+
+def synth_afp_hashes(ids: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Fused synth→afp64: identical rows to
+    _afp_df(synth_media(ids, "audio", fmt="afp")), bytes in-task."""
+    return synth_media_then(
+        ids, "audio", "afp",
+        _resliced(_hash64_kernel(
+            afp64, (ValueError, struct.error, IndexError)), batch_size),
+        HASH64_SCHEMA)
 
 
 def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
@@ -1064,6 +1115,15 @@ def audio_fp_dedup(media: DataFrame, hamming_k: int = 3,
     either.  Returns (rep_media_id, n_clips)."""
     ph = _afp_df(media, batch_size)
     return (_hash64_cluster(ph, hamming_k)
+            .withColumnRenamed("n_images", "n_clips"))
+
+
+def synth_audio_fp_dedup(ids: DataFrame,
+                         hamming_k: int = 3) -> DataFrame:
+    """audio_fp_dedup over the FUSED synth→fingerprint kernel —
+    identical output to
+    audio_fp_dedup(synth_media(ids, "audio", fmt="afp"))."""
+    return (_hash64_cluster(synth_afp_hashes(ids), hamming_k)
             .withColumnRenamed("n_images", "n_clips"))
 
 
@@ -1131,17 +1191,19 @@ def afp_incremental_entry_fn(spark, sf_dir: str,
     store = store_path("afp", ident)
     docs = spark.read.parquet(src)
 
-    def media_for(pred: str) -> DataFrame:
+    def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
             f"explode(sequence(doc_id * {AFP_VARIANTS}, "
             f"doc_id * {AFP_VARIANTS} + {AFP_VARIANTS - 1})) "
             "AS media_id")
-        return synth_media(ids, "audio", fmt="afp")
+        # fused synth→hash (r16): see phash_incremental_entry_fn
+        return synth_afp_hashes(ids)
 
-    publish_store(store, lambda tmp: audio_fp_store_write(
-        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
-    return audio_fp_probe_against_store(
-        spark, store, media_for(f"doc_id % {mod} >= {res}"))
+    publish_store(store, lambda tmp: _hash_store_publish(
+        hashes_for(f"doc_id % {mod} < {res}"), tmp))
+    return phash_probe_hashes(
+        spark, store, hashes_for(f"doc_id % {mod} >= {res}")
+        .localCheckpoint())
 
 
 def _phash_bucket_partials(ph: DataFrame, hamming_k: int) -> DataFrame:
@@ -1170,6 +1232,20 @@ def _phash_store_append(ph: DataFrame, store_path: str,
     ph.write.mode(mode).parquet(f"{store_path}/hashes")
     _phash_bucket_partials(ph, hamming_k).write.mode(mode).parquet(
         f"{store_path}/buckets_k{hamming_k}")
+
+
+def _hash_store_publish(ph_df: DataFrame, store_path: str,
+                        hamming_k: int = 3) -> None:
+    """Write an already-computed (media_id, phash) relation as a
+    fresh hash64 store — phash_store_write minus the decode, for the
+    fused synth→hash entry paths (same lock discipline, same
+    layout)."""
+    from .storecache import store_lock
+
+    ph = ph_df.localCheckpoint()
+    with store_lock(store_path, exclusive=False):
+        _phash_store_append(ph, store_path, hamming_k,
+                            mode="overwrite")
 
 
 def phash_store_write(spark, media_df: DataFrame, store_path: str,
@@ -1398,17 +1474,20 @@ def phash_incremental_entry_fn(spark, sf_dir: str,
     store = store_path("phash", ident)
     docs = spark.read.parquet(src)
 
-    def media_for(pred: str) -> DataFrame:
+    def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
             f"explode(sequence(doc_id * {PHASH_VARIANTS}, "
             f"doc_id * {PHASH_VARIANTS} + {PHASH_VARIANTS - 1})) "
             "AS media_id")
-        return synth_media(ids, "image", fmt="phash")
+        # fused synth→hash (r16): content bytes never cross the JVM
+        # boundary; rows identical to _phash_df(synth_media(ids, …))
+        return synth_phash_hashes(ids)
 
-    publish_store(store, lambda tmp: phash_store_write(
-        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
-    return phash_probe_against_store(
-        spark, store, media_for(f"doc_id % {mod} >= {res}"))
+    publish_store(store, lambda tmp: _hash_store_publish(
+        hashes_for(f"doc_id % {mod} < {res}"), tmp))
+    return phash_probe_hashes(
+        spark, store, hashes_for(f"doc_id % {mod} >= {res}")
+        .localCheckpoint())
 
 
 # ---------------------------------------------------------------------------
@@ -1588,22 +1667,21 @@ def _vhash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched vhash64 kernel: (media_id, phash) — the video
     twin of _phash_df/_afp_df, same relation shape so the hash64
     store/probe/cluster machinery is shared verbatim."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                try:
-                    h = vhash64(bytes(content))
-                except (ValueError, struct.error, zlib.error):
-                    continue
-                ids.append(mid)
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"media_id": ids, "phash": hashes})
-
+    run = _hash64_kernel(vhash64, (ValueError, struct.error, zlib.error))
     return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema="media_id long, phash long")
+        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+
+
+def synth_vhash_hashes(ids: DataFrame,
+                       batch_size: int = 256) -> DataFrame:
+    """Fused synth→vhash64: identical rows to
+    _vhash_df(synth_media(ids, "video", fmt="vhash")), bytes in-task."""
+    return synth_media_then(
+        ids, "video", "vhash",
+        _resliced(_hash64_kernel(
+            vhash64, (ValueError, struct.error, zlib.error)),
+            batch_size),
+        HASH64_SCHEMA)
 
 
 def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
@@ -1616,6 +1694,15 @@ def video_phash_dedup(media: DataFrame, hamming_k: int = 3,
     hashes."""
     ph = _vhash_df(media, batch_size)
     return (_hash64_cluster(ph, hamming_k)
+            .withColumnRenamed("n_images", "n_videos"))
+
+
+def synth_video_phash_dedup(ids: DataFrame,
+                            hamming_k: int = 3) -> DataFrame:
+    """video_phash_dedup over the FUSED synth→hash kernel —
+    identical output to
+    video_phash_dedup(synth_media(ids, "video", fmt="vhash"))."""
+    return (_hash64_cluster(synth_vhash_hashes(ids), hamming_k)
             .withColumnRenamed("n_images", "n_videos"))
 
 
@@ -1677,17 +1764,19 @@ def vhash_incremental_entry_fn(spark, sf_dir: str,
     store = store_path("vhash", ident)
     docs = spark.read.parquet(src)
 
-    def media_for(pred: str) -> DataFrame:
+    def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
             f"explode(sequence(doc_id * {VHASH_VARIANTS}, "
             f"doc_id * {VHASH_VARIANTS} + {VHASH_VARIANTS - 1})) "
             "AS media_id")
-        return synth_media(ids, "video", fmt="vhash")
+        # fused synth→hash (r16): see phash_incremental_entry_fn
+        return synth_vhash_hashes(ids)
 
-    publish_store(store, lambda tmp: video_phash_store_write(
-        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
-    return video_phash_probe_against_store(
-        spark, store, media_for(f"doc_id % {mod} >= {res}"))
+    publish_store(store, lambda tmp: _hash_store_publish(
+        hashes_for(f"doc_id % {mod} < {res}"), tmp))
+    return phash_probe_hashes(
+        spark, store, hashes_for(f"doc_id % {mod} >= {res}")
+        .localCheckpoint())
 
 
 # ---------------------------------------------------------------------------
@@ -1883,9 +1972,13 @@ def synth_thash_variant(media_id: int) -> bytes:
     return bytes(out)
 
 
-def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
-    """Arrow-batched thash kernel: one (media_id, slot, phash) row
-    per sampled frame.  Undecodable clips contribute zero rows."""
+THASH_SCHEMA = "media_id long, slot int, phash long"
+
+
+def _thash_kernel():
+    """Batch-generator for the per-slot temporal hash — the
+    _hash64_kernel shape with a slot column (shared by _thash_df and
+    the fused synth→thash path)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, slots_, hashes = [], [], []
@@ -1903,10 +1996,24 @@ def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
                                   if h >= (1 << 63) else h)
             yield pd.DataFrame({"media_id": ids, "slot": slots_,
                                 "phash": hashes})
+    return run
 
+
+def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched thash kernel: one (media_id, slot, phash) row
+    per sampled frame.  Undecodable clips contribute zero rows."""
     return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size),
-        schema="media_id long, slot int, phash long")
+        _resliced(_thash_kernel(), batch_size), schema=THASH_SCHEMA)
+
+
+def synth_thash_hashes(ids: DataFrame,
+                       batch_size: int = 256) -> DataFrame:
+    """Fused synth→thash_slots: identical rows to
+    _thash_df(synth_media(ids, "video", fmt="thash")), bytes
+    in-task."""
+    return synth_media_then(
+        ids, "video", "thash",
+        _resliced(_thash_kernel(), batch_size), THASH_SCHEMA)
 
 
 def _thash_sliced(th: DataFrame, hamming_k: int) -> DataFrame:
@@ -1942,9 +2049,26 @@ def video_thash_dedup(media: DataFrame, hamming_k: int = 3,
     star-degrade per (slot, b, slice) exactly like the single-hash
     path, and the class-min representative argument carries over
     per slot, so the emitted reps are bucket-path-invariant."""
+    return _thash_cluster(_thash_df(media, batch_size), hamming_k,
+                          min_votes)
+
+
+def synth_video_thash_dedup(ids: DataFrame, hamming_k: int = 3,
+                            min_votes: int = 2) -> DataFrame:
+    """video_thash_dedup over the FUSED synth→thash kernel —
+    identical output to
+    video_thash_dedup(synth_media(ids, "video", fmt="thash"))."""
+    return _thash_cluster(synth_thash_hashes(ids), hamming_k,
+                          min_votes)
+
+
+def _thash_cluster(th_df: DataFrame, hamming_k: int = 3,
+                   min_votes: int = 2) -> DataFrame:
+    """The voted temporal collapse over any (media_id, slot, phash)
+    relation — see video_thash_dedup for the design argument."""
     from .dedup import MAX_BUCKET
 
-    th = _thash_df(media, batch_size).localCheckpoint()
+    th = th_df.localCheckpoint()
     sig = th.groupBy("media_id").agg(
         *[F.max(F.when(F.col("slot") == t, F.col("phash")))
           .alias(f"ph{t}") for t in range(THASH_SLOTS)])
@@ -2024,6 +2148,17 @@ def _thash_store_append(th: DataFrame, store_path: str,
     th.write.mode(mode).parquet(f"{store_path}/hashes")
     _thash_bucket_partials(th, hamming_k).write.mode(mode).parquet(
         f"{store_path}/buckets_k{hamming_k}")
+
+
+def _thash_store_publish(th_df: DataFrame, store_path: str,
+                         hamming_k: int = 3) -> None:
+    """_hash_store_publish for the temporal (slot-carrying) layout."""
+    from .storecache import store_lock
+
+    th = th_df.localCheckpoint()
+    with store_lock(store_path, exclusive=False):
+        _thash_store_append(th, store_path, hamming_k,
+                            mode="overwrite")
 
 
 def video_thash_store_write(spark, media_df: DataFrame,
@@ -2161,17 +2296,19 @@ def thash_incremental_entry_fn(spark, sf_dir: str,
     store = store_path("thash", ident)
     docs = spark.read.parquet(src)
 
-    def media_for(pred: str) -> DataFrame:
+    def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
             f"explode(sequence(doc_id * {THASH_VARIANTS}, "
             f"doc_id * {THASH_VARIANTS} + {THASH_VARIANTS - 1})) "
             "AS media_id")
-        return synth_media(ids, "video", fmt="thash")
+        # fused synth→hash (r16): see phash_incremental_entry_fn
+        return synth_thash_hashes(ids)
 
-    publish_store(store, lambda tmp: video_thash_store_write(
-        spark, media_for(f"doc_id % {mod} < {res}"), tmp))
-    return video_thash_probe_against_store(
-        spark, store, media_for(f"doc_id % {mod} >= {res}"))
+    publish_store(store, lambda tmp: _thash_store_publish(
+        hashes_for(f"doc_id % {mod} < {res}"), tmp))
+    return thash_probe_hashes(
+        spark, store, hashes_for(f"doc_id % {mod} >= {res}")
+        .localCheckpoint())
 
 
 def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
@@ -2650,11 +2787,9 @@ def synth_y4m(seed: int) -> bytes:
     return bytes(out)
 
 
-def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
-    """Expand an ``(media_id)`` DataFrame into MEDIA_SCHEMA rows with
-    synthesized real bytes (WAV for audio; BMP/PPM/PNG for image via
-    ``fmt``; Y4M for video) — the test harness for the decode path;
-    generation is Arrow-batched like the decode itself."""
+def _resolve_synth(kind: str, fmt: str = None):
+    """(synth_fn, mime) for a synthetic-media family — the dispatch
+    table shared by synth_media and the fused synth→kernel paths."""
     if kind == "audio" and fmt == "mp3":
         from .mediameta import synth_mp3
         synth, mime = synth_mp3, "audio/mpeg"
@@ -2746,26 +2881,66 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
         synth, mime = synth_phash_variant, "image/mixed"
     else:
         synth, mime = synth_bmp, "image/bmp"
+    return synth, mime
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "kind": kind,
-                "content": pdf["media_id"].map(lambda i: synth(int(i))),
-                "meta": [{"mime": mime, "width": None, "height": None,
-                          "duration_ms": None}] * len(pdf),
-            })
 
-    # the id source is typically a 1-2 row-group parquet scan; without
-    # a repartition the whole Python synth+decode chain serializes
-    # into those tasks (the boilerplate_grams lesson) — spread it
-    # across the cluster before the codec work
+def _synth_gen(batches: Iterator[pd.DataFrame], synth, kind: str,
+               mime: str) -> Iterator[pd.DataFrame]:
+    """MEDIA_SCHEMA-shaped batch generator over ``(media_id)``
+    batches — the synth half of every fused synth→kernel pipeline."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "kind": kind,
+            "content": pdf["media_id"].map(lambda i: synth(int(i))),
+            "meta": [{"mime": mime, "width": None, "height": None,
+                      "duration_ms": None}] * len(pdf),
+        })
+
+
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """The id source is typically a 1-2 row-group parquet scan;
+    without a repartition the whole Python synth+decode chain
+    serializes into those tasks (the boilerplate_grams lesson) —
+    spread it across the cluster before the codec work."""
     ids = ids.select("media_id")
     par = ids.sparkSession.sparkContext.defaultParallelism
     if ids.rdd.getNumPartitions() < par:
         ids = ids.repartition(par)
-    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+    return ids
+
+
+def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
+    """Expand an ``(media_id)`` DataFrame into MEDIA_SCHEMA rows with
+    synthesized real bytes (WAV for audio; BMP/PPM/PNG for image via
+    ``fmt``; Y4M for video) — the test harness for the decode path;
+    generation is Arrow-batched like the decode itself."""
+    synth, mime = _resolve_synth(kind, fmt)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _synth_gen(batches, synth, kind, mime)
+
+    return _spread_ids(ids).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def synth_media_then(ids: DataFrame, kind: str, fmt, then,
+                     then_schema) -> DataFrame:
+    """FUSED synth→kernel mapInPandas (r16, guide §4.1/§2.3): run a
+    media kernel (``then``: an Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame] generator, e.g. a ``_resliced`` hash or
+    feature kernel) directly over the synth generator INSIDE one
+    Python task — the synthesized content bytes are produced and
+    consumed in-process and never cross the JVM↔Python boundary,
+    where the unfused synth_media → kernel chain shipped every blob
+    JVM→Python→JVM→Python (two Arrow round trips of the heaviest
+    column for zero information gain).  Only the kernel's small
+    output columns return to the JVM."""
+    synth, mime = _resolve_synth(kind, fmt)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return then(_synth_gen(batches, synth, kind, mime))
+
+    return _spread_ids(ids).mapInPandas(run, schema=then_schema)
 
 
 

@@ -3441,19 +3441,21 @@ def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "since bmp is container slot 0)")
 def q_multimodal_pixel_dedup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    from .pipeline.multimodal import pixel_dedup, synth_media
+    from .pipeline.multimodal import (_pixel_sha_collapse,
+                                      synth_pixel_shas)
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"))
     parts = []
     for k, fmt in enumerate(("bmp", "ppm", "png")):
-        m = synth_media(ids, "image", fmt=fmt)
-        # content is synthesized from the ORIGINAL id (the pixel
-        # class); the projection below just makes media ids unique
-        # per container
-        parts.append(m.withColumn(
+        # fused synth→digest (r16): bytes never cross the JVM
+        # boundary; content is synthesized from the ORIGINAL id (the
+        # pixel class); the projection below just makes media ids
+        # unique per container
+        d = synth_pixel_shas(ids, fmt)
+        parts.append(d.withColumn(
             "media_id", F.col("media_id") * 3 + F.lit(k)))
-    media = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return pixel_dedup(media)
+    digests = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return _pixel_sha_collapse(digests)
 
 
 @register(
@@ -3479,10 +3481,11 @@ def q_multimodal_pixel_dedup(spark: SparkSession,
     "JPEG/GIF/WebP and resized")
 def q_multimodal_phash_dedup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    from .pipeline.multimodal import phash_dedup, synth_media
+    from .pipeline.multimodal import synth_phash_dedup
     ids = load(spark, sf_dir, "documents").selectExpr(
         "explode(sequence(doc_id * 6, doc_id * 6 + 5)) AS media_id")
-    return phash_dedup(synth_media(ids, "image", fmt="phash"))
+    # fused synth→hash (r16): bytes never cross the JVM boundary
+    return synth_phash_dedup(ids)
 
 
 @register(
@@ -3543,10 +3546,11 @@ def q_multimodal_phash_incremental(spark: SparkSession,
     "is how crawl duplicates actually differ")
 def q_multimodal_audio_fp_dedup(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    from .pipeline.multimodal import audio_fp_dedup, synth_media
+    from .pipeline.multimodal import synth_audio_fp_dedup
     ids = load(spark, sf_dir, "documents").selectExpr(
         "explode(sequence(doc_id * 5, doc_id * 5 + 4)) AS media_id")
-    return audio_fp_dedup(synth_media(ids, "audio", fmt="afp"))
+    # fused synth→hash (r16): bytes never cross the JVM boundary
+    return synth_audio_fp_dedup(ids)
 
 
 @register(
@@ -3603,10 +3607,11 @@ def q_multimodal_audio_fp_incremental(spark: SparkSession,
     "byte hashing sees three unrelated blobs")
 def q_multimodal_video_phash_dedup(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    from .pipeline.multimodal import synth_media, video_phash_dedup
+    from .pipeline.multimodal import synth_video_phash_dedup
     ids = load(spark, sf_dir, "documents").selectExpr(
         "explode(sequence(doc_id * 3, doc_id * 3 + 2)) AS media_id")
-    return video_phash_dedup(synth_media(ids, "video", fmt="vhash"))
+    # fused synth→hash (r16): bytes never cross the JVM boundary
+    return synth_video_phash_dedup(ids)
 
 
 @register(
@@ -3666,10 +3671,11 @@ def q_multimodal_video_phash_incremental(spark: SparkSession,
     "sets measure min pairwise Hamming >= 16 (test-pinned)")
 def q_multimodal_video_thash_dedup(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    from .pipeline.multimodal import synth_media, video_thash_dedup
+    from .pipeline.multimodal import synth_video_thash_dedup
     ids = load(spark, sf_dir, "documents").selectExpr(
         "explode(sequence(doc_id * 4, doc_id * 4 + 3)) AS media_id")
-    return video_thash_dedup(synth_media(ids, "video", fmt="thash"))
+    # fused synth→hash (r16): bytes never cross the JVM boundary
+    return synth_video_thash_dedup(ids)
 
 
 @register(
