@@ -42,6 +42,7 @@ needed at bench scale.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 from .text import render
 
@@ -208,7 +209,7 @@ def _learn_merges(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         vocab = spark.sql(render(
             _vocab_cte("spark") + " SELECT s, cnt FROM v0",

@@ -29,6 +29,7 @@ Scale designs (100 TB):
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 from .text import TOKENS, render
 
@@ -111,7 +112,7 @@ def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
     reference).  Measured 20.5s -> ~1s at sf0.1."""
     from .text import render as _render
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         toks = _render(TOKENS, "spark")
         leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
@@ -305,7 +306,7 @@ def curation_pipeline_materialized_fn(spark, sf_dir: str, k: int = 20,
     from .text import text_quality_sql
 
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
 
         # materialize ONLY the relations consumed more than once
@@ -861,7 +862,7 @@ def curation_store_entry_fn(spark, sf_dir: str, mod: int = CUR_MOD,
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}".encode()).hexdigest()[:16]
     store = store_path("curation", ident)
-    docs = spark.read.parquet(src)
+    docs = read_spread(spark, src)
     publish_store(store, lambda tmp: curation_store_write(
         spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
     return curate_against_store(

@@ -24,6 +24,7 @@ Scale design:
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 import warnings
 from typing import Iterator
@@ -92,7 +93,7 @@ def ngram_jaccard_pairs_fn(spark, sf_dir: str, cap: int | None = None,
     refuses (BlockTooLargeError) when any (lang, len_bucket) block
     exceeds the quadratic cap — the scale path is dedup_lsh_verified."""
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         check_quadratic_block_cap(
             spark, "documents",
@@ -108,7 +109,7 @@ def embedding_neardup_fn(spark, sf_dir: str, cap: int | None = None,
     variant: refuses when any label block exceeds the quadratic cap —
     the scale path is dedup_embedding_lsh."""
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        read_spread(spark, f"{sf_dir}/embeddings.parquet") \
             .createOrReplaceTempView("embeddings")
         check_quadratic_block_cap(
             spark, "embeddings", "label",
@@ -412,6 +413,12 @@ def vectorized_signature_df(docs, kernel=None):
             yield texts.map(lambda t: None if t is None else k(t))
 
     docs = docs.select("doc_id", F.trim(F.lower("text")).alias("nt"))
+    # callers pass a spread input (scan.read_spread) — the documents
+    # fixture is a single parquet row group → 1 scan partition, and
+    # an unspread input serializes the whole Python signature stage
+    # into ONE task (the synth_media _spread_ids lesson).  No .rdd
+    # probe here: the input may carry an AQE shuffle, whose stages a
+    # probe would materialize early.
     return (docs.select("doc_id", sig_udf("nt").alias("sig"))
             .select("doc_id",
                     *[F.element_at("sig", i + 1).alias(f"m{i}")
@@ -425,7 +432,7 @@ def vectorized_signature_view(spark, sf_dir: str, view: str,
     a temp view — the sf_dir-keyed convenience wrapper the registry
     entries use."""
     sig = vectorized_signature_df(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), kernel)
+        read_spread(spark, f"{sf_dir}/documents.parquet"), kernel)
     sig.createOrReplaceTempView(view)
     return sig
 
@@ -716,9 +723,14 @@ def simhash_signature_view(spark, sf_dir: str, view: str,
         return texts.map(lambda t: None if t is None
                          else _simhash_int(t, bits))
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_spread(spark, f"{sf_dir}/documents.parquet")
             .select("doc_id", F.trim(F.lower("text")).alias("nt"))
             .where(F.col("nt").isNotNull()))
+    # single-row-group scan → 1 task: spread the kernel (r16, the
+    # vectorized_signature_df lesson)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sig = docs.select("doc_id", sig_udf("nt").alias("sig")) \
               .localCheckpoint()
     sig.createOrReplaceTempView(view)
@@ -1009,7 +1021,7 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
     entry's own benchmark)."""
     vectorized_signature_view(spark, sf_dir, "__mh_sig_md5")
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")   # verify stage reads it
         pairs = spark.sql(minhash_bands_sql("spark", "__mh_sig_md5"))
         # localCheckpoint materializes the candidate pairs ONCE and replaces
@@ -1039,9 +1051,17 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
         ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                .union(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())
-        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = (read_spread(spark, f"{sf_dir}/documents.parquet")
                 .join(ids, "doc_id")
                 .select("doc_id", F.trim(F.lower("text")).alias("nt")))
+        # spread the gram kernel (r16): AQE coalesces the tiny
+        # semi-join output to ~1 post-shuffle partition, serializing
+        # the Python stage into one task — same starvation class as
+        # the single-row-group signature scan.  Unconditional (no
+        # .rdd probe: materializing an AQE join plan's RDD would
+        # execute its query stages early)
+        par = spark.sparkContext.defaultParallelism
+        docs = docs.repartition(par)
         grams = (docs.select("doc_id", gram_udf("nt").alias("grams"))
                  .localCheckpoint())
         grams.createOrReplaceTempView("__mh_grams")
@@ -1110,7 +1130,7 @@ def dedup_removal_manifest_fn(spark, sf_dir: str, clusters=None):
     from pyspark.sql import functions as F
     if clusters is None:
         clusters = dedup_clusters_fn(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return (docs.join(clusters, "doc_id", "left")
             .select("doc_id",
@@ -1448,7 +1468,7 @@ def winnow_pairs_fn(spark, sf_dir: str):
     tokenize+winnow pipeline three times)."""
     from .text import render as _render
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         toks = _render(TOKENS, "spark")
         leads = ", ".join(f"lead(tok, {j}) OVER w"
@@ -1559,7 +1579,7 @@ def winnow_fp_stats_fn(spark, sf_dir: str):
     8-byte hash, never text."""
     from .text import render as _render
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         toks = _render(TOKENS, "spark")
         leads = ", ".join(f"lead(tok, {j}) OVER w"
@@ -1707,7 +1727,7 @@ def substring_spans_fn(spark, sf_dir: str):
     re-run the whole tokenize+gram pipeline for both consumers, and a
     hash-window would serialize each hot gram into one task."""
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         g = _substr_gram_df(spark, "documents")
         g.createOrReplaceTempView("__substr_g")
@@ -2132,7 +2152,7 @@ def dedup_incremental_store_entry_fn(spark, sf_dir: str,
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}".encode()).hexdigest()[:16]
     store = store_path("sig", ident)
-    docs = spark.read.parquet(src)
+    docs = read_spread(spark, src)
     publish_store(store, lambda tmp: signature_store_write(
         spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
     return dedup_incremental_against_store(
@@ -2293,7 +2313,7 @@ def substring_incremental_store_entry_fn(spark, sf_dir: str,
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}".encode()).hexdigest()[:16]
     store = store_path("substrgrams", ident)
-    docs = spark.read.parquet(src)
+    docs = read_spread(spark, src)
     publish_store(store, lambda tmp: gram_store_write(
         spark, docs.where(f"doc_id % {mod} < {res}"), tmp))
     return substring_probe_against_store(

@@ -36,6 +36,7 @@ single-partition window anywhere.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 from .hashing import hash48
 from .text import TOKENS, render
@@ -177,7 +178,7 @@ def _scored_df(spark, sf_dir: str):
         # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
         # spread the expensive projection across the cluster first
         par = spark.sparkContext.defaultParallelism
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = read_spread(spark, f"{sf_dir}/documents.parquet")
         if docs.rdd.getNumPartitions() < par:
             docs = docs.repartition(par)
         docs.createOrReplaceTempView("documents")

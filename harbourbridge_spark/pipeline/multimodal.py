@@ -927,19 +927,29 @@ def _hash64_cluster(ph: DataFrame, hamming_k: int) -> DataFrame:
                     F.col("media_id").alias("id_b"),
                     F.col("rep_ph").alias("ph_a"),
                     F.col("phash").alias("ph_b")))
-    cand = pairs.unionByName(star).distinct()
+    # no DISTINCT on candidates (r16): the same pair surfacing from
+    # several slices just re-verifies a cheap popcount, and the
+    # downstream rep aggregation is a MIN — duplicate-insensitive —
+    # so the dedup exchange bought nothing but a shuffle
+    cand = pairs.unionByName(star)
     edges = cand.filter(
         F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}")) \
         .select("id_a", "id_b")
-    verts = g.select(F.col("media_id"),
-                     F.col("media_id").alias("r"))
+    # the vertex rows carry n_members through the rep aggregation
+    # (r16): every group-min media_id appears in verts exactly once,
+    # so max(nm) recovers its group size and the former groups-join
+    # exchange disappears from the plan
+    verts = groups.select(F.col("media_id"),
+                          F.col("media_id").alias("r"),
+                          F.col("n_members").alias("nm"))
     reps = (verts.unionByName(
         edges.select(F.col("id_b").alias("media_id"),
-                     F.col("id_a").alias("r")))
-        .groupBy("media_id").agg(F.min("r").alias("rep")))
-    return (groups.join(reps, "media_id")
-            .groupBy("rep")
-            .agg(F.sum("n_members").alias("n_images"))
+                     F.col("id_a").alias("r"),
+                     F.lit(None).cast("long").alias("nm")))
+        .groupBy("media_id").agg(F.min("r").alias("rep"),
+                                 F.max("nm").alias("nm")))
+    return (reps.groupBy("rep")
+            .agg(F.sum("nm").alias("n_images"))
             .select(F.col("rep").alias("rep_media_id"), "n_images"))
 
 
@@ -1395,7 +1405,10 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
                 F.col("i.phash").alias("ph_i"),
                 F.col("e.media_id").alias("dup"),
                 F.col("e.phash").alias("ph_e")))
-    cand = cand_small.unionByName(cand_star).distinct()
+    # no DISTINCT on candidates (r16): the MIN/COUNT-free verdict
+    # aggregation below is duplicate-insensitive (MIN over dup), so
+    # the dedup exchange was pure overhead
+    cand = cand_small.unionByName(cand_star)
     hash_verdicts = (cand.filter(
         F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
         .groupBy("ph_i")
@@ -2104,7 +2117,11 @@ def _thash_cluster(th_df: DataFrame, hamming_k: int = 3,
                     F.col("media_id").alias("id_b"),
                     F.col("rep_ph").alias("ph_a"),
                     F.col("phash").alias("ph_b")))
-    cand = pairs.unionByName(star).distinct()
+    # candidate-level DISTINCT dropped (r16): the vote counts
+    # DISTINCT (slot, id_a, id_b) matches below, which already
+    # absorbs duplicate candidates from multiple slices — the extra
+    # exchange deduplicated rows the next exchange re-deduplicates
+    cand = pairs.unionByName(star)
     slot_matches = cand.filter(
         F.expr(f"bit_count(ph_a ^ ph_b) <= {hamming_k}")) \
         .select("slot", "id_a", "id_b").distinct()
@@ -2112,15 +2129,18 @@ def _thash_cluster(th_df: DataFrame, hamming_k: int = 3,
              .agg(F.count("*").alias("votes"))
              .filter(F.col("votes") >= min_votes)
              .select("id_a", "id_b"))
+    # n_members rides the vertex rows (r16) — see _hash64_cluster
     verts = groups.select(F.col("media_id"),
-                          F.col("media_id").alias("r"))
+                          F.col("media_id").alias("r"),
+                          F.col("n_members").alias("nm"))
     reps = (verts.unionByName(
         edges.select(F.col("id_b").alias("media_id"),
-                     F.col("id_a").alias("r")))
-        .groupBy("media_id").agg(F.min("r").alias("rep")))
-    return (groups.join(reps, "media_id")
-            .groupBy("rep")
-            .agg(F.sum("n_members").alias("n_clips"))
+                     F.col("id_a").alias("r"),
+                     F.lit(None).cast("long").alias("nm")))
+        .groupBy("media_id").agg(F.min("r").alias("rep"),
+                                 F.max("nm").alias("nm")))
+    return (reps.groupBy("rep")
+            .agg(F.sum("nm").alias("n_clips"))
             .select(F.col("rep").alias("rep_media_id"), "n_clips"))
 
 
@@ -2242,7 +2262,10 @@ def thash_probe_hashes(spark, store_path: str, batch_th: DataFrame,
                 F.col("i.phash").alias("ph_i"),
                 F.col("e.media_id").alias("dup"),
                 F.col("e.phash").alias("ph_e")))
-    cand = cand_small.unionByName(cand_star).distinct()
+    # candidate-level DISTINCT dropped (r16): slot_matches' own
+    # DISTINCT already absorbs duplicate candidates from multiple
+    # slices before the vote counts them
+    cand = cand_small.unionByName(cand_star)
     slot_matches = (cand.filter(
         F.expr(f"bit_count(ph_i ^ ph_e) <= {hamming_k}"))
         .select("slot", "media_id", "dup").distinct())

@@ -18,6 +18,7 @@ the SQL so both engines agree.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 import hashlib
 
@@ -759,7 +760,7 @@ def ann_against_store_fn(spark, sf_dir: str, n_queries: int = 10,
     import os
     import shutil
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet")
     # a ring of per-call subdirs under ONE per-process parent
     # (code-review r8 x3): unique to this process so concurrent
     # sessions never touch each other's index; per-call subdirs so a
@@ -815,7 +816,7 @@ def ann_store_probe_fn(spark, sf_dir: str, n_queries: int = 10,
         f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{n_queries}|{n_cells}".encode()).hexdigest()[:16]
     store = store_path("annidx", ident)
-    emb = spark.read.parquet(src)
+    emb = read_spread(spark, src)
     publish_store(store, lambda tmp: ann_index_store_write(
         spark, emb.where(f"vec_id >= {n_queries}"), tmp,
         n_cells=n_cells))
@@ -1066,7 +1067,7 @@ def semdedup_fn(spark, sf_dir: str, k: int = 8, iters: int = 2,
     previous interpreted-HOF SQL pass, oracle-pinned)."""
     from .dedup import check_quadratic_block_cap
     with scoped_parser_mode(spark, "true"):
-        emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb_df = read_spread(spark, f"{sf_dir}/embeddings.parquet")
         emb_df.createOrReplaceTempView("embeddings")
         body, last_assign, _prev = _kmeans_ctes("spark", k, iters, DIM)
         assign = spark.sql(

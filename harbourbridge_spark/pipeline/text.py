@@ -15,6 +15,7 @@ low-cardinality key. No Python UDFs anywhere.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_spread
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -288,7 +289,7 @@ def redact_pii_sql(engine: str) -> str:
 def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     """Execute a dual-engine template on Spark over the fixture views."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    read_spread(spark, f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(sql_fn("spark"))
 
@@ -379,7 +380,7 @@ def boilerplate_grams_fn(spark, sf_dir: str):
     Short-doc (<5 tokens) single-gram semantics of the template are
     preserved via the pos=0 fallback row."""
     with scoped_parser_mode(spark, "true"):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = read_spread(spark, f"{sf_dir}/documents.parquet")
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
         docs.createOrReplaceTempView("documents")
         toks = render(TOKENS, "spark")

@@ -194,6 +194,17 @@ def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
     keyed = docs.select(
         (F.col("doc_id") % n_files).alias("file_id"),
         "doc_id", "text")
+    # pin the group exchange at n_files partitions (r16): the plain
+    # groupBy exchange is AQE-coalesced to ~1 post-shuffle partition
+    # at fixture sizes, which serialized EVERY file build — and the
+    # downstream parse kernel chained into the same single task.  An
+    # explicit keyed repartition is respected by AQE, the groupBy
+    # reuses it (no second exchange, guide §2.4), and one task per
+    # file is exactly the file-granular parallelism the read path
+    # advertises.  Fixture-only: real ingestion reads files off
+    # storage.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.repartition(min(n_files, par), "file_id")
     return keyed.groupBy("file_id").applyInPandas(build, out_schema)
 
 

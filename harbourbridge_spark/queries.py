@@ -50,7 +50,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # below so queries always see ns-since-epoch longs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark._hb_confs_configured = True
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    from .scan import read_spread
+    df = read_spread(spark, f"{sf_dir}/{table}.parquet")
     if table == "events" and not isinstance(
             df.schema["ts"].dataType, LongType):
         # micros-precision timestamp (ntz reads as naive UTC under the

@@ -428,6 +428,11 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert all(r.doc_a == 0 for r in rows)
     assert elapsed < 60  # quadratic join would blow far past this
 
+    # the SQL template's contract is caller-registered views (as in the
+    # oracle gate); minhash_lsh_pairs_fn no longer registers `documents`
+    # as a side effect since the r16 vectorized-signature switch
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("documents")
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     stats = spark.sql(D.lsh_bucket_stats_sql("spark")).collect()[0]
     assert stats.n_capped_buckets == 4  # one degenerate bucket per band
