@@ -723,14 +723,11 @@ def simhash_signature_view(spark, sf_dir: str, view: str,
         return texts.map(lambda t: None if t is None
                          else _simhash_int(t, bits))
 
+    # read_spread spreads the single-row-group scan so the kernel
+    # does not serialize into one task (r16)
     docs = (read_spread(spark, f"{sf_dir}/documents.parquet")
             .select("doc_id", F.trim(F.lower("text")).alias("nt"))
             .where(F.col("nt").isNotNull()))
-    # single-row-group scan → 1 task: spread the kernel (r16, the
-    # vectorized_signature_df lesson)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     sig = docs.select("doc_id", sig_udf("nt").alias("sig")) \
               .localCheckpoint()
     sig.createOrReplaceTempView(view)
@@ -1051,7 +1048,11 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
         ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                .union(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())
-        docs = (read_spread(spark, f"{sf_dir}/documents.parquet")
+        # plain read (r16): the candidate-id semi-join prunes the corpus
+        # to a tiny relation in one cheap task — spreading the full text
+        # column ahead of it would shuffle the whole corpus for nothing;
+        # the repartition AFTER the join is what feeds the gram kernel
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .join(ids, "doc_id")
                 .select("doc_id", F.trim(F.lower("text")).alias("nt")))
         # spread the gram kernel (r16): AQE coalesces the tiny
@@ -1130,7 +1131,9 @@ def dedup_removal_manifest_fn(spark, sf_dir: str, clusters=None):
     from pyspark.sql import functions as F
     if clusters is None:
         clusters = dedup_clusters_fn(spark, sf_dir)
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet") \
+    # plain read (r16): only doc_id leaves the scan — nothing heavy
+    # chains into the scan stage, so the spread exchange buys nothing
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return (docs.join(clusters, "doc_id", "left")
             .select("doc_id",

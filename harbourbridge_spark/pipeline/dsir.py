@@ -177,10 +177,7 @@ def _scored_df(spark, sf_dir: str):
         # ENTIRE tokenize/explode/md5 pipeline serializes into 2 tasks
         # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
         # spread the expensive projection across the cluster first
-        par = spark.sparkContext.defaultParallelism
         docs = read_spread(spark, f"{sf_dir}/documents.parquet")
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
         docs.createOrReplaceTempView("documents")
         # MATERIALIZE the token arrays before the bigram lambda: Catalyst
         # collapses the tk projection INTO the transform() lambda, so the

@@ -289,7 +289,10 @@ def redact_pii_sql(engine: str) -> str:
 def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     """Execute a dual-engine template on Spark over the fixture views."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    read_spread(spark, f"{sf_dir}/documents.parquet") \
+    # plain read (r16 A/B): the templates run() serves are single-pass
+    # JVM projections/windows a single codegen task finishes faster
+    # than the spread exchange costs (scan.py rationale)
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(sql_fn("spark"))
 
@@ -381,7 +384,6 @@ def boilerplate_grams_fn(spark, sf_dir: str):
     preserved via the pos=0 fallback row."""
     with scoped_parser_mode(spark, "true"):
         docs = read_spread(spark, f"{sf_dir}/documents.parquet")
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
         docs.createOrReplaceTempView("documents")
         toks = render(TOKENS, "spark")
         # two r6 plan cuts vs the template-shaped form (1.27s -> 0.90s at

@@ -50,8 +50,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # below so queries always see ns-since-epoch longs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark._hb_confs_configured = True
-    from .scan import read_spread
-    df = read_spread(spark, f"{sf_dir}/{table}.parquet")
+    # Plain read, deliberately NOT scan.read_spread: the r16 A/B showed
+    # the spread exchange is a net loss for the cheap JVM-codegen query
+    # family load() serves (gopher 0.42s plain vs 1.61s spread, q15
+    # 0.77 vs 1.53, q21 1.09 vs 1.95) — spreading is a per-operator
+    # decision made at the call sites whose scan stage carries heavy
+    # Python-kernel / token-explosion work.
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and not isinstance(
             df.schema["ts"].dataType, LongType):
         # micros-precision timestamp (ntz reads as naive UTC under the

@@ -1,25 +1,38 @@
 """Scale-adaptive scan spreading (r16 optimization round).
 
 Every fixture table is a SINGLE parquet row group, and a parquet scan
-cannot be split below row-group granularity — so every scan stage in
-every query ran as ONE task regardless of cluster size, serializing
-both JVM codegen work (600k-row lineitem aggregations) and every
-downstream Python kernel chained into the scan stage (the
-synth_media._spread_ids lesson, generalized).  ``read_spread``
+cannot be split below row-group granularity — so a scan stage chaining
+heavy per-row work (a Python kernel, a token-explosion SQL pipeline)
+runs as ONE task regardless of cluster size.  ``read_spread``
 repartitions a freshly-read table across the cluster ONLY when the
-scan yields fewer partitions than cores AND the file is big enough
-for the shuffle to pay for itself.
+file's row-group count is below ``defaultParallelism`` AND the file is
+big enough for the exchange to pay for itself.
 
-Scale behaviour: at real data sizes a table has many row groups, the
-partition count exceeds ``defaultParallelism``, and this is a no-op —
-the knob is derived from the input, not tuned to the bench box
-(optimization guide §2: scale-adaptive partitioning, never a constant
-for either local mode or the cluster).  Values are unaffected: the
-library contains no partition-order-sensitive expression
-(grep-verified: no monotonically_increasing_id / spark_partition_id /
-input_file_name), float aggregation routes through order-independent
-DECIMAL sums, and the oracle gate re-runs every entry at a second
-partitioning.
+Apply it ONLY where the scan stage carries heavy downstream compute.
+The r16 A/B showed the exchange is a net LOSS for cheap JVM-codegen
+queries (gopher_quality_rules 0.42s plain vs 1.61s spread; q15 0.77
+vs 1.53; q21 1.09 vs 1.95): the repartition shuffles the whole table
+to parallelize work that one codegen task finishes faster than the
+exchange costs — so the blanket application in queries.load() was
+reverted, and call sites are the per-operator decision the
+optimization guide §1.2 asks for (fix the distributed algorithm per
+operator, not with one global knob).
+
+The splittability probe is the parquet FOOTER row-group count (pure
+pyarrow metadata read, ~1 ms), not ``df.rdd.getNumPartitions()``: the
+RDD probe forces plan conversion on the driver (~50-80 ms warm, ~1 s
+cold — real latency at 0.5 s query scale), and row groups are the true
+lower bound on scan parallelism anyway.
+
+Scale behaviour: at real data sizes a table is a directory of many
+files (skipped — already parallel) or a file with many row groups, and
+this is a no-op — the knob derives from the input, not from local[32]
+(guide §2: scale-adaptive partitioning, never a constant tuned for
+either local mode or the cluster).  Values are unaffected: the library
+contains no partition-order-sensitive expression (grep-verified: no
+monotonically_increasing_id / spark_partition_id / input_file_name),
+float aggregation routes through order-independent DECIMAL sums, and
+the oracle gate re-runs every entry at a second partitioning.
 """
 
 from __future__ import annotations
@@ -31,24 +44,32 @@ import os
 MIN_SPREAD_BYTES = 256 << 10
 
 
-def spread_scan(df, size_hint: int | None = None):
-    """Repartition a scan DataFrame to ``defaultParallelism`` when it
-    would otherwise under-parallelize.  Call this only on plain scan
-    plans (no AQE shuffle upstream): ``.rdd`` on a shuffle-bearing
-    plan would materialize its query stages early."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if size_hint is not None and size_hint < MIN_SPREAD_BYTES:
-        return df
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+def _row_groups(path: str) -> int | None:
+    """Parquet footer row-group count — the true splittability bound.
+    None when the footer can't be read (stay conservative: no spread)."""
+    try:
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:   # noqa: BLE001 — any footer trouble: no spread
+        return None
 
 
 def read_spread(spark, path: str):
-    """``spark.read.parquet(path)`` + spread_scan, with the file size
-    as the pay-for-itself gate."""
+    """``spark.read.parquet(path)``, repartitioned to
+    ``defaultParallelism`` when the single-file input cannot split
+    that wide on its own.  Directories (the at-scale layout) are
+    always read plain."""
+    df = spark.read.parquet(path)
+    if os.path.isdir(path):
+        return df
     try:
         size = os.path.getsize(path)
     except OSError:
-        size = None
-    return spread_scan(spark.read.parquet(path), size)
+        return df
+    if size < MIN_SPREAD_BYTES:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    groups = _row_groups(path)
+    if groups is not None and groups < par:
+        df = df.repartition(par)
+    return df
