@@ -104,14 +104,19 @@ _M = _dct_basis()
 # ---------------------------------------------------------------------------
 
 class _Huff:
-    """Canonical Huffman decoder built from DHT BITS/HUFFVAL, decoded
-    with the classic (mincode, maxcode, valptr)-per-length walk."""
+    """Canonical Huffman decoder built from DHT BITS/HUFFVAL.  An
+    8-bit prefix LUT (libjpeg's classic trick) resolves every code of
+    length <= 8 in one table hit; longer codes and the buffer tail
+    fall back to the (mincode, maxcode, valptr)-per-length walk.  The
+    consumed bit sequence is identical either way (r16 optimization:
+    the walk burned one Python call per BIT of scan data)."""
 
     def __init__(self, bits: list[int], vals: bytes):
         self.vals = vals
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
+        lut: list = [None] * 256
         code = 0
         k = 0
         for ln in range(1, 17):
@@ -119,10 +124,34 @@ class _Huff:
             self.valptr[ln] = k
             self.mincode[ln] = code
             self.maxcode[ln] = code + n - 1 if n else -1
+            if ln <= 8:
+                for j in range(n):
+                    base = (code + j) << (8 - ln)
+                    entry = (self.vals[k + j], ln)
+                    for p in range(base, base + (1 << (8 - ln))):
+                        lut[p] = entry
             code = (code + n) << 1
             k += n
+        self.lut = lut
 
     def decode(self, br: "_BitReader") -> int:
+        # fast path: peek 8 bits (zero-padded at the buffer tail) and
+        # resolve short codes in one LUT hit
+        nb = br.nbits
+        if nb < 8:
+            br._fill()
+            nb = br.nbits
+        if nb >= 8:
+            p = (br.cur >> (nb - 8)) & 0xFF
+        else:
+            p = (br.cur << (8 - nb)) & 0xFF
+        e = self.lut[p]
+        if e is not None and e[1] <= nb:
+            br.nbits = nb - e[1]
+            br.cur &= (1 << br.nbits) - 1   # drop consumed bits
+            return e[0]
+        # slow path: >8-bit codes, invalid prefixes, truncated tails —
+        # bit-for-bit the original walk (including its error behavior)
         code = br.bit()
         ln = 1
         while code > self.maxcode[ln]:
@@ -133,14 +162,43 @@ class _Huff:
         return self.vals[self.valptr[ln] + (code - self.mincode[ln])]
 
 
+_HUFF_CACHE: dict = {}
+
+
+def _huff(bits: list, vals: bytes) -> _Huff:
+    """Memoized _Huff construction: fixture decodes rebuild the same
+    DHT tables for every image, and the 256-entry LUT fill dominated
+    table setup (r16).  Keyed by the exact table bytes; the cache is
+    cleared at 64 distinct tables to stay bounded on adversarial
+    streams."""
+    key = (tuple(bits), bytes(vals))
+    h = _HUFF_CACHE.get(key)
+    if h is None:
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.clear()
+        h = _HUFF_CACHE[key] = _Huff(bits, vals)
+    return h
+
+
 class _BitReader:
-    """MSB-first bit reader over an already-unstuffed byte buffer."""
+    """MSB-first bit reader over an already-unstuffed byte buffer.
+    Holds up to ~32 buffered bits so multi-bit reads are one shift
+    instead of a per-bit loop (r16; the consumed bit stream and the
+    truncation error are unchanged)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.cur = 0
         self.nbits = 0
+
+    def _fill(self) -> None:
+        """Buffer whatever bytes remain, up to >= 24 bits; never
+        raises — callers that actually need missing bits do."""
+        while self.nbits <= 24 and self.pos < len(self.data):
+            self.cur = (self.cur << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -150,12 +208,20 @@ class _BitReader:
             self.pos += 1
             self.nbits = 8
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        v = (self.cur >> self.nbits) & 1
+        self.cur &= (1 << self.nbits) - 1   # keep cur bounded
+        return v
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated scan data")
+            self.cur = (self.cur << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.cur >> self.nbits) & ((1 << n) - 1)
+        self.cur &= (1 << self.nbits) - 1
         return v
 
 
@@ -248,7 +314,7 @@ def decode_jpeg_pixels(content: bytes) -> np.ndarray:
                 bits = list(body[j + 1:j + 17])
                 nv = sum(bits)
                 vals = bytes(body[j + 17:j + 17 + nv])
-                huff[(tc, th)] = _Huff(bits, vals)
+                huff[(tc, th)] = _huff(bits, vals)
                 j += 17 + nv
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -311,9 +377,11 @@ def _decode_scan(content, start, sof, scan, qt, huff, dri):
     if len(order) != len(comps):
         raise ValueError("partial scans not supported")
 
-    # per-component coefficient planes, in 8x8 block units
-    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
-              for cid, hs, vs, _, _, _ in order}
+    # per-component ZIGZAG coefficient lists in MCU walk order; the
+    # scan walk only appends int lists, the scatter to the block grid
+    # and the dequant+IDCT run batched at the end (r16 — the same
+    # restructure the progressive decoder always had)
+    flats = {cid: [] for cid, *_ in order}
     segs, _ = _split_scan(content, start)
     nmcu = mcux * mcuy
     per_seg = dri if dri else nmcu
@@ -326,19 +394,24 @@ def _decode_scan(content, start, sof, scan, qt, huff, dri):
         br = _BitReader(seg)
         pred = {cid: 0 for cid, *_ in order}
         for _ in range(min(per_seg, nmcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for cid, hs, vs, dc, ac, q in order:
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = _decode_block(br, dc, ac, pred, cid, q)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            for cid, hs, vs, dc, ac, _q in order:
+                ap = flats[cid].append
+                for _b in range(vs * hs):
+                    ap(_decode_block_coefs(br, dc, ac, pred, cid))
             mcu += 1
-    # upsample to full size and crop
+    # batched reconstruction, then upsample to full size and crop
     out = []
-    for cid, hs, vs, *_ in order:
-        p = planes[cid]
+    mcus = np.arange(nmcu)
+    mys, mxs = mcus // mcux, mcus % mcux
+    for cid, hs, vs, _dc, _ac, q in order:
+        ny, nx = mcuy * vs, mcux * hs
+        arr = np.array(flats[cid], dtype=np.int64)     # (nmcu*vs*hs, 64)
+        bys, bxs = np.divmod(np.arange(vs * hs), hs)
+        idx = ((mys[:, None] * vs + bys[None, :]) * nx
+               + (mxs[:, None] * hs + bxs[None, :])).reshape(-1)
+        grid = np.zeros((ny * nx, 64), dtype=np.int64)
+        grid[idx] = arr
+        p = _idct_plane(grid.reshape(ny, nx, 64).astype(np.float64), q)
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0),
                           hmax // hs, axis=1)
@@ -437,7 +510,7 @@ def _decode_progressive(content, i, body, sof, qt, huff, dri):
                     bits = list(seg_body[j + 1:j + 17])
                     nv = sum(bits)
                     vals = bytes(seg_body[j + 17:j + 17 + nv])
-                    huff[(tc, th)] = _Huff(bits, vals)
+                    huff[(tc, th)] = _huff(bits, vals)
                     j += 17 + nv
             elif m == 0xDB:            # DQT
                 j = 0
@@ -471,20 +544,11 @@ def _decode_progressive(content, i, body, sof, qt, huff, dri):
         if tq not in qt:
             raise ValueError("SOF references undeclared quant table")
         q = qt[tq]                                     # 8x8 row-major
-        zz = coef[cid].astype(np.float64)              # (ny, nx, 64)
-        rm = np.zeros_like(zz)
-        rm[:, :, ZIGZAG] = zz                          # dezigzag
-        ny, nx = rm.shape[:2]
-        plane = np.zeros((ny * 8, nx * 8))
-        for by in range(ny):
-            for bx in range(nx):
-                # per-block matmuls matching _decode_block's float
-                # ops exactly, so a progressive file with the same
-                # coefficients as a baseline file decodes to the
-                # same pixels even at np.round knife edges
-                blk = rm[by, bx].reshape(8, 8) * q
-                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    _M.T @ blk @ _M + 128.0
+        # batched IDCT bit-identical to the per-block matmuls (the
+        # _idct_plane exactness pin), so a progressive file with the
+        # same coefficients as a baseline file still decodes to the
+        # same pixels even at np.round knife edges
+        plane = _idct_plane(coef[cid].astype(np.float64), q)
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                               hmax // hs, axis=1)
@@ -700,10 +764,12 @@ def _prog_ac_refine(coef_c, ac, ss, se, al, segs, dri, grid_c):
                 eobrun -= 1
 
 
-def _decode_block(br, dc, ac, pred, cid, q):
-    """One 8x8 block: DC diff + AC RLE in zigzag, dequant, IDCT,
-    +128 level shift (unclamped float; the caller rounds)."""
-    coef = np.zeros(64)
+def _decode_block_coefs(br, dc, ac, pred, cid) -> list:
+    """One 8x8 block's ZIGZAG-order coefficients: DC diff + AC RLE.
+    Returns a 64-int list; dequant/IDCT happen batched per component
+    afterwards (r16: the per-block numpy zeros/fancy-index/matmul
+    round trip dominated the scan walk)."""
+    coef = [0] * 64
     s = dc.decode(br)
     diff = _extend(br.bits(s), s) if s else 0
     pred[cid] += diff
@@ -722,14 +788,23 @@ def _decode_block(br, dc, ac, pred, cid, q):
             raise ValueError("AC index out of range")
         coef[k] = _extend(br.bits(s), s)
         k += 1
-    blk = _dezigzag(coef).reshape(8, 8) * q
-    return _M.T @ blk @ _M + 128.0
+    return coef
 
 
-def _dezigzag(coef64: np.ndarray) -> np.ndarray:
-    out = np.zeros(64)
-    out[ZIGZAG] = coef64
-    return out
+def _idct_plane(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched dezigzag + dequant + IDCT + level shift over a
+    (ny, nx, 64) ZIGZAG-order coefficient grid: the spatial plane of
+    shape (ny*8, nx*8).  Float ops are the exact per-block sequence
+    of the former _decode_block — ``blk = dezigzag(coef) * q;
+    _M.T @ blk @ _M + 128`` — evaluated as one stacked matmul whose
+    per-slice dgemm is bit-identical to the 2-D call (pinned by
+    test_jpeg_batched_matmul_exact)."""
+    ny, nx = zz.shape[:2]
+    rm = np.zeros((ny, nx, 64))
+    rm[:, :, ZIGZAG] = zz
+    blk = rm.reshape(ny, nx, 8, 8) * q
+    out = _M.T @ blk @ _M + 128.0
+    return out.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
 
 
 JPEG_FEATURE_LEN = 6
@@ -785,21 +860,38 @@ def _cat(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray,
-                  pred: list) -> None:
-    f = _M @ (blk - 128.0) @ _M.T
+def _fdct_quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized ZIGZAG coefficients for EVERY 8x8 block of an
+    8-multiple-padded plane, batched: (ny, nx, 64) int64.  The float
+    sequence per block is exactly the former per-block
+    ``_M @ (blk - 128.0) @ _M.T; round(f / q)`` (stacked matmul ==
+    2-D matmul per slice — the _idct_plane exactness pin)."""
+    ny, nx = plane.shape[0] // 8, plane.shape[1] // 8
+    blks = plane.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3)
+    f = _M @ (blks - 128.0) @ _M.T
     coef = np.round(f / q).astype(np.int64)
-    zz = coef.reshape(-1)[ZIGZAG]
-    diff = int(zz[0]) - pred[0]
-    pred[0] = int(zz[0])
+    return coef.reshape(ny, nx, 64)[:, :, ZIGZAG]
+
+
+def _emit_block(bw: _BitWriter, zz: list, pred: list) -> None:
+    """Entropy-code one block's precomputed ZIGZAG coefficients (a
+    64-int Python list; the bit output is byte-identical to the old
+    inline-DCT _encode_block)."""
+    dcv = zz[0]
+    diff = dcv - pred[0]
+    pred[0] = dcv
     s = _cat(diff)
     bw.write(*_DC_CODE[s])
     if s:
         bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last = k
+            break
     run = 0
-    last = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -919,7 +1011,9 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
         need_h, need_w = mcuy * vs * 8, mcux * hs * 8
         p = np.pad(p, ((0, need_h - p.shape[0]),
                        (0, need_w - p.shape[1])), mode="edge")
-        padded.append((p, q, hs, vs))
+        # batched FDCT+quant+zigzag up front (r16); tolist() so the
+        # entropy loop below runs on plain Python ints
+        padded.append((_fdct_quant_zz(p, q).tolist(), hs, vs))
 
     bw = _BitWriter()
     preds = [[0] for _ in padded]
@@ -936,13 +1030,11 @@ def encode_jpeg(px: np.ndarray, subsample: str = "444",
             since_rst = 0
             preds = [[0] for _ in padded]
         my, mx = divmod(mcu, mcux)
-        for ci, (p, q, hs, vs) in enumerate(padded):
+        for ci, (zzg, hs, vs) in enumerate(padded):
             for by in range(vs):
                 for bx in range(hs):
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    _encode_block(bw, p[y0:y0 + 8, x0:x0 + 8], q,
-                                  preds[ci])
+                    _emit_block(bw, zzg[my * vs + by][mx * hs + bx],
+                                preds[ci])
         since_rst += 1
     bw.flush()
     out.extend(bw.out)
@@ -970,20 +1062,12 @@ def _fdct_zz_blocks(plane: np.ndarray, q: np.ndarray,
     padded (edge-replicated) to (need_h, need_w)."""
     p = np.pad(plane, ((0, need_h - plane.shape[0]),
                        (0, need_w - plane.shape[1])), mode="edge")
-    ny, nx = need_h // 8, need_w // 8
-    out = np.zeros((ny, nx, 64), dtype=np.int64)
-    for by in range(ny):
-        for bx in range(nx):
-            # per-block matmuls, NOT a batched einsum: bit-identical
-            # floats to the baseline encoder's _encode_block, so the
-            # two encoders quantize identically even at np.round
-            # knife edges (the progressive-vs-baseline differential
-            # tests rely on exact equality)
-            blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            f = _M @ blk @ _M.T
-            coef = np.round(f / q).astype(np.int64)
-            out[by, bx] = coef.reshape(-1)[ZIGZAG]
-    return out
+    # batched stacked matmul, NOT einsum: per-slice dgemm is
+    # bit-identical to the 2-D per-block call (the _idct_plane
+    # exactness pin), so the two encoders still quantize identically
+    # even at np.round knife edges (the progressive-vs-baseline
+    # differential tests rely on exact equality)
+    return _fdct_quant_zz(p, q)
 
 
 def _pt(v: int, al: int) -> int:

@@ -113,6 +113,30 @@ def test_gif_lzw_roundtrip_property(data):
     assert (G.decode_gif_pixels(buf) == pal[idx]).all()
 
 
+def test_jpeg_batched_matmul_exact():
+    """The r16 batched DCT paths (_idct_plane / _fdct_quant_zz) rely
+    on numpy's STACKED matmul being bit-identical to the 2-D
+    per-block call on this build — per-slice dgemm either way.  If a
+    numpy upgrade ever breaks this, the codec must go back to
+    per-block matmuls, so pin it."""
+    import numpy as np
+    from harbourbridge_spark.pipeline import jpeg as J
+    rng = np.random.default_rng(7)
+    blks = rng.uniform(-1000.0, 1000.0, size=(5, 7, 8, 8))
+    q = J.QT_LUMA.reshape(8, 8)
+    batched_idct = J._M.T @ blks @ J._M + 128.0
+    f = J._M @ (blks - 128.0) @ J._M.T
+    batched_coef = np.round(f / q).astype(np.int64)
+    for i in range(5):
+        for j in range(7):
+            b = blks[i, j]
+            assert np.array_equal(batched_idct[i, j],
+                                  J._M.T @ b @ J._M + 128.0)
+            f1 = J._M @ (b - 128.0) @ J._M.T
+            assert np.array_equal(batched_coef[i, j],
+                                  np.round(f1 / q).astype(np.int64))
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.data())
 def test_jpeg_roundtrip_bounded_error_property(data):
