@@ -261,16 +261,24 @@ _IMDCT36 = np.cos(np.pi / 72.0
 _WIN_LONG = np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
 
 
+# all 31 boundary index blocks at once (r16): lo spans 18sb-8..18sb-1
+# and hi 18sb..18sb+7 are DISJOINT across boundaries (18 > 16), so the
+# one-shot gather/scatter applies the exact per-boundary elementwise
+# butterflies — same float ops, ~30 numpy dispatches saved per granule
+_AR_LO = (18 * np.arange(1, 32)[:, None]
+          - 1 - np.arange(8)[None, :]).ravel()
+_AR_HI = (18 * np.arange(1, 32)[:, None]
+          + np.arange(8)[None, :]).ravel()
+_CS_T = np.tile(_CS, 31)
+_CA_T = np.tile(_CA, 31)
+
+
 def _alias_reduce(xr: np.ndarray) -> np.ndarray:
     """ISO butterflies across the 31 interior subband boundaries."""
     out = xr.copy()
-    i = np.arange(8)
-    for sb in range(1, 32):
-        lo = 18 * sb - 1 - i
-        hi = 18 * sb + i
-        a, b = out[lo], out[hi]
-        out[lo] = a * _CS - b * _CA
-        out[hi] = b * _CS + a * _CA
+    a, b = out[_AR_LO], out[_AR_HI]
+    out[_AR_LO] = a * _CS_T - b * _CA_T
+    out[_AR_HI] = b * _CS_T + a * _CA_T
     return out
 
 
@@ -351,8 +359,14 @@ def _u_rows(slots: np.ndarray) -> np.ndarray:
     V = np.zeros((T + 16, 64))
     # einsum, not @ (BLAS thread-sync penalty; see _imdct_granule)
     V[16:] = np.einsum("tk,ik->ti", slots, _N_MAT)
+    t_idx = (16 + np.arange(T))[:, None] - _U_OFF[None, :]
+    return V[t_idx, _U_LOC[None, :]]
+
+
+def _u_index() -> tuple:
+    """Column c of U maps to (slot offset, local index) — constant,
+    built once (r16; was rebuilt per call)."""
     j = np.arange(32)
-    # column c of U maps to (slot offset, local index):
     off = np.empty(512, dtype=np.int64)
     loc = np.empty(512, dtype=np.int64)
     for pp in range(8):
@@ -360,8 +374,10 @@ def _u_rows(slots: np.ndarray) -> np.ndarray:
         loc[64 * pp:64 * pp + 32] = j
         off[64 * pp + 32:64 * pp + 64] = 2 * pp + 1
         loc[64 * pp + 32:64 * pp + 64] = 32 + j
-    t_idx = (16 + np.arange(T))[:, None] - off[None, :]
-    return V[t_idx, loc[None, :]]
+    return off, loc
+
+
+_U_OFF, _U_LOC = _u_index()
 
 
 _SYNTH_WINDOW = None        # lazy (C, D) pair, built once per process

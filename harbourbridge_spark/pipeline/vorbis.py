@@ -63,6 +63,10 @@ from .ogg import build_page, ogg_packets, ogg_packets_salvage
 # ---------------------------------------------------------------------------
 
 
+# 8-bit reversal table: LSB-first stream window -> MSB-first tree order
+_REV8 = [int(f"{i:08b}"[::-1], 2) for i in range(256)]
+
+
 class BitReader:
     __slots__ = ("data", "pos", "nbits")
 
@@ -246,6 +250,17 @@ class Codebook:
         self.lengths = lengths
         self.table = assign_codewords(lengths)
         self.max_len = max((l for l in lengths if l), default=0)
+        # 8-bit prefix LUT over the acc-ordered codeword space (r16,
+        # the jpeg._Huff trick): codewords of length <= 8 resolve in
+        # one lookup; longer codes / short tails use the per-bit walk
+        lut: list = [None] * 256
+        for (code, ln), ent in self.table.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                e = (ent, ln)
+                for p in range(base, base + (1 << (8 - ln))):
+                    lut[p] = e
+        self.lut = lut
 
         self.lookup_type = reader.read(4)
         self.vectors = None
@@ -285,6 +300,19 @@ class Codebook:
             raise ValueError("vorbis: reserved lookup type")
 
     def decode_scalar(self, reader: BitReader) -> int:
+        # fast path (r16): pull the next 8 LSB-first stream bits in
+        # one slice, bit-reverse them into tree (acc) order, resolve
+        # short codewords in one LUT hit.  Bit consumption and error
+        # behavior are identical to the walk.
+        pos = reader.pos
+        if reader.nbits - pos >= 8:
+            bi = pos >> 3
+            w = int.from_bytes(reader.data[bi:bi + 2], "little") \
+                >> (pos & 7) & 0xFF
+            e = self.lut[_REV8[w]]
+            if e is not None:
+                reader.pos = pos + e[1]
+                return e[0]
         acc, ln = 0, 0
         table = self.table
         while ln <= self.max_len:
@@ -302,17 +330,27 @@ class Codebook:
 
     def codeword(self, entry: int) -> tuple[int, int]:
         """(codeword, length) for the fixture encoder."""
-        for (code, ln), e in self.table.items():
-            if e == entry:
-                return code, ln
-        raise KeyError(entry)
+        # reverse map built lazily once (r16: this was a linear scan
+        # of the whole table per emitted symbol)
+        by_entry = getattr(self, "_by_entry", None)
+        if by_entry is None:
+            by_entry = {e: k for k, e in self.table.items()}
+            self._by_entry = by_entry
+        try:
+            return by_entry[entry]
+        except KeyError:
+            raise KeyError(entry) from None
 
 
 def write_codeword(writer: BitWriter, code: int, length: int) -> None:
     """Codeword bits enter the stream MSB-of-codeword first (each
-    successive stream bit descends the tree)."""
-    for i in range(length - 1, -1, -1):
-        writer.write((code >> i) & 1, 1)
+    successive stream bit descends the tree).  One bit-reversed
+    multi-bit write emits the identical stream (r16: the writer packs
+    LSB-first, so stream position i carries bit i of the value —
+    reversing the codeword puts its MSB at position 0)."""
+    if length:
+        rev = int(f"{code:0{length}b}"[::-1], 2)
+        writer.write(rev, length)
 
 
 # ---------------------------------------------------------------------------
