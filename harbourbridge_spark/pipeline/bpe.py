@@ -179,9 +179,11 @@ def bpe_apply_sql(engine: str) -> str:
 # MATERIALIZED CTEs.  The Spark strategy below executes the SAME
 # algorithm imperatively: each round is one tiny vocab aggregation
 # (argmax collected — ONE row, the k-means broadcast-centroid
-# convention) and one literal replace over a localCheckpoint'ed
-# vocabulary, so plans stay constant-size.  Tie-breaks, counts, and
-# the replace semantics are identical by construction; the
+# convention) and one literal replace chained lazily onto the
+# checkpointed v0 vocabulary (depth <= N_MERGES native replaces —
+# linear, nothing like the 2^N CTE inlining above), so plans stay
+# small and the loop costs one job per round.  Tie-breaks, counts,
+# and the replace semantics are identical by construction; the
 # template-vs-fn equality test pins it.
 
 _PAIR_ARGMAX_SQL = """
@@ -224,11 +226,20 @@ def _learn_merges(spark, sf_dir: str):
             l, r2, c = row[0]
             merges.append((rank, l, r2, int(c)))
             # F.replace is literal (no regex/quoting hazards for corpus-
-            # derived symbols)
+            # derived symbols).  No per-round localCheckpoint (r16):
+            # lineage grows by ONE native replace per round (depth <=
+            # N_MERGES = 8 on top of the v0 checkpoint — nothing like
+            # the quadratic CTE nesting the imperative form exists to
+            # avoid), and each round's argmax replays those replaces in
+            # the same codegen stage it was already scanning the vocab
+            # in.  The checkpoint was a full extra job per round purely
+            # to materialize a tiny relation read once — dropping it
+            # halves the loop's driver actions (measured ~2x on the
+            # merge loop at sf0.1).
             vocab = vocab.select(
                 F.replace("s", F.lit(f"{l}|{r2}|"),
                           F.lit(f"{l}{r2}|")).alias("s"),
-                "cnt").localCheckpoint()
+                "cnt")
         return merges
 
 

@@ -1092,31 +1092,54 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
     if pairs is None:
         pairs = (lsh_verified_pairs_fn(spark, sf_dir)
                  .select("doc_a", "doc_b").localCheckpoint())
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b")))
+    # symmetric edge list via inline-explode, not Union (r16, second
+    # pass): the fused two-step cycle below references ``edges`` twice
+    # in ONE plan, and Spark 4.1's Union constraint rewrite crashes on
+    # a reused Union subtree (NoSuchElementException in
+    # rewriteConstraints); the single-scan Generate has no such issue
+    # and reads the checkpointed pairs once instead of twice.
+    edges = pairs.selectExpr(
+        "inline(array(struct(doc_a, doc_b), "
+        "struct(doc_b AS doc_a, doc_a AS doc_b)))")
     nodes = edges.select(F.col("doc_a").alias("doc")).distinct()
     labels = nodes.select("doc", F.col("doc").alias("label")) \
                   .localCheckpoint()
-    for _ in range(max_iters):
-        nbr = (edges.join(labels, edges.doc_a == labels.doc)
+
+    def prop(lab):
+        """One min-label step: least(label, min over neighbors)."""
+        nbr = (edges.join(lab, edges.doc_a == lab.doc)
                .groupBy(F.col("doc_b").alias("doc"))
                .agg(F.min("label").alias("nl")))
-        # carry the changed flag INSIDE the checkpointed frame (r16):
-        # the former separate new-vs-old join re-shuffled both label
-        # relations once per round purely to count changes; the flag
-        # is computable in the same projection for free, and the count
-        # becomes a scan of the already-materialized checkpoint
-        new = (labels.join(nbr, "doc", "left")
-               .select("doc",
-                       F.least("label",
-                               F.coalesce("nl", "label")).alias("label"),
-                       (F.col("nl") < F.col("label")).alias("chg"))
-               .localCheckpoint())
+        return (lab.join(nbr, "doc", "left")
+                .select("doc",
+                        F.least("label",
+                                F.coalesce("nl", "label")).alias("label"),
+                        (F.col("nl") < F.col("label")).alias("chg")))
+
+    # TWO propagation steps per checkpoint+count cycle (r16, second
+    # pass): at sf0.1 the whole loop is fixed per-job overhead (143
+    # vertices — measured 1.75 s for 2 rounds, i.e. ~0.4 s per driver
+    # action on near-empty shuffles), and dup clusters are near-cliques
+    # that converge in ~2 steps — so fusing steps halves the action
+    # count and typically finishes in ONE cycle.  Labels are identical:
+    # each step is the same deterministic monotone update, convergence
+    # is still "last step changed nothing" (monotone fixpoint: a no-op
+    # step can never be followed by a change), and an odd-round
+    # convergence just means the cycle's second step is a no-op.
+    # max_iters still bounds total STEPS, so pathological chains run
+    # exactly as many updates as before.
+    converged = False
+    for _ in range(max_iters // 2):
+        new = prop(prop(labels).select("doc", "label")).localCheckpoint()
         changed = new.where("chg").count()
         labels = new.select("doc", "label")
         if changed == 0:
+            converged = True
             break
+    if max_iters % 2 and not converged:
+        # odd bound: the documented step budget ends on a single step
+        labels = (prop(labels).select("doc", "label")
+                  .localCheckpoint())
     return labels.select(F.col("doc").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
