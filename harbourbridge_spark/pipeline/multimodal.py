@@ -545,9 +545,10 @@ def pixel_dedup(media: DataFrame, batch_size: int = 256) -> DataFrame:
     the groupBy shuffles a 64-hex digest per image, never pixels.
     Undecodable rows are skipped — corrupt media must never fail the
     job."""
-    digests = media.select("media_id", "content").mapInPandas(
-        _resliced(_pixel_sha_kernel(), batch_size),
-        schema=PIXEL_SHA_SCHEMA)
+    digests = _media_map(media, _resliced(_pixel_sha_kernel(),
+                                          batch_size),
+                         PIXEL_SHA_SCHEMA,
+                         cols=("media_id", "content"))
     return _pixel_sha_collapse(digests)
 
 
@@ -806,8 +807,8 @@ def _phash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     store writer, and the incremental probe — store and probes hash
     IDENTICALLY by construction."""
     run = _hash64_kernel(dhash64, (ValueError, struct.error, zlib.error))
-    return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), HASH64_SCHEMA,
+                      cols=("media_id", "content"))
 
 
 def synth_phash_hashes(ids: DataFrame,
@@ -1101,8 +1102,8 @@ def _afp_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     Undecodable rows are skipped (IndexError: malformed FLAC/MP3
     entropy data — corrupt media must never fail the job)."""
     run = _hash64_kernel(afp64, (ValueError, struct.error, IndexError))
-    return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), HASH64_SCHEMA,
+                      cols=("media_id", "content"))
 
 
 def synth_afp_hashes(ids: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -1681,8 +1682,8 @@ def _vhash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     twin of _phash_df/_afp_df, same relation shape so the hash64
     store/probe/cluster machinery is shared verbatim."""
     run = _hash64_kernel(vhash64, (ValueError, struct.error, zlib.error))
-    return media.select("media_id", "content").mapInPandas(
-        _resliced(run, batch_size), schema=HASH64_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), HASH64_SCHEMA,
+                      cols=("media_id", "content"))
 
 
 def synth_vhash_hashes(ids: DataFrame,
@@ -2015,8 +2016,8 @@ def _thash_kernel():
 def _thash_df(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched thash kernel: one (media_id, slot, phash) row
     per sampled frame.  Undecodable clips contribute zero rows."""
-    return media.select("media_id", "content").mapInPandas(
-        _resliced(_thash_kernel(), batch_size), schema=THASH_SCHEMA)
+    return _media_map(media, _resliced(_thash_kernel(), batch_size), THASH_SCHEMA,
+                      cols=("media_id", "content"))
 
 
 def synth_thash_hashes(ids: DataFrame,
@@ -2372,7 +2373,7 @@ def resize_images(media: DataFrame, out_w: int = 2, out_h: int = 2,
         T.StructField("mean_b", T.DoubleType(), True),
         T.StructField("first_r", T.LongType(), True),
     ])
-    return media.mapInPandas(_resliced(run, batch_size), schema=schema)
+    return _media_map(media, _resliced(run, batch_size), schema)
 
 
 def synth_png(seed: int) -> bytes:
@@ -2943,7 +2944,37 @@ def synth_media(ids: DataFrame, kind: str, fmt: str = None) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _synth_gen(batches, synth, kind, mime)
 
-    return _spread_ids(ids).mapInPandas(run, schema=MEDIA_SCHEMA)
+    df = _spread_ids(ids).mapInPandas(run, schema=MEDIA_SCHEMA)
+    # fusion marker (r16, second pass): a kernel fed this DataFrame
+    # DIRECTLY can regenerate the content in-process instead of
+    # round-tripping every blob JVM→Python→JVM→Python — _media_map
+    # reads it.  The marker is an attribute of THIS DataFrame object
+    # only: any transformation (.select/.where/...) returns a fresh
+    # unmarked DataFrame, so fusion can never skip a real plan step.
+    df._hb_synth_fusion = (ids, synth, kind, mime)
+    return df
+
+
+def _media_map(media: DataFrame, kernel, schema, cols=None) -> DataFrame:
+    """``media.mapInPandas(kernel, schema)`` with automatic synth
+    fusion (r16, guide §4.1/§2.3): when ``media`` is the DIRECT
+    output of synth_media, run the kernel over the in-process synth
+    generator (the synth_media_then shape) so the content bytes never
+    cross the JVM boundary; otherwise map over the real relation,
+    projected to ``cols`` first when given (pass only what the kernel
+    reads — guide §4.1's column-shipping rule)."""
+    fusion = getattr(media, "_hb_synth_fusion", None)
+    if fusion is not None:
+        ids, synth, kind, mime = fusion
+
+        def run(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+            return kernel(_synth_gen(batches, synth, kind, mime))
+
+        return _spread_ids(ids).mapInPandas(run, schema=schema)
+    if cols:
+        media = media.select(*cols)
+    return media.mapInPandas(kernel, schema=schema)
 
 
 def synth_media_then(ids: DataFrame, kind: str, fmt, then,
@@ -3044,8 +3075,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             }
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=FEATURE_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), FEATURE_SCHEMA)
 
 
 AUDIO_ANALYSIS_SCHEMA = T.StructType([
@@ -3093,8 +3123,7 @@ def analyze_audio(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows["rms"].append(r)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=AUDIO_ANALYSIS_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), AUDIO_ANALYSIS_SCHEMA)
 
 
 MP3_ANALYSIS_SCHEMA = T.StructType([
@@ -3139,8 +3168,7 @@ def analyze_mp3(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 rows["dominant_hz"].append(f0)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=MP3_ANALYSIS_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), MP3_ANALYSIS_SCHEMA)
 
 
 def analyze_vorbis(media: DataFrame) -> DataFrame:
@@ -3183,7 +3211,7 @@ def analyze_vorbis(media: DataFrame) -> DataFrame:
                 rows["dominant_hz"].append(f0)
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=MP3_ANALYSIS_SCHEMA)
+    return _media_map(media, run, MP3_ANALYSIS_SCHEMA)
 
 
 VORBIS_SALVAGE_SCHEMA = T.StructType(
@@ -3226,7 +3254,7 @@ def analyze_vorbis_salvage(media: DataFrame) -> DataFrame:
                     None if dg is None else int(dg))
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, schema=VORBIS_SALVAGE_SCHEMA)
+    return _media_map(media, run, VORBIS_SALVAGE_SCHEMA)
 
 
 def repartition_for_media(media: DataFrame,
@@ -3348,8 +3376,7 @@ def sample_frames(media: DataFrame, sample_every: int = 2,
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "frame_y": ys})
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=FRAME_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), FRAME_SCHEMA)
 
 
 def frame_sample_plan(video: DataFrame, every_n_ms: int = 1000) -> DataFrame:
@@ -3414,8 +3441,7 @@ def gif_frame_features(media: DataFrame,
                     cols["first_r"].append(int(fr[0, 0, 0]))
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=GIF_FRAME_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), GIF_FRAME_SCHEMA)
 
 
 VP8_HEADER_SCHEMA = T.StructType(
@@ -3458,8 +3484,7 @@ def vp8_header_features(media: DataFrame,
                     out[k].append(int(feats[idx[k]]))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=VP8_HEADER_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), VP8_HEADER_SCHEMA)
 
 
 OGG_SCHEMA = T.StructType([
@@ -3496,8 +3521,7 @@ def ogg_meta_features(media: DataFrame,
                     out[k].append(v)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=OGG_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), OGG_SCHEMA)
 
 
 G711_SCHEMA = T.StructType([
@@ -3538,8 +3562,7 @@ def g711_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     int(round(mags.max())) if len(mags) else 0)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=G711_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), G711_SCHEMA)
 
 
 H264_SPS_SCHEMA = T.StructType(
@@ -3574,8 +3597,7 @@ def h264_sps_features(media: DataFrame,
                     out[k].append(int(v))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=H264_SPS_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), H264_SPS_SCHEMA)
 
 
 MP4_SAMPLE_SCHEMA = T.StructType([
@@ -3618,8 +3640,7 @@ def mp4_frame_table(media: DataFrame,
                     cols["codec"].append(codec)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=MP4_SAMPLE_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), MP4_SAMPLE_SCHEMA)
 
 
 def mjpeg_frame_features(media: DataFrame,
@@ -3658,5 +3679,4 @@ def mjpeg_frame_features(media: DataFrame,
                     cols["first_r"].append(int(fr[0, 0, 0]))
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(_resliced(run, batch_size),
-                              schema=GIF_FRAME_SCHEMA)
+    return _media_map(media, _resliced(run, batch_size), GIF_FRAME_SCHEMA)
