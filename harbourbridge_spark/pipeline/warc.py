@@ -205,7 +205,15 @@ def synth_warc_files(docs: DataFrame, n_files: int = N_WARC_FILES,
     # storage.
     par = docs.sparkSession.sparkContext.defaultParallelism
     keyed = keyed.repartition(min(n_files, par), "file_id")
-    return keyed.groupBy("file_id").applyInPandas(build, out_schema)
+    out = keyed.groupBy("file_id").applyInPandas(build, out_schema)
+    # fusion marker (r16, the synth_media._hb_synth_fusion pattern):
+    # warc_records fed this DataFrame DIRECTLY can build each file
+    # and parse it inside ONE group task instead of shipping the
+    # archive blob JVM→Python→JVM→Python between two Python stages.
+    # Attribute of THIS object only — any transformation returns an
+    # unmarked DataFrame and takes the plain route.
+    out._hb_warc_fusion = (keyed, build)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -916,4 +924,26 @@ def warc_records(files: DataFrame) -> DataFrame:
             if out["file_id"]:
                 yield pd.DataFrame(out)
 
+    fusion = getattr(files, "_hb_warc_fusion", None)
+    if fusion is not None:
+        # fused fixture route (r16): build the group's WARC file and
+        # parse it in-process — the blob never crosses the JVM
+        # boundary.  applyInPandas returns ONE frame per group (the
+        # whole file's records); that unbounded-frame trade is safe
+        # here because the marker only exists on synth_warc_files
+        # output — fixture-sized files — while real crawl archives
+        # take the plain route with the 5000-row flush.
+        keyed, build = fusion
+
+        def fused(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = list(run(iter([build(pdf)])))
+            if not frames:
+                return pd.DataFrame(
+                    {f.name: [] for f in WARC_SCHEMA.fields})
+            if len(frames) == 1:
+                return frames[0]
+            return pd.concat(frames, ignore_index=True)
+
+        return keyed.groupBy("file_id").applyInPandas(
+            fused, WARC_SCHEMA)
     return files.mapInPandas(run, schema=WARC_SCHEMA)
