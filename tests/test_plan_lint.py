@@ -31,6 +31,5 @@ def test_allowlists_not_stale(spark):
     for name in sorted(PL.PYTHON_KERNEL_OK):
         df = Q.REGISTRY[name].fn(spark, PL.SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert re.search(r"ArrowEvalPython|MapInPandas|MapInArrow",
-                         plan), \
+        assert re.search(PL.PY_EVAL_RE, plan), \
             f"{name} no longer needs its PYTHON_KERNEL_OK exemption"

@@ -78,6 +78,11 @@ PYTHON_KERNEL_OK = {
     "warc_to_documents", "warc_salvage_stats",
     "multimodal_resize", "multimodal_frame_features",
     "multimodal_pixel_dedup",
+    # r16: per-cluster numpy cosine kernel (applyInPandas plans as
+    # FlatMapGroupsInPandas) replacing the interpreted zip_with/
+    # aggregate fold — quadratic-capped blocks, Arrow-batched by
+    # design (OPTIMIZATION_r16.md §2)
+    "dedup_semdedup",
     # NOTE: the perceptual hash64 entries (phash/audio_fp/video_phash
     # batch dedup + every incremental probe) do NOT appear here since
     # r16 — _hash64_cluster localCheckpoints its input, so their
@@ -142,6 +147,15 @@ TINY_CROSS_OK = {
 
 BAD_ALWAYS = ("CartesianProduct", "BatchEvalPython")
 
+# Every Arrow-batched Python eval node Spark can plan: scalar Arrow
+# UDFs, mapInPandas/mapInArrow, AND grouped applyInPandas (the r16
+# fused group kernels plan as FlatMapGroupsInPandas — the original
+# pattern missed it, so a fused entry silently dropped out of lint
+# scope). Shared with tests/test_plan_lint.py's staleness check so
+# detection and staleness can never disagree.
+PY_EVAL_RE = (r"ArrowEvalPython|FlatMapGroupsInPandas"
+              r"|MapInPandas|MapInArrow")
+
 
 def lint_one(spark, Q, name: str) -> list[str]:
     df = Q.REGISTRY[name].fn(spark, SF_DIR)
@@ -157,8 +171,7 @@ def lint_one(spark, Q, name: str) -> list[str]:
         problems.append(
             f"{n_bnlj} BroadcastNestedLoopJoin nodes "
             f"(allowlisted max {TINY_CROSS_OK[name]})")
-    if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow", plan) \
-            and name not in PYTHON_KERNEL_OK:
+    if re.search(PY_EVAL_RE, plan) and name not in PYTHON_KERNEL_OK:
         problems.append("Python eval node (not allowlisted)")
     return problems
 
