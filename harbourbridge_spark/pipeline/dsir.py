@@ -35,6 +35,8 @@ single-partition window anywhere.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from ..confscope import scoped_parser_mode
 from ..scan import read_spread
 
@@ -158,6 +160,67 @@ def dsir_select_sql(engine: str) -> str:
     """
 
 
+def _fcnt_kernel():
+    """Fused tokenize→gram→bucket→per-doc-count Arrow kernel (r16,
+    guide §4.1/§4.2/§4.5): one mapInPandas stage computing, per
+    document, the (lang, b, c) bucket counts the SQL pipeline produced
+    with a checkpointed token materialization + explode + md5 + a
+    corpus-wide groupBy shuffle.  Because every document arrives whole
+    in one input row, the per-(doc_id, lang, b) aggregation happens
+    IN the kernel — no exchange at all before the compact count
+    relation.  Bit-equivalence with the SQL template, piece by piece:
+    token split is re.split(r'\\s+', nt, re.ASCII) — the proven Java
+    twin (same ASCII class, both keep empty fields; the SimHash/gram
+    kernel idiom pinned by the 300-case fuzz); bigrams are
+    tk[i] || ' ' || tk[i+1] for docs with >= 2 tokens; the bucket is
+    int(md5(gram utf-8)[:12 hex], 16) % 1024 — exactly hash48(gram)
+    % 1024, i.e. CAST(conv(substring(md5(gram),1,12),16,10) AS
+    BIGINT) % 1024 (48 bits, so BIGINT % is plain non-negative
+    modulo); NULL
+    text yields no rows (SQL: explode of NULL emits nothing).  The
+    gram→bucket memo is per-task state amortized over batches
+    (guide §4.5), capped to bound worker memory."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    memo: dict = {}
+
+    def bucket(g: str) -> int:
+        b = memo.get(g)
+        if b is None:
+            b = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:12],
+                    16) % N_BUCKETS
+            if len(memo) < 2_000_000:
+                memo[g] = b
+        return b
+
+    def run(batches):
+        for pdf in batches:
+            doc_out: list = []
+            lang_out: list = []
+            b_out: list = []
+            c_out: list = []
+            for doc_id, lang, nt in zip(pdf["doc_id"], pdf["lang"],
+                                        pdf["nt"]):
+                if nt is None:
+                    continue
+                toks = re.split(r"\s+", nt, flags=re.ASCII)
+                cnt = Counter(bucket(t) for t in toks)
+                if len(toks) >= 2:
+                    cnt.update(bucket(toks[i] + " " + toks[i + 1])
+                               for i in range(len(toks) - 1))
+                for b, c in cnt.items():
+                    doc_out.append(doc_id)
+                    lang_out.append(lang)
+                    b_out.append(b)
+                    c_out.append(c)
+            yield pd.DataFrame({"doc_id": doc_out, "lang": lang_out,
+                                "b": b_out, "c": c_out})
+
+    return run
+
+
 def _scored_df(spark, sf_dir: str):
     """Spark strategy for the scored relation — OUTPUT-identical to
     the template's `scored` CTE, with the gram pipeline run ONCE.
@@ -167,33 +230,25 @@ def _scored_df(spark, sf_dir: str):
     tokenizes + explodes + md5-hashes the whole corpus THREE times
     per query (it was the two slowest bench entries).  Strategy:
     collapse the gram stream to per-(doc_id, lang, bucket) COUNTS —
-    rows bounded by min(n_grams, 1024) per doc, ints only — and
-    localCheckpoint that compact relation; models and scores are
-    exact linear functions of the counts (COUNT(*) = SUM(c),
-    SUM(k_raw-k_tgt) over occurrences = SUM(c*(k_raw-k_tgt))), so
-    values are bit-identical to the template the oracle runs."""
+    rows bounded by min(n_grams, 1024) per doc, ints only — via the
+    fused Arrow kernel (one lazy Python stage, aggregation inside the
+    kernel, zero shuffles) and localCheckpoint that compact relation;
+    models and scores are exact linear functions of the counts
+    (COUNT(*) = SUM(c), SUM(k_raw-k_tgt) over occurrences =
+    SUM(c*(k_raw-k_tgt))), so values are bit-identical to the
+    template the oracle runs."""
+    from pyspark.sql import functions as F
+
     with scoped_parser_mode(spark, "true"):
-        # the fixture parquet has 1-2 row groups, so without this the
-        # ENTIRE tokenize/explode/md5 pipeline serializes into 2 tasks
-        # (observed: stages at (0+2)/2 — the boilerplate_grams lesson);
-        # spread the expensive projection across the cluster first
-        docs = read_spread(spark, f"{sf_dir}/documents.parquet")
-        docs.createOrReplaceTempView("documents")
-        # MATERIALIZE the token arrays before the bigram lambda: Catalyst
-        # collapses the tk projection INTO the transform() lambda, so the
-        # split(trim(lower(text))) re-evaluates PER ELEMENT — O(tokens^2)
-        # per document, measured as 6.2 of the 7.4 s at sf0.1 (the r2
-        # "bind before lambdas" lesson; a CTE/inner-select is NOT a
-        # binding barrier, only materialization is)
-        toks = render(TOKENS, "spark")
-        tk = spark.sql(f"SELECT doc_id, lang, {toks} AS tk "
-                       "FROM documents").localCheckpoint()
-        tk.createOrReplaceTempView("__dsir_tk")
-        fcnt = spark.sql(
-            f"WITH {_grams_to_feats('spark', '__dsir_tk')}" + """
-            SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
-            FROM feats GROUP BY doc_id, lang, b
-            """).localCheckpoint()
+        # read_spread: the fixture parquet is a single row group, so
+        # without it the whole kernel serializes into 1-2 tasks
+        docs = (read_spread(spark, f"{sf_dir}/documents.parquet")
+                .select("doc_id", "lang",
+                        F.expr("trim(lower(text))").alias("nt")))
+        fcnt = docs.mapInPandas(
+            _fcnt_kernel(),
+            "doc_id bigint, lang string, b bigint, c bigint"
+        ).localCheckpoint()
         fcnt.createOrReplaceTempView("__dsir_fcnt")
         return spark.sql(f"""
             WITH rawc AS (

@@ -677,11 +677,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
              .select("s_suppkey", "r_name", "n_name"))
-    return (l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
-            .rollup(F.col("r_name").alias("region_name"),
-                    F.col("n_name").alias("nation_name"))
-            .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"),
-                 F.count(F.lit(1)).alias("n_items")))
+    # Pre-aggregate per (region, nation) BEFORE the ROLLUP (r16): the
+    # Expand operator multiplies its input by the number of grouping
+    # sets, and Spark places it below the aggregate — so rolling up the
+    # raw join output pushed every lineitem row through Expand x3 and
+    # the decimal partial-sum three times.  Grouping first collapses
+    # the fact table to one row per (region, nation) (<= 25 + nulls),
+    # and the ROLLUP's Expand runs over that tiny relation.  Values
+    # are bit-identical: the revenue terms are exact DECIMAL sums
+    # (sum-of-group-sums == global sum), counts add, and the final
+    # DOUBLE cast happens on the same total.
+    base = (l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.sum(price * (1 - disc)).alias("rev_part"),
+                 F.count(F.lit(1)).alias("cnt_part")))
+    return (base.rollup("region_name", "nation_name")
+            .agg(F.sum("rev_part").cast("double").alias("revenue"),
+                 F.sum("cnt_part").alias("n_items")))
 
 
 @register(
