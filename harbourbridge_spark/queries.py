@@ -3944,8 +3944,25 @@ _WINDOW_SLOTS = 50
 _CARRYOVER_FROM_PREV_ROUND: list[str] = []
 
 # Pins this round already knows will not fit the window (must equal
-# _CHANGED_THIS_ROUND[_WINDOW_SLOTS:], enforced by test).
-_CARRYOVER_TO_NEXT_ROUND: list[str] = []
+# _CHANGED_THIS_ROUND[_WINDOW_SLOTS:], enforced by test).  r16's
+# optimization pass touched more strategies than the window holds:
+# the 20 lowest-risk re-pins (the synth->kernel fusion plumbing,
+# whose kernels are byte-unchanged and whose fusion marker dies on
+# any real plan step, plus warc_salvage_stats on the same fused
+# feed) slip to r17 per the declared-carry-over policy.  All 20 are
+# green in this round's two full local sweeps (159/159 twice).
+_CARRYOVER_TO_NEXT_ROUND: list[str] = [
+    "multimodal_features", "multimodal_decode_flac",
+    "multimodal_decode_aiff", "multimodal_decode_wav",
+    "multimodal_decode_bmp", "multimodal_decode_png",
+    "multimodal_decode_tiff", "multimodal_meta_mp3",
+    "multimodal_meta_mp4", "multimodal_decode_gif",
+    "multimodal_decode_gif_animated", "multimodal_meta_vp8",
+    "multimodal_meta_ogg", "multimodal_decode_g711",
+    "multimodal_meta_h264", "multimodal_decode_webp",
+    "multimodal_frame_features", "multimodal_decode_y4m",
+    "multimodal_decode_ppm", "warc_salvage_stats",
+]
 
 _CHANGED_THIS_ROUND: list[str] = [
     # round 16, VERDICT r15 asks 1/4/5: the perceptual image family
@@ -3991,6 +4008,38 @@ _CHANGED_THIS_ROUND: list[str] = [
     "dedup_removal_manifest", "dsir_importance", "dsir_select",
     "gopher_quality_rules", "warc_ingest", "warc_ingest_gzip",
     "warc_stats", "warc_to_documents",
+    # round 16 OPTIMIZATION pass — Spark strategies rewritten with
+    # values bit-identical; per the r12 DSIR precedent ("expression
+    # changed, so both entries re-pin") every rewritten strategy
+    # re-pins.  Codec internals first (highest value-risk: JPEG
+    # block-transform vectorization + bit-I/O LUTs; MP3 alias-reduce
+    # gather/scatter; Vorbis prefix-LUT decode + reverse-map encode):
+    "multimodal_decode_jpeg_progressive", "multimodal_mp4_frames",
+    "multimodal_mp4_frames_frag", "multimodal_decode_mjpeg",
+    "multimodal_decode_mp3", "multimodal_decode_mp3_lsf",
+    "multimodal_decode_vorbis", "multimodal_decode_vorbis_salvage",
+    "multimodal_audio_analysis",
+    # ...then the dedup-family kernel swaps (Arrow md5 signature /
+    # per-cluster cosine kernel / fused label-prop loop):
+    "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
+    "dedup_minhash_lsh_fast", "dedup_incremental",
+    "dedup_incremental_against_store", "dedup_lsh_verified",
+    "lsh_bucket_stats", "dedup_semdedup",
+    # ...then the plan-reshape strategies (rollup pre-aggregation;
+    # BPE checkpoint-drop in the merge loop):
+    "rollup_region_revenue", "bpe_train", "bpe_apply",
+    # ---- window boundary: everything below here is the declared
+    # ---- carry-over (must mirror _CARRYOVER_TO_NEXT_ROUND)
+    "multimodal_features", "multimodal_decode_flac",
+    "multimodal_decode_aiff", "multimodal_decode_wav",
+    "multimodal_decode_bmp", "multimodal_decode_png",
+    "multimodal_decode_tiff", "multimodal_meta_mp3",
+    "multimodal_meta_mp4", "multimodal_decode_gif",
+    "multimodal_decode_gif_animated", "multimodal_meta_vp8",
+    "multimodal_meta_ogg", "multimodal_decode_g711",
+    "multimodal_meta_h264", "multimodal_decode_webp",
+    "multimodal_frame_features", "multimodal_decode_y4m",
+    "multimodal_decode_ppm", "warc_salvage_stats",
 ]
 
 _CHANGED_ROUND_15: list[str] = [
