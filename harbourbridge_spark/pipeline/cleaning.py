@@ -164,6 +164,66 @@ def line_dedup_sql(engine: str) -> str:
     return render(t, engine)
 
 
+def line_dedup_fn(spark, sf_dir: str):
+    """Spark execution strategy for line_dedup_ccnet — OUTPUT-identical
+    to line_dedup_sql('spark'); DuckDB keeps the single-statement
+    template as the oracle.
+
+    r16 (optimization round, guide §2.4): Spark INLINES
+    multi-referenced CTEs, so the template evaluated the synthesized
+    page_lines fragment (tokenize + explode + two per-line md5 slices)
+    TWICE — once under `keyed` for the argmin/join chain and once
+    under `counts` for the per-doc totals — and then paid a third
+    aggregation plus an outer join to stitch them.  The fn
+    materializes KEYED once (localCheckpoint: doc_id, lpos, line, both
+    hash slices, packed pk) and computes totals, removals, and the
+    reassembled text in ONE aggregation over a single keyed↔firsts
+    left join.  Value identity: firsts is unique per (lh, lh2) and the
+    join adds pk = minpk, so no keyed row ever duplicates; kept ==
+    match, n_removed = COUNT(*) - COUNT(minpk) (COUNT(col) skips
+    NULLs), and collect_list skips the NULL structs of removed lines,
+    so text_clean is byte-identical (array_sort on (lpos, line)
+    structs = the template's ordering; zero kept lines yield
+    array_join([]) = '' = the template's COALESCE).  Plan: the second
+    fragment evaluation, the counts aggregation, and the final outer
+    join are gone; firsts broadcasts back onto the checkpoint scan.
+
+    100 TB shape unchanged: keep-first stays the groupBy-MIN argmin +
+    equi-join (never a window); the checkpoint holds lines + three
+    longs — nothing longer than a line materializes."""
+    from ..confscope import scoped_parser_mode
+
+    lh = hash60("line", "spark")
+    lh2 = hash60("line", "spark", start=16)
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        keyed = spark.sql(render(f"""
+            WITH {_page_lines_fragment('spark')}
+            SELECT doc_id, lpos, line, {lh} AS lh, {lh2} AS lh2,
+                   doc_id * 1048576 + lpos AS pk
+            FROM page_lines
+        """, "spark")).localCheckpoint()
+        keyed.createOrReplaceTempView("__ld_keyed")
+        return spark.sql("""
+            WITH firsts AS (
+                SELECT lh, lh2, MIN(pk) AS minpk FROM __ld_keyed
+                GROUP BY lh, lh2
+            )
+            SELECT k.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) - COUNT(f.minpk) AS BIGINT)
+                       AS n_removed,
+                   array_join(transform(array_sort(collect_list(
+                       CASE WHEN f.minpk IS NOT NULL
+                            THEN struct(k.lpos, k.line) END)),
+                       x -> x.line), char(10)) AS text_clean
+            FROM __ld_keyed k LEFT JOIN firsts f
+              ON k.lh = f.lh AND k.lh2 = f.lh2 AND k.pk = f.minpk
+            GROUP BY k.doc_id
+        """)
+
+
 def gopher_rules_sql(engine: str) -> str:
     """Gopher §A1.1 quality rules, integer-exact; every rule its own
     0/1 column, keep = AND of all."""

@@ -2462,8 +2462,8 @@ def q_multimodal_vorbis_salvage(spark: SparkSession,
 
 from .pipeline import cleaning as _cleaning  # noqa: E402
 
-_register_template(
-    "line_dedup_ccnet", _cleaning.line_dedup_sql,
+REGISTRY["line_dedup_ccnet"] = QuerySpec(
+    _cleaning.line_dedup_fn, _cleaning.line_dedup_sql("duckdb"),
     "CCNet paragraph-level dedup (Wenzek et al. LREC'20): corpus-wide "
     "line-hash keep-first over a synthesized multi-line page per doc "
     "(with a planted corpus-wide nav line — the boilerplate class the "
@@ -3952,6 +3952,7 @@ _CARRYOVER_FROM_PREV_ROUND: list[str] = []
 # feed) slip to r17 per the declared-carry-over policy.  All 20 are
 # green in this round's two full local sweeps (159/159 twice).
 _CARRYOVER_TO_NEXT_ROUND: list[str] = [
+    "bpe_apply",
     "multimodal_features", "multimodal_decode_flac",
     "multimodal_decode_aiff", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
@@ -4026,10 +4027,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     "dedup_incremental_against_store", "dedup_lsh_verified",
     "lsh_bucket_stats", "dedup_semdedup",
     # ...then the plan-reshape strategies (rollup pre-aggregation;
-    # BPE checkpoint-drop in the merge loop):
-    "rollup_region_revenue", "bpe_train", "bpe_apply",
+    # BPE checkpoint-drop in the merge loop; line_dedup's
+    # single-evaluation keyed checkpoint — bpe_apply slips to the
+    # carry-over to make room: its change is lineage-only and the
+    # shared merge loop is covered by the bpe_train pin):
+    "rollup_region_revenue", "bpe_train", "line_dedup_ccnet",
     # ---- window boundary: everything below here is the declared
     # ---- carry-over (must mirror _CARRYOVER_TO_NEXT_ROUND)
+    "bpe_apply",
     "multimodal_features", "multimodal_decode_flac",
     "multimodal_decode_aiff", "multimodal_decode_wav",
     "multimodal_decode_bmp", "multimodal_decode_png",
