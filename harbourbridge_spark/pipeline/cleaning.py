@@ -326,9 +326,67 @@ def c4_clean_sql(engine: str) -> str:
     return render(t, engine)
 
 
+def c4_clean_fn(spark, sf_dir: str):
+    """Spark execution strategy for c4_clean — OUTPUT-identical to
+    c4_clean_sql('spark'); DuckDB keeps the template as the oracle.
+
+    r16 (optimization round, guide §2.4): the template references
+    `judged` twice (pages + rebuilt), so Spark's CTE inlining ran the
+    page_lines fragment (tokenize + explode) twice and then joined the
+    two aggregates back per doc.  Every output column is computable in
+    ONE aggregation over a single judged evaluation: the per-rule
+    counts are plain aggregates, page_keep is a CASE over them, and
+    the cleaned text collects only line_keep=1 structs (collect_list
+    skips the NULL CASE branches; zero kept lines yield
+    array_join([]) = '' — exactly the template's COALESCE/ELSE '').
+    Plan: one fragment evaluation, one exchange, zero joins."""
+    from ..confscope import scoped_parser_mode
+
+    nwords = "size(split(line, ' '))"
+    with scoped_parser_mode(spark, "true"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        return spark.sql(render(f"""
+            WITH {_page_lines_fragment('spark')},
+            judged AS (
+                SELECT doc_id, lpos, line,
+                       CASE WHEN right(line, 1) IN ('.', '!', '?')
+                             AND {nwords} >= 3
+                             AND NOT line LIKE '%javascript%'
+                            THEN 1 ELSE 0 END AS line_keep,
+                       CASE WHEN line LIKE '%{{{{%' THEN 1 ELSE 0 END
+                           AS has_brace,
+                       CASE WHEN line LIKE '%lorem ipsum%' THEN 1
+                            ELSE 0 END AS has_lorem
+                FROM page_lines
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(line_keep) AS BIGINT) AS n_kept,
+                   CAST(MAX(has_brace) AS BIGINT) AS has_brace,
+                   CAST(MAX(has_lorem) AS BIGINT) AS has_lorem,
+                   CAST(CASE WHEN SUM(line_keep) >= 5
+                              AND MAX(has_brace) = 0
+                              AND MAX(has_lorem) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+                   CASE WHEN SUM(line_keep) >= 5
+                         AND MAX(has_brace) = 0
+                         AND MAX(has_lorem) = 0
+                        THEN array_join(transform(array_sort(
+                                 collect_list(CASE WHEN line_keep = 1
+                                     THEN struct(lpos, line) END)),
+                                 x -> x.line), char(10))
+                        ELSE '' END AS text_clean
+            FROM judged GROUP BY doc_id
+        """, "spark"))
+
+
 # registration happens through queries._register_template (the
 # text.py convention): the Spark side executes sql_fn("spark") over
-# temp views, the DuckDB rendering IS the oracle.
+# temp views, the DuckDB rendering IS the oracle — except where a
+# dedicated Spark strategy fn exists above (line_dedup_fn,
+# c4_clean_fn), in which case the fn is the Spark side and the
+# template remains the oracle.
 
 
 def ccnet_ppl_buckets_sql(engine: str) -> str:

@@ -2481,8 +2481,8 @@ _register_template(
     "stopword list — every rule its own 0/1 column, keep = AND.  "
     "Single pass; fractions compared as cross-multiplied integers so "
     "no float boundary exists between the engines")
-_register_template(
-    "c4_clean", _cleaning.c4_clean_sql,
+REGISTRY["c4_clean"] = QuerySpec(
+    _cleaning.c4_clean_fn, _cleaning.c4_clean_sql("duckdb"),
     "C4 cleaning (Raffel et al. 2020 2.2): terminal-punctuation line "
     "filter with min word count, javascript-line drop, whole-page "
     "drops on curly braces / 'lorem ipsum' / fewer than 5 surviving "
