@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .scan import read_spread
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -463,7 +465,15 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and customer-side nations) both broadcast; cross-nation filter; "
     "one shuffle on the 3-part group key")
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem").select(
+    # read_spread (r16): q7 is the one TPC-H entry whose single
+    # lineitem consumer chains FOUR broadcast joins + the decimal
+    # volume product into the scan stage — the single-row-group scan
+    # serialized all of it into one task.  A/B at sf0.1: 1.7-2.1 s
+    # plain vs 1.4-1.6 s spread (0.85x; bigger cold).  The multi-
+    # consumer self-join queries (q21) and the cheap-projection ones
+    # measured FASTER plain (scan.py rationale), so this stays a
+    # per-operator decision, not a load() blanket.
+    l = read_spread(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_suppkey", "l_orderkey", "l_shipdate",
         "l_extendedprice", "l_discount")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -3952,6 +3962,7 @@ _CARRYOVER_FROM_PREV_ROUND: list[str] = []
 # feed) slip to r17 per the declared-carry-over policy.  All 20 are
 # green in this round's two full local sweeps (159/159 twice).
 _CARRYOVER_TO_NEXT_ROUND: list[str] = [
+    "dedup_minhash_lsh_fast",
     "bpe_apply",
     "multimodal_features", "multimodal_decode_flac",
     "multimodal_decode_aiff", "multimodal_decode_wav",
@@ -4023,7 +4034,7 @@ _CHANGED_THIS_ROUND: list[str] = [
     # ...then the dedup-family kernel swaps (Arrow md5 signature /
     # per-cluster cosine kernel / fused label-prop loop):
     "dedup_minhash_lsh", "dedup_minhash_lsh_t35",
-    "dedup_minhash_lsh_fast", "dedup_incremental",
+    "dedup_incremental",
     "dedup_incremental_against_store", "dedup_lsh_verified",
     "lsh_bucket_stats", "dedup_semdedup",
     # ...then the plan-reshape strategies (rollup pre-aggregation;
@@ -4032,8 +4043,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     # carry-over to make room: its change is lineage-only and the
     # shared merge loop is covered by the bpe_train pin):
     "rollup_region_revenue", "bpe_train", "line_dedup_ccnet",
+    # ...and the q7 scan spread (single consumer, four broadcast
+    # joins chained into the scan stage).  dedup_minhash_lsh_fast
+    # slips to the carry-over to make room: it was ALREADY the numpy
+    # kernel path — its only r16 delta is the iterator-form udf the
+    # default-variant pins also cover.
+    "q7_volume_shipping",
     # ---- window boundary: everything below here is the declared
     # ---- carry-over (must mirror _CARRYOVER_TO_NEXT_ROUND)
+    "dedup_minhash_lsh_fast",
     "bpe_apply",
     "multimodal_features", "multimodal_decode_flac",
     "multimodal_decode_aiff", "multimodal_decode_wav",
