@@ -1751,11 +1751,17 @@ def substring_spans_fn(spark, sf_dir: str):
     localCheckpointed ONCE and semi-joined back — the duplicated-gram
     relation is the small side in real corpora, Spark would otherwise
     re-run the whole tokenize+gram pipeline for both consumers, and a
-    hash-window would serialize each hot gram into one task."""
+    hash-window would serialize each hot gram into one task.
+
+    r16 (optimization round, guide §2.4): the gram relation itself is
+    ALSO checkpointed — it feeds both the dup aggregation and the
+    duplicated-position semi-join, and without the materialization
+    Spark inlined the tokenize + posexplode + window + md5 pipeline
+    into BOTH consumers (two full corpus passes per entry run)."""
     with scoped_parser_mode(spark, "true"):
         read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
-        g = _substr_gram_df(spark, "documents")
+        g = _substr_gram_df(spark, "documents").localCheckpoint()
         g.createOrReplaceTempView("__substr_g")
         dup = spark.sql("""
             SELECT h FROM __substr_g GROUP BY h HAVING COUNT(*) >= 2
