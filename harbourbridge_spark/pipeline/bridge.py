@@ -20,6 +20,7 @@ impose their own (documented) shuffle shapes.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
+from ..scan import read_cached
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,7 +120,7 @@ def corpus_from_relational_fn(spark: SparkSession,
     token/fingerprint projection runs over it."""
     tables = {}
     for name, (key, cols) in _ENTRY_TABLES.items():
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_cached(spark, f"{sf_dir}/{name}.parquet")
         tables[name] = (df, key, cols)
     docs = documents_from_tables(spark, tables, id_stride=_ID_STRIDE)
     docs.createOrReplaceTempView("__bridge_docs")

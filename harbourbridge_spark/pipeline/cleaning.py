@@ -50,6 +50,7 @@ pure projections + one line-hash shuffle; no Python anywhere.
 
 from __future__ import annotations
 
+from ..scan import read_cached
 from .hashing import hash60
 from .text import TOKENS, render, sumlen
 
@@ -196,7 +197,7 @@ def line_dedup_fn(spark, sf_dir: str):
     lh = hash60("line", "spark")
     lh2 = hash60("line", "spark", start=16)
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_cached(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         keyed = spark.sql(render(f"""
             WITH {_page_lines_fragment('spark')}
@@ -344,7 +345,7 @@ def c4_clean_fn(spark, sf_dir: str):
 
     nwords = "size(split(line, ' '))"
     with scoped_parser_mode(spark, "true"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        read_cached(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
         return spark.sql(render(f"""
             WITH {_page_lines_fragment('spark')},

@@ -24,7 +24,7 @@ Scale design:
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
-from ..scan import read_spread
+from ..scan import read_cached, read_spread
 
 import warnings
 from typing import Iterator
@@ -1052,7 +1052,7 @@ def lsh_verified_pairs_fn(spark, sf_dir: str):
         # to a tiny relation in one cheap task — spreading the full text
         # column ahead of it would shuffle the whole corpus for nothing;
         # the repartition AFTER the join is what feeds the gram kernel
-        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = (read_cached(spark, f"{sf_dir}/documents.parquet")
                 .join(ids, "doc_id")
                 .select("doc_id", F.trim(F.lower("text")).alias("nt")))
         # spread the gram kernel (r16): AQE coalesces the tiny
@@ -1156,7 +1156,7 @@ def dedup_removal_manifest_fn(spark, sf_dir: str, clusters=None):
         clusters = dedup_clusters_fn(spark, sf_dir)
     # plain read (r16): only doc_id leaves the scan — nothing heavy
     # chains into the scan stage, so the spread exchange buys nothing
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = read_cached(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return (docs.join(clusters, "doc_id", "left")
             .select("doc_id",

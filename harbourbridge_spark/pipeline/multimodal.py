@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..scan import read_cached
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),      # image|audio|video
@@ -1200,7 +1202,7 @@ def afp_incremental_entry_fn(spark, sf_dir: str,
         f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}|afp-v1".encode()).hexdigest()[:16]
     store = store_path("afp", ident)
-    docs = spark.read.parquet(src)
+    docs = read_cached(spark, src)
 
     def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
@@ -1486,7 +1488,7 @@ def phash_incremental_entry_fn(spark, sf_dir: str,
         f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}|v2".encode()).hexdigest()[:16]
     store = store_path("phash", ident)
-    docs = spark.read.parquet(src)
+    docs = read_cached(spark, src)
 
     def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
@@ -1776,7 +1778,7 @@ def vhash_incremental_entry_fn(spark, sf_dir: str,
         f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}|vhash-v1".encode()).hexdigest()[:16]
     store = store_path("vhash", ident)
-    docs = spark.read.parquet(src)
+    docs = read_cached(spark, src)
 
     def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(
@@ -2318,7 +2320,7 @@ def thash_incremental_entry_fn(spark, sf_dir: str,
         f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
         f"|{mod}|{res}|thash-v1".encode()).hexdigest()[:16]
     store = store_path("thash", ident)
-    docs = spark.read.parquet(src)
+    docs = read_cached(spark, src)
 
     def hashes_for(pred: str) -> DataFrame:
         ids = docs.where(pred).selectExpr(

@@ -15,7 +15,7 @@ low-cardinality key. No Python UDFs anywhere.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
-from ..scan import read_spread
+from ..scan import read_cached, read_spread
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -292,7 +292,7 @@ def run(spark: SparkSession, sf_dir: str, sql_fn) -> DataFrame:
     # plain read (r16 A/B): the templates run() serves are single-pass
     # JVM projections/windows a single codegen task finishes faster
     # than the spread exchange costs (scan.py rationale)
-    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    read_cached(spark, f"{sf_dir}/documents.parquet") \
         .createOrReplaceTempView("documents")
     return spark.sql(sql_fn("spark"))
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from .scan import read_spread
+from .scan import read_cached, read_spread
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -57,8 +57,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # family load() serves (gopher 0.42s plain vs 1.61s spread, q15
     # 0.77 vs 1.53, q21 1.09 vs 1.95) — spreading is a per-operator
     # decision made at the call sites whose scan stage carries heavy
-    # Python-kernel / token-explosion work.
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Python-kernel / token-explosion work.  read_cached memoizes the
+    # resolved relation (schema + listing, ~150 ms of driver work per
+    # cold spark.read.parquet) per session per (path, mtime, size) —
+    # metadata only, every action still scans the parquet (scan.py).
+    df = read_cached(spark, f"{sf_dir}/{table}.parquet")
     if table == "events" and not isinstance(
             df.schema["ts"].dataType, LongType):
         # micros-precision timestamp (ntz reads as naive UTC under the
