@@ -29,7 +29,7 @@ Scale designs (100 TB):
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
-from ..scan import read_spread
+from ..scan import read_spread, read_store
 
 from .text import TOKENS, render
 
@@ -808,8 +808,10 @@ def curate_against_store(spark, store_path: str, batch_df):
     why the inline form re-tokenized per gram (23x slower measured)."""
     with scoped_parser_mode(spark, "true"):
         batch_df.createOrReplaceTempView("__curb_batch")
+        # read_store (r16): listing-keyed relation memo — probes of
+        # an unchanged store skip the four per-relation re-resolutions
         for name in ("eval_grams", "boiler_grams", "vocab", "totals"):
-            spark.read.parquet(f"{store_path}/{name}") \
+            read_store(spark, f"{store_path}/{name}") \
                 .createOrReplaceTempView(f"__curs_{name}")
         toks = render(TOKENS, "spark")
         spark.sql(f"SELECT doc_id, {toks} AS tk FROM __curb_batch") \

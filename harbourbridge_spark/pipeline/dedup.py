@@ -24,7 +24,7 @@ Scale design:
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
-from ..scan import read_cached, read_spread
+from ..scan import read_cached, read_spread, read_store
 
 import warnings
 from typing import Iterator
@@ -2101,7 +2101,9 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
         # (bit-identical to the HOF template; see minhash_lsh_pairs_fn)
         batch_sig = vectorized_signature_df(batch_df)
         batch_sig.createOrReplaceTempView("__inc_batch_sig")
-        spark.read.parquet(store_path) \
+        # read_store (r16): listing-keyed relation memo — the probe
+        # re-resolves the store only when its file set actually changed
+        read_store(spark, store_path) \
             .createOrReplaceTempView("__inc_store_sig")
         n_bands = MINHASH_K // BAND_SIZE
         verdicts = spark.sql(f"""
@@ -2257,7 +2259,7 @@ def substring_probe_against_store(spark, store_path: str, batch_df,
         batch_df.createOrReplaceTempView("__substr_batch_in")
         g = _substr_gram_df(spark, "__substr_batch_in").localCheckpoint()
         g.createOrReplaceTempView("__substr_batch_g")
-        spark.read.parquet(store_path).createOrReplaceTempView(
+        read_store(spark, store_path).createOrReplaceTempView(
             "__substr_store_g")
         spans = spark.sql(f"""
         WITH hits AS (

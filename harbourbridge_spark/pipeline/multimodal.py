@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..scan import read_cached
+from ..scan import read_cached, read_store
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -1380,7 +1380,9 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
     the per-media verdicts expand back by an equi-join on phash)."""
     from .dedup import MAX_BUCKET
 
-    buckets = (spark.read.parquet(f"{store_path}/buckets_k{hamming_k}")
+    # read_store (r16): listing-keyed relation memo for both store
+    # relations — a probe on an unchanged store skips re-resolution
+    buckets = (read_store(spark, f"{store_path}/buckets_k{hamming_k}")
                .groupBy("b", "slice")
                .agg(F.sum("n").alias("n"),
                     F.min("rep").alias("rep"),
@@ -1399,7 +1401,7 @@ def phash_probe_hashes(spark, store_path: str, batch_ph: DataFrame,
                          F.col("rep_ph").alias("ph_e")))
     small_keys = (hit.filter(F.col("n") <= MAX_BUCKET)
                   .select("b", "slice").distinct())
-    store_ph = spark.read.parquet(f"{store_path}/hashes")
+    store_ph = read_store(spark, f"{store_path}/hashes")
     small_members = _phash_sliced(store_ph, hamming_k).join(
         F.broadcast(small_keys), on=["b", "slice"])
     cand_small = (small_members.alias("e").join(
@@ -2241,8 +2243,8 @@ def thash_probe_hashes(spark, store_path: str, batch_th: DataFrame,
                 ", ".join(f"{t}, ph{t}"
                           for t in range(THASH_SLOTS)))),
         hamming_k)
-    buckets = (spark.read.parquet(
-        f"{store_path}/buckets_k{hamming_k}")
+    buckets = (read_store(
+        spark, f"{store_path}/buckets_k{hamming_k}")
         .groupBy("slot", "b", "slice")
         .agg(F.sum("n").alias("n"),
              F.min("rep").alias("rep"),
@@ -2255,7 +2257,7 @@ def thash_probe_hashes(spark, store_path: str, batch_th: DataFrame,
                          F.col("rep_ph").alias("ph_e")))
     small_keys = (hit.filter(F.col("n") <= MAX_BUCKET)
                   .select("slot", "b", "slice").distinct())
-    store_th = spark.read.parquet(f"{store_path}/hashes")
+    store_th = read_store(spark, f"{store_path}/hashes")
     small_members = _thash_sliced(store_th, hamming_k).join(
         F.broadcast(small_keys), on=["slot", "b", "slice"])
     cand_small = (small_members.alias("e").join(

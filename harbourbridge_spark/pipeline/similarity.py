@@ -18,7 +18,7 @@ the SQL so both engines agree.
 from __future__ import annotations
 
 from ..confscope import scoped_parser_mode
-from ..scan import read_spread
+from ..scan import read_spread, read_store
 
 import hashlib
 
@@ -606,20 +606,42 @@ def ann_index_store_write(spark, emb_df, store_path: str,
     a production deployment would k-means and store those instead —
     the store layout is unchanged).  Build cost: one aggregate pass
     for the grid, one TakeOrdered for centroids, one projection pass
-    for codes — no shuffle of the corpus, no self-join."""
+    for codes — no shuffle of the corpus, no self-join.
+
+    The grid and centroid passes are INDEPENDENT single-pass jobs
+    over the same input, so they run concurrently from a 2-thread
+    pool (guide §2.6: actions are only sequential because the driver
+    calls them sequentially; the second job's tasks back-fill the
+    idle cores behind the first job's tail) — at any scale both are
+    small scans whose wall-clock would otherwise simply add.  Codes
+    depend on both and still run after.  Values are unchanged: both
+    plans are fully built before the pool starts (no shared mutable
+    session state inside the threads beyond the thread-safe catalog),
+    and the codes statement reads the same written parquet as
+    before."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..scan import read_store
     from .text import render
     emb_df.createOrReplaceTempView("__ann_store_in")
-    spark.sql(render(_sq_stats_select("__ann_store_in"), "spark",
-                     **_arr_shims("spark"))) \
-        .write.mode(mode).parquet(f"{store_path}/grid")
+    grid_df = spark.sql(render(_sq_stats_select("__ann_store_in"),
+                               "spark", **_arr_shims("spark")))
     nrm = _norm_sql("spark", "embedding")
     cent = spark.sql(f"""
         SELECT vec_id AS cent_id, embedding AS cvec, {nrm} AS cnrm
         FROM __ann_store_in""").orderBy("cent_id").limit(n_cells)
-    cent.write.mode(mode).parquet(f"{store_path}/centroids")
-    spark.read.parquet(f"{store_path}/centroids") \
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(lambda: grid_df.write.mode(mode)
+                         .parquet(f"{store_path}/grid"))
+        fc = pool.submit(lambda: cent.write.mode(mode)
+                         .parquet(f"{store_path}/centroids"))
+        fg.result()
+        fc.result()
+    # read_store read-backs: the probe (ann_query_store) re-reads the
+    # same paths and hits this memo instead of re-resolving
+    read_store(spark, f"{store_path}/centroids") \
         .createOrReplaceTempView("__ann_store_cent")
-    spark.read.parquet(f"{store_path}/grid") \
+    read_store(spark, f"{store_path}/grid") \
         .createOrReplaceTempView("__ann_store_grid")
     spark.sql(render(
         _codes_sql("__ann_store_in", "__ann_store_grid",
@@ -699,11 +721,13 @@ def ann_query_store(spark, store_path: str, batch_df, topk: int = TOPK,
     corpus."""
     from .text import render
     batch_df.createOrReplaceTempView("__ann_q_batch")
-    spark.read.parquet(f"{store_path}/grid") \
+    # read_store (r16): listing-keyed relation memo over the three
+    # immutable-at-read store relations
+    read_store(spark, f"{store_path}/grid") \
         .createOrReplaceTempView("__ann_q_grid")
-    spark.read.parquet(f"{store_path}/centroids") \
+    read_store(spark, f"{store_path}/centroids") \
         .createOrReplaceTempView("__ann_q_cent")
-    spark.read.parquet(f"{store_path}/codes") \
+    read_store(spark, f"{store_path}/codes") \
         .createOrReplaceTempView("__ann_q_codes")
     dot_bc = _dot_sql("spark", "b.embedding", "cent.cvec")
     dot_bd = _dot_sql("spark", "b.embedding", "c.demb")

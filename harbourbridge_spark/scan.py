@@ -82,6 +82,46 @@ def read_cached(spark, path: str):
     return df
 
 
+def read_store(spark, path: str):
+    """``read_cached`` for STORE DIRECTORIES (probe paths reading a
+    store another run may have appended to): the memo key is the
+    directory's full recursive file listing — (relative path, size,
+    mtime_ns) of EVERY file — rather than the directory stat.  An
+    append or an overwrite by definition changes the listing (parquet
+    writers emit fresh uniquely-named part files), so the key can
+    never alias two store states, including the same-mtime-overwrite
+    corner that kept store reads un-memoized in the first r16 pass.
+
+    Same contract as read_cached otherwise: METADATA only (the
+    returned DataFrame is an unexecuted plan; every action still
+    scans the parquet bytes), memo on the session object, first read
+    of any new store state pays full resolution.  The listing walk is
+    pure os.scandir work (~10 us per file locally) — three orders of
+    magnitude under the ~150 ms schema-inference job it replaces."""
+    try:
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append((os.path.relpath(fp, path),
+                                st.st_size, st.st_mtime_ns))
+        if not entries:
+            return spark.read.parquet(path)
+        key = (os.path.abspath(path), tuple(sorted(entries)))
+    except OSError:
+        return spark.read.parquet(path)
+    cache = getattr(spark, "_hb_read_cache", None)
+    if cache is None:
+        cache = {}
+        spark._hb_read_cache = cache
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[key] = df
+    return df
+
+
 def _row_groups(path: str) -> int | None:
     """Parquet footer row-group count — the true splittability bound.
     None when the footer can't be read (stay conservative: no spread)."""
