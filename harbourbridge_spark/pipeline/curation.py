@@ -319,14 +319,29 @@ def curation_pipeline_materialized_fn(spark, sf_dir: str, k: int = 20,
             .createOrReplaceTempView("__cur_quality")
         spark.sql(dedup_keep_first_sql("spark")) \
             .createOrReplaceTempView("__cur_keeps")
-        survivors = spark.sql("""
+        survivors_plan = spark.sql("""
             SELECT q.doc_id, q.lang, q.n_tokens
             FROM __cur_quality q JOIN __cur_keeps k ON q.doc_id = k.doc_id
             WHERE k.keep AND q.n_tokens >= 20 AND q.quality_score >= 0.5
-        """).localCheckpoint()
+        """)
+        # The survivors checkpoint and the decontamination gram
+        # checkpoint are INDEPENDENT jobs (both derive only from the
+        # documents relation), so they run concurrently from a
+        # 2-thread pool (guide §2.6) instead of back to back — the
+        # second job's tasks back-fill cores idled by the first's
+        # tail.  Values unchanged: the survivors plan is fully built
+        # above; decontaminate_fn re-registers the SAME memoized
+        # documents relation and both threads want the same parser
+        # mode the enclosing scope already set.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = pool.submit(survivors_plan.localCheckpoint)
+            fc = pool.submit(decontaminate_fn, spark, sf_dir,
+                             eval_mod=eval_mod)
+            survivors = fs.result()
+            contam = fc.result()
         survivors.createOrReplaceTempView("__cur_survivors")
-        decontaminate_fn(spark, sf_dir, eval_mod=eval_mod) \
-            .createOrReplaceTempView("__cur_contam")
+        contam.createOrReplaceTempView("__cur_contam")
         final = spark.sql("""
             SELECT s.doc_id, s.lang, s.n_tokens FROM __cur_survivors s
             LEFT ANTI JOIN __cur_contam c ON c.doc_id = s.doc_id
