@@ -146,6 +146,7 @@ def main() -> None:
     # BENCH_r{N}.json the driver has left + 1 (re-runs within a round
     # overwrite the same file — idempotent).
     rnd = -1
+    detail_name = None
     try:
         import glob
         import re
@@ -157,7 +158,14 @@ def main() -> None:
                   glob.glob(os.path.join(here, "BENCH_r*.json"))
                   if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
         rnd = (max(rounds) + 1) if rounds else 0
-        detail = os.path.join(here, f"BENCH_r{rnd:02d}_detail.json")
+        # secondary scaling runs (reduced core count) write a
+        # _c{cpus}-suffixed detail file (VERDICT r16 item 9): the r16
+        # 8-core run landed in BENCH_r17_detail.json and read as next
+        # round's data.  The main full-core run keeps the plain name.
+        suffix = "" if int(cpus) >= (os.cpu_count() or int(cpus)) \
+            else f"_c{cpus}"
+        detail_name = f"BENCH_r{rnd:02d}{suffix}_detail.json"
+        detail = os.path.join(here, detail_name)
         with open(detail, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError:
@@ -177,8 +185,7 @@ def main() -> None:
         "total_sec": total,
         "canary_sec": canary,
         "n_queries": len(timings),
-        "detail_file": (f"BENCH_r{rnd:02d}_detail.json" if rnd >= 0
-                        else None),
+        "detail_file": detail_name,
         "queries": slowest,
     }
     print(json.dumps(summary))

@@ -100,6 +100,47 @@ def decontaminate_sql(engine: str, gram_n: int = 4,
     return render(t, engine)
 
 
+def _decon_grams_plan(spark, gram_n: int = 4):
+    """The decontamination gram relation as an UNEXECUTED plan.
+    Caller contract: the ``documents`` temp view is registered and the
+    session parser mode is already scoped — all session-global work
+    (spark.sql parse time included) happens on the caller's thread, so
+    the returned plan's only remaining step is its localCheckpoint
+    action, which IS thread-safe to submit to a pool (r17, ADVICE r16:
+    the previous shape ran conf set/restore + view replacement inside
+    a worker thread, racing the main thread's session state)."""
+    from .text import render as _render
+    toks = _render(TOKENS, "spark")
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
+    return spark.sql(f"""
+    WITH toks AS (
+        SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
+    ), g AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, {leads}) AS gram,
+               lead(tok, {gram_n - 1}) OVER w AS tlast
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT DISTINCT doc_id, gram FROM g WHERE tlast IS NOT NULL
+    """)
+
+
+def _decon_contam(grams, eval_mod: int = 97):
+    """The train-vs-eval shared-gram aggregation over a CHECKPOINTED
+    gram relation, as DataFrame ops (no temp view, no parser-mode
+    dependency — safe to build from any thread, though callers build
+    it on the main thread after the checkpoint completes).  Values
+    identical to the previous spark.sql form: same eval-gram DISTINCT,
+    same equi-join, same COUNT(DISTINCT gram) per train doc."""
+    from pyspark.sql import functions as F
+    eval_grams = (grams.where(f"doc_id % {eval_mod} = 0")
+                  .select("gram").distinct())
+    return (grams.where(f"doc_id % {eval_mod} <> 0")
+            .join(eval_grams, "gram")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gram").alias("n_shared_grams")))
+
+
 def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
                      eval_mod: int = 97):
     """Spark execution strategy for decontamination: identical output
@@ -110,34 +151,11 @@ def decontaminate_fn(spark, sf_dir: str, gram_n: int = 4,
     ONCE before being read from both sides of the train-vs-eval join
     (the CTE form re-evaluates the whole tokenize+gram pipeline per
     reference).  Measured 20.5s -> ~1s at sf0.1."""
-    from .text import render as _render
     with scoped_parser_mode(spark, "true"):
         read_spread(spark, f"{sf_dir}/documents.parquet") \
             .createOrReplaceTempView("documents")
-        toks = _render(TOKENS, "spark")
-        leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, gram_n))
-        grams = spark.sql(f"""
-        WITH toks AS (
-            SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents
-        ), g AS (
-            SELECT doc_id,
-                   concat_ws(' ', tok, {leads}) AS gram,
-                   lead(tok, {gram_n - 1}) OVER w AS tlast
-            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        )
-        SELECT DISTINCT doc_id, gram FROM g WHERE tlast IS NOT NULL
-        """).localCheckpoint()
-        grams.createOrReplaceTempView("__decon_grams")
-        return spark.sql(f"""
-        WITH eval_grams AS (
-            SELECT DISTINCT gram FROM __decon_grams
-            WHERE doc_id % {eval_mod} = 0
-        )
-        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
-        FROM __decon_grams g JOIN eval_grams e ON e.gram = g.gram
-        WHERE g.doc_id % {eval_mod} <> 0
-        GROUP BY g.doc_id
-        """)
+        grams = _decon_grams_plan(spark, gram_n).localCheckpoint()
+    return _decon_contam(grams, eval_mod)
 
 
 def doc_repetition_sql(engine: str, gram_n: int = 2) -> str:
@@ -329,17 +347,18 @@ def curation_pipeline_materialized_fn(spark, sf_dir: str, k: int = 20,
         # documents relation), so they run concurrently from a
         # 2-thread pool (guide §2.6) instead of back to back — the
         # second job's tasks back-fill cores idled by the first's
-        # tail.  Values unchanged: the survivors plan is fully built
-        # above; decontaminate_fn re-registers the SAME memoized
-        # documents relation and both threads want the same parser
-        # mode the enclosing scope already set.
+        # tail.  BOTH plans are fully built on THIS thread before the
+        # pool starts (r17, ADVICE r16: only the localCheckpoint
+        # actions run in workers — no session-global state, parser
+        # mode, or temp-view mutation ever happens off the main
+        # thread; this matches the ann_index_store_write pattern).
         from concurrent.futures import ThreadPoolExecutor
+        decon_grams_plan = _decon_grams_plan(spark)
         with ThreadPoolExecutor(max_workers=2) as pool:
             fs = pool.submit(survivors_plan.localCheckpoint)
-            fc = pool.submit(decontaminate_fn, spark, sf_dir,
-                             eval_mod=eval_mod)
+            fg = pool.submit(decon_grams_plan.localCheckpoint)
             survivors = fs.result()
-            contam = fc.result()
+            contam = _decon_contam(fg.result(), eval_mod)
         survivors.createOrReplaceTempView("__cur_survivors")
         contam.createOrReplaceTempView("__cur_contam")
         final = spark.sql("""

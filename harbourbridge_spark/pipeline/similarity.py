@@ -621,7 +621,6 @@ def ann_index_store_write(spark, emb_df, store_path: str,
     before."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..scan import read_store
     from .text import render
     emb_df.createOrReplaceTempView("__ann_store_in")
     grid_df = spark.sql(render(_sq_stats_select("__ann_store_in"),
@@ -698,9 +697,12 @@ def ann_index_store_append(spark, store_path: str, emb_df) -> None:
     what the store exists to avoid."""
     from .text import render
     emb_df.createOrReplaceTempView("__ann_append_in")
-    spark.read.parquet(f"{store_path}/grid") \
+    # read_store (r17, ADVICE r16): grid and centroids are FROZEN
+    # relations — the ideal listing-keyed memo target; the append-only
+    # codes write never touches them
+    read_store(spark, f"{store_path}/grid") \
         .createOrReplaceTempView("__ann_append_grid")
-    spark.read.parquet(f"{store_path}/centroids") \
+    read_store(spark, f"{store_path}/centroids") \
         .createOrReplaceTempView("__ann_append_cent")
     spark.sql(render(
         _codes_sql("__ann_append_in", "__ann_append_grid",

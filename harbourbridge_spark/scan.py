@@ -64,21 +64,27 @@ def read_cached(spark, path: str):
     cache lives on the session object (the load() conf-guard
     convention), so it dies with the session and can never leak plans
     across sessions.  Use ONLY for immutable fixture inputs — store
-    directories that a run appends to mid-process keep their explicit
-    ``spark.read.parquet`` calls."""
+    directories a run appends to mid-process go through ``read_store``
+    (listing-keyed memo).
+
+    The memo is keyed by ABSPATH with the (mtime_ns, size) token in
+    the VALUE (r17, ADVICE r16): a rewritten path replaces its single
+    entry instead of stranding the old one for the session lifetime."""
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        key = os.path.abspath(path)
+        token = (st.st_mtime_ns, st.st_size)
     except OSError:
         return spark.read.parquet(path)
     cache = getattr(spark, "_hb_read_cache", None)
     if cache is None:
         cache = {}
         spark._hb_read_cache = cache
-    df = cache.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[key] = df
+    hit = cache.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    df = spark.read.parquet(path)
+    cache[key] = (token, df)
     return df
 
 
@@ -97,7 +103,13 @@ def read_store(spark, path: str):
     scans the parquet bytes), memo on the session object, first read
     of any new store state pays full resolution.  The listing walk is
     pure os.scandir work (~10 us per file locally) — three orders of
-    magnitude under the ~150 ms schema-inference job it replaces."""
+    magnitude under the ~150 ms schema-inference job it replaces.
+
+    The memo is keyed by ABSPATH with the listing tuple in the VALUE
+    (r17, ADVICE r16): each store holds exactly ONE live entry — an
+    append/overwrite replaces it instead of stranding the old
+    (listing, plan) pair, so incremental probe loops that append per
+    batch no longer grow the cache linearly in batches x files."""
     try:
         entries = []
         for root, _dirs, files in os.walk(path):
@@ -108,17 +120,19 @@ def read_store(spark, path: str):
                                 st.st_size, st.st_mtime_ns))
         if not entries:
             return spark.read.parquet(path)
-        key = (os.path.abspath(path), tuple(sorted(entries)))
+        key = os.path.abspath(path)
+        token = tuple(sorted(entries))
     except OSError:
         return spark.read.parquet(path)
     cache = getattr(spark, "_hb_read_cache", None)
     if cache is None:
         cache = {}
         spark._hb_read_cache = cache
-    df = cache.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        cache[key] = df
+    hit = cache.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    df = spark.read.parquet(path)
+    cache[key] = (token, df)
     return df
 
 
