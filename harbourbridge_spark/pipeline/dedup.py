@@ -1101,9 +1101,6 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
     edges = pairs.selectExpr(
         "inline(array(struct(doc_a, doc_b), "
         "struct(doc_b AS doc_a, doc_a AS doc_b)))")
-    nodes = edges.select(F.col("doc_a").alias("doc")).distinct()
-    labels = nodes.select("doc", F.col("doc").alias("label")) \
-                  .localCheckpoint()
 
     def prop(lab):
         """One min-label step: least(label, min over neighbors)."""
@@ -1115,6 +1112,23 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
                         F.least("label",
                                 F.coalesce("nl", "label")).alias("label"),
                         (F.col("nl") < F.col("label")).alias("chg")))
+
+    # STEP 1 fused into an edge aggregation (r17): with label_0(doc) =
+    # doc, the first min-label step is label_1(doc) = least(doc,
+    # min(neighbor doc_id)) — a single map-side-combinable groupBy over
+    # the symmetric edge list.  The r16 shape materialized an identity
+    # labels relation (nodes.distinct + localCheckpoint — one driver
+    # action) and then ran step 1 as edges⋈labels + groupBy + labels⋈
+    # (three shuffles); the fused form is ONE shuffle and no init
+    # barrier.  Every node appears as doc_b in the symmetric edge list,
+    # so the groupBy covers exactly the node set; labels are identical
+    # (min over neighbor *labels* at step 1 == min over neighbor ids).
+    def first_step():
+        return (edges.groupBy(F.col("doc_b").alias("doc"))
+                .agg(F.min("doc_a").alias("nl"))
+                .select("doc",
+                        F.least("doc", "nl").alias("label"),
+                        (F.col("nl") < F.col("doc")).alias("chg")))
 
     # TWO propagation steps per checkpoint+count cycle (r16, second
     # pass): at sf0.1 the whole loop is fixed per-job overhead (143
@@ -1128,9 +1142,12 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
     # convergence just means the cycle's second step is a no-op.
     # max_iters still bounds total STEPS, so pathological chains run
     # exactly as many updates as before.
+    labels = None
     converged = False
-    for _ in range(max_iters // 2):
-        new = prop(prop(labels).select("doc", "label")).localCheckpoint()
+    for cycle in range(max_iters // 2):
+        one = first_step().select("doc", "label") if cycle == 0 \
+            else prop(labels).select("doc", "label")
+        new = prop(one).localCheckpoint()
         changed = new.where("chg").count()
         labels = new.select("doc", "label")
         if changed == 0:
@@ -1138,8 +1155,11 @@ def dedup_clusters_fn(spark, sf_dir: str, max_iters: int = 20,
             break
     if max_iters % 2 and not converged:
         # odd bound: the documented step budget ends on a single step
-        labels = (prop(labels).select("doc", "label")
-                  .localCheckpoint())
+        one = first_step() if labels is None else prop(labels)
+        labels = one.select("doc", "label").localCheckpoint()
+    if labels is None:            # max_iters == 0: identity labels
+        labels = (edges.select(F.col("doc_a").alias("doc")).distinct()
+                  .select("doc", F.col("doc").alias("label")))
     return labels.select(F.col("doc").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -1193,8 +1213,11 @@ def dedup_pipeline_materialized_fn(spark, sf_dir: str):
 
     pairs = (lsh_verified_pairs_fn(spark, sf_dir)
              .select("doc_a", "doc_b").localCheckpoint())
-    clusters = dedup_clusters_fn(spark, sf_dir, pairs=pairs) \
-        .localCheckpoint()
+    # no re-checkpoint of clusters (r17): dedup_clusters_fn's return
+    # is already a projection OVER its loop's checkpointed labels, so
+    # the extra localCheckpoint was a pure serialization barrier (one
+    # whole driver action re-materializing materialized rows)
+    clusters = dedup_clusters_fn(spark, sf_dir, pairs=pairs)
     manifest = dedup_removal_manifest_fn(spark, sf_dir,
                                          clusters=clusters)
     s_pairs = pairs.agg(

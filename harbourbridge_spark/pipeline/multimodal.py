@@ -2930,10 +2930,21 @@ def _spread_ids(ids: DataFrame) -> DataFrame:
     """The id source is typically a 1-2 row-group parquet scan;
     without a repartition the whole Python synth+decode chain
     serializes into those tasks (the boilerplate_grams lesson) —
-    spread it across the cluster before the codec work."""
+    spread it across the cluster before the codec work.
+
+    r17 (VERDICT r16 item 1): the splittability probe is the parquet
+    footer row-group sum over the plan's resolved input files
+    (scan.scan_splits) — the ``.rdd.getNumPartitions()`` driver probe
+    forced full physical planning + plan→RDD conversion (measured
+    80-308 ms warm per call, ~3 calls per synth-fed entry).  Unknown
+    provenance spreads: every consumer is a heavy synth/codec kernel,
+    so under-spreading serializes the stage while over-spreading
+    costs one exchange of 8-byte id rows."""
+    from ..scan import scan_splits
     ids = ids.select("media_id")
     par = ids.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < par:
+    splits = scan_splits(ids)
+    if splits is None or splits < par:
         ids = ids.repartition(par)
     return ids
 

@@ -136,14 +136,61 @@ def read_store(spark, path: str):
     return df
 
 
+_FOOTER_MEMO: dict = {}
+
+
 def _row_groups(path: str) -> int | None:
     """Parquet footer row-group count — the true splittability bound.
-    None when the footer can't be read (stay conservative: no spread)."""
+    None when the footer can't be read (stay conservative: no spread).
+    Memoized per (path, mtime_ns, size): the footer is immutable for
+    an unchanged file, and hot paths probe the same fixtures per
+    bench run."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    if key in _FOOTER_MEMO:
+        return _FOOTER_MEMO[key]
     try:
         import pyarrow.parquet as pq
-        return pq.ParquetFile(path).metadata.num_row_groups
+        groups = pq.ParquetFile(path).metadata.num_row_groups
     except Exception:   # noqa: BLE001 — any footer trouble: no spread
+        groups = None
+    if len(_FOOTER_MEMO) < 4096:       # bound driver memory
+        _FOOTER_MEMO[key] = groups
+    return groups
+
+
+def scan_splits(df) -> int | None:
+    """Lower bound on the scan parallelism of ``df``'s input, derived
+    from its resolved file listing + parquet FOOTER row-group counts —
+    the replacement for the ``df.rdd.getNumPartitions()`` driver probe
+    (VERDICT r16 item 1: the RDD probe forces full physical planning
+    and plan→RDD conversion, measured 80-308 ms per call on this box
+    vs ~30 ms for ``inputFiles()`` on a fresh plan and ~1 ms per
+    memoized footer; at ~3 probes per synth-fed media entry that was
+    real latency at 0.5-2 s query scale).
+
+    Returns None when the provenance is unknown (no input files, or a
+    non-file source) — callers treat unknown as "not split enough" and
+    spread, because every caller feeds a heavy Python kernel where
+    under-spreading serializes the stage and over-spreading costs one
+    exchange of id-width rows."""
+    try:
+        files = df.inputFiles()
+    except Exception:   # noqa: BLE001 — resolution failure: unknown
         return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        g = _row_groups(path)
+        if g is None:
+            return None
+        total += max(g, 1)
+    return total
 
 
 def read_spread(spark, path: str):
