@@ -424,7 +424,7 @@ def _minhash_md5_signature(text: str) -> list:
     return _md5_sig_kernel()(text)
 
 
-def vectorized_signature_df(docs, kernel=None):
+def vectorized_signature_df(docs, kernel=None, materialize=True):
     """The checkpointed MinHash signature of a ``(doc_id, text, …)``
     DataFrame, computed by an Arrow-batched pandas_udf kernel
     (default: the md5 kernel, bit-identical to
@@ -434,7 +434,13 @@ def vectorized_signature_df(docs, kernel=None):
     minhash_lsh_pairs_fast_fn's docstring for why the kernel beats
     the interpreted SQL higher-order functions.  The udf is the
     ITERATOR form so the per-task shingle-hash memo (guide §4.5)
-    builds once per task and serves every batch."""
+    builds once per task and serves every batch.
+
+    ``materialize=False`` (r17) skips the localCheckpoint for callers
+    that consume the signature exactly ONCE (single-reference plans:
+    the non-admitting store probe, the store write) — the checkpoint
+    there was a pure extra driver action; multi-reference callers keep
+    the default so the kernel never re-runs per reference."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
@@ -454,11 +460,11 @@ def vectorized_signature_df(docs, kernel=None):
     # into ONE task (the synth_media _spread_ids lesson).  No .rdd
     # probe here: the input may carry an AQE shuffle, whose stages a
     # probe would materialize early.
-    return (docs.select("doc_id", sig_udf("nt").alias("sig"))
-            .select("doc_id",
-                    *[F.element_at("sig", i + 1).alias(f"m{i}")
-                      for i in range(MINHASH_K)])
-            .localCheckpoint())
+    sig = (docs.select("doc_id", sig_udf("nt").alias("sig"))
+           .select("doc_id",
+                   *[F.element_at("sig", i + 1).alias(f"m{i}")
+                     for i in range(MINHASH_K)]))
+    return sig.localCheckpoint() if materialize else sig
 
 
 def vectorized_signature_view(spark, sf_dir: str, view: str,
@@ -2062,8 +2068,10 @@ def signature_store_write(spark, docs_df, store_path: str,
 
     # r16: vectorized md5 kernel signature (bit-identical to the HOF
     # template; see minhash_lsh_pairs_fn) — the store for a given
-    # corpus is byte-for-byte what the SQL form wrote
-    sig = vectorized_signature_df(docs_df)
+    # corpus is byte-for-byte what the SQL form wrote.  r17: the
+    # parquet write is the signature's ONLY consumer, so it computes
+    # inside the write action (no pre-write checkpoint barrier).
+    sig = vectorized_signature_df(docs_df, materialize=False)
     # shared mutation lock: an append landing while a compaction is
     # between its snapshot and its swap would be silently destroyed
     # by the swap (storecache.store_lock) — serialize writers only;
@@ -2156,7 +2164,13 @@ def dedup_incremental_against_store(spark, store_path: str, batch_df,
     ever recomputed over the corpus."""
     with scoped_parser_mode(spark, "true"):
         # r16: vectorized md5 kernel for the batch signature
-        # (bit-identical to the HOF template; see minhash_lsh_pairs_fn)
+        # (bit-identical to the HOF template; see minhash_lsh_pairs_fn).
+        # r17 negative result, kept ON the checkpoint: computing the
+        # signature inside the verdicts action (materialize=False) was
+        # measured 2.0-2.6 s vs 1.5-1.8 s with the checkpoint — the
+        # probe's cand UNION references ``inc`` twice, so the CTE
+        # inlining re-runs the Arrow kernel per reference and the
+        # double evaluation costs more than the barrier it saves.
         batch_sig = vectorized_signature_df(batch_df)
         batch_sig.createOrReplaceTempView("__inc_batch_sig")
         # read_store (r16): listing-keyed relation memo — the probe
