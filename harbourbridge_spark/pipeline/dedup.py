@@ -729,23 +729,51 @@ def _hamming(a: str, b: str, engine: str) -> str:
     return f"CAST(bit_count(xor({a}, {b})) AS BIGINT)"
 
 
+def _simhash_kernel(bits: int = 32, cache: dict | None = None):
+    """Build the per-doc SimHash kernel, optionally wired to a
+    PER-TASK token-hash memo (r17; the _md5_sig_kernel shape, guide
+    §4.5): tokens repeat massively across documents of a partition,
+    so most md5 calls become a dict hit.  Values are unchanged — the
+    memo only caches hash48(token), never votes."""
+    import hashlib
+    import re
+    get = cache.get if cache is not None else None
+    bit_range = np.arange(bits)
+    bit_shift = np.arange(bits, dtype=np.int64)
+
+    def kern(nt: str) -> int:
+        toks = re.split(r"\s+", nt, flags=re.ASCII)
+        if get is None:
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:6], "big")
+                 for t in toks), np.int64, len(toks))
+        else:
+            hs = np.empty(len(toks), np.int64)
+            for j, t in enumerate(toks):
+                h = get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:6],
+                        "big")
+                    if len(cache) < _SHINGLE_CACHE_CAP:
+                        cache[t] = h
+                hs[j] = h
+        ones = ((hs[:, None] >> bit_range) & 1)
+        votes = (2 * ones - 1).sum(axis=0)
+        return int(((votes >= 0).astype(np.int64) << bit_shift).sum())
+    return kern
+
+
 def _simhash_int(nt: str, bits: int = 32) -> int:
     """Vectorized twin of the SimHash vote: tokens via
     re.split(r'\\s+', ..., re.ASCII) — Java regex \\s is the same
     ASCII class, and both splits keep leading/trailing empty fields —
     md5-hash48 per token (multiplicity kept: the SQL explode counts
     duplicate tokens), per-bit +1/-1 vote sums, then the integer
-    signature with bit j set iff vote_j >= 0."""
-    import hashlib
-    import re
-    toks = re.split(r"\s+", nt, flags=re.ASCII)
-    hs = np.fromiter(
-        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
-         for t in toks), np.int64, len(toks))
-    ones = ((hs[:, None] >> np.arange(bits)) & 1)
-    votes = (2 * ones - 1).sum(axis=0)
-    return int(((votes >= 0).astype(np.int64)
-                << np.arange(bits, dtype=np.int64)).sum())
+    signature with bit j set iff vote_j >= 0.  hash48(t) ==
+    int(md5(t)[:12], 16) == first 6 digest bytes big-endian."""
+    return _simhash_kernel(bits)(nt)
 
 
 def simhash_signature_view(spark, sf_dir: str, view: str,
@@ -757,12 +785,14 @@ def simhash_signature_view(spark, sf_dir: str, view: str,
     from pyspark.sql.types import LongType
 
     @pandas_udf(LongType())
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        # SQL drops null-text docs entirely (explode of NULL emits no
-        # rows); the callers filter nulls out, and None maps to None
-        # as a belt
-        return texts.map(lambda t: None if t is None
-                         else _simhash_int(t, bits))
+    def sig_udf(texts_it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # ITERATOR form (r17, guide §4.5): the per-task token-hash
+        # memo builds once per task and serves every batch.  SQL drops
+        # null-text docs entirely (explode of NULL emits no rows); the
+        # callers filter nulls out, and None maps to None as a belt
+        k = _simhash_kernel(bits, {})
+        for texts in texts_it:
+            yield texts.map(lambda t: None if t is None else k(t))
 
     # read_spread spreads the single-row-group scan so the kernel
     # does not serialize into one task (r16)
